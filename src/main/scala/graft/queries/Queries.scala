@@ -196,7 +196,287 @@ object Queries {
           (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-        FROM events ORDER BY user_id, event_id"""))
+        FROM events ORDER BY user_id, event_id""")),
+
+    // ---- Generate/explode (LATERAL VIEW shape): tokenize + top terms ----
+    QueryDef(
+      "q09_explode_tokens",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(100)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
+
+    // ---- Union (distinct) across two filtered branches ----
+    QueryDef(
+      "q10_union",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val hi = o.filter($"o_totalprice" > 300000.0).select($"o_orderkey", $"o_custkey")
+        val ur = o.filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+          .select($"o_orderkey", $"o_custkey")
+        hi.union(ur).distinct().orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000.0
+        UNION
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+        ORDER BY o_orderkey""")),
+
+    // ---- Deduplicate (DISTINCT) ----
+    QueryDef(
+      "q11_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus")
+          .distinct()
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- Expand: ROLLUP with grouping marker ----
+    QueryDef(
+      "q12_rollup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- Intersect ----
+    QueryDef(
+      "q13_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val a = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        val b = o.filter($"o_totalprice" > 200000.0).select($"o_custkey")
+        a.intersect(b).orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        ORDER BY o_custkey""")),
+
+    // ---- Except ----
+    QueryDef(
+      "q14_except",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.select($"c_custkey").except(
+          o.filter($"o_totalprice" > 150000.0).select($"o_custkey".as("c_custkey")))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0
+        ORDER BY c_custkey""")),
+
+    // ---- Scalar function battery (string/math/conditional) ----
+    QueryDef(
+      "q15_scalar_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            substring($"p_type", 1, 4).as("type_prefix"),
+            length($"p_name").as("name_len"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+            floor($"p_retailprice").cast(LongType).as("price_floor"),
+            ($"p_size" % 7).as("size_mod"),
+            when($"p_size" > 25, lit("L")).when($"p_size" > 10, lit("M"))
+              .otherwise(lit("S")).as("size_class"),
+            coalesce(nullif($"p_brand", lit("Brand#1")), lit("OTHER")).as("brand_or_other"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+        substring(p_type, 1, 4) AS type_prefix, length(p_name) AS name_len,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        p_size % 7 AS size_mod,
+        CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
+        coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- Pivot (conditional aggregation across a key domain) ----
+    QueryDef(
+      "q16_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum($"l_quantity"))
+          .withColumnRenamed("A", "qty_a")
+          .withColumnRenamed("N", "qty_n")
+          .withColumnRenamed("R", "qty_r")
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- Date truncation + aggregation ----
+    QueryDef(
+      "q17_date_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(to_date(date_trunc("day", $"ts")).as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // ---- Global sort + limit (top-k) ----
+    QueryDef(
+      "q18_topk",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- count(DISTINCT) ----
+    QueryDef(
+      "q19_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        count(*) AS n_orders FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- JSON extraction from a string column ----
+    QueryDef(
+      "q20_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(get_json_object($"props", "$.k").cast(LongType).as("k"))
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+          .orderBy($"k_mod")
+      },
+      Some("""SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        GROUP BY k_mod ORDER BY k_mod""")),
+
+    // ---- Group by computed expression (year/month) ----
+    QueryDef(
+      "q21_groupby_expr",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"yr", $"mo")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // ---- Array functions with scalar outputs (collect/sort/index) ----
+    QueryDef(
+      "q22_array_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(sort_array(collect_list($"c_name")).as("names"))
+          .select($"c_mktsegment",
+            size($"names").as("n"),
+            element_at($"names", 1).as("first_name"),
+            element_at($"names", -1).as("last_name"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, len(names) AS n, names[1] AS first_name,
+        names[-1] AS last_name
+        FROM (SELECT c_mktsegment, list_sort(list(c_name)) AS names
+              FROM customer GROUP BY c_mktsegment)
+        ORDER BY c_mktsegment""")),
+
+    // ---- Struct build + field access round-trip ----
+    QueryDef(
+      "q23_struct_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(struct($"o_orderkey", $"o_totalprice", $"o_orderpriority").as("o"))
+          .filter($"o.o_totalprice" > 350000.0)
+          .select($"o.o_orderkey".as("o_orderkey"), $"o.o_orderpriority".as("prio"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority AS prio FROM orders
+        WHERE o_totalprice > 350000.0 ORDER BY o_orderkey""")),
+
+    // ---- Scalar subquery (SQL text entry point) ----
+    QueryDef(
+      "q24_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+          WHERE o_totalprice > 1.8 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+            FROM orders_v)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.8 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // ---- GROUPING SETS (SQL text entry point) ----
+    QueryDef(
+      "q25_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
