@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks as built-ins, composed from
+  * shuffle-friendly primitives so they hold up at cluster scale.
+  *
+  * The reference (taboola/ScORe) executes joins via Spark directly
+  * (SchemaOnReadGeneratorTest.java:894-1102 covers only equi joins); these
+  * extend the engine to the temporal shapes a large pipeline needs.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, match the single latest right row with
+    * the same key and `right.ts <= left.ts` (inner semantics — unmatched
+    * left rows are dropped).
+    *
+    * Implementation: tag and union both sides, then one window pass per key
+    * ordered by (ts, tag) carrying the last-seen right payload forward
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame). This is a
+    * single shuffle + sort per key partition — O(n log n) with no range
+    * explosion, unlike an inequality join which Spark plans as a
+    * broadcast-nested-loop. At 100 TB this is the same cost profile as any
+    * sort-based aggregation over the union of both inputs.
+    *
+    * @param payload right-side columns to carry onto matched left rows;
+    *                names must not collide with left columns.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left side")
+
+    // Common layout: key, _ts, _side (0 = right sorts first on ties, so a
+    // right row with ts == left ts IS matched), left columns, payload.
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col("_ts"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col("_ts"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(Seq(col(key), col("_ts"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+
+    carried
+      .filter(col("_side") === 1 && payload.map(col(_).isNotNull).reduce(_ && _))
+      .drop("_ts", "_side")
+  }
+
+  /** Range join: pairs (l, r) with the same key and
+    * `r.ts ∈ [l.ts + lower, l.ts + upper]` (bounds inclusive, seconds).
+    *
+    * Implementation: bucketize time into `upper - lower`-second buckets.
+    * Each right row lands in exactly one bucket; each left row's window
+    * spans at most two, so the left side is exploded to ≤2 bucket keys and
+    * the match becomes an equi-join on (key, bucket) + an exact range
+    * filter. Shuffle volume is ≤2× the inputs — no nested-loop, survives a
+    * 100× scale-up as long as (key, bucket) cardinality keeps partitions
+    * balanced.
+    */
+  def range(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lowerSec: Long,
+      upperSec: Long): DataFrame = {
+    require(upperSec > lowerSec, "empty range")
+    // Exact integer micros throughout — no float rounding at the bounds.
+    val width = (upperSec - lowerSec) * 1000000L
+    val lo = unix_micros(col(leftTs)) + lowerSec * 1000000L
+    val hi = unix_micros(col(leftTs)) + upperSec * 1000000L
+
+    val l = left
+      .withColumn("_lo", lo).withColumn("_hi", hi)
+      .withColumn("_bucket",
+        explode(sequence(floor(col("_lo") / width), floor(col("_hi") / width))))
+    val r = right
+      .withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_bucket", floor(col("_rus") / width))
+
+    l.join(r, Seq(key, "_bucket"))
+      .filter(col("_rus") >= col("_lo") && col("_rus") <= col("_hi"))
+      .drop("_lo", "_hi", "_bucket", "_rus")
+  }
+
+  /** Sessionize: assign per-key session ids where a gap of more than
+    * `gapSec` seconds starts a new session. Single window pass
+    * (lag → gap flag → running sum), the standard scalable formulation.
+    * Adds columns `session_id` (1-based per key) to the input.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    df.withColumn("_prev_ts", lag(col(ts), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          unix_micros(col(ts)) - unix_micros(col("_prev_ts")) > gapSec * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new_session")
+  }
+}

@@ -476,7 +476,78 @@ object Queries {
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- As-of join (custom operator: graft.operators.TemporalJoins) ----
+    QueryDef(
+      "q26_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val views = ev.filter($"event_type" === "view")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_event_id"), $"user_id", $"ts".as("p_ts"))
+        graft.operators.TemporalJoins
+          .asOf(views, purchases, "user_id", "ts", "p_ts", Seq("purchase_event_id"))
+          .select($"event_id", $"purchase_event_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT v.event_id, p.event_id AS purchase_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id AND v.ts >= p.ts
+        ORDER BY v.event_id""")),
+
+    // ---- Range join (custom operator: bucketized interval equi-join) ----
+    QueryDef(
+      "q27_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val views = ev.filter($"event_type" === "view")
+          .select($"event_id".as("view_event_id"), $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_event_id"), $"user_id", $"ts".as("p_ts"))
+        graft.operators.TemporalJoins
+          .range(views, purchases, "user_id", "ts", "p_ts", 0L, 1800L)
+          .select($"view_event_id", $"purchase_event_id")
+          .orderBy($"view_event_id", $"purchase_event_id")
+      },
+      Some("""SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1800 SECOND
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        ORDER BY view_event_id, purchase_event_id""")),
+
+    // ---- Sessionization (gap-based; custom operator) ----
+    QueryDef(
+      "q28_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TemporalJoins
+          .sessionize(t(s, dir, "events"), "user_id", "ts", 600L)
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"event_id").as("first_event"),
+            (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("duration_us"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, event_id, ts,
+            CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+          min(event_id) AS first_event,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
