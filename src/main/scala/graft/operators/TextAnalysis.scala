@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: tokenization,
+  * language ID, quality scoring, fingerprinting. All pure `Column`
+  * expressions (codegen-friendly, no UDFs) so they compose into any query
+  * and keep the scan→project pipeline columnar at scale.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric tokens (the one tokenizer every op shares). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Number of tokens matching a word list (with multiplicity). */
+  def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  // Small deterministic stopword inventories per language.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"))
+
+  /** Stopword-heuristic language ID: hit counts per language,
+    * deterministic priority tie-break (en > de > es > fr), 'und'
+    * (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    val en = hits(tk, stopwords("en"))
+    val de = hits(tk, stopwords("de"))
+    val es = hits(tk, stopwords("es"))
+    val fr = hits(tk, stopwords("fr"))
+    when(en + de + es + fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality features: token count, mean token length, stopword ratio,
+    * alpha ratio — plus a weighted score. Pure double arithmetic
+    * (deterministic, mirrors 1:1 into SQL for the oracle).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val tk = tokens(text)
+    val nTok = size(tk).cast("double")
+    val charLen = length(text).cast("double")
+    val sw = hits(tk, stopwords("en")).cast("double")
+    df.withColumn("n_tokens", size(tk))
+      .withColumn("mean_token_len",
+        length(concat_ws("", tk)).cast("double") / nTok)
+      .withColumn("stopword_ratio", sw / nTok)
+      .withColumn("alpha_ratio",
+        length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / charLen)
+      .withColumn("quality_score",
+        col("stopword_ratio") * 2.0 + col("alpha_ratio") +
+          when(col("n_tokens") >= 20, 1.0).otherwise(0.0))
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set. Robust to token order / repetition — the standard cheap
+    * "same bag of words" dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles (for MinHash / Jaccard dedup). Short documents
+    * (< n tokens) yield a single shingle of all their tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", tk)))
+  }
+}

@@ -547,7 +547,88 @@ object Queries {
         SELECT user_id, session_id, count(*) AS n_events,
           min(event_id) AS first_event,
           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- Text analysis: token stats + content fingerprint ----
+    QueryDef(
+      "t01_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        val tk = graft.operators.TextAnalysis.tokens($"text")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(tk).as("n_tokens"),
+            size(array_distinct(tk)).as("n_distinct"),
+            graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INTEGER) AS n_distinct,
+        md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Text analysis: language-ID confusion matrix vs labels ----
+    QueryDef(
+      "t02_langid",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang", graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+          .groupBy($"lang", $"lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"lang_pred")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            count(*) FILTER (tk IN ('the','and','of','to','a','in','is','that')) AS en,
+            count(*) FILTER (tk IN ('der','die','und','das','ist','nicht','ein')) AS de,
+            count(*) FILTER (tk IN ('el','la','de','que','y','los','una')) AS es,
+            count(*) FILTER (tk IN ('le','la','les','et','des','une','est')) AS fr
+          FROM tok GROUP BY doc_id),
+        pred AS (
+          SELECT d.lang,
+            CASE WHEN en + de + es + fr = 0 THEN 'und'
+                 WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                 WHEN de >= es AND de >= fr THEN 'de'
+                 WHEN es >= fr THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM documents d JOIN c USING (doc_id))
+        SELECT lang, lang_pred, count(*) AS n FROM pred
+        GROUP BY lang, lang_pred ORDER BY lang, lang_pred""")),
+
+    // ---- Text analysis: quality scoring features ----
+    QueryDef(
+      "t03_quality",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+          .select($"doc_id", $"n_tokens", $"mean_token_len",
+            $"stopword_ratio", $"alpha_ratio", $"quality_score")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+          FROM documents),
+        c AS (
+          SELECT doc_id, count(*) AS n_tokens,
+            count(*) FILTER (tk IN ('the','and','of','to','a','in','is','that')) AS sw
+          FROM tok GROUP BY doc_id),
+        feat AS (
+          SELECT d.doc_id, CAST(c.n_tokens AS INTEGER) AS n_tokens,
+            CAST(length(array_to_string(regexp_extract_all(lower(d.text), '[a-z0-9]+'), '')) AS DOUBLE)
+              / c.n_tokens AS mean_token_len,
+            CAST(sw AS DOUBLE) / c.n_tokens AS stopword_ratio,
+            CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(d.text) AS alpha_ratio
+          FROM documents d JOIN c USING (doc_id))
+        SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+          stopword_ratio * 2.0 + alpha_ratio +
+            (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) AS quality_score
+        FROM feat ORDER BY doc_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
