@@ -1,0 +1,107 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Immutable demand trie overlaid on a relation's full schema.
+  *
+  * Each node records whether the *full subtree* rooted at that field is
+  * demanded (`required`) and which child fields are touched. Keys are
+  * name-normalized by the caller (lower-cased unless the session is
+  * case-sensitive). Traversal through array / map layers is transparent:
+  * a path segment always names a struct field, whether that struct sits
+  * directly, inside an array, or inside a map value.
+  *
+  * Replaces the reference's mutable `SchemaElement` trie
+  * (score SchemaElementImpl.java:13-120) with functional updates; demand
+  * tiers per SURVEY.md §2.4.
+  */
+final case class FieldTree(
+    required: Boolean,
+    children: Map[String, FieldTree]) {
+
+  /** Self or any descendant demanded. */
+  def anyRequired: Boolean = required || children.values.exists(_.anyRequired)
+
+  /** Mark `path` as touched; when `full`, demand the whole subtree at its
+    * end. Intermediate nodes are touched but not required (matching the
+    * reference: nodes for all-but-last segment, SchemaOnReadState.java:161-185).
+    */
+  def mark(path: Seq[String], full: Boolean): FieldTree = path match {
+    case Seq() => if (full && !required) copy(required = true) else this
+    case head +: rest =>
+      val child = children.getOrElse(head, FieldTree.empty)
+      copy(children = children.updated(head, child.mark(rest, full)))
+  }
+
+  def merge(other: FieldTree): FieldTree =
+    FieldTree(
+      required || other.required,
+      (children.keySet ++ other.children.keySet).iterator.map { k =>
+        (children.get(k), other.children.get(k)) match {
+          case (Some(a), Some(b)) => k -> a.merge(b)
+          case (Some(a), None)    => k -> a
+          case (None, Some(b))    => k -> b
+          case (None, None)       => k -> FieldTree.empty // unreachable
+        }
+      }.toMap)
+
+  def isEmpty: Boolean = !required && children.isEmpty
+}
+
+object FieldTree {
+  val empty: FieldTree = FieldTree(required = false, Map.empty)
+
+  private def isComplex(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => true
+    case _                                         => false
+  }
+
+  /** Skeleton: keep the column present with minimal IO — empty struct,
+    * array-of-skeleton, map-of-skeleton; primitives pass through
+    * (reference SchemaElementImpl.skeletonType:64-77).
+    */
+  def skeleton(dt: DataType): DataType = dt match {
+    case _: StructType      => StructType(Nil)
+    case ArrayType(e, n)    => ArrayType(skeleton(e), n)
+    case MapType(k, v, n)   => MapType(skeleton(k), skeleton(v), n)
+    case other              => other
+  }
+
+  /** Materialize a demand trie against a full schema (reference
+    * SchemaOnReadExtractor.subSchema:85-136 + SchemaElementImpl.setPartialSchema):
+    * untouched fields drop; required or primitive touched fields keep their
+    * full type; partially-demanded complex fields recurse; touched-but-
+    * undemanded complex fields become skeletons. Field order, nullability
+    * and metadata are preserved.
+    */
+  def prune(full: StructType, tree: FieldTree, normalize: String => String): StructType = {
+    // Does the demand trie reach any required-or-primitive struct field
+    // within this type? (Touched primitives count as demand — the
+    // reference's setFullSchema rule, SchemaElementImpl.java:46-51.)
+    def anyDemand(dt: DataType, t: FieldTree): Boolean = dt match {
+      case s: StructType =>
+        s.fields.exists(f => t.children.get(normalize(f.name)).exists(ct =>
+          ct.required || !isComplex(f.dataType) || anyDemand(f.dataType, ct)))
+      case ArrayType(e, _)  => anyDemand(e, t)
+      case MapType(k, v, _) => anyDemand(k, t) || anyDemand(v, t)
+      case _                => false
+    }
+    def pruneType(dt: DataType, t: FieldTree): DataType = dt match {
+      case s: StructType    => pruneStruct(s, t)
+      case ArrayType(e, n)  => ArrayType(pruneType(e, t), n)
+      case MapType(k, v, n) => MapType(pruneType(k, t), pruneType(v, t), n)
+      case other            => other
+    }
+    def pruneStruct(s: StructType, t: FieldTree): StructType =
+      StructType(s.fields.flatMap { f =>
+        t.children.get(normalize(f.name)).map { ft =>
+          val newType =
+            if (ft.required || !isComplex(f.dataType)) f.dataType
+            else if (anyDemand(f.dataType, ft)) pruneType(f.dataType, ft)
+            else skeleton(f.dataType)
+          f.copy(dataType = newType)
+        }
+      })
+    pruneStruct(full, tree)
+  }
+}

@@ -1,0 +1,419 @@
+package graft.schema
+
+import java.util.Locale
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+import org.apache.spark.sql.types.StructType
+
+/** A file-based relation's identity: its sorted, filesystem-qualified input
+  * file paths. Wildcard reads, unordered/duplicated path lists and
+  * partitioned directories all normalize to the same key (reference:
+  * SchemaOnReadState.java:80-95,122-126 — which keyed by `List.hashCode`;
+  * we keep the paths themselves and avoid the silent-collision risk).
+  */
+final case class RelationKey(paths: Vector[String])
+
+/** Result of analyzing one query plan: the minimal read schema per source
+  * relation, plus lookups by path set and by registered view alias.
+  * API parity with the reference's SchemaOnReadGenerator.java:30-85.
+  */
+final class SchemaOnReadResult private[schema] (
+    val schemas: Map[RelationKey, StructType],
+    val fullSchemas: Map[RelationKey, StructType],
+    val viewRelations: Map[String, RelationKey],
+    qualify: Seq[String] => RelationKey,
+    val durationNanos: Long) {
+
+  /** Pruned schema for the relation reading exactly these paths (any order,
+    * duplicates ignored; must be the relation's expanded input files). */
+  def schemaFor(paths: String*): Option[StructType] =
+    schemas.get(qualify(paths.distinct))
+
+  /** Pruned schema for a relation registered under a temp-view alias. */
+  def schemaForView(name: String): Option[StructType] =
+    viewRelations.get(name).flatMap(schemas.get)
+
+  def relationKeys: Set[RelationKey] = schemas.keySet
+
+  def durationMillis: Long = durationNanos / 1000000L
+}
+
+/** Computes, for an arbitrary analyzed Spark query over nested data, the
+  * minimal nested read schema each file-based source actually needs — the
+  * reference library's whole capability (see SURVEY.md), rebuilt on
+  * structural Catalyst traversal with exprId lineage instead of the
+  * reference's `Expression.sql()` regex parsing (SQLExpressionParser.java).
+  *
+  * Demand tiers (SURVEY.md §2.4, proven against the reference tests):
+  *  - grouping / sort-order / join-condition / window-spec expressions
+  *    demand the full subtree of any complex value they reference (those
+  *    contexts compare or hash the entire value);
+  *  - project / aggregate / window-function / generator expressions demand
+  *    the full subtree only at the query's upper-most selection nodes;
+  *    below those, only the traversed path is touched;
+  *  - touched primitives are always kept; touched-but-undemanded complex
+  *    columns materialize as skeletons (empty struct etc.);
+  *  - a relation none of whose columns were touched falls back to its full
+  *    schema, and the whole analysis is fail-open: any error yields full
+  *    schemas for every discovered relation.
+  */
+object SchemaOnRead {
+
+  def generate(df: Dataset[Row]): SchemaOnReadResult =
+    generate(df.queryExecution.analyzed, df.sparkSession)
+
+  def generate(plan: LogicalPlan, spark: SparkSession): SchemaOnReadResult = {
+    val t0 = System.nanoTime()
+    val analysis = new Analysis(spark)
+    try {
+      analysis.analyzeRoot(plan)
+      analysis.result(System.nanoTime() - t0)
+    } catch {
+      case NonFatal(_) => analysis.failOpenResult(plan, System.nanoTime() - t0)
+    }
+  }
+
+  /** One column path into one relation's schema. Segments are normalized
+    * struct-field names; array/map layers are traversed transparently. */
+  private final case class ColPath(rel: RelationKey, segments: Vector[String]) {
+    def child(name: String): ColPath = copy(segments = segments :+ name)
+  }
+
+  /** Lineage of an expression: `direct` = column paths it IS (attribute /
+    * extract-value chains — extendable with further field access);
+    * `indirect` = paths referenced while computing a derived value (not
+    * extendable, but must be fully demanded if the derived value is
+    * compared/hashed/emitted whole). */
+  private final case class Refs(direct: Set[ColPath], indirect: Set[ColPath]) {
+    def all: Set[ColPath] = direct ++ indirect
+  }
+  private object Refs { val empty: Refs = Refs(Set.empty, Set.empty) }
+
+  private type Lineage = Map[ExprId, Refs]
+
+  private final class Analysis(spark: SparkSession) {
+    private val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    private val norm: String => String =
+      if (caseSensitive) identity else _.toLowerCase(Locale.ROOT)
+
+    private val tries = mutable.LinkedHashMap.empty[RelationKey, FieldTree]
+    private val fulls = mutable.LinkedHashMap.empty[RelationKey, StructType]
+    private val views = mutable.LinkedHashMap.empty[String, RelationKey]
+    private val uppermost = mutable.Set.empty[LogicalPlan]
+    private val cteLineage = mutable.Map.empty[Long, Seq[Refs]]
+    private var lastRelation: Option[RelationKey] = None
+
+    private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+
+    def qualifyKey(paths: Seq[String]): RelationKey =
+      RelationKey(paths.map { s =>
+        val p = new Path(s)
+        val fs = p.getFileSystem(hadoopConf)
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+      }.sorted.toVector)
+
+    // ---- demand recording --------------------------------------------
+
+    private def mark(p: ColPath, full: Boolean): Unit =
+      tries.updateWith(p.rel)(t => Some(t.getOrElse(FieldTree.empty).mark(p.segments, full)))
+
+    /** Structural resolution of an expression to column paths — replaces
+      * the reference's SQL-string parser (SQLExpressionParser.java:11-49). */
+    private def resolve(e: Expression, lin: Lineage): Refs = e match {
+      case a: AttributeReference => lin.getOrElse(a.exprId, Refs.empty)
+      case g: GetStructField =>
+        val r = resolve(g.child, lin)
+        val name = g.child.dataType match {
+          case s: StructType => s(g.ordinal).name
+          case _             => g.name.getOrElse("")
+        }
+        if (r.direct.nonEmpty) Refs(r.direct.map(_.child(norm(name))), r.indirect)
+        else Refs(Set.empty, r.all)
+      case g: GetArrayStructFields =>
+        val r = resolve(g.child, lin)
+        if (r.direct.nonEmpty) Refs(r.direct.map(_.child(norm(g.field.name))), r.indirect)
+        else Refs(Set.empty, r.all)
+      case g: GetArrayItem =>
+        val r = resolve(g.left, lin)
+        Refs(r.direct, r.indirect ++ resolve(g.right, lin).all)
+      case g: GetMapValue =>
+        val r = resolve(g.child, lin)
+        Refs(r.direct, r.indirect ++ resolve(g.key, lin).all)
+      case a: Alias => resolve(a.child, lin)
+      case _: SubqueryExpression => Refs.empty // recorded separately
+      case other =>
+        Refs(Set.empty, other.children.foldLeft(Set.empty[ColPath])(_ ++ resolve(_, lin).all))
+    }
+
+    /** Record column demand for every path referenced under `e`.
+      * `full` = demand the whole subtree (mandatory / upper-most
+      * conditional contexts); otherwise just touch the path (leaf-level). */
+    private def record(e: Expression, full: Boolean, lin: Lineage): Unit = e match {
+      case s: SubqueryExpression =>
+        analyzeRoot(s.plan)
+        s.children.foreach(record(_, full = false, lin))
+      case _: AttributeReference | _: GetStructField | _: GetArrayStructFields |
+          _: GetArrayItem | _: GetMapValue =>
+        val r = resolve(e, lin)
+        r.direct.foreach(mark(_, full))
+        r.indirect.foreach(mark(_, full))
+      case other => other.children.foreach(record(_, full, lin))
+    }
+
+    // ---- plan walk ----------------------------------------------------
+
+    private def isSelection(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Aggregate | _: Window | _: Generate | _: Sort | _: Join => true
+      case _ => false
+    }
+
+    /** Top-down: the first selection node on each root-to-leaf path is
+      * "upper-most" — its conditional output is the query's final shape
+      * (reference SchemaOnReadGenerator.java:44-45,66-73). */
+    private def markUppermost(p: LogicalPlan): Unit = p match {
+      case w: WithCTE => markUppermost(w.plan) // CTE defs are consumed via refs — never upper-most themselves
+      case _ if isSelection(p) => uppermost += p
+      case _ => p.children.foreach(markUppermost)
+    }
+
+    /** Analyze a root plan (query root or subquery-expression root): mark
+      * its upper-most nodes, walk it, and demand its final output in full —
+      * the query's result columns must all be readable. */
+    def analyzeRoot(plan: LogicalPlan): Unit = {
+      markUppermost(plan)
+      val lin = walk(plan)
+      plan.output.foreach(record(_, full = true, lin))
+    }
+
+    private def walk(plan: LogicalPlan): Lineage = plan match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            relationLineage(qualifyKey(fs.location.inputFiles.toSeq), fs.schema, lr.output)
+          case _ => opaque(lr.output)
+        }
+
+      case d: DataSourceV2Relation =>
+        d.table match {
+          case ft: FileTable =>
+            relationLineage(qualifyKey(ft.fileIndex.inputFiles.toSeq), ft.schema, d.output)
+          case _ => opaque(d.output)
+        }
+
+      case _: LocalRelation | _: OneRowRelation =>
+        lastRelation = None // a local side of a join must not capture columns
+        Map.empty
+
+      case s: SubqueryAlias =>
+        val lin = walk(s.child)
+        val rels = s.child.output.flatMap(a => lin.get(a.exprId)).flatMap(_.direct.map(_.rel)).distinct
+        val bound = rels match {
+          case Seq(one) => Some(one)
+          case _        => lastRelation
+        }
+        bound.foreach(views.update(s.identifier.name, _))
+        lin
+
+      case p: Project =>
+        val cl = walk(p.child)
+        val full = uppermost(p)
+        cl ++ p.projectList.map { ne =>
+          record(ne, full, cl)
+          ne.exprId -> resolve(ne, cl)
+        }
+
+      case a: Aggregate =>
+        val cl = walk(a.child)
+        a.groupingExpressions.foreach(record(_, full = true, cl))
+        val full = uppermost(a)
+        cl ++ a.aggregateExpressions.map { ne =>
+          record(ne, full, cl)
+          ne.exprId -> resolve(ne, cl)
+        }
+
+      case w: Window =>
+        val cl = walk(w.child)
+        (w.partitionSpec ++ w.orderSpec).foreach(record(_, full = true, cl))
+        val full = uppermost(w)
+        cl ++ w.windowExpressions.map { ne =>
+          record(ne, full, cl)
+          ne.exprId -> resolve(ne, cl)
+        }
+
+      case s: Sort =>
+        val cl = walk(s.child)
+        s.order.foreach(record(_, full = true, cl))
+        cl
+
+      case f: Filter =>
+        val cl = walk(f.child)
+        record(f.condition, full = false, cl)
+        cl
+
+      case j: Join =>
+        val cl = walk(j.left) ++ walk(j.right)
+        j.condition.foreach(record(_, full = true, cl))
+        cl
+
+      case g: Generate =>
+        val cl = walk(g.child)
+        record(g.generator, full = uppermost(g), cl)
+        cl ++ generatorLineage(g, cl)
+
+      case u: Union =>
+        val childLins = u.children.map(walk)
+        val merged = u.children.indices.foldLeft(childLins.reduce(_ ++ _)) { (acc, _) => acc }
+        merged ++ u.output.zipWithIndex.map { case (a, i) =>
+          val refs = u.children.zip(childLins).map { case (c, l) =>
+            l.getOrElse(c.output(i).exprId, Refs.empty)
+          }
+          a.exprId -> Refs(refs.flatMap(_.direct).toSet, refs.flatMap(_.indirect).toSet)
+        }
+
+      case e: Expand =>
+        val cl = walk(e.child)
+        cl ++ e.output.zipWithIndex.map { case (a, i) =>
+          val refs = e.projections.filter(_.length > i).map(p => resolve(p(i), cl))
+          a.exprId -> Refs(refs.flatMap(_.direct).toSet, refs.flatMap(_.indirect).toSet)
+        }
+
+      case i: Intersect =>
+        setOpLineage(i.left, i.right, i.output)
+      case x: Except =>
+        setOpLineage(x.left, x.right, x.output)
+
+      case d: Distinct =>
+        val cl = walk(d.child)
+        d.child.output.foreach(record(_, full = true, cl)) // whole-row compare
+        cl
+
+      case d: Deduplicate =>
+        val cl = walk(d.child)
+        d.keys.foreach(record(_, full = true, cl))
+        cl
+
+      case r: RepartitionByExpression =>
+        val cl = walk(r.child)
+        r.partitionExpressions.foreach(record(_, full = true, cl)) // hashed whole
+        cl
+
+      case w: WithCTE =>
+        w.cteDefs.foreach { d =>
+          val lin = walk(d.child)
+          cteLineage(d.id) = d.child.output.map(a => lin.getOrElse(a.exprId, Refs.empty))
+        }
+        walk(w.plan)
+
+      case r: CTERelationRef =>
+        val defLin = cteLineage.getOrElse(r.cteId, Seq.empty)
+        r.output.zipWithIndex.collect {
+          case (a, i) if i < defLin.length => a.exprId -> defLin(i)
+        }.toMap
+
+      case other =>
+        // Limit/Offset/Sample/Repartition/hints/views/etc: transparent.
+        other.children.map(walk).foldLeft(Map.empty: Lineage)(_ ++ _)
+    }
+
+    private def relationLineage(
+        key: RelationKey, schema: StructType, output: Seq[Attribute]): Lineage = {
+      fulls.getOrElseUpdate(key, schema)
+      tries.getOrElseUpdate(key, FieldTree.empty)
+      lastRelation = Some(key)
+      output.map(a => a.exprId -> Refs(Set(ColPath(key, Vector(norm(a.name)))), Set.empty)).toMap
+    }
+
+    private def opaque(output: Seq[Attribute]): Lineage = {
+      lastRelation = None
+      output.map(_.exprId -> Refs.empty).toMap
+    }
+
+    private def setOpLineage(
+        left: LogicalPlan, right: LogicalPlan, output: Seq[Attribute]): Lineage = {
+      val ll = walk(left)
+      val rl = walk(right)
+      left.output.foreach(record(_, full = true, ll)) // set ops compare whole rows
+      right.output.foreach(record(_, full = true, rl))
+      val cl = ll ++ rl
+      cl ++ output.zipWithIndex.map { case (a, i) =>
+        val l = ll.getOrElse(left.output(i).exprId, Refs.empty)
+        val r = rl.getOrElse(right.output(i).exprId, Refs.empty)
+        a.exprId -> Refs(l.direct ++ r.direct, l.indirect ++ r.indirect)
+      }
+    }
+
+    /** Map generator outputs to the exploded collection's path so that
+      * downstream `item.field` resolves into the element struct — the
+      * lineage the reference hand-rolled via its "last generator output
+      * name" alias hack (SchemaOnReadState.java:204-208,223-228). */
+    private def generatorLineage(g: Generate, cl: Lineage): Lineage = {
+      def collection(e: Expression): Refs = resolve(e, cl)
+      g.generator match {
+        case e: ExplodeBase =>
+          val refs = collection(e.child)
+          e.child.dataType match {
+            case _: org.apache.spark.sql.types.MapType =>
+              // outputs: [pos,] key, value — key and value both resolve to the map
+              g.generatorOutput.takeRight(2).map(_.exprId -> refs).toMap ++
+                g.generatorOutput.dropRight(2).map(_.exprId -> Refs.empty).toMap
+            case _ =>
+              // outputs: [pos,] col
+              Map(g.generatorOutput.last.exprId -> refs) ++
+                g.generatorOutput.dropRight(1).map(_.exprId -> Refs.empty).toMap
+          }
+        case inline: Inline =>
+          val refs = collection(inline.child)
+          inline.child.dataType match {
+            case org.apache.spark.sql.types.ArrayType(s: StructType, _) =>
+              g.generatorOutput.zip(s.fields).map { case (a, f) =>
+                a.exprId -> Refs(refs.direct.map(_.child(norm(f.name))), refs.indirect)
+              }.toMap
+            case _ => opaqueGen(g)
+          }
+        case _ => opaqueGen(g)
+      }
+    }
+
+    private def opaqueGen(g: Generate): Lineage =
+      g.generatorOutput.map(_.exprId -> Refs.empty).toMap
+
+    // ---- results ------------------------------------------------------
+
+    def result(durationNanos: Long): SchemaOnReadResult = {
+      val schemas = tries.map { case (key, tree) =>
+        val full = fulls(key)
+        val pruned =
+          if (tree.isEmpty) full
+          else {
+            val p = FieldTree.prune(full, tree, norm)
+            if (p.isEmpty) full else p // fallback (SchemaOnReadExtractor.java:154-158)
+          }
+        key -> pruned
+      }.toMap
+      new SchemaOnReadResult(schemas, fulls.toMap, views.toMap, qualifyKey, durationNanos)
+    }
+
+    /** Fail-open: any analysis error yields full schemas for every
+      * file-based relation found in the plan (reference README.md:9). */
+    def failOpenResult(plan: LogicalPlan, durationNanos: Long): SchemaOnReadResult = {
+      val found = plan.collect {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+          qualifyKey(fs.location.inputFiles.toSeq) -> fs.schema
+        case d: DataSourceV2Relation if d.table.isInstanceOf[FileTable] =>
+          val ft = d.table.asInstanceOf[FileTable]
+          qualifyKey(ft.fileIndex.inputFiles.toSeq) -> ft.schema
+      }.toMap
+      new SchemaOnReadResult(found, found, views.toMap, qualifyKey, durationNanos)
+    }
+  }
+}
