@@ -1,0 +1,187 @@
+package graft.schema
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Rewrites a resolved plan so every file-based scan reads only its pruned
+  * nested schema (as computed by [[SchemaOnRead]]) — the auto-apply the
+  * reference left to the user ("re-create the read with the generated
+  * schema", reference README.md:20-28). Fail-open: any error or any change
+  * to the query's result schema abandons the rewrite.
+  *
+  * The mechanical core is attribute/ordinal resynchronization: narrowing a
+  * relation's `dataSchema` changes struct field ordinals and attribute
+  * datatypes, so every `GetStructField` / `GetArrayStructFields` above the
+  * scan is re-anchored by *name*, and stale attribute datatypes are
+  * propagated bottom-up (the part the reference sidesteps by making the
+  * caller rebuild the query).
+  */
+object PlanRewriter {
+
+  def prune(plan: LogicalPlan, spark: SparkSession): LogicalPlan = {
+    try {
+      val result = SchemaOnRead.generate(plan, spark)
+      val narrowed = result.schemas.filter { case (k, pruned) =>
+        result.fullSchemas.get(k).exists(full => leafCount(pruned) < leafCount(full))
+      }
+      if (narrowed.isEmpty) return plan
+      val rewriter = new Rewriter(spark, narrowed)
+      val out = rewriter(plan)
+      // The query's visible result must be unchanged.
+      if (sameSchema(out.schema, plan.schema)) out else plan
+    } catch { case NonFatal(_) => plan }
+  }
+
+  private def sameSchema(a: StructType, b: StructType): Boolean =
+    a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType
+    }
+
+  private[schema] def leafCount(dt: DataType): Int = dt match {
+    case s: StructType => if (s.isEmpty) 1 else s.fields.map(f => leafCount(f.dataType)).sum
+    case a: org.apache.spark.sql.types.ArrayType => leafCount(a.elementType)
+    case m: org.apache.spark.sql.types.MapType   => leafCount(m.keyType) + leafCount(m.valueType)
+    case _ => 1
+  }
+
+  private final class Rewriter(spark: SparkSession, narrowed: Map[RelationKey, StructType]) {
+    private val resolver = spark.sessionState.conf.resolver
+    private val idMap = mutable.Map.empty[ExprId, AttributeReference]
+    private lazy val analysis = new AnalysisKeys(spark)
+
+    def apply(plan: LogicalPlan): LogicalPlan = rewritePlan(plan)
+
+    private def rewritePlan(p: LogicalPlan): LogicalPlan = {
+      val withChildren =
+        if (p.children.isEmpty) p
+        else p.withNewChildren(p.children.map(rewritePlan))
+      val rewritten = withChildren match {
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              narrowed.get(analysis.keyOf(fs)).map(rewriteRelation(lr, fs, _)).getOrElse(lr)
+            case _ => lr
+          }
+        case node =>
+          val mapped = node.mapExpressions(rewriteExpr)
+          mapped match {
+            case g: Generate => resyncGenerate(g)
+            case other       => other
+          }
+      }
+      // Propagate output-type changes to upstream attribute references.
+      p.output.zip(rewritten.output).foreach { case (o, n) =>
+        if (o.dataType != n.dataType) n match {
+          case a: AttributeReference => idMap(o.exprId) = a
+          case ne: NamedExpression   => idMap(o.exprId) = ne.toAttribute.asInstanceOf[AttributeReference]
+        }
+      }
+      rewritten
+    }
+
+    private def rewriteRelation(
+        lr: LogicalRelation, fs: HadoopFsRelation, pruned: StructType): LogicalPlan = {
+      val partitionNames = fs.partitionSchema.fieldNames.toSet
+      val newDataSchema = StructType(
+        pruned.fields.filter(f => !partitionNames.exists(resolver(_, f.name))))
+      val newFs = fs.copy(dataSchema = newDataSchema)(fs.sparkSession)
+      val newOutput = lr.output.flatMap { a =>
+        newFs.schema.fields.find(f => resolver(f.name, a.name)).map { f =>
+          val na = AttributeReference(a.name, f.dataType, f.nullable, a.metadata)(
+            a.exprId, a.qualifier)
+          if (na.dataType != a.dataType) idMap(a.exprId) = na
+          na
+        }
+      }
+      lr.copy(relation = newFs, output = newOutput.toIndexedSeq)
+    }
+
+    /** Generator output attribute types derive from the (possibly
+      * narrowed) generator input — resync them positionally. */
+    private def resyncGenerate(g: Generate): Generate = {
+      val elem = g.generator.elementSchema
+      if (elem.length != g.generatorOutput.length) g
+      else {
+        val newOut = g.generatorOutput.zip(elem.fields).map { case (a, f) =>
+          if (a.dataType == f.dataType) a
+          else {
+            val na = AttributeReference(a.name, f.dataType, f.nullable, a.metadata)(
+              a.exprId, a.qualifier)
+            idMap(a.exprId) = na
+            na
+          }
+        }
+        g.copy(generatorOutput = newOut)
+      }
+    }
+
+    private def rewriteExpr(e: Expression): Expression = e match {
+      case a: AttributeReference => idMap.getOrElse(a.exprId, a)
+      case g: GetStructField =>
+        val origName = g.child.dataType match {
+          case s: StructType if g.ordinal < s.length => s(g.ordinal).name
+          case _ => g.name.getOrElse(return g.mapChildren(rewriteExpr))
+        }
+        val nc = rewriteExpr(g.child)
+        nc.dataType match {
+          case s: StructType =>
+            val ord = s.fields.indexWhere(f => resolver(f.name, origName))
+            if (ord < 0) g.copy(child = nc) // demand guarantees presence; fail-open otherwise
+            else GetStructField(nc, ord, Some(origName))
+          case _ => g.copy(child = nc)
+        }
+      case g: GetArrayStructFields =>
+        val origName = g.field.name
+        val nc = rewriteExpr(g.child)
+        nc.dataType match {
+          case org.apache.spark.sql.types.ArrayType(s: StructType, cn) =>
+            val ord = s.fields.indexWhere(f => resolver(f.name, origName))
+            if (ord < 0) g.copy(child = nc)
+            else GetArrayStructFields(nc, s(ord), ord, s.length, cn || g.field.nullable)
+          case _ => g.copy(child = nc)
+        }
+      case s: SubqueryExpression =>
+        s.withNewPlan(rewritePlan(s.plan)).mapChildren(rewriteExpr)
+      case other => other.mapChildren(rewriteExpr)
+    }
+  }
+
+  /** Relation-key computation reused from the generator's qualification. */
+  private final class AnalysisKeys(spark: SparkSession) {
+    private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+    def keyOf(fs: HadoopFsRelation): RelationKey =
+      RelationKey(fs.location.inputFiles.toSeq.map { s =>
+        val p = new org.apache.hadoop.fs.Path(s)
+        val f = p.getFileSystem(hadoopConf)
+        p.makeQualified(f.getUri, f.getWorkingDirectory).toString
+      }.sorted.toVector)
+  }
+}
+
+/** Optimizer rule applying [[PlanRewriter]] to every query, gated by
+  * `spark.graft.schemaOnRead.enabled` (default true). Injected via
+  * [[GraftExtensions]]; runs in the user-provided optimizer batch, after
+  * Spark's built-in pruning — it narrows only what Catalyst left behind
+  * (map values, through-generator demand, filter-only nested access).
+  */
+class PrunedScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("spark.graft.schemaOnRead.enabled", "true").toBoolean) plan
+    else if (!plan.resolved) plan
+    else PlanRewriter.prune(plan, spark)
+}
+
+/** `spark.sql.extensions=graft.schema.GraftExtensions` enables automatic
+  * nested-read pruning for all queries in the session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(spark => new PrunedScanRule(spark))
+}
