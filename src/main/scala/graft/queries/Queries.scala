@@ -628,7 +628,153 @@ object Queries {
         SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
           stopword_ratio * 2.0 + alpha_ratio +
             (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) AS quality_score
-        FROM feat ORDER BY doc_id"""))
+        FROM feat ORDER BY doc_id""")),
+
+    // ---- Dedup: exact fingerprint groups ----
+    QueryDef(
+      "d01_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
+    // ---- Dedup: exact 3-gram Jaccard pairs via inverted-index join ----
+    QueryDef(
+      "d02_jaccard_pairs",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        com AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        siz AS (SELECT doc_id, len(sh) AS n FROM sh)
+        SELECT id1, id2, common / (s1.n + s2.n - common) AS jac
+        FROM com JOIN siz s1 ON com.id1 = s1.doc_id JOIN siz s2 ON com.id2 = s2.doc_id
+        WHERE common / (s1.n + s2.n - common) >= 0.5
+        ORDER BY id1, id2""")),
+
+    // ---- Dedup: MinHash+LSH banding candidates (k=16, r=4) ----
+    QueryDef(
+      "d03_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id1, id2 FROM cand ORDER BY id1, id2""")),
+
+    // ---- Dedup: 32-bit SimHash + identical-hash groups ----
+    QueryDef(
+      "d04_simhash",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(size(graft.operators.TextAnalysis.tokens($"text")) >= 1)
+          .select($"doc_id", graft.operators.Dedup.simhash32($"text").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+'))) AS t
+               FROM documents WHERE len(regexp_extract_all(lower(text),'[a-z0-9]+')) >= 1),
+        h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) AS h FROM tok),
+        nb AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        bits AS (SELECT doc_id, b, sum(CAST(floor(h / power(2,b)) AS BIGINT) % 2) AS c1
+                 FROM h, (SELECT unnest(range(0,32)) AS b) GROUP BY doc_id, b),
+        sh AS (SELECT bits.doc_id,
+                 CAST(sum(CASE WHEN 2*c1 >= n THEN CAST(power(2,b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits JOIN nb USING (doc_id) GROUP BY bits.doc_id)
+        SELECT doc_id, simhash FROM sh ORDER BY doc_id""")),
+
+    // ---- Dedup: embedding-cosine near-duplicate pairs ----
+    QueryDef(
+      "d05_embed_dup_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
+        val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
+        a.join(b, $"id1" < $"id2")
+          .withColumn("cs", graft.operators.Similarity.cosine($"e1", $"e2"))
+          .filter($"cs" >= 0.4)
+          .select($"id1", $"id2", $"cs")
+          .orderBy($"id1", $"id2")
+      },
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cs
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        ORDER BY id1, id2""")),
+
+    // ---- Similarity: exact cosine top-k (brute-force baseline) ----
+    QueryDef(
+      "s01_knn_exact",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.knn(e.filter($"vec_id" < 10), e, 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- Similarity: LSH-bucketed ANN top-k (scale path) ----
+    QueryDef(
+      "s02_knn_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.annKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH sgn AS (
+          SELECT j, i, CASE WHEN CAST(('0x'||substr(md5(concat(j,'_',i)),1,8)) AS UBIGINT) % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT unnest(range(0,4)) AS j), (SELECT unnest(range(1,65)) AS i)),
+        vd AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+        dots AS (SELECT vec_id, j, sum(e * sgn) AS dt
+                 FROM vd JOIN sgn USING (i) GROUP BY vec_id, j),
+        bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM dots GROUP BY vec_id),
+        cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                 FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+                 WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        cs AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+               FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                         JOIN embeddings c ON cand.neighbor_id = c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
