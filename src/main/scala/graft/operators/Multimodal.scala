@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media asset: opaque binary payload + typed metadata. At 100 TB the
+  * payload column dominates IO — keep it a single `binary` column so
+  * Parquet stores it contiguously and column pruning can drop it when a
+  * query touches only metadata. */
+final case class MediaRecord(media_id: Long, media_type: String, payload: Array[Byte])
+
+/** Extracted per-asset features (all deterministic). */
+final case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    checksum: String,
+    h0: Long, h1: Long, h2: Long, h3: Long)
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque binary +
+  * metadata, and run decode / feature-extract / frame-sample as
+  * partition-local batched passes over a typed Dataset — the shape a real
+  * codec integration uses (per-partition decoder init, batched decode,
+  * columnar output). The codec itself is STUBBED deterministically (no
+  * image/audio libraries in this environment): `decodeStub` stands in for
+  * e.g. JPEG decode; everything around it — schema, encoders,
+  * partitioning, batch iteration — is real and tested.
+  */
+object Multimodal {
+
+  /** Pack a DataFrame into the canonical media layout. */
+  def pack(df: DataFrame, idCol: String, typeCol: String, payloadCol: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(typeCol).cast("string").as("media_type"),
+      col(payloadCol).cast("binary").as("payload")).as[MediaRecord]
+  }
+
+  /** STUB decoder: where a real pipeline would decode the codec stream
+    * (JPEG → pixels, PCM → samples), we pass the raw bytes through. The
+    * surrounding plumbing treats the result exactly like decoded samples. */
+  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** Deterministic "resize": truncate or zero-pad the decoded sample
+    * buffer to `n` bytes (stands in for image resize / audio resample). */
+  def resizeStub(decoded: Array[Byte], n: Int): Array[Byte] =
+    if (decoded.length == n) decoded
+    else java.util.Arrays.copyOf(decoded, n)
+
+  /** Deterministic frame sampling: every `stride`-th window of
+    * `frameSize` bytes (stands in for video frame extraction). */
+  def sampleFrames(decoded: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+    (0 until decoded.length by stride)
+      .map(off => decoded.slice(off, math.min(off + frameSize, decoded.length)))
+
+  /** Per-partition batched feature extraction: md5 checksum + 4-bucket
+    * byte histogram (byte >> 6) over the decoded payload. `batchSize`
+    * bounds peak memory per partition — the same knob a real decoder
+    * batch would use. */
+  def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder init would go here (real codecs are not
+      // serializable; they must be constructed on the executor)
+      val digest = MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val decoded = decodeStub(rec.payload)
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < decoded.length) {
+            hist((decoded(i) & 0xFF) >> 6) += 1
+            i += 1
+          }
+          digest.reset()
+          val checksum = digest.digest(decoded).map("%02x".format(_)).mkString
+          MediaFeatures(rec.media_id, rec.media_type, decoded.length, checksum,
+            hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+    }
+  }
+}

@@ -774,7 +774,34 @@ object Queries {
             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
           FROM cs)
         SELECT query_id, rank, neighbor_id, cs FROM ranked
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- Multimodal: binary payload + batched feature extraction ----
+    QueryDef(
+      "m01_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = graft.operators.Multimodal.pack(
+          t(s, dir, "documents")
+            .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload")),
+          "doc_id", "source", "payload")(s)
+        graft.operators.Multimodal.extractFeatures(media).toDF()
+          .filter($"n_bytes" >= 1)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, source, text, length(text) AS n
+               FROM documents WHERE length(text) >= 1),
+        by AS (SELECT doc_id, unnest(range(1, n+1)) AS i, text FROM b),
+        v AS (SELECT doc_id, ord(substr(text, i, 1)) AS v FROM by),
+        hist AS (SELECT doc_id,
+          CAST(sum(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+          CAST(sum(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+          CAST(sum(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+          CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+          FROM v GROUP BY doc_id)
+        SELECT b.doc_id AS media_id, b.source AS media_type,
+          CAST(b.n AS INTEGER) AS n_bytes, md5(b.text) AS checksum, h0, h1, h2, h3
+        FROM b JOIN hist ON b.doc_id = hist.doc_id ORDER BY media_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

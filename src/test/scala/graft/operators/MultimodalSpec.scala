@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("multimodal-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def mediaDF = {
+    implicit val s: SparkSession = spark
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "image" else "audio",
+      Array.tabulate[Byte]((i % 17).toInt + 1)(j => ((i * 31 + j * 7) % 256).toByte)))
+    Multimodal.pack(
+      spark.createDataFrame(rows).toDF("media_id", "media_type", "payload"),
+      "media_id", "media_type", "payload")
+  }
+
+  test("feature extraction is independent of batch size and partitioning") {
+    val base = Multimodal.extractFeatures(mediaDF, batchSize = 64)
+      .collect().sortBy(_.media_id).toSeq
+    val small = Multimodal.extractFeatures(mediaDF.repartition(7), batchSize = 3)
+      .collect().sortBy(_.media_id).toSeq
+    assert(base == small)
+    assert(base.size == 100)
+  }
+
+  test("histogram buckets sum to payload length; checksum matches md5") {
+    val f = Multimodal.extractFeatures(mediaDF).collect()
+    assert(f.forall(r => r.h0 + r.h1 + r.h2 + r.h3 == r.n_bytes))
+    val one = f.find(_.media_id == 1L).get
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.tabulate[Byte](2)(j => ((31 + j * 7) % 256).toByte))
+      .map("%02x".format(_)).mkString
+    assert(one.checksum == expected)
+  }
+
+  test("frame sampling windows the decoded buffer deterministically") {
+    val buf = Array.tabulate[Byte](100)(_.toByte)
+    val frames = Multimodal.sampleFrames(buf, frameSize = 10, stride = 30)
+    assert(frames.map(_.toSeq) == Seq(
+      (0 until 10).map(_.toByte), (30 until 40).map(_.toByte),
+      (60 until 70).map(_.toByte), (90 until 100).map(_.toByte)))
+  }
+
+  test("resize truncates or zero-pads") {
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
+    assert(Multimodal.resizeStub(Array[Byte](1, 2), 4).toSeq == Seq[Byte](1, 2, 0, 0))
+  }
+
+  test("metadata-only queries do not deserialize the payload") {
+    val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
+    assert(meta.filter(col("media_type") === "image").count() == 50)
+  }
+}
