@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("streams-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed counts aggregate per window and type") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.windowedCounts(input.toDF(), windowDuration = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(2, ts(2), "view", 2.0),
+        StreamEvent(1, ts(11), "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "view", 2L, 3.0),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on event-time gap") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.sessionize(input.toDS(), gapSec = 120)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 10:01, 10:02 (one session), then 10:10 (new session)
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(1, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(1, ts(10), "view", 4.0))
+      q.processAllAvailable()
+      // in-batch gap close: first session emitted as soon as the gap is seen
+      val afterGap = spark.table("sess").as[SessionOut].collect().toSet
+      assert(afterGap == Set(SessionOut(1, ts(1), ts(2), 2, 3.0)))
+      // advance watermark far past 10:10 + gap → timeout closes the open session
+      input.addData(StreamEvent(2, ts(30), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(2, ts(40), "view", 0.0))
+      q.processAllAvailable()
+      val finalRows = spark.table("sess").as[SessionOut].collect().toSet
+      assert(finalRows.contains(SessionOut(1, ts(10), ts(10), 1, 4.0)))
+    } finally q.stop()
+  }
+}
