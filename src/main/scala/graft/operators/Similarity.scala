@@ -75,4 +75,129 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
+
+  // ------------------------------------------------------------------
+  // Kernel paths: identical math in tight per-partition loops. Catalyst's
+  // higher-order array functions (aggregate/zip_with/transform) are
+  // interpreted per element — fine for composition, ~100× too slow for
+  // O(N²) similarity kernels. These keep the *plan* relational (broadcast
+  // + mapPartitions + window) and move only the arithmetic inner loop to
+  // scalar code, exactly as one would on a 1000-executor cluster.
+  // ------------------------------------------------------------------
+
+  /** Spark round(x, 6) semantics (BigDecimal HALF_UP on the shortest
+    * decimal representation) — keeps kernel output bit-identical to the
+    * Column `cosine` above and the DuckDB oracle. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Cosine similarity of two float vectors, double accumulation in
+    * array order, rounded to 6 decimals. */
+  def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** All pairs (id1 < id2) with cosine >= tau. The corpus is broadcast to
+    * every partition (block-nested-loop with a broadcast block); at 100 TB
+    * one broadcasts fixed-size corpus blocks in sequence — same kernel,
+    * outer loop over blocks. */
+  def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val side = sp.sparkContext.broadcast(vecs.collect())
+    vecs.repartition(sp.sparkContext.defaultParallelism) // O(N²) scoring: spread across cores
+      .mapPartitions { it =>
+      val all = side.value
+      it.flatMap { case (id1, v1) =>
+        all.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
+          val cs = cosineKernel(v1, v2)
+          if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
+        }
+      }
+    }.toDF("id1", "id2", "cs")
+  }
+
+  /** Exact top-k with the query side broadcast and the scoring loop in
+    * the kernel; ranking stays a relational window. */
+  def knnKernel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qb = sp.sparkContext.broadcast(
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect())
+    val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        it.flatMap { case (nid, v) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, qv) =>
+            (qid, nid, cosineKernel(qv, v))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cs")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix from md5 parity of "plane_dim" —
+    * computed once on the driver and broadcast (the model-free analogue
+    * of shipping an IVF codebook). Same values as the Column
+    * [[lshBucket]]. */
+  def signMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (j, i0) =>
+      md.reset()
+      val d = md.digest(s"${j}_${i0 + 1}".getBytes("UTF-8"))
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      if (v % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  def bucketOf(v: Array[Float], signs: Array[Array[Double]]): Long = {
+    var b = 0L; var j = 0
+    while (j < signs.length) {
+      val row = signs(j); var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i).toDouble * row(i); i += 1 }
+      if (d >= 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
+
+  /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score
+    * only same-bucket candidates, rank relationally. */
+  def annKnnKernel(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val signs = signMatrix(planes, dims = 64)
+    val qb = sp.sparkContext.broadcast(
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (id, v, bucketOf(v, signs)) })
+    val sb = sp.sparkContext.broadcast(signs)
+    val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val sg = sb.value
+        it.flatMap { case (nid, v) =>
+          val bkt = bucketOf(v, sg)
+          qs.iterator.filter(q => q._3 == bkt && q._1 != nid).map { case (qid, qv, _) =>
+            (qid, nid, cosineKernel(qv, v))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cs")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
 }

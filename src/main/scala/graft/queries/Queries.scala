@@ -687,9 +687,7 @@ object Queries {
       "d04_simhash",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .filter(size(graft.operators.TextAnalysis.tokens($"text")) >= 1)
-          .select($"doc_id", graft.operators.Dedup.simhash32($"text").as("simhash"))
+        graft.operators.Dedup.simhashKernel(t(s, dir, "documents"), "doc_id", "text")
           .orderBy($"doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+'))) AS t
@@ -708,13 +706,8 @@ object Queries {
       "d05_embed_dup_pairs",
       (s, dir) => {
         import s.implicits._
-        val e = t(s, dir, "embeddings")
-        val a = e.select($"vec_id".as("id1"), $"embedding".as("e1"))
-        val b = e.select($"vec_id".as("id2"), $"embedding".as("e2"))
-        a.join(b, $"id1" < $"id2")
-          .withColumn("cs", graft.operators.Similarity.cosine($"e1", $"e2"))
-          .filter($"cs" >= 0.4)
-          .select($"id1", $"id2", $"cs")
+        graft.operators.Similarity
+          .cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
           .orderBy($"id1", $"id2")
       },
       Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -730,7 +723,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        graft.operators.Similarity.knn(e.filter($"vec_id" < 10), e, 5)
+        graft.operators.Similarity.knnKernel(e.filter($"vec_id" < 10), e, 5)
           .orderBy($"query_id", $"rank")
       },
       Some("""WITH cs AS (
@@ -750,7 +743,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        graft.operators.Similarity.annKnn(e.filter($"vec_id" < 10), e, 3)
+        graft.operators.Similarity.annKnnKernel(e.filter($"vec_id" < 10), e, 3)
           .orderBy($"query_id", $"rank")
       },
       Some("""WITH sgn AS (

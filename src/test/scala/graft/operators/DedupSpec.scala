@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The kernel implementations must stay bit-identical to their Column
+  * (expression) formulations — the oracle SQL mirrors the latter. */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("dedup-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "Quick BROWN foxes 42 jump; over! lazy dogs 42 and cats too"),
+    (4L, "completely different words entirely unrelated content here now"),
+    (5L, "xy"))).toDF("doc_id", "text")
+
+  test("kernel minhash signatures equal the Column formulation") {
+    val kernel = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expr = docs
+      .select(col("doc_id"), Dedup.shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), Dedup.minhash(col("sh"), 16).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel == expr)
+    assert(!kernel.contains(5L)) // under 3 tokens → no signature
+    assert(kernel(1L) == kernel(2L)) // identical docs → identical signature
+  }
+
+  test("kernel simhash equals the Column formulation") {
+    val kernel = Dedup.simhashKernel(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expr = docs
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kernel == expr)
+    assert(kernel(1L) == kernel(2L))
+  }
+
+  test("kernel cosine equals the Column cosine") {
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f, 0.4f)),
+      (2L, Array(0.4f, 0.3f, -0.2f, 0.1f)),
+      (3L, Array(0.1f, -0.2f, 0.3f, 0.4f)))).toDF("vec_id", "embedding")
+    val kernel = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val a = vecs.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = vecs.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val expr = a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Similarity.cosine(col("e1"), col("e2")).as("cs"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(kernel == expr)
+    assert(kernel((1L, 3L)) == 1.0)
+  }
+
+  test("kernel LSH buckets equal the Column lshBucket") {
+    val vecs = spark.createDataFrame(
+      (1L to 20L).map(i => (i, Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
+    ).toDF("vec_id", "embedding")
+    val signs = Similarity.signMatrix(4, 64)
+    val kernel = vecs.collect().map { r =>
+      r.getLong(0) -> Similarity.bucketOf(r.getSeq[Float](1).toArray, signs)
+    }.toMap
+    val expr = vecs.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == expr)
+  }
+}
