@@ -794,7 +794,86 @@ object Queries {
           FROM v GROUP BY doc_id)
         SELECT b.doc_id AS media_id, b.source AS media_type,
           CAST(b.n AS INTEGER) AS n_bytes, md5(b.text) AS checksum, h0, h1, h2, h3
-        FROM b JOIN hist ON b.doc_id = hist.doc_id ORDER BY media_id"""))
+        FROM b JOIN hist ON b.doc_id = hist.doc_id ORDER BY media_id""")),
+
+    // ---- Window: full ranking-function family ----
+    QueryDef(
+      "q29_window_ranking",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+          .filter($"rnk" <= 5)
+          .select($"o_orderpriority", $"rnk", $"drnk", $"quartile", $"o_orderkey", $"next_price")
+          .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, rnk, drnk, quartile, o_orderkey, next_price FROM (
+        SELECT o_orderpriority, o_orderkey,
+          rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          ntile(4) OVER w AS quartile,
+          lead(o_totalprice, 1) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey""")),
+
+    // ---- Theta join (inequality condition, broadcast nested loop) ----
+    QueryDef(
+      "q30_theta_join",
+      (s, dir) => {
+        import s.implicits._
+        val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+        sup.join(broadcast(nat), $"s_nationkey" < $"n_nationkey")
+          .groupBy($"s_suppkey")
+          .agg(count(lit(1)).as("n_higher"), max($"n_name").as("max_name"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_higher, max(n_name) AS max_name
+        FROM supplier JOIN nation ON s_nationkey < n_nationkey
+        GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
+    // ---- File sink roundtrip: partitioned parquet write → read → agg ----
+    QueryDef(
+      "q31_sink_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" >= 25.0)
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_quantity >= 25.0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- CSV sink + source roundtrip with explicit schema ----
+    QueryDef(
+      "q32_csv_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val nat = s.read.option("header", "true")
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT").csv(out)
+        nat.join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_nations"), min($"n_name").as("first_nation"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
