@@ -75,13 +75,24 @@ object FieldTree {
     * and metadata are preserved.
     */
   def prune(full: StructType, tree: FieldTree, normalize: String => String): StructType = {
+    // A type containing no structs (array/map of primitives): its skeleton
+    // IS its full type, and an access into it yields a primitive — the
+    // reference records such accesses as required leaves (result-DataType
+    // leaf rule, SchemaOnReadState.java:161-185).
+    def structFree(dt: DataType): Boolean = dt match {
+      case _: StructType    => false
+      case ArrayType(e, _)  => structFree(e)
+      case MapType(k, v, _) => structFree(k) && structFree(v)
+      case _                => true
+    }
     // Does the demand trie reach any required-or-primitive struct field
     // within this type? (Touched primitives count as demand — the
     // reference's setFullSchema rule, SchemaElementImpl.java:46-51.)
     def anyDemand(dt: DataType, t: FieldTree): Boolean = dt match {
       case s: StructType =>
         s.fields.exists(f => t.children.get(normalize(f.name)).exists(ct =>
-          ct.required || !isComplex(f.dataType) || anyDemand(f.dataType, ct)))
+          ct.required || !isComplex(f.dataType) || structFree(f.dataType) ||
+            anyDemand(f.dataType, ct)))
       case ArrayType(e, _)  => anyDemand(e, t)
       case MapType(k, v, _) => anyDemand(k, t) || anyDemand(v, t)
       case _                => false
@@ -96,7 +107,7 @@ object FieldTree {
       StructType(s.fields.flatMap { f =>
         t.children.get(normalize(f.name)).map { ft =>
           val newType =
-            if (ft.required || !isComplex(f.dataType)) f.dataType
+            if (ft.required || !isComplex(f.dataType) || structFree(f.dataType)) f.dataType
             else if (anyDemand(f.dataType, ft)) pruneType(f.dataType, ft)
             else skeleton(f.dataType)
           f.copy(dataType = newType)
