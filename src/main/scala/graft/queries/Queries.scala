@@ -873,7 +873,47 @@ object Queries {
       },
       Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
         FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name"""))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- Custom typed Aggregator (UDAF): exact weighted mean ----
+    QueryDef(
+      "q33_udaf_weighted_mean",
+      (s, dir) => {
+        import s.implicits._
+        val wmean = udaf(graft.functions.Aggregators.weightedMean)
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(wmean($"l_extendedprice", $"l_quantity").as("w_mean"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        (CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+           * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+          / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_mean,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Skew-resistant aggregation: salted two-phase combine ----
+    QueryDef(
+      "q34_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        // events cluster on few event_type values — the canonical skew
+        // shape. Phase 1 fans each hot key over 16 salt buckets (partial
+        // combine on (key, salt)); phase 2 merges the 16 partials per key.
+        val salted = t(s, dir, "events")
+          .withColumn("_salt", pmod(hash($"event_id"), lit(16)))
+          .groupBy($"event_type", $"_salt")
+          .agg(count(lit(1)).as("pn"),
+            sum($"value".cast(DecimalType(18, 6))).as("psum"))
+        salted.groupBy($"event_type")
+          .agg(sum($"pn").as("n"), sum($"psum").cast(DoubleType).as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
