@@ -180,8 +180,16 @@ class PrunedScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions=graft.schema.GraftExtensions` enables automatic
-  * nested-read pruning for all queries in the session. */
+  * nested-read pruning for all queries in the session, and registers the
+  * library's native SQL functions (`graft_cosine`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new PrunedScanRule(spark))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(children(0), children(1))))
+  }
 }
