@@ -172,6 +172,45 @@ object Similarity {
     b
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus by nearest centroid,
+    * probe only the `probes` centroids closest to each query, rerank the
+    * probed cells exactly. Centroids here are a deterministic sample
+    * (every `centEvery`-th id) — at scale they would come from a trained
+    * codebook; the index/probe/rerank plumbing is identical. Assignment is
+    * a broadcast of the centroid table + a kernel argmax (ties to the
+    * lower centroid id); candidate matching is an equi-join on cell id. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int = 2, centEvery: Int = 50): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cb = sp.sparkContext.broadcast(cents)
+
+    def nearest(v: Array[Float], n: Int): Seq[Long] =
+      cb.value.map { case (cid, ce) => (cid, cosineKernel(v, ce)) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(n).map(_._1).toSeq
+
+    val corpusCells = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, nearest(v, 1).head) })
+      .toDF("neighbor_id", "ce", "cid")
+    val queryCells = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        nearest(v, probes).iterator.map(cid => (id, v, cid))
+      }).toDF("query_id", "qe", "cid")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(queryCells).join(corpusCells, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score
     * only same-bucket candidates, rank relationally. */
   def annKnnKernel(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -769,6 +769,36 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Similarity: IVF ANN (probe nearest cells, exact rerank) ----
+    QueryDef(
+      "s03_knn_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.ivfKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        asg AS (SELECT e.vec_id, cid,
+            round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) AS cs,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
+          FROM embeddings e, cent c),
+        corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg WHERE rn <= 2 AND vec_id < 10),
+        cand AS (SELECT p.query_id, ca.vec_id AS neighbor_id
+                 FROM probe p JOIN corpus_asg ca USING (cid)
+                 WHERE ca.vec_id <> p.query_id),
+        cs AS (SELECT query_id, neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+          FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                    JOIN embeddings c ON cand.neighbor_id = c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Multimodal: binary payload + batched feature extraction ----
     QueryDef(
       "m01_media_features",
