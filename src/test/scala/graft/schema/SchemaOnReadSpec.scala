@@ -473,4 +473,67 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = SchemaOnRead.generate(jsonDF.select(col("someLong")))
     assert(r.durationNanos > 0)
   }
+
+  // ---- additional reference scenario ports ---------------------------
+
+  test("SQL BROADCAST hint is transparent to analysis") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    spark.read.json(json2Path).createOrReplaceTempView("sample_json2")
+    val q = spark.sql(
+      """SELECT /*+ BROADCAST(b) */ a.nestedStruct.str
+        |FROM sample_json a JOIN sample_json2 b ON a.someLong = b.someLong""".stripMargin)
+    val r = SchemaOnRead.generate(q)
+    assertSchema(r.schemaFor(jsonPath), st(
+      fld("someLong", LongType), fld("nestedStruct", st(fld("str", StringType)))))
+    assertSchema(r.schemaFor(json2Path), st(fld("someLong", LongType)))
+  }
+
+  test("named WINDOW clause resolves like inline window spec") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """SELECT first(struct.col1) OVER w AS f FROM sample_json
+        |WINDOW w AS (PARTITION BY someStr ORDER BY someLong)""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someStr", StringType), fld("someLong", LongType),
+      fld("struct", st(fld("col1", LongType)))))
+  }
+
+  test("group by ordinal position resolves to the projected path") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      "SELECT struct.col2, count(*) AS n FROM sample_json GROUP BY 1")
+    assertSchema(pruned(q), st(fld("struct", st(fld("col2", LongType)))))
+  }
+
+  test("count(*) and count(1) do not add spurious demand") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql("SELECT count(*) AS a, count(1) AS b FROM sample_json WHERE someLong > 0")
+    assertSchema(pruned(q), st(fld("someLong", LongType)))
+  }
+
+  test("explode_outer and posexplode_outer share explode lineage") {
+    val df = jsonDF.select(explode_outer(col("someComplexArray")).as("item"))
+      .select(col("item.col2"))
+    assertSchema(pruned(df), st(
+      fld("someComplexArray", arr(st(fld("col2", LongType))))))
+  }
+
+  test("inline generator maps outputs to element fields") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      "SELECT t.col1 FROM sample_json LATERAL VIEW inline(someComplexArray) t AS col1, col2")
+    assertSchema(pruned(q), st(
+      fld("someComplexArray", arr(st(fld("col1", LongType))))))
+  }
+
+  test("union through view plus filter prunes both branches") {
+    val a = spark.read.json(jsonPath)
+    val b = spark.read.json(json2Path)
+    val q = a.select(col("struct.col1").as("v"))
+      .union(b.select(col("struct.col1").as("v")))
+      .filter(col("v") > 0)
+    val r = SchemaOnRead.generate(q)
+    assertSchema(r.schemaFor(jsonPath), st(fld("struct", st(fld("col1", LongType)))))
+    assertSchema(r.schemaFor(json2Path), st(fld("struct", st(fld("col1", LongType)))))
+  }
 }
