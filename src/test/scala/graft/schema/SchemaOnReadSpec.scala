@@ -526,6 +526,50 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       fld("someComplexArray", arr(st(fld("col1", LongType))))))
   }
 
+  test("SQL consecutive LATERAL VIEW explodes") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """SELECT someStr, val FROM sample_json
+        |LATERAL VIEW explode(someArrayOfComplexArrays) AS complex
+        |LATERAL VIEW explode(complex.col2) AS val""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someStr", StringType),
+      fld("someArrayOfComplexArrays", arr(st(fld("col2", arr(LongType)))))))
+  }
+
+  test("consecutive explodes through CTE and right join (reference stress case)") {
+    jsonDF.createOrReplaceTempView("table_one")
+    jsonDF.createOrReplaceTempView("table_two")
+    val q = spark.sql(
+      """WITH base AS (SELECT someStr, val FROM table_one
+        |  LATERAL VIEW explode(someArrayOfComplexArrays) AS complex
+        |  LATERAL VIEW explode(complex.col2) AS val)
+        |SELECT base.someStr, base.val, complex.col1
+        |FROM table_two RIGHT JOIN base ON base.someStr = table_two.someStr
+        |LATERAL VIEW explode(someArrayOfComplexArrays) AS complex
+        |LATERAL VIEW explode(complex.col2) AS val""".stripMargin)
+    val got = pruned(q).get
+    // someStr + the exploded array with col1 and col2 demanded
+    val arrField = got.find(_.name.equalsIgnoreCase("someArrayOfComplexArrays"))
+    assert(arrField.isDefined, got.toDDL)
+    val elem = arrField.get.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.map(_.toLowerCase).toSet == Set("col1", "col2"), got.toDDL)
+  }
+
+  test("array index then struct field: someComplexArray[0].col1") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql("SELECT someComplexArray[0].col1 AS v FROM sample_json")
+    assertSchema(pruned(q), st(
+      fld("someComplexArray", arr(st(fld("col1", LongType))))))
+  }
+
+  test("nested array double index: someArrayOfArrays[0][2]") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql("SELECT someArrayOfArrays[0][2] AS v FROM sample_json")
+    assertSchema(pruned(q), st(fld("someArrayOfArrays", arr(arr(LongType)))))
+  }
+
   test("union through view plus filter prunes both branches") {
     val a = spark.read.json(jsonPath)
     val b = spark.read.json(json2Path)
