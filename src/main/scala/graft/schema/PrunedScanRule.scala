@@ -35,8 +35,17 @@ object PlanRewriter {
       if (narrowed.isEmpty) return plan
       val rewriter = new Rewriter(spark, narrowed)
       val out = rewriter(plan)
-      // The query's visible result must be unchanged.
-      if (sameSchema(out.schema, plan.schema)) out else plan
+      // The rewrite must stay resolved and the query's visible result
+      // schema unchanged — otherwise abandon it (fail-open).
+      if (!out.resolved) {
+        if (sys.env.contains("GRAFT_DEBUG")) {
+          println("=== unresolved rewrite ===")
+          println("BEFORE:\n" + plan.treeString)
+          println("AFTER:\n" + out.treeString)
+        }
+        plan
+      } else if (sameSchema(out.schema, plan.schema)) out
+      else plan
     } catch { case NonFatal(_) => plan }
   }
 
@@ -77,21 +86,41 @@ object PlanRewriter {
             case other       => other
           }
       }
-      // Propagate output-type changes to upstream attribute references.
-      p.output.zip(rewritten.output).foreach { case (o, n) =>
-        if (o.dataType != n.dataType) n match {
-          case a: AttributeReference => idMap(o.exprId) = a
-          case ne: NamedExpression   => idMap(o.exprId) = ne.toAttribute.asInstanceOf[AttributeReference]
+      // Propagate output-type changes to upstream attribute references —
+      // matched by exprId, never by position (a relation rewrite can drop
+      // columns and change output arity).
+      val newById = rewritten.output.map(a => a.exprId -> a).toMap
+      p.output.foreach { o =>
+        newById.get(o.exprId).foreach { n =>
+          if (n.dataType != o.dataType) n match {
+            case a: AttributeReference => idMap(o.exprId) = a
+            case _                     => ()
+          }
         }
       }
       rewritten
     }
 
+    /** Formats that resolve columns by NAME — positional formats (CSV,
+      * text) must keep their full dataSchema or columns shift. */
+    private def nameBasedFormat(fs: HadoopFsRelation): Boolean = {
+      val n = fs.fileFormat.getClass.getSimpleName.toLowerCase(java.util.Locale.ROOT)
+      n.contains("parquet") || n.contains("orc") || n.contains("json")
+    }
+
     private def rewriteRelation(
         lr: LogicalRelation, fs: HadoopFsRelation, pruned: StructType): LogicalPlan = {
+      if (!nameBasedFormat(fs)) return lr
       val partitionNames = fs.partitionSchema.fieldNames.toSet
+      // Intersect with the relation's current output: a relation already
+      // narrowed (built-in pruning, or an earlier pass on a shared
+      // subquery plan) must not get columns re-added that its output no
+      // longer exposes.
+      val outputNames = lr.output.map(_.name)
       val newDataSchema = StructType(
-        pruned.fields.filter(f => !partitionNames.exists(resolver(_, f.name))))
+        pruned.fields.filter(f => !partitionNames.exists(resolver(_, f.name)))
+          .filter(f => outputNames.exists(resolver(_, f.name))))
+      if (newDataSchema.isEmpty) return lr
       val newFs = fs.copy(dataSchema = newDataSchema)(fs.sparkSession)
       val newOutput = lr.output.flatMap { a =>
         newFs.schema.fields.find(f => resolver(f.name, a.name)).map { f =>

@@ -320,8 +320,14 @@ object SchemaOnRead {
         }.toMap
 
       case other =>
-        // Limit/Offset/Sample/Repartition/hints/views/etc: transparent.
-        other.children.map(walk).foldLeft(Map.empty: Lineage)(_ ++ _)
+        // Limit/Offset/Sample/Repartition/hints/views/object operators/etc.
+        // Lineage passes through; any expressions the node carries are
+        // demanded in full — we don't know the node's semantics, so
+        // fail-closed on its inputs (e.g. DeserializeToObject's
+        // deserializer reads whole columns).
+        val cl = other.children.map(walk).foldLeft(Map.empty: Lineage)(_ ++ _)
+        other.expressions.foreach(record(_, full = true, cl))
+        cl
     }
 
     private def relationLineage(

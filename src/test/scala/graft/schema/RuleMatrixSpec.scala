@@ -1,0 +1,40 @@
+package graft.schema
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Queries
+
+/** Safety proof for the auto-apply rule: every query in the operator
+  * matrix must return byte-identical results with the pruning rule on and
+  * off (sf0.001, same session, rule toggled via its config gate). */
+class RuleMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("rule-matrix-spec")
+      .config("spark.sql.extensions", "graft.schema.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  Queries.all.foreach { q =>
+    test(s"${q.name} is rule-invariant") {
+      spark.conf.set("spark.graft.schemaOnRead.enabled", "false")
+      val off = q.run(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.graft.schemaOnRead.enabled", "true")
+      val on = q.run(spark, dir).collect().map(_.toString).toSeq
+      assert(on == off, s"rule changed results for ${q.name}")
+    }
+  }
+}
