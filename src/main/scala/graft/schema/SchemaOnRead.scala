@@ -149,6 +149,15 @@ object SchemaOnRead {
         val r = resolve(g.child, lin)
         Refs(r.direct, r.indirect ++ resolve(g.key, lin).all)
       case a: Alias => resolve(a.child, lin)
+      // first/last return one of their input VALUES untouched (selection
+      // depends on row order, not content) — downstream field access
+      // through them narrows the source, like the reference's alias-trie
+      // sharing for first() (SchemaOnReadGeneratorTest.java:1657-1677).
+      // max/min deliberately do NOT pass through: they compare the whole
+      // value, so narrowing would change their result.
+      case ae: aggregate.AggregateExpression => resolve(ae.aggregateFunction, lin)
+      case f: aggregate.First => resolve(f.child, lin)
+      case l: aggregate.Last => resolve(l.child, lin)
       case _: SubqueryExpression => Refs.empty // recorded separately
       case other =>
         Refs(Set.empty, other.children.foldLeft(Set.empty[ColPath])(_ ++ resolve(_, lin).all))

@@ -570,6 +570,33 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSchema(pruned(q), st(fld("someArrayOfArrays", arr(arr(LongType)))))
   }
 
+  test("group full struct by struct part keeps full struct") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      "SELECT first(nestedStruct) AS s FROM sample_json GROUP BY nestedStruct.str")
+    assertSchema(pruned(q), st(fld("nestedStruct", nestedStructType)))
+  }
+
+  test("group struct part by full struct through subquery keeps full struct") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    spark.sql("SELECT first(nestedStruct.str) AS str FROM sample_json GROUP BY nestedStruct")
+      .createOrReplaceTempView("base")
+    val q = spark.sql("SELECT str FROM base")
+    assertSchema(pruned(q), st(fld("nestedStruct", nestedStructType)))
+  }
+
+  test("first(struct) narrows through subquery field access") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    spark.sql(
+      "SELECT first(nestedStruct) AS mystruct FROM sample_json GROUP BY nestedStruct.str")
+      .createOrReplaceTempView("base")
+    val q = spark.sql("SELECT mystruct.childStruct.col1 FROM base")
+    assertSchema(pruned(q), st(
+      fld("nestedStruct", st(
+        fld("childStruct", st(fld("col1", LongType))),
+        fld("str", StringType)))))
+  }
+
   test("union through view plus filter prunes both branches") {
     val a = spark.read.json(jsonPath)
     val b = spark.read.json(json2Path)
