@@ -39,6 +39,19 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col(typeCol), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup (the streaming twin of Dedup.exactGroups):
+    * drops re-deliveries of the same key within the watermark horizon —
+    * state stays bounded because expired keys are evicted with the
+    * watermark. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based streaming sessionization (the streaming twin of
     * TemporalJoins.sessionize): sessions close when no event arrives for
     * `gapSec` of *event time*, enforced with an event-time timeout so

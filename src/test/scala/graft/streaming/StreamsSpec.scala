@@ -48,6 +48,28 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.dedupStream(input.toDF(), Seq("user_id", "event_type"),
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(1, ts(2), "view", 2.0), // duplicate key within watermark
+        StreamEvent(1, ts(2), "click", 3.0),
+        StreamEvent(2, ts(3), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dd").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(spark.table("dd").count() == 3)
+      assert(rows == Set((1L, "view"), (1L, "click"), (2L, "view")))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
