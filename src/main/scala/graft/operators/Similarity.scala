@@ -124,6 +124,35 @@ object Similarity {
     }.toDF("id1", "id2", "cs")
   }
 
+  /** Block-broadcast variant of [[cosinePairsExact]]: the corpus is
+    * broadcast one fixed-size block at a time, so the broadcast side
+    * never exceeds `blockSize` vectors regardless of corpus size — the
+    * actual 100 TB formulation (outer loop over blocks, one distributed
+    * pass per block). Output is identical to the single-broadcast path. */
+  def cosinePairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, blockSize: Int = 4096): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val parallel = vecs.repartition(sp.sparkContext.defaultParallelism)
+    val idName = parallel.columns(0)
+    val ids = parallel.select(col(idName)).as[Long].collect().sorted
+    val blocks = ids.grouped(blockSize).map(b => (b.head, b.last)).toSeq
+    blocks.map { case (lo, hi) =>
+      val block = sp.sparkContext.broadcast(
+        parallel.filter(col(idName).between(lo, hi)).collect())
+      parallel.mapPartitions { it =>
+        val all = block.value
+        it.flatMap { case (id1, v1) =>
+          all.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
+            val cs = cosineKernel(v1, v2)
+            if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
+          }
+        }
+      }.toDF("id1", "id2", "cs")
+    }.reduce(_ union _)
+  }
+
   /** Exact top-k with the query side broadcast and the scoring loop in
     * the kernel; ranking stays a relational window. */
   def knnKernel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -280,8 +280,7 @@ object SchemaOnRead {
 
       case u: Union =>
         val childLins = u.children.map(walk)
-        val merged = u.children.indices.foldLeft(childLins.reduce(_ ++ _)) { (acc, _) => acc }
-        merged ++ u.output.zipWithIndex.map { case (a, i) =>
+        childLins.reduce(_ ++ _) ++ u.output.zipWithIndex.map { case (a, i) =>
           val refs = u.children.zip(childLins).map { case (c, l) =>
             l.getOrElse(c.output(i).exprId, Refs.empty)
           }

@@ -71,6 +71,18 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel((1L, 3L)) == 1.0)
   }
 
+  test("blocked cosine pairs equal the single-broadcast path") {
+    val vecs = spark.createDataFrame(
+      (1L to 40L).map(i => (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
+    ).toDF("vec_id", "embedding")
+    val whole = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.2)
+      .collect().map(_.toString).sorted.toSeq
+    val blocked = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", 0.2, blockSize = 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(blocked == whole)
+    assert(whole.nonEmpty)
+  }
+
   test("kernel LSH buckets equal the Column lshBucket") {
     val vecs = spark.createDataFrame(
       (1L to 20L).map(i => (i, Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
