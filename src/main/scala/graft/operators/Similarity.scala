@@ -102,10 +102,24 @@ object Similarity {
     round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Shared scoring loop: all (id1 < id2) pairs of the streamed rows
+    * against one broadcast block — the single place where pair semantics
+    * (ordering, threshold) live, for both broadcast strategies. */
+  private def scorePairs(
+      it: Iterator[(Long, Array[Float])],
+      block: Array[(Long, Array[Float])],
+      tau: Double): Iterator[(Long, Long, Double)] =
+    it.flatMap { case (id1, v1) =>
+      block.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
+        val cs = cosineKernel(v1, v2)
+        if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
+      }
+    }
+
   /** All pairs (id1 < id2) with cosine >= tau. The corpus is broadcast to
     * every partition (block-nested-loop with a broadcast block); at 100 TB
     * one broadcasts fixed-size corpus blocks in sequence — same kernel,
-    * outer loop over blocks. */
+    * outer loop over blocks (see [[cosinePairsBlocked]]). */
   def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
     val sp = corpus.sparkSession
@@ -113,43 +127,32 @@ object Similarity {
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     val side = sp.sparkContext.broadcast(vecs.collect())
     vecs.repartition(sp.sparkContext.defaultParallelism) // O(N²) scoring: spread across cores
-      .mapPartitions { it =>
-      val all = side.value
-      it.flatMap { case (id1, v1) =>
-        all.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
-          val cs = cosineKernel(v1, v2)
-          if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
-        }
-      }
-    }.toDF("id1", "id2", "cs")
+      .mapPartitions(scorePairs(_, side.value, tau))
+      .toDF("id1", "id2", "cs")
   }
 
-  /** Block-broadcast variant of [[cosinePairsExact]]: the corpus is
-    * broadcast one fixed-size block at a time, so the broadcast side
-    * never exceeds `blockSize` vectors regardless of corpus size — the
-    * actual 100 TB formulation (outer loop over blocks, one distributed
-    * pass per block). Output is identical to the single-broadcast path. */
+  /** Block-broadcast variant of [[cosinePairsExact]]: each executor task
+    * scores against one `blockSize`-bounded broadcast block at a time,
+    * bounding per-task broadcast memory. (The driver still materializes
+    * the corpus once to slice the blocks; at true 100 TB scale one runs
+    * one *action* per block appending to a sink, so neither driver nor
+    * plan ever hold every block — this method demonstrates the per-block
+    * dataflow with identical output.) */
   def cosinePairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, blockSize: Int = 4096): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     val parallel = vecs.repartition(sp.sparkContext.defaultParallelism)
-    val idName = parallel.columns(0)
-    val ids = parallel.select(col(idName)).as[Long].collect().sorted
-    val blocks = ids.grouped(blockSize).map(b => (b.head, b.last)).toSeq
-    blocks.map { case (lo, hi) =>
-      val block = sp.sparkContext.broadcast(
-        parallel.filter(col(idName).between(lo, hi)).collect())
-      parallel.mapPartitions { it =>
-        val all = block.value
-        it.flatMap { case (id1, v1) =>
-          all.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
-            val cs = cosineKernel(v1, v2)
-            if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
-          }
-        }
-      }.toDF("id1", "id2", "cs")
+    val collected = parallel.collect().sortBy(_._1)
+    if (collected.isEmpty) return sp.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cs")
+    // block boundaries over DISTINCT ids: duplicate ids at a boundary
+    // must land in exactly one block or their pairs double-count
+    val blocks = collected.map(_._1).distinct.grouped(blockSize)
+      .map(b => collected.filter(r => r._1 >= b.head && r._1 <= b.last)).toSeq
+    blocks.map { blockRows =>
+      val block = sp.sparkContext.broadcast(blockRows)
+      parallel.mapPartitions(scorePairs(_, block.value, tau)).toDF("id1", "id2", "cs")
     }.reduce(_ union _)
   }
 

@@ -83,6 +83,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(whole.nonEmpty)
   }
 
+  test("blocked cosine pairs: empty corpus and duplicate boundary ids") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, Array[Float])])
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsBlocked(empty, "vec_id", "embedding", 0.0).count() == 0)
+    // ids [1,2,2,3] with blockSize=2: duplicate id 2 must not double-count
+    val dup = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)), (3L, Array(0.7f, 0.3f)))).toDF("vec_id", "embedding")
+    val whole = Similarity.cosinePairsExact(dup, "vec_id", "embedding", -1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val blocked = Similarity.cosinePairsBlocked(dup, "vec_id", "embedding", -1.0, blockSize = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(blocked == whole)
+  }
+
   test("kernel LSH buckets equal the Column lshBucket") {
     val vecs = spark.createDataFrame(
       (1L to 20L).map(i => (i, Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
