@@ -19,9 +19,6 @@ final case class FieldTree(
     required: Boolean,
     children: Map[String, FieldTree]) {
 
-  /** Self or any descendant demanded. */
-  def anyRequired: Boolean = required || children.values.exists(_.anyRequired)
-
   /** Mark `path` as touched; when `full`, demand the whole subtree at its
     * end. Intermediate nodes are touched but not required (matching the
     * reference: nodes for all-but-last segment, SchemaOnReadState.java:161-185).
@@ -32,18 +29,6 @@ final case class FieldTree(
       val child = children.getOrElse(head, FieldTree.empty)
       copy(children = children.updated(head, child.mark(rest, full)))
   }
-
-  def merge(other: FieldTree): FieldTree =
-    FieldTree(
-      required || other.required,
-      (children.keySet ++ other.children.keySet).iterator.map { k =>
-        (children.get(k), other.children.get(k)) match {
-          case (Some(a), Some(b)) => k -> a.merge(b)
-          case (Some(a), None)    => k -> a
-          case (None, Some(b))    => k -> b
-          case (None, None)       => k -> FieldTree.empty // unreachable
-        }
-      }.toMap)
 
   def isEmpty: Boolean = !required && children.isEmpty
 }
@@ -63,7 +48,7 @@ object FieldTree {
   def skeleton(dt: DataType): DataType = dt match {
     case _: StructType      => StructType(Nil)
     case ArrayType(e, n)    => ArrayType(skeleton(e), n)
-    case MapType(k, v, n)   => MapType(skeleton(k), skeleton(v), n)
+    case MapType(k, v, n)   => MapType(k, skeleton(v), n) // keys stay whole
     case other              => other
   }
 
@@ -94,13 +79,15 @@ object FieldTree {
           ct.required || !isComplex(f.dataType) || structFree(f.dataType) ||
             anyDemand(f.dataType, ct)))
       case ArrayType(e, _)  => anyDemand(e, t)
-      case MapType(k, v, _) => anyDemand(k, t) || anyDemand(v, t)
+      case MapType(_, v, _) => anyDemand(v, t)
       case _                => false
     }
     def pruneType(dt: DataType, t: FieldTree): DataType = dt match {
       case s: StructType    => pruneStruct(s, t)
       case ArrayType(e, n)  => ArrayType(pruneType(e, t), n)
-      case MapType(k, v, n) => MapType(pruneType(k, t), pruneType(v, t), n)
+      // Map KEYS are compared whole on every lookup — never prune them;
+      // demand paths through a map address only its value side.
+      case MapType(k, v, n) => MapType(k, pruneType(v, t), n)
       case other            => other
     }
     def pruneStruct(s: StructType, t: FieldTree): StructType =

@@ -26,15 +26,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object PlanRewriter {
 
+  /** Marks plans this rule has already processed — the rule sits in a
+    * fix-point optimizer batch and re-analysis is pure overhead. */
+  private val processedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.schemaOnRead.processed")
+
   def prune(plan: LogicalPlan, spark: SparkSession): LogicalPlan = {
+    if (plan.getTagValue(processedTag).contains(true)) return plan
+    plan.setTagValue(processedTag, true)
     try {
       val result = SchemaOnRead.generate(plan, spark)
       val narrowed = result.schemas.filter { case (k, pruned) =>
         result.fullSchemas.get(k).exists(full => leafCount(pruned) < leafCount(full))
       }
       if (narrowed.isEmpty) return plan
-      val rewriter = new Rewriter(spark, narrowed)
+      val rewriter = new Rewriter(spark, narrowed, result.qualify)
       val out = rewriter(plan)
+      out.setTagValue(processedTag, true)
       // The rewrite must stay resolved and the query's visible result
       // schema unchanged — otherwise abandon it (fail-open).
       if (!out.resolved) {
@@ -61,10 +69,12 @@ object PlanRewriter {
     case _ => 1
   }
 
-  private final class Rewriter(spark: SparkSession, narrowed: Map[RelationKey, StructType]) {
+  private final class Rewriter(
+      spark: SparkSession,
+      narrowed: Map[RelationKey, StructType],
+      qualify: PathQualifier) {
     private val resolver = spark.sessionState.conf.resolver
     private val idMap = mutable.Map.empty[ExprId, AttributeReference]
-    private lazy val analysis = new AnalysisKeys(spark)
 
     def apply(plan: LogicalPlan): LogicalPlan = rewritePlan(plan)
 
@@ -76,7 +86,8 @@ object PlanRewriter {
         case lr: LogicalRelation =>
           lr.relation match {
             case fs: HadoopFsRelation =>
-              narrowed.get(analysis.keyOf(fs)).map(rewriteRelation(lr, fs, _)).getOrElse(lr)
+              narrowed.get(qualify(fs.location.inputFiles.toSeq))
+                .map(rewriteRelation(lr, fs, _)).getOrElse(lr)
             case _ => lr
           }
         case node =>
@@ -163,7 +174,11 @@ object PlanRewriter {
         nc.dataType match {
           case s: StructType =>
             val ord = s.fields.indexWhere(f => resolver(f.name, origName))
-            if (ord < 0) g.copy(child = nc) // demand guarantees presence; fail-open otherwise
+            if (ord < 0)
+              // demand analysis guarantees the field survives; a miss means
+              // the rewrite is unsound — fail FAST so prune() abandons it
+              // (keeping the stale ordinal would silently read another field)
+              throw new IllegalStateException(s"pruned field $origName missing")
             else GetStructField(nc, ord, Some(origName))
           case _ => g.copy(child = nc)
         }
@@ -173,7 +188,8 @@ object PlanRewriter {
         nc.dataType match {
           case org.apache.spark.sql.types.ArrayType(s: StructType, cn) =>
             val ord = s.fields.indexWhere(f => resolver(f.name, origName))
-            if (ord < 0) g.copy(child = nc)
+            if (ord < 0)
+              throw new IllegalStateException(s"pruned field $origName missing")
             else GetArrayStructFields(nc, s(ord), ord, s.length, cn || g.field.nullable)
           case _ => g.copy(child = nc)
         }
@@ -183,23 +199,14 @@ object PlanRewriter {
     }
   }
 
-  /** Relation-key computation reused from the generator's qualification. */
-  private final class AnalysisKeys(spark: SparkSession) {
-    private lazy val hadoopConf = spark.sessionState.newHadoopConf()
-    def keyOf(fs: HadoopFsRelation): RelationKey =
-      RelationKey(fs.location.inputFiles.toSeq.map { s =>
-        val p = new org.apache.hadoop.fs.Path(s)
-        val f = p.getFileSystem(hadoopConf)
-        p.makeQualified(f.getUri, f.getWorkingDirectory).toString
-      }.sorted.toVector)
-  }
 }
 
 /** Optimizer rule applying [[PlanRewriter]] to every query, gated by
   * `spark.graft.schemaOnRead.enabled` (default true). Injected via
-  * [[GraftExtensions]]; runs in the user-provided optimizer batch, after
-  * Spark's built-in pruning — it narrows only what Catalyst left behind
-  * (map values, through-generator demand, filter-only nested access).
+  * [[GraftExtensions]] into the user-provided optimizer batches (a
+  * processed-plan tag keeps the fix-point iterations from re-running the
+  * analysis); Spark's own `SchemaPruning` runs later in Early Scan
+  * Push-Down and composes with the narrowing done here.
   */
 class PrunedScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -218,7 +225,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSimilarity(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"graft_cosine takes exactly 2 arguments, got ${children.length}")
+        graft.functions.CosineSimilarity(children(0), children(1))
+      }))
   }
 }

@@ -26,17 +26,28 @@ final case class RelationKey(paths: Vector[String])
   * relation, plus lookups by path set and by registered view alias.
   * API parity with the reference's SchemaOnReadGenerator.java:30-85.
   */
+/** Qualifies raw paths into a [[RelationKey]] (filesystem-resolved,
+  * sorted). Standalone so results don't retain analysis state. */
+private[schema] final class PathQualifier(conf: org.apache.hadoop.conf.Configuration) {
+  def apply(paths: Seq[String]): RelationKey =
+    RelationKey(paths.map { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    }.sorted.toVector)
+}
+
 final class SchemaOnReadResult private[schema] (
     val schemas: Map[RelationKey, StructType],
     val fullSchemas: Map[RelationKey, StructType],
     val viewRelations: Map[String, RelationKey],
-    qualify: Seq[String] => RelationKey,
+    private[schema] val qualify: PathQualifier,
     val durationNanos: Long) {
 
   /** Pruned schema for the relation reading exactly these paths (any order,
     * duplicates ignored; must be the relation's expanded input files). */
   def schemaFor(paths: String*): Option[StructType] =
-    schemas.get(qualify(paths.distinct))
+    scala.util.Try(qualify(paths.distinct)).toOption.flatMap(schemas.get)
 
   /** Pruned schema for a relation registered under a temp-view alias. */
   def schemaForView(name: String): Option[StructType] =
@@ -112,14 +123,9 @@ object SchemaOnRead {
     private val cteLineage = mutable.Map.empty[Long, Seq[Refs]]
     private var lastRelation: Option[RelationKey] = None
 
-    private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+    private val qualifier = new PathQualifier(spark.sessionState.newHadoopConf())
 
-    def qualifyKey(paths: Seq[String]): RelationKey =
-      RelationKey(paths.map { s =>
-        val p = new Path(s)
-        val fs = p.getFileSystem(hadoopConf)
-        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
-      }.sorted.toVector)
+    def qualifyKey(paths: Seq[String]): RelationKey = qualifier(paths)
 
     // ---- demand recording --------------------------------------------
 
@@ -163,19 +169,41 @@ object SchemaOnRead {
         Refs(Set.empty, other.children.foldLeft(Set.empty[ColPath])(_ ++ resolve(_, lin).all))
     }
 
+    private def isComplexType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+          _: org.apache.spark.sql.types.MapType => true
+      case _ => false
+    }
+
     /** Record column demand for every path referenced under `e`.
       * `full` = demand the whole subtree (mandatory / upper-most
-      * conditional contexts); otherwise just touch the path (leaf-level). */
-    private def record(e: Expression, full: Boolean, lin: Lineage): Unit = e match {
+      * conditional contexts); otherwise just touch the path (leaf-level).
+      *
+      * `nested` = the expression sits inside a computing parent (a
+      * comparison, function call, …) rather than being a bare projection:
+      * a complex-typed column consumed there is read WHOLE (e.g.
+      * `WHERE s1 = s2`, `to_json(s)`), so its full subtree is demanded —
+      * skeletonizing it would silently change results. Value-passthrough
+      * wrappers (Alias, first/last, generators) keep `nested` unchanged.
+      */
+    private def record(e: Expression, full: Boolean, lin: Lineage,
+        nested: Boolean = false): Unit = e match {
       case s: SubqueryExpression =>
         analyzeRoot(s.plan)
-        s.children.foreach(record(_, full = false, lin))
+        s.children.foreach(record(_, full = false, lin, nested = true))
+      case a: Alias => record(a.child, full, lin, nested)
+      case ae: aggregate.AggregateExpression =>
+        record(ae.aggregateFunction, full, lin, nested)
+        ae.filter.foreach(record(_, full = false, lin, nested = true))
+      case f: aggregate.First => record(f.child, full, lin, nested)
+      case l: aggregate.Last => record(l.child, full, lin, nested)
       case _: AttributeReference | _: GetStructField | _: GetArrayStructFields |
           _: GetArrayItem | _: GetMapValue =>
         val r = resolve(e, lin)
-        r.direct.foreach(mark(_, full))
-        r.indirect.foreach(mark(_, full))
-      case other => other.children.foreach(record(_, full, lin))
+        val f = full || (nested && isComplexType(e.dataType))
+        r.direct.foreach(mark(_, f))
+        r.indirect.foreach(mark(_, f))
+      case other => other.children.foreach(record(_, full, lin, nested = true))
     }
 
     // ---- plan walk ----------------------------------------------------
@@ -227,7 +255,17 @@ object SchemaOnRead {
         val rels = s.child.output.flatMap(a => lin.get(a.exprId)).flatMap(_.direct.map(_.rel)).distinct
         val bound = rels match {
           case Seq(one) => Some(one)
-          case _        => lastRelation
+          case Seq() =>
+            // no direct column lineage (e.g. alias over a derived-only
+            // aggregate): fall back to the walk cursor only when the
+            // subtree holds a single relation node — an alias over a
+            // multi-source join has no well-defined relation
+            val relationNodes = s.child.collect {
+              case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
+              case d: DataSourceV2Relation if d.table.isInstanceOf[FileTable] => d
+            }
+            if (relationNodes.length == 1) lastRelation else None
+          case _ => None
         }
         bound.foreach(views.update(s.identifier.name, _))
         lin
@@ -275,7 +313,10 @@ object SchemaOnRead {
 
       case g: Generate =>
         val cl = walk(g.child)
-        record(g.generator, full = uppermost(g), cl)
+        // generator inputs are traversed, not consumed whole — their
+        // element demand comes from downstream lineage, so no complex
+        // promotion here (nested = false)
+        g.generator.children.foreach(record(_, full = uppermost(g), cl))
         cl ++ generatorLineage(g, cl)
 
       case u: Union =>
@@ -413,21 +454,23 @@ object SchemaOnRead {
           }
         key -> pruned
       }.toMap
-      new SchemaOnReadResult(schemas, fulls.toMap, views.toMap, qualifyKey, durationNanos)
+      new SchemaOnReadResult(schemas, fulls.toMap, views.toMap, qualifier, durationNanos)
     }
 
     /** Fail-open: any analysis error yields full schemas for every
-      * file-based relation found in the plan (reference README.md:9). */
+      * file-based relation found in the plan (reference README.md:9).
+      * Relations whose own identity cannot be computed (the likely cause
+      * of the original failure) are skipped rather than rethrown. */
     def failOpenResult(plan: LogicalPlan, durationNanos: Long): SchemaOnReadResult = {
       val found = plan.collect {
         case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
           val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-          qualifyKey(fs.location.inputFiles.toSeq) -> fs.schema
+          scala.util.Try(qualifyKey(fs.location.inputFiles.toSeq) -> fs.schema).toOption
         case d: DataSourceV2Relation if d.table.isInstanceOf[FileTable] =>
           val ft = d.table.asInstanceOf[FileTable]
-          qualifyKey(ft.fileIndex.inputFiles.toSeq) -> ft.schema
-      }.toMap
-      new SchemaOnReadResult(found, found, views.toMap, qualifyKey, durationNanos)
+          scala.util.Try(qualifyKey(ft.fileIndex.inputFiles.toSeq) -> ft.schema).toOption
+      }.flatten.toMap
+      new SchemaOnReadResult(found, found, views.toMap, qualifier, durationNanos)
     }
   }
 }

@@ -399,6 +399,27 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSchema(pruned(df), st(fld("nestedStruct", st(fld("str", StringType)))))
   }
 
+  test("whole-struct comparison in a filter demands the full subtree") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    // s = s would be a self-compare; compare against a rebuilt struct to
+    // force a whole-value equality on the column
+    val q = spark.sql(
+      "SELECT someLong FROM sample_json WHERE nestedStruct.childStruct = named_struct('col1', 5L, 'col2', 6L)")
+    assertSchema(pruned(q), st(
+      fld("someLong", LongType),
+      fld("nestedStruct", st(
+        fld("childStruct", st(fld("col1", LongType), fld("col2", LongType)))))))
+  }
+
+  test("function over a whole struct in a filter demands the full subtree") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      "SELECT someLong FROM sample_json WHERE to_json(struct) != '{}'")
+    assertSchema(pruned(q), st(
+      fld("someLong", LongType),
+      fld("struct", structType)))
+  }
+
   test("COALESCE / IF / IS NULL in filter touch leaf paths") {
     jsonDF.createOrReplaceTempView("sample_json")
     val q = spark.sql(
