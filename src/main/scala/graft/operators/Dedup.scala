@@ -193,12 +193,17 @@ object Dedup {
     // hash each distinct token once, then take 32 bit-passes over the hashes
     val hs = transform(array_distinct(TextAnalysis.tokens(text)), t => hash32(t))
     val n = size(hs)
+    // token-less documents have no simhash (the majority vote 2*0 >= 0
+    // would set every bit, colliding all empty docs at 0xFFFFFFFF);
+    // mirrors simhashKernel, which emits nothing for them
     // bit b of h, via exact double division (h < 2^32, so h / 2^b is exact)
     def bitOf(h: Column, b: Column): Column =
       floor(h / pow(lit(2.0), b)).cast(LongType) % 2
-    aggregate(sequence(lit(0), lit(31)), lit(0L),
-      (acc, b) => acc +
-        when(lit(2) * size(filter(hs, h => bitOf(h, b) === 1)) >= n,
-          pow(lit(2.0), b).cast(LongType)).otherwise(0L))
+    when(n >= 1,
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, b) => acc +
+          when(lit(2) * size(filter(hs, h => bitOf(h, b) === 1)) >= n,
+            pow(lit(2.0), b).cast(LongType)).otherwise(0L)))
+      .otherwise(lit(null).cast(LongType))
   }
 }

@@ -39,31 +39,37 @@ object TemporalJoins {
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left side")
 
+    // The payload is carried as ONE struct so a matched left row always
+    // gets all payload fields from the SAME right row — carrying columns
+    // independently with ignoreNulls would splice stale values across
+    // right rows whenever a payload field is null, and would drop
+    // legitimate matches whose latest payload field is null.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
+
     // Common layout: key, _ts, _side (0 = right sorts first on ties, so a
-    // right row with ts == left ts IS matched), left columns, payload.
+    // right row with ts == left ts IS matched), left columns, _p struct.
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(payloadType).as("_p"): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p"): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
 
     carried
-      .filter(col("_side") === 1 && payload.map(col(_).isNotNull).reduce(_ && _))
-      .drop("_ts", "_side")
+      .filter(col("_side") === 1 && col("_p").isNotNull)
+      .select(leftCols.map(col) ++ payload.map(c => col("_p")(c).as(c)): _*)
   }
 
   /** Range join: pairs (l, r) with the same key and

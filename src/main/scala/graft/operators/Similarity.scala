@@ -26,9 +26,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (s, v) => s + v))
 
-  /** Cosine similarity rounded to 6 decimals (cross-engine reproducible). */
+  /** Cosine similarity rounded to 6 decimals (cross-engine reproducible);
+    * zero-norm vectors have similarity 0 by definition (a division would
+    * throw under ANSI mode / produce NaN in the kernel). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0))
+      .otherwise(round(dot(a, b) / (norm(a) * norm(b)), 6))
 
   /** Exact top-k neighbors for each query vector (brute force; broadcast
     * the query side — it is the small side by construction). */
@@ -46,7 +49,9 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id over `planes` hyperplanes of `dims`
     * components, each component a deterministic ±1 drawn from md5 parity
-    * of "plane_dim" — reproducible anywhere, no stored model. */
+    * of "plane_dim" — reproducible anywhere, no stored model.
+    * `dims` must not exceed the vector length (ANSI element_at throws
+    * past the end). */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
     val vd = d(vec)
     (0 until planes).map { j =>
@@ -99,7 +104,8 @@ object Similarity {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Shared scoring loop: all (id1 < id2) pairs of the streamed rows
@@ -143,8 +149,10 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    // persist: each block's pass re-executes this dataset at action time
     val parallel = vecs.repartition(sp.sparkContext.defaultParallelism)
-    val collected = parallel.collect().sortBy(_._1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val collected = vecs.collect().sortBy(_._1)
     if (collected.isEmpty) return sp.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cs")
     // block boundaries over DISTINCT ids: duplicate ids at a boundary
     // must land in exactly one block or their pairs double-count
@@ -197,7 +205,8 @@ object Similarity {
     var b = 0L; var j = 0
     while (j < signs.length) {
       val row = signs(j); var d = 0.0; var i = 0
-      while (i < v.length) { d += v(i).toDouble * row(i); i += 1 }
+      val n = math.min(v.length, row.length)
+      while (i < n) { d += v(i).toDouble * row(i); i += 1 }
       if (d >= 0) b |= 1L << j
       j += 1
     }
@@ -218,6 +227,8 @@ object Similarity {
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
     val cb = sp.sparkContext.broadcast(cents)
 
     def nearest(v: Array[Float], n: Int): Seq[Long] =
@@ -246,10 +257,10 @@ object Similarity {
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score
     * only same-bucket candidates, rank relationally. */
   def annKnnKernel(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4, dims: Int = 64): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val signs = signMatrix(planes, dims = 64)
+    val signs = signMatrix(planes, dims)
     val qb = sp.sparkContext.broadcast(
       queries.select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])].collect()

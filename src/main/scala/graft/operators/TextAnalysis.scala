@@ -52,12 +52,15 @@ object TextAnalysis {
     val nTok = size(tk).cast("double")
     val charLen = length(text).cast("double")
     val sw = hits(tk, stopwords("en")).cast("double")
+    // divisions are guarded: ANSI mode (Spark 4 default) throws on
+    // divide-by-zero, so token-less or empty documents get null features
     df.withColumn("n_tokens", size(tk))
       .withColumn("mean_token_len",
-        length(concat_ws("", tk)).cast("double") / nTok)
-      .withColumn("stopword_ratio", sw / nTok)
+        when(nTok > 0, length(concat_ws("", tk)).cast("double") / nTok))
+      .withColumn("stopword_ratio", when(nTok > 0, sw / nTok))
       .withColumn("alpha_ratio",
-        length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / charLen)
+        when(charLen > 0,
+          length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / charLen))
       .withColumn("quality_score",
         col("stopword_ratio") * 2.0 + col("alpha_ratio") +
           when(col("n_tokens") >= 20, 1.0).otherwise(0.0))
@@ -70,14 +73,4 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Word n-gram shingles (for MinHash / Jaccard dedup). Short documents
-    * (< n tokens) yield a single shingle of all their tokens.
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", tk)))
-  }
 }

@@ -76,26 +76,30 @@ object Streams {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => us(e.ts))
-            var open = state.getOption
+            // Merge the open session and this batch's events as time
+            // INTERVALS sorted by start — out-of-order events (allowed up
+            // to the watermark) may extend a session backwards or form an
+            // earlier separate session; comparing only against lastUs
+            // would swallow them into the wrong session.
+            val intervals =
+              (state.getOption.toSeq ++
+                batch.map(e => SessionState(us(e.ts), us(e.ts), 1, e.value)))
+                .sortBy(s => (s.startUs, s.lastUs))
+            var open: SessionState = null
             val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = us(e.ts)
+            intervals.foreach { iv =>
               open match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  open = Some(SessionState(s.startUs, math.max(s.lastUs, t), s.n + 1,
-                    s.sumValue + e.value))
-                case Some(s) =>
+                case null => open = iv
+                case s if iv.startUs - s.lastUs <= gapUs =>
+                  open = SessionState(s.startUs, math.max(s.lastUs, iv.lastUs),
+                    s.n + iv.n, s.sumValue + iv.sumValue)
+                case s =>
                   closed += close(userId, s)
-                  open = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  open = Some(SessionState(t, t, 1, e.value))
+                  open = iv
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
-            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastUs / 1000L + gapSec * 1000L)
             closed.result().iterator
           }
       }

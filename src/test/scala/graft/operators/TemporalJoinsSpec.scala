@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("temporal-joins-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("as-of join takes ALL payload fields from the single matched right row") {
+    // right rows: (ts=1, p=5, q="a"), (ts=2, p=null, q="b") — the as-of
+    // match for a left row at ts=3 is the ts=2 row, INCLUDING its null p
+    val left = spark.createDataFrame(Seq((1L, ts(3), "L"))).toDF("k", "t", "tag")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts(1), Some(5), "a"),
+      (1L, ts(2), None: Option[Int], "b"))).toDF("k", "rt", "p", "q")
+    val out = TemporalJoins.asOf(left, right, "k", "t", "rt", Seq("p", "q")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("p"))) // NOT the stale p=5
+    assert(out.head.getAs[String]("q") == "b")
+  }
+
+  test("as-of join matches even when the latest payload field is null") {
+    val left = spark.createDataFrame(Seq((1L, ts(3), "L"))).toDF("k", "t", "tag")
+    val right = spark.createDataFrame(Seq((1L, ts(2), None: Option[Int])))
+      .toDF("k", "rt", "p")
+    val out = TemporalJoins.asOf(left, right, "k", "t", "rt", Seq("p")).collect()
+    assert(out.length == 1) // match must not be dropped because p is null
+    assert(out.head.isNullAt(out.head.fieldIndex("p")))
+  }
+
+  test("as-of join drops left rows with no earlier right row") {
+    val left = spark.createDataFrame(Seq((1L, ts(1), "L"))).toDF("k", "t", "tag")
+    val right = spark.createDataFrame(Seq((1L, ts(2), 7))).toDF("k", "rt", "p")
+    assert(TemporalJoins.asOf(left, right, "k", "t", "rt", Seq("p")).count() == 0)
+  }
+}

@@ -70,6 +70,31 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("out-of-order event within watermark extends a session backwards") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.sessionize(input.toDS(), gapSec = 120)
+      .writeStream.format("memory").queryName("ooo").outputMode("append").start()
+    try {
+      input.addData(StreamEvent(1, ts(20), "view", 1.0))
+      q.processAllAvailable()
+      // late event at 10:19 (within gap of the open session) arrives next batch
+      input.addData(StreamEvent(1, ts(19), "view", 2.0))
+      q.processAllAvailable()
+      // push watermark far forward via another key to time the session out
+      input.addData(StreamEvent(2, ts(40), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(2, ts(50), "view", 0.0))
+      q.processAllAvailable()
+      val s = spark.table("ooo").as[SessionOut].collect().find(_.user_id == 1L)
+      assert(s.isDefined)
+      assert(s.get.start == ts(19), "session start must extend backwards")
+      assert(s.get.n_events == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
