@@ -905,6 +905,28 @@ object Queries {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
 
+    // ---- JSON sink + source roundtrip with explicit schema ----
+    QueryDef(
+      "q35_json_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+        t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+          .write.mode("overwrite").json(out)
+        val sup = s.read
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE")
+          .json(out)
+        sup.join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_suppliers"), dsum($"s_acctbal").as("sum_bal"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
     // ---- Custom typed Aggregator (UDAF): exact weighted mean ----
     QueryDef(
       "q33_udaf_weighted_mean",
