@@ -591,6 +591,29 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSchema(pruned(q), st(fld("someArrayOfArrays", arr(arr(LongType)))))
   }
 
+  test("explode with filter on a nested array field of the exploded collection") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """SELECT item.col1 AS rst FROM sample_json
+        |LATERAL VIEW explode(someArrayOfComplexArrays) AS item
+        |WHERE someArrayOfComplexArrays.col2 IS NOT NULL""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someArrayOfComplexArrays", arr(st(
+        fld("col1", LongType), fld("col2", arr(LongType)))))))
+  }
+
+  test("explode over a filtered CTE accessing a sibling nested field") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """WITH base AS (SELECT someArrayOfComplexArrays FROM sample_json
+        |  WHERE someArrayOfComplexArrays.col2 IS NOT NULL)
+        |SELECT item.col1 AS str FROM base
+        |LATERAL VIEW explode(someArrayOfComplexArrays) AS item""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someArrayOfComplexArrays", arr(st(
+        fld("col1", LongType), fld("col2", arr(LongType)))))))
+  }
+
   test("group full struct by struct part keeps full struct") {
     jsonDF.createOrReplaceTempView("sample_json")
     val q = spark.sql(
