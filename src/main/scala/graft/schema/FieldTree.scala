@@ -36,6 +36,11 @@ final case class FieldTree(
 object FieldTree {
   val empty: FieldTree = FieldTree(required = false, Map.empty)
 
+  /** Sentinel path segment for demand on a map's KEY side: keys are always
+    * materialized whole, so this counts as demand on the map without
+    * forcing its value subtree (used by exploded-map key outputs). */
+  val MapKeys: String = "keys"
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType => true
     case _                                         => false
@@ -79,7 +84,7 @@ object FieldTree {
           ct.required || !isComplex(f.dataType) || structFree(f.dataType) ||
             anyDemand(f.dataType, ct)))
       case ArrayType(e, _)  => anyDemand(e, t)
-      case MapType(_, v, _) => anyDemand(v, t)
+      case MapType(_, v, _) => t.children.contains(MapKeys) || anyDemand(v, t)
       case _                => false
     }
     def pruneType(dt: DataType, t: FieldTree): DataType = dt match {

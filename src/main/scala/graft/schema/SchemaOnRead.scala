@@ -417,8 +417,13 @@ object SchemaOnRead {
           val refs = collection(e.child)
           e.child.dataType match {
             case _: org.apache.spark.sql.types.MapType =>
-              // outputs: [pos,] key, value — key and value both resolve to the map
-              g.generatorOutput.takeRight(2).map(_.exprId -> refs).toMap ++
+              // outputs: [pos,] key, value — the key output demands only the
+              // map's (always-whole) key side via the sentinel segment, the
+              // value output resolves to the map for value-field narrowing
+              val Seq(keyAttr, valueAttr) = g.generatorOutput.takeRight(2)
+              Map(
+                keyAttr.exprId -> Refs(refs.direct.map(_.child(FieldTree.MapKeys)), refs.indirect),
+                valueAttr.exprId -> refs) ++
                 g.generatorOutput.dropRight(2).map(_.exprId -> Refs.empty).toMap
             case _ =>
               // outputs: [pos,] col

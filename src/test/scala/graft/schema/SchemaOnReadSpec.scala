@@ -377,6 +377,31 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
           fld("anotherRepeatedStuff", arr(st(fld("innerField2", StringType)))))))))))
   }
 
+  test("explode of a MAP maps key and value outputs to the map column") {
+    val mapSchema = st(
+      fld("someStr", StringType),
+      fld("m", MapType(StringType, st(fld("a", LongType), fld("b", LongType)))))
+    val df = spark.read.schema(mapSchema).json(jsonPath)
+      .select(explode(col("m")).as(Seq("k", "v")))
+      .select(col("k"), col("v.a"))
+    assertSchema(pruned(df), st(
+      fld("m", MapType(StringType, st(fld("a", LongType))))))
+  }
+
+  test("double explode through crazyStruct repetition") {
+    spark.read.json(crazyPath).createOrReplaceTempView("crazy_json")
+    val q = spark.sql(
+      """SELECT stuff.justABool AS bool, inner_item.innerField1 AS f1
+        |FROM crazy_json
+        |LATERAL VIEW explode(crazyStruct.repeatedStuff) AS stuff
+        |LATERAL VIEW explode(stuff.anotherRepeatedStuff) AS inner_item""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("crazyStruct", st(
+        fld("repeatedStuff", arr(st(
+          fld("justABool", BooleanType),
+          fld("anotherRepeatedStuff", arr(st(fld("innerField1", StringType)))))))))))
+  }
+
   // ---- map access ----------------------------------------------------
 
   test("map value struct pruned through key and index access") {
