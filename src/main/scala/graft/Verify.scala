@@ -14,12 +14,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // purge any previous run's outputs: a failing query must NOT leave
+    // stale parquet behind for the compare step to false-PASS on
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(purge)
+      f.delete()
+    }
+    purge(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        purge(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -62,7 +62,9 @@ object TemporalJoins {
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_p"): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+    // _p last in the ordering: deterministic tiebreak among right rows
+    // sharing the same (key, ts) — struct comparison is total
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
@@ -115,8 +117,10 @@ object TemporalJoins {
     * (lag → gap flag → running sum), the standard scalable formulation.
     * Adds columns `session_id` (1-based per key) to the input.
     */
-  def sessionize(df: DataFrame, key: String, ts: String, gapSec: Long): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+  def sessionize(df: DataFrame, key: String, ts: String, gapSec: Long,
+      tieBreak: Option[String] = None): DataFrame = {
+    val order = col(ts) +: tieBreak.map(col).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
     df.withColumn("_prev_ts", lag(col(ts), 1).over(w))
       .withColumn("_new_session",
         when(col("_prev_ts").isNull ||

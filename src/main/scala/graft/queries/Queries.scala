@@ -58,8 +58,7 @@ object Queries {
             count(lit(1)).as("count_order"),
             dsum($"l_quantity").as("sum_qty"),
             dsum($"l_extendedprice").as("sum_base_price"),
-            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
-              .cast(DoubleType).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("sum_disc_price"),
             max($"l_quantity").as("max_qty"),
             min($"l_extendedprice").as("min_price"))
           .orderBy($"l_returnflag", $"l_linestatus")
@@ -98,8 +97,7 @@ object Queries {
           .join(o, $"c_custkey" === $"o_custkey")
           .join(l, $"o_orderkey" === $"l_orderkey")
           .groupBy($"o_orderkey")
-          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
-            .cast(DoubleType).as("revenue"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 8).as("revenue"))
           .orderBy($"revenue".desc, $"o_orderkey")
           .limit(10)
       },
@@ -204,7 +202,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+          .select(explode(graft.operators.TextAnalysis.tokens($"text")).as("token"))
           .groupBy($"token")
           .agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"token")
@@ -574,6 +572,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
+          .filter(size(graft.operators.TextAnalysis.tokens($"text")) >= 1)
           .select($"lang", graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
           .groupBy($"lang", $"lang_pred")
           .agg(count(lit(1)).as("n"))
@@ -606,6 +605,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         graft.operators.TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+          .filter($"n_tokens" >= 1)
           .select($"doc_id", $"n_tokens", $"mean_token_len",
             $"stopword_ratio", $"alpha_ratio", $"quality_score")
           .orderBy($"doc_id")
@@ -806,6 +806,7 @@ object Queries {
         import s.implicits._
         val media = graft.operators.Multimodal.pack(
           t(s, dir, "documents")
+            .filter(length($"text") === octet_length($"text")) // ASCII only: oracle equates chars/bytes
             .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload")),
           "doc_id", "source", "payload")(s)
         graft.operators.Multimodal.extractFeatures(media).toDF()
@@ -813,7 +814,8 @@ object Queries {
           .orderBy($"media_id")
       },
       Some("""WITH b AS (SELECT doc_id, source, text, length(text) AS n
-               FROM documents WHERE length(text) >= 1),
+               FROM documents
+               WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)),
         by AS (SELECT doc_id, unnest(range(1, n+1)) AS i, text FROM b),
         v AS (SELECT doc_id, ord(substr(text, i, 1)) AS v FROM by),
         hist AS (SELECT doc_id,
@@ -871,7 +873,7 @@ object Queries {
       "q31_sink_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/sink"
         t(s, dir, "lineitem")
           .filter($"l_quantity" >= 25.0)
           .select($"l_orderkey", $"l_returnflag", $"l_quantity")
@@ -891,7 +893,7 @@ object Queries {
       "q32_csv_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/csv"
         t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
           .write.mode("overwrite").option("header", "true").csv(out)
         val nat = s.read.option("header", "true")
@@ -910,7 +912,7 @@ object Queries {
       "q35_json_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/json"
         t(s, dir, "supplier")
           .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
           .write.mode("overwrite").json(out)
