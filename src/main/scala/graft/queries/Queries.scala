@@ -907,6 +907,24 @@ object Queries {
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
 
+    // ---- Correlated IN subquery (SQL text entry point) ----
+    QueryDef(
+      "q36_in_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey, c_name FROM customer_v
+          WHERE c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 300000.0)
+            AND EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+          AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
     // ---- JSON sink + source roundtrip with explicit schema ----
     QueryDef(
       "q35_json_roundtrip",
