@@ -39,6 +39,23 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col(typeCol), col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join (the streaming twin of
+    * TemporalJoins.range): pairs left/right events with equal keys where
+    * `right.ts ∈ [left.ts, left.ts + windowSec]`. Both sides carry
+    * watermarks so the join state for expired intervals is evicted —
+    * without them a stream-stream join buffers forever. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, windowSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   /** Streaming exact dedup (the streaming twin of Dedup.exactGroups):
     * drops re-deliveries of the same key within the watermark horizon —
     * state stays bounded because expired keys are evicted with the

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -67,6 +68,31 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getString(2))).toSet
       assert(spark.table("dd").count() == 3)
       assert(rows == Set((1L, "view"), (1L, "click"), (2L, "view")))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream interval join pairs events within the window") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val views = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val joined = Streams.intervalJoin(
+        views.toDF().select($"user_id", $"ts", $"event_type".as("view_type")),
+        purchases.toDF().select($"user_id", $"ts", $"event_type".as("p_type")),
+        "user_id", windowSec = 300)
+      .select(col("l.user_id"), col("l.ts").as("view_ts"), col("r.ts").as("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      views.addData(StreamEvent(1, ts(0), "view", 0), StreamEvent(2, ts(0), "view", 0))
+      purchases.addData(
+        StreamEvent(1, ts(3), "purchase", 0),  // within 5 min of view -> joins
+        StreamEvent(2, ts(9), "purchase", 0))  // 9 min after view -> outside window
+      q.processAllAvailable()
+      val rows = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(rows == Set((1L, ts(0), ts(3))))
     } finally q.stop()
   }
 
