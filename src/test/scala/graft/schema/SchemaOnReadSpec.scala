@@ -302,6 +302,33 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSchema(r.schemaFor(json2Path), st(fld("someLong", LongType)))
   }
 
+  test("implicit cross join with WHERE condition prunes like an ON join") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    spark.read.json(json2Path).createOrReplaceTempView("sample_json2")
+    val q = spark.sql(
+      """SELECT a.someLong, a.someStr, b.struct.col1
+        |FROM sample_json a, sample_json2 b
+        |WHERE a.someLong = b.someLong""".stripMargin)
+    val r = SchemaOnRead.generate(q)
+    assertSchema(r.schemaFor(jsonPath), st(
+      fld("someLong", LongType), fld("someStr", StringType)))
+    assertSchema(r.schemaFor(json2Path), st(
+      fld("someLong", LongType), fld("struct", st(fld("col1", LongType)))))
+  }
+
+  test("API join with USING column and post-select") {
+    val a = spark.read.json(jsonPath)
+    val b = spark.read.json(json2Path)
+    val q = a.select(a("someLong"), a("someStr"))
+      .join(b.select(b("someLong"), b("struct.col3")), "someLong")
+      .select("someLong", "someStr", "col3")
+    val r = SchemaOnRead.generate(q)
+    assertSchema(r.schemaFor(jsonPath), st(
+      fld("someLong", LongType), fld("someStr", StringType)))
+    assertSchema(r.schemaFor(json2Path), st(
+      fld("someLong", LongType), fld("struct", st(fld("col3", LongType)))))
+  }
+
   test("local relation side of a join does not pollute pruning") {
     val local = spark.createDataFrame(Seq((12L, "x"))).toDF("id", "tag")
     val j = jsonDF
