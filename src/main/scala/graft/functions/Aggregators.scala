@@ -17,7 +17,7 @@ object Aggregators {
     new Aggregator[(Double, Double), WSum, Double] {
       override def zero: WSum = WSum(0L, 0L)
       override def reduce(b: WSum, in: (Double, Double)): WSum = {
-        val w = in._2.toLong
+        val w = math.round(in._2) // nearest integral weight (truncation would drop 0<w<1 rows)
         WSum(b.cents + math.round(in._1 * 100.0) * w, b.weight + w)
       }
       override def merge(a: WSum, b: WSum): WSum =

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * interpreted per element). Both interpreted and generated paths call
   * one static kernel, so results are bit-identical to
   * `graft.operators.Similarity.cosine` / `cosineKernel` (rounded to 6
-  * decimals, HALF_UP).
+  * decimals, HALF_UP) for equal-length inputs; ragged inputs score the
+  * common prefix rather than failing.
   *
   * Registered as SQL function `graft_cosine` by
   * [[graft.schema.GraftExtensions]].
@@ -54,7 +55,8 @@ object CosineSimilarity {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    if (na == 0.0 || nb == 0.0) 0.0 // zero-norm: similarity 0 (NaN would throw in valueOf)
+    else java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 }

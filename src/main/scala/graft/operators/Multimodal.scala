@@ -37,7 +37,10 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("media_id"),
       col(typeCol).cast("string").as("media_type"),
-      col(payloadCol).cast("binary").as("payload")).as[MediaRecord]
+      col(payloadCol).cast("binary").as("payload"))
+      // null ids/payloads would NPE in the typed kernels downstream
+      .filter(col("media_id").isNotNull && col("payload").isNotNull)
+      .as[MediaRecord]
   }
 
   /** STUB decoder: where a real pipeline would decode the codec stream

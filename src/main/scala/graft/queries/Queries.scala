@@ -961,8 +961,8 @@ object Queries {
       },
       Some("""SELECT l_returnflag,
         (CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
-           * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
-          / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_mean,
+           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0)
+          / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_mean,
         count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

@@ -30,11 +30,14 @@ class SynthDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = SynthDocs.schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive; `properties` is case-preserved
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      Option(opts.get("rows")).getOrElse("1000").toLong,
+      Option(opts.get("partitions")).getOrElse("4").toInt,
+      Option(opts.get("seed")).getOrElse("42").toLong)
+  }
 }
 
 object SynthDocs {
@@ -96,17 +99,28 @@ private class SynthDocsReaderFactory(seed: Long, required: StructType)
     val part = p.asInstanceOf[SynthDocsPartition]
     new PartitionReader[InternalRow] {
       private var id = part.start - 1
+      // resolve the pruned projection ONCE per reader, not per row
+      private val cols: Array[Int] = required.fields.map(_.name match {
+        case "doc_id" => 0; case "text" => 1; case "lang" => 2; case "n_chars" => 3
+        case _ => -1
+      })
+      private val needsText = cols.exists(c => c == 1 || c == 3)
       override def next(): Boolean = { id += 1; id < part.end }
       override def get(): InternalRow = {
-        // materialize only the pruned columns, in requested order
-        lazy val text = SynthDocs.docText(seed, id)
-        InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
-          case "doc_id"  => id
-          case "text"    => UTF8String.fromString(text)
-          case "lang"    => UTF8String.fromString(SynthDocs.docLang(seed, id))
-          case "n_chars" => text.length.toLong
-          case _         => null
-        }))
+        val text = if (needsText) SynthDocs.docText(seed, id) else null
+        val values = new Array[Any](cols.length)
+        var i = 0
+        while (i < cols.length) {
+          values(i) = cols(i) match {
+            case 0 => id
+            case 1 => UTF8String.fromString(text)
+            case 2 => UTF8String.fromString(SynthDocs.docLang(seed, id))
+            case 3 => text.length.toLong
+            case _ => null
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
       override def close(): Unit = ()
     }

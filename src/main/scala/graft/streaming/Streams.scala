@@ -9,8 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A single stream event (the streaming face of the `events` table). */
 final case class StreamEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
-/** Open-session accumulator kept in state store between micro-batches. */
+/** One open-session accumulator. */
 final case class SessionState(startUs: Long, lastUs: Long, n: Int, sumValue: Double)
+
+/** All of a key's not-yet-final sessions, kept in the state store. More
+  * than one can be open at a time: a session is only FINAL once the
+  * watermark passes its end + gap — an in-batch gap is not enough, since
+  * a still-admissible out-of-order event may yet bridge it. */
+final case class OpenSessions(sessions: Seq[SessionState])
 
 /** A closed session emitted downstream. */
 final case class SessionOut(
@@ -31,12 +37,13 @@ object Streams {
       events: DataFrame,
       tsCol: String = "ts",
       typeCol: String = "event_type",
+      valueCol: String = "value",
       windowDuration: String = "1 hour",
       watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDuration).as("w"), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("w.start").as("window_start"), col(typeCol), col("n"), col("sum_value"))
 
   /** Watermarked stream-stream interval join (the streaming twin of
@@ -47,13 +54,14 @@ object Streams {
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       key: String, windowSec: Long,
+      tsCol: String = "ts",
       watermark: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).as("l")
-    val r = right.withWatermark("ts", watermark).as("r")
+    val l = left.withWatermark(tsCol, watermark).as("l")
+    val r = right.withWatermark(tsCol, watermark).as("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
-        col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $windowSec SECONDS"))
   }
 
   /** Streaming exact dedup (the streaming twin of Dedup.exactGroups):
@@ -85,40 +93,40 @@ object Streams {
     events
       .withWatermark("ts", s"$gapSec seconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            val out = state.getOption.map(close(userId, _)).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            // Merge the open session and this batch's events as time
-            // INTERVALS sorted by start — out-of-order events (allowed up
-            // to the watermark) may extend a session backwards or form an
-            // earlier separate session; comparing only against lastUs
-            // would swallow them into the wrong session.
-            val intervals =
-              (state.getOption.toSeq ++
-                batch.map(e => SessionState(us(e.ts), us(e.ts), 1, e.value)))
-                .sortBy(s => (s.startUs, s.lastUs))
-            var open: SessionState = null
-            val closed = Seq.newBuilder[SessionOut]
-            intervals.foreach { iv =>
-              open match {
-                case null => open = iv
-                case s if iv.startUs - s.lastUs <= gapUs =>
-                  open = SessionState(s.startUs, math.max(s.lastUs, iv.lastUs),
-                    s.n + iv.n, s.sumValue + iv.sumValue)
-                case s =>
-                  closed += close(userId, s)
-                  open = iv
-              }
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[OpenSessions]) =>
+          // Merge kept sessions and this batch's events as time INTERVALS
+          // sorted by start — out-of-order events (admissible up to the
+          // watermark) may extend a session backwards or bridge two.
+          val intervals =
+            (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
+              batch.map(e => SessionState(us(e.ts), us(e.ts), 1, e.value)))
+              .sortBy(s => (s.startUs, s.lastUs))
+          val merged = Seq.newBuilder[SessionState]
+          var cur: SessionState = null
+          intervals.foreach { iv =>
+            cur match {
+              case null => cur = iv
+              case s if iv.startUs - s.lastUs <= gapUs =>
+                cur = SessionState(s.startUs, math.max(s.lastUs, iv.lastUs),
+                  s.n + iv.n, s.sumValue + iv.sumValue)
+              case s =>
+                merged += s
+                cur = iv
             }
-            state.update(open)
-            state.setTimeoutTimestamp(open.lastUs / 1000L + gapSec * 1000L)
-            closed.result().iterator
           }
+          if (cur != null) merged += cur
+          // A session is final only when the watermark has passed its
+          // end + gap — no admissible event can reach it any more.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.result().partition(_.lastUs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L + gapSec * 1000L + 1L)
+          }
+          closed.map(close(userId, _)).iterator
       }
   }
 }

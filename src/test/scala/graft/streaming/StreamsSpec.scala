@@ -136,15 +136,17 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       input.addData(StreamEvent(1, ts(10), "view", 4.0))
       q.processAllAvailable()
-      // in-batch gap close: first session emitted as soon as the gap is seen
+      // the first session closes once the 10:10 event pushes the
+      // watermark (10:08) past its end + gap (10:04) — not before
       val afterGap = spark.table("sess").as[SessionOut].collect().toSet
       assert(afterGap == Set(SessionOut(1, ts(1), ts(2), 2, 3.0)))
-      // advance watermark far past 10:10 + gap → timeout closes the open session
+      // advance the watermark past both sessions' end + gap
       input.addData(StreamEvent(2, ts(30), "view", 0.0))
       q.processAllAvailable()
       input.addData(StreamEvent(2, ts(40), "view", 0.0))
       q.processAllAvailable()
       val finalRows = spark.table("sess").as[SessionOut].collect().toSet
+      assert(finalRows.contains(SessionOut(1, ts(1), ts(2), 2, 3.0)))
       assert(finalRows.contains(SessionOut(1, ts(10), ts(10), 1, 4.0)))
     } finally q.stop()
   }
