@@ -50,11 +50,26 @@ object Dedup {
     * re-evaluates non-lambda subexpressions inside higher-order-function
     * bodies once PER ELEMENT, so referencing `tokens(text)` directly in
     * the lambda would re-run the regex tokenizer ~3×shingle-count times
-    * per document (measured 24 s → <2 s at sf0.1 for this stage). */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    * per document (measured 24 s → <2 s at sf0.1 for this stage).
+    *
+    * `maxDf` caps shingle document frequency: a shingle appearing in more
+    * than `maxDf` documents is dropped from the inverted index BEFORE the
+    * self-join (its join group would contribute O(df²) candidate rows — a
+    * single ubiquitous 3-gram turns the equi-join quadratic at 100 TB).
+    * Jaccard denominators still use the full shingle sets, so scores are
+    * exact whenever no shared shingle was capped; pairs whose overlap is
+    * exclusively ubiquitous boilerplate may fall below tau — the standard,
+    * deliberate trade (boilerplate overlap is noise for near-dup
+    * detection). The default is far above any document frequency in the
+    * test corpora, where results are bit-identical to the uncapped form. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
+      maxDf: Int = 1000): DataFrame = {
     val inv = shinglePostings(df, idCol, textCol)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inv.as("a").join(inv.as("b"),
+    val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val kept = inv.join(hot, Seq("s"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("common"))
@@ -70,14 +85,26 @@ object Dedup {
     * (bands × docs) rows — the standard sub-quadratic dedup at scale.
     * Signatures come from [[minhashSignatures]] (kernel md5 — the hash
     * count is k × shingles per doc, far too hot for interpreted
-    * expressions); banding and the candidate join stay relational. */
+    * expressions); banding and the candidate join stay relational.
+    *
+    * `bucketCap` guards the banding join against hot buckets: a (band,
+    * key) bucket holding more than `bucketCap` documents (a boilerplate
+    * cluster, or a degenerate signature) would contribute O(bucket²)
+    * candidate rows, so it is dropped whole before the self-join — the
+    * standard LSH hot-bucket guard (such clusters are better handled by
+    * exact dedup upstream). Default is far above any bucket size in the
+    * test corpora, where results are bit-identical to the uncapped form. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, r: Int = 4): DataFrame = {
+      k: Int = 16, r: Int = 4, bucketCap: Int = 1000): DataFrame = {
     require(k % r == 0, "k must be a multiple of r")
     val mh = minhashSignatures(df, idCol, textCol, k)
-    val bands = mh.select(col("doc_id"),
+    val allBands = mh.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(k / r - 1)),
         b => concat_ws("|", slice(col("mh"), b * r + 1, lit(r))))).as(Seq("band", "key")))
+    val hot = allBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+      .select(col("band"), col("key"))
+    val bands = allBands.join(hot, Seq("band", "key"), "left_anti")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -173,17 +200,22 @@ object Dedup {
       else (0 until tk.length - 2).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").distinct
     }
 
-    def md5Hex(md: java.security.MessageDigest, s: String): String = {
-      md.reset()
-      val d = md.digest(s.getBytes("UTF-8"))
-      val out = new Array[Char](32)
+    /** Lower-case hex of a byte array (char-array loop — the per-byte
+      * `"%02x".format` formulation allocates a Formatter per byte). */
+    def hex(d: Array[Byte]): String = {
+      val out = new Array[Char](d.length * 2)
       var i = 0
-      while (i < 16) {
+      while (i < d.length) {
         out(2 * i) = hexChars((d(i) >> 4) & 0xF)
         out(2 * i + 1) = hexChars(d(i) & 0xF)
         i += 1
       }
       new String(out)
+    }
+
+    def md5Hex(md: java.security.MessageDigest, s: String): String = {
+      md.reset()
+      hex(md.digest(s.getBytes("UTF-8")))
     }
   }
 

@@ -26,7 +26,10 @@ object TemporalJoins {
     * sort-based aggregation over the union of both inputs.
     *
     * @param payload right-side columns to carry onto matched left rows;
-    *                names must not collide with left columns.
+    *                names must not collide with left columns. Payload
+    *                types must be ORDERABLE (no maps): the carried struct
+    *                participates in the window sort as the deterministic
+    *                tiebreak among right rows sharing (key, ts).
     */
   def asOf(
       left: DataFrame,
@@ -38,6 +41,12 @@ object TemporalJoins {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left side")
+    payload.foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType),
+        s"payload column $c has a non-orderable type (${right.schema(c).dataType}); " +
+          "the as-of tiebreak sorts the payload struct")
+    }
 
     // The payload is carried as ONE struct so a matched left row always
     // gets all payload fields from the SAME right row — carrying columns
@@ -94,6 +103,11 @@ object TemporalJoins {
       lowerSec: Long,
       upperSec: Long): DataFrame = {
     require(upperSec > lowerSec, "empty range")
+    // the equi-join below merges on (key, _bucket) only — any other shared
+    // column name would come out ambiguous/duplicated
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"left and right share non-key columns $shared; rename one side")
     // Exact integer micros throughout — no float rounding at the bounds.
     val width = (upperSec - lowerSec) * 1000000L
     val lo = unix_micros(col(leftTs)) + lowerSec * 1000000L

@@ -80,7 +80,7 @@ object Multimodal {
             i += 1
           }
           digest.reset()
-          val checksum = digest.digest(decoded).map("%02x".format(_)).mkString
+          val checksum = Dedup.Kernel.hex(digest.digest(decoded))
           MediaFeatures(rec.media_id, rec.media_type, decoded.length, checksum,
             hist(0), hist(1), hist(2), hist(3))
         }

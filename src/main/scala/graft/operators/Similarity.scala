@@ -97,10 +97,14 @@ object Similarity {
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Cosine similarity of two float vectors, double accumulation in
-    * array order, rounded to 6 decimals. */
+    * array order, rounded to 6 decimals. Ragged inputs score the common
+    * prefix — the same contract as [[graft.functions.CosineSimilarity]]
+    * (the Column `cosine` yields null there; equal-length inputs, the
+    * only supported shape, agree bit-for-bit across all three). */
   def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
+    while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -108,61 +112,90 @@ object Similarity {
     else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  /** Shared scoring loop: all (id1 < id2) pairs of the streamed rows
-    * against one broadcast block — the single place where pair semantics
-    * (ordering, threshold) live, for both broadcast strategies. */
-  private def scorePairs(
-      it: Iterator[(Long, Array[Float])],
-      block: Array[(Long, Array[Float])],
-      tau: Double): Iterator[(Long, Long, Double)] =
-    it.flatMap { case (id1, v1) =>
-      block.iterator.filter(_._1 > id1).flatMap { case (id2, v2) =>
-        val cs = cosineKernel(v1, v2)
-        if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
-      }
-    }
-
-  /** All pairs (id1 < id2) with cosine >= tau. The corpus is broadcast to
-    * every partition (block-nested-loop with a broadcast block); at 100 TB
-    * one broadcasts fixed-size corpus blocks in sequence — same kernel,
-    * outer loop over blocks (see [[cosinePairsBlocked]]). */
-  def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+  /** All pairs (id1 < id2) with cosine >= tau, as one fully distributed
+    * block-grid self-join — NO driver-side materialization and NO corpus
+    * broadcast anywhere in the path.
+    *
+    * Rows are hash-assigned to one of B = ceil(n / blockSize) blocks; each
+    * row is shuffled to the B block-pair groups (i, j) its block
+    * participates in (i = its block and every j ≥ i, plus every i ≤ its
+    * block); each group scores block-i rows against block-j rows in a
+    * tight scalar loop. Shuffle volume is O(N·B) = O(N²/blockSize) rows —
+    * the inherent replication cost of exact all-pairs — and per-task state
+    * is ≤ 2·blockSize vectors, independent of corpus size. This is the
+    * formulation that still runs when the corpus exceeds the memory of any
+    * single machine; `blockSize` trades shuffle replication against
+    * per-group memory and parallelism (B(B+1)/2 independent tasks).
+    */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, blockSize: Int = 1024): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    val side = sp.sparkContext.broadcast(vecs.collect())
-    vecs.repartition(sp.sparkContext.defaultParallelism) // O(N²) scoring: spread across cores
-      .mapPartitions(scorePairs(_, side.value, tau))
+    require(blockSize >= 1, "blockSize must be positive")
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // one cheap count action sizes the grid (an aggregate, not a collect)
+    val nBlocks = math.max(1L, (base.count() + blockSize - 1) / blockSize).toInt
+    val replicated = base
+      .withColumn("b", pmod(hash(col("id")), lit(nBlocks)).cast("int"))
+      // every (i, j) pair-group this row's block joins; array_union drops
+      // the duplicate (b, b) entry the two ranges share
+      .withColumn("pk", explode(array_union(
+        transform(sequence(col("b"), lit(nBlocks - 1)),
+          j => struct(col("b").as("i"), j.as("j"))),
+        transform(sequence(lit(0), col("b")),
+          i => struct(i.as("i"), col("b").as("j"))))))
+      .select(col("pk.i").as("pi"), col("pk.j").as("pj"), col("b"),
+        col("id"), col("v"))
+      .as[(Int, Int, Int, Long, Array[Float])]
+    replicated.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Float])]) =>
+        val (pi, pj) = key
+        val rows = it.toArray // bounded: ≤ 2·blockSize rows per group
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        def score(x: (Int, Int, Int, Long, Array[Float]),
+            y: (Int, Int, Int, Long, Array[Float])): Unit = {
+          val cs = cosineKernel(x._5, y._5)
+          if (cs >= tau)
+            out += ((math.min(x._4, y._4), math.max(x._4, y._4), cs))
+        }
+        if (pi == pj) {
+          // intra-block: all unordered pairs with distinct ids
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              if (rows(i)._4 != rows(j)._4) score(rows(i), rows(j))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          // inter-block: block-i side × block-j side (ids differ by
+          // construction — equal ids hash to the same block)
+          val a = rows.filter(_._3 == pi)
+          val c = rows.filter(_._3 == pj)
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < c.length) { score(a(i), c(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.result().iterator
+      }
       .toDF("id1", "id2", "cs")
   }
 
-  /** Block-broadcast variant of [[cosinePairsExact]]: each executor task
-    * scores against one `blockSize`-bounded broadcast block at a time,
-    * bounding per-task broadcast memory. (The driver still materializes
-    * the corpus once to slice the blocks; at true 100 TB scale one runs
-    * one *action* per block appending to a sink, so neither driver nor
-    * plan ever hold every block — this method demonstrates the per-block
-    * dataflow with identical output.) */
+  /** Exact all-pairs at the default block size — see [[cosinePairs]]. */
+  def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame =
+    cosinePairs(corpus, idCol, vecCol, tau)
+
+  /** [[cosinePairs]] with an explicit block size (kept as the tuning
+    * entry point; output is identical for any block size). */
   def cosinePairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, blockSize: Int = 4096): DataFrame = {
-    val sp = corpus.sparkSession
-    import sp.implicits._
-    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    // persist: each block's pass re-executes this dataset at action time
-    val parallel = vecs.repartition(sp.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val collected = vecs.collect().sortBy(_._1)
-    if (collected.isEmpty) return sp.emptyDataset[(Long, Long, Double)].toDF("id1", "id2", "cs")
-    // block boundaries over DISTINCT ids: duplicate ids at a boundary
-    // must land in exactly one block or their pairs double-count
-    val blocks = collected.map(_._1).distinct.grouped(blockSize)
-      .map(b => collected.filter(r => r._1 >= b.head && r._1 <= b.last)).toSeq
-    blocks.map { blockRows =>
-      val block = sp.sparkContext.broadcast(blockRows)
-      parallel.mapPartitions(scorePairs(_, block.value, tau)).toDF("id1", "id2", "cs")
-    }.reduce(_ union _)
-  }
+      tau: Double, blockSize: Int = 4096): DataFrame =
+    cosinePairs(corpus, idCol, vecCol, tau, blockSize)
 
   /** Exact top-k with the query side broadcast and the scoring loop in
     * the kernel; ranking stays a relational window. */

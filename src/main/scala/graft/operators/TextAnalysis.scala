@@ -28,9 +28,16 @@ object TextAnalysis {
   /** Stopword-heuristic language ID: hit counts per language,
     * deterministic priority tie-break (en > de > es > fr), 'und'
     * (undetermined) when nothing hits.
+    *
+    * Prefer [[langIdFromTokens]] over a staged token column when scoring a
+    * whole table: this overload embeds the tokenizer in each of the four
+    * hit counters, and Catalyst re-evaluates it per counter.
     */
-  def langId(text: Column): Column = {
-    val tk = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an already-tokenized column (stage `tokens(text)` as
+    * a projection first so the tokenizer runs once per row). */
+  def langIdFromTokens(tk: Column): Column = {
     val en = hits(tk, stopwords("en"))
     val de = hits(tk, stopwords("de"))
     val es = hits(tk, stopwords("es"))
@@ -48,13 +55,17 @@ object TextAnalysis {
     */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
-    val tk = tokens(text)
+    // stage the token array once — each feature below references the
+    // attribute, not the tokenizer expression (which Catalyst would
+    // otherwise re-evaluate per feature)
+    val tk = col("_graft_tk")
     val nTok = size(tk).cast("double")
     val charLen = length(text).cast("double")
     val sw = hits(tk, stopwords("en")).cast("double")
     // divisions are guarded: ANSI mode (Spark 4 default) throws on
     // divide-by-zero, so token-less or empty documents get null features
-    df.withColumn("n_tokens", size(tk))
+    df.withColumn("_graft_tk", tokens(text))
+      .withColumn("n_tokens", size(tk))
       .withColumn("mean_token_len",
         when(nTok > 0, length(concat_ws("", tk)).cast("double") / nTok))
       .withColumn("stopword_ratio", when(nTok > 0, sw / nTok))
@@ -64,6 +75,7 @@ object TextAnalysis {
       .withColumn("quality_score",
         col("stopword_ratio") * 2.0 + col("alpha_ratio") +
           when(col("n_tokens") >= 20, 1.0).otherwise(0.0))
+      .drop("_graft_tk")
   }
 
   /** Canonical content fingerprint: md5 over the sorted distinct token

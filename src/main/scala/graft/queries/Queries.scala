@@ -33,6 +33,12 @@ object Queries {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. All driver-generated values are microsecond-aligned,
     * so read nanos as long and convert losslessly to a micros timestamp.
+    *
+    * NOTE: `nanosAsLong` is a SESSION-wide conf (there is no per-read
+    * option for it), so this loader changes how any later nanos-timestamp
+    * parquet read in the same session is typed. Acceptable for the
+    * library's entry points (Verify/Bench own their sessions); callers
+    * embedding this in a shared session should set the conf themselves.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,6 +49,13 @@ object Queries {
   /** Exact double aggregation: sum via decimal, return double (see above). */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Unique-per-call sink directory for the roundtrip queries: concurrent
+    * Verify + Bench runs (or two bench iterations racing on overwrite)
+    * must never collide on a shared fixed path. */
+  private def sinkDir(tag: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft-roundtrip/$tag-${java.util.UUID.randomUUID()}"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -552,12 +565,16 @@ object Queries {
       "t01_text_stats",
       (s, dir) => {
         import s.implicits._
-        val tk = graft.operators.TextAnalysis.tokens($"text")
+        // stage the token array ONCE; every feature derives from it (the
+        // regex tokenizer is the dominant cost — evaluating it per feature
+        // tripled this query's runtime)
         t(s, dir, "documents")
+          .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("tk"))
+          .select($"doc_id", $"tk", array_distinct($"tk").as("dtk"))
           .select($"doc_id",
-            size(tk).as("n_tokens"),
-            size(array_distinct(tk)).as("n_distinct"),
-            graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+            size($"tk").as("n_tokens"),
+            size($"dtk").as("n_distinct"),
+            md5(concat_ws(" ", array_sort($"dtk"))).as("fp"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
@@ -572,8 +589,9 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "documents")
-          .filter(size(graft.operators.TextAnalysis.tokens($"text")) >= 1)
-          .select($"lang", graft.operators.TextAnalysis.langId($"text").as("lang_pred"))
+          .select($"lang", graft.operators.TextAnalysis.tokens($"text").as("tk"))
+          .filter(size($"tk") >= 1)
+          .select($"lang", graft.operators.TextAnalysis.langIdFromTokens($"tk").as("lang_pred"))
           .groupBy($"lang", $"lang_pred")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"lang_pred")
@@ -873,7 +891,7 @@ object Queries {
       "q31_sink_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/sink"
+        val out = sinkDir("sink")
         t(s, dir, "lineitem")
           .filter($"l_quantity" >= 25.0)
           .select($"l_orderkey", $"l_returnflag", $"l_quantity")
@@ -893,7 +911,7 @@ object Queries {
       "q32_csv_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/csv"
+        val out = sinkDir("csv")
         t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
           .write.mode("overwrite").option("header", "true").csv(out)
         val nat = s.read.option("header", "true")
@@ -930,7 +948,7 @@ object Queries {
       "q35_json_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val out = System.getProperty("java.io.tmpdir") + "/graft-roundtrip/json"
+        val out = sinkDir("json")
         t(s, dir, "supplier")
           .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
           .write.mode("overwrite").json(out)

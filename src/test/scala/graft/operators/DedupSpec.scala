@@ -71,7 +71,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel((1L, 3L)) == 1.0)
   }
 
-  test("blocked cosine pairs equal the single-broadcast path") {
+  test("cosine pairs are invariant to block-grid size") {
     val vecs = spark.createDataFrame(
       (1L to 40L).map(i => (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
     ).toDF("vec_id", "embedding")
@@ -83,11 +83,13 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(whole.nonEmpty)
   }
 
-  test("blocked cosine pairs: empty corpus and duplicate boundary ids") {
+  test("cosine pairs: empty corpus and duplicate ids") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Array[Float])])
       .toDF("vec_id", "embedding")
     assert(Similarity.cosinePairsBlocked(empty, "vec_id", "embedding", 0.0).count() == 0)
-    // ids [1,2,2,3] with blockSize=2: duplicate id 2 must not double-count
+    // ids [1,2,2,3] with blockSize=2: duplicate id 2 hashes to one block,
+    // so its two rows never pair with each other and (1,2)/(2,3) pairs
+    // appear once per id-2 row — identical to the exact path
     val dup = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (2L, Array(0.8f, 0.2f)), (3L, Array(0.7f, 0.3f)))).toDF("vec_id", "embedding")
@@ -96,6 +98,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blocked = Similarity.cosinePairsBlocked(dup, "vec_id", "embedding", -1.0, blockSize = 2)
       .collect().map(_.toString).sorted.toSeq
     assert(blocked == whole)
+  }
+
+  test("df cap bounds the jaccard join; bucket cap bounds the LSH join") {
+    val boiler = "the quick brown fox jumps over"
+    // 22 docs sharing only boilerplate shingles + one true near-dup pair
+    val hotDocs = (1L to 22L).map(i =>
+      (i, s"$boiler unique$i tail$i words$i end$i more$i last$i"))
+    val nearDup = Seq(
+      (100L, "completely distinct content alpha beta gamma delta epsilon"),
+      (101L, "completely distinct content alpha beta gamma delta epsilon"))
+    val corpus = spark.createDataFrame(hotDocs ++ nearDup).toDF("doc_id", "text")
+    // uncapped: boilerplate makes the 22 docs pair up quadratically
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.1, maxDf = 10000)
+      .count() > 200)
+    // capped: boilerplate-only overlap vanishes, the true near-dup survives
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((100L, 101L)))
+
+    // 22 identical docs → identical signatures → one hot bucket per band
+    val ident = (1L to 22L).map(i => (i, s"$boiler same tail here")) ++ nearDup
+    val corpus2 = spark.createDataFrame(ident).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(corpus2, "doc_id", "text").count() > 200)
+    val cappedLsh = Dedup.minhashCandidates(corpus2, "doc_id", "text", bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cappedLsh == Seq((100L, 101L)))
   }
 
   test("kernel LSH buckets equal the Column lshBucket") {
