@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Rewrites a resolved plan so every file-based scan reads only its pruned
@@ -90,6 +91,13 @@ object PlanRewriter {
                 .map(rewriteRelation(lr, fs, _)).getOrElse(lr)
             case _ => lr
           }
+        case d: DataSourceV2Relation =>
+          d.table match {
+            case ft: FileTable =>
+              narrowed.get(qualify(ft.fileIndex.inputFiles.toSeq))
+                .map(rewriteRelationV2(d, ft, _)).getOrElse(d)
+            case _ => d
+          }
         case node =>
           val mapped = node.mapExpressions(rewriteExpr)
           mapped match {
@@ -142,6 +150,39 @@ object PlanRewriter {
         }
       }
       lr.copy(relation = newFs, output = newOutput.toIndexedSeq)
+    }
+
+    /** DSv2 [[FileTable]] analogue of [[rewriteRelation]]: rebuild the
+      * table with the pruned schema as its user-specified schema —
+      * `FileTable` itself splits that into data vs partition sides and
+      * re-appends partition columns, so the pruned struct can be handed
+      * over whole — then resync output attributes by name. Only
+      * name-resolving formats are rewritten; positional ones (CSV, text)
+      * keep their full schema, mirroring the V1 path. */
+    private def rewriteRelationV2(
+        d: DataSourceV2Relation, ft: FileTable, pruned: StructType): LogicalPlan = {
+      val outputNames = d.output.map(_.name)
+      val newUserSchema = StructType(
+        pruned.fields.filter(f => outputNames.exists(resolver(_, f.name))))
+      if (newUserSchema.isEmpty) return d
+      val newTable: FileTable = ft match {
+        case t: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =>
+          t.copy(userSpecifiedSchema = Some(newUserSchema))
+        case t: org.apache.spark.sql.execution.datasources.v2.orc.OrcTable =>
+          t.copy(userSpecifiedSchema = Some(newUserSchema))
+        case t: org.apache.spark.sql.execution.datasources.v2.json.JsonTable =>
+          t.copy(userSpecifiedSchema = Some(newUserSchema))
+        case _ => return d
+      }
+      val newOutput = d.output.flatMap { a =>
+        newTable.schema.fields.find(f => resolver(f.name, a.name)).map { f =>
+          val na = AttributeReference(a.name, f.dataType, f.nullable, a.metadata)(
+            a.exprId, a.qualifier)
+          if (na.dataType != a.dataType) idMap(a.exprId) = na
+          na
+        }
+      }
+      d.copy(table = newTable, output = newOutput.toIndexedSeq)
     }
 
     /** Generator output attribute types derive from the (possibly

@@ -8,6 +8,7 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, HiveTableRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -52,6 +53,11 @@ final class SchemaOnReadResult private[schema] (
   /** Pruned schema for a relation registered under a temp-view alias. */
   def schemaForView(name: String): Option[StructType] =
     viewRelations.get(name).flatMap(schemas.get)
+
+  /** Pruned schema for a catalog table read via `spark.table(...)` /
+    * `SELECT ... FROM db.t` — registered under both its bare table name
+    * and its qualified `db.table` name. */
+  def schemaForTable(name: String): Option[StructType] = schemaForView(name)
 
   def relationKeys: Set[RelationKey] = schemas.keySet
 
@@ -231,18 +237,48 @@ object SchemaOnRead {
       plan.output.foreach(record(_, full = true, lin))
     }
 
+    /** A catalog-backed relation is additionally addressable by name:
+      * register its key under both the bare and qualified identifiers so
+      * [[SchemaOnReadResult.schemaForTable]] resolves either spelling. */
+    private def registerTable(ct: CatalogTable, key: RelationKey): Unit = {
+      views.update(ct.identifier.table, key)
+      ct.identifier.database.foreach(db =>
+        views.update(s"$db.${ct.identifier.table}", key))
+      views.update(ct.qualifiedName, key) // may add a catalog prefix
+    }
+
     private def walk(plan: LogicalPlan): Lineage = plan match {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            relationLineage(qualifyKey(fs.location.inputFiles.toSeq), fs.schema, lr.output)
+            val key = qualifyKey(fs.location.inputFiles.toSeq)
+            // a datasource catalog table (`spark.table(...)`) resolves to
+            // this same node with catalogTable set — same path identity,
+            // plus a name binding
+            lr.catalogTable.foreach(registerTable(_, key))
+            relationLineage(key, fs.schema, lr.output)
           case _ => opaque(lr.output)
         }
+
+      // Hive-format catalog tables expose no file listing at analysis
+      // time — key them by catalog identity instead (stable across reads
+      // of the same table, as sorted paths are for file relations). The
+      // reference matched only LogicalRelation and fell to the opaque
+      // catch-all here (TreeNodeProcessingRegistry.java:25-30).
+      case h: HiveTableRelation =>
+        val key = RelationKey(Vector("catalog:" + h.tableMeta.qualifiedName))
+        registerTable(h.tableMeta, key)
+        relationLineage(key, h.tableMeta.schema, h.output)
 
       case d: DataSourceV2Relation =>
         d.table match {
           case ft: FileTable =>
-            relationLineage(qualifyKey(ft.fileIndex.inputFiles.toSeq), ft.schema, d.output)
+            val key = qualifyKey(ft.fileIndex.inputFiles.toSeq)
+            d.identifier.foreach { id =>
+              views.update(id.name, key)
+              views.update((id.namespace :+ id.name).mkString("."), key)
+            }
+            relationLineage(key, ft.schema, d.output)
           case _ => opaque(d.output)
         }
 
@@ -474,6 +510,9 @@ object SchemaOnRead {
         case d: DataSourceV2Relation if d.table.isInstanceOf[FileTable] =>
           val ft = d.table.asInstanceOf[FileTable]
           scala.util.Try(qualifyKey(ft.fileIndex.inputFiles.toSeq) -> ft.schema).toOption
+        case h: HiveTableRelation =>
+          Some(RelationKey(Vector("catalog:" + h.tableMeta.qualifiedName)) ->
+            h.tableMeta.schema)
       }.flatten.toMap
       new SchemaOnReadResult(found, found, views.toMap, qualifier, durationNanos)
     }

@@ -85,8 +85,16 @@ object Streams {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
 
-    def us(t: Timestamp): Long = t.getTime * 1000L
-    def toTs(usVal: Long): Timestamp = new Timestamp(usVal / 1000L)
+    // micros-exact conversions (getTime alone truncates to millis, but
+    // the batch engine compares full microseconds — Timestamp keeps the
+    // sub-second part in nanos)
+    def us(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(usVal: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(usVal, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(usVal, 1000000L) * 1000L).toInt)
+      t
+    }
     def close(userId: Long, s: SessionState): SessionOut =
       SessionOut(userId, toTs(s.startUs), toTs(s.lastUs), s.n, s.sumValue)
 

@@ -102,6 +102,27 @@ class PrunedScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().toSet == expected)
   }
 
+  test("DSv2 parquet relation narrows when parquet is forced to V2") {
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, FileScan}
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val q = spark.read.parquet(s"$dir/data.parquet")
+        .select(col("id"),
+          col("mapOfArray")("someKey").getItem(0).getField("val1").as("v"))
+      val expected = withRuleOff(q.collect().toSeq)
+      assert(q.collect().toSeq == expected)
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case s: DataSourceV2ScanRelation => s.scan
+      }
+      assert(scans.nonEmpty, "expected a V2 scan — parquet was not forced to V2")
+      val rs = scans.head.asInstanceOf[FileScan].readDataSchema
+      val mapType = rs.find(_.name == "mapOfArray").get.dataType.asInstanceOf[MapType]
+      val valueStruct = mapType.valueType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]
+      assert(valueStruct.fieldNames.toSeq == Seq("val1"), s"got $valueStruct")
+    } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
+  }
+
   test("query result schema is never altered by the rule") {
     val q = readPq.select(col("big"), col("id")) // full struct demanded at root
     assert(q.schema == withRuleOff(q.schema))

@@ -703,4 +703,77 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSchema(r.schemaFor(jsonPath), st(fld("struct", st(fld("col1", LongType)))))
     assertSchema(r.schemaFor(json2Path), st(fld("struct", st(fld("col1", LongType)))))
   }
+
+  // reference test_structAggregationOverWindowSubQuery
+  // (SchemaOnReadGeneratorTest.java:339-359)
+  test("struct aggregation over window subquery") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """WITH base AS (SELECT someStr, FIRST(someComplexArray) OVER w AS complexArray
+        |FROM sample_json WINDOW w AS (PARTITION BY someStr ORDER BY someStr DESC))
+        |SELECT FIRST(complexArray) AS myArray FROM base GROUP BY someStr""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someComplexArray", arr(st(fld("col1", LongType), fld("col2", LongType)))),
+      fld("someStr", StringType)))
+  }
+
+  // reference test_windowWithComplexOrder (SchemaOnReadGeneratorTest.java:384-404)
+  test("window with complex order demands full subtree") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """WITH base AS (SELECT FIRST(someStr) OVER w AS str FROM sample_json
+        |WINDOW w AS (PARTITION BY someStr ORDER BY someComplexArray DESC))
+        |SELECT str FROM base""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someComplexArray", arr(st(fld("col1", LongType), fld("col2", LongType)))),
+      fld("someStr", StringType)))
+  }
+
+  // reference test_aggregateWithOrderOnComplex (SchemaOnReadGeneratorTest.java:428-447)
+  test("aggregate with order on complex alias demands full subtree") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """WITH base AS (SELECT someStr, FIRST(someComplexArray) AS cmplx
+        |FROM sample_json GROUP BY 1 ORDER BY cmplx)
+        |SELECT someStr FROM base""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someComplexArray", arr(st(fld("col1", LongType), fld("col2", LongType)))),
+      fld("someStr", StringType)))
+  }
+
+  // reference test_variousExpressions (SchemaOnReadGeneratorTest.java:1278-1297):
+  // COALESCE over a nested path in the SELECT list narrows the struct to
+  // the referenced leaf (a primitive result demands no subtree)
+  test("COALESCE in select with IS NULL / IF in where (expression battery)") {
+    jsonDF.createOrReplaceTempView("sample_json")
+    val q = spark.sql(
+      """SELECT COALESCE(someStr, nestedStruct.str) FROM sample_json
+        |WHERE someLong IS NULL OR IF(someDouble < 0, true, false)""".stripMargin)
+    assertSchema(pruned(q), st(
+      fld("someStr", StringType),
+      fld("someLong", LongType),
+      fld("someDouble", DoubleType),
+      fld("nestedStruct", st(fld("str", StringType)))))
+  }
+
+  test("catalog table via spark.table prunes and is addressable by identifier") {
+    parquetDF.write.mode("overwrite")
+      .option("path", s"$dir/cat-table").saveAsTable("graft_cat_t")
+    try {
+      val q = spark.table("graft_cat_t").select(col("struct.col1"))
+      val res = SchemaOnRead.generate(q)
+      val byBare = res.schemaForTable("graft_cat_t")
+      assert(byBare.isDefined, "catalog table not registered by bare name")
+      assertSchema(byBare, st(fld("struct", st(fld("col1", LongType)))))
+      assert(res.schemaForTable("default.graft_cat_t") == byBare,
+        "qualified identifier must resolve to the same relation")
+      // two reads of the same table share one relation identity — demand
+      // accumulates, like same-path reads do (reference path-identity
+      // semantics, SchemaOnReadGeneratorTest.java:1192-1244)
+      val q2 = spark.table("graft_cat_t").select(col("struct.col1").as("v"))
+        .union(spark.table("graft_cat_t").select(col("struct.col2").as("v")))
+      assertSchema(SchemaOnRead.generate(q2).schemaForTable("graft_cat_t"),
+        st(fld("struct", st(fld("col1", LongType), fld("col2", LongType)))))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_t")
+  }
 }

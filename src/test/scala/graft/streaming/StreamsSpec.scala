@@ -121,6 +121,54 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessionize replayed over sf0.001 events equals batch sessionize") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val gapSec = 600L
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    val batchDf = graft.queries.Queries.events(sp, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_type", $"value")
+    // batch oracle: the q28 shape — sessionize, then one row per session
+    val expected = graft.operators.TemporalJoins
+      .sessionize(batchDf, "user_id", "ts", gapSec)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("start"), max($"ts").as("end"),
+        count(lit(1)).as("n"), sum($"value").as("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r4(r.getDouble(5)))).toSet
+
+    val events = batchDf.as[StreamEvent].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.sessionize(input.toDS(), gapSec)
+      .writeStream.format("memory").queryName("replay").outputMode("append").start()
+    try {
+      // replay in time order across two batches (exercises state carried
+      // between batches), then two sentinel events on an unused key to
+      // push the watermark past every real session's end + gap
+      val (a, b) = events.splitAt(events.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+      val maxMs = events.map(_.ts.getTime).max
+      input.addData(StreamEvent(-1L, new Timestamp(maxMs + 10 * gapSec * 1000L), "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, new Timestamp(maxMs + 20 * gapSec * 1000L), "wm", 0.0))
+      q.processAllAvailable()
+      val got = sp.table("replay").as[SessionOut].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start, s.end, s.n_events.toLong, r4(s.sum_value)))
+        .toSet
+      assert(got.size == expected.size, s"${got.size} streamed vs ${expected.size} batch sessions")
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
