@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up session + parquet reader so the first timed query doesn't
-    // absorb JVM/codegen/scan initialization
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm up session + parquet readers so no timed query absorbs JVM /
+    // codegen / footer-read initialization: touch every table once
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      try graft.queries.Queries.t(spark, sfDir, n).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $n: ${e.getMessage}") }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: the second avoids first-touch scan/codegen noise.
       // Timing uses a noop WRITE, not count(): count() lets the optimizer

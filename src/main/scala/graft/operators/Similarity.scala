@@ -126,15 +126,21 @@ object Similarity {
     * formulation that still runs when the corpus exceeds the memory of any
     * single machine; `blockSize` trades shuffle replication against
     * per-group memory and parallelism (B(B+1)/2 independent tasks).
+    *
+    * `blockSize <= 0` (default) auto-sizes: B = clamp(n/512, 1, 64) —
+    * enough groups to occupy a cluster on small corpora while capping
+    * per-row replication (= B copies) at 64 on large ones.
     */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, blockSize: Int = 1024): DataFrame = {
+      tau: Double, blockSize: Int = 0): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    require(blockSize >= 1, "blockSize must be positive")
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // one cheap count action sizes the grid (an aggregate, not a collect)
-    val nBlocks = math.max(1L, (base.count() + blockSize - 1) / blockSize).toInt
+    val n = base.count()
+    val nBlocks =
+      if (blockSize > 0) math.max(1L, (n + blockSize - 1) / blockSize).toInt
+      else math.max(1L, math.min((n + 511) / 512, 64L)).toInt
     val replicated = base
       .withColumn("b", pmod(hash(col("id")), lit(nBlocks)).cast("int"))
       // every (i, j) pair-group this row's block joins; array_union drops
