@@ -1003,7 +1003,131 @@ object Queries {
       },
       Some("""SELECT event_type, count(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Full-outer join (null-producing on both sides) ----
+    QueryDef(
+      "q37_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val cf = t(s, dir, "customer").filter($"c_acctbal" > 5000.0)
+          .select($"c_custkey", $"c_name")
+        val og = t(s, dir, "orders").filter($"o_totalprice" > 200000.0)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        cf.join(og, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+            $"c_name", $"n_orders")
+          .orderBy($"custkey")
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0) c
+        FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                   WHERE o_totalprice > 200000.0 GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
+    // ---- Exact interpolated percentiles (sort-based, not a sketch) ----
+    QueryDef(
+      "q38_percentile",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Higher-order array functions (transform/filter/aggregate),
+    //      integer-exact so both engines agree bit-for-bit ----
+    QueryDef(
+      "q39_hof_arrays",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(sort_array(collect_list($"o_orderkey")).as("keys"))
+          .select($"o_orderpriority",
+            size($"keys").as("n"),
+            size(filter($"keys", x => x % 3 === 0)).as("n_div3"),
+            aggregate(transform($"keys", x => x % 7), lit(0L), (a, x) => a + x)
+              .as("sum_mod7"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH g AS (SELECT o_orderpriority, list_sort(list(o_orderkey)) AS keys
+                FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, len(keys) AS n,
+          len(list_filter(keys, x -> x % 3 = 0)) AS n_div3,
+          CAST(list_sum(list_transform(keys, x -> x % 7)) AS BIGINT) AS sum_mod7
+        FROM g ORDER BY o_orderpriority""")),
+
+    // ---- String function battery (split/reverse/pad/translate/edit-distance) ----
+    QueryDef(
+      "q40_string_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .select($"p_partkey",
+            split($"p_name", " ").getItem(0).as("first_word"),
+            reverse($"p_brand").as("brand_rev"),
+            lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+            translate($"p_type", "aeiou", "AEIOU").as("type_tr"),
+            instr($"p_name", "o").cast(LongType).as("first_o"),
+            levenshtein($"p_brand", lit("Brand#33")).cast(LongType).as("lev"),
+            regexp_replace($"p_name", "[aeiou]", "").as("novowels"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        split_part(p_name, ' ', 1) AS first_word,
+        reverse(p_brand) AS brand_rev,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        CAST(instr(p_name, 'o') AS BIGINT) AS first_o,
+        CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS lev,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- Expand: CUBE (completes the rollup/cube/grouping-sets family) ----
+    QueryDef(
+      "q41_cube",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- Window: event-time RANGE frame (sliding 30-minute sum) ----
+    QueryDef(
+      "q42_window_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+          .rangeBetween(-1800L * 1000000L, 0L)
+        t(s, dir, "events")
+          .withColumn("w30m_sum",
+            sum($"value".cast(DecimalType(18, 6))).over(w).cast(DoubleType))
+          .select($"user_id", $"event_id", $"w30m_sum")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w30m_sum
+        FROM events ORDER BY user_id, event_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -72,6 +72,45 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("bucketed tables join co-located — zero shuffle exchanges") {
+    // The 100 TB recipe for a repeated big-big equi join: bucket both
+    // sides on the join key at write time, and the join plans with NO
+    // Exchange at all (only per-bucket sorts).
+    import org.apache.spark.sql.functions._
+    val o = Queries.t(spark, dir, "orders")
+    val c = Queries.t(spark, dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_customer")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders").saveAsTable("graft_b_orders")
+    c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer").saveAsTable("graft_b_customer")
+    // at sf0.001 the dimension fits the broadcast threshold and the planner
+    // would skip bucketing entirely — disable auto-broadcast to plan the
+    // big-big shape this layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + p.take(3000))
+      // correctness: same row set as the unbucketed join
+      val expected = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+        .collect().toSet
+      assert(q.collect().toSet == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_customer")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = plan("q02_filter_project")
     // codegen'd stages print with a `*(n)` prefix; filter+project must be inside one
