@@ -1127,7 +1127,24 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
           (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w30m_sum
-        FROM events ORDER BY user_id, event_id"""))
+        FROM events ORDER BY user_id, event_id""")),
+
+    // ---- Sketch aggregations (HLL++ distinct count, KLL-style quantile).
+    //      Approximate by design — no cross-engine hash oracle exists, so
+    //      the driver records the rows-only check; SketchSpec pins each
+    //      estimate against its exact twin with error bounds. ----
+    QueryDef(
+      "q43_approx_sketches",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(approx_count_distinct($"user_id").as("approx_users"),
+            percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      None)
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

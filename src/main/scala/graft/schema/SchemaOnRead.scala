@@ -286,6 +286,17 @@ object SchemaOnRead {
         lastRelation = None // a local side of a join must not capture columns
         Map.empty
 
+      // A plan captured POST-cache-materialization (e.g. via
+      // `queryExecution.withCachedData`) presents the cache as a leaf
+      // holding only a physical plan — there is no file read behind it to
+      // prune, so it is deliberately opaque. Resetting the cursor keeps an
+      // alias over the cached subtree from binding a stale relation. The
+      // normal entry point (`generate(df)`) analyzes the ANALYZED plan,
+      // where cache substitution has not happened yet and sources resolve.
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        lastRelation = None
+        Map.empty
+
       case s: SubqueryAlias =>
         val lin = walk(s.child)
         val rels = s.child.output.flatMap(a => lin.get(a.exprId)).flatMap(_.direct.map(_.rel)).distinct

@@ -756,6 +756,28 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       fld("nestedStruct", st(fld("str", StringType)))))
   }
 
+  test("plan captured post-cache-materialization: cache opaque, fresh side prunes") {
+    val base = jsonDF.select(col("someLong"), col("struct.col1").as("c1"))
+    base.cache()
+    try {
+      base.count() // materialize
+      val fresh = spark.read.json(json2Path)
+        .select(col("struct.col2").as("c2"), col("someLong").as("l2"))
+      val q = base.join(fresh, base("someLong") === fresh("l2"))
+        .select(col("c1"), col("c2"))
+      val plan = q.queryExecution.withCachedData // substitutes InMemoryRelation
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
+      val r = SchemaOnRead.generate(plan, spark)
+      // the fresh file side still prunes; the cached side exposes no file
+      // relation and contributes no demand (and no fail-open error)
+      assertSchema(r.schemaFor(json2Path), st(
+        fld("someLong", LongType),
+        fld("struct", st(fld("col2", LongType)))))
+      assert(r.schemaFor(jsonPath).isEmpty)
+    } finally base.unpersist()
+  }
+
   test("catalog table via spark.table prunes and is addressable by identifier") {
     parquetDF.write.mode("overwrite")
       .option("path", s"$dir/cat-table").saveAsTable("graft_cat_t")

@@ -169,6 +169,46 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming windowed counts replayed over sf0.001 events equal batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    val batchDf = graft.queries.Queries.events(sp, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_type", $"value")
+    val expected = batchDf
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1),
+        r.getLong(2), r4(r.getDouble(3)))).toSet
+
+    val events = batchDf.as[StreamEvent].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.windowedCounts(input.toDF(), windowDuration = "1 hour",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wc_replay")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toSeq)
+      q.processAllAvailable()
+      val maxMs = events.map(_.ts.getTime).max
+      // sentinel events close every real window (append emits finalized only)
+      input.addData(StreamEvent(-1L, new Timestamp(maxMs + 7200 * 1000L), "wm", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, new Timestamp(maxMs + 14400 * 1000L), "wm", 0.0))
+      q.processAllAvailable()
+      val got = sp.table("wc_replay").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r4(r.getDouble(3))))
+        .filter(_._2 != "wm").toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
