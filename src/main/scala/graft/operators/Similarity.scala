@@ -268,6 +268,22 @@ object Similarity {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(cents.nonEmpty,
       s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    ivfProbeRerank(queries, corpus, k, probes, cents)
+  }
+
+  /** IVF with a trained codebook (see [[kmeansCodebook]]) — cell ids are
+    * the codebook indices. */
+  def ivfKnnCodebook(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebook: Array[Array[Float]], probes: Int = 2): DataFrame = {
+    require(codebook.nonEmpty, "empty codebook")
+    ivfProbeRerank(queries, corpus, k, probes,
+      codebook.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+  }
+
+  private def ivfProbeRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int, cents: Array[(Long, Array[Float])]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
     val cb = sp.sparkContext.broadcast(cents)
 
     def nearest(v: Array[Float], n: Int): Seq[Long] =
@@ -291,6 +307,59 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  /** Spherical k-means codebook trainer for the IVF index. Assignment is
+    * a broadcast-codebook argmax-cosine kernel (ties to the lower cluster
+    * id); the update step is fully relational — posexplode to (cluster,
+    * dim, x), aggregate per-dimension DECIMAL sums — so no step ever
+    * materializes a cluster on one machine, and the exact-decimal sums
+    * make the trained codebook independent of partition merge order. Only
+    * the codebook itself (k × dim floats — small by definition) lives on
+    * the driver. Initialization is deterministic: the k lowest-id
+    * vectors. Empty clusters keep their previous centroid. */
+  def kmeansCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Array[Array[Float]] = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Float]] =
+      vecs.orderBy(col(idCol)).limit(k).collect().map(_._2)
+    require(cents.nonEmpty, "empty corpus")
+    for (_ <- 0 until iters) {
+      val bc = sp.sparkContext.broadcast(cents)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, v) =>
+          var best = 0; var bestCs = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cosineKernel(v, cs(c))
+            if (s > bestCs) { bestCs = s; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+      }.toDF("cluster", "v")
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        val v = next(c)
+        rows.foreach { r =>
+          v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+        }
+      }
+      bc.destroy()
+      cents = next
+    }
+    cents
   }
 
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score

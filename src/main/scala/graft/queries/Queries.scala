@@ -1144,7 +1144,29 @@ object Queries {
             count(lit(1)).as("n"))
           .orderBy($"event_type")
       },
-      None)
+      None),
+
+    // ---- Per-key top-k via bounded-heap UDAF (map-side partial combine;
+    //      no full sort / window buffer — O(k) state per key everywhere).
+    //      Same results as the q07 window formulation, better scale shape. ----
+    QueryDef(
+      "q44_topk_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val topk = udaf(graft.functions.Aggregators.topK(3))
+        t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+          .select($"o_custkey", posexplode($"top.items"))
+          .select($"o_custkey", ($"pos" + 1).cast(LongType).as("rnk"),
+            $"col.id".as("o_orderkey"), $"col.score".as("o_totalprice"))
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
