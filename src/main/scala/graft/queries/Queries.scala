@@ -1166,7 +1166,35 @@ object Queries {
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"""))
+        FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
+    // ---- Built-in session_window aggregation, cross-validated against
+    //      the hand-rolled gap-sessionization logic (q28's oracle CTE):
+    //      window end = last event + gap by definition ----
+    QueryDef(
+      "q45_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "600 seconds").as("sw"))
+          .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+          .select($"user_id", $"sw.start".as("s_start"), $"sw.end".as("s_end"),
+            $"n_events", $"first_event")
+          .orderBy($"user_id", $"s_start")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, event_id, ts,
+            CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 600 SECOND AS s_end,
+          count(*) AS n_events, min(event_id) AS first_event
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, s_start"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

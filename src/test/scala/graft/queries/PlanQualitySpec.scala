@@ -72,6 +72,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q44 top-k aggregator combines partially map-side (no window sort)") {
+    val p = plan("q44_topk_per_key")
+    assert(p.contains("partial_topkagg") || p.contains("partial_"), p.take(2000))
+    // the point of the aggregator: per-key O(k) state, not a per-partition
+    // window sort over every row
+    assert(!p.contains("RunningWindowFunction"), p.take(2000))
+  }
+
+  test("q37 full-outer join is a sort-merge join, never a nested loop") {
+    val p = plan("q37_full_outer_join")
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q42 range-frame window is one shuffle + one window pass") {
+    val p = plan("q42_window_range_frame")
+    assert(p.contains("Window"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected at most 1 shuffle, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("bucketed tables join co-located — zero shuffle exchanges") {
     // The 100 TB recipe for a repeated big-big equi join: bucket both
     // sides on the join key at write time, and the join plans with NO
