@@ -77,6 +77,25 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Session-window aggregation via the BUILT-IN `session_window`
+    * function — the declarative alternative to [[sessionize]] when the
+    * per-session outputs are plain aggregates (the engine manages merge
+    * state; watermark closes sessions). Works identically on batch input,
+    * which is how q45 oracle-checks the semantics. */
+  def sessionWindowAgg(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      gap: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based streaming sessionization (the streaming twin of
     * TemporalJoins.sessionize): sessions close when no event arrives for
     * `gapSec` of *event time*, enforced with an event-time timeout so

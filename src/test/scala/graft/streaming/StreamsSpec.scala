@@ -209,6 +209,35 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("built-in session_window stream merges gaps and agrees with the stateful path") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.sessionWindowAgg(input.toDF(), gap = "2 minutes",
+        watermark = "2 minutes")
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(1, ts(2), "view", 2.0), // same session (gap <= 2 min)
+        StreamEvent(1, ts(10), "view", 4.0)) // new session
+      q.processAllAvailable()
+      // push watermark past both sessions' end
+      input.addData(StreamEvent(2, ts(30), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(2, ts(45), "view", 0.0))
+      q.processAllAvailable()
+      val rows = sp.table("sw").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set(
+        (1L, ts(1), ts(4), 2L, 3.0),   // end = last event + gap
+        (1L, ts(10), ts(12), 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
