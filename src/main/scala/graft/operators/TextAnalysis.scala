@@ -85,4 +85,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Overlapping token windows for LLM context chunking: windows of
+    * `chunk` tokens starting every `stride` tokens (stride < chunk =
+    * overlap), the last window clamped. Takes a STAGED token column —
+    * pass an attribute, not `tokens(text)` (HOF lambdas re-evaluate
+    * embedded expressions per element). */
+  def chunkWindows(tk: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1, "chunk and stride must be positive")
+    val n = size(tk)
+    // window count: 1 + ceil(max(n - chunk, 0) / stride), integer math
+    val k = lit(1) + floor((greatest(n - chunk, lit(0)) + stride - 1) / lit(stride))
+      .cast("int")
+    when(n >= 1,
+      transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(tk, i * stride + 1, lit(chunk)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PII-style scrubbing: emails → <EMAIL>, long digit runs → <NUM>.
+    * Pure regexp Columns — deterministic, engine-portable (RE2-safe
+    * patterns). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{4,}"
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
+
+  /** Duplicate n-gram fraction (Gopher-style repetition signal): the
+    * share of bigrams that are repeats — 0 for clean prose, → 1 for
+    * degenerate repetition. Null under 2 tokens. Takes a STAGED token
+    * column (see [[chunkWindows]]). */
+  def dupBigramFraction(tk: Column): Column = {
+    val bg = transform(sequence(lit(1), size(tk) - 1),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+    when(size(tk) >= 2,
+      lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg).cast("double"))
+  }
 }

@@ -648,6 +648,77 @@ object Queries {
             (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) AS quality_score
         FROM feat ORDER BY doc_id""")),
 
+    // ---- Text analysis: overlapping context chunking (32-token windows,
+    //      stride 24) — the LLM training-data pre-tokenization shape ----
+    QueryDef(
+      "t04_chunking",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("tk"))
+          .select($"doc_id",
+            posexplode(graft.operators.TextAnalysis.chunkWindows($"tk", 32, 24))
+              .as(Seq("chunk_id", "chunk")))
+          .select($"doc_id", $"chunk_id".cast(LongType).as("chunk_id"), $"chunk",
+            size(split($"chunk", " ")).as("n_chunk_tokens"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk
+                FROM documents),
+        k AS (SELECT doc_id, tk,
+                1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS INT) AS nw
+              FROM tok WHERE len(tk) >= 1),
+        w AS (SELECT doc_id, unnest(range(0, nw)) AS chunk_id, tk FROM k)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk,
+          CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS INTEGER) AS n_chunk_tokens
+        FROM w ORDER BY doc_id, chunk_id""")),
+
+    // ---- Text analysis: PII-style scrubbing (emails, long digit runs) ----
+    QueryDef(
+      "t05_redact",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            graft.operators.TextAnalysis.redact($"text").as("redacted"),
+            size(regexp_extract_all($"text",
+              lit(graft.operators.TextAnalysis.emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all($"text",
+              lit(graft.operators.TextAnalysis.longNumRe), lit(0))).as("n_nums"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_nums
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Text analysis: duplicate-bigram repetition signal (Gopher-style) ----
+    QueryDef(
+      "t06_repetition",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("tk"))
+          .select($"doc_id", size($"tk").as("n_tokens"),
+            graft.operators.TextAnalysis.dupBigramFraction($"tk").as("dup_bigram_frac"))
+          .filter($"n_tokens" >= 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk
+                FROM documents),
+        b AS (SELECT doc_id, len(tk) AS n,
+                list_transform(range(1, len(tk)),
+                  i -> concat_ws(' ', tk[i], tk[i+1])) AS bg
+              FROM tok WHERE len(tk) >= 2)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+          1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
+        FROM b ORDER BY doc_id""")),
+
     // ---- Dedup: exact fingerprint groups ----
     QueryDef(
       "d01_exact_dedup",
