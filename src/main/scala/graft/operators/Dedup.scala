@@ -118,7 +118,9 @@ object Dedup {
   def shinglePostings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull) // kernels are scalar code — no null lifting
+      .as[(Long, String)]
       .repartition(sp.sparkContext.defaultParallelism) // CPU-bound kernel: one input file must not mean one core
       .mapPartitions(_.flatMap { case (id, text) =>
         Kernel.shingles3(text).iterator.map(s => (id, s))
@@ -131,7 +133,9 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .repartition(sp.sparkContext.defaultParallelism) // CPU-bound kernel: spread the md5 loops
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -159,7 +163,9 @@ object Dedup {
   def simhashKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>

@@ -136,6 +136,7 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull) // kernel scoring — no null lifting
     // one cheap count action sizes the grid (an aggregate, not a collect)
     val n = base.count()
     val nBlocks =
@@ -210,8 +211,10 @@ object Similarity {
     import sp.implicits._
     val qb = sp.sparkContext.broadcast(
       queries.select(col("vec_id").cast("long"), col("embedding"))
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         .as[(Long, Array[Float])].collect())
     val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qb.value
@@ -291,10 +294,12 @@ object Similarity {
         .sortBy { case (cid, cs) => (-cs, cid) }.take(n).map(_._1).toSeq
 
     val corpusCells = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, v, nearest(v, 1).head) })
       .toDF("neighbor_id", "ce", "cid")
     val queryCells = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
         nearest(v, probes).iterator.map(cid => (id, v, cid))
@@ -324,6 +329,7 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
     var cents: Array[Array[Float]] =
       vecs.orderBy(col(idCol)).limit(k).collect().map(_._2)
@@ -371,10 +377,12 @@ object Similarity {
     val signs = signMatrix(planes, dims)
     val qb = sp.sparkContext.broadcast(
       queries.select(col("vec_id").cast("long"), col("embedding"))
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
         .as[(Long, Array[Float])].collect()
         .map { case (id, v) => (id, v, bucketOf(v, signs)) })
     val sb = sp.sparkContext.broadcast(signs)
     val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qb.value

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,6 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     each generating its row range locally (no driver materialization);
   *   - column pruning: implements [[SupportsPushDownRequiredColumns]] and
   *     only materializes requested fields;
+  *   - filter pushdown: implements [[SupportsPushDownFilters]] — `doc_id`
+  *     range predicates bound PARTITION PLANNING (partitions outside the
+  *     range are never created, the DSv2 analogue of partition pruning)
+  *     and `lang` equality is applied inside the reader;
   *   - deterministic content from (seed, doc_id) — reruns and retries
   *     produce identical data on any cluster layout.
   *
@@ -72,29 +77,68 @@ private class SynthDocsTable(rows: Long, partitions: Int, seed: Long)
 }
 
 private class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SynthDocs.schema
+  private var lo = 0L            // doc_id bounds [lo, hi) — intersected
+  private var hi = Long.MaxValue // with the table's own [0, rows)
+  private var langEq: Option[String] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SynthDocsScan(rows, partitions, seed, required)
+
+  /** A filter not returned here is FULLY enforced by the source — so only
+    * exact-semantics predicates are accepted; everything else is left for
+    * Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    def accept(f: Filter): Boolean = f match {
+      case EqualTo("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n + 1); true }
+      case GreaterThan("doc_id", v) => num(v).exists { n => lo = math.max(lo, n + 1); true }
+      case GreaterThanOrEqual("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); true }
+      case LessThan("doc_id", v) => num(v).exists { n => hi = math.min(hi, n); true }
+      case LessThanOrEqual("doc_id", v) => num(v).exists { n => hi = math.min(hi, n + 1); true }
+      case EqualTo("lang", v: String) => langEq = Some(v); true
+      case And(l, r) => accept(l) && accept(r) // both enforced → the conjunction is
+      case _ => false
+    }
+    val (ok, residual) = filters.partition(accept)
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SynthDocsScan(rows, partitions, seed, required, lo, hi, langEq)
 }
 
-private class SynthDocsScan(rows: Long, partitions: Int, seed: Long, required: StructType)
+private class SynthDocsScan(rows: Long, partitions: Int, seed: Long,
+    required: StructType, lo: Long, hi: Long, langEq: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"synth_docs range=[${math.max(0L, lo)}, ${math.min(rows, hi)}) lang=${langEq.getOrElse("*")}"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per).map(start =>
-      SynthDocsPartition(start, math.min(start + per, rows)): InputPartition).toArray
+    // pushed doc_id bounds prune partitions at PLANNING time: a trillion-row
+    // table with a narrow id filter plans only the covering partitions
+    val begin = math.max(0L, lo)
+    val end = math.min(rows, hi)
+    if (begin >= end) return Array.empty
+    val per = math.max(1L, (end - begin + partitions - 1) / partitions)
+    (begin until end by per).map(start =>
+      SynthDocsPartition(start, math.min(start + per, end)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthDocsReaderFactory(seed, required)
+    new SynthDocsReaderFactory(seed, required, langEq)
 }
 
 private case class SynthDocsPartition(start: Long, end: Long) extends InputPartition
 
-private class SynthDocsReaderFactory(seed: Long, required: StructType)
-    extends PartitionReaderFactory {
+private class SynthDocsReaderFactory(seed: Long, required: StructType,
+    langEq: Option[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SynthDocsPartition]
     new PartitionReader[InternalRow] {
@@ -105,7 +149,14 @@ private class SynthDocsReaderFactory(seed: Long, required: StructType)
         case _ => -1
       })
       private val needsText = cols.exists(c => c == 1 || c == 3)
-      override def next(): Boolean = { id += 1; id < part.end }
+      override def next(): Boolean = {
+        id += 1
+        // pushed lang equality: skip non-matching rows inside the reader
+        langEq.foreach { l =>
+          while (id < part.end && SynthDocs.docLang(seed, id) != l) id += 1
+        }
+        id < part.end
+      }
       override def get(): InternalRow = {
         val text = if (needsText) SynthDocs.docText(seed, id) else null
         val values = new Array[Any](cols.length)

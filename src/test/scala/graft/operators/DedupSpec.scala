@@ -126,6 +126,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cappedLsh == Seq((100L, 101L)))
   }
 
+  test("null text/ids/embeddings are dropped by kernels, not crashed on") {
+    val withNulls = spark.createDataFrame(Seq(
+      (java.lang.Long.valueOf(1L), "the quick brown fox jumps over lazy dogs"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "some text that has an id of null here"),
+      (java.lang.Long.valueOf(4L), "the quick brown fox jumps over lazy dogs")))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(withNulls, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(Dedup.simhashKernel(withNulls, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(Dedup.jaccardPairs(withNulls, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+
+    val vecsWithNulls = spark.createDataFrame(Seq(
+      (java.lang.Long.valueOf(1L), Array(1.0f, 0.0f)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[Array[Float]]),
+      (java.lang.Long.valueOf(3L), Array(1.0f, 0.1f)))).toDF("vec_id", "embedding")
+    assert(Similarity.cosinePairsExact(vecsWithNulls, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+    assert(Similarity.knnKernel(vecsWithNulls.filter(col("vec_id") === 1), vecsWithNulls, 5)
+      .collect().map(_.getLong(2)).toSet == Set(3L))
+  }
+
   test("kernel LSH buckets equal the Column lshBucket") {
     val vecs = spark.createDataFrame(
       (1L to 20L).map(i => (i, Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
