@@ -1265,7 +1265,55 @@ object Queries {
           FROM g)
         SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 600 SECOND AS s_end,
           count(*) AS n_events, min(event_id) AS first_event
-        FROM sess GROUP BY user_id, session_id ORDER BY user_id, s_start"""))
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, s_start""")),
+
+    // ---- Window: distribution family (percent_rank/cume_dist/nth_value,
+    //      first/last over running frames) ----
+    QueryDef(
+      "q46_window_stats",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "customer")
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("third", nth_value($"c_custkey", 3).over(running))
+          .withColumn("first_k", first($"c_custkey").over(running))
+          .filter($"pr" >= 0.99)
+          .select($"c_mktsegment", $"c_custkey", $"pr", $"cd", $"third", $"first_k")
+          .orderBy($"c_mktsegment", $"c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, pr, cd, third, first_k FROM (
+        SELECT c_mktsegment, c_custkey,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd,
+          nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third,
+          first_value(c_custkey) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_k
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        WHERE pr >= 0.99 ORDER BY c_mktsegment, c_custkey""")),
+
+    // ---- Explicit cross join (deliberately small × small) ----
+    QueryDef(
+      "q47_cross_join",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+        val n = t(s, dir, "nation").filter($"n_nationkey" < 5)
+          .select($"n_nationkey", $"n_name")
+        r.crossJoin(n)
+          .select($"r_regionkey", $"n_nationkey", $"r_name", $"n_name")
+          .orderBy($"r_regionkey", $"n_nationkey")
+      },
+      Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
+        FROM region CROSS JOIN (SELECT n_nationkey, n_name FROM nation
+                                WHERE n_nationkey < 5) n
+        ORDER BY r_regionkey, n_nationkey"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

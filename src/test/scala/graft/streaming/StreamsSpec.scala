@@ -238,6 +238,36 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-to-parquet sink roundtrip (append mode, checkpointed)") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.windowedCounts(input.toDF(), windowDuration = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(2, ts(2), "view", 2.0),
+        StreamEvent(1, ts(11), "click", 3.0))
+      q.processAllAvailable()
+      // advance the watermark so the first window finalizes into the sink
+      input.addData(StreamEvent(9, ts(40), "view", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(9, ts(55), "view", 0.0))
+      q.processAllAvailable()
+      val back = sp.read.parquet(outDir)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(back.contains(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "view", 2L, 3.0)), back.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on event-time gap") {
     val sp = spark
     implicit val sql = sp.sqlContext
