@@ -1313,7 +1313,65 @@ object Queries {
       Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
         FROM region CROSS JOIN (SELECT n_nationkey, n_name FROM nation
                                 WHERE n_nationkey < 5) n
-        ORDER BY r_regionkey, n_nationkey"""))
+        ORDER BY r_regionkey, n_nationkey""")),
+
+    // ---- Multiset INTERSECT ALL (bag semantics, duplicates kept) ----
+    QueryDef(
+      "q48_intersect_all",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val a = o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+        val b = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        a.intersectAll(b)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---- Multiset EXCEPT ALL ----
+    QueryDef(
+      "q49_except_all",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val a = o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+        val b = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        a.exceptAll(b)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---- Date arithmetic battery ----
+    QueryDef(
+      "q50_date_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey",
+            date_add($"o_orderdate", 30).as("ship_by"),
+            last_day($"o_orderdate").as("month_end"),
+            datediff(to_date(lit("1998-12-31")), $"o_orderdate").as("age_days"),
+            quarter($"o_orderdate").as("qtr"),
+            dayofmonth($"o_orderdate").as("dom"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS ship_by,
+        last_day(o_orderdate) AS month_end,
+        CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS age_days,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom
+        FROM orders ORDER BY o_orderkey"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
