@@ -262,12 +262,18 @@ object Similarity {
     * codebook; the index/probe/rerank plumbing is identical. Assignment is
     * a broadcast of the centroid table + a kernel argmax (ties to the
     * lower centroid id); candidate matching is an equi-join on cell id. */
+  /** `maxCents` bounds the sampled-centroid table: a 1-in-`centEvery`
+    * sample grows linearly with the corpus, which would eventually
+    * overwhelm the driver and the per-vector assignment loop — the cap
+    * keeps the codebook a codebook. (At scale, train a real one with
+    * [[kmeansCodebook]] and call [[ivfKnnCodebook]].) */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      probes: Int = 2, centEvery: Int = 50): DataFrame = {
+      probes: Int = 2, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
       .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(cents.nonEmpty,
       s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
