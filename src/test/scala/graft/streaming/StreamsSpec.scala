@@ -238,6 +238,44 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join replayed over sf0.001 equals batch range join") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val ev = graft.queries.Queries.events(sp, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_type", $"value", $"event_id")
+    // batch oracle: the q27 shape over the same inputs
+    val bViews = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_event_id"), $"user_id", $"ts")
+    val bPurch = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_event_id"), $"user_id", $"ts".as("p_ts"))
+    val expected = graft.operators.TemporalJoins
+      .range(bViews, bPurch, "user_id", "ts", "p_ts", 0L, 1800L)
+      .select($"view_event_id", $"purchase_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rows = ev.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(4)))
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+        views.toDF().toDF("user_id", "ts", "view_event_id"),
+        purchases.toDF().toDF("user_id", "ts", "purchase_event_id"),
+        "user_id", windowSec = 1800, watermark = "1 hour")
+      .select(col("l.view_event_id"), col("r.purchase_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ivj_replay")
+      .outputMode("append").start()
+    try {
+      views.addData(rows.collect { case (u, t, "view", id) => (u, t, id) }.toSeq)
+      purchases.addData(rows.collect { case (u, t, "purchase", id) => (u, t, id) }.toSeq)
+      q.processAllAvailable()
+      val got = sp.table("ivj_replay").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.size == expected.size, s"${got.size} streamed vs ${expected.size} batch pairs")
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("stream-to-parquet sink roundtrip (append mode, checkpointed)") {
     val sp = spark
     implicit val sql = sp.sqlContext
