@@ -225,6 +225,52 @@ object Dedup {
     }
   }
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * min-label propagation WITH pointer jumping — the step that turns
+    * near-dup PAIRS into canonical keep-ids. Per round, a node takes the
+    * min of (its label, its neighbors' labels, its label's label); the
+    * pointer-jump term halves label-chain depth each round, so a
+    * diameter-d component converges in O(log d) rounds rather than O(d).
+    * Every step is an equi-join + aggregation shuffled on node id — no
+    * component is ever materialized on one machine. Each round's result
+    * is `localCheckpoint`ed: iterative lineage would otherwise grow the
+    * logical plan (and analysis time) without bound.
+    * Output: (doc_id, cluster_id = min doc_id reachable). Connected docs
+    * sharing no direct pair edge still cluster (A~B, B~C ⇒ {A,B,C}) —
+    * exactly what pair-level dedup cannot express.
+    */
+  def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+      maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
+      .union(pairs.select(col(id2).cast("long").as("src"), col(id1).cast("long").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val jumped = labels.select(col("node"), col("label").as("via"))
+        .join(labels.withColumnRenamed("node", "via"), Seq("via"))
+        .select(col("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(neighborLabels).union(jumped)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist() // free the previous round's checkpoint blocks NOW
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist() // the result's lineage is truncated — edges are done
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over the distinct token set: per bit, majority vote of
     * token-hash bits. Pure per-row expression — no shuffle at all. */
   def simhash32(text: Column): Column = {

@@ -771,6 +771,38 @@ object Queries {
                  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
         SELECT id1, id2 FROM cand ORDER BY id1, id2""")),
 
+    // ---- Dedup: candidate pairs → duplicate clusters (connected
+    //      components, pointer-jumping label propagation) ----
+    QueryDef(
+      "d06_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.operators.Dedup
+          .minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Dedup.duplicateClusters(pairs)
+          .groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        SELECT cluster_id, count(*) AS n_docs FROM lbl
+        GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ---- Dedup: 32-bit SimHash + identical-hash groups ----
     QueryDef(
       "d04_simhash",

@@ -150,6 +150,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(2)).toSet == Set(3L))
   }
 
+  test("duplicate clusters: transitive pairs become one component") {
+    // components: {1,2,3,4} via chain, {10,11} direct, {20,21,22} triangle
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty input: no clusters, no crash
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id1", "id2")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+    // long chain needs multiple propagation rounds
+    val chain = spark.createDataFrame((1L until 12L).map(i => (i, i + 1))).toDF("id1", "id2")
+    val labels = Dedup.duplicateClusters(chain).collect().map(_.getLong(1)).toSet
+    assert(labels == Set(1L))
+  }
+
   test("kernel LSH buckets equal the Column lshBucket") {
     val vecs = spark.createDataFrame(
       (1L to 20L).map(i => (i, Array.tabulate(64)(d => ((i * 13 + d * 7) % 19 - 9) / 10.0f)))
