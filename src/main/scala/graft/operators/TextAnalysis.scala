@@ -110,6 +110,20 @@ object TextAnalysis {
   def redact(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
 
+  /** Deterministic dataset split for training pipelines: a stable md5
+    * hash of the id maps each row to train/val/test with the given
+    * percentages (must sum to 100). Engine-portable and reshuffle-proof —
+    * the same row lands in the same split on any cluster, any engine,
+    * any day; no sampling RNG state. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct < 100 && trainPct > 0 && valPct > 0,
+      "train + val must leave room for test")
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10) % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Duplicate n-gram fraction (Gopher-style repetition signal): the
     * share of bigrams that are repeats — 0 for clean prose, → 1 for
     * degenerate repetition. Null under 2 tokens. Takes a STAGED token

@@ -719,6 +719,26 @@ object Queries {
           1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
         FROM b ORDER BY doc_id""")),
 
+    // ---- Text pipeline: deterministic train/val/test split ----
+    QueryDef(
+      "t07_dataset_split",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"lang",
+            graft.operators.TextAnalysis.splitAssign($"doc_id").as("split"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""SELECT lang,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n
+        FROM (SELECT lang,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+          FROM documents)
+        GROUP BY 1, 2 ORDER BY lang, split""")),
+
     // ---- Dedup: exact fingerprint groups ----
     QueryDef(
       "d01_exact_dedup",
