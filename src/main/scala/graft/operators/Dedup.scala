@@ -64,7 +64,12 @@ object Dedup {
     * test corpora, where results are bit-identical to the uncapped form. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
       maxDf: Int = 1000): DataFrame = {
-    val inv = shinglePostings(df, idCol, textCol)
+    // the postings kernel (tokenize + shingle every document) feeds FOUR
+    // consumers (sizes, the df cap, both self-join sides) — materialize it
+    // once, with truncated lineage, instead of re-running the CPU stage
+    // per consumer. Postings are a few short strings per document: far
+    // smaller than the corpus they index.
+    val inv = shinglePostings(df, idCol, textCol).localCheckpoint(true)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
@@ -98,9 +103,12 @@ object Dedup {
       k: Int = 16, r: Int = 4, bucketCap: Int = 1000): DataFrame = {
     require(k % r == 0, "k must be a multiple of r")
     val mh = minhashSignatures(df, idCol, textCol, k)
+    // banded signatures feed the hot-bucket cap and both self-join sides;
+    // one eager materialization pays the k×shingles md5 kernel once
     val allBands = mh.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(k / r - 1)),
         b => concat_ws("|", slice(col("mh"), b * r + 1, lit(r))))).as(Seq("band", "key")))
+      .localCheckpoint(true)
     val hot = allBands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
       .select(col("band"), col("key"))

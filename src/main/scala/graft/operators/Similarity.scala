@@ -137,7 +137,10 @@ object Similarity {
     import sp.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(col("id").isNotNull && col("v").isNotNull) // kernel scoring — no null lifting
-    // one cheap count action sizes the grid (an aggregate, not a collect)
+    // one count action sizes the grid: an extra column-pruned scan,
+    // deliberately NOT a checkpoint — materializing the vectors would
+    // cost a full dataset copy to save a read that is negligible next to
+    // the O(N²) scoring this operator exists for
     val n = base.count()
     val nBlocks =
       if (blockSize > 0) math.max(1L, (n + blockSize - 1) / blockSize).toInt
@@ -365,7 +368,12 @@ object Similarity {
       sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
         val v = next(c)
         rows.foreach { r =>
-          v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+          // a corpus vector longer than the centroid contributes dims the
+          // codebook doesn't model — ignore them (assignment already
+          // scores only the common prefix)
+          val dim = r.getInt(1)
+          if (dim < v.length)
+            v(dim) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
         }
       }
       bc.destroy()

@@ -54,6 +54,8 @@ object TextAnalysis {
     * (deterministic, mirrors 1:1 into SQL for the oracle).
     */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    require(!df.columns.contains("_graft_tk"),
+      "input already has a _graft_tk column (reserved staging name)")
     val text = col(textCol)
     // stage the token array once — each feature below references the
     // attribute, not the tokenizer expression (which Catalyst would
@@ -92,6 +94,9 @@ object TextAnalysis {
     * embedded expressions per element). */
   def chunkWindows(tk: Column, chunk: Int, stride: Int): Column = {
     require(chunk >= 1 && stride >= 1, "chunk and stride must be positive")
+    // stride > chunk would leave token gaps AND the coverage-based window
+    // count would emit a trailing empty window — fail loud instead
+    require(stride <= chunk, s"stride $stride > chunk $chunk would skip tokens")
     val n = size(tk)
     // window count: 1 + ceil(max(n - chunk, 0) / stride), integer math
     val k = lit(1) + floor((greatest(n - chunk, lit(0)) + stride - 1) / lit(stride))

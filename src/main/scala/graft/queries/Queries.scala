@@ -50,12 +50,21 @@ object Queries {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
-  /** Unique-per-call sink directory for the roundtrip queries: concurrent
-    * Verify + Bench runs (or two bench iterations racing on overwrite)
-    * must never collide on a shared fixed path. */
-  private def sinkDir(tag: String): String =
-    System.getProperty("java.io.tmpdir") +
-      s"/graft-roundtrip/$tag-${java.util.UUID.randomUUID()}"
+  /** Per-process sink directory for the roundtrip queries: concurrent
+    * Verify + Bench runs must never collide on a shared fixed path, but a
+    * fresh dir per CALL would leak tmp disk — one dir per process
+    * (overwrite mode self-bounds repeats) deleted on JVM exit. */
+  private lazy val sinkRoot: String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-roundtrip-${ProcessHandle.current().pid()}")
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(purge))
+      f.delete()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => purge(root)))
+    root.getAbsolutePath
+  }
+  private def sinkDir(tag: String): String = s"$sinkRoot/$tag"
 
   val all: Seq[QueryDef] = Seq(
 

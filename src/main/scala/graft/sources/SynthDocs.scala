@@ -94,12 +94,16 @@ private class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
       case n: Number => Some(n.longValue())
       case _ => None
     }
+    // saturating +1: a bound at Long.MaxValue must not wrap to MinValue —
+    // an accepted filter is never re-checked by Spark, so an overflow
+    // here would return WRONG results, not just plan badly
+    def inc(n: Long): Long = if (n == Long.MaxValue) n else n + 1
     def accept(f: Filter): Boolean = f match {
-      case EqualTo("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n + 1); true }
-      case GreaterThan("doc_id", v) => num(v).exists { n => lo = math.max(lo, n + 1); true }
+      case EqualTo("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, inc(n)); true }
+      case GreaterThan("doc_id", v) => num(v).exists { n => lo = math.max(lo, inc(n)); true }
       case GreaterThanOrEqual("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); true }
       case LessThan("doc_id", v) => num(v).exists { n => hi = math.min(hi, n); true }
-      case LessThanOrEqual("doc_id", v) => num(v).exists { n => hi = math.min(hi, n + 1); true }
+      case LessThanOrEqual("doc_id", v) => num(v).exists { n => hi = math.min(hi, inc(n)); true }
       case EqualTo("lang", v: String) => langEq = Some(v); true
       case And(l, r) => accept(l) && accept(r) // both enforced → the conjunction is
       case _ => false
