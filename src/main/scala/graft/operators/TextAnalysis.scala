@@ -139,4 +139,29 @@ object TextAnalysis {
     when(size(tk) >= 2,
       lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg).cast("double"))
   }
+
+  /** Kernel twin of [[dupBigramFraction]] (bit-identical, spec-enforced):
+    * the per-element interpreted bigram lambda is the hot path of a
+    * corpus-wide repetition scan, so it runs as a per-partition loop.
+    * Emits (doc_id, n_tokens, dup_bigram_frac) for docs with ≥2 tokens. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
+      .repartition(sp.sparkContext.defaultParallelism) // CPU-bound kernel
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val tk = Dedup.Kernel.tokens(text)
+        if (tk.length < 2) Iterator.empty
+        else {
+          val total = tk.length - 1
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < total) { seen.add(tk(i) + " " + tk(i + 1)); i += 1 }
+          Iterator.single((id, tk.length,
+            1.0 - seen.size.toDouble / total.toDouble))
+        }
+      }).toDF("doc_id", "n_tokens", "dup_bigram_frac")
+  }
 }

@@ -711,11 +711,8 @@ object Queries {
       "t06_repetition",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .select($"doc_id", graft.operators.TextAnalysis.tokens($"text").as("tk"))
-          .select($"doc_id", size($"tk").as("n_tokens"),
-            graft.operators.TextAnalysis.dupBigramFraction($"tk").as("dup_bigram_frac"))
-          .filter($"n_tokens" >= 2)
+        graft.operators.TextAnalysis
+          .repetitionStats(t(s, dir, "documents"), "doc_id", "text")
           .orderBy($"doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk

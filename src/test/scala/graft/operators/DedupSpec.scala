@@ -150,6 +150,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(2)).toSet == Set(3L))
   }
 
+  test("repetition kernel equals the Column dupBigramFraction") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat the cat the cat sat"),     // heavy repetition
+      (2L, "all distinct words here now ok"),  // none
+      (3L, "x"),                               // under 2 tokens -> absent
+      (4L, "a b a b c a b"))).toDF("doc_id", "text")
+    val kernel = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val expr = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        TextAnalysis.dupBigramFraction(col("tk")).as("f"))
+      .filter(col("n") >= 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(kernel == expr)
+    assert(!kernel.contains(3L))
+    assert(kernel(2L)._2 == 0.0 && kernel(1L)._2 >= 0.5)
+  }
+
   test("duplicate clusters: transitive pairs become one component") {
     // components: {1,2,3,4} via chain, {10,11} direct, {20,21,22} triangle
     val pairs = spark.createDataFrame(Seq(
