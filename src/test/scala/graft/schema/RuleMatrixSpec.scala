@@ -37,4 +37,28 @@ class RuleMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(on == off, s"rule changed results for ${q.name}")
     }
   }
+
+  // The DSv2 rewrite arm gets the same treatment over a representative
+  // slice of the matrix (agg, joins, explode, struct, window, JSON,
+  // rollup, kernels, sink roundtrip, text) with parquet forced to V2.
+  private val v2Slice = Seq("q01_groupby_agg", "q03_join_agg", "q09_explode_tokens",
+    "q12_rollup", "q20_json_extract", "q23_struct_roundtrip", "q26_asof_join",
+    "q31_sink_roundtrip", "d02_jaccard_pairs", "t01_text_stats")
+
+  v2Slice.foreach { name =>
+    test(s"$name is rule-invariant with parquet forced to DSv2") {
+      val q = Queries.byName(name)
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        spark.conf.set("spark.graft.schemaOnRead.enabled", "false")
+        val off = q.run(spark, dir).collect().map(_.toString).toSeq
+        spark.conf.set("spark.graft.schemaOnRead.enabled", "true")
+        val on = q.run(spark, dir).collect().map(_.toString).toSeq
+        assert(on == off, s"V2 rule changed results for $name")
+      } finally {
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+        spark.conf.set("spark.graft.schemaOnRead.enabled", "true")
+      }
+    }
+  }
 }
