@@ -745,6 +745,62 @@ object Queries {
           FROM documents)
         GROUP BY 1, 2 ORDER BY lang, split""")),
 
+    // ---- Text pipeline: END-TO-END composition — quality filter →
+    //      exact-dedup survivors → deterministic split → per-split stats.
+    //      The shape of a real training-data job; every stage is an
+    //      operator proven individually above. ----
+    QueryDef(
+      "t08_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val dq = graft.operators.TextAnalysis
+          .withQuality(t(s, dir, "documents"), "text")
+          .filter($"n_tokens" >= 5 && $"quality_score" >= 1.5)
+        val keep = graft.operators.Dedup
+          .exactGroups(t(s, dir, "documents"), "text", "doc_id")
+          .select($"keep_id")
+        dq.join(keep, dq("doc_id") === keep("keep_id"))
+          .select($"doc_id",
+            graft.operators.TextAnalysis.splitAssign($"doc_id").as("split"),
+            $"quality_score")
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"quality_score".cast(DecimalType(18, 8))).cast(DoubleType).as("sum_q"))
+          .orderBy($"split")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+          FROM documents),
+        c AS (
+          SELECT doc_id, count(*) AS n_tokens,
+            count(*) FILTER (tk IN ('the','and','of','to','a','in','is','that')) AS sw
+          FROM tok GROUP BY doc_id),
+        feat AS (
+          SELECT d.doc_id, c.n_tokens,
+            CAST(sw AS DOUBLE) / c.n_tokens AS stopword_ratio,
+            CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(d.text) AS alpha_ratio
+          FROM documents d JOIN c USING (doc_id) WHERE length(d.text) > 0),
+        scored AS (
+          SELECT doc_id, n_tokens,
+            stopword_ratio * 2.0 + alpha_ratio +
+              (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END) AS quality_score
+          FROM feat),
+        keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+        sel AS (
+          SELECT s.doc_id, s.quality_score FROM scored s
+          JOIN keep ON s.doc_id = keep.keep_id
+          WHERE s.n_tokens >= 5 AND s.quality_score >= 1.5),
+        sp AS (
+          SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split, quality_score
+          FROM (SELECT doc_id, quality_score,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+            FROM sel))
+        SELECT split, count(*) AS n_docs,
+          CAST(SUM(CAST(quality_score AS DECIMAL(18,8))) AS DOUBLE) AS sum_q
+        FROM sp GROUP BY split ORDER BY split""")),
+
     // ---- Dedup: exact fingerprint groups ----
     QueryDef(
       "d01_exact_dedup",
