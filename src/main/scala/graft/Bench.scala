@@ -15,7 +15,8 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { n =>
       try graft.queries.Queries.t(spark, sfDir, n).count()
-      catch { case e: Throwable => System.err.println(s"[bench] warm $n: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm $n: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of two runs: the second avoids first-touch scan/codegen noise.

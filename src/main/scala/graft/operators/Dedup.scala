@@ -276,6 +276,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist() // the result's lineage is truncated — edges are done
+    // unconverged labels under-merge (a component keeps several ids) —
+    // returning them silently would let duplicates through downstream
+    require(converged,
+      s"connected components did not converge in $maxIter rounds " +
+        "(component diameter > 2^maxIter?) — raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

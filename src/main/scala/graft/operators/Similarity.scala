@@ -127,9 +127,12 @@ object Similarity {
     * single machine; `blockSize` trades shuffle replication against
     * per-group memory and parallelism (B(B+1)/2 independent tasks).
     *
-    * `blockSize <= 0` (default) auto-sizes: B = clamp(n/512, 1, 64) —
-    * enough groups to occupy a cluster on small corpora while capping
-    * per-row replication (= B copies) at 64 on large ones.
+    * `blockSize <= 0` (default) auto-sizes the block length to
+    * clamp(n/64, 512, 65536): small corpora get ≥64 groups for
+    * parallelism, and per-task state stays ≤ 2·65536 vectors no matter
+    * the corpus — beyond ~4M rows the replication factor B grows instead
+    * of the per-task footprint (exact all-pairs is O(N²) compute at that
+    * point regardless; the memory guarantee is what must not break).
     */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, blockSize: Int = 0): DataFrame = {
@@ -142,9 +145,10 @@ object Similarity {
     // cost a full dataset copy to save a read that is negligible next to
     // the O(N²) scoring this operator exists for
     val n = base.count()
-    val nBlocks =
-      if (blockSize > 0) math.max(1L, (n + blockSize - 1) / blockSize).toInt
-      else math.max(1L, math.min((n + 511) / 512, 64L)).toInt
+    val effBlock: Long =
+      if (blockSize > 0) blockSize.toLong
+      else math.min(65536L, math.max(512L, n / 64))
+    val nBlocks = math.max(1L, (n + effBlock - 1) / effBlock).toInt
     val replicated = base
       .withColumn("b", pmod(hash(col("id")), lit(nBlocks)).cast("int"))
       // every (i, j) pair-group this row's block joins; array_union drops

@@ -817,7 +817,11 @@ object Queries {
       "d02_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        graft.operators.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        // uncapped here: the oracle SQL models no df cap, and an oracle
+        // query must match it at ANY scale factor — the production-default
+        // cap path has its own bounded-output spec
+        graft.operators.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5,
+            maxDf = Int.MaxValue)
           .orderBy($"id1", $"id2")
       },
       Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
@@ -838,7 +842,8 @@ object Queries {
       "d03_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        graft.operators.Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+            bucketCap = Int.MaxValue) // uncapped: must match the cap-free oracle at any sf
           .orderBy($"id1", $"id2")
       },
       Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
@@ -860,7 +865,8 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val pairs = graft.operators.Dedup
-          .minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+          .minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+            bucketCap = Int.MaxValue) // uncapped: oracle models no cap
         graft.operators.Dedup.duplicateClusters(pairs)
           .groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
           .orderBy($"cluster_id")

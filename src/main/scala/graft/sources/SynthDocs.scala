@@ -104,7 +104,11 @@ private class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
       case GreaterThanOrEqual("doc_id", v) => num(v).exists { n => lo = math.max(lo, n); true }
       case LessThan("doc_id", v) => num(v).exists { n => hi = math.min(hi, n); true }
       case LessThanOrEqual("doc_id", v) => num(v).exists { n => hi = math.min(hi, inc(n)); true }
-      case EqualTo("lang", v: String) => langEq = Some(v); true
+      // a SECOND, different lang equality must stay residual — accepting
+      // both while enforcing only one would return wrong (non-empty)
+      // results for a contradictory conjunction
+      case EqualTo("lang", v: String) =>
+        if (langEq.forall(_ == v)) { langEq = Some(v); true } else false
       case And(l, r) => accept(l) && accept(r) // both enforced → the conjunction is
       case _ => false
     }

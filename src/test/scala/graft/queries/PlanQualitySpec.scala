@@ -74,10 +74,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q44 top-k aggregator combines partially map-side (no window sort)") {
     val p = plan("q44_topk_per_key")
-    assert(p.contains("partial_topkagg") || p.contains("partial_"), p.take(2000))
+    // the UDAF itself must plan as a partial+final ObjectHashAggregate
+    // pair — a generic partial_count elsewhere must not satisfy this
+    val aggLines = p.linesIterator.filter(l =>
+      l.contains("ObjectHashAggregate") && l.contains("Aggregators")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"no partial top-k aggregate:\n${aggLines.mkString("\n")}")
+    assert(aggLines.exists(l => !l.contains("partial_")),
+      s"no final top-k aggregate:\n${aggLines.mkString("\n")}")
     // the point of the aggregator: per-key O(k) state, not a per-partition
     // window sort over every row
     assert(!p.contains("RunningWindowFunction"), p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
   }
 
   test("q37 full-outer join is a sort-merge join, never a nested loop") {
