@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+// (exact-gap boundary semantics are pinned in "sessionize: a gap of
+// exactly gapSec stays one session" below — Spark's session_window and
+// the lag-based formulation agree, both split only on STRICTLY greater)
 class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -51,5 +54,23 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val left = spark.createDataFrame(Seq((1L, ts(1), "L"))).toDF("k", "t", "tag")
     val right = spark.createDataFrame(Seq((1L, ts(2), 7))).toDF("k", "rt", "p")
     assert(TemporalJoins.asOf(left, right, "k", "t", "rt", Seq("p")).count() == 0)
+  }
+
+  test("sessionize: a gap of exactly gapSec stays one session (all three paths)") {
+    import org.apache.spark.sql.functions._
+    // 10:00 and 10:10 with gap 600s: boundary is INCLUSIVE everywhere
+    val df = spark.createDataFrame(Seq((1L, ts(0)), (1L, ts(10)))).toDF("user_id", "ts")
+    val lagBased = TemporalJoins.sessionize(df, "user_id", "ts", 600L)
+      .select(col("session_id")).distinct().count()
+    assert(lagBased == 1, "lag-based sessionize split at the exact gap")
+    val windowed = df.groupBy(col("user_id"), session_window(col("ts"), "600 seconds"))
+      .count().count()
+    assert(windowed == 1, "session_window split at the exact gap")
+    // one microsecond beyond the gap starts a new session
+    val over = df.withColumn("ts",
+      when(col("ts") === ts(10), col("ts") + expr("INTERVAL 0.000001 SECONDS"))
+        .otherwise(col("ts")))
+    assert(TemporalJoins.sessionize(over, "user_id", "ts", 600L)
+      .select(col("session_id")).distinct().count() == 2)
   }
 }
