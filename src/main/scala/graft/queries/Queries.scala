@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+/** Typed row for the Dataset[T] API query (q53). */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
 /** One named query shape with its DuckDB oracle (None → rows-only check).
   *
   * Conventions that keep the driver's hash-compare honest:
@@ -1434,6 +1437,74 @@ object Queries {
         FROM region CROSS JOIN (SELECT n_nationkey, n_name FROM nation
                                 WHERE n_nationkey < 5) n
         ORDER BY r_regionkey, n_nationkey""")),
+
+    // ---- Left-outer join with null-side aggregation ----
+    QueryDef(
+      "q51_left_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val og = t(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"),
+            max($"o_totalprice").as("max_price"))
+        c.join(og, $"c_custkey" === $"o_custkey", "left_outer")
+          .select($"c_custkey", $"c_mktsegment",
+            coalesce($"n_big", lit(0L)).as("n_big"), $"max_price")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, coalesce(n_big, 0) AS n_big, max_price
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+          FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey""")),
+
+    // ---- unionByName with missing columns (schema evolution union) ----
+    QueryDef(
+      "q52_union_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "supplier").select($"s_suppkey".as("k"), $"s_name".as("name"),
+          $"s_acctbal".as("bal"))
+        val b = t(s, dir, "customer").filter($"c_custkey" <= 100)
+          .select($"c_custkey".as("k"), $"c_name".as("name")) // no bal column
+        a.unionByName(b, allowMissingColumns = true)
+          .select($"k", $"name", $"bal")
+          .orderBy($"name", $"k")
+      },
+      Some("""SELECT k, name, bal FROM (
+        SELECT s_suppkey AS k, s_name AS name, s_acctbal AS bal FROM supplier
+        UNION ALL BY NAME
+        SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey <= 100)
+        ORDER BY name, k""")),
+
+    // ---- Typed Dataset[T] API: case-class encoders, typed filter,
+    //      groupByKey + mapGroups (the type-safe face of the engine) ----
+    QueryDef(
+      "q53_typed_api",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .as[graft.queries.OrderRow]
+          .filter(_.o_totalprice > 100000.0)
+          .groupByKey(_.o_custkey)
+          .mapGroups { (k, it) =>
+            var n = 0L; var maxP = Double.MinValue; var minKey = Long.MaxValue
+            it.foreach { o =>
+              n += 1
+              if (o.o_totalprice > maxP) maxP = o.o_totalprice
+              if (o.o_orderkey < minKey) minKey = o.o_orderkey
+            }
+            (k, n, maxP, minKey)
+          }
+          .toDF("o_custkey", "n", "max_price", "first_order")
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price,
+        min(o_orderkey) AS first_order
+        FROM orders WHERE o_totalprice > 100000.0
+        GROUP BY o_custkey ORDER BY o_custkey""")),
 
     // ---- Multiset INTERSECT ALL (bag semantics, duplicates kept) ----
     QueryDef(
