@@ -55,13 +55,18 @@ object Streams {
       left: DataFrame, right: DataFrame,
       key: String, windowSec: Long,
       tsCol: String = "ts",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).as("l")
     val r = right.withWatermark(tsCol, watermark).as("r")
+    // outer variants emit the null-padded row only once the watermark
+    // proves no in-window partner can still arrive — supported because
+    // the condition bounds the join time range on both sides
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$tsCol") >= col(s"l.$tsCol") &&
-        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $windowSec SECONDS"))
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   /** Streaming exact dedup (the streaming twin of Dedup.exactGroups):

@@ -96,6 +96,41 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits the null row only after the watermark") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val views = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val joined = Streams.intervalJoin(
+        views.toDF().select($"user_id", $"ts"),
+        purchases.toDF().select($"user_id", $"ts", $"value".as("amount")),
+        "user_id", windowSec = 300, watermark = "1 minute", joinType = "left_outer")
+      .select(col("l.user_id"), col("l.ts").as("view_ts"), col("r.amount"))
+    val q = joined.writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    try {
+      views.addData(StreamEvent(1, ts(0), "view", 0), StreamEvent(2, ts(0), "view", 0))
+      purchases.addData(StreamEvent(1, ts(3), "purchase", 9.5))
+      q.processAllAvailable()
+      // user 1 matched; user 2's null row must NOT appear yet — a
+      // partner could still arrive within the window + watermark
+      val early = sp.table("loj").collect().map(_.getLong(0)).toSet
+      assert(early == Set(1L), s"got $early")
+      // advance the watermark well past view_ts + window on both sides
+      views.addData(StreamEvent(9, ts(30), "view", 0))
+      purchases.addData(StreamEvent(9, ts(30), "purchase", 0))
+      q.processAllAvailable()
+      views.addData(StreamEvent(9, ts(50), "view", 0))
+      purchases.addData(StreamEvent(9, ts(50), "purchase", 0))
+      q.processAllAvailable()
+      val rows = sp.table("loj").collect()
+        .filter(r => r.getLong(0) <= 2L)
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(rows == Set((1L, Some(9.5)), (2L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("out-of-order event within watermark extends a session backwards") {
     val sp = spark
     implicit val sql = sp.sqlContext
