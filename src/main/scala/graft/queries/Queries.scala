@@ -1506,6 +1506,22 @@ object Queries {
         FROM orders WHERE o_totalprice > 100000.0
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // ---- Correlated scalar subquery in the SELECT list ----
+    QueryDef(
+      "q54_select_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey,
+            (SELECT max(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_price,
+            (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey) AS n_orders
+          FROM customer_v WHERE c_custkey <= 500 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey,
+        (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price,
+        (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")),
+
     // ---- Multiset INTERSECT ALL (bag semantics, duplicates kept) ----
     QueryDef(
       "q48_intersect_all",
