@@ -1522,6 +1522,66 @@ object Queries {
         (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""")),
 
+    // ---- Map-typed column build + lookup + introspection ----
+    QueryDef(
+      "q55_map_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation")
+          .groupBy($"n_regionkey")
+          .agg(map_from_arrays(
+            collect_list($"n_name"), collect_list($"n_nationkey")).as("m"))
+          .select($"n_regionkey",
+            size($"m").as("n_entries"),
+            array_min(map_keys($"m")).as("first_key"),
+            array_max(map_values($"m")).as("max_val"))
+          .orderBy($"n_regionkey")
+      },
+      Some("""SELECT n_regionkey, CAST(len(ks) AS INTEGER) AS n_entries,
+          list_min(ks) AS first_key, list_max(vs) AS max_val
+        FROM (SELECT n_regionkey, list(n_name) AS ks, list(n_nationkey) AS vs
+              FROM nation GROUP BY n_regionkey)
+        ORDER BY n_regionkey""")),
+
+    // ---- DataFrameNaFunctions: fill + drop over join-produced nulls ----
+    QueryDef(
+      "q56_na_funcs",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+        val og = t(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+          .groupBy($"o_custkey").agg(max($"o_totalprice").as("max_price"),
+            count(lit(1)).as("n_big"))
+        c.join(og, $"c_custkey" === $"o_custkey", "left_outer")
+          .na.fill(0.0, Seq("max_price"))
+          .na.drop(Seq("c_mktsegment"))
+          .select($"c_custkey", $"max_price", $"n_big")
+          .filter($"max_price" === 0.0 || $"n_big" >= 1)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, coalesce(max_price, 0.0) AS max_price, n_big
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, max(o_totalprice) AS max_price, count(*) AS n_big
+          FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+        WHERE c_mktsegment IS NOT NULL
+          AND (coalesce(max_price, 0.0) = 0.0 OR n_big >= 1)
+        ORDER BY c_custkey""")),
+
+    // ---- LIKE / RLIKE pattern predicates ----
+    QueryDef(
+      "q57_like_rlike",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_name".like("%ge%") || $"p_type".rlike("^SM.*L$"))
+          .select($"p_partkey", $"p_name", $"p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_name LIKE '%ge%' OR regexp_matches(p_type, '^SM.*L$')
+        ORDER BY p_partkey""")),
+
     // ---- Multiset INTERSECT ALL (bag semantics, duplicates kept) ----
     QueryDef(
       "q48_intersect_all",

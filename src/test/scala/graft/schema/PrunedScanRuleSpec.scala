@@ -123,6 +123,27 @@ class PrunedScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
   }
 
+  test("rule is safe under concurrent query execution in one session") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val shapes: Seq[() => DataFrame] = Seq(
+      () => readPq.select(col("id"), col("big.keep").as("k")),
+      () => readPq.filter(col("big.keep") > 10).select(col("id")),
+      () => readPq.select(col("id"),
+        col("mapOfArray")("someKey").getItem(0).getField("val1").as("v")),
+      () => readPq.groupBy(col("big.keep") % 3).agg(count(lit(1)).as("n")))
+    val expected = withRuleOff(shapes.map(q => q().collect().toSet))
+    // 4 shapes × 4 threads each, all racing through the optimizer rule
+    val futures = (0 until 16).map { i =>
+      Future(shapes(i % 4)().collect().toSet)
+    }
+    val got = Await.result(Future.sequence(futures), 120.seconds)
+    got.zipWithIndex.foreach { case (rows, i) =>
+      assert(rows == expected(i % 4), s"thread $i diverged")
+    }
+  }
+
   test("query result schema is never altered by the rule") {
     val q = readPq.select(col("big"), col("id")) // full struct demanded at root
     assert(q.schema == withRuleOff(q.schema))
