@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every operator must degrade to an empty (or cleanly-failing) result on
+  * empty input — the shape a filtered-to-nothing partition produces in a
+  * real pipeline. */
+class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("empty-input-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+  private def emptyEvents: DataFrame =
+    spark.createDataFrame(Seq.empty[(Long, java.sql.Timestamp, Double)])
+      .toDF("user_id", "ts", "value")
+  private def emptyVecs: DataFrame =
+    spark.createDataFrame(Seq.empty[(Long, Array[Float])]).toDF("vec_id", "embedding")
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashKernel(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.duplicateClusters(
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("id1", "id2")).count() == 0)
+  }
+
+  test("temporal operators on empty inputs") {
+    assert(TemporalJoins.sessionize(emptyEvents, "user_id", "ts", 600L).count() == 0)
+    val r = emptyEvents.select(col("user_id"), col("ts").as("p_ts"),
+      col("value").as("amount"))
+    assert(TemporalJoins.range(emptyEvents, r, "user_id", "ts", "p_ts", 0L, 60L)
+      .count() == 0)
+    assert(TemporalJoins.asOf(emptyEvents, r, "user_id", "ts", "p_ts",
+      Seq("amount")).count() == 0)
+  }
+
+  test("similarity operators on an empty corpus") {
+    assert(Similarity.cosinePairsExact(emptyVecs, "vec_id", "embedding", 0.0).count() == 0)
+    assert(Similarity.knnKernel(emptyVecs, emptyVecs, 5).count() == 0)
+    assert(Similarity.annKnnKernel(emptyVecs, emptyVecs, 5).count() == 0)
+    // kmeans cannot produce a codebook from nothing — must fail loud
+    val err = intercept[IllegalArgumentException] {
+      Similarity.kmeansCodebook(emptyVecs, "vec_id", "embedding", k = 2)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
+  test("text operators and the top-k aggregator on empty input") {
+    assert(TextAnalysis.withQuality(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.repetitionStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(emptyDocs
+      .select(posexplode(TextAnalysis.chunkWindows(
+        TextAnalysis.tokens(col("text")), 32, 24))).count() == 0)
+    val topk = udaf(graft.functions.Aggregators.topK(3))
+    assert(emptyDocs.groupBy(col("doc_id"))
+      .agg(topk(lit(1.0), col("doc_id")).as("t")).count() == 0)
+  }
+}
