@@ -311,6 +311,46 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionize state survives a query restart from checkpoint") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rst-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rst-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rst-ckpt").toString
+    def append(rows: StreamEvent*): Unit =
+      rows.toSeq.toDS().write.mode("append").parquet(srcDir)
+    def start() = Streams.sessionize(
+        sp.readStream.schema(Encoders.product[StreamEvent].schema)
+          .parquet(srcDir).as[StreamEvent], gapSec = 120)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // run 1: open a session, emit nothing, stop mid-flight
+    append(StreamEvent(1, ts(1), "view", 1.0), StreamEvent(1, ts(2), "view", 2.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2 from the SAME checkpoint: the open session must have been
+    // restored from the state store, merged with new data, and closed
+    // once the watermark passes
+    append(StreamEvent(1, ts(10), "view", 4.0), StreamEvent(9, ts(40), "view", 0.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      append(StreamEvent(9, ts(55), "view", 0.0))
+      q2.processAllAvailable()
+      append(StreamEvent(9, ts(59), "view", 0.0))
+      q2.processAllAvailable()
+      val sessions = sp.read.parquet(outDir).as[SessionOut].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(sessions.contains(SessionOut(1, ts(1), ts(2), 2, 3.0)),
+        s"run-1 session lost across restart: $sessions")
+      assert(sessions.contains(SessionOut(1, ts(10), ts(10), 1, 4.0)), s"got $sessions")
+    } finally q2.stop()
+  }
+
   test("stream-to-parquet sink roundtrip (append mode, checkpointed)") {
     val sp = spark
     implicit val sql = sp.sqlContext
