@@ -18,7 +18,9 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm $n: ${e.getMessage}") }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order: run-to-run comparability, and no Map-hash
+    // accident deciding which heavy query warms (or taxes) which neighbor.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two runs: the second avoids first-touch scan/codegen noise.
       // Timing uses a noop WRITE, not count(): count() lets the optimizer
       // prune away the very projections under bench. A failed query is
@@ -36,8 +38,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full JSON both on stdout and in a file, then the headline total on its
+    // own LAST line: a tail-truncated capture still recovers the total, and
+    // the file recovers everything.
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_results.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

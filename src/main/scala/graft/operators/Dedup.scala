@@ -60,10 +60,16 @@ object Dedup {
     * exact whenever no shared shingle was capped; pairs whose overlap is
     * exclusively ubiquitous boilerplate may fall below tau — the standard,
     * deliberate trade (boilerplate overlap is noise for near-dup
-    * detection). The default is far above any document frequency in the
-    * test corpora, where results are bit-identical to the uncapped form. */
+    * detection). The DEFAULT is uncapped (exact semantics; the cap is an
+    * opt-in scaling guard), so no caller silently loses pairs; uncapped
+    * calls also skip the df-count + anti-join stages entirely.
+    *
+    * The returned frame is EAGERLY materialized (`localCheckpoint`) so the
+    * corpus-sized postings blocks can be freed before returning — pairs
+    * are output-sized, tiny by comparison. Callers holding long sessions
+    * own the returned frame's `unpersist()`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // the postings kernel (tokenize + shingle every document) feeds FOUR
     // consumers (sizes, the df cap, both self-join sides) — materialize it
     // once, with truncated lineage, instead of re-running the CPU stage
@@ -71,10 +77,14 @@ object Dedup {
     // smaller than the corpus they index.
     val inv = shinglePostings(df, idCol, textCol).localCheckpoint(true)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("s"))
-    val kept = inv.join(hot, Seq("s"), "left_anti")
-    kept.as("a").join(kept.as("b"),
+    val kept =
+      if (maxDf == Int.MaxValue) inv
+      else {
+        val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        inv.join(hot, Seq("s"), "left_anti")
+      }
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("common"))
@@ -83,6 +93,9 @@ object Dedup {
       .withColumn("jac", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("jac") >= tau)
       .select(col("id1"), col("id2"), col("jac"))
+      .localCheckpoint(true)
+    inv.unpersist() // postings done; only the output-sized result stays cached
+    pairs
   }
 
   /** MinHash+LSH candidate pairs: k-hash signature over shingles, split
@@ -97,10 +110,29 @@ object Dedup {
     * cluster, or a degenerate signature) would contribute O(bucket²)
     * candidate rows, so it is dropped whole before the self-join — the
     * standard LSH hot-bucket guard (such clusters are better handled by
-    * exact dedup upstream). Default is far above any bucket size in the
-    * test corpora, where results are bit-identical to the uncapped form. */
+    * exact dedup upstream). The DEFAULT is uncapped (the cap is an opt-in
+    * scaling guard), so no caller silently loses candidates; uncapped
+    * calls also skip the bucket-count + anti-join stages entirely.
+    *
+    * The returned frame is EAGERLY materialized (`localCheckpoint`) so the
+    * banded-signature blocks can be freed before returning — candidates
+    * are output-sized. Callers holding long sessions own the returned
+    * frame's `unpersist()`. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, r: Int = 4, bucketCap: Int = 1000): DataFrame = {
+      k: Int = 16, r: Int = 4, bucketCap: Int = Int.MaxValue): DataFrame = {
+    val (lazyCands, allBands) = minhashCandidatesLazy(df, idCol, textCol, k, r, bucketCap)
+    val cands = lazyCands.localCheckpoint(true)
+    allBands.unpersist() // signatures done; only the candidate set stays cached
+    cands
+  }
+
+  /** [[minhashCandidates]] before its final eager materialization: returns
+    * (candidates with full lineage, the checkpointed band frame the caller
+    * must unpersist after consuming them). Exists so plan-quality specs can
+    * assert the candidate join's physical shape — `localCheckpoint`
+    * truncates lineage to a `Scan ExistingRDD`, hiding the join. */
+  private[graft] def minhashCandidatesLazy(df: DataFrame, idCol: String, textCol: String,
+      k: Int, r: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     require(k % r == 0, "k must be a multiple of r")
     val mh = minhashSignatures(df, idCol, textCol, k)
     // banded signatures feed the hot-bucket cap and both self-join sides;
@@ -109,15 +141,20 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(k / r - 1)),
         b => concat_ws("|", slice(col("mh"), b * r + 1, lit(r))))).as(Seq("band", "key")))
       .localCheckpoint(true)
-    val hot = allBands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
-      .select(col("band"), col("key"))
-    val bands = allBands.join(hot, Seq("band", "key"), "left_anti")
-    bands.as("a").join(bands.as("b"),
+    val bands =
+      if (bucketCap == Int.MaxValue) allBands
+      else {
+        val hot = allBands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+          .select(col("band"), col("key"))
+        allBands.join(hot, Seq("band", "key"), "left_anti")
+      }
+    val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    (cands, allBands)
   }
 
   /** Kernel shingle postings: one (doc_id, shingle) row per distinct
@@ -246,6 +283,9 @@ object Dedup {
     * Output: (doc_id, cluster_id = min doc_id reachable). Connected docs
     * sharing no direct pair edge still cluster (A~B, B~C ⇒ {A,B,C}) —
     * exactly what pair-level dedup cannot express.
+    *
+    * The returned frame is the final round's eager checkpoint — callers
+    * holding long sessions own its `unpersist()`.
     */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
       maxIter: Int = 20): DataFrame = {
@@ -264,12 +304,23 @@ object Dedup {
       val jumped = labels.select(col("node"), col("label").as("via"))
         .join(labels.withColumnRenamed("node", "via"), Seq("via"))
         .select(col("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
-        .union(neighborLabels).union(jumped)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // Convergence detection rides the SAME aggregation that computes the
+      // new labels: each node's own previous label is tagged into the union
+      // and recovered as min(own label), and an observed metric counts the
+      // nodes whose label moved — collected during the checkpoint action
+      // itself, so each round is exactly ONE Spark job (the old formulation
+      // paid a second join+count action per round).
+      val obs = org.apache.spark.sql.Observation(s"cc-converge-$iter")
+      val next = labels.select(col("node"), col("label"), lit(true).as("own"))
+        .union(neighborLabels.select(col("node"), col("label"), lit(false).as("own")))
+        .union(jumped.select(col("node"), col("label"), lit(false).as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .select(col("node"), col("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist() // free the previous round's checkpoint blocks NOW
       labels = next
       converged = changed == 0

@@ -1324,21 +1324,42 @@ object Queries {
         FROM events ORDER BY user_id, event_id""")),
 
     // ---- Sketch aggregations (HLL++ distinct count, KLL-style quantile).
-    //      Approximate by design — no cross-engine hash oracle exists, so
-    //      the driver records the rows-only check; SketchSpec pins each
-    //      estimate against its exact twin with error bounds. ----
+    //      Estimates can't hash-match across engines, so the query emits
+    //      deterministic VERDICTS instead: the exact values (hash-matchable)
+    //      plus booleans asserting each sketch landed inside its error bound.
+    //      The sketches are order-independent (HLL register-max merge;
+    //      percentile_approx with fixed accuracy on fixed data), so the
+    //      booleans are a deterministic fact of the dataset that DuckDB
+    //      reproduces as literal TRUE. SketchSpec keeps the tighter
+    //      numeric-bound checks. ----
     QueryDef(
       "q43_approx_sketches",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "events")
           .groupBy($"event_type")
-          .agg(approx_count_distinct($"user_id").as("approx_users"),
+          .agg(
+            approx_count_distinct($"user_id", rsd = 0.05).as("approx_users"),
+            count_distinct($"user_id").as("exact_users"),
             percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"),
+            round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+            round(expr("percentile(value, 0.25)"), 4).as("p25"),
+            round(expr("percentile(value, 0.75)"), 4).as("p75"),
             count(lit(1)).as("n"))
+          .select($"event_type", $"exact_users", $"exact_median", $"n",
+            (abs($"approx_users" - $"exact_users") <=
+              lit(3 * 0.05) * $"exact_users").as("users_within_bound"),
+            ($"approx_median" >= $"p25" && $"approx_median" <= $"p75")
+              .as("median_within_bound"))
           .orderBy($"event_type")
       },
-      None),
+      Some("""SELECT event_type,
+        count(DISTINCT user_id) AS exact_users,
+        round(quantile_cont(value, 0.5), 4) AS exact_median,
+        count(*) AS n,
+        TRUE AS users_within_bound,
+        TRUE AS median_within_bound
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- Per-key top-k via bounded-heap UDAF (map-side partial combine;
     //      no full sort / window buffer — O(k) state per key everywhere).

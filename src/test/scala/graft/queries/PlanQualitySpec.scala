@@ -55,9 +55,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d03 LSH candidate join is an equi join on (band, key)") {
-    val p = plan("d03_minhash_lsh")
-    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the public minhashCandidates checkpoints its result (truncating
+    // lineage to Scan ExistingRDD), so inspect the pre-checkpoint plan
+    val docs = Queries.t(spark, dir, "documents")
+    val (cands, bands) = graft.operators.Dedup
+      .minhashCandidatesLazy(docs, "doc_id", "text", 16, 4, Int.MaxValue)
+    try {
+      val p = cands.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    } finally bands.unpersist()
   }
 
   test("q26 as-of join is window-based — no nested-loop range join") {
