@@ -60,8 +60,11 @@ object PruneBench {
   }
 
   /** Physical bytes the given read schema must fetch: total compressed
-    * size of the matching column chunks across all row groups. */
-  private def requiredBytes(path: String, schema: StructType, conf: Configuration): Long = {
+    * size of the matching column chunks across all row groups. (Also used
+    * by specs — local-filesystem byte COUNTERS miss parquet's vectored
+    * column-chunk reads, so footer accounting is the reliable measure of
+    * what a scan schema costs.) */
+  private[graft] def requiredBytes(path: String, schema: StructType, conf: Configuration): Long = {
     val leaves = leafPaths(schema)
     val files = new java.io.File(path).listFiles((_, n) => n.endsWith(".parquet"))
     files.map { f =>

@@ -42,6 +42,9 @@ object TemporalJoins {
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left side")
     payload.foreach { c =>
+      require(right.columns.contains(c),
+        s"payload column $c does not exist on the right side " +
+          s"(columns: ${right.columns.mkString(", ")})")
       require(org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType),
         s"payload column $c has a non-orderable type (${right.schema(c).dataType}); " +

@@ -19,14 +19,31 @@ final case class MediaFeatures(
     checksum: String,
     h0: Long, h1: Long, h2: Long, h3: Long)
 
+/** Decoder seam for multimodal payloads: turns an encoded codec stream
+  * (JPEG, PCM, H.264 …) into decoded sample bytes. Implementations must be
+  * serializable shells — any native/heavy decoder state must be created
+  * LAZILY on the executor (real codec handles are not serializable), e.g.
+  * in a `@transient lazy val`. The environment ships only [[StubCodec]]
+  * (no media libraries in this sandbox); a real deployment swaps in a
+  * JPEG/FFmpeg-backed implementation without touching the pipeline. */
+trait MediaCodec extends Serializable {
+  /** Decode one asset's payload; `mediaType` selects the codec branch. */
+  def decode(mediaType: String, payload: Array[Byte]): Array[Byte]
+}
+
+/** Deterministic stand-in codec: passes raw bytes through unchanged. The
+  * surrounding plumbing treats the result exactly like decoded samples. */
+object StubCodec extends MediaCodec {
+  override def decode(mediaType: String, payload: Array[Byte]): Array[Byte] = payload
+}
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque binary +
   * metadata, and run decode / feature-extract / frame-sample as
   * partition-local batched passes over a typed Dataset — the shape a real
   * codec integration uses (per-partition decoder init, batched decode,
-  * columnar output). The codec itself is STUBBED deterministically (no
-  * image/audio libraries in this environment): `decodeStub` stands in for
-  * e.g. JPEG decode; everything around it — schema, encoders,
-  * partitioning, batch iteration — is real and tested.
+  * columnar output). The decode step is an explicit [[MediaCodec]]
+  * contract; everything around it — schema, encoders, partitioning,
+  * batch iteration — is real and tested against [[StubCodec]].
   */
 object Multimodal {
 
@@ -42,11 +59,6 @@ object Multimodal {
       .filter(col("media_id").isNotNull && col("payload").isNotNull)
       .as[MediaRecord]
   }
-
-  /** STUB decoder: where a real pipeline would decode the codec stream
-    * (JPEG → pixels, PCM → samples), we pass the raw bytes through. The
-    * surrounding plumbing treats the result exactly like decoded samples. */
-  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
 
   /** Deterministic "resize": truncate or zero-pad the decoded sample
     * buffer to `n` bytes (stands in for image resize / audio resample). */
@@ -64,15 +76,16 @@ object Multimodal {
     * byte histogram (byte >> 6) over the decoded payload. `batchSize`
     * bounds peak memory per partition — the same knob a real decoder
     * batch would use. */
-  def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition decoder init would go here (real codecs are not
-      // serializable; they must be constructed on the executor)
+      // the codec shell serialized here; heavy decoder state initializes
+      // lazily on the executor (MediaCodec contract)
       val digest = MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.map { rec =>
-          val decoded = decodeStub(rec.payload)
+          val decoded = codec.decode(rec.media_type, rec.payload)
           val hist = new Array[Long](4)
           var i = 0
           while (i < decoded.length) {

@@ -211,6 +211,54 @@ object Similarity {
       tau: Double, blockSize: Int = 4096): DataFrame =
     cosinePairs(corpus, idCol, vecCol, tau, blockSize)
 
+  /** LSH-bucketed near-dup pairs: bucket every vector with the broadcast
+    * random-hyperplane matrix, equi-join on bucket (id1 < id2), rerank
+    * candidates with the exact cosine kernel, keep cs >= tau. Approximate
+    * by construction — pairs split across buckets are missed (P[miss]
+    * shrinks with cosine: a pair at angle θ collides with probability
+    * (1 − θ/π)^planes) — but the join is an equi-join on bucket, so
+    * shuffle ∝ bucket collisions, never N². The sub-quadratic embedding
+    * analogue of [[Dedup.minhashCandidates]]. */
+  def lshCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sb = sp.sparkContext.broadcast(signMatrix(planes, dims))
+    val withBucket = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val sg = sb.value
+        it.map { case (id, v) => (id, v, bucketOf(v, sg)) }
+      }.toDF("id", "v", "bucket")
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("a.v").as("v1"),
+        col("b.id").as("id2"), col("b.v").as("v2"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id1, v1, id2, v2) =>
+        val cs = cosineKernel(v1, v2)
+        if (cs >= tau) Iterator.single((id1, id2, cs)) else Iterator.empty
+      })
+      .toDF("id1", "id2", "cs")
+  }
+
+  /** Near-duplicate pairs (cosine >= tau) with AUTOMATIC routing, so the
+    * O(N²)-compute exact path is opt-in by corpus size rather than the
+    * default: corpora at or below `exactMaxRows` go through the exact
+    * block-grid [[cosinePairs]] (every pair scored); larger corpora go
+    * through [[lshCosinePairs]] (sub-quadratic candidates + exact rerank).
+    * Both routes emit the same (id1, id2, cs) schema with id1 < id2 and
+    * kernel-exact rounded-6 scores, so the routing changes recall at
+    * scale, never the scoring contract. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      exactMaxRows: Long = 100000, planes: Int = 8, dims: Int = 64): DataFrame = {
+    // count on the pruned (id) projection — negligible next to scoring
+    val n = corpus.select(col(idCol)).filter(col(idCol).isNotNull).count()
+    if (n <= exactMaxRows) cosinePairs(corpus, idCol, vecCol, tau)
+    else lshCosinePairs(corpus, idCol, vecCol, tau, planes, dims)
+  }
+
   /** Exact top-k with the query side broadcast and the scoring loop in
     * the kernel; ranking stays a relational window. */
   def knnKernel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -756,13 +756,18 @@ object Queries {
       "t08_pipeline",
       (s, dir) => {
         import s.implicits._
-        val dq = graft.operators.TextAnalysis
+        // ONE scan of documents: quality is a pure function of text, so an
+        // exact-dup group passes or fails the filter as a unit and its
+        // keeper (min doc_id over the full group) equals min doc_id over
+        // the filtered group — the dedup join collapses into the same
+        // fingerprint aggregation (hash agg, map-side combine), replacing
+        // the old second scan + broadcast join.
+        val kept = graft.operators.TextAnalysis
           .withQuality(t(s, dir, "documents"), "text")
           .filter($"n_tokens" >= 5 && $"quality_score" >= 1.5)
-        val keep = graft.operators.Dedup
-          .exactGroups(t(s, dir, "documents"), "text", "doc_id")
-          .select($"keep_id")
-        dq.join(keep, dq("doc_id") === keep("keep_id"))
+          .groupBy(md5($"text").as("fp"))
+          .agg(min($"doc_id").as("doc_id"), min($"quality_score").as("quality_score"))
+        kept
           .select($"doc_id",
             graft.operators.TextAnalysis.splitAssign($"doc_id").as("split"),
             $"quality_score")

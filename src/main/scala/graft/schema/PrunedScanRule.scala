@@ -55,7 +55,14 @@ object PlanRewriter {
         plan
       } else if (sameSchema(out.schema, plan.schema)) out
       else plan
-    } catch { case NonFatal(_) => plan }
+    } catch {
+      case NonFatal(e) =>
+        if (sys.env.contains("GRAFT_DEBUG")) {
+          println("=== rewrite abandoned by exception ===")
+          e.printStackTrace()
+        }
+        plan
+    }
   }
 
   private def sameSchema(a: StructType, b: StructType): Boolean =
@@ -98,6 +105,11 @@ object PlanRewriter {
                 .map(rewriteRelationV2(d, ft, _)).getOrElse(d)
             case _ => d
           }
+        case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          // keyed by catalog identity — Hive tables expose no file list at
+          // analysis time (mirrors SchemaOnRead.walk)
+          narrowed.get(RelationKey(Vector("catalog:" + h.tableMeta.qualifiedName)))
+            .map(rewriteHiveRelation(h, _)).getOrElse(h)
         case node =>
           val mapped = node.mapExpressions(rewriteExpr)
           mapped match {
@@ -183,6 +195,34 @@ object PlanRewriter {
         }
       }
       d.copy(table = newTable, output = newOutput.toIndexedSeq)
+    }
+
+    /** Hive-format catalog tables: narrow `tableMeta.schema`'s data side
+      * (the serde derives its read schema from it) and the matching
+      * `dataCols`, keeping partition columns whole — the Hive analogue of
+      * [[rewriteRelation]]. Fail-open as everywhere: a non-narrowable
+      * shape returns the relation unchanged, and `prune()`'s result-schema
+      * guard abandons any rewrite that would change visible output. */
+    private def rewriteHiveRelation(
+        h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation,
+        pruned: StructType): LogicalPlan = {
+      val partNames = h.tableMeta.partitionColumnNames.toSet
+      val dataColNames = h.dataCols.map(_.name)
+      val newDataFields = pruned.fields.toSeq
+        .filter(f => !partNames.exists(resolver(_, f.name)))
+        .filter(f => dataColNames.exists(resolver(_, f.name)))
+      if (newDataFields.isEmpty) return h
+      val newMeta = h.tableMeta.copy(schema =
+        StructType(newDataFields ++ h.tableMeta.partitionSchema.fields))
+      val newDataCols = h.dataCols.flatMap { a =>
+        newDataFields.find(f => resolver(f.name, a.name)).map { f =>
+          val na = AttributeReference(a.name, f.dataType, f.nullable, a.metadata)(
+            a.exprId, a.qualifier)
+          if (na.dataType != a.dataType) idMap(a.exprId) = na
+          na
+        }
+      }
+      h.copy(tableMeta = newMeta, dataCols = newDataCols)
     }
 
     /** Generator output attribute types derive from the (possibly

@@ -42,22 +42,30 @@ final class SchemaOnReadResult private[schema] (
     val schemas: Map[RelationKey, StructType],
     val fullSchemas: Map[RelationKey, StructType],
     val viewRelations: Map[String, RelationKey],
+    val tableRelations: Map[String, RelationKey],
     private[schema] val qualify: PathQualifier,
     val durationNanos: Long) {
 
   /** Pruned schema for the relation reading exactly these paths (any order,
-    * duplicates ignored; must be the relation's expanded input files). */
+    * duplicates ignored; must be the relation's expanded input files — or,
+    * for a streaming relation, the source directory paths as given to
+    * `readStream`). */
   def schemaFor(paths: String*): Option[StructType] =
     scala.util.Try(qualify(paths.distinct)).toOption.flatMap(schemas.get)
 
-  /** Pruned schema for a relation registered under a temp-view alias. */
+  /** Pruned schema for a relation registered under a temp-view alias.
+    * Falls back to table bindings so either lookup resolves a name used
+    * only one way; when a temp view SHADOWS a catalog table name, each
+    * accessor prefers its own namespace (the two maps are kept separate
+    * precisely so one binding cannot overwrite the other). */
   def schemaForView(name: String): Option[StructType] =
-    viewRelations.get(name).flatMap(schemas.get)
+    viewRelations.get(name).orElse(tableRelations.get(name)).flatMap(schemas.get)
 
   /** Pruned schema for a catalog table read via `spark.table(...)` /
     * `SELECT ... FROM db.t` — registered under both its bare table name
-    * and its qualified `db.table` name. */
-  def schemaForTable(name: String): Option[StructType] = schemaForView(name)
+    * and its qualified `db.table` name. Consults table bindings first. */
+  def schemaForTable(name: String): Option[StructType] =
+    tableRelations.get(name).orElse(viewRelations.get(name)).flatMap(schemas.get)
 
   def relationKeys: Set[RelationKey] = schemas.keySet
 
@@ -125,6 +133,9 @@ object SchemaOnRead {
     private val tries = mutable.LinkedHashMap.empty[RelationKey, FieldTree]
     private val fulls = mutable.LinkedHashMap.empty[RelationKey, StructType]
     private val views = mutable.LinkedHashMap.empty[String, RelationKey]
+    // catalog-table name bindings — separate from temp-view bindings so a
+    // view and a table sharing a bare name never overwrite each other
+    private val tables = mutable.LinkedHashMap.empty[String, RelationKey]
     private val uppermost = mutable.Set.empty[LogicalPlan]
     private val cteLineage = mutable.Map.empty[Long, Seq[Refs]]
     private var lastRelation: Option[RelationKey] = None
@@ -241,10 +252,10 @@ object SchemaOnRead {
       * register its key under both the bare and qualified identifiers so
       * [[SchemaOnReadResult.schemaForTable]] resolves either spelling. */
     private def registerTable(ct: CatalogTable, key: RelationKey): Unit = {
-      views.update(ct.identifier.table, key)
+      tables.update(ct.identifier.table, key)
       ct.identifier.database.foreach(db =>
-        views.update(s"$db.${ct.identifier.table}", key))
-      views.update(ct.qualifiedName, key) // may add a catalog prefix
+        tables.update(s"$db.${ct.identifier.table}", key))
+      tables.update(ct.qualifiedName, key) // may add a catalog prefix
     }
 
     private def walk(plan: LogicalPlan): Lineage = plan match {
@@ -274,12 +285,40 @@ object SchemaOnRead {
         d.table match {
           case ft: FileTable =>
             val key = qualifyKey(ft.fileIndex.inputFiles.toSeq)
+            // V2 identifiers come from catalog resolution — table namespace
             d.identifier.foreach { id =>
-              views.update(id.name, key)
-              views.update((id.namespace :+ id.name).mkString("."), key)
+              tables.update(id.name, key)
+              tables.update((id.namespace :+ id.name).mkString("."), key)
             }
             relationLineage(key, ft.schema, d.output)
           case _ => opaque(d.output)
+        }
+
+      // Streaming file sources: no finite file listing exists (the
+      // directory grows), so the relation's identity is its user-supplied
+      // path set, filesystem-qualified like batch file lists. The pruned
+      // schema is applied by the USER via `readStream.schema(pruned)` —
+      // the narrowing then rides the source itself into every microbatch,
+      // independent of per-batch optimizer pruning.
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+        // DataStreamReader passes the directory via options("path"), not
+        // the DataSource paths list
+        val opts = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(sr.dataSource.options)
+        val paths = sr.dataSource.paths ++ opts.get("path")
+        if (paths.isEmpty) opaque(sr.output)
+        else relationLineage(qualifyKey(paths),
+          StructType(sr.output.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata))),
+          sr.output)
+
+      case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+        sr.table match {
+          case ft: FileTable =>
+            // root paths, not the (growing) expanded file list — the
+            // stream's identity is its directory set
+            relationLineage(qualifyKey(ft.fileIndex.rootPaths.map(_.toString)),
+              ft.schema, sr.output)
+          case _ => opaque(sr.output) // rate/memory/kafka: nothing to prune
         }
 
       case _: LocalRelation | _: OneRowRelation =>
@@ -314,7 +353,12 @@ object SchemaOnRead {
             if (relationNodes.length == 1) lastRelation else None
           case _ => None
         }
-        bound.foreach(views.update(s.identifier.name, _))
+        // a qualified alias (e.g. spark_catalog.default.t wrapping a
+        // catalog-table read) is a TABLE spelling — binding it into the
+        // view namespace would let it overwrite a temp view sharing the
+        // bare name (walk order would win)
+        val target = if (s.identifier.qualifier.nonEmpty) tables else views
+        bound.foreach(target.update(s.identifier.name, _))
         lin
 
       case p: Project =>
@@ -506,7 +550,8 @@ object SchemaOnRead {
           }
         key -> pruned
       }.toMap
-      new SchemaOnReadResult(schemas, fulls.toMap, views.toMap, qualifier, durationNanos)
+      new SchemaOnReadResult(schemas, fulls.toMap, views.toMap, tables.toMap,
+        qualifier, durationNanos)
     }
 
     /** Fail-open: any analysis error yields full schemas for every
@@ -525,7 +570,8 @@ object SchemaOnRead {
           Some(RelationKey(Vector("catalog:" + h.tableMeta.qualifiedName)) ->
             h.tableMeta.schema)
       }.flatten.toMap
-      new SchemaOnReadResult(found, found, views.toMap, qualifier, durationNanos)
+      new SchemaOnReadResult(found, found, views.toMap, tables.toMap,
+        qualifier, durationNanos)
     }
   }
 }

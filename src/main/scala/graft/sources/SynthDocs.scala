@@ -90,8 +90,16 @@ private class SynthDocsScanBuilder(rows: Long, partitions: Int, seed: Long)
     * exact-semantics predicates are accepted; everything else is left for
     * Spark to evaluate post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Only integral-exact bounds may be accepted: an accepted filter is
+    // never re-checked by Spark, and truncating e.g. doc_id > 10.5 to
+    // lo=11 vs doc_id >= 10.5 to lo=10 silently changes semantics. Spark
+    // usually unwraps casts so pushed literals arrive integral, but the
+    // source must not RELY on that — fractional values stay residual.
     def num(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Long => Some(n.longValue())
       case _ => None
     }
     // saturating +1: a bound at Long.MaxValue must not wrap to MinValue —

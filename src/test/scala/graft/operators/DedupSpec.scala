@@ -100,6 +100,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked == whole)
   }
 
+  test("nearDupPairs routes by corpus size; both routes agree on the near-dups") {
+    // 10 near-orthogonal base directions (one dominant dim each) + 5
+    // scaled duplicates: every pair at tau=0.95 is an identical-direction
+    // pair (cs = 1.0), which the LSH route can never split across buckets
+    // (same signs on every hyperplane); cross pairs score « tau either way
+    val base = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        if (d == i) 10.0f else ((i * 7 + d * 3) % 5 - 2) * 0.1f))
+    }
+    val dups = (0 until 5).map { i =>
+      ((100 + i).toLong, base(i)._2.map(_ * 1.5f))
+    }
+    val vecs = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.95))
+    assert(exact.size == 5 && exact.values.forall(_ == 1.0))
+    // small corpus → exact route
+    val small = pairs(Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95))
+    assert(small == exact)
+    // force the "large corpus" LSH route (threshold 0) → same pairs
+    val large = pairs(Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95,
+      exactMaxRows = 0, dims = 16))
+    assert(large == exact)
+  }
+
   test("df cap bounds the jaccard join; bucket cap bounds the LSH join") {
     val boiler = "the quick brown fox jumps over"
     // 22 docs sharing only boilerplate shingles + one true near-dup pair

@@ -50,6 +50,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.checksum == expected)
   }
 
+  test("a custom MediaCodec flows through extraction (decode is a real seam)") {
+    // a codec that "decodes" by reversing bytes for images only — if the
+    // seam were dead code, checksums/histograms would match the stub's
+    object ReverseImageCodec extends MediaCodec {
+      override def decode(mediaType: String, payload: Array[Byte]): Array[Byte] =
+        if (mediaType == "image") payload.reverse else payload
+    }
+    val stub = Multimodal.extractFeatures(mediaDF).collect().map(f => f.media_id -> f).toMap
+    val rev = Multimodal.extractFeatures(mediaDF, codec = ReverseImageCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    val img = mediaDF.filter(col("media_type") === "image")
+      .select(col("media_id")).collect().map(_.getLong(0))
+    // audio untouched; image checksums differ (payloads >1 byte, non-palindromic)
+    assert(rev.keySet == stub.keySet)
+    assert(rev.filterNot(kv => img.contains(kv._1)) ==
+      stub.filterNot(kv => img.contains(kv._1)))
+    assert(img.exists(id => rev(id).checksum != stub(id).checksum))
+    // histograms are order-invariant — reversal must preserve them
+    assert(img.forall(id => (rev(id).h0, rev(id).h1, rev(id).h2, rev(id).h3) ==
+      (stub(id).h0, stub(id).h1, stub(id).h2, stub(id).h3)))
+  }
+
   test("frame sampling windows the decoded buffer deterministically") {
     val buf = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.sampleFrames(buf, frameSize = 10, stride = 30)

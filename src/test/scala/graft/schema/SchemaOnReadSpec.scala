@@ -798,4 +798,30 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
         st(fld("struct", st(fld("col1", LongType), fld("col2", LongType)))))
     } finally spark.sql("DROP TABLE IF EXISTS graft_cat_t")
   }
+
+  test("temp view shadowing a catalog table name: each namespace resolves its own") {
+    parquetDF.write.mode("overwrite")
+      .option("path", s"$dir/cat-shadow").saveAsTable("graft_shadow")
+    try {
+      // a temp view with the SAME bare name over a DIFFERENT relation
+      jsonDF.createOrReplaceTempView("graft_shadow")
+      // touch BOTH: the view via its bare name (temp views win resolution),
+      // the table via its qualified identifier
+      val viewSide = spark.table("graft_shadow").select(col("struct.col1").as("a"))
+      val tableSide = spark.table("default.graft_shadow").select(col("someStr").as("b"))
+      val res = SchemaOnRead.generate(
+        viewSide.crossJoin(tableSide).queryExecution.analyzed, spark)
+      // schemaForView → the json view relation; schemaForTable → parquet
+      // table — the bindings must not overwrite each other
+      assertSchema(res.schemaForView("graft_shadow"),
+        st(fld("struct", st(fld("col1", LongType)))))
+      assertSchema(res.schemaForTable("graft_shadow"),
+        st(fld("someStr", StringType)))
+      assertSchema(res.schemaForTable("default.graft_shadow"),
+        st(fld("someStr", StringType)))
+    } finally {
+      spark.catalog.dropTempView("graft_shadow")
+      spark.sql("DROP TABLE IF EXISTS graft_shadow")
+    }
+  }
 }

@@ -410,4 +410,75 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(finalRows.contains(SessionOut(1, ts(10), ts(10), 1, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming file source prunes to touched leaves via the generated schema") {
+    import org.apache.spark.sql.types.StructType
+    import graft.schema.SchemaOnRead
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-prune").toString
+    // nested input with fat UNTOUCHED columns — md5 chains, so the parquet
+    // chunks are incompressible and the bytes-read delta is unmissable
+    val junk = "concat_ws('', transform(sequence(1, 16), " +
+      "i -> md5(concat(cast(id as string), '_', cast(i as string)))))"
+    spark.range(0, 5000).selectExpr(
+      "id",
+      s"named_struct('keep', id, 'drop1', $junk, 'drop2', $junk) as big",
+      s"concat($junk, $junk) as payload")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val fullSchema: StructType = spark.read.parquet(s"$dir/in").schema
+
+    def streamQuery(schema: StructType) =
+      spark.readStream.schema(schema).parquet(s"$dir/in")
+        .filter(col("big.keep") % 2 === 0)
+        .select(col("id"), col("big.keep").as("k"))
+
+    // generate from the STREAMING plan: the relation keys by its directory
+    val res = SchemaOnRead.generate(streamQuery(fullSchema).queryExecution.analyzed, spark)
+    val pruned = res.schemaFor(s"$dir/in")
+    assert(pruned.isDefined, s"stream relation not analyzed: ${res.relationKeys}")
+    assert(pruned.get.fieldNames.toSeq.sorted == Seq("big", "id"),
+      s"payload not dropped: ${pruned.get.toDDL}")
+    assert(pruned.get.find(_.name == "big").get.dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("keep"), s"big not narrowed: ${pruned.get.toDDL}")
+
+    // run the same stream with the full vs generated schema, compare
+    // results AND the input bytes each microbatch scan requires. Bytes are
+    // footer-accounted (compressed size of the column chunks the scan's
+    // requiredSchema touches) — local-FS byte counters miss parquet's
+    // vectored column-chunk reads entirely, so they can't tell a full
+    // scan from a pruned one. Built-in nested pruning is disabled for
+    // both runs to isolate what the SOURCE schema alone delivers.
+    def run(name: String, schema: StructType): (Set[(Long, Long)], Long) = {
+      val q = streamQuery(schema).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val scanSchemas =
+        try {
+          q.processAllAvailable()
+          // lastExecution is private[sql] — reflect to reach the microbatch
+          // QueryExecution (public API type) without living in spark's package
+          val se = q.getClass.getMethod("streamingQuery").invoke(q)
+          se.getClass.getMethod("lastExecution").invoke(se)
+            .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+            .executedPlan.collect {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema
+            }
+        } finally q.stop()
+      assert(scanSchemas.nonEmpty, s"$name: no file scan in the microbatch plan")
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bytes = graft.PruneBench.requiredBytes(s"$dir/in", scanSchemas.head,
+        spark.sessionState.newHadoopConf())
+      (rows, bytes)
+    }
+    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+    try {
+      val (fullRows, fullBytes) = run("sp_full", fullSchema)
+      val (prunedRows, prunedBytes) = run("sp_pruned", pruned.get)
+      assert(prunedRows == fullRows, "pruned-schema stream changed results")
+      assert(fullRows.size == 2500)
+      // id+keep vs id+whole big (md5 junk): the reduction must be drastic
+      assert(prunedBytes < fullBytes / 10,
+        s"pruned stream scan not materially narrower: $prunedBytes vs $fullBytes")
+    } finally spark.conf.unset("spark.sql.optimizer.nestedSchemaPruning.enabled")
+  }
 }
