@@ -270,6 +270,43 @@ object Dedup {
     }
   }
 
+  /** SimHash near-duplicate pairs: all (id1 < id2) with Hamming distance
+    * between 32-bit simhashes <= `maxHamming`, found WITHOUT the doc×doc
+    * cross product. The 32-bit hash is split into `bands` equal slices;
+    * by pigeonhole, two hashes within `maxHamming < bands` bit flips
+    * share at least one identical slice, so an equi-join on (band, slice
+    * key) finds EVERY qualifying pair — recall 1.0 by construction, not
+    * probabilistic like MinHash banding. Shuffle is bands×docs rows; the
+    * Hamming verify (`bit_count(xor)`) is codegen'd scalar math.
+    * Output: (id1, id2, hamming).
+    *
+    * Deliberately NOT eagerly materialized (unlike jaccard/minhash): the
+    * pair set can rival the banded input in size (hamming is a coarse
+    * 32-bit signal), so a checkpoint would pay a full extra
+    * materialize-then-reread pass over the output — measured slower than
+    * recomputing the cheap per-doc simhash kernel for the second join
+    * side. No cached blocks linger, either. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 32 % bands == 0, "bands must divide 32")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands): " +
+        "a pair may differ in every band otherwise")
+    val width = 32 / bands
+    val sh = simhashKernel(df, idCol, textCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair shares several bands; hamming is pair-deterministic
+  }
+
   /** Duplicate CLUSTERS from candidate pairs: connected components by
     * min-label propagation WITH pointer jumping — the step that turns
     * near-dup PAIRS into canonical keep-ids. Per round, a node takes the

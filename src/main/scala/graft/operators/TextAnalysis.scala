@@ -140,6 +140,64 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg).cast("double"))
   }
 
+  /** Train/test DECONTAMINATION: (test doc, train doc) pairs whose 3-gram
+    * shingle CONTAINMENT — |shingles(test) ∩ shingles(train)| /
+    * |shingles(test)| — reaches `tau`. Containment (not Jaccard) is the
+    * standard leakage test: a short benchmark item fully embedded in a
+    * long training document scores 1.0 regardless of the train doc's
+    * size. Computed with the same inverted-index equi-join as
+    * [[Dedup.jaccardPairs]]: shuffle ∝ shingle postings, never
+    * |test|×|train|. Output: (test_id, train_id, containment).
+    *
+    * At 100 TB the test side is a benchmark suite (thousands of docs, not
+    * billions) while train is the crawl — the postings join handles that
+    * asymmetry natively, and a broadcast of the test postings is the
+    * planner's own call when the side is small enough. */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, tau: Double): DataFrame = {
+    val trainInv = Dedup.shinglePostings(train, idCol, textCol)
+      .toDF("train_id", "s")
+    val testInv = Dedup.shinglePostings(test, idCol, textCol)
+      .toDF("test_id", "s")
+    val testSizes = testInv.groupBy(col("test_id")).agg(count(lit(1)).as("n_test"))
+    testInv.join(trainInv, Seq("s"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(testSizes, Seq("test_id"))
+      .withColumn("containment", col("common").cast("double") / col("n_test"))
+      .filter(col("containment") >= tau)
+      .select(col("test_id"), col("train_id"), col("containment"))
+  }
+
+  /** Top-`k` TF-IDF terms per document: tf = term count / doc length,
+    * idf = ln(N / df) over the corpus, score rounded to 6 decimals
+    * (cross-engine reproducible), rank ties broken alphabetically. The
+    * shape is two hash aggregations (term counts, document frequencies)
+    * + a broadcast-able N + a bounded per-doc ranking window — every
+    * stage partial-aggregates map-side, nothing is ever per-corpus on
+    * one machine. Output: (doc_id, rank, term, tfidf). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val termCounts = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLens = termCounts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.select(col("doc_id")).distinct().count()
+    val scored = termCounts
+      .join(docLens, Seq("doc_id"))
+      .join(docFreq, Seq("term"))
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Kernel twin of [[dupBigramFraction]] (bit-identical, spec-enforced):
     * the per-element interpreted bigram lambda is the hot path of a
     * corpus-wide repetition scan, so it runs as a per-partition loop.

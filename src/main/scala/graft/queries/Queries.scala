@@ -809,6 +809,64 @@ object Queries {
           CAST(SUM(CAST(quality_score AS DECIMAL(18,8))) AS DOUBLE) AS sum_q
         FROM sp GROUP BY split ORDER BY split""")),
 
+    // ---- Text pipeline: train/test DECONTAMINATION — 3-gram shingle
+    //      containment of each test doc inside any train doc ----
+    QueryDef(
+      "t09_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+        graft.operators.TextAnalysis.contaminationPairs(
+            docs.filter($"split" === "train"), docs.filter($"split" === "test"),
+            "doc_id", "text", tau = 0.2)
+          .orderBy($"test_id", $"train_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+                FROM tok WHERE len(tk) >= 3),
+        sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                 CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) % 100 AS b
+                 FROM documents)),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        tst AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'test'),
+        trn AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'train'),
+        ts AS (SELECT doc_id, count(*) AS n_test FROM tst GROUP BY doc_id),
+        com AS (SELECT tst.doc_id AS test_id, trn.doc_id AS train_id, count(*) AS common
+                FROM tst JOIN trn ON tst.s = trn.s GROUP BY 1, 2)
+        SELECT test_id, train_id, CAST(common AS DOUBLE) / n_test AS containment
+        FROM com JOIN ts ON com.test_id = ts.doc_id
+        WHERE CAST(common AS DOUBLE) / n_test >= 0.2
+        ORDER BY test_id, train_id""")),
+
+    // ---- Text pipeline: top-3 TF-IDF terms per document ----
+    QueryDef(
+      "t10_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents),
+        tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1),
+        dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+        sc AS (SELECT tc.doc_id, tc.term,
+                round((CAST(cnt AS DOUBLE) / len) * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+               FROM tc JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd),
+        rk AS (SELECT doc_id, term, tfidf,
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+                  AS INTEGER) AS rank
+               FROM sc)
+        SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3
+        ORDER BY doc_id, rank""")),
+
     // ---- Dedup: exact fingerprint groups ----
     QueryDef(
       "d01_exact_dedup",
@@ -917,6 +975,33 @@ object Queries {
                  CAST(sum(CASE WHEN 2*c1 >= n THEN CAST(power(2,b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
                FROM bits JOIN nb USING (doc_id) GROUP BY bits.doc_id)
         SELECT doc_id, simhash FROM sh ORDER BY doc_id""")),
+
+    // ---- Dedup: SimHash near-dup pairs via banded index join (recall
+    //      1.0 by pigeonhole: hamming<=3 < 4 bands ⇒ one band matches;
+    //      the oracle verifies against the brute-force all-pairs form) ----
+    QueryDef(
+      "d07_simhash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 3, bands = 4)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),'[a-z0-9]+'))) AS t
+               FROM documents WHERE len(regexp_extract_all(lower(text),'[a-z0-9]+')) >= 1),
+        h AS (SELECT doc_id, CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) AS h FROM tok),
+        nb AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        bits AS (SELECT doc_id, b, sum(CAST(floor(h / power(2,b)) AS BIGINT) % 2) AS c1
+                 FROM h, (SELECT unnest(range(0,32)) AS b) GROUP BY doc_id, b),
+        sh AS (SELECT bits.doc_id,
+                 CAST(sum(CASE WHEN 2*c1 >= n THEN CAST(power(2,b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits JOIN nb USING (doc_id) GROUP BY bits.doc_id)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id1, id2""")),
 
     // ---- Dedup: embedding-cosine near-duplicate pairs ----
     QueryDef(

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-3 pipeline additions: simhash-banded near-dup pairs,
+  * train/test decontamination, TF-IDF top terms. */
+class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("text-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("simhashPairs equals brute-force hamming pairs (recall 1.0 by pigeonhole)") {
+    // varied docs + a near-identical pair (one token changed out of many)
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"doc $i talks about topic${i % 7} and " +
+        s"subject${i % 5} with extra${i % 3} words number$i here")) :+
+        (100L, "the quick brown fox jumps over the lazy dog every single day") :+
+        (101L, "the quick brown fox jumps over the lazy cat every single day")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute force: all pairs of kernel simhashes within hamming 3
+    val hs = Dedup.simhashKernel(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- hs; (i2, h2) <- hs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield ((i1, i2), d)).toMap
+    assert(banded == brute)
+    // bands that can't guarantee recall are rejected loudly
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+  }
+
+  test("contaminationPairs finds planted test-in-train leakage, containment exact") {
+    val benchmark = "which planet is closest to the sun mercury of course"
+    val train = spark.createDataFrame(Seq(
+      (1L, s"some long crawl document that quotes a benchmark $benchmark and continues talking"),
+      (2L, "completely unrelated training text about cooking pasta and olive oil recipes"),
+      (3L, "another clean document describing mountain hiking routes in detail"))
+    ).toDF("doc_id", "text")
+    val test = spark.createDataFrame(Seq(
+      (100L, benchmark),
+      (101L, "what is the boiling point of water at sea level altitude"))
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.contaminationPairs(train, test, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the benchmark item is fully embedded in train doc 1 → containment 1.0
+    assert(pairs.toSeq == Seq((100L, 1L, 1.0)))
+    // below tau nothing else surfaces; raising the bar to impossible → empty
+    assert(TextAnalysis.contaminationPairs(train, test, "doc_id", "text", 1.1).count() == 0)
+  }
+
+  test("tfidfTopTerms ranks a document's distinctive rare term first") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "common words common words xylophone"),
+      (2L, "common words common words different"),
+      (3L, "common words common words another"))
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val byDoc = top.groupBy(_._1)
+    // each doc's unique term (df=1, idf=ln 3) outranks the shared ones (idf=0)
+    assert(byDoc(1L).head._3 == "xylophone")
+    assert(byDoc(2L).head._3 == "different")
+    assert(byDoc(3L).head._3 == "another")
+    // shared terms score exactly 0 (ln(3/3)) and tie-break alphabetically
+    assert(byDoc(1L)(1)._3 == "common" && byDoc(1L)(1)._4 == 0.0)
+    // per-doc ranks are 1..k
+    assert(byDoc.values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2)))
+    // score math: unique term tf = 1/5, idf = ln(3) → round 6
+    val expected = BigDecimal(math.log(3.0) / 5.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(1L).head._4 == expected)
+  }
+
+  test("contaminationPairs and tfidfTopTerms handle empty inputs") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+    assert(TextAnalysis.contaminationPairs(empty, empty, "doc_id", "text", 0.5).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(empty, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+  }
+}

@@ -147,6 +147,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d07 simhash pair join is an equi join on (band, key)") {
+    val p = plan("d07_simhash_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t09 decontamination joins on shingles, never test×train") {
+    val p = plan("t09_decontam")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t10 tf-idf aggregations combine partially map-side") {
+    val p = plan("t10_tfidf")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = plan("q02_filter_project")
     // codegen'd stages print with a `*(n)` prefix; filter+project must be inside one
