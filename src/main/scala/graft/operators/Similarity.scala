@@ -375,6 +375,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
 
+  /** Per-group embedding centroids, fully relational: posexplode each
+    * vector to (group, dim, x), aggregate per-dimension DECIMAL sums (so
+    * the centroid is independent of partition merge order), divide by the
+    * group count, round to 6. No group's vectors ever gather on one
+    * machine — the same update-step shape as [[kmeansCodebook]], exposed
+    * as a first-class operator (mean-pooled label/cluster/user
+    * embeddings are a staple of training pipelines). Output: one row per
+    * (groupCol, dim, centroid) — reassemble with collect_list over a dim
+    * sort only when the consumer genuinely needs arrays. */
+  def embeddingCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("centroid"))
+
   /** Spherical k-means codebook trainer for the IVF index. Assignment is
     * a broadcast-codebook argmax-cosine kernel (ties to the lower cluster
     * id); the update step is fully relational — posexplode to (cluster,

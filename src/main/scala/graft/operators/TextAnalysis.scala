@@ -198,6 +198,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the classic cheap "perplexity-style" quality signal
+    * (a doc of globally rare tokens scores far below prose):
+    * score(d) = Σ_t cnt_d(t)·ln(corpusCnt(t)/totalTokens) / len(d),
+    * rounded to 6 decimals. Two partial-aggregating hash aggs (per-doc
+    * term counts, corpus term counts) + one equi-join on term; the model
+    * IS the corpus, so there are no out-of-vocabulary nulls by
+    * construction. Output: (doc_id, n_tokens, mean_logprob). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val perDoc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val corpus = perDoc.groupBy(col("term")).agg(sum(col("cnt")).as("cf"))
+    val total = toks.count()
+    perDoc.join(corpus, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        // each addend goes through DECIMAL so the sum is independent of
+        // partition merge order (double += is not associative; the
+        // rounding headroom absorbs the per-addend cast quantization)
+        round(
+          sum((col("cnt").cast("double") *
+            log(col("cf").cast("double") / lit(total.toDouble)))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
+  }
+
   /** Kernel twin of [[dupBigramFraction]] (bit-identical, spec-enforced):
     * the per-element interpreted bigram lambda is the hot path of a
     * corpus-wide repetition scan, so it runs as a per-partition loop.

@@ -1101,6 +1101,23 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Similarity: per-label mean-pooled embedding centroids
+    //      (relational posexplode + exact-decimal per-dim sums) ----
+    QueryDef(
+      "s04_centroids",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Similarity
+          .embeddingCentroids(t(s, dir, "embeddings"), "label", "embedding")
+          .orderBy($"label", $"dim")
+      },
+      Some("""SELECT label, CAST(dim AS INTEGER) AS dim,
+          round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS centroid
+        FROM (SELECT label, unnest(range(len(embedding))) AS dim,
+                unnest(embedding) AS x
+              FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
+        GROUP BY 1, 2 ORDER BY label, dim""")),
+
     // ---- Multimodal: binary payload + batched feature extraction ----
     QueryDef(
       "m01_media_features",
@@ -1692,6 +1709,70 @@ object Queries {
       Some("""SELECT p_partkey, p_name, p_type FROM part
         WHERE p_name LIKE '%ge%' OR regexp_matches(p_type, '^SM.*L$')
         ORDER BY p_partkey""")),
+
+    // ---- Ordered funnel: view → click → purchase, strictly-after
+    //      timestamps, tie-robust (time comparisons, no row ordering) ----
+    QueryDef(
+      "q58_funnel",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.funnel(t(s, dir, "events"),
+            "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+          .orderBy($"step")
+      },
+      Some("""WITH r1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+        r2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN r1 ON e.user_id = r1.u AND e.ts > r1.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+        r3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN r2 ON e.user_id = r2.u AND e.ts > r2.t
+               WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM r1) AS users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM r2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+        ORDER BY step""")),
+
+    // ---- Cohort retention: first-seen-date cohorts × activity age ----
+    QueryDef(
+      "q59_cohort",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+          .orderBy($"cohort_day", $"age_days")
+      },
+      Some("""WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                 FROM events GROUP BY 1)
+        SELECT cohort_day,
+          CAST(datediff('day', cohort_day, CAST(e.ts AS DATE)) AS INTEGER) AS age_days,
+          count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN fs ON e.user_id = fs.user_id
+        GROUP BY 1, 2 ORDER BY cohort_day, age_days""")),
+
+    // ---- Text pipeline: corpus-unigram mean log-probability (cheap
+    //      perplexity-style quality signal) ----
+    QueryDef(
+      "t11_logprob",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents),
+        pd AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        cfq AS (SELECT term, sum(cnt) AS cf FROM pd GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+          round(CAST(sum(CAST(cnt * ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS mean_logprob
+        FROM pd JOIN cfq USING (term) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Multiset INTERSECT ALL (bag semantics, duplicates kept) ----
     QueryDef(

@@ -165,6 +165,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q58 funnel is equi joins on the user key, no cartesian, partial aggs") {
+    val p = plan("q58_funnel")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q59 cohort and s04 centroids aggregate with map-side combine") {
+    assert(plan("q59_cohort").contains("partial_"))
+    assert(plan("s04_centroids").contains("partial_"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = plan("q02_filter_project")
     // codegen'd stages print with a `*(n)` prefix; filter+project must be inside one
