@@ -69,6 +69,16 @@ object Streams {
       joinType)
   }
 
+  /** Stream-STATIC enrichment join: each micro-batch of the stream joins
+    * a static dimension table (no watermark needed — the static side is
+    * re-planned per batch, so a broadcast-able dimension broadcasts and
+    * the stream never buffers join state). The standard "attach user /
+    * product attributes to a click stream" operator; stateless, so any
+    * join type the planner allows works unbounded. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "inner"): DataFrame =
+    stream.join(dim, Seq(key), joinType)
+
   /** Streaming exact dedup (the streaming twin of Dedup.exactGroups):
     * drops re-deliveries of the same key within the watermark horizon —
     * state stays bounded because expired keys are evicted with the

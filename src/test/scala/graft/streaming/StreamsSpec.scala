@@ -411,6 +411,35 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join and broadcasts the dim") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dim = spark.createDataFrame(Seq(
+      (1L, "gold"), (2L, "silver"))).toDF("user_id", "tier")
+    val input = MemoryStream[StreamEvent]
+    val q = Streams.enrich(input.toDF(), dim, "user_id")
+      .select(col("user_id"), col("event_type"), col("tier"))
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(1, ts(1), "view", 1.0),
+        StreamEvent(2, ts(2), "click", 2.0),
+        StreamEvent(3, ts(3), "view", 3.0)) // user 3 not in dim → dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("enr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "view", "gold"), (2L, "click", "silver")))
+      // the static dimension must broadcast — a stream must not shuffle
+      // per batch for a dimension-sized side
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      val plan = se.getClass.getMethod("lastExecution").invoke(se)
+        .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+        .executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally q.stop()
+  }
+
   test("streaming file source prunes to touched leaves via the generated schema") {
     import org.apache.spark.sql.types.StructType
     import graft.schema.SchemaOnRead
