@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics: ordered funnels and cohort retention — the
@@ -39,6 +40,141 @@ object Analytics {
       reached.agg(count(lit(1)).as("users"))
         .select(lit(i + 1).as("step"), lit(s).as("event_type"), col("users"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** Exact EXCLUSIVE global prefix sum over `valueCol` in `orderCol`
+    * order, WITHOUT a single-partition window. The classic two-level scan
+    * expressed relationally:
+    *
+    *   1. coarse bucket = orderCol div bucketSize (monotone in the order);
+    *   2. per-bucket totals (tiny hash agg) → per-bucket offsets via a
+    *      cumulative window over the BUCKET rows only (N/bucketSize rows —
+    *      pick bucketSize ≈ √N at scale so this stays thousands of rows,
+    *      never the data);
+    *   3. broadcast-join offsets back, within-bucket cumulative window
+    *      partitioned BY bucket (parallel).
+    *
+    * Exact — bit-identical to `sum(v) OVER (ORDER BY o)` minus the row's
+    * own value. Requires `orderCol` to be a unique non-negative integral
+    * key (ties would make "preceding" ambiguous). Appends `outCol`.
+    */
+  def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, bucketSize: Long = 1024L): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be positive")
+    require(!df.columns.exists(_.startsWith("_graft_ps")),
+      "input already has _graft_ps staging columns")
+    val staged = df.withColumn("_graft_ps_b",
+      expr(s"CAST($orderCol AS BIGINT) div $bucketSize"))
+    val offsets = staged.groupBy(col("_graft_ps_b"))
+      .agg(sum(col(valueCol)).as("_graft_ps_tot"))
+      .withColumn("_graft_ps_off",
+        coalesce(sum(col("_graft_ps_tot")).over(
+          Window.orderBy(col("_graft_ps_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_ps_tot")
+    val within = Window.partitionBy(col("_graft_ps_b")).orderBy(col(orderCol))
+    staged.join(broadcast(offsets), Seq("_graft_ps_b"))
+      .withColumn(outCol,
+        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(
+          within.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_ps_b", "_graft_ps_off")
+  }
+
+  /** Latest-wins CDC merge (the MERGE INTO / SCD-1 pattern): apply an
+    * `updates` changeset onto a `base` snapshot. Each key keeps the row
+    * with the highest `versionCol` (updates win version ties — base rows
+    * sort as older at equal version); rows whose surviving version has
+    * `deletedCol` true are dropped (tombstones). `updates` may carry
+    * columns `base` lacks (schema evolution) — base rows get null.
+    *
+    * One union + one key-partitioned window: a single shuffle on the
+    * merge key, no driver-side state. At 100 TB this is exactly the
+    * compaction shape lakehouse engines run; skewed hot keys are bounded
+    * by their own change volume, not the table. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, deletedCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
+    val unioned = base.withColumn("_graft_src", lit(0))
+      .unionByName(updates.withColumn("_graft_src", lit(1)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_graft_src").desc)
+    val survived = unioned.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", "_graft_src")
+    deletedCol.fold(survived)(d =>
+      survived.filter(!coalesce(col(d), lit(false))).drop(d))
+  }
+
+  /** Key-distribution diagnostics for shuffle planning: row/key counts,
+    * the heaviest key's share, exact p50/p99 of per-key counts, and the
+    * skew ratio max/avg. Emits ONE row — the operator a pipeline runs
+    * before choosing salting / AQE-skew settings for a join on `keyCol`.
+    * Two partial-aggregating hash aggs; per-key state is a counter. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val m = counts.agg(max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(m))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("max_cnt")).as("max_cnt"),
+        count(when(col("cnt") === col("max_cnt"), 1)).as("n_keys_at_max"),
+        percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
+        percentile(col("cnt"), lit(0.99)).as("p99_cnt"))
+      // all-integer inputs: the ratio is a single IEEE division + round,
+      // bit-identical in any engine
+      .withColumn("skew_ratio", round(
+        col("max_cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 6))
+  }
+
+  /** Exact equi-depth histogram binning WITHOUT a global sort: bin
+    * boundaries come from one `percentile` aggregation (bounded state),
+    * rows are assigned by comparing against the broadcast boundary array
+    * (bin = 1 + #boundaries strictly below the value), then per-bin stats
+    * aggregate map-side. Contrast with `ntile`, whose global row-number
+    * window would single-partition the table at scale. Values equal to a
+    * boundary land in the lower bin (strict `>` — deterministic in any
+    * engine given identical boundaries). */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val cuts = df.agg(percentile(v,
+      array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("cuts"), c => v > c))).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("bin_min"),
+        max(v).as("bin_max"),
+        round(sum(v.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("bin_avg"))
+  }
+
+  /** Per-group winsorization + min-max scaling of a numeric feature —
+    * the outlier-robust normalization step of a training-data pipeline.
+    * Exact group percentiles (one bounded-state agg per group, broadcast
+    * back), then clamp to [pLo, pHi] and scale to [0, 1] (degenerate
+    * groups where pLo == pHi scale to 0.5). Appends `<valueCol>_wins`
+    * and `<valueCol>_scaled` (rounded to 6 decimals). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val pct = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(pLo)).as("_graft_plo"),
+        percentile(v, lit(pHi)).as("_graft_phi"))
+    val wins = least(greatest(v, col("_graft_plo")), col("_graft_phi"))
+    df.join(broadcast(pct), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins", wins)
+      .withColumn(s"${valueCol}_scaled",
+        when(col("_graft_phi") > col("_graft_plo"),
+          round((wins - col("_graft_plo")) /
+            (col("_graft_phi") - col("_graft_plo")), 6))
+          .otherwise(lit(0.5)))
+      .drop("_graft_plo", "_graft_phi")
   }
 
   /** Cohort retention: users are cohorted by the DATE of their first

@@ -372,6 +372,32 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Bloom-filter MEMBERSHIP flagging: build a Bloom filter over
+    * `ref(refCol)` (distributed `stat.bloomFilter` tree-aggregation —
+    * executors build partial filters, the driver merges bit arrays),
+    * broadcast it, and append boolean `flagCol` = mightContain to `df`.
+    * This is the constant-memory membership primitive for blocklist /
+    * benchmark-contamination filtering at 100 TB: the crawl side streams
+    * map-only against a few-MB broadcast bitset instead of shuffling into
+    * an equi-join. Guarantees: NO false negatives (every true member
+    * flags), false-positive rate ≈ `fpp`.
+    *
+    * The membership probe is a scalar JVM call on a broadcast sketch
+    * object — a UDF is the honest encoding (there is no Catalyst
+    * expression over an opaque driver-built bitset); it stays
+    * executor-local, map-only, and off the shuffle path. Spark's
+    * BloomFilter hashes with fixed-seed Murmur3, so the flags are
+    * deterministic run to run. */
+  def bloomFlag(df: DataFrame, probeCol: String, flagCol: String,
+      ref: DataFrame, refCol: String, fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val nRef = math.max(ref.count(), 1L) // sketch sizing needs the cardinality
+    val bf = ref.stat.bloomFilter(refCol, nRef, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((s: String) => s != null && bc.value.mightContainString(s))
+    df.withColumn(flagCol, probe(col(probeCol).cast("string")))
+  }
+
   /** 32-bit SimHash over the distinct token set: per bit, majority vote of
     * token-hash bits. Pure per-row expression — no shuffle at all. */
   def simhash32(text: Column): Column = {

@@ -226,6 +226,49 @@ object TextAnalysis {
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
   }
 
+  /** LLM sequence PACKING: concatenate the corpus token stream in
+    * `idCol` order and cut it into fixed `seqLen`-token training
+    * sequences (the "concat-then-chunk" packing real pretraining
+    * pipelines use — no padding waste, documents straddle boundaries).
+    * Emits per document its span in sequence space:
+    * (doc_id, n_tokens, start_seq, end_seq, n_seqs). Zero-token
+    * documents occupy no sequence and are dropped.
+    *
+    * The global token offset is [[Analytics.withPrefixSum]] — the
+    * two-level relational scan, NOT a single-partition window — so the
+    * operator holds at corpus scale; everything after the prefix sum is
+    * map-only arithmetic. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Long = 1024L): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Analytics.withPrefixSum(perDoc, "doc_id", "n_tokens", "cum_before", bucketSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("start_seq"),
+        expr(s"(cum_before + n_tokens - 1) div $seqLen").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+  }
+
+  /** Deterministic hash-based STRATIFIED sampling: keep a row iff its
+    * stable md5 bucket (same construction as [[splitAssign]]) falls
+    * under its stratum's percentage. No RNG state — reshuffle-proof,
+    * engine-portable, and the same row is kept on every run at any
+    * scale; a pure map with zero shuffle. Strata absent from `rates`
+    * fall back to `defaultPct`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be within [0, 100]")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
+
   /** Kernel twin of [[dupBigramFraction]] (bit-identical, spec-enforced):
     * the per-element interpreted bigram lambda is the hot path of a
     * corpus-wide repetition scan, so it runs as a per-partition loop.

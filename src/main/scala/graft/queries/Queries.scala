@@ -1810,6 +1810,193 @@ object Queries {
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         GROUP BY o_custkey ORDER BY o_custkey""")),
 
+    // ---- LLM sequence packing: concat-then-chunk token stream spans,
+    //      exact global prefix sum via the two-level relational scan ----
+    QueryDef(
+      "t12_seq_packing",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .packSequences(t(s, dir, "documents"), "doc_id", "text", 512)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM tk WHERE n_tokens > 0)
+        SELECT doc_id, n_tokens, cb // 512 AS start_seq,
+          (cb + n_tokens - 1) // 512 AS end_seq,
+          (cb + n_tokens - 1) // 512 - cb // 512 + 1 AS n_seqs
+        FROM c ORDER BY doc_id""")),
+
+    // ---- Deterministic hash-based stratified sampling (no RNG state) ----
+    QueryDef(
+      "t13_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+            Map("en" -> 60, "de" -> 25), defaultPct = 10)
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+          FROM documents)
+        WHERE b < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 25 ELSE 10 END)
+        ORDER BY doc_id""")),
+
+    // ---- Per-group winsorization + min-max feature scaling ----
+    QueryDef(
+      "t14_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .winsorize(t(s, dir, "documents"), "lang", "n_chars")
+          .select($"doc_id", $"lang", $"n_chars", $"n_chars_wins", $"n_chars_scaled")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT lang,
+          quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS plo,
+          quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS phi
+        FROM documents GROUP BY lang)
+        SELECT doc_id, lang, n_chars,
+          least(greatest(CAST(n_chars AS DOUBLE), plo), phi) AS n_chars_wins,
+          CASE WHEN phi > plo THEN
+            round((least(greatest(CAST(n_chars AS DOUBLE), plo), phi) - plo)
+              / (phi - plo), 6)
+          ELSE 0.5 END AS n_chars_scaled
+        FROM documents JOIN p USING (lang) ORDER BY doc_id""")),
+
+    // ---- Latest-wins CDC merge (MERGE INTO / SCD-1): updates + tombstones
+    //      applied onto a snapshot in one key-shuffle ----
+    QueryDef(
+      "q60_merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val base = o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .withColumn("version", lit(0L))
+        val upd = o.filter($"o_orderkey" % 7 === 0)
+          .select($"o_orderkey", lit("X").as("o_orderstatus"),
+            ($"o_totalprice" * 1.1).as("o_totalprice"))
+          .withColumn("version", lit(1L))
+          .withColumn("deleted", $"o_orderkey" % 3 === 0)
+        graft.operators.Analytics
+          .upsertLatest(base, upd, Seq("o_orderkey"), "version", Some("deleted"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+          CAST(0 AS BIGINT) AS version, NULL::BOOLEAN AS deleted, 0 AS src FROM orders),
+        upd AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+          o_totalprice * 1.1 AS o_totalprice, CAST(1 AS BIGINT) AS version,
+          (o_orderkey % 3 = 0) AS deleted, 1 AS src
+        FROM orders WHERE o_orderkey % 7 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY version DESC, src DESC) AS rn FROM u)
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        FROM r WHERE rn = 1 AND NOT COALESCE(deleted, FALSE)
+        ORDER BY o_orderkey""")),
+
+    // ---- Key-skew diagnostics: the profile a pipeline runs before
+    //      choosing salting / AQE-skew settings for a join key ----
+    QueryDef(
+      "q61_skew_profile",
+      (s, dir) => graft.operators.Analytics
+        .keySkewProfile(t(s, dir, "events"), "user_id"),
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        m AS (SELECT max(cnt) AS max_cnt FROM c)
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+          max(max_cnt) AS max_cnt,
+          count(*) FILTER (cnt = max_cnt) AS n_keys_at_max,
+          quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50_cnt,
+          quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_cnt,
+          round(CAST(max(max_cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS skew_ratio
+        FROM c CROSS JOIN m""")),
+
+    // ---- Equi-depth histogram WITHOUT a global sort: percentile
+    //      boundaries + broadcast comparison binning ----
+    QueryDef(
+      "q62_quantile_bins",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .quantileBins(t(s, dir, "orders"), "o_totalprice", 8)
+          .orderBy($"bin")
+      },
+      Some("""WITH cuts AS (SELECT quantile_cont(o_totalprice,
+          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM orders)
+        SELECT CAST(1 + len(list_filter(qs, q -> o_totalprice > q)) AS INTEGER) AS bin,
+          count(*) AS n, min(o_totalprice) AS bin_min, max(o_totalprice) AS bin_max,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS bin_avg
+        FROM orders CROSS JOIN cuts GROUP BY 1 ORDER BY bin""")),
+
+    // ---- Bloom-filter contamination screen: constant-memory membership
+    //      (broadcast bitset, map-only probe) with verdict booleans the
+    //      oracle reproduces — no false negatives, bounded false positives ----
+    QueryDef(
+      "d08_bloom_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", md5($"text").as("fp"))
+        val test = docs.filter($"doc_id" % 10 === 7).select($"fp").distinct()
+        val train = docs.filter($"doc_id" % 10 =!= 7)
+        val flagged = graft.operators.Dedup
+          .bloomFlag(train, "fp", "bloom_hit", test, "fp", fpp = 0.03)
+        val testC = test.agg(count(lit(1)).as("n_test_c"))
+        flagged
+          .join(broadcast(test.withColumn("_hit", lit(1))), Seq("fp"), "left_outer")
+          .crossJoin(broadcast(testC))
+          .agg(
+            count(lit(1)).as("n_train"),
+            max($"n_test_c").as("n_test"),
+            count(when($"_hit".isNotNull, 1)).as("n_exact"),
+            count(when($"_hit".isNotNull && !$"bloom_hit", 1)).as("fn_cnt"),
+            count(when($"bloom_hit", 1)).as("n_bloom"))
+          .select($"n_train", $"n_test", $"n_exact",
+            ($"fn_cnt" === 0).as("no_false_neg"),
+            (($"n_bloom" - $"n_exact").cast("double") <=
+              lit(10.0) + lit(0.15) * $"n_train".cast("double")).as("fp_within_bound"))
+      },
+      Some("""WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        te AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 7),
+        tr AS (SELECT fp FROM f WHERE doc_id % 10 <> 7)
+        SELECT (SELECT count(*) FROM tr) AS n_train,
+          (SELECT count(*) FROM te) AS n_test,
+          (SELECT count(*) FROM tr JOIN te USING (fp)) AS n_exact,
+          TRUE AS no_false_neg, TRUE AS fp_within_bound""")),
+
+    // ---- Z-order (Morton) clustering value via the native codegen
+    //      expression — multi-dimensional file-layout key ----
+    QueryDef(
+      "q63_zorder",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 3000)
+          .select($"o_orderkey",
+            ($"o_custkey" % 256).as("zx"),
+            (floor($"o_totalprice" / 1000.0) % 256).as("zy"))
+          .withColumn("zval", graft.operators.Layout.zvalue(8, $"zx", $"zy"))
+          .orderBy($"o_orderkey")
+      },
+      Some {
+        val zTerms = (0 until 8).flatMap(i => Seq(
+          s"(((zx >> $i) & 1) << ${2 * i})",
+          s"(((zy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH c AS (SELECT o_orderkey, o_custkey % 256 AS zx,
+          CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 256 AS zy
+        FROM orders WHERE o_orderkey <= 3000)
+        SELECT o_orderkey, zx, zy, CAST($zTerms AS BIGINT) AS zval
+        FROM c ORDER BY o_orderkey"""
+      }),
+
     // ---- Date arithmetic battery ----
     QueryDef(
       "q50_date_funcs",

@@ -298,7 +298,7 @@ class PrunedScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.schema.GraftExtensions` enables automatic
   * nested-read pruning for all queries in the session, and registers the
-  * library's native SQL functions (`graft_cosine`). */
+  * library's native SQL functions (`graft_cosine`, `graft_zvalue`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new PrunedScanRule(spark))
@@ -311,5 +311,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine takes exactly 2 arguments, got ${children.length}")
         graft.functions.CosineSimilarity(children(0), children(1))
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zvalue"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ZValue].getName, "graft_zvalue"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZValue(children)))
   }
 }

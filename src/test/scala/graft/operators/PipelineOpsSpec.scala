@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-4 pipeline operators: exact distributed prefix
+  * sum, sequence packing, CDC upsert, skew profiling, quantile binning,
+  * winsorization, stratified sampling, bloom membership.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("pipeline-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- withPrefixSum ----
+
+  test("withPrefixSum equals the single-window formulation, any bucketSize") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // non-contiguous ids with gaps, values incl. zeros
+    val rows = (0 until 500).map(i => (i.toLong * 3 + (i % 2), rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(4)
+    val reference = df.withColumn("cum",
+      coalesce(sum($"v").over(Window.orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (bs <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = Analytics.withPrefixSum(df, "id", "v", "cum", bs)
+        .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference, s"bucketSize=$bs diverged from window prefix sum")
+    }
+  }
+
+  // ---- packSequences ----
+
+  test("packSequences spans are contiguous and cover the token stream") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h"), (3L, ""), (4L, "i j k l m n o p q r"),
+      (5L, "s"), (7L, "t u v w x y z aa bb cc dd ee")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("doc_id").collect()
+    // doc 3 has zero tokens -> dropped
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L, 7L))
+    // first document starts at sequence 0
+    assert(out.head.getAs[Long]("start_seq") === 0L)
+    // each next doc starts in the same sequence its predecessor ended in,
+    // or the one right after (documents straddle boundaries, no gaps)
+    out.sliding(2).foreach { case Array(a, b) =>
+      val endA = a.getAs[Long]("end_seq"); val startB = b.getAs[Long]("start_seq")
+      assert(startB === endA || startB === endA + 1,
+        s"gap between docs ${a.getLong(0)} and ${b.getLong(0)}")
+    }
+    // total stream = 5+3+10+1+12 = 31 tokens -> last token sits in seq 30/4 = 7
+    assert(out.last.getAs[Long]("end_seq") === 30L / 4)
+    // bucketSize invariance (exactness of the two-level prefix sum)
+    val small = TextAnalysis.packSequences(docs, "doc_id", "text", 4, bucketSize = 2)
+      .orderBy("doc_id").collect()
+    assert(small.map(_.toSeq) === out.map(_.toSeq))
+  }
+
+  // ---- upsertLatest ----
+
+  test("upsertLatest: updates win, version ties go to updates, tombstones drop") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a", 0L), (2L, "b", 5L), (3L, "c", 0L)).toDF("k", "v", "version")
+    val upd = Seq(
+      (1L, "a2", 1L, false), // normal update
+      (2L, "b2", 5L, false), // SAME version as base -> update must win
+      (3L, "gone", 9L, true), // tombstone
+      (4L, "new", 1L, false)  // insert
+    ).toDF("k", "v", "version", "deleted")
+    val out = Analytics.upsertLatest(base, upd, Seq("k"), "version", Some("deleted"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a2"), (2L, "b2"), (4L, "new")))
+  }
+
+  test("upsertLatest tolerates schema evolution (new column null on base rows)") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "version")
+    val upd = Seq((2L, "b", 1L, "extra")).toDF("k", "v", "version", "note")
+    val out = Analytics.upsertLatest(base, upd, Seq("k"), "version")
+      .orderBy("k").collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("note")))
+    assert(out(1).getAs[String]("note") === "extra")
+  }
+
+  // ---- keySkewProfile ----
+
+  test("keySkewProfile computes exact counts and skew ratio") {
+    val sp = spark; import sp.implicits._
+    // key 1 x6, key 2 x2, key 3 x2 -> 10 rows, 3 keys, max 6
+    val df = (Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ Seq.fill(2)(3)).toDF("k")
+    val r = Analytics.keySkewProfile(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("max_cnt") === 6L)
+    assert(r.getAs[Long]("n_keys_at_max") === 1L)
+    assert(r.getAs[Double]("skew_ratio") === 1.8) // 6 * 3 / 10
+  }
+
+  // ---- quantileBins ----
+
+  test("quantileBins is equi-depth on uniform data and partitions all rows") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 800).map(_.toDouble).toDF("v").repartition(4)
+    val bins = Analytics.quantileBins(df, "v", 8).orderBy("bin").collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq === (1 to 8))
+    assert(bins.map(_.getAs[Long]("n")).sum === 800L)
+    // uniform data: every bin within ±1 of 100
+    bins.foreach(b => assert(math.abs(b.getAs[Long]("n") - 100L) <= 1))
+    // bins are ordered and non-overlapping
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("bin_max") <= b.getAs[Double]("bin_min"))
+    }
+  }
+
+  // ---- winsorize ----
+
+  test("winsorize clamps to group percentiles and scales into [0,1]") {
+    val sp = spark; import sp.implicits._
+    val df = ((1 to 100).map(i => ("g1", i.toLong)) ++ Seq(("flat", 5L), ("flat", 5L)))
+      .toDF("grp", "x")
+    val out = Analytics.winsorize(df, "grp", "x", 0.05, 0.95)
+    val g1 = out.filter($"grp" === "g1").collect()
+    val (lo, hi) = (g1.map(_.getAs[Double]("x_wins")).min, g1.map(_.getAs[Double]("x_wins")).max)
+    // clamped range is the [p05, p95] of 1..100
+    assert(lo === 5.95 && hi === 95.05)
+    g1.foreach { r =>
+      val s = r.getAs[Double]("x_scaled")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // degenerate group (p05 == p95) scales to the midpoint, no div-by-zero
+    out.filter($"grp" === "flat").collect()
+      .foreach(r => assert(r.getAs[Double]("x_scaled") === 0.5))
+  }
+
+  // ---- stratifiedSample ----
+
+  test("stratifiedSample is deterministic and monotone in the rate") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def ids(rates: Map[String, Int]) =
+      TextAnalysis.stratifiedSample(df, "lang", "id", rates, defaultPct = 0)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val en30 = ids(Map("en" -> 30)); val en30b = ids(Map("en" -> 30))
+    val en60 = ids(Map("en" -> 60))
+    assert(en30 === en30b, "same rates must select the same rows")
+    assert(en30.subsetOf(en60), "raising a stratum's rate must only add rows")
+    // rate 0 default: no 'de' rows ever sampled
+    val langs = TextAnalysis.stratifiedSample(df, "lang", "id", Map("en" -> 100), 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs === Set("en"))
+    // ~30% of the en stratum (333 docs) within a loose band
+    assert(en30.size > 40 && en30.size < 180)
+  }
+
+  // ---- bloomFlag ----
+
+  test("bloomFlag has no false negatives and bounded false positives") {
+    val sp = spark; import sp.implicits._
+    val ref = (1 to 500).map(i => s"member-$i").toDF("s")
+    val probe = ((1 to 500).map(i => s"member-$i") ++
+      (1 to 5000).map(i => s"other-$i")).toDF("s").repartition(4)
+    val out = Dedup.bloomFlag(probe, "s", "hit", ref, "s", fpp = 0.01)
+    val members = out.filter($"s".startsWith("member-"))
+    assert(members.filter(!$"hit").count() === 0L, "bloom false negative!")
+    val fp = out.filter($"s".startsWith("other-") && $"hit").count()
+    assert(fp <= 5000 * 0.01 * 5 + 10, s"false positives way over fpp bound: $fp")
+    // deterministic: rebuilt filter flags the identical row set
+    val again = Dedup.bloomFlag(probe, "s", "hit", ref, "s", fpp = 0.01)
+      .filter($"hit").select("s").collect().map(_.getString(0)).toSet
+    assert(again === out.filter($"hit").select("s").collect().map(_.getString(0)).toSet)
+  }
+}
