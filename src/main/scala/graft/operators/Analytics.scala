@@ -177,6 +177,33 @@ object Analytics {
       .drop("_graft_plo", "_graft_phi")
   }
 
+  /** Single-scan data profiling (the `ANALYZE TABLE`-style health check a
+    * pipeline runs on arrival of a new drop): per column, null count,
+    * exact distinct count, and min/max. ALL columns' statistics are
+    * computed in ONE aggregation over ONE scan (every stat partial-
+    * aggregates map-side), then melted to a row per column. min/max are
+    * computed in the column's native type and only cast to string for
+    * the uniform output schema. */
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileColumns needs at least one column")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val aggExprs = Seq(count(lit(1)).as("_graft_n")) ++ columns.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"_graft_${c}_nulls"),
+      count_distinct(col(c)).as(s"_graft_${c}_nd"),
+      min(col(c)).cast("string").as(s"_graft_${c}_min"),
+      max(col(c)).cast("string").as(s"_graft_${c}_max")))
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(columns.map(c => struct(
+        lit(c).as("col_name"),
+        col("_graft_n").as("n_rows"),
+        col(s"_graft_${c}_nulls").as("n_nulls"),
+        col(s"_graft_${c}_nd").as("n_distinct"),
+        col(s"_graft_${c}_min").as("min_value"),
+        col(s"_graft_${c}_max").as("max_value"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Cohort retention: users are cohorted by the DATE of their first
     * event; each (cohort_day, age_days) cell counts the distinct users of
     * that cohort active `age_days` days later. Two user-keyed hash

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over edge DataFrames. Companion to
+  * [[Dedup.duplicateClusters]] (connected components): the same
+  * join-per-round discipline — every iteration is one equi-join + one
+  * hash aggregation shuffled on the node key, lineage truncated per
+  * round — so a 100 TB edge set iterates without driver state or
+  * growing plans.
+  */
+object Graph {
+
+  /** PageRank by power iteration: `iterations` rounds of
+    *
+    *   rank(v) ← round((1 − d) + d · Σ_{u→v} rank(u) / outdeg(u), roundTo)
+    *
+    * over an edge list `(src, dst)`. Every node must have at least one
+    * out-edge (pass a symmetrized edge list for undirected graphs —
+    * dangling-node rank would otherwise leak); nodes are whatever
+    * integral ids the edges carry.
+    *
+    * Determinism contract (the property the DuckDB oracle checks): the
+    * per-edge contribution is a single IEEE division, the per-node sum
+    * goes through DECIMAL(28,12) addends so it is independent of
+    * partition merge order, and each round's rank is rounded to
+    * `roundTo` decimals — both engines stay in bit-identical lockstep
+    * for any iteration count.
+    *
+    * Scale shape: out-degrees are computed once and joined into the
+    * edge list (one shuffle, reused every round); each round is
+    * edges ⋈ ranks on src + a dst-keyed partial-aggregating sum.
+    * Per-round `localCheckpoint` + unpersist keeps lineage and storage
+    * flat (the [[Dedup.duplicateClusters]] pattern).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // enrich edges with the out-degree once; reused by every round
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    // rank rows are keyed on the out-node set (= all nodes, per the
+    // every-node-has-an-out-edge contract); the left join below keeps a
+    // node alive even in rounds where nothing points at it (rank (1-d))
+    val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = withDeg.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") / col("deg").cast("double"))
+          .cast(DecimalType(28, 12))).as("csum"))
+      val next = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)),
+            roundTo).as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    withDeg.unpersist()
+    nodes.unpersist()
+    // callers own the returned checkpointed frame's lifetime
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

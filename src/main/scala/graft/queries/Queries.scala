@@ -1997,6 +1997,85 @@ object Queries {
         FROM c ORDER BY o_orderkey"""
       }),
 
+    // ---- PageRank by power iteration over a symmetrized supplier–part
+    //      bipartite graph; decimal-sum lockstep with the unrolled
+    //      oracle at every round ----
+    QueryDef(
+      "q64_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val lp = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("sk"), ($"l_partkey" + 1000000L).as("pk"))
+          .distinct()
+        val edges = lp.select($"sk".as("src"), $"pk".as("dst"))
+          .unionAll(lp.select($"pk".as("src"), $"sk".as("dst")))
+        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8)
+          .orderBy($"node")
+      },
+      Some {
+        val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
+        val rounds = (1 to 8).map(i =>
+          s"""p$i AS (SELECT n.node,
+            round($oneMinusD + 0.85 * COALESCE(CAST(c.csum AS DOUBLE), 0.0), 9) AS r
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node,
+              sum(CAST(p${i - 1}.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+            FROM p${i - 1} JOIN e ON p${i - 1}.node = e.src
+              JOIN d ON d.src = p${i - 1}.node
+            GROUP BY e.dst) c ON n.node = c.node)""").mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e AS (SELECT sk AS src, pk AS dst FROM lp
+              UNION ALL SELECT pk AS src, sk AS dst FROM lp),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM e),
+        p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+        $rounds
+        SELECT node, r AS rank FROM p8 ORDER BY node"""
+      }),
+
+    // ---- Single-scan column profiler (ANALYZE-style pipeline health
+    //      check): nulls / exact distincts / native-type min-max ----
+    QueryDef(
+      "q65_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.profileColumns(t(s, dir, "orders"),
+            Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy($"col_name")
+      },
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            count(*) FILTER ($c IS NULL) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_value,
+            CAST(max($c) AS VARCHAR) AS max_value FROM orders"""
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(one).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
+    // ---- ORC sink + source roundtrip (third columnar format) ----
+    QueryDef(
+      "q66_orc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = sinkDir("orc")
+        t(s, dir, "orders")
+          .filter($"o_totalprice" > 200000.0)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_totalprice > 200000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- Date arithmetic battery ----
     QueryDef(
       "q50_date_funcs",

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graph-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    pairs ++ pairs.map { case (a, b) => (b, a) }
+
+  test("pageRank: symmetric complete graph stays uniform at rank 1.0") {
+    val sp = spark; import sp.implicits._
+    // K4: every node gives 1/3 to each neighbor -> sum of thirds = 1 forever
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(k4, "src", "dst", iterations = 5).collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getAs[Double]("rank") === 1.0))
+  }
+
+  test("pageRank: hub of a star outranks leaves; total rank is conserved") {
+    val sp = spark; import sp.implicits._
+    // star: center 0 <-> leaves 1..9
+    val star = sym((1L to 9L).map(l => (0L, l))).toDF("src", "dst")
+    val out = Graph.pageRank(star, "src", "dst", iterations = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(out(0L) > out(1L) * 3, s"hub should dominate: $out")
+    // leaves are symmetric -> identical ranks
+    assert((2L to 9L).forall(l => out(l) === out(1L)))
+    // no dangling nodes -> total rank ~ node count (drift only from rounding)
+    assert(math.abs(out.values.sum - 10.0) < 1e-6)
+  }
+
+  test("pageRank is deterministic under repartitioning (decimal-sum lockstep)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = sym((1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, 40L + rnd.nextInt(40).toLong)).distinct)
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df7 = edges.toDF("src", "dst").repartition(7)
+    val r1 = Graph.pageRank(df1, "src", "dst", iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val r7 = Graph.pageRank(df7, "src", "dst", iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(r1.toSeq === r7.toSeq, "partition merge order changed ranks")
+  }
+
+  test("pageRank matches a local reference implementation") {
+    val sp = spark; import sp.implicits._
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    // local power iteration with the same arithmetic contract as the
+    // operator: DECIMAL(28,12)-quantized addends, round-9 per iteration,
+    // and (1 - damping) computed in IEEE exactly as the operator does
+    val oneMinusD = 1.0 - 0.85
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ranks = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 7) {
+      val contribs = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> ranks(u) / vs.length.toDouble) }
+      ranks = adj.keys.map { v =>
+        val s = contribs.filter(_._1 == v).map(_._2)
+          .map(c => java.math.BigDecimal.valueOf(c)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          .reduceOption(_ add _).fold(0.0)(_.doubleValue())
+        v -> java.math.BigDecimal.valueOf(oneMinusD + 0.85 * s)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }.toMap
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === ranks)
+  }
+}
