@@ -177,6 +177,25 @@ object Analytics {
       .drop("_graft_plo", "_graft_phi")
   }
 
+  /** SCD-2 history intervals: turn a change log `(key, version/event
+    * time, attrs…)` into validity ranges — `valid_from` = the change's
+    * version, `valid_to` = the NEXT change's version for that key (null
+    * while current), `is_current` flagging the open interval. The
+    * warehouse pattern for "what did this row look like at time T"
+    * (query with `valid_from <= T AND (valid_to > T OR valid_to IS
+    * NULL)`). One key-partitioned window = one shuffle; `tieBreakCols`
+    * disambiguate equal versions so the interval chain is total. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val order = (versionCol +: tieBreakCols).map(col(_).asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Single-scan data profiling (the `ANALYZE TABLE`-style health check a
     * pipeline runs on arrival of a new drop): per column, null count,
     * exact distinct count, and min/max. ALL columns' statistics are

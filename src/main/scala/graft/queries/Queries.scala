@@ -2076,6 +2076,25 @@ object Queries {
         FROM orders WHERE o_totalprice > 200000.0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- SCD-2 history: change log → validity intervals via one
+    //      key-partitioned window ----
+    QueryDef(
+      "q67_scd2",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .scd2History(t(s, dir, "events")
+              .select($"user_id", $"event_id", $"ts", $"value"),
+            Seq("user_id"), "ts", tieBreakCols = Seq("event_id"))
+          .select($"user_id", $"event_id", $"valid_from", $"valid_to", $"is_current")
+          .orderBy($"user_id", $"valid_from", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+            AS is_current
+        FROM events ORDER BY user_id, valid_from, event_id""")),
+
     // ---- Date arithmetic battery ----
     QueryDef(
       "q50_date_funcs",

@@ -115,6 +115,41 @@ object Streams {
     * TemporalJoins.sessionize): sessions close when no event arrives for
     * `gapSec` of *event time*, enforced with an event-time timeout so
     * state cannot grow unboundedly. Requires a watermark on the input. */
+  /** Streaming CDC materialization: apply each micro-batch of changes
+    * onto a parquet state table with
+    * [[graft.operators.Analytics.upsertLatest]] — the `foreachBatch`
+    * MERGE-INTO loop that keeps a queryable latest-state snapshot of an
+    * unbounded change stream. The merged frame is `localCheckpoint`ed
+    * BEFORE the overwrite so the write never lazily re-reads the path it
+    * is replacing.
+    *
+    * Semantics note (inherent to snapshot-only state): a tombstone
+    * erases the key AND its version history, so a later-arriving update
+    * with an older version resurrects the key. Feed monotone versions
+    * per key (event time does this) or retain tombstones upstream.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def cdcUpsertSink(updates: DataFrame, statePath: String, checkpointPath: String,
+      keyCols: Seq[String], versionCol: String, deletedCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val base =
+          if (new java.io.File(statePath).exists()) sp.read.parquet(statePath)
+          else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.drop(deletedCol.toSeq: _*).schema)
+        val merged = graft.operators.Analytics
+          .upsertLatest(base, batch, keyCols, versionCol, deletedCol)
+          .localCheckpoint(true) // materialize off the path before overwriting it
+        merged.write.mode("overwrite").parquet(statePath)
+        merged.unpersist()
+        ()
+      }
+      .start()
+
   def sessionize(events: Dataset[StreamEvent], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapSec * 1000000L

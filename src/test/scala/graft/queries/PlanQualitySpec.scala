@@ -182,4 +182,50 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")), p.take(2000))
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p.take(2000))
   }
+
+  test("q62 quantile binning has no global sort and no window") {
+    // the whole point vs ntile: boundaries via one agg, assignment via
+    // broadcast comparison — never a single-partition row_number sort
+    val df = graft.operators.Analytics.quantileBins(
+      Queries.t(spark, dir, "orders"), "o_totalprice", 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Sort"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000)) // the cuts array
+  }
+
+  test("q60 upsert merge is exactly one shuffle on the merge key") {
+    val p = plan("q60_merge_upsert")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected one hash-partition exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("d08 bloom probe stage is map-only (no shuffle between scan and flag)") {
+    val docs = Queries.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("fp"))
+    val ref = docs.limit(50).select("fp")
+    val flagged = graft.operators.Dedup.bloomFlag(docs, "fp", "hit", ref, "fp")
+    val p = flagged.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("q65 column profiler reads the table exactly once") {
+    val df = graft.operators.Analytics.profileColumns(
+      Queries.t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, p.take(3000))
+  }
+
+  test("t12 packing stages the bucket offsets behind a broadcast join") {
+    val df = graft.operators.TextAnalysis.packSequences(
+      Queries.t(spark, dir, "documents"), "doc_id", "text", 512)
+    val p = df.queryExecution.executedPlan.toString
+    // per-bucket cumulative window joins tiny bucket offsets by broadcast;
+    // the full-data window is partitioned (never a global unpartitioned sort)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
