@@ -87,18 +87,25 @@ object Analytics {
     * `deletedCol` true are dropped (tombstones). `updates` may carry
     * columns `base` lacks (schema evolution) — base rows get null.
     *
+    * Determinism contract: `(keyCols, versionCol)` must be unique WITHIN
+    * `updates` (and within `base`), or callers must pass `tieBreakCols`
+    * that total-order equal-version rows — otherwise `row_number` picks
+    * an arbitrary survivor that can differ across runs/partitionings.
+    *
     * One union + one key-partitioned window: a single shuffle on the
     * merge key, no driver-side state. At 100 TB this is exactly the
     * compaction shape lakehouse engines run; skewed hot keys are bounded
     * by their own change volume, not the table. */
   def upsertLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      versionCol: String, deletedCol: Option[String] = None): DataFrame = {
+      versionCol: String, deletedCol: Option[String] = None,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
     val unioned = base.withColumn("_graft_src", lit(0))
       .unionByName(updates.withColumn("_graft_src", lit(1)),
         allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_graft_src").desc)
+    val order = Seq(col(versionCol).desc, col("_graft_src").desc) ++
+      tieBreakCols.map(col(_).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     val survived = unioned.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
       .drop("_graft_rn", "_graft_src")
@@ -136,13 +143,17 @@ object Analytics {
     * aggregate map-side. Contrast with `ntile`, whose global row-number
     * window would single-partition the table at scale. Values equal to a
     * boundary land in the lower bin (strict `>` — deterministic in any
-    * engine given identical boundaries). */
+    * engine given identical boundaries). Rows with a null `valueCol` are
+    * excluded entirely (they have no quantile position; without the
+    * filter they'd inflate bin 1's count while its min/max/avg ignored
+    * them) — pre-filter or impute upstream to keep them. */
   def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val v = col(valueCol).cast("double")
-    val cuts = df.agg(percentile(v,
+    val nonNull = df.filter(v.isNotNull)
+    val cuts = nonNull.agg(percentile(v,
       array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("cuts"))
-    df.crossJoin(broadcast(cuts))
+    nonNull.crossJoin(broadcast(cuts))
       .withColumn("bin",
         (lit(1) + size(filter(col("cuts"), c => v > c))).cast("int"))
       .groupBy(col("bin"))
@@ -158,16 +169,19 @@ object Analytics {
     * Exact group percentiles (one bounded-state agg per group, broadcast
     * back), then clamp to [pLo, pHi] and scale to [0, 1] (degenerate
     * groups where pLo == pHi scale to 0.5). Appends `<valueCol>_wins`
-    * and `<valueCol>_scaled` (rounded to 6 decimals). */
+    * and `<valueCol>_scaled` (rounded to 6 decimals). A null `groupCol`
+    * is a group of its own (null-safe join key), so those rows are
+    * winsorized against each other rather than silently dropped. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
     val v = col(valueCol).cast("double")
-    val pct = df.groupBy(col(groupCol))
+    val pct = df.groupBy(col(groupCol).as("_graft_g"))
       .agg(percentile(v, lit(pLo)).as("_graft_plo"),
         percentile(v, lit(pHi)).as("_graft_phi"))
     val wins = least(greatest(v, col("_graft_plo")), col("_graft_phi"))
-    df.join(broadcast(pct), Seq(groupCol))
+    df.join(broadcast(pct), col(groupCol) <=> col("_graft_g"))
+      .drop("_graft_g")
       .withColumn(s"${valueCol}_wins", wins)
       .withColumn(s"${valueCol}_scaled",
         when(col("_graft_phi") > col("_graft_plo"),

@@ -387,12 +387,21 @@ object Dedup {
     * expression over an opaque driver-built bitset); it stays
     * executor-local, map-only, and off the shuffle path. Spark's
     * BloomFilter hashes with fixed-seed Murmur3, so the flags are
-    * deterministic run to run. */
+    * deterministic run to run.
+    *
+    * Both sides are normalized to STRING before hashing: Spark inserts
+    * integral columns via `putLong` (different bytes than the string
+    * rendering), so building over the native type while probing strings
+    * would return false for every true member — the no-false-negative
+    * guarantee only holds when build and probe hash identical bytes. */
   def bloomFlag(df: DataFrame, probeCol: String, flagCol: String,
       ref: DataFrame, refCol: String, fpp: Double = 0.03): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val nRef = math.max(ref.count(), 1L) // sketch sizing needs the cardinality
-    val bf = ref.stat.bloomFilter(refCol, nRef, fpp)
+    // string-normalize the BUILD side so it hashes the same bytes the
+    // string probe below does, whatever the ref column's native type
+    val refStr = ref.select(col(refCol).cast("string").as("_graft_ref"))
+    val nRef = math.max(refStr.count(), 1L) // sketch sizing needs the cardinality
+    val bf = refStr.stat.bloomFilter("_graft_ref", nRef, fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((s: String) => s != null && bc.value.mightContainString(s))
     df.withColumn(flagCol, probe(col(probeCol).cast("string")))

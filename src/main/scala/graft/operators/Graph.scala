@@ -32,13 +32,18 @@ object Graph {
     * Scale shape: out-degrees are computed once and joined into the
     * edge list (one shuffle, reused every round); each round is
     * edges ⋈ ranks on src + a dst-keyed partial-aggregating sum.
-    * Per-round `localCheckpoint` + unpersist keeps lineage and storage
-    * flat (the [[Dedup.duplicateClusters]] pattern).
+    * Unlike [[Dedup.duplicateClusters]] there is no per-round
+    * convergence action, so rounds stay LAZY — one job executes several
+    * chained rounds — and lineage is truncated only every
+    * `checkpointEvery` rounds (`localCheckpoint` + unpersist) to keep
+    * the plan and storage bounded for large iteration counts.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85, roundTo: Int = 9,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -48,26 +53,36 @@ object Graph {
     // every-node-has-an-out-edge contract); the left join below keeps a
     // node alive even in rounds where nothing points at it (rank (1-d))
     val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0))
+    var lastCkpt: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       val contribs = withDeg.join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum((col("r") / col("deg").cast("double"))
           .cast(DecimalType(28, 12))).as("csum"))
-      val next = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      var next = nodes.join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           round(lit(1.0 - damping) +
             lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)),
             roundTo).as("r"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      ranks = next
       i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        // truncate lineage; only now does a job run
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      ranks = next
     }
+    // one final materialization so every intermediate block (withDeg,
+    // nodes, the periodic checkpoints) can be freed NOW — the lazy
+    // rounds in between never touched the scheduler
+    val result = ranks.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
     withDeg.unpersist()
     nodes.unpersist()
     // callers own the returned checkpointed frame's lifetime
-    ranks.select(col("node"), col("r").as("rank"))
+    result.select(col("node"), col("r").as("rank"))
   }
 }

@@ -1931,12 +1931,14 @@ object Queries {
           .orderBy($"bin")
       },
       Some("""WITH cuts AS (SELECT quantile_cont(o_totalprice,
-          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM orders)
+          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+          FROM orders WHERE o_totalprice IS NOT NULL)
         SELECT CAST(1 + len(list_filter(qs, q -> o_totalprice > q)) AS INTEGER) AS bin,
           count(*) AS n, min(o_totalprice) AS bin_min, max(o_totalprice) AS bin_max,
           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
             / CAST(count(*) AS DOUBLE), 6) AS bin_avg
-        FROM orders CROSS JOIN cuts GROUP BY 1 ORDER BY bin""")),
+        FROM orders CROSS JOIN cuts WHERE o_totalprice IS NOT NULL
+        GROUP BY 1 ORDER BY bin""")),
 
     // ---- Bloom-filter contamination screen: constant-memory membership
     //      (broadcast bitset, map-only probe) with verdict booleans the

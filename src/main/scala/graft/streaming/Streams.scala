@@ -119,9 +119,20 @@ object Streams {
     * onto a parquet state table with
     * [[graft.operators.Analytics.upsertLatest]] — the `foreachBatch`
     * MERGE-INTO loop that keeps a queryable latest-state snapshot of an
-    * unbounded change stream. The merged frame is `localCheckpoint`ed
-    * BEFORE the overwrite so the write never lazily re-reads the path it
-    * is replacing.
+    * unbounded change stream.
+    *
+    * State layout: each micro-batch writes a NEW snapshot directory
+    * `v-<n>` under `statePath` (never overwriting the one it read), then
+    * retires older committed snapshots. "Committed" = carries the parquet
+    * committer's `_SUCCESS` marker, so a crash mid-write leaves the
+    * previous snapshot intact and the next attempt reuses the version
+    * number (partial output is clobbered by `mode("overwrite")`). All
+    * filesystem probing goes through Hadoop `FileSystem`, so the sink
+    * works on HDFS/S3/ABFS, not just `file:`. Checkpoint replay of a
+    * micro-batch re-merges the same changes onto the already-merged
+    * snapshot — idempotent under latest-wins (equal versions, updates
+    * win; tombstoned keys stay absent). Read the current state with
+    * [[cdcState]].
     *
     * Semantics note (inherent to snapshot-only state): a tombstone
     * erases the key AND its version history, so a later-arriving update
@@ -137,18 +148,51 @@ object Streams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        val base =
-          if (new java.io.File(statePath).exists()) sp.read.parquet(statePath)
-          else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop(deletedCol.toSeq: _*).schema)
+        val committed = committedSnapshots(sp, statePath)
+        val base = committed.lastOption
+          .map { case (_, p) => sp.read.parquet(p.toString) }
+          .getOrElse(sp.createDataFrame(
+            sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.drop(deletedCol.toSeq: _*).schema))
         val merged = graft.operators.Analytics
           .upsertLatest(base, batch, keyCols, versionCol, deletedCol)
-          .localCheckpoint(true) // materialize off the path before overwriting it
-        merged.write.mode("overwrite").parquet(statePath)
-        merged.unpersist()
+        val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        // writes to a FRESH dir — the snapshot being read is untouched
+        merged.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, s"v-$next").toString)
+        // the write action above materialized v-<next>; only now retire
+        // the superseded snapshots
+        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+        committed.foreach { case (_, p) => fs.delete(p, true) }
         ()
       }
       .start()
+
+  /** The latest committed snapshot written by [[cdcUpsertSink]] (highest
+    * `v-<n>` directory carrying `_SUCCESS`). */
+  def cdcState(sp: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
+    val committed = committedSnapshots(sp, statePath)
+    require(committed.nonEmpty, s"no committed CDC state under $statePath")
+    sp.read.parquet(committed.last._2.toString)
+  }
+
+  /** `(version, path)` of every committed snapshot, ascending. */
+  private def committedSnapshots(sp: org.apache.spark.sql.SparkSession,
+      statePath: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        if (p.getName.startsWith("v-"))
+          scala.util.Try(p.getName.stripPrefix("v-").toLong).toOption.map(_ -> p)
+        else None
+      }
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
 
   def sessionize(events: Dataset[StreamEvent], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

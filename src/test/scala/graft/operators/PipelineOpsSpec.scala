@@ -190,4 +190,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"hit").select("s").collect().map(_.getString(0)).toSet
     assert(again === out.filter($"hit").select("s").collect().map(_.getString(0)).toSet)
   }
+
+  test("bloomFlag keeps the no-false-negative guarantee on a NON-string ref column") {
+    val sp = spark; import sp.implicits._
+    // a bigint ref used to be inserted via putLong while the probe hashed
+    // the string rendering -> 100% false negatives
+    val ref = (1L to 400L).toDF("id")
+    val probe = (1L to 800L).toDF("id").repartition(3)
+    val out = Dedup.bloomFlag(probe, "id", "hit", ref, "id", fpp = 0.01)
+    assert(out.filter($"id" <= 400L && !$"hit").count() === 0L,
+      "bloom false negative on integral ref column!")
+    // and it still rejects most non-members
+    val fp = out.filter($"id" > 400L && $"hit").count()
+    assert(fp <= 400 * 0.01 * 5 + 10, s"false positives way over fpp bound: $fp")
+  }
+
+  test("quantileBins excludes null values instead of inflating bin 1") {
+    val sp = spark; import sp.implicits._
+    val df = ((1 to 80).map(i => Some(i.toDouble)) ++ Seq.fill(20)(Option.empty[Double]))
+      .toDF("v").repartition(3)
+    val bins = Analytics.quantileBins(df, "v", 4).orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("n")).sum === 80L, "null rows must not be binned")
+    bins.foreach(b => assert(math.abs(b.getAs[Long]("n") - 20L) <= 1))
+    // all-null column -> empty result, not a null-cuts crash
+    val allNull = Seq.fill(5)(Option.empty[Double]).toDF("v")
+    assert(Analytics.quantileBins(allNull, "v", 4).count() === 0L)
+  }
+
+  test("winsorize keeps null-group rows as their own group") {
+    val sp = spark; import sp.implicits._
+    val df = ((1 to 50).map(i => (Some("g"), i.toDouble)) ++
+      (1 to 50).map(i => (Option.empty[String], i.toDouble * 10)))
+      .toDF("grp", "x")
+    val out = Analytics.winsorize(df, "grp", "x")
+    assert(out.count() === 100L, "null-group rows must survive the join")
+    val nulls = out.filter($"grp".isNull).collect()
+    assert(nulls.length === 50)
+    // winsorized against the null group's own percentiles (x*10 scale)
+    assert(nulls.map(_.getAs[Double]("x_wins")).max > 100.0)
+  }
+
+  test("upsertLatest tieBreakCols make equal-version survivors deterministic") {
+    val sp = spark; import sp.implicits._
+    val base = Seq((9L, "base", 0L, "")).toDF("k", "v", "version", "src_id")
+    // two updates with the SAME key and version: tie broken by src_id desc
+    val upd = Seq((1L, "x", 5L, "a"), (1L, "y", 5L, "b"))
+      .toDF("k", "v", "version", "src_id").repartition(4)
+    (1 to 3).foreach { _ =>
+      val out = Analytics.upsertLatest(base, upd, Seq("k"), "version",
+          tieBreakCols = Seq("src_id"))
+        .filter($"k" === 1L).collect()
+      assert(out.length === 1 && out.head.getAs[String]("v") === "y")
+    }
+  }
 }

@@ -55,10 +55,15 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
     } finally q.stop()
 
-    val got = spark.read.parquet(statePath)
+    val got = Streams.cdcState(spark, statePath)
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Long]("version"))).toSet
     assert(got === Set((1L, "a2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+
+    // superseded snapshots are retired: exactly one committed version left
+    val stateDirs = new java.io.File(statePath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v-"))
+    assert(stateDirs.length === 1, s"expected 1 snapshot, got ${stateDirs.mkString(",")}")
 
     // batch-mode twin over the full change log agrees
     val all = Seq(
@@ -73,5 +78,51 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Long]("version"))).toSet
     assert(batchTwin === got)
+  }
+
+  test("CDC sink survives a crashed partial snapshot and a query restart") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-crash").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val in1 = MemoryStream[(Long, String, Long, Boolean)]
+    val q1 = Streams.cdcUpsertSink(
+      in1.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, ckpt, Seq("k"), "version", Some("deleted"))
+    try {
+      in1.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // simulate a crash mid-write of the NEXT snapshot: a v- dir with
+    // data but NO _SUCCESS marker must be invisible to readers and get
+    // clobbered by the next attempt
+    val partial = new java.io.File(statePath, "v-1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    val before = Streams.cdcState(sp, statePath)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(before === Set(1L, 2L)) // still the committed snapshot
+
+    // restart the stream from the same checkpoint with more changes
+    val in2 = MemoryStream[(Long, String, Long, Boolean)]
+    val q2 = Streams.cdcUpsertSink(
+      in2.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, ckpt, Seq("k"), "version", Some("deleted"))
+    try {
+      in2.addData((1L, "a", 1L, false), (2L, "b", 1L, false)) // replayed offsets
+      in2.addData((2L, "b2", 2L, false), (3L, "c", 2L, false))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = Streams.cdcState(sp, statePath)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("version"))).toSet
+    assert(got === Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L)))
   }
 }
