@@ -250,4 +250,96 @@ object Analytics {
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("age_days"))
       .agg(count_distinct(col(userCol)).as("active_users"))
   }
+
+  /** Snapshot diff: compare two versions of a table on `keyCols` and emit
+    * one row per difference — `change_type` ∈ added / removed / changed,
+    * plus `changed_cols`, the comma-joined names of the value columns
+    * that differ (empty for added/removed). Value columns = the non-key
+    * columns the two snapshots share; comparison is null-safe per column
+    * (`IS DISTINCT FROM`), so a null→value transition counts as a change.
+    * Unchanged rows are dropped — the output is the (small) delta, not
+    * the table. Key columns must be non-null on both sides.
+    *
+    * Scale shape: ONE sort-merge full-outer join on the key — each side
+    * shuffles once on `keyCols`, per-task state is one row per side. This
+    * is the table-compaction / CDC-reconciliation primitive: at 100 TB
+    * the cost is the two scans plus one co-partitioned join, never a
+    * driver-side collect. */
+  def tableDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff needs at least one key column")
+    val valueCols = before.columns.filterNot(keyCols.contains)
+      .filter(after.columns.contains).toSeq
+    val b = before.select(keyCols.map(col) ++
+      (valueCols.map(c => col(c).as(s"_b_$c")) :+ lit(1).as("_b_present")): _*)
+    val a = after.select(keyCols.map(col) ++
+      (valueCols.map(c => col(c).as(s"_a_$c")) :+ lit(1).as("_a_present")): _*)
+    val joined = b.join(a, keyCols, "full_outer")
+    val diffs = valueCols.map(c => (!(col(s"_b_$c") <=> col(s"_a_$c"))).as(s"_d_$c"))
+    val anyDiff = diffs.map(d => d: org.apache.spark.sql.Column)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("_b_present").isNull, "added")
+          .when(col("_a_present").isNull, "removed")
+          .when(anyDiff, "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed",
+          concat_ws(",", valueCols.map(c =>
+            when(!(col(s"_b_$c") <=> col(s"_a_$c")), lit(c))): _*))
+          .otherwise(lit("")))
+      .select(keyCols.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
+  }
+
+  /** First-order Markov transition matrix over an event stream: for each
+    * user's time-ordered sequence, count `from_type → to_type` steps and
+    * normalize per `from_type` into probabilities (rounded to 6 decimals).
+    * `tieBreakCol` total-orders equal timestamps so the sequence — and
+    * therefore the matrix — is deterministic under any partitioning.
+    *
+    * Scale shape: one user-keyed window (single shuffle) emits the
+    * consecutive pairs, then a partial-aggregating hash agg onto the
+    * |types|² matrix; the normalizing window runs over that tiny
+    * aggregate, not the events. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+  }
+
+  /** Last-touch attribution: each `convType` event is attributed to the
+    * SAME user's most recent `touchType` event at or before it, provided
+    * the gap is within `windowSec`. Emits one row per attributed
+    * conversion: (user, conv_id, conv_ts, touch_id, gap_sec).
+    * Conversions with no in-window touch are dropped (unattributed).
+    *
+    * This is [[TemporalJoins.asOf]] specialized to the marketing /
+    * training-data-lineage shape — one union + one user-keyed window,
+    * a single shuffle, no per-user driver state. Ties on the touch
+    * timestamp resolve to the highest `idCol` (the as-of payload-struct
+    * tiebreak), matching the oracle's deterministic pick. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, convType: String, touchType: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec >= 0, "windowSec must be non-negative")
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"), col(tsCol).as("conv_ts"))
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(idCol).as("touch_id"), col(tsCol).as("_touch_ts"))
+    TemporalJoins.asOf(convs, touches, userCol, "conv_ts", "_touch_ts",
+        Seq("touch_id", "_touch_ts"))
+      .withColumn("gap_sec",
+        expr("(unix_micros(conv_ts) - unix_micros(_touch_ts)) div 1000000"))
+      .filter(col("gap_sec") <= windowSec)
+      .select(col(userCol), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("gap_sec"))
+  }
 }

@@ -226,6 +226,51 @@ object TextAnalysis {
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
   }
 
+  /** Bigram language-model quality signal: per document, the mean
+    * add-one-smoothed log-probability of its bigrams under the corpus's
+    * own bigram statistics —
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+    *
+    * where `c(w₁·)` counts bigrams starting with w₁ and `V` is the
+    * distinct bigram-start vocabulary. The sequence-aware sibling of
+    * [[unigramLogProb]]: repeated boilerplate scores high, token salad
+    * scores low even when its unigrams are common. Documents with fewer
+    * than two tokens are dropped (they have no bigrams). Output:
+    * (doc_id, n_bigrams, mean_logprob), logprob in nats rounded to 6.
+    *
+    * Scale shape: bigrams come from one zip-with over the staged token
+    * array (map-only), then three partial-aggregating hash aggs
+    * (per-doc, corpus, bigram-start) and hash joins back — no windows,
+    * no driver state beyond the one-row vocabulary count. DECIMAL
+    * addends keep the mean independent of partition merge order. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val perDoc = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val corpus = perDoc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
+    val starts = corpus.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("bf")).as("w1f"))
+    val vocab = starts.agg(count(lit(1)).as("vsz"))
+    perDoc.join(corpus, Seq("bg"))
+      .join(starts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_bigrams"),
+        round(
+          sum((col("cnt").cast("double") *
+            log((col("bf").cast("double") + 1.0) /
+              (col("w1f").cast("double") + col("vsz").cast("double"))))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
+  }
+
   /** LLM sequence PACKING: concatenate the corpus token stream in
     * `idCol` order and cut it into fixed `seqLen`-token training
     * sequences (the "concat-then-chunk" packing real pretraining

@@ -2117,7 +2117,207 @@ object Queries {
         CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS age_days,
         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
         CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- Snapshot diff: added/removed/changed rows via ONE full-outer
+    //      key join (the CDC-reconciliation primitive) ----
+    QueryDef(
+      "q68_table_diff",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        // after: drop keys %13==3, restate price on %7==0 (+1.5 is exact
+        // in binary for 2-decimal doubles — no cross-engine rounding), add
+        // new keys
+        val after = o.filter($"o_orderkey" % 13 =!= 3)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.5)
+              .otherwise($"o_totalprice"))
+          .unionByName(o.filter($"o_orderkey" % 101 === 0)
+            .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+              $"o_orderstatus", $"o_totalprice"))
+        graft.operators.Analytics.tableDiff(o, after, Seq("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        a AS (SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 3
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 101 = 0),
+        j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+            b.o_orderkey IS NOT NULL AS bp, a.o_orderkey IS NOT NULL AS ap,
+            b.o_orderstatus IS DISTINCT FROM a.o_orderstatus AS ds,
+            b.o_totalprice IS DISTINCT FROM a.o_totalprice AS dp
+          FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey)
+        SELECT o_orderkey,
+          CASE WHEN NOT bp THEN 'added' WHEN NOT ap THEN 'removed'
+               ELSE 'changed' END AS change_type,
+          CASE WHEN bp AND ap THEN concat_ws(',',
+              CASE WHEN ds THEN 'o_orderstatus' END,
+              CASE WHEN dp THEN 'o_totalprice' END)
+            ELSE '' END AS changed_cols
+        FROM j WHERE NOT bp OR NOT ap OR ds OR dp
+        ORDER BY o_orderkey""")),
+
+    // ---- Data-quality gate: one row per constraint, counts only —
+    //      row-local checks fold into a single scan ----
+    QueryDef(
+      "q69_data_quality",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Quality
+        graft.operators.Quality.run(t(s, dir, "orders"), Seq(
+          Quality.NotNull("custkey_not_null", "o_custkey"),
+          Quality.InRange("price_in_range", "o_totalprice", 0.0, 600000.0),
+          Quality.Predicate("date_in_era",
+            $"o_orderdate" >= to_date(lit("1992-01-01")) &&
+              $"o_orderdate" <= to_date(lit("1998-12-31"))),
+          Quality.UniqueKey("orderkey_unique", Seq("o_orderkey")),
+          Quality.ForeignKey("custkey_in_customer", "o_custkey",
+            t(s, dir, "customer"), "c_custkey")))
+          .orderBy($"check_name")
+      },
+      Some("""WITH u AS (
+          SELECT 'custkey_not_null' AS check_name,
+            count(*) FILTER (o_custkey IS NULL) AS n_violations FROM orders
+          UNION ALL
+          SELECT 'price_in_range',
+            count(*) FILTER (o_totalprice IS NOT NULL AND
+              (o_totalprice < 0.0 OR o_totalprice > 600000.0)) FROM orders
+          UNION ALL
+          SELECT 'date_in_era', count(*) FILTER (NOT coalesce(
+              o_orderdate >= DATE '1992-01-01' AND o_orderdate <= DATE '1998-12-31',
+              FALSE)) FROM orders
+          UNION ALL
+          SELECT 'orderkey_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+            (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+          UNION ALL
+          SELECT 'custkey_in_customer', count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+          n_violations = 0 AS passed
+        FROM u ORDER BY check_name""")),
+
+    // ---- First-order Markov transition matrix over user event
+    //      sequences (lead window + two-level agg) ----
+    QueryDef(
+      "q70_markov_transitions",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .transitionMatrix(t(s, dir, "events"), "user_id", "ts", "event_type",
+            tieBreakCol = "event_id")
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH seq AS (SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS to_type
+        FROM events),
+        m AS (SELECT from_type, to_type, count(*) AS n FROM seq
+              WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          round(CAST(n AS DOUBLE) /
+            CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        FROM m ORDER BY from_type, to_type""")),
+
+    // ---- Last-touch attribution: conversions as-of joined to the
+    //      latest in-window touch (one union + one user-keyed window) ----
+    QueryDef(
+      "q71_attribution",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .lastTouchAttribution(t(s, dir, "events"), "user_id", "ts",
+            "event_type", "event_id", convType = "purchase",
+            touchType = "click", windowSec = 3600L)
+          .orderBy($"conv_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS conv_id, p.ts AS conv_ts,
+          c.event_id AS touch_id,
+          (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 <= 3600
+        ORDER BY conv_id""")),
+
+    // ---- SQ8 scalar-quantized ANN: int8-compressed corpus scan +
+    //      exact rerank of the surviving candidates ----
+    QueryDef(
+      "s05_knn_sq8",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.sq8Knn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS x,
+              unnest(range(len(embedding))) AS dim FROM embeddings)
+          GROUP BY dim),
+        cb AS (SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+               FROM st),
+        rec AS (SELECT vec_id, list_transform(range(len(embedding)), i ->
+            CASE WHEN mxl[i+1] - mnl[i+1] = 0 THEN mnl[i+1]
+              ELSE mnl[i+1] + (least(255.0, greatest(0.0,
+                floor((embedding[i+1]::DOUBLE - mnl[i+1])
+                  / (mxl[i+1] - mnl[i+1]) * 256.0))) + 0.5)
+                * (mxl[i+1] - mnl[i+1]) / 256.0 END) AS re
+          FROM embeddings CROSS JOIN cb),
+        approx AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], r.re), 6) AS acs
+          FROM embeddings q JOIN rec r ON q.vec_id <> r.vec_id
+          WHERE q.vec_id < 10),
+        cand AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY acs DESC, neighbor_id) AS crank
+          FROM approx),
+        exact AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id
+          WHERE c.crank <= 12),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- Bigram LM quality signal: add-one-smoothed sequence
+    //      log-probability under the corpus's own bigram stats ----
+    QueryDef(
+      "t15_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        bg AS (SELECT doc_id,
+            unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS bg
+          FROM tok WHERE len(tk) >= 2),
+        pd AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        bf AS (SELECT bg, sum(cnt) AS bf FROM pd GROUP BY 1),
+        w1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(bf) AS w1f
+               FROM bf GROUP BY 1),
+        v AS (SELECT count(*) AS vsz FROM w1)
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+          round(CAST(sum(CAST(cnt * ln((CAST(bf AS DOUBLE) + 1.0)
+                / (CAST(w1f AS DOUBLE) + CAST(vsz AS DOUBLE)))
+              AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS mean_logprob
+        FROM pd JOIN bf USING (bg)
+          JOIN w1 ON split_part(bg, ' ', 1) = w1.w1 CROSS JOIN v
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
