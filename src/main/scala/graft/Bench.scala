@@ -20,12 +20,29 @@ object Bench {
     }
     // Deterministic name order: run-to-run comparability, and no Map-hash
     // accident deciding which heavy query warms (or taxes) which neighbor.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: the second avoids first-touch scan/codegen noise.
+    // SPARK_GRAFT_ONLY=q03_join_agg,q05_anti_join isolates a subset for
+    // interference triage (same harness, fewer queries).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // Between-query sweep: cached plans, leaked persisted/checkpoint
+    // blocks, and accumulated garbage from one query must not tax its
+    // neighbors (round-5 showed a consecutive cluster of queries 2-5x
+    // slower with zero code change — cross-query state/GC interference).
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // min of `runs` (default 3): the first absorbs first-touch scan /
+      // codegen noise, the min rides out transient host contention.
       // Timing uses a noop WRITE, not count(): count() lets the optimizer
       // prune away the very projections under bench. A failed query is
       // reported as -1 so it can never masquerade as a fast success.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -34,6 +51,7 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      sweep()
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

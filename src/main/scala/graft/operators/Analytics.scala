@@ -117,8 +117,17 @@ object Analytics {
     * the heaviest key's share, exact p50/p99 of per-key counts, and the
     * skew ratio max/avg. Emits ONE row — the operator a pipeline runs
     * before choosing salting / AQE-skew settings for a join on `keyCol`.
-    * Two partial-aggregating hash aggs; per-key state is a counter. */
-  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    * Two partial-aggregating hash aggs; per-key state is a counter.
+    *
+    * `approx = true` is the extreme-cardinality escape hatch: exact
+    * `percentile` holds every distinct per-key count in agg state —
+    * bounded for typical skew profiles, but at billions of DISTINCT
+    * count values `approx_percentile` (fixed-size sketch state) is the
+    * scale-safe route. Exact stays the default (and the oracle path). */
+  def keySkewProfile(df: DataFrame, keyCol: String, approx: Boolean = false): DataFrame = {
+    def pct(c: org.apache.spark.sql.Column, p: Double) =
+      if (approx) approx_percentile(c, lit(p), lit(10000))
+      else percentile(c, lit(p))
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val m = counts.agg(max(col("cnt")).as("max_cnt"))
     counts.crossJoin(broadcast(m))
@@ -127,8 +136,8 @@ object Analytics {
         count(lit(1)).as("n_keys"),
         max(col("max_cnt")).as("max_cnt"),
         count(when(col("cnt") === col("max_cnt"), 1)).as("n_keys_at_max"),
-        percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
-        percentile(col("cnt"), lit(0.99)).as("p99_cnt"))
+        pct(col("cnt"), 0.5).cast("double").as("p50_cnt"),
+        pct(col("cnt"), 0.99).cast("double").as("p99_cnt"))
       // all-integer inputs: the ratio is a single IEEE division + round,
       // bit-identical in any engine
       .withColumn("skew_ratio", round(
@@ -146,13 +155,22 @@ object Analytics {
     * engine given identical boundaries). Rows with a null `valueCol` are
     * excluded entirely (they have no quantile position; without the
     * filter they'd inflate bin 1's count while its min/max/avg ignored
-    * them) — pre-filter or impute upstream to keep them. */
-  def quantileBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    * them) — pre-filter or impute upstream to keep them.
+    *
+    * `approx = true` swaps the exact `percentile` boundary agg (state =
+    * the column's distinct values) for `approx_percentile` (fixed-size
+    * sketch) — the route for extreme-cardinality columns at 100 TB.
+    * Bin ASSIGNMENT is unchanged either way; only boundary placement
+    * becomes approximate. Exact stays the default / oracle path. */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
+      approx: Boolean = false): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val v = col(valueCol).cast("double")
     val nonNull = df.filter(v.isNotNull)
-    val cuts = nonNull.agg(percentile(v,
-      array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)).as("cuts"))
+    val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val cuts = nonNull.agg(
+      (if (approx) approx_percentile(v, ps, lit(10000)) else percentile(v, ps))
+        .as("cuts"))
     nonNull.crossJoin(broadcast(cuts))
       .withColumn("bin",
         (lit(1) + size(filter(col("cuts"), c => v > c))).cast("int"))
@@ -171,14 +189,21 @@ object Analytics {
     * groups where pLo == pHi scale to 0.5). Appends `<valueCol>_wins`
     * and `<valueCol>_scaled` (rounded to 6 decimals). A null `groupCol`
     * is a group of its own (null-safe join key), so those rows are
-    * winsorized against each other rather than silently dropped. */
+    * winsorized against each other rather than silently dropped.
+    *
+    * `approx = true` switches the per-group percentile state from exact
+    * (per-group distinct-value map) to a fixed-size `approx_percentile`
+    * sketch — the escape hatch when a single group's value cardinality
+    * is itself huge. Exact stays the default / oracle path. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95, approx: Boolean = false): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
     val v = col(valueCol).cast("double")
+    def pctAgg(p: Double) =
+      if (approx) approx_percentile(v, lit(p), lit(10000)).cast("double")
+      else percentile(v, lit(p))
     val pct = df.groupBy(col(groupCol).as("_graft_g"))
-      .agg(percentile(v, lit(pLo)).as("_graft_plo"),
-        percentile(v, lit(pHi)).as("_graft_phi"))
+      .agg(pctAgg(pLo).as("_graft_plo"), pctAgg(pHi).as("_graft_phi"))
     val wins = least(greatest(v, col("_graft_plo")), col("_graft_phi"))
     df.join(broadcast(pct), col(groupCol) <=> col("_graft_g"))
       .drop("_graft_g")
@@ -216,14 +241,24 @@ object Analytics {
     * computed in ONE aggregation over ONE scan (every stat partial-
     * aggregates map-side), then melted to a row per column. min/max are
     * computed in the column's native type and only cast to string for
-    * the uniform output schema. */
-  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    * the uniform output schema.
+    *
+    * `approx = true` is the 100 TB route: k exact `count_distinct`s in
+    * one Aggregate make Catalyst Expand the input (k+1)× before the
+    * shuffle — one scan, but (k+1)× the shuffle rows. HLL++
+    * `approx_count_distinct` needs no Expand (fixed-size sketch state per
+    * column), so the profile really is one scan + one tiny shuffle.
+    * Exact stays the default / oracle path. */
+  def profileColumns(df: DataFrame, columns: Seq[String],
+      approx: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "profileColumns needs at least one column")
     val missing = columns.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    def nd(c: String) =
+      if (approx) approx_count_distinct(col(c)) else count_distinct(col(c))
     val aggExprs = Seq(count(lit(1)).as("_graft_n")) ++ columns.flatMap(c => Seq(
       count(when(col(c).isNull, 1)).as(s"_graft_${c}_nulls"),
-      count_distinct(col(c)).as(s"_graft_${c}_nd"),
+      nd(c).as(s"_graft_${c}_nd"),
       min(col(c)).cast("string").as(s"_graft_${c}_min"),
       max(col(c)).cast("string").as(s"_graft_${c}_max")))
     df.agg(aggExprs.head, aggExprs.tail: _*)
@@ -269,24 +304,30 @@ object Analytics {
     require(keyCols.nonEmpty, "tableDiff needs at least one key column")
     val valueCols = before.columns.filterNot(keyCols.contains)
       .filter(after.columns.contains).toSeq
+    // staging namespace: value columns get `_graft_b_/_graft_a_` prefixes
+    // and the presence markers live at `_graft_mb/_graft_ma` — disjoint by
+    // construction (the prefixes differ before any user name is appended),
+    // so a value column literally named "present" (or anything else)
+    // cannot collide with a marker
+    require(!(before.columns ++ after.columns).exists(_.startsWith("_graft_")),
+      "input already has _graft_ staging columns")
     val b = before.select(keyCols.map(col) ++
-      (valueCols.map(c => col(c).as(s"_b_$c")) :+ lit(1).as("_b_present")): _*)
+      (valueCols.map(c => col(c).as(s"_graft_b_$c")) :+ lit(1).as("_graft_mb")): _*)
     val a = after.select(keyCols.map(col) ++
-      (valueCols.map(c => col(c).as(s"_a_$c")) :+ lit(1).as("_a_present")): _*)
+      (valueCols.map(c => col(c).as(s"_graft_a_$c")) :+ lit(1).as("_graft_ma")): _*)
     val joined = b.join(a, keyCols, "full_outer")
-    val diffs = valueCols.map(c => (!(col(s"_b_$c") <=> col(s"_a_$c"))).as(s"_d_$c"))
-    val anyDiff = diffs.map(d => d: org.apache.spark.sql.Column)
-      .reduceOption(_ || _).getOrElse(lit(false))
+    val diffs = valueCols.map(c => !(col(s"_graft_b_$c") <=> col(s"_graft_a_$c")))
+    val anyDiff = diffs.reduceOption(_ || _).getOrElse(lit(false))
     joined
       .withColumn("change_type",
-        when(col("_b_present").isNull, "added")
-          .when(col("_a_present").isNull, "removed")
+        when(col("_graft_mb").isNull, "added")
+          .when(col("_graft_ma").isNull, "removed")
           .when(anyDiff, "changed"))
       .filter(col("change_type").isNotNull)
       .withColumn("changed_cols",
         when(col("change_type") === "changed",
           concat_ws(",", valueCols.map(c =>
-            when(!(col(s"_b_$c") <=> col(s"_a_$c")), lit(c))): _*))
+            when(!(col(s"_graft_b_$c") <=> col(s"_graft_a_$c")), lit(c))): _*))
           .otherwise(lit("")))
       .select(keyCols.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
   }
@@ -324,8 +365,10 @@ object Analytics {
     * This is [[TemporalJoins.asOf]] specialized to the marketing /
     * training-data-lineage shape — one union + one user-keyed window,
     * a single shuffle, no per-user driver state. Ties on the touch
-    * timestamp resolve to the highest `idCol` (the as-of payload-struct
-    * tiebreak), matching the oracle's deterministic pick. */
+    * timestamp resolve DETERMINISTICALLY to the highest `idCol` (the
+    * as-of payload-struct tiebreak); the q71 oracle mirrors that with an
+    * explicit `row_number() OVER (ORDER BY ts DESC, id DESC)` pick, so
+    * equal-timestamp touches resolve identically in both engines. */
   def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, convType: String, touchType: String,
       windowSec: Long): DataFrame = {

@@ -15,23 +15,27 @@ object Graph {
 
   /** PageRank by power iteration: `iterations` rounds of
     *
-    *   rank(v) ← round((1 − d) + d · Σ_{u→v} rank(u) / outdeg(u), roundTo)
+    *   rank(v) ← round((1 − d) + d · (Σ_{u→v} rank(u) / outdeg(u)
+    *                                  + danglingSum / N), roundTo)
     *
-    * over an edge list `(src, dst)`. Every node must have at least one
-    * out-edge (pass a symmetrized edge list for undirected graphs —
-    * dangling-node rank would otherwise leak); nodes are whatever
-    * integral ids the edges carry.
+    * over an edge list `(src, dst)`; nodes are whatever integral ids the
+    * edges carry (the union of both endpoints). DANGLING nodes — nodes
+    * with no out-edge — redistribute their rank mass uniformly over all
+    * N nodes each round (the standard formulation), so rank never leaks
+    * out of the system on non-symmetrized graphs.
     *
     * Determinism contract (the property the DuckDB oracle checks): the
     * per-edge contribution is a single IEEE division, the per-node sum
-    * goes through DECIMAL(28,12) addends so it is independent of
-    * partition merge order, and each round's rank is rounded to
-    * `roundTo` decimals — both engines stay in bit-identical lockstep
-    * for any iteration count.
+    * and the dangling-mass sum both go through DECIMAL(28,12) addends so
+    * they are independent of partition merge order, and each round's
+    * rank is rounded to `roundTo` decimals — both engines stay in
+    * bit-identical lockstep for any iteration count.
     *
     * Scale shape: out-degrees are computed once and joined into the
     * edge list (one shuffle, reused every round); each round is
-    * edges ⋈ ranks on src + a dst-keyed partial-aggregating sum.
+    * edges ⋈ ranks on src + a dst-keyed partial-aggregating sum, plus —
+    * only when dangling nodes exist — a one-row dangling-mass aggregate
+    * broadcast into the round (never a second full shuffle).
     * Unlike [[Dedup.duplicateClusters]] there is no per-round
     * convergence action, so rounds stay LAZY — one job executes several
     * chained rounds — and lineage is truncated only every
@@ -49,10 +53,17 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // enrich edges with the out-degree once; reused by every round
     val withDeg = e.join(deg, Seq("src")).localCheckpoint(true)
-    // rank rows are keyed on the out-node set (= all nodes, per the
-    // every-node-has-an-out-edge contract); the left join below keeps a
+    // node set = union of both endpoints; the left join below keeps a
     // node alive even in rounds where nothing points at it (rank (1-d))
-    val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // dangling = nodes with no out-edge; their mass redistributes
+    // uniformly. Computed once (anti-join) and checkpointed like nodes.
+    val dangling = nodes.join(deg, col("node") === col("src"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = !dangling.isEmpty
+    val nNodes = nodes.count()
     var ranks = nodes.withColumn("r", lit(1.0))
     var lastCkpt: Option[DataFrame] = None
     var i = 0
@@ -61,11 +72,20 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum((col("r") / col("deg").cast("double"))
           .cast(DecimalType(28, 12))).as("csum"))
-      var next = nodes.join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          round(lit(1.0 - damping) +
-            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)),
-            roundTo).as("r"))
+      // dangling-free graphs keep the exact round-5 plan (and lockstep
+      // arithmetic): no dangling term is ever added
+      val inflow =
+        if (!hasDangling) coalesce(col("csum").cast("double"), lit(0.0))
+        else coalesce(col("csum").cast("double"), lit(0.0)) +
+          coalesce(col("_dsum").cast("double"), lit(0.0)) / lit(nNodes.toDouble)
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      val withDang =
+        if (!hasDangling) joined
+        else joined.crossJoin(broadcast(
+          ranks.join(dangling, Seq("node"))
+            .agg(sum(col("r").cast(DecimalType(28, 12))).as("_dsum"))))
+      var next = withDang.select(col("node"),
+        round(lit(1.0 - damping) + lit(damping) * inflow, roundTo).as("r"))
       i += 1
       if (i % checkpointEvery == 0 && i < iterations) {
         // truncate lineage; only now does a job run
@@ -82,6 +102,7 @@ object Graph {
     lastCkpt.foreach(_.unpersist())
     withDeg.unpersist()
     nodes.unpersist()
+    dangling.unpersist()
     // callers own the returned checkpointed frame's lifetime
     result.select(col("node"), col("r").as("rank"))
   }

@@ -99,43 +99,154 @@ object Similarity {
     * tiebreak, so candidate sets — and results — are engine-portable. */
   def sq8Knn(queries: DataFrame, corpus: DataFrame, k: Int, candMult: Int = 4)
       : DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(candMult >= 1, "candMult must be positive")
-    // per-dimension corpus bounds: one posexplode + a dims-row agg
+    val bounds = sq8Bounds(corpus, "embedding")
+    sq8KnnFromCodes(queries, sq8Encode(corpus, "vec_id", "embedding", bounds),
+      corpus, k, candMult, bounds)
+  }
+
+  /** Per-dimension corpus `[min, span]` for SQ8 — the "codebook" is
+    * 2×dims doubles, a planning-time collect measured in bytes (same
+    * contract as the IVF codebook). */
+  def sq8Bounds(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
     val stats = corpus
-      .select(posexplode(d(col("embedding"))).as(Seq("dim", "x")))
+      .select(posexplode(d(col(vecCol))).as(Seq("dim", "x")))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("dim")).collect()
-    val mnA = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val spanA = array(stats.map(r => lit(r.getDouble(2) - r.getDouble(1))).toIndexedSeq: _*)
-    // code_i = clamp(floor((x_i - mn_i) / span_i * 256), 0, 255);
-    // reconstruct at the cell midpoint. Constant dims (span 0) decode to
-    // mn exactly; the division guard keeps ANSI mode happy.
-    def reconstruct(vec: Column): Column =
-      transform(d(vec), (x, i) => {
-        val m = element_at(mnA, i + 1)
-        val s = element_at(spanA, i + 1)
-        val sSafe = when(s === 0.0, lit(1.0)).otherwise(s)
-        val code = least(lit(255.0), greatest(lit(0.0),
-          floor((x - m) / sSafe * 256.0)))
-        when(s === 0.0, m).otherwise(m + (code + 0.5) * s / 256.0)
-      })
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), reconstruct(col("embedding")).as("re"))
+    (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)))
+  }
+
+  /** MATERIALIZE the SQ8 code column: one `binary` byte per dimension,
+    * `code_i = clamp(floor((x_i - mn_i) / span_i * 256), 0, 255)`. Write
+    * this next to the corpus once; every ANN scan then streams codes at
+    * 1/4 the bytes of float32 — the production win of SQ8 is memory/IO
+    * bandwidth on the hot scan, and it only exists if the codes are a
+    * real stored column rather than recomputed from the floats. Output:
+    * `(vec_id, codes binary)`; map-only, no shuffle. */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+      bounds: (Array[Double], Array[Double])): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val (mn, span) = bounds
+    val bc = sp.sparkContext.broadcast((mn, span))
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (m, s) = bc.value
+        it.map { case (id, v) =>
+          val n = math.min(v.length, m.length)
+          val codes = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            val sSafe = if (s(i) == 0.0) 1.0 else s(i)
+            codes(i) = math.min(255.0, math.max(0.0,
+              math.floor((v(i).toDouble - m(i)) / sSafe * 256.0))).toInt.toByte
+            i += 1
+          }
+          (id, codes)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** SQ8 ANN over a MATERIALIZED code column (see [[sq8Encode]]): the
+    * candidate scan reads `(vec_id, codes)` ONLY — never the float
+    * embeddings — decodes each row to the cell midpoint in a tight
+    * kernel, scores all broadcast queries asymmetrically, keeps the top
+    * `k·candMult` per query, and touches `corpus`'s exact vectors just
+    * for those survivors (an equi-join on the candidate ids). Scores are
+    * bit-identical to the Column formulation (double arithmetic in array
+    * order, round-6, id tiebreak), so results are engine-portable. */
+  def sq8KnnFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      k: Int, candMult: Int, bounds: (Array[Double], Array[Double])): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(candMult >= 1, "candMult must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    val qb = sp.sparkContext.broadcast(qCollected)
+    val bb = sp.sparkContext.broadcast(bounds)
+    // quantized scan: codes only — 1 byte/dim off storage
+    val approxScores = codes.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val (m, s) = bb.value
+        it.flatMap { case (nid, cd) =>
+          // decode the midpoint once per corpus row, score every query
+          val rec = new Array[Double](cd.length)
+          var i = 0
+          while (i < cd.length) {
+            rec(i) =
+              if (s(i) == 0.0) m(i)
+              else m(i) + ((cd(i) & 0xFF).toDouble + 0.5) * s(i) / 256.0
+            i += 1
+          }
+          qs.iterator.filter(_._1 != nid).map { case (qid, qv) =>
+            (qid, nid, cosineKernelFD(qv, rec))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "acs")
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("acs").desc, col("neighbor_id"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("acs", cosine(col("qe"), col("re")))
+    val cands = approxScores
       .withColumn("_crank", row_number().over(wApprox))
       .filter(col("_crank") <= k * candMult) // survivors of the quantized scan
-      .withColumn("cs", cosine(col("qe"), col("ce"))) // exact, candidates only
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: the float embeddings are read for the candidates only
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  /** [[cosineKernel]] for a float query against an already-decoded
+    * double vector — the SQ8 asymmetric-scoring inner loop. Same
+    * contract: double accumulation in array order over the common
+    * prefix, round-6, zero-norm → 0. */
+  def cosineKernelFD(a: Array[Float], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Recall@k of an approximate kNN result against the exact result on
+    * the same corpus — the tuning-regression gate for [[annKnn]] /
+    * [[ivfKnn]] / [[sq8Knn]]: a planes/probes/candMult change that
+    * silently tanks recall fails a threshold on this operator's output
+    * even though each index stays "correct" on its own definition.
+    * Both inputs use the kNN output schema `(query_id, rank,
+    * neighbor_id, …)`; rows with rank > k are ignored. Emits one row per
+    * exact-side query: `(query_id, hits, recall)` with recall =
+    * |approx ∩ exact top-k| / |exact top-k|, rounded to 6. Relational
+    * shape: one equi-join on (query, neighbor) + query-keyed aggs —
+    * scales with the result sets, not the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_graft_hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("_graft_n"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("_graft_hits"), lit(0L)).as("hits"),
+        round(coalesce(col("_graft_hits"), lit(0L)).cast("double") /
+          col("_graft_n").cast("double"), 6).as("recall"))
   }
 
   // ------------------------------------------------------------------

@@ -2037,6 +2037,46 @@ object Queries {
         SELECT node, r AS rank FROM p8 ORDER BY node"""
       }),
 
+    // ---- PageRank over a DIRECTED bipartite graph where every part node
+    //      is dangling (no out-edges): their mass redistributes uniformly
+    //      each round; decimal-lockstep with the unrolled oracle ----
+    QueryDef(
+      "q72_pagerank_dangling",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("src"), ($"l_partkey" + 1000000L).as("dst"))
+          .distinct()
+        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
+        val rounds = (1 to 6).map(i =>
+          s"""p$i AS (SELECT n.node,
+            round($oneMinusD + 0.85 * (COALESCE(CAST(c.csum AS DOUBLE), 0.0)
+              + COALESCE(CAST(ds.dsum AS DOUBLE), 0.0) / nn.cnt), 9) AS r
+          FROM n CROSS JOIN nn
+          CROSS JOIN (SELECT sum(CAST(p${i - 1}.r AS DECIMAL(28,12))) AS dsum
+            FROM p${i - 1} JOIN dang ON p${i - 1}.node = dang.node) ds
+          LEFT JOIN (
+            SELECT e.dst AS node,
+              sum(CAST(p${i - 1}.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+            FROM p${i - 1} JOIN e ON p${i - 1}.node = e.src
+              JOIN d ON d.src = p${i - 1}.node
+            GROUP BY e.dst) c ON n.node = c.node)""").mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n),
+        dang AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM e)),
+        p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+        $rounds
+        SELECT node, r AS rank FROM p6 ORDER BY node"""
+      }),
+
     // ---- Single-scan column profiler (ANALYZE-style pipeline health
     //      check): nulls / exact distincts / native-type min-max ----
     QueryDef(
@@ -2237,14 +2277,21 @@ object Queries {
             touchType = "click", windowSec = 3600L)
           .orderBy($"conv_id")
       },
-      Some("""SELECT p.user_id, p.event_id AS conv_id, p.ts AS conv_ts,
-          c.event_id AS touch_id,
-          (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts
-        WHERE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 <= 3600
-        ORDER BY conv_id""")),
+      // row_number (ts DESC, id DESC) rather than ASOF JOIN: DuckDB's ASOF
+      // picks an ARBITRARY row when several touches share the maximal
+      // in-window timestamp; this pick mirrors the operator's deterministic
+      // highest-id tiebreak exactly
+      Some("""WITH p AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+            FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+            FROM events WHERE event_type = 'click'),
+          j AS (SELECT p.user_id, p.conv_id, p.conv_ts, c.touch_id,
+              (epoch_us(p.conv_ts) - epoch_us(c.touch_ts)) // 1000000 AS gap_sec,
+              row_number() OVER (PARTITION BY p.user_id, p.conv_id
+                ORDER BY c.touch_ts DESC, c.touch_id DESC) AS rn
+            FROM p JOIN c ON p.user_id = c.user_id AND c.touch_ts <= p.conv_ts)
+        SELECT user_id, conv_id, conv_ts, touch_id, gap_sec FROM j
+        WHERE rn = 1 AND gap_sec <= 3600 ORDER BY conv_id""")),
 
     // ---- SQ8 scalar-quantized ANN: int8-compressed corpus scan +
     //      exact rerank of the surviving candidates ----

@@ -121,18 +121,33 @@ object Streams {
     * MERGE-INTO loop that keeps a queryable latest-state snapshot of an
     * unbounded change stream.
     *
-    * State layout: each micro-batch writes a NEW snapshot directory
-    * `v-<n>` under `statePath` (never overwriting the one it read), then
-    * retires older committed snapshots. "Committed" = carries the parquet
-    * committer's `_SUCCESS` marker, so a crash mid-write leaves the
-    * previous snapshot intact and the next attempt reuses the version
-    * number (partial output is clobbered by `mode("overwrite")`). All
-    * filesystem probing goes through Hadoop `FileSystem`, so the sink
-    * works on HDFS/S3/ABFS, not just `file:`. Checkpoint replay of a
-    * micro-batch re-merges the same changes onto the already-merged
-    * snapshot — idempotent under latest-wins (equal versions, updates
-    * win; tombstoned keys stay absent). Read the current state with
-    * [[cdcState]].
+    * State layout — BUCKETED to bound write amplification: keys are
+    * hash-partitioned into `nBuckets` fixed buckets (`b-<i>` subdirs; the
+    * count is pinned in a `_GRAFT_BUCKETS` meta file on first write so a
+    * restart with a different argument cannot split keys across two
+    * bucketings). A micro-batch merges and rewrites ONLY the buckets its
+    * keys touch — per-batch write volume is O(touched buckets × bucket
+    * size), never O(|state|); at 100 TB of accumulated state an
+    * incremental batch rewrites a few bucket-sized files, not the table.
+    *
+    * Each touched bucket writes a NEW snapshot directory `b-<i>/v-<n>`
+    * (never overwriting the one it read). "Committed" = carries the
+    * sink's OWN `_GRAFT_COMMIT` marker, created after the parquet write
+    * returns — deliberately NOT the committer's `_SUCCESS`, which
+    * deployments commonly disable on object stores
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`); relying
+    * on it there would silently merge every batch onto an empty base. A
+    * crash mid-write leaves the previous snapshot intact and the next
+    * attempt reuses the version number (partial output is clobbered by
+    * `mode("overwrite")`). The newest TWO committed versions per bucket
+    * are retained so a concurrent [[cdcState]] reader that resolved the
+    * previous version keeps working while the sink commits the next;
+    * older versions are retired. All filesystem probing goes through
+    * Hadoop `FileSystem`, so the sink works on HDFS/S3/ABFS, not just
+    * `file:`. Checkpoint replay of a micro-batch re-merges the same
+    * changes onto the already-merged buckets — idempotent under
+    * latest-wins (equal versions, updates win; tombstoned keys stay
+    * absent). Read the current state with [[cdcState]].
     *
     * Semantics note (inherent to snapshot-only state): a tombstone
     * erases the key AND its version history, so a later-arriving update
@@ -141,56 +156,99 @@ object Streams {
     *
     * Returns the started query; callers own its lifecycle. */
   def cdcUpsertSink(updates: DataFrame, statePath: String, checkpointPath: String,
-      keyCols: Seq[String], versionCol: String, deletedCol: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      keyCols: Seq[String], versionCol: String, deletedCol: Option[String] = None,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets >= 1, "nBuckets must be positive")
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        val committed = committedSnapshots(sp, statePath)
-        val base = committed.lastOption
-          .map { case (_, p) => sp.read.parquet(p.toString) }
-          .getOrElse(sp.createDataFrame(
-            sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop(deletedCol.toSeq: _*).schema))
-        val merged = graft.operators.Analytics
-          .upsertLatest(base, batch, keyCols, versionCol, deletedCol)
-        val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
         val root = new org.apache.hadoop.fs.Path(statePath)
-        // writes to a FRESH dir — the snapshot being read is untouched
-        merged.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(root, s"v-$next").toString)
-        // the write action above materialized v-<next>; only now retire
-        // the superseded snapshots
         val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
-        committed.foreach { case (_, p) => fs.delete(p, true) }
-        ()
+        val nb = ensureBucketCount(fs, root, nBuckets)
+        // stage the batch once; each touched bucket filters from it
+        val staged = batch.withColumn("_graft_bkt",
+          pmod(hash(keyCols.map(col): _*), lit(nb))).persist()
+        try {
+          val touched = staged.select("_graft_bkt").distinct()
+            .collect().map(_.getInt(0)).sorted
+          touched.foreach { b =>
+            val bRoot = new org.apache.hadoop.fs.Path(root, s"b-$b")
+            val committed = committedVersions(fs, bRoot)
+            val base = committed.lastOption
+              .map { case (_, p) => sp.read.parquet(p.toString) }
+              .getOrElse(sp.createDataFrame(
+                sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                batch.drop(deletedCol.toSeq: _*).schema))
+            val changes = staged.filter(col("_graft_bkt") === b).drop("_graft_bkt")
+            val merged = graft.operators.Analytics
+              .upsertLatest(base, changes, keyCols, versionCol, deletedCol)
+            val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
+            val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
+            // writes to a FRESH dir — the snapshot being read is untouched
+            merged.write.mode("overwrite").parquet(vDir.toString)
+            // the sink's own commit marker, created only after the write
+            // action returned
+            fs.create(new org.apache.hadoop.fs.Path(vDir, CommitMarker), true).close()
+            // retire everything but the newest two committed versions
+            (committed :+ (next -> vDir)).dropRight(2)
+              .foreach { case (_, p) => fs.delete(p, true) }
+          }
+        } finally { staged.unpersist(); () }
       }
       .start()
-
-  /** The latest committed snapshot written by [[cdcUpsertSink]] (highest
-    * `v-<n>` directory carrying `_SUCCESS`). */
-  def cdcState(sp: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
-    val committed = committedSnapshots(sp, statePath)
-    require(committed.nonEmpty, s"no committed CDC state under $statePath")
-    sp.read.parquet(committed.last._2.toString)
   }
 
-  /** `(version, path)` of every committed snapshot, ascending. */
-  private def committedSnapshots(sp: org.apache.spark.sql.SparkSession,
-      statePath: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+  private val CommitMarker = "_GRAFT_COMMIT"
+  private val BucketMeta = "_GRAFT_BUCKETS"
+
+  /** The bucket count pinned for this state dir: read the meta file if
+    * present, else persist `requested` as the dir's permanent bucketing. */
+  private def ensureBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, requested: Int): Int = {
+    val meta = new org.apache.hadoop.fs.Path(root, BucketMeta)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val out = fs.create(meta, true)
+      try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+      requested
+    }
+  }
+
+  /** The latest committed state written by [[cdcUpsertSink]]: the union
+    * of every bucket's highest `v-<n>` carrying `_GRAFT_COMMIT`. Safe to
+    * run concurrently with the sink — the version a reader resolves stays
+    * on disk for one more commit cycle (two versions are retained). */
+  def cdcState(sp: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    val latest =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("b-"))
+        .flatMap(b => committedVersions(fs, b).lastOption.map(_._2))
+    require(latest.nonEmpty, s"no committed CDC state under $statePath")
+    sp.read.parquet(latest.map(_.toString): _*)
+  }
+
+  /** `(version, path)` of every committed snapshot in one bucket dir,
+    * ascending. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      bucketPath: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(bucketPath)) Seq.empty
+    else fs.listStatus(bucketPath).toSeq.filter(_.isDirectory).map(_.getPath)
       .flatMap { p =>
         if (p.getName.startsWith("v-"))
           scala.util.Try(p.getName.stripPrefix("v-").toLong).toOption.map(_ -> p)
         else None
       }
       .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)) }
       .sortBy(_._1)
   }
 

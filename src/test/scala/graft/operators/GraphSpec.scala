@@ -61,6 +61,38 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.toSeq === r7.toSeq, "partition merge order changed ranks")
   }
 
+  test("pageRank redistributes dangling-node mass (chain matches local reference)") {
+    val sp = spark; import sp.implicits._
+    // directed chain 1 -> 2 -> 3: node 3 has no out-edge; its mass must
+    // redistribute uniformly instead of leaking out of the system
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L))
+    val dang = Seq(3L)
+    val oneMinusD = 1.0 - 0.85
+    def q12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    var ranks = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 6) {
+      val contribs = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> ranks(u) / vs.length.toDouble) }
+      val dsum = dang.map(ranks).map(q12)
+        .reduceOption(_ add _).fold(0.0)(_.doubleValue())
+      ranks = nodes.map { v =>
+        val csum = contribs.filter(_._1 == v).map(_._2).map(q12)
+          .reduceOption(_ add _).fold(0.0)(_.doubleValue())
+        v -> java.math.BigDecimal
+          .valueOf(oneMinusD + 0.85 * (csum + dsum / nodes.length.toDouble))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }.toMap
+    }
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === ranks)
+    // redistribution conserves total mass (drift only from rounding)
+    assert(math.abs(got.values.sum - 3.0) < 1e-6)
+  }
+
   test("pageRank matches a local reference implementation") {
     val sp = spark; import sp.implicits._
     val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))

@@ -116,6 +116,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("skew_ratio") === 1.8) // 6 * 3 / 10
   }
 
+  test("keySkewProfile/quantileBins/winsorize approx routes stay structurally sound") {
+    val sp = spark; import sp.implicits._
+    // approx_percentile picks a real element instead of interpolating, so
+    // the routes are NOT bit-equal even on small data — assert the shape
+    // invariants the escape hatch must preserve
+    val skew = (Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ Seq.fill(2)(3)).toDF("k")
+    val sr = Analytics.keySkewProfile(skew, "k", approx = true).collect().head
+    assert(sr.getAs[Long]("n_rows") === 10L && sr.getAs[Long]("n_keys") === 3L)
+    assert(sr.getAs[Long]("max_cnt") === 6L && sr.getAs[Double]("skew_ratio") === 1.8)
+    // approx percentiles are real per-key counts, bounded by the data
+    assert(Seq(2.0, 6.0).contains(sr.getAs[Double]("p50_cnt")))
+    assert(sr.getAs[Double]("p99_cnt") <= 6.0 && sr.getAs[Double]("p99_cnt") >= 2.0)
+    val vals = (1 to 800).map(_.toDouble).toDF("v").repartition(4)
+    val bins = Analytics.quantileBins(vals, "v", 8, approx = true).orderBy("bin").collect()
+    assert(bins.map(_.getAs[Int]("bin")).toSeq === (1 to 8))
+    assert(bins.map(_.getAs[Long]("n")).sum === 800L)
+    bins.foreach(b => assert(math.abs(b.getAs[Long]("n") - 100L) <= 2))
+    val grouped = (1 to 200).map(i => (i % 2, i.toDouble)).toDF("grp", "x")
+    val w = Analytics.winsorize(grouped, "grp", "x", approx = true).collect()
+    assert(w.length === 200)
+    w.foreach { r =>
+      val s = r.getAs[Double]("x_scaled")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("x_wins") >= 1.0 && r.getAs[Double]("x_wins") <= 200.0)
+    }
+  }
+
+  test("profileColumns approx route drops the Expand and stays near-exact") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "cat")
+    // exact: k count_distincts in one Aggregate -> Catalyst Expands the
+    // input (k+1)x; approx: HLL++ sketch state needs no Expand at all —
+    // the scale property the flag exists for
+    val exact = Analytics.profileColumns(df, Seq("id", "cat"))
+    val approx = Analytics.profileColumns(df, Seq("id", "cat"), approx = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.orderBy("col_name").collect()
+    val a = approx.orderBy("col_name").collect()
+    e.zip(a).foreach { case (er, ar) =>
+      assert(er.getAs[String]("col_name") === ar.getAs[String]("col_name"))
+      assert(er.getAs[Long]("n_nulls") === ar.getAs[Long]("n_nulls"))
+      assert(er.getAs[String]("min_value") === ar.getAs[String]("min_value"))
+      assert(er.getAs[String]("max_value") === ar.getAs[String]("max_value"))
+      // HLL++ at default precision: within 5% on these cardinalities
+      val (en, an) = (er.getAs[Long]("n_distinct"), ar.getAs[Long]("n_distinct"))
+      assert(math.abs(en - an) <= math.max(1L, (en * 0.05).toLong),
+        s"${er.getAs[String]("col_name")}: exact $en vs approx $an")
+    }
+  }
+
+  // ---- tableDiff ----
+
+  test("tableDiff survives a value column literally named 'present'") {
+    val sp = spark; import sp.implicits._
+    // 'present' used to collide with the _b_present/_a_present markers
+    // and threw an ambiguity AnalysisException
+    val before = Seq((1L, "a", true), (2L, "b", false)).toDF("k", "v", "present")
+    val after = Seq((1L, "a", false), (3L, "c", true)).toDF("k", "v", "present")
+    val out = Analytics.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+      r.getAs[String]("changed_cols"))).toSeq ===
+      Seq((1L, "changed", "present"), (2L, "removed", ""), (3L, "added", "")))
+  }
+
   // ---- quantileBins ----
 
   test("quantileBins is equi-depth on uniform data and partitions all rows") {

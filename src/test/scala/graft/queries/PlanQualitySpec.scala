@@ -223,6 +223,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("FileScan")) === 1, p.take(3000))
   }
 
+  test("q58 funnel reuses the shared step subtree's exchanges across union branches") {
+    // funnel's doc claims the step-(i-1) subtree (same user-key
+    // partitioning) is computed once and reused by later steps' branches —
+    // enforce it: the executed plan must contain ReusedExchange nodes, and
+    // the non-reused hash exchanges must stay bounded by the step count
+    // (one scan-side + one agg-side exchange per distinct step subtree),
+    // not grow with the number of union branches that reference them.
+    val p = plan("q58_funnel")
+    assert(p.contains("ReusedExchange"),
+      s"expected ReusedExchange for the shared step subtrees:\n${p.take(3000)}")
+    val steps = 3 // q58 runs a 3-step funnel
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges <= 2 * steps,
+      s"expected <= ${2 * steps} distinct hash exchanges, got $hashExchanges:\n${p.take(3000)}")
+  }
+
   test("t12 packing stages the bucket offsets behind a broadcast join") {
     val df = graft.operators.TextAnalysis.packSequences(
       Queries.t(spark, dir, "documents"), "doc_id", "text", 512)

@@ -8,8 +8,9 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The streaming face of CDC: a change stream merged micro-batch by
-  * micro-batch into a parquet latest-state snapshot must converge to the
-  * same table as one batch-mode upsert over all the changes.
+  * micro-batch into a bucketed parquet latest-state table must converge
+  * to the same table as one batch-mode upsert over all the changes —
+  * and an incremental batch must rewrite only the buckets it touches.
   */
 class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -28,7 +29,19 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private case class Change(k: Long, v: String, version: Long, deleted: Boolean)
+  /** Committed (marker-carrying) version dirs per bucket under `state`. */
+  private def committedDirs(statePath: String): Map[String, Seq[java.io.File]] =
+    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b-"))
+      .map { b =>
+        b.getName -> b.listFiles().filter(v => v.isDirectory &&
+          v.getName.startsWith("v-") &&
+          new java.io.File(v, "_GRAFT_COMMIT").exists()).toSeq.sortBy(_.getName)
+      }.toMap
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
 
   test("foreachBatch CDC sink converges to the batch upsert of all changes") {
     val sp = spark
@@ -42,7 +55,7 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val input = MemoryStream[(Long, String, Long, Boolean)]
     val q = Streams.cdcUpsertSink(
       input.toDF().toDF("k", "v", "version", "deleted"),
-      statePath, ckpt, Seq("k"), "version", Some("deleted"))
+      statePath, ckpt, Seq("k"), "version", Some("deleted"), nBuckets = 4)
     try {
       // batch 1: three inserts
       input.addData((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false))
@@ -60,10 +73,11 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("version"))).toSet
     assert(got === Set((1L, "a2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
 
-    // superseded snapshots are retired: exactly one committed version left
-    val stateDirs = new java.io.File(statePath).listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("v-"))
-    assert(stateDirs.length === 1, s"expected 1 snapshot, got ${stateDirs.mkString(",")}")
+    // retention: at most the newest TWO committed versions per bucket
+    // (the previous one stays alive for concurrent readers)
+    committedDirs(statePath).foreach { case (b, vs) =>
+      assert(vs.length <= 2, s"bucket $b kept ${vs.map(_.getName).mkString(",")}")
+    }
 
     // batch-mode twin over the full change log agrees
     val all = Seq(
@@ -80,6 +94,52 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchTwin === got)
   }
 
+  test("incremental batch rewrites only the touched buckets, not the state") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-buckets").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, ckpt, Seq("k"), "version", Some("deleted"), nBuckets = 8)
+    try {
+      // seed: 64 keys spread across the 8 buckets
+      input.addData((1L to 64L).map(k => (k, s"v$k", 1L, false)): _*)
+      q.processAllAvailable()
+      val afterSeed = committedDirs(statePath)
+      val seededBuckets = afterSeed.filter(_._2.nonEmpty).keySet
+      assert(seededBuckets.size > 1, s"want several buckets, got $seededBuckets")
+      val versionsBefore = afterSeed.map { case (b, vs) =>
+        b -> vs.map(_.getName) }
+
+      // incremental: ONE key updated
+      input.addData((7L, "v7b", 2L, false))
+      q.processAllAvailable()
+
+      val after = committedDirs(statePath)
+      val changed = after.filter { case (b, vs) =>
+        vs.map(_.getName) != versionsBefore.getOrElse(b, Seq.empty) }.keySet
+      assert(changed.size === 1,
+        s"one-key batch must touch exactly one bucket, touched $changed")
+      // bytes rewritten by the incremental batch = the touched bucket's
+      // newest version — strictly less than the whole state
+      val rewritten = dirBytes(after(changed.head).last)
+      val total = dirBytes(new java.io.File(statePath))
+      assert(rewritten * 2 < total,
+        s"rewrote $rewritten of $total bytes — not incremental")
+    } finally q.stop()
+
+    // and the state is still right
+    val got = Streams.cdcState(sp, statePath)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got.size === 64 && got.contains((7L, "v7b")))
+  }
+
   test("CDC sink survives a crashed partial snapshot and a query restart") {
     val sp = spark
     implicit val sql = sp.sqlContext
@@ -92,19 +152,22 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in1 = MemoryStream[(Long, String, Long, Boolean)]
     val q1 = Streams.cdcUpsertSink(
       in1.toDF().toDF("k", "v", "version", "deleted"),
-      statePath, ckpt, Seq("k"), "version", Some("deleted"))
+      statePath, ckpt, Seq("k"), "version", Some("deleted"), nBuckets = 2)
     try {
       in1.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
       q1.processAllAvailable()
     } finally q1.stop()
 
-    // simulate a crash mid-write of the NEXT snapshot: a v- dir with
-    // data but NO _SUCCESS marker must be invisible to readers and get
-    // clobbered by the next attempt
-    val partial = new java.io.File(statePath, "v-1")
+    // simulate a crash mid-write of the NEXT snapshot of some bucket: a
+    // v- dir with data but NO _GRAFT_COMMIT marker must be invisible to
+    // readers and get clobbered by the next attempt. A bare _SUCCESS (the
+    // committer's marker) must NOT count as committed.
+    val seeded = committedDirs(statePath).filter(_._2.nonEmpty).keys.head
+    val partial = new java.io.File(new java.io.File(statePath, seeded), "v-1")
     assert(partial.mkdirs())
     java.nio.file.Files.write(partial.toPath.resolve("part-garbage.parquet"),
       Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(partial.toPath.resolve("_SUCCESS"), Array[Byte]())
     val before = Streams.cdcState(sp, statePath)
       .collect().map(_.getAs[Long]("k")).toSet
     assert(before === Set(1L, 2L)) // still the committed snapshot
@@ -113,7 +176,7 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in2 = MemoryStream[(Long, String, Long, Boolean)]
     val q2 = Streams.cdcUpsertSink(
       in2.toDF().toDF("k", "v", "version", "deleted"),
-      statePath, ckpt, Seq("k"), "version", Some("deleted"))
+      statePath, ckpt, Seq("k"), "version", Some("deleted"), nBuckets = 2)
     try {
       in2.addData((1L, "a", 1L, false), (2L, "b", 1L, false)) // replayed offsets
       in2.addData((2L, "b2", 2L, false), (3L, "c", 2L, false))
@@ -124,5 +187,43 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Long]("version"))).toSet
     assert(got === Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L)))
+  }
+
+  test("a restart with a different nBuckets argument keeps the pinned bucketing") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-meta").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+
+    val in1 = MemoryStream[(Long, String, Long, Boolean)]
+    val q1 = Streams.cdcUpsertSink(
+      in1.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, s"${dir.getAbsolutePath}/ckpt1", Seq("k"), "version",
+      Some("deleted"), nBuckets = 4)
+    try {
+      in1.addData((1L to 16L).map(k => (k, s"v$k", 1L, false)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second query asks for 16 buckets — the meta file pins 4, so every
+    // key still routes to its original bucket
+    val in2 = MemoryStream[(Long, String, Long, Boolean)]
+    val q2 = Streams.cdcUpsertSink(
+      in2.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, s"${dir.getAbsolutePath}/ckpt2", Seq("k"), "version",
+      Some("deleted"), nBuckets = 16)
+    try {
+      in2.addData((1L to 16L).map(k => (k, s"w$k", 2L, false)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val buckets = committedDirs(statePath).filter(_._2.nonEmpty).keySet
+    assert(buckets.forall(_.stripPrefix("b-").toInt < 4),
+      s"keys leaked outside the pinned 4-bucket layout: $buckets")
+    val got = Streams.cdcState(sp, statePath)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === (1L to 16L).map(k => (k, s"w$k")).toSet)
   }
 }
