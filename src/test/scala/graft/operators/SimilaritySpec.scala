@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN tuning-regression gates the oracle queries can't provide:
+  * s02/s03/s05 are each hash-exact on their OWN definition, so a
+  * planes/probes/candMult change that silently tanks recall would stay
+  * oracle-green. [[Similarity.recallAtK]] measures each index against
+  * the exact kNN on the same corpus, and this spec pins the measured
+  * floors. Plus the SQ8 bytes claim: the candidate scan must read the
+  * MATERIALIZED code column, never the float embeddings.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("similarity-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("recallAtK scores hits per exact-side query; rank > k rows ignored") {
+    val sp = spark; import sp.implicits._
+    // exact top-3 of q1 = {10,11,12}; approx finds 2 of them (+ a stranger).
+    // q2 exact = {20,21}; approx misses q2 entirely → hits 0, recall 0.
+    // rank-4 rows on both sides must not count.
+    val exact = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (1L, 4, 13L),
+      (2L, 1, 20L), (2L, 2, 21L)).toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq(
+      (1L, 1, 11L), (1L, 2, 99L), (1L, 3, 10L), (1L, 4, 12L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
+
+  test("measured recall@3 of every ANN index vs exact kNN stays above its floor") {
+    val e = emb
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.knnKernel(q, e, 3)
+
+    def recall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 3)
+        .agg(avg(col("recall"))).collect().head.getDouble(0)
+
+    // same settings as the s02/s03/s05 oracle queries
+    val lsh = recall(Similarity.annKnnKernel(q, e, 3))
+    val ivf = recall(Similarity.ivfKnn(q, e, 3))
+    val sq8 = recall(Similarity.sq8Knn(q, e, 3))
+    info(f"recall@3 on $dir embeddings: lsh=$lsh%.3f ivf=$ivf%.3f sq8=$sq8%.3f")
+    // floors sit just under the measured values (see README scale-posture
+    // table) — a tuning regression that drops recall trips them
+    assert(sq8 >= 0.9, s"sq8 recall@3 regressed: $sq8")
+    assert(ivf >= 0.5, s"ivf recall@3 regressed: $ivf")
+    assert(lsh >= 0.2, s"lsh recall@3 regressed: $lsh")
+    // SQ8 reranks every candidate exactly with candMult=4 headroom — it
+    // must dominate the bucket-bounded indexes
+    assert(sq8 >= ivf - 1e-9 && sq8 >= lsh - 1e-9)
+  }
+
+  test("sq8 candidate scan reads the materialized codes, never the float column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sq8-codes").toString
+    val bounds = Similarity.sq8Bounds(emb, "embedding")
+    // one table holding BOTH the fat float column and the thin codes —
+    // the deployment shape sq8Encode exists for
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(Similarity.sq8Encode(emb, "vec_id", "embedding", bounds), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    val tbl = spark.read.parquet(s"$tmp/corpus")
+    val q = tbl.filter(col("vec_id") < 10).select("vec_id", "embedding")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Similarity.sq8KnnFromCodes(q,
+        tbl.select("vec_id", "codes"), tbl.select("vec_id", "embedding"),
+        3, 4, bounds)
+      val scans = out.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSet
+      }
+      assert(scans.nonEmpty, "no file scans in the sq8 plan")
+      // the candidate scan: codes without embeddings
+      assert(scans.exists(s => s.contains("codes") && !s.contains("embedding")),
+        s"no codes-only scan: $scans")
+      // and NO scan pays for both columns at once
+      assert(scans.forall(s => !(s.contains("codes") && s.contains("embedding"))),
+        s"a scan reads codes AND embeddings: $scans")
+
+      // the bytes the two plans stream off storage: codes are 1 byte/dim
+      // vs float32's 4 — the candidate scan must be a fraction of a
+      // float scan of the same rows (footer-accounted chunk sizes, same
+      // method as PruneBench)
+      val conf = spark.sessionState.newHadoopConf()
+      def bytes(fields: Set[String]): Long = graft.PruneBench.requiredBytes(
+        s"$tmp/corpus", StructType(tbl.schema.filter(f => fields(f.name))), conf)
+      val codeBytes = bytes(Set("vec_id", "codes"))
+      val floatBytes = bytes(Set("vec_id", "embedding"))
+      info(s"sq8 candidate scan: $codeBytes B (codes) vs $floatBytes B (floats)")
+      assert(codeBytes < floatBytes / 2,
+        s"code column not materially thinner: $codeBytes vs $floatBytes")
+
+      // and the materialized-code path stays result-identical to the
+      // recompute-from-floats convenience wrapper
+      val expect = Similarity.sq8Knn(q, tbl.select("vec_id", "embedding"), 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.sorted.toSeq === expect.sorted.toSeq)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+}
