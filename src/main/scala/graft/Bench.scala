@@ -57,7 +57,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // ANN recall@3 per index vs exact kNN on this SF's embeddings — a
+    // tuning regression that tanks recall shows up in the round record,
+    // not only in SimilaritySpec's floors. -1 marks a failed measurement.
+    val recalls = {
+      import org.apache.spark.sql.functions.{avg, col}
+      val e = graft.queries.Queries.t(spark, sfDir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      lazy val exact = graft.operators.Similarity.knnKernel(q, e, 3)
+      def r(approx: => org.apache.spark.sql.DataFrame): Double =
+        try graft.operators.Similarity.recallAtK(approx, exact, 3)
+          .agg(avg(col("recall"))).collect().head.getDouble(0)
+        catch { case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[bench] recall failed: ${ex.getMessage}"); -1.0 }
+      Seq(
+        "lsh" -> r(graft.operators.Similarity.annKnnKernel(q, e, 3)),
+        "ivf" -> r(graft.operators.Similarity.ivfKnn(q, e, 3)),
+        "sq8" -> r(graft.operators.Similarity.sq8Knn(q, e, 3)))
+    }
+    val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc,"sf":"$sfDir"}"""
     // Full JSON both on stdout and in a file, then the headline total on its
     // own LAST line: a tail-truncated capture still recovers the total, and
     // the file recovers everything.

@@ -1,0 +1,218 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal, pure-JDK PNG codec (public spec: RFC 2083 / ISO 15948).
+  * Exists so the [[MediaCodec]] seam has a REAL decoder behind it in
+  * this sandbox (no native media libraries): PNG is chunked
+  * DEFLATE-compressed filtered scanlines, and `java.util.zip` ships
+  * with the JVM.
+  *
+  * Decoder: 8-bit greyscale (colour type 0), truecolour (2),
+  * grey+alpha (4) and RGBA (6), non-interlaced, all five scanline
+  * filters (None/Sub/Up/Average/Paeth), chunk CRCs verified — enough to
+  * read real-world 8-bit PNGs (MultimodalSpec proves it on images
+  * written by the JDK's own ImageIO encoder). Encoder: greyscale with a
+  * caller-chosen filter type, so decode paths are exercised end-to-end.
+  * Deliberately NOT supported (throws): palette (3), bit depths ≠ 8,
+  * interlacing — fail loudly rather than return wrong pixels.
+  */
+object Png {
+
+  val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Decoded image: `pixels` is the scanline-major sample buffer,
+    * `channels` samples per pixel, one byte per sample. */
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), Signature)
+
+  // ---------------- encode ----------------
+
+  /** Encode an 8-bit greyscale image. `filter` (0–4) is applied to every
+    * scanline — an encoder knob that exists so tests drive each decoder
+    * unfilter path with bytes a real encoder could emit. */
+  def encodeGray(width: Int, height: Int, pixels: Array[Byte], filter: Int = 0): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != ${width}x$height")
+    require(filter >= 0 && filter <= 4, s"bad filter type $filter")
+    val ihdr = new Array[Byte](13)
+    writeIntBE(ihdr, 0, width)
+    writeIntBE(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // colour type: greyscale
+    // compression 0, filter method 0, interlace 0 already zero
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = filter.toByte
+      var x = 0
+      while (x < width) {
+        val cur = pixels(y * width + x) & 0xFF
+        val left = if (x > 0) pixels(y * width + x - 1) & 0xFF else 0
+        val up = if (y > 0) pixels((y - 1) * width + x) & 0xFF else 0
+        val upLeft = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xFF else 0
+        val f = filter match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (width + 1) + 1 + x) = f.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", deflate(raw)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  // ---------------- decode ----------------
+
+  /** Decode a PNG to its raw sample buffer. Throws IllegalArgumentException
+    * on anything that is not an 8-bit non-interlaced PNG of colour type
+    * 0/2/4/6, or whose chunk CRCs / stream structure are corrupt. */
+  def decode(png: Array[Byte]): Image = {
+    require(isPng(png), "not a PNG: bad signature")
+    var pos = 8
+    var width = 0; var height = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(pos + 8 <= png.length, "truncated PNG: no chunk header")
+      val len = readIntBE(png, pos)
+      require(len >= 0 && pos + 12 + len <= png.length, s"truncated PNG chunk at $pos")
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue.toInt == readIntBE(png, pos + 8 + len),
+        s"PNG chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          width = readIntBE(png, pos + 8)
+          height = readIntBE(png, pos + 12)
+          require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+          val bitDepth = png(pos + 16) & 0xFF
+          val colourType = png(pos + 17) & 0xFF
+          val interlace = png(pos + 20) & 0xFF
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          channels = colourType match {
+            case 0 => 1
+            case 2 => 3
+            case 4 => 2
+            case 6 => 4
+            case t => throw new IllegalArgumentException(s"unsupported colour type $t")
+          }
+          require(interlace == 0, "interlaced PNG unsupported")
+          seenIhdr = true
+        case "IDAT" => idat.write(png, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => // ancillary chunk (tEXt, pHYs, gAMA …): skip
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr, "PNG missing IHDR")
+    val bpp = channels // 8-bit samples: bytes per pixel = channels
+    val stride = width * bpp
+    val raw = inflate(idat.toByteArray, height * (1 + stride))
+    val pixels = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (1 + stride)) & 0xFF
+      val rowOff = y * (1 + stride) + 1
+      val outOff = y * stride
+      var x = 0
+      while (x < stride) {
+        val f = raw(rowOff + x) & 0xFF
+        val left = if (x >= bpp) pixels(outOff + x - bpp) & 0xFF else 0
+        val up = if (y > 0) pixels(outOff - stride + x) & 0xFF else 0
+        val upLeft = if (y > 0 && x >= bpp) pixels(outOff - stride + x - bpp) & 0xFF else 0
+        val recon = filter match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+          case t => throw new IllegalArgumentException(s"bad scanline filter $t")
+        }
+        pixels(outOff + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, channels, pixels)
+  }
+
+  /** a=left, b=up, c=up-left — the PNG Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    writeIntBE(out, 0, data.length)
+    val t = typ.getBytes("US-ASCII")
+    System.arraycopy(t, 0, out, 4, 4)
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new CRC32()
+    crc.update(out, 4, 4 + data.length)
+    writeIntBE(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(compressed: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(compressed)
+    val out = new Array[Byte](expected)
+    var off = 0
+    try {
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        require(n > 0, "truncated PNG IDAT stream")
+        off += n
+      }
+      require(off == expected, s"PNG pixel data: got $off of $expected bytes")
+    } finally inf.end()
+    out
+  }
+
+  private def writeIntBE(buf: Array[Byte], off: Int, v: Int): Unit = {
+    buf(off) = (v >>> 24).toByte; buf(off + 1) = (v >>> 16).toByte
+    buf(off + 2) = (v >>> 8).toByte; buf(off + 3) = v.toByte
+  }
+
+  private def readIntBE(buf: Array[Byte], off: Int): Int =
+    ((buf(off) & 0xFF) << 24) | ((buf(off + 1) & 0xFF) << 16) |
+      ((buf(off + 2) & 0xFF) << 8) | (buf(off + 3) & 0xFF)
+}
+
+/** [[MediaCodec]] backed by the real [[Png]] decoder: payloads carrying
+  * the PNG signature decode to their raw sample bytes (magic-byte
+  * sniffing, the way production decoders dispatch — `mediaType` strings
+  * are advisory); anything else passes through like [[StubCodec]]. */
+object PngCodec extends MediaCodec {
+  override def decode(mediaType: String, payload: Array[Byte]): Array[Byte] =
+    if (Png.isPng(payload)) Png.decode(payload).pixels else payload
+}

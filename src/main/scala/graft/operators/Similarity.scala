@@ -63,12 +63,29 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share an LSH bucket, then exact cosine
-    * rerank. Recall < 1 by design; the win is the equi-join shape. */
+  /** All XOR masks over `planes` bits with at most `probeBits` bits set —
+    * the multi-probe neighborhood of a bucket (mask 0 = the bucket
+    * itself). Sorted, deterministic; count = Σ C(planes, 0..probeBits). */
+  def probeMasks(planes: Int, probeBits: Int): Seq[Long] =
+    (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits).sorted
+
+  /** Approximate top-k: candidates share an LSH bucket (MULTI-PROBE: the
+    * query side also probes every bucket within `probeBits` bit flips of
+    * its own — the standard recall fix for hyperplane LSH, since a true
+    * neighbor's most likely miss is disagreeing on exactly one
+    * hyperplane), then exact cosine rerank. Recall < 1 by design; the
+    * win is the equi-join shape: the QUERY side fans out
+    * Σ C(planes, 0..probeBits) probe rows (small side by contract), the
+    * corpus side stays one row per vector, and (query, neighbor) pairs
+    * stay unique because a corpus row has exactly one bucket. */
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
+      planes: Int = 6, dims: Int = 64, probeBits: Int = 2): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes, "probeBits out of range")
+    val masks = probeMasks(planes, probeBits)
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), planes, dims).as("bucket")))
+      explode(array(masks.map(m =>
+        lshBucket(col("embedding"), planes, dims).bitwiseXOR(lit(m))): _*)).as("bucket")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       lshBucket(col("embedding"), planes, dims).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -620,9 +637,14 @@ object Similarity {
   }
 
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score
-    * only same-bucket candidates, rank relationally. */
+    * candidates within `probeBits` bit flips of the query's bucket
+    * (multi-probe — same candidate definition as [[annKnn]]), rank
+    * relationally. The probe test is a popcount on the XOR of two bucket
+    * ids — O(1) per (corpus row, query), no fan-out needed because the
+    * queries are already broadcast. */
   def annKnnKernel(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
+      planes: Int = 6, dims: Int = 64, probeBits: Int = 2): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes, "probeBits out of range")
     val sp = corpus.sparkSession
     import sp.implicits._
     val signs = signMatrix(planes, dims)
@@ -640,9 +662,11 @@ object Similarity {
         val sg = sb.value
         it.flatMap { case (nid, v) =>
           val bkt = bucketOf(v, sg)
-          qs.iterator.filter(q => q._3 == bkt && q._1 != nid).map { case (qid, qv, _) =>
-            (qid, nid, cosineKernel(qv, v))
-          }
+          qs.iterator.filter(q =>
+            java.lang.Long.bitCount(q._3 ^ bkt) <= probeBits && q._1 != nid)
+            .map { case (qid, qv, _) =>
+              (qid, nid, cosineKernel(qv, v))
+            }
         }
       }.toDF("query_id", "neighbor_id", "cs")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))

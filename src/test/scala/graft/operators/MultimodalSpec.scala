@@ -72,6 +72,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (stub(id).h0, stub(id).h1, stub(id).h2, stub(id).h3)))
   }
 
+  test("extractFeatures through PngCodec computes stats over DECODED pixels") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val imgs = (1L to 20L).map { i =>
+      val w = (i % 7).toInt + 2; val h = (i % 3).toInt + 1
+      (i, Array.tabulate(w * h)(j => ((i * 53 + j * 17) % 256).toByte), w, h)
+    }
+    val media = imgs.map { case (id, px, w, h) =>
+      (id, "image/png", Png.encodeGray(w, h, px, filter = (id % 5).toInt))
+    }.toDF("media_id", "media_type", "payload")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.pack(media, "media_id", "media_type", "payload"),
+        codec = PngCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    imgs.foreach { case (id, px, _, _) =>
+      val f = feats(id)
+      assert(f.n_bytes === px.length, s"img $id decoded size")
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(px)
+        .map("%02x".format(_)).mkString
+      assert(f.checksum === md5, s"img $id: features not over decoded pixels")
+      assert(f.h0 + f.h1 + f.h2 + f.h3 === px.length)
+    }
+  }
+
   test("frame sampling windows the decoded buffer deterministically") {
     val buf = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.sampleFrames(buf, frameSize = 10, stride = 30)

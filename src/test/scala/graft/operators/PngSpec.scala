@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JDK PNG codec behind the [[MediaCodec]] seam. The
+  * load-bearing checks are the ImageIO interop ones: the JDK ships an
+  * independent PNG implementation (java.desktop), so decoding its
+  * output — and having it decode ours — proves this is a real PNG
+  * codec, not a private format that only roundtrips with itself.
+  */
+class PngSpec extends AnyFunSuite {
+
+  private def grayPixels(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i * 37 + i / w * 11) % 256).toByte)
+
+  test("encode/decode roundtrips for every scanline filter type") {
+    val (w, h) = (23, 9) // odd sizes; multi-row so Up/Average/Paeth see prior rows
+    val px = grayPixels(w, h)
+    for (filter <- 0 to 4) {
+      val img = Png.decode(Png.encodeGray(w, h, px, filter))
+      assert(img.width === w && img.height === h && img.channels === 1)
+      assert(img.pixels.toSeq === px.toSeq, s"filter $filter roundtrip")
+    }
+  }
+
+  test("ImageIO (the JDK's independent PNG impl) reads our encoder's output") {
+    val (w, h) = (16, 5)
+    val px = grayPixels(w, h)
+    for (filter <- Seq(0, 2, 4)) {
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Png.encodeGray(w, h, px, filter)))
+      assert(decoded.getWidth === w && decoded.getHeight === h)
+      val got = for (y <- 0 until h; x <- 0 until w)
+        yield (decoded.getRaster.getSample(x, y, 0) & 0xFF).toByte
+      assert(got === px.toSeq, s"ImageIO disagrees with our encoder (filter $filter)")
+    }
+  }
+
+  test("our decoder reads ImageIO-written greyscale and RGB PNGs") {
+    // greyscale
+    val gray = new java.awt.image.BufferedImage(12, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val gpx = grayPixels(12, 7)
+    for (y <- 0 until 7; x <- 0 until 12)
+      gray.getRaster.setSample(x, y, 0, gpx(y * 12 + x) & 0xFF)
+    val gout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", gout))
+    val gdec = Png.decode(gout.toByteArray)
+    assert(gdec.channels === 1 && gdec.width === 12 && gdec.height === 7)
+    assert(gdec.pixels.toSeq === gpx.toSeq)
+
+    // RGB — 3 channels, scanline-major RGB sample order
+    val rgb = new java.awt.image.BufferedImage(9, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 9)
+      rgb.setRGB(x, y, ((x * 20) << 16) | ((y * 50) << 8) | (x + y))
+    val rout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "png", rout))
+    val rdec = Png.decode(rout.toByteArray)
+    assert(rdec.channels === 3 && rdec.width === 9 && rdec.height === 4)
+    for (y <- 0 until 4; x <- 0 until 9) {
+      val off = (y * 9 + x) * 3
+      assert((rdec.pixels(off) & 0xFF) === x * 20, s"R at ($x,$y)")
+      assert((rdec.pixels(off + 1) & 0xFF) === y * 50, s"G at ($x,$y)")
+      assert((rdec.pixels(off + 2) & 0xFF) === x + y, s"B at ($x,$y)")
+    }
+  }
+
+  test("corrupt CRC, truncation, and unsupported formats are rejected loudly") {
+    val ok = Png.encodeGray(8, 3, grayPixels(8, 3))
+    // flip one IDAT payload byte → chunk CRC must catch it
+    val corrupt = ok.clone()
+    corrupt(ok.length - 12 - 5) = (corrupt(ok.length - 12 - 5) ^ 0x40).toByte
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(corrupt)
+    }.getMessage.contains("CRC"))
+    // truncation mid-chunk
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(java.util.Arrays.copyOf(ok, ok.length - 6))
+    }.getMessage.toLowerCase.contains("truncated"))
+    // 16-bit PNGs (ImageIO writes TYPE_USHORT_GRAY at depth 16) are
+    // unsupported and must not decode to garbage
+    val deep = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val dout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(deep, "png", dout))
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(dout.toByteArray)
+    }.getMessage.contains("bit depth"))
+    // non-PNG bytes
+    assert(!Png.isPng("just text".getBytes))
+  }
+
+  test("PngCodec sniffs the signature: PNGs decode to pixels, others pass through") {
+    val px = grayPixels(10, 2)
+    assert(PngCodec.decode("image/png", Png.encodeGray(10, 2, px, filter = 1)).toSeq
+      === px.toSeq)
+    val raw = Array[Byte](1, 2, 3)
+    assert(PngCodec.decode("application/octet-stream", raw).toSeq === raw.toSeq)
+  }
+}

@@ -64,11 +64,13 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivf = recall(Similarity.ivfKnn(q, e, 3))
     val sq8 = recall(Similarity.sq8Knn(q, e, 3))
     info(f"recall@3 on $dir embeddings: lsh=$lsh%.3f ivf=$ivf%.3f sq8=$sq8%.3f")
-    // floors sit just under the measured values (see README scale-posture
-    // table) — a tuning regression that drops recall trips them
+    // floors sit with real margin UNDER the measured values (sq8 1.000,
+    // lsh 0.700 with 6-plane/2-bit multi-probe, ivf 0.567 — see README
+    // scale-posture table): a tuning regression that drops recall trips
+    // them, measurement wobble (float-sum order in the avg) cannot
     assert(sq8 >= 0.9, s"sq8 recall@3 regressed: $sq8")
     assert(ivf >= 0.5, s"ivf recall@3 regressed: $ivf")
-    assert(lsh >= 0.2, s"lsh recall@3 regressed: $lsh")
+    assert(lsh >= 0.6, s"lsh recall@3 regressed: $lsh")
     // SQ8 reranks every candidate exactly with candMult=4 headroom — it
     // must dominate the bucket-bounded indexes
     assert(sq8 >= ivf - 1e-9 && sq8 >= lsh - 1e-9)
@@ -85,6 +87,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val tbl = spark.read.parquet(s"$tmp/corpus")
     val q = tbl.filter(col("vec_id") < 10).select("vec_id", "embedding")
 
+    // restore whatever was in effect before, not the Spark default
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val out = Similarity.sq8KnnFromCodes(q,
@@ -122,6 +126,9 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = out.collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       assert(got.sorted.toSeq === expect.sorted.toSeq)
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }

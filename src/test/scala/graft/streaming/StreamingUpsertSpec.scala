@@ -140,6 +140,100 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size === 64 && got.contains((7L, "v7b")))
   }
 
+  test("touched buckets merge concurrently, not as a serial per-bucket loop") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-par").toFile
+    dir.deleteOnExit()
+
+    Streams.BucketMergeGauge.reset()
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      s"${dir.getAbsolutePath}/state", s"${dir.getAbsolutePath}/ckpt",
+      Seq("k"), "version", Some("deleted"), nBuckets = 8, maxConcurrentBuckets = 8)
+    try {
+      // 64 keys spread over all 8 buckets → one batch, 8 bucket merges
+      input.addData((1L to 64L).map(k => (k, s"v$k", 1L, false)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the merges must have OVERLAPPED: with 8 buckets submitted to an
+    // 8-thread pool, at least two were in flight at once (each merge is
+    // a multi-job read+merge+write — far longer than thread startup)
+    assert(Streams.BucketMergeGauge.peak >= 2,
+      s"bucket merges serialized: peak concurrency ${Streams.BucketMergeGauge.peak}")
+    val got = Streams.cdcState(sp, s"${dir.getAbsolutePath}/state").count()
+    assert(got === 64)
+  }
+
+  test("hot-key workload at nBuckets=256: per-batch bytes bounded by bucket size") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-hot").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, s"${dir.getAbsolutePath}/ckpt", Seq("k"), "version",
+      Some("deleted"), nBuckets = 256)
+    try {
+      // seed state across a few dozen of the 256 buckets
+      input.addData((1L to 48L).map(k => (k, s"seed$k" * 8, 1L, false)): _*)
+      q.processAllAvailable()
+      val totalAfterSeed = dirBytes(new java.io.File(statePath))
+
+      // hot-key workload: the SAME key updated batch after batch
+      val perBatch = (2L to 4L).map { ver =>
+        val before = committedDirs(statePath).map { case (b, vs) =>
+          b -> vs.map(_.getName) }
+        input.addData((7L, s"hot$ver", ver, false))
+        q.processAllAvailable()
+        val after = committedDirs(statePath)
+        val changed = after.filter { case (b, vs) =>
+          vs.map(_.getName) != before.getOrElse(b, Seq.empty) }.keys
+        assert(changed.size === 1, s"hot key touched $changed")
+        dirBytes(after(changed.head).last)
+      }
+      // every hot batch rewrites ~one bucket (1–2 keys of 48), never a
+      // state-sized amount — the write amplification the bucketing and
+      // the docstring's nBuckets sizing rule exist to bound
+      perBatch.foreach { bytes =>
+        assert(bytes * 8 < totalAfterSeed,
+          s"hot-key batch rewrote $bytes of $totalAfterSeed state bytes")
+      }
+    } finally q.stop()
+    assert(Streams.cdcState(sp, statePath).filter($"k" === 7L)
+      .collect().head.getAs[String]("v") === "hot4")
+  }
+
+  test("two sinks racing on an empty state dir agree on one pinned bucket count") {
+    val dir = Files.createTempDirectory("graft-cdc-race").toFile
+    dir.deleteOnExit()
+    val root = new org.apache.hadoop.fs.Path(s"${dir.getAbsolutePath}/state")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // drive the pin API exactly as two concurrently-starting sinks would:
+    // many threads, different requested counts, one winner
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val pins = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until 16).map { i =>
+          scala.concurrent.Future(Streams.ensureBucketCount(fs, root, 4 + i))
+        }),
+        scala.concurrent.duration.Duration(30, "s"))
+      assert(pins.toSet.size === 1,
+        s"racing sinks saw different bucket counts: ${pins.toSet}")
+      // and the pin is durable: a later reader sees the same value
+      assert(Streams.ensureBucketCount(fs, root, 999) === pins.head)
+    } finally pool.shutdown()
+  }
+
   test("CDC sink survives a crashed partial snapshot and a query restart") {
     val sp = spark
     implicit val sql = sp.sqlContext
