@@ -508,7 +508,7 @@ object Similarity {
     * keeps the codebook a codebook. (At scale, train a real one with
     * [[kmeansCodebook]] and call [[ivfKnnCodebook]].) */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      probes: Int = 2, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+      probes: Int = 4, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
@@ -523,7 +523,7 @@ object Similarity {
   /** IVF with a trained codebook (see [[kmeansCodebook]]) — cell ids are
     * the codebook indices. */
   def ivfKnnCodebook(queries: DataFrame, corpus: DataFrame, k: Int,
-      codebook: Array[Array[Float]], probes: Int = 2): DataFrame = {
+      codebook: Array[Array[Float]], probes: Int = 4): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
     ivfProbeRerank(queries, corpus, k, probes,
       codebook.zipWithIndex.map { case (c, i) => (i.toLong, c) })
@@ -634,6 +634,64 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** SEMANTIC dedup over an embedding column (the SemDeDup recipe,
+    * Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, then
+    * drop near-duplicate members WITHIN each cluster — O(N²) pair work
+    * shrinks to Σ|cell|², and the cross-cell pairs a global all-pairs
+    * would score are exactly the distant ones a semantic dedup is
+    * allowed to ignore.
+    *
+    * Deterministic formulation (engine-portable, DuckDB-oracled):
+    * cells are the [[ivfKnn]] sampled centroids (every `centEvery`-th
+    * id, capped at `maxCents`), assignment is argmax rounded-6 cosine
+    * with ties to the lower centroid id, and a vector is DROPPED iff
+    * some LOWER-id member of its cell has cosine ≥ `tau` with it — the
+    * lowest id of every near-dup neighborhood always survives. Output:
+    * `(vec_id, cid)` of the survivors.
+    *
+    * 100 TB posture: assignment is a broadcast-codebook map; the only
+    * shuffle is the cell equi-join, and per-cell pair work is bounded by
+    * the clustering granularity (cells ≈ `centEvery` vectors — size the
+    * codebook, or train one with [[kmeansCodebook]], so cells stay
+    * task-sized). No driver-side state beyond the codebook. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col(idCol) % centEvery === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus $idCol divisible by $centEvery — lower centEvery")
+    val cb = sp.sparkContext.broadcast(cents)
+    val cells = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, v) =>
+          var best = cs(0)._1; var bestCs = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cosineKernel(v, cs(c)._2)
+            if (s > bestCs) { bestCs = s; best = cs(c)._1 } // ties → lower cid
+            c += 1
+          }
+          (id, v, best)
+        }
+      }.toDF("vec_id", "v", "cid")
+    val dropped = cells.as("a")
+      .join(cells.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.v").as("va"), col("b.v").as("vb"))
+      .as[(Long, Array[Float], Array[Float])]
+      .mapPartitions(_.flatMap { case (id, va, vb) =>
+        if (cosineKernel(va, vb) >= tau) Iterator.single(Tuple1(id)) else Iterator.empty
+      }).toDF("vec_id").distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cid"))
   }
 
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score

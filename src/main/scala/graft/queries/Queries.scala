@@ -1090,7 +1090,7 @@ object Queries {
               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
           FROM embeddings e, cent c),
         corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
-        probe AS (SELECT vec_id AS query_id, cid FROM asg WHERE rn <= 2 AND vec_id < 10),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg WHERE rn <= 4 AND vec_id < 10),
         cand AS (SELECT p.query_id, ca.vec_id AS neighbor_id
                  FROM probe p JOIN corpus_asg ca USING (cid)
                  WHERE ca.vec_id <> p.query_id),
@@ -1988,6 +1988,35 @@ object Queries {
           (SELECT count(*) FROM te) AS n_test,
           (SELECT count(*) FROM tr JOIN te USING (fp)) AS n_exact,
           TRUE AS no_false_neg, TRUE AS fp_within_bound""")),
+
+    // ---- Semantic dedup (SemDeDup): cluster embeddings into cells,
+    //      drop members with cosine >= tau to a lower-id cell-mate —
+    //      pair work bounded by cell size, never the corpus ----
+    QueryDef(
+      "d09_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Similarity
+          .semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                 WHERE vec_id % 50 = 0),
+        asg AS (SELECT e.vec_id, cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+                cid) AS rn
+          FROM embeddings e, cent c
+          WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL),
+        cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        drops AS (SELECT DISTINCT a.vec_id
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id > b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.4)
+        SELECT vec_id, cid FROM cells
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        ORDER BY vec_id""")),
 
     // ---- Z-order (Morton) clustering value via the native codegen
     //      expression — multi-dimensional file-layout key ----

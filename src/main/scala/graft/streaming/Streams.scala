@@ -125,52 +125,67 @@ object Streams {
     * hash-partitioned into `nBuckets` fixed buckets (`b-<i>` subdirs; the
     * count is pinned in a `_GRAFT_BUCKETS` meta file on first write so a
     * restart with a different argument cannot split keys across two
-    * bucketings). A micro-batch merges and rewrites ONLY the buckets its
-    * keys touch — per-batch write volume is O(touched buckets × bucket
-    * size), never O(|state|); at 100 TB of accumulated state an
-    * incremental batch rewrites a few bucket-sized files, not the table.
+    * bucketings, and the merge columns are pinned alongside in
+    * `_GRAFT_SINKCONF` so [[cdcState]] can resolve delta chains). A
+    * micro-batch writes ONLY into the buckets its keys touch.
     *
-    * Each touched bucket writes a NEW snapshot directory `b-<i>/v-<n>`
-    * (never overwriting the one it read). "Committed" = carries the
-    * sink's OWN `_GRAFT_COMMIT` marker, created after the parquet write
-    * returns — deliberately NOT the committer's `_SUCCESS`, which
-    * deployments commonly disable on object stores
+    * WITHIN a bucket the layout is LSM-lite: the first commit is a full
+    * snapshot `v-<n>`; subsequent batches append small DELTA dirs
+    * `d-<n>` holding just that batch's changes (tombstones included) —
+    * per-batch write volume is O(batch), not O(bucket), so a hot key
+    * does not rewrite its bucket every micro-batch. Once a chain would
+    * reach `compactEvery` deltas, the batch instead COMPACTS: base
+    * snapshot + accumulated deltas + new changes merge into a fresh
+    * snapshot, bounding read amplification at `compactEvery − 1` delta
+    * files per bucket. `compactEvery = 1` degenerates to
+    * merge-every-batch (the pre-delta behavior). Versions are one
+    * ascending sequence per bucket across both kinds.
+    *
+    * "Committed" = carries the sink's OWN `_GRAFT_COMMIT` marker,
+    * created after the parquet write returns — deliberately NOT the
+    * committer's `_SUCCESS`, which deployments commonly disable on
+    * object stores
     * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`); relying
     * on it there would silently merge every batch onto an empty base. A
-    * crash mid-write leaves the previous snapshot intact and the next
-    * attempt reuses the version number (partial output is clobbered by
-    * `mode("overwrite")`). The newest TWO committed versions per bucket
-    * are retained so a concurrent [[cdcState]] reader that resolved the
-    * previous version keeps working while the sink commits the next;
-    * older versions are retired. All filesystem probing goes through
+    * crash mid-write leaves the committed chain intact: uncommitted dirs
+    * are invisible to readers, the retried batch reuses the version
+    * number when it maps to the same kind (clobbered by
+    * `mode("overwrite")`), and stale debris is swept at the next
+    * compaction. Compaction retires everything OLDER than the previous
+    * snapshot, so a concurrent [[cdcState]] reader that resolved the
+    * previous snapshot (+ its delta chain) keeps working while the sink
+    * commits the next generation. All filesystem probing goes through
     * Hadoop `FileSystem`, so the sink works on HDFS/S3/ABFS, not just
-    * `file:`. Checkpoint replay of a micro-batch re-merges the same
-    * changes onto the already-merged buckets — idempotent under
-    * latest-wins (equal versions, updates win; tombstoned keys stay
-    * absent). Read the current state with [[cdcState]].
+    * `file:`. Checkpoint replay of a micro-batch re-applies the same
+    * changes — idempotent under latest-wins (equal versions, updates
+    * win; tombstoned keys stay absent). Read the current state with
+    * [[cdcState]].
     *
     * Semantics note (inherent to snapshot-only state): a tombstone
     * erases the key AND its version history, so a later-arriving update
     * with an older version resurrects the key. Feed monotone versions
     * per key (event time does this) or retain tombstones upstream.
     *
-    * SIZING `nBuckets` — the one knob that decides write amplification:
-    * a touched bucket is rewritten WHOLE, so per-batch write volume ≈
-    * touched buckets × (|state| / nBuckets). Pick nBuckets so a bucket is
-    * a few target parquet files (≈ 1–4 GB): nBuckets ≈ |state| / 2 GB.
-    * At 100 TB that is nBuckets ≈ 50k — a hot-key batch then rewrites
-    * ~2 GB, not 1.6 TB (the fixed-64 default is for small/medium state;
-    * the meta file pins whatever the first writer chose). Touched buckets
-    * merge CONCURRENTLY (`maxConcurrentBuckets` at a time), so a wide
-    * batch pays max(bucket merge latency), not the sum.
+    * SIZING `nBuckets` — with delta mode, per-batch write volume is
+    * O(batch changes) and only COMPACTION rewrites a bucket whole, so
+    * nBuckets sizes the compaction unit and the read-side file count:
+    * pick nBuckets so a bucket is a few target parquet files (≈ 1–4 GB),
+    * i.e. nBuckets ≈ |state| / 2 GB (at 100 TB ≈ 50k buckets — a
+    * hot-key batch appends a delta measured in that batch's bytes, and
+    * one in `compactEvery` batches pays a ~2 GB bucket compaction, never
+    * 1.6 TB; the fixed-64 default is for small/medium state; the meta
+    * file pins whatever the first writer chose). Touched buckets merge
+    * CONCURRENTLY (`maxConcurrentBuckets` at a time), so a wide batch
+    * pays max(bucket merge latency), not the sum.
     *
     * Returns the started query; callers own its lifecycle. */
   def cdcUpsertSink(updates: DataFrame, statePath: String, checkpointPath: String,
       keyCols: Seq[String], versionCol: String, deletedCol: Option[String] = None,
-      nBuckets: Int = 64, maxConcurrentBuckets: Int = 8)
+      nBuckets: Int = 64, maxConcurrentBuckets: Int = 8, compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nBuckets >= 1, "nBuckets must be positive")
     require(maxConcurrentBuckets >= 1, "maxConcurrentBuckets must be positive")
+    require(compactEvery >= 1, "compactEvery must be positive")
     updates.writeStream
       .option("checkpointLocation", checkpointPath)
       .outputMode(OutputMode.Update())
@@ -179,6 +194,7 @@ object Streams {
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
         val nb = ensureBucketCount(fs, root, nBuckets)
+        ensureSinkConf(fs, root, keyCols, versionCol, deletedCol)
         // stage the batch once; each touched bucket filters from it
         val staged = batch.withColumn("_graft_bkt",
           pmod(hash(keyCols.map(col): _*), lit(nb))).persist()
@@ -190,25 +206,45 @@ object Streams {
             BucketMergeGauge.enter()
             try {
               val bRoot = new org.apache.hadoop.fs.Path(root, s"b-$b")
-              val committed = committedVersions(fs, bRoot)
-              val base = committed.lastOption
-                .map { case (_, p) => sp.read.parquet(p.toString) }
-                .getOrElse(sp.createDataFrame(
-                  sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  batch.drop(deletedCol.toSeq: _*).schema))
+              val entries = committedEntries(fs, bRoot)
+              val snapIdx = entries.lastIndexWhere(_.isSnapshot)
+              val baseSnap = if (snapIdx >= 0) Some(entries(snapIdx)) else None
+              val deltas = entries.drop(snapIdx + 1) // chain after latest snapshot
+              val next = entries.lastOption.map(_.version + 1L).getOrElse(0L)
               val changes = staged.filter(col("_graft_bkt") === b).drop("_graft_bkt")
-              val merged = graft.operators.Analytics
-                .upsertLatest(base, changes, keyCols, versionCol, deletedCol)
-              val next = committed.lastOption.map(_._1 + 1L).getOrElse(0L)
-              val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
-              // writes to a FRESH dir — the snapshot being read is untouched
-              merged.write.mode("overwrite").parquet(vDir.toString)
-              // the sink's own commit marker, created only after the write
-              // action returned
-              fs.create(new org.apache.hadoop.fs.Path(vDir, CommitMarker), true).close()
-              // retire everything but the newest two committed versions
-              (committed :+ (next -> vDir)).dropRight(2)
-                .foreach { case (_, p) => fs.delete(p, true) }
+              if (baseSnap.isEmpty || deltas.length + 1 >= compactEvery) {
+                // COMPACT: base + accumulated deltas + this batch → snapshot
+                val base = baseSnap
+                  .map(e => sp.read.parquet(e.path.toString))
+                  .getOrElse(sp.createDataFrame(
+                    sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    batch.drop(deletedCol.toSeq: _*).schema))
+                val allChanges = (deltas.map(e => sp.read.parquet(e.path.toString))
+                  :+ changes)
+                  .reduce(_.unionByName(_, allowMissingColumns = true))
+                val merged = graft.operators.Analytics
+                  .upsertLatest(base, allChanges, keyCols, versionCol, deletedCol)
+                val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
+                // writes to a FRESH dir — the chain being read is untouched
+                merged.write.mode("overwrite").parquet(vDir.toString)
+                // the sink's own commit marker, created only after the
+                // write action returned
+                fs.create(new org.apache.hadoop.fs.Path(vDir, CommitMarker), true).close()
+                // retire the generation BEFORE the previous snapshot (the
+                // previous snapshot + its delta chain stay for concurrent
+                // readers), plus any crash debris old enough that its
+                // version can never commit
+                entries.take(math.max(snapIdx, 0))
+                  .foreach(e => fs.delete(e.path, true))
+                uncommittedDebris(fs, bRoot, next)
+                  .foreach(p => fs.delete(p, true))
+              } else {
+                // DELTA: append just this batch's changes (tombstones kept
+                // as rows — a reader needs them to hide base entries)
+                val dDir = new org.apache.hadoop.fs.Path(bRoot, s"d-$next")
+                changes.write.mode("overwrite").parquet(dDir.toString)
+                fs.create(new org.apache.hadoop.fs.Path(dDir, CommitMarker), true).close()
+              }
             } finally BucketMergeGauge.exit()
           }
 
@@ -254,6 +290,60 @@ object Streams {
 
   private val CommitMarker = "_GRAFT_COMMIT"
   private val BucketMeta = "_GRAFT_BUCKETS"
+  private val SinkConfMeta = "_GRAFT_SINKCONF"
+  // key-column list separator in the conf file: a control char no legal
+  // Spark column name contains
+  private val KeySep = '\u0001'
+
+  /** The merge columns a CDC state dir was written with — pinned so
+    * [[cdcState]] can resolve delta chains without the caller re-stating
+    * them (and mis-stating them: a mismatch between writers corrupts
+    * latest-wins, so a restart with different columns fails loudly). */
+  private[streaming] final case class SinkConf(
+      keyCols: Seq[String], versionCol: String, deletedCol: Option[String])
+
+  private[streaming] def readSinkConf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[SinkConf] = {
+    val meta = new org.apache.hadoop.fs.Path(root, SinkConfMeta)
+    if (!fs.exists(meta)) None
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(meta)
+      try props.load(in) finally in.close()
+      // keys joined on U+0001 — not a legal Spark column-name char
+      Some(SinkConf(
+        props.getProperty("keys", "").split(KeySep).toSeq.filter(_.nonEmpty),
+        props.getProperty("version", ""),
+        Option(props.getProperty("deleted")).filter(_.nonEmpty)))
+    }
+  }
+
+  /** Pin (first write) or check (every later batch) the merge columns —
+    * same lock + atomic-create discipline as [[ensureBucketCount]]. */
+  private[streaming] def ensureSinkConf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keyCols: Seq[String], versionCol: String,
+      deletedCol: Option[String]): Unit = bucketPinLock.synchronized {
+    val want = SinkConf(keyCols, versionCol, deletedCol)
+    def check(pinned: SinkConf): Unit =
+      if (pinned != want) throw new IllegalStateException(
+        s"CDC sink config mismatch at $root: state pinned $pinned, sink asked $want")
+    readSinkConf(fs, root) match {
+      case Some(pinned) => check(pinned)
+      case None =>
+        fs.mkdirs(root)
+        val props = new java.util.Properties()
+        props.setProperty("keys", keyCols.mkString(KeySep.toString))
+        props.setProperty("version", versionCol)
+        deletedCol.foreach(props.setProperty("deleted", _))
+        try {
+          val out = fs.create(new org.apache.hadoop.fs.Path(root, SinkConfMeta), false)
+          try props.store(out, "graft cdc sink merge columns") finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            readSinkConf(fs, root).foreach(check) // lost the race — verify
+        }
+    }
+  }
 
   /** Guards first-write pinning for sinks racing within one JVM — local
     * FS `create(overwrite = false)` is check-then-act, so without this a
@@ -310,36 +400,77 @@ object Streams {
     }
   }
 
-  /** The latest committed state written by [[cdcUpsertSink]]: the union
-    * of every bucket's highest `v-<n>` carrying `_GRAFT_COMMIT`. Safe to
-    * run concurrently with the sink — the version a reader resolves stays
-    * on disk for one more commit cycle (two versions are retained). */
+  /** The latest committed state written by [[cdcUpsertSink]]: per
+    * bucket, the newest committed snapshot merged with the committed
+    * delta chain after it (one global [[graft.operators.Analytics
+    * .upsertLatest]] over all buckets — keys never cross buckets, so the
+    * per-bucket merges collapse into a single key-shuffled pass; the
+    * merge columns come from the pinned `_GRAFT_SINKCONF`). Buckets with
+    * no deltas read snapshot-only with zero merge work. Safe to run
+    * concurrently with the sink — the generation a reader resolves stays
+    * on disk until the compaction after next. */
   def cdcState(sp: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
-    val latest =
+    val perBucket =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("b-"))
-        .flatMap(b => committedVersions(fs, b).lastOption.map(_._2))
-    require(latest.nonEmpty, s"no committed CDC state under $statePath")
-    sp.read.parquet(latest.map(_.toString): _*)
+        .flatMap { b =>
+          val entries = committedEntries(fs, b)
+          val snapIdx = entries.lastIndexWhere(_.isSnapshot)
+          if (snapIdx < 0) None
+          else Some((entries(snapIdx).path, entries.drop(snapIdx + 1).map(_.path)))
+        }
+    require(perBucket.nonEmpty, s"no committed CDC state under $statePath")
+    val bases = sp.read.parquet(perBucket.map(_._1.toString): _*)
+    val deltaPaths = perBucket.flatMap(_._2)
+    if (deltaPaths.isEmpty) bases
+    else {
+      val conf = readSinkConf(fs, root).getOrElse(throw new IllegalStateException(
+        s"delta chains under $statePath but no $SinkConfMeta — state dir corrupt"))
+      graft.operators.Analytics.upsertLatest(bases,
+        sp.read.parquet(deltaPaths.map(_.toString): _*),
+        conf.keyCols, conf.versionCol, conf.deletedCol)
+    }
   }
 
-  /** `(version, path)` of every committed snapshot in one bucket dir,
-    * ascending. */
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
-      bucketPath: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+  /** One committed snapshot (`v-<n>`) or delta (`d-<n>`) dir. */
+  private[streaming] final case class CommittedEntry(
+      version: Long, isSnapshot: Boolean, path: org.apache.hadoop.fs.Path)
+
+  /** Every committed entry in one bucket dir, ascending by version. */
+  private[streaming] def committedEntries(fs: org.apache.hadoop.fs.FileSystem,
+      bucketPath: org.apache.hadoop.fs.Path): Seq[CommittedEntry] = {
     if (!fs.exists(bucketPath)) Seq.empty
     else fs.listStatus(bucketPath).toSeq.filter(_.isDirectory).map(_.getPath)
       .flatMap { p =>
-        if (p.getName.startsWith("v-"))
-          scala.util.Try(p.getName.stripPrefix("v-").toLong).toOption.map(_ -> p)
-        else None
+        val (snap, rest) = p.getName match {
+          case n if n.startsWith("v-") => (true, n.stripPrefix("v-"))
+          case n if n.startsWith("d-") => (false, n.stripPrefix("d-"))
+          case n => (false, n) // unparseable → dropped below
+        }
+        rest.toLongOption.map(CommittedEntry(_, snap, p))
       }
-      .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)) }
-      .sortBy(_._1)
+      .filter(e => fs.exists(new org.apache.hadoop.fs.Path(e.path, CommitMarker)))
+      .sortBy(_.version)
+  }
+
+  /** Marker-less `v-`/`d-` dirs older than `beforeVersion` — crash
+    * debris: their version number is already taken by the committed
+    * chain (or skipped), so they can never commit and are safe to
+    * sweep. */
+  private def uncommittedDebris(fs: org.apache.hadoop.fs.FileSystem,
+      bucketPath: org.apache.hadoop.fs.Path,
+      beforeVersion: Long): Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(bucketPath)) Seq.empty
+    else fs.listStatus(bucketPath).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("v-") || n.startsWith("d-")) &&
+          n.drop(2).toLongOption.exists(_ < beforeVersion) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker))
+      }
   }
 
   def sessionize(events: Dataset[StreamEvent], gapSec: Long): Dataset[SessionOut] = {

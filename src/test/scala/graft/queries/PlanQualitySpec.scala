@@ -67,6 +67,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bands.unpersist()
   }
 
+  test("d09 semantic dedup pairs via a cell equi join, never a cartesian") {
+    val p = plan("d09_semantic_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))

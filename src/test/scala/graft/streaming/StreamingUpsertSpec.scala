@@ -29,15 +29,26 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** Committed (marker-carrying) version dirs per bucket under `state`. */
+  /** Committed (marker-carrying) snapshot AND delta dirs per bucket
+    * under `state`, ascending by version. */
   private def committedDirs(statePath: String): Map[String, Seq[java.io.File]] =
     Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("b-"))
       .map { b =>
         b.getName -> b.listFiles().filter(v => v.isDirectory &&
-          v.getName.startsWith("v-") &&
-          new java.io.File(v, "_GRAFT_COMMIT").exists()).toSeq.sortBy(_.getName)
+          (v.getName.startsWith("v-") || v.getName.startsWith("d-")) &&
+          new java.io.File(v, "_GRAFT_COMMIT").exists()).toSeq
+          .sortBy(_.getName.drop(2).toLong)
       }.toMap
+
+  /** Bytes of the dirs `after` has that `before` does not — what one
+    * batch actually wrote and committed. */
+  private def newlyCommittedBytes(before: Map[String, Seq[java.io.File]],
+      after: Map[String, Seq[java.io.File]]): Long =
+    after.map { case (b, vs) =>
+      val old = before.getOrElse(b, Seq.empty).map(_.getName).toSet
+      vs.filterNot(v => old(v.getName)).map(dirBytes).sum
+    }.sum
 
   private def dirBytes(f: java.io.File): Long =
     if (f.isFile) f.length()
@@ -73,10 +84,13 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("version"))).toSet
     assert(got === Set((1L, "a2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
 
-    // retention: at most the newest TWO committed versions per bucket
-    // (the previous one stays alive for concurrent readers)
+    // retention: at most TWO committed snapshots per bucket (the
+    // previous generation stays alive for concurrent readers) and a
+    // delta chain shorter than compactEvery
     committedDirs(statePath).foreach { case (b, vs) =>
-      assert(vs.length <= 2, s"bucket $b kept ${vs.map(_.getName).mkString(",")}")
+      val (snaps, deltas) = vs.partition(_.getName.startsWith("v-"))
+      assert(snaps.length <= 2, s"bucket $b kept ${snaps.map(_.getName).mkString(",")}")
+      assert(deltas.length < 8, s"bucket $b delta chain ${deltas.map(_.getName)}")
     }
 
     // batch-mode twin over the full change log agrees
@@ -138,6 +152,102 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Streams.cdcState(sp, statePath)
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
     assert(got.size === 64 && got.contains((7L, "v7b")))
+  }
+
+  test("delta chain: hot batches write O(batch) deltas; compaction bounds the chain") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-lsm").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, s"${dir.getAbsolutePath}/ckpt", Seq("k"), "version",
+      Some("deleted"), nBuckets = 4, compactEvery = 3)
+    try {
+      // seed: snapshots (first commit per bucket is always a snapshot).
+      // Values are KBs of incompressible noise so bucket snapshots dwarf
+      // parquet's fixed ~1 KB per-file overhead — the delta-vs-snapshot
+      // byte ratio then reflects data volume, not footer noise.
+      input.addData((1L to 8L).map { k =>
+        val rnd = new scala.util.Random(k)
+        (k, Seq.fill(8192)(rnd.nextPrintableChar()).mkString, 1L, false)
+      }: _*)
+      q.processAllAvailable()
+      val seeded = committedDirs(statePath)
+      assert(seeded.values.flatten.forall(_.getName.startsWith("v-")))
+      val hotBucket = { // the bucket key 7 hashes into
+        input.addData((7L, "h2", 2L, false)); q.processAllAvailable()
+        committedDirs(statePath).find { case (b, vs) =>
+          vs.map(_.getName) != seeded.getOrElse(b, Seq.empty).map(_.getName) }.get._1
+      }
+      val snapBytes = dirBytes(seeded(hotBucket).last)
+
+      // drive the hot key through two compaction cycles, checking every
+      // batch's write volume and the bucket layout as the chain grows
+      var before = committedDirs(statePath)
+      for (ver <- 3L to 8L) {
+        input.addData((7L, s"h$ver", ver, false))
+        q.processAllAvailable()
+        val after = committedDirs(statePath)
+        val wrote = newlyCommittedBytes(before, after)
+        val kinds = after(hotBucket).map(_.getName)
+        val newDirs = kinds.toSet -- before(hotBucket).map(_.getName).toSet
+        if (newDirs.head.startsWith("d-")) {
+          // a delta batch writes ~one row, never a bucket rewrite
+          assert(wrote * 4 < snapBytes,
+            s"delta batch for one key wrote $wrote B vs $snapBytes B snapshot")
+        }
+        // read amplification stays bounded: chain after the latest
+        // snapshot is always < compactEvery
+        val lastSnap = kinds.lastIndexWhere(_.startsWith("v-"))
+        assert(kinds.drop(lastSnap + 1).length < 3,
+          s"delta chain exceeded compactEvery: $kinds")
+        // and the merged state is correct after every batch
+        assert(Streams.cdcState(sp, statePath).filter($"k" === 7L)
+          .collect().head.getAs[String]("v") === s"h$ver")
+        before = after
+      }
+      // compactions happened (hot bucket has a snapshot newer than v-0)
+      // and retired the pre-previous generation
+      val kinds = committedDirs(statePath)(hotBucket).map(_.getName)
+      assert(kinds.count(_.startsWith("v-")) <= 2, s"kept too many snapshots: $kinds")
+      assert(kinds.exists(n => n.startsWith("v-") && n != "v-0"),
+        s"no compaction ever ran: $kinds")
+      assert(Streams.cdcState(sp, statePath).count() === 8)
+    } finally q.stop()
+  }
+
+  test("compactEvery=1 pins the merge-every-batch layout: no delta dirs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-nodelt").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, s"${dir.getAbsolutePath}/ckpt", Seq("k"), "version",
+      Some("deleted"), nBuckets = 2, compactEvery = 1)
+    try {
+      for (ver <- 1L to 3L) {
+        input.addData((1L, s"v$ver", ver, false), (2L, s"w$ver", ver, false))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dirs = committedDirs(statePath)
+    assert(dirs.values.flatten.forall(_.getName.startsWith("v-")),
+      s"compactEvery=1 wrote deltas: ${dirs.values.flatten.map(_.getName)}")
+    dirs.foreach { case (b, vs) =>
+      assert(vs.length <= 2, s"bucket $b kept ${vs.map(_.getName)}")
+    }
+    val got = Streams.cdcState(sp, statePath)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got === Set((1L, "v3"), (2L, "w3")))
   }
 
   test("touched buckets merge concurrently, not as a serial per-bucket loop") {
