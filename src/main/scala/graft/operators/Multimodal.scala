@@ -20,12 +20,13 @@ final case class MediaFeatures(
     h0: Long, h1: Long, h2: Long, h3: Long)
 
 /** Decoder seam for multimodal payloads: turns an encoded codec stream
-  * (JPEG, PCM, H.264 …) into decoded sample bytes. Implementations must be
-  * serializable shells — any native/heavy decoder state must be created
-  * LAZILY on the executor (real codec handles are not serializable), e.g.
-  * in a `@transient lazy val`. The environment ships only [[StubCodec]]
-  * (no media libraries in this sandbox); a real deployment swaps in a
-  * JPEG/FFmpeg-backed implementation without touching the pipeline. */
+  * (PNG, JPEG, PCM, H.264 …) into decoded sample bytes. Implementations
+  * must be serializable shells — any native/heavy decoder state must be
+  * created LAZILY on the executor (real codec handles are not
+  * serializable), e.g. in a `@transient lazy val`. Two implementations
+  * ship: [[PngCodec]] (a REAL pure-JDK PNG decoder — see [[Png]]) and
+  * [[StubCodec]] (pass-through); an FFmpeg-backed implementation slots
+  * in the same way without touching the pipeline. */
 trait MediaCodec extends Serializable {
   /** Decode one asset's payload; `mediaType` selects the codec branch. */
   def decode(mediaType: String, payload: Array[Byte]): Array[Byte]

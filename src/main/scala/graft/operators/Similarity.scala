@@ -83,9 +83,14 @@ object Similarity {
       planes: Int = 6, dims: Int = 64, probeBits: Int = 2): DataFrame = {
     require(probeBits >= 0 && probeBits <= planes, "probeBits out of range")
     val masks = probeMasks(planes, probeBits)
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      explode(array(masks.map(m =>
-        lshBucket(col("embedding"), planes, dims).bitwiseXOR(lit(m))): _*)).as("bucket")))
+    // stage the (expensive) bucket expression once per query row, THEN
+    // fan out the probe masks — not one lshBucket evaluation per mask
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        lshBucket(col("embedding"), planes, dims).as("_graft_qb"))
+      .select(col("query_id"), col("qe"),
+        explode(array(masks.map(m =>
+          col("_graft_qb").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       lshBucket(col("embedding"), planes, dims).as("bucket"))
     val w = Window.partitionBy(col("query_id"))

@@ -77,6 +77,15 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sq8 >= ivf - 1e-9 && sq8 >= lsh - 1e-9)
   }
 
+  test("Column annKnn and kernel annKnnKernel agree on the multi-probe candidates") {
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.annKnn(q, e, 3)) === rows(Similarity.annKnnKernel(q, e, 3)),
+      "Column and kernel multi-probe paths diverged")
+  }
+
   test("semanticDedup drops intra-cell near-dups only, keeping the lowest id") {
     val sp = spark; import sp.implicits._
     def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
