@@ -106,4 +106,50 @@ object Graph {
     // callers own the returned checkpointed frame's lifetime
     result.select(col("node"), col("r").as("rank"))
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED edge list
+    * (self-loops and duplicate/reverse edges collapse): one row
+    * `(node, triangles)` per node that closes at least one triangle —
+    * the local-clustering / community-structure primitive.
+    *
+    * Formulation is the degree-ordered wedge join (the standard
+    * hot-hub-safe shape): orient every edge from its lower-(degree, id)
+    * endpoint to the higher one, enumerate wedges as pairs of out-edges
+    * at a common source, and close each wedge with a semi-join back to
+    * the oriented edges. Orienting by degree bounds every node's
+    * out-list by O(√m), so a celebrity hub with millions of neighbors
+    * generates NO wedges itself — it only terminates them; per-key
+    * wedge work is bounded regardless of skew, and every step is an
+    * equi-join or hash aggregation (no cartesian anywhere). All
+    * comparisons are (degree, id) tuples, so output is deterministic
+    * and engine-portable (the DuckDB oracle mirrors the same
+    * orientation). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.u") === col("o2.u") &&
+          (col("o1.dv") < col("o2.dv") ||
+            (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v"))))
+      .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -2120,6 +2120,46 @@ object Queries {
         SELECT node, r AS rank FROM p6 ORDER BY node"""
       }),
 
+    // ---- Triangle counting over a co-purchase graph (parts sharing an
+    //      order), degree-ordered wedge join: hub-safe per-key work,
+    //      equi-joins only ----
+    QueryDef(
+      "q73_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.triangleCounts(edges, "src", "dst")
+          .orderBy($"node")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        o AS (SELECT
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN a ELSE b END AS u,
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN b ELSE a END AS v,
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN db.dg ELSE da.dg END AS dv
+          FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        w AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+              FROM o o1 JOIN o o2 ON o1.u = o2.u
+              WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        t AS (SELECT x, y, z FROM w WHERE EXISTS
+                (SELECT 1 FROM o WHERE o.u = w.y AND o.v = w.z)),
+        part AS (SELECT x AS node FROM t
+                 UNION ALL SELECT y FROM t
+                 UNION ALL SELECT z FROM t)
+        SELECT node, count(*) AS triangles FROM part
+        GROUP BY node ORDER BY node""")),
+
     // ---- Single-scan column profiler (ANALYZE-style pipeline health
     //      check): nulls / exact distincts / native-type min-max ----
     QueryDef(

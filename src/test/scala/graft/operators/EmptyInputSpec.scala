@@ -56,11 +56,20 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.cosinePairsExact(emptyVecs, "vec_id", "embedding", 0.0).count() == 0)
     assert(Similarity.knnKernel(emptyVecs, emptyVecs, 5).count() == 0)
     assert(Similarity.annKnnKernel(emptyVecs, emptyVecs, 5).count() == 0)
+    assert(Similarity.annKnn(emptyVecs, emptyVecs, 5).count() == 0)
+    assert(Graph.triangleCounts(
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("src", "dst"),
+      "src", "dst").count() == 0)
     // kmeans cannot produce a codebook from nothing — must fail loud
     val err = intercept[IllegalArgumentException] {
       Similarity.kmeansCodebook(emptyVecs, "vec_id", "embedding", k = 2)
     }
     assert(err.getMessage.contains("empty"))
+    // semantic dedup needs a codebook too: empty corpus fails loud, like ivfKnn
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emptyVecs, "vec_id", "embedding", 0.5)
+    }
+    assert(err2.getMessage.contains("centroid"))
   }
 
   test("text operators and the top-k aggregator on empty input") {

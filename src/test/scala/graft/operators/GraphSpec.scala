@@ -93,6 +93,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.values.sum - 3.0) < 1e-6)
   }
 
+  test("triangleCounts: K4 + pendant, robust to duplicates/reverses/self-loops") {
+    val sp = spark; import sp.implicits._
+    // K4 on {1,2,3,4} = 4 triangles, every K4 node in exactly 3; pendant
+    // node 5 hangs off 4 and joins none. Feed the edges dirty: both
+    // directions, duplicates, and a self-loop must all collapse.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (4L, 5L), (3L, 3L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 participation wrong: $got")
+    // and a brute-force cross-check on a pseudo-random graph
+    val rnd = new scala.util.Random(5)
+    val rand = Seq.fill(120)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val canon = rand.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val brute = canon.combinations(3).count {
+      case Seq(e1, e2, e3) =>
+        val ns = Set(e1._1, e1._2, e2._1, e2._2, e3._1, e3._2)
+        ns.size == 3
+      case _ => false
+    }
+    val total = Graph.triangleCounts(rand.toDF("src", "dst"), "src", "dst")
+      .agg(org.apache.spark.sql.functions.sum($"triangles")).collect().head.getLong(0)
+    assert(total === 3L * brute, s"got $total participations, brute $brute triangles")
+  }
+
   test("pageRank matches a local reference implementation") {
     val sp = spark; import sp.implicits._
     val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))

@@ -73,6 +73,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q73 triangle wedge join is equi-join-shaped, never a cartesian") {
+    val p = plan("q73_triangles")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
