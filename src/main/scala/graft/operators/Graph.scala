@@ -107,6 +107,78 @@ object Graph {
     result.select(col("node"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank: the random surfer restarts at the `sources`
+    * set instead of everywhere, so rank measures proximity to the seeds
+    * — the recommendation / related-items primitive. Mass-1
+    * formulation: teleport vector `t(v) = 1/|sources|` for seed nodes
+    * (0 elsewhere), rank init = t, and each round
+    *
+    *   rank(v) ← round((1 − d)·t(v) + d·(Σ_{u→v} rank(u)/outdeg(u)
+    *                                     + danglingSum·t(v)), roundTo)
+    *
+    * (dangling mass restarts at the seeds too — the standard PPR
+    * convention). Seeds absent from the edge set simply carry no mass;
+    * determinism contract and per-round shape (one equi-join + one
+    * partial agg, DECIMAL sums, lazy chained rounds) are exactly
+    * [[pageRank]]'s. Kept as its own loop rather than a parameter of
+    * [[pageRank]] so the uniform variant's bit-exact oracle lockstep
+    * can never drift. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], iterations: Int = 10, damping: Double = 0.85,
+      roundTo: Int = 9, checkpointEvery: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "personalizedPageRank needs at least one source node")
+    require(iterations >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val srcSet = sources.distinct
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val dangling = nodes.join(deg, col("node") === col("src"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = !dangling.isEmpty
+    val tele = when(col("node").isInCollection(srcSet),
+      lit(1.0 / srcSet.length)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("r", tele)
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < iterations) {
+      val contribs = withDeg.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") / col("deg").cast("double"))
+          .cast(DecimalType(28, 12))).as("csum"))
+      val inflow =
+        if (!hasDangling) coalesce(col("csum").cast("double"), lit(0.0))
+        else coalesce(col("csum").cast("double"), lit(0.0)) +
+          coalesce(col("_dsum").cast("double"), lit(0.0)) * tele
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      val withDang =
+        if (!hasDangling) joined
+        else joined.crossJoin(broadcast(
+          ranks.join(dangling, Seq("node"))
+            .agg(sum(col("r").cast(DecimalType(28, 12))).as("_dsum"))))
+      var next = withDang.select(col("node"),
+        round(lit(1.0 - damping) * tele + lit(damping) * inflow, roundTo).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      ranks = next
+    }
+    val result = ranks.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    withDeg.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    result.select(col("node"), col("r").as("rank"))
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED edge list
     * (self-loops and duplicate/reverse edges collapse): one row
     * `(node, triangles)` per node that closes at least one triangle —

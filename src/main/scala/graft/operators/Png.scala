@@ -80,8 +80,15 @@ object Png {
 
   /** Decode a PNG to its raw sample buffer. Throws IllegalArgumentException
     * on anything that is not an 8-bit non-interlaced PNG of colour type
-    * 0/2/4/6, or whose chunk CRCs / stream structure are corrupt. */
-  def decode(png: Array[Byte]): Image = {
+    * 0/2/4/6, or whose chunk CRCs / stream structure are corrupt.
+    *
+    * `maxPixelBytes` caps the decoded buffer (default 256 MB): PNG is a
+    * DEFLATE container, so a ~100-byte payload can legally declare
+    * gigapixel dimensions — in a pipeline decoding UNTRUSTED corpus
+    * bytes, an unbounded decode is a decompression-bomb denial of
+    * service on the executor. The cap rejects the bomb before any
+    * allocation happens. */
+  def decode(png: Array[Byte], maxPixelBytes: Long = 1L << 28): Image = {
     require(isPng(png), "not a PNG: bad signature")
     var pos = 8
     var width = 0; var height = 0; var channels = 0
@@ -123,8 +130,13 @@ object Png {
     }
     require(seenIhdr, "PNG missing IHDR")
     val bpp = channels // 8-bit samples: bytes per pixel = channels
-    val stride = width * bpp
-    val raw = inflate(idat.toByteArray, height * (1 + stride))
+    // Long math BEFORE any allocation: width/height are attacker data
+    val strideL = width.toLong * bpp
+    val rawL = height.toLong * (1L + strideL)
+    require(rawL <= maxPixelBytes,
+      s"decoded size $rawL B exceeds maxPixelBytes=$maxPixelBytes (${width}x$height×$bpp)")
+    val stride = strideL.toInt
+    val raw = inflate(idat.toByteArray, rawL.toInt)
     val pixels = new Array[Byte](height * stride)
     var y = 0
     while (y < height) {
@@ -189,7 +201,13 @@ object Png {
     var off = 0
     try {
       while (off < expected && !inf.finished()) {
-        val n = inf.inflate(out, off, expected - off)
+        val n =
+          try inf.inflate(out, off, expected - off)
+          catch { case e: java.util.zip.DataFormatException =>
+            // reachable with intact chunk CRCs over a garbage DEFLATE
+            // stream — normalize to the decoder's one failure type
+            throw new IllegalArgumentException(s"corrupt PNG IDAT stream: ${e.getMessage}")
+          }
         require(n > 0, "truncated PNG IDAT stream")
         off += n
       }

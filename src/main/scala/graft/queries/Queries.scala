@@ -2120,6 +2120,50 @@ object Queries {
         SELECT node, r AS rank FROM p6 ORDER BY node"""
       }),
 
+    // ---- Personalized PageRank: random surfer restarts at a seed set
+    //      (suppliers 1-5) — proximity-to-seeds ranking over the same
+    //      symmetrized co-link graph as q64; decimal-lockstep with the
+    //      unrolled oracle ----
+    QueryDef(
+      "q74_ppr",
+      (s, dir) => {
+        import s.implicits._
+        val lp = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("sk"), ($"l_partkey" + 1000000L).as("pk"))
+          .distinct()
+        val edges = lp.select($"sk".as("src"), $"pk".as("dst"))
+          .unionAll(lp.select($"pk".as("src"), $"sk".as("dst")))
+        graft.operators.Graph
+          .personalizedPageRank(edges, "src", "dst", Seq(1L, 2L, 3L, 4L, 5L),
+            iterations = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
+        val teleW = (1.0 / 5).toString // exact repr of Spark's 1.0 / srcSet.length
+        val rounds = (1 to 6).map(i =>
+          s"""p$i AS (SELECT n.node,
+            round($oneMinusD * n.tl + 0.85 * COALESCE(CAST(c.csum AS DOUBLE), 0.0), 9) AS r
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node,
+              sum(CAST(p${i - 1}.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+            FROM p${i - 1} JOIN e ON p${i - 1}.node = e.src
+              JOIN d ON d.src = p${i - 1}.node
+            GROUP BY e.dst) c ON n.node = c.node)""").mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e AS (SELECT sk AS src, pk AS dst FROM lp
+              UNION ALL SELECT pk, sk FROM lp),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        n AS (SELECT node,
+                CASE WHEN node IN (1, 2, 3, 4, 5) THEN $teleW ELSE 0.0 END AS tl
+              FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        p0 AS (SELECT node, tl AS r FROM n),
+        $rounds
+        SELECT node, r AS rank FROM p6 ORDER BY node"""
+      }),
+
     // ---- Triangle counting over a co-purchase graph (parts sharing an
     //      order), degree-ordered wedge join: hub-safe per-key work,
     //      equi-joins only ----

@@ -93,6 +93,38 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.values.sum - 3.0) < 1e-6)
   }
 
+  test("personalizedPageRank: mass concentrates at seeds; dangling restarts at seeds") {
+    val sp = spark; import sp.implicits._
+    // path 1↔2↔3↔4 plus 4→5; node 5 has no out-edge (dangling). Seed = {1}.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L), (4L, 5L))
+    val t = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0)
+    val outAdj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    def dec12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    var ranks: Map[Long, Double] = t
+    for (_ <- 1 to 6) {
+      val contribs = outAdj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> ranks(u) / vs.length.toDouble) }
+      val dsum = ranks.filterKeys(k => !outAdj.contains(k)).values
+        .map(dec12).reduceOption(_ add _).fold(0.0)(_.doubleValue())
+      ranks = t.keys.map { v =>
+        val csum = contribs.filter(_._1 == v).map(_._2).map(dec12)
+          .reduceOption(_ add _).fold(0.0)(_.doubleValue())
+        v -> java.math.BigDecimal.valueOf(0.15 * t(v) + 0.85 * (csum + dsum * t(v)))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }.toMap
+    }
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(1L), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === ranks)
+    // proximity ordering down the path (4 vs 5 is excluded: node 5 lags a
+    // round behind node 4 mid-transient, so their order flips by iteration
+    // count — the reference-match above is the exact check)
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+    assert(got(1L) === got.values.max)
+  }
+
   test("triangleCounts: K4 + pendant, robust to duplicates/reverses/self-loops") {
     val sp = spark; import sp.implicits._
     // K4 on {1,2,3,4} = 4 triangles, every K4 node in exactly 3; pendant

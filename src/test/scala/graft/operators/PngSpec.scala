@@ -91,6 +91,60 @@ class PngSpec extends AnyFunSuite {
     assert(!Png.isPng("just text".getBytes))
   }
 
+  /** Build one raw chunk with a VALID CRC — lets tests craft hostile but
+    * CRC-correct payloads the way an attacker would. */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  test("decompression bomb: gigapixel IHDR is rejected BEFORE allocation") {
+    // ~60 bytes declaring 100000x100000 grey = 10 GB decoded — a real
+    // corpus-decode DoS if the decoder allocated first and asked later
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(100000).putInt(100000).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bomb = Png.Signature ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] { Png.decode(bomb) }
+    assert(e.getMessage.contains("maxPixelBytes"), e.getMessage)
+    // and a caller who raises the cap gets the next failure, not an OOM
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(Png.encodeGray(8, 4, grayPixels(8, 4)), maxPixelBytes = 10)
+    }.getMessage.contains("maxPixelBytes"))
+  }
+
+  test("CRC-valid garbage DEFLATE data fails as a decode error, not a raw zip exception") {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val hostile = Png.Signature ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array.tabulate[Byte](20)(i => (i * 37 + 11).toByte)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] { Png.decode(hostile) }
+    assert(e.getMessage.toLowerCase.contains("idat"), e.getMessage)
+  }
+
+  test("fuzz: random mutations of a valid PNG never escape the decoder contract") {
+    val ok = Png.encodeGray(16, 6, grayPixels(16, 6), filter = 2)
+    val rnd = new scala.util.Random(42)
+    var decoded = 0
+    for (_ <- 1 to 300) {
+      val m = ok.clone()
+      for (_ <- 1 to rnd.nextInt(4)) // 0–3 flips; 0 keeps some decodes green
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      // contract: a valid Image back, or IllegalArgumentException — never
+      // an index/negative-size/zip error and never a hang
+      try { Png.decode(m); decoded += 1 }
+      catch { case _: IllegalArgumentException => }
+    }
+    assert(decoded >= 1, "every unmutated-equivalent decode failed — fuzz harness broken")
+  }
+
   test("PngCodec sniffs the signature: PNGs decode to pixels, others pass through") {
     val px = grayPixels(10, 2)
     assert(PngCodec.decode("image/png", Png.encodeGray(10, 2, px, filter = 1)).toSeq
