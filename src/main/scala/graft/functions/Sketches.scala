@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Custom mergeable sketches as typed Aggregators — the
+  * build-on-executors / merge-anywhere shape Spark's partial
+  * aggregation gives every Aggregator for free. Unlike the built-in
+  * sketches (q43's HLL++ / approx_percentile), the layout here is OUR
+  * contract, so the estimator can be a pure Column expression over the
+  * aggregated state and results are deterministic for a fixed input
+  * set (fixed hash parameters; counter merges are integer sums, immune
+  * to partition order).
+  */
+object Sketches {
+
+  /** Count-min sketch state: `Depth × width` long counters, row-major. */
+  final case class CMSketch(width: Int, counters: Seq[Long])
+
+  val CMDepth = 4
+  private val P = 2147483647L // 2^31 − 1
+  private val A = Array(1103515245L, 214013L, 69069L, 1664525L)
+  private val B = Array(12345L, 2531011L, 362437L, 1013904223L)
+
+  /** 28-bit base hash = first 7 hex chars of md5(key) — computed
+    * identically by the JVM kernel below and the Column [[cmEstimate]]
+    * (`conv(substring(md5(k), 1, 7), 16, 10)`), which is what lets the
+    * estimator stay a codegen'd expression over the aggregated state. */
+  def cmBaseHash(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(key.getBytes("UTF-8"))
+    // first 7 hex chars = bytes 0–2 plus the high nibble of byte 3
+    ((d(0) & 0xFFL) << 20) | ((d(1) & 0xFFL) << 12) |
+      ((d(2) & 0xFFL) << 4) | ((d(3) & 0xF0L) >> 4)
+  }
+
+  def cmIndex(h: Long, row: Int, width: Int): Int =
+    (((A(row) * h + B(row)) % P) % width).toInt
+
+  /** Count-min sketch builder over a string key column. Per-row update
+    * touches `CMDepth` counters; state is a fixed `CMDepth × width`
+    * array regardless of key cardinality — the constant-memory
+    * frequency summary for heavy-hitter screens over unbounded key
+    * domains. Guarantees (standard CM): estimates never undercount;
+    * overcount ≤ e·N/width with probability 1 − e^−CMDepth. */
+  def countMin(width: Int): Aggregator[String, Array[Long], CMSketch] = {
+    require(width >= 1, "width must be positive")
+    new Aggregator[String, Array[Long], CMSketch] {
+      override def zero: Array[Long] = new Array[Long](CMDepth * width)
+      override def reduce(buf: Array[Long], key: String): Array[Long] = {
+        if (key != null) {
+          val h = cmBaseHash(key)
+          var r = 0
+          while (r < CMDepth) {
+            buf(r * width + cmIndex(h, r, width)) += 1
+            r += 1
+          }
+        }
+        buf
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      override def finish(r: Array[Long]): CMSketch = CMSketch(width, r.toSeq)
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[CMSketch] = Encoders.product[CMSketch]
+    }
+  }
+
+  /** Point-frequency estimate for `key` from an aggregated [[CMSketch]]
+    * struct column: min over the sketch's `CMDepth` rows of the counter
+    * each row hashes the key to. Pure Column arithmetic (codegen) —
+    * estimating a million candidate keys is a map over the broadcast
+    * one-row sketch, no UDF, no driver loop. */
+  def cmEstimate(sketch: Column, key: Column, width: Int): Column = {
+    val h = conv(substring(md5(key), 1, 7), 16, 10).cast("long")
+    least((0 until CMDepth).map { r =>
+      element_at(sketch.getField("counters"),
+        (lit(r * width) +
+          pmod(pmod(lit(A(r)) * h + lit(B(r)), lit(P)), lit(width))).cast("int") + 1)
+    }: _*)
+  }
+}

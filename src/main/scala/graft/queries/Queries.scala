@@ -2204,6 +2204,40 @@ object Queries {
         SELECT node, count(*) AS triangles FROM part
         GROUP BY node ORDER BY node""")),
 
+    // ---- Heavy hitters via a CUSTOM count-min sketch UDAF (constant
+    //      memory over unbounded key domains): estimates come from a
+    //      pure Column expression over the aggregated state; the oracle
+    //      checks exact counts + the CM guarantees as literal TRUEs ----
+    QueryDef(
+      "q75_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val keys = t(s, dir, "lineitem")
+          .select($"l_suppkey".cast("string").as("k"))
+          .filter($"k".isNotNull)
+        val width = 512
+        val cm = udaf(graft.functions.Sketches.countMin(width))
+        val sketch = keys.agg(cm($"k").as("sk"))
+        val tot = keys.agg(count(lit(1)).as("n_total"))
+        val exact = keys.groupBy($"k").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy($"exact_cnt".desc, $"k").limit(10)
+        val est = graft.functions.Sketches.cmEstimate($"sk", $"k", width)
+        exact.crossJoin(broadcast(sketch)).crossJoin(broadcast(tot))
+          .select($"k".as("supp_key"), $"exact_cnt",
+            (est >= $"exact_cnt").as("cm_no_undercount"),
+            // the classic CM guarantee: overcount ≤ e·N/width w.p. 1−e^−depth
+            (est <= $"exact_cnt" + lit(math.E) * $"n_total" / lit(width.toDouble))
+              .as("cm_within_bound"))
+          .orderBy($"supp_key")
+      },
+      Some("""WITH k AS (SELECT CAST(l_suppkey AS VARCHAR) AS k
+               FROM lineitem WHERE l_suppkey IS NOT NULL),
+        exact AS (SELECT k, count(*) AS exact_cnt FROM k
+                  GROUP BY k ORDER BY exact_cnt DESC, k LIMIT 10)
+        SELECT k AS supp_key, exact_cnt,
+          TRUE AS cm_no_undercount, TRUE AS cm_within_bound
+        FROM exact ORDER BY supp_key""")),
+
     // ---- Single-scan column profiler (ANALYZE-style pipeline health
     //      check): nulls / exact distincts / native-type min-max ----
     QueryDef(

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom count-min sketch: JVM builder and Column estimator must
+  * hash identically, estimates must obey the CM guarantees, and the
+  * merged state must be partition-order independent.
+  */
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[4]")
+      .appName("sketches-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("JVM base hash equals the Column md5-prefix hash for arbitrary keys") {
+    val sp = spark; import sp.implicits._
+    val keys = Seq("a", "supplier-17", "", "ü-multibyte", "0042", "x" * 100)
+    val viaColumn = keys.toDF("k")
+      .select($"k", conv(substring(md5($"k"), 1, 7), 16, 10).cast("long").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Sketches.cmBaseHash(k) === viaColumn(k), s"hash mismatch for '$k'")
+    }
+  }
+
+  test("estimates never undercount, bound overcount, and match exact when uncontested") {
+    val sp = spark; import sp.implicits._
+    val width = 128
+    // 20 distinct keys with known multiplicities, far fewer than width
+    val rows = (1 to 20).flatMap(i => Seq.fill(i * 3)(s"key-$i"))
+    val df = rows.toDF("k").repartition(7)
+    val cm = udaf(Sketches.countMin(width))
+    val sketch = df.agg(cm($"k").as("sk"))
+    val got = (1 to 20).map(i => s"key-$i").toDF("k")
+      .crossJoin(broadcast(sketch))
+      .select($"k", Sketches.cmEstimate($"sk", $"k", width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 20).foreach { i =>
+      val exact = i * 3L
+      val est = got(s"key-$i")
+      assert(est >= exact, s"CM undercounted key-$i: $est < $exact")
+      assert(est <= exact + 2L * rows.length / width + 1,
+        s"CM overcount out of bound for key-$i: $est vs exact $exact")
+    }
+    // an absent key estimates at most the collision noise, not a real count
+    val ghost = Seq("no-such-key").toDF("k").crossJoin(broadcast(sketch))
+      .select(Sketches.cmEstimate($"sk", $"k", width)).collect().head.getLong(0)
+    assert(ghost <= 2L * rows.length / width + 1, s"ghost key estimated $ghost")
+  }
+
+  test("sketch state is partition-order independent (integer merges)") {
+    val sp = spark; import sp.implicits._
+    val rows = (1 to 500).map(i => s"k${i % 37}")
+    val cm = udaf(Sketches.countMin(64))
+    def state(parts: Int): Seq[Long] = rows.toDF("k").repartition(parts)
+      .agg(cm($"k").as("sk")).select($"sk.counters").as[Seq[Long]].collect().head
+    assert(state(1) === state(13))
+  }
+}
