@@ -314,6 +314,38 @@ object TextAnalysis {
     df.filter(bucket < pct)
   }
 
+  /** WEIGHTED sampling without replacement, k per group — the
+    * quality-weighted corpus-mixing primitive (sample documents
+    * proportionally to a quality/length score when assembling a
+    * training mix). Efraimidis–Spirakis keys: each row draws
+    * `u ∈ (0,1)` and ranks by `u^(1/w)` descending; the top k per group
+    * are exactly a weight-proportional sample without replacement.
+    *
+    * Determinism: `u` is not random — it derives from the md5 of the id
+    * (28-bit prefix, +0.5, /2^28), so the same rows win on every run,
+    * every partitioning, and every engine; the ranking key rounds to 6
+    * decimals with an id tie-break so IEEE `pow` last-ulp differences
+    * between engines cannot reorder it (the DuckDB oracle mirrors the
+    * formula). Rows with null/non-positive weight are excluded (their
+    * ES key is undefined). Shape: one window per group — the same
+    * single-shuffle rank pattern as every top-k here. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("double") + 0.5) / lit((1L << 28).toDouble)
+    val esKey = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_graft_es").desc, col(idCol))
+    df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .withColumn("_graft_es", esKey)
+      .withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= k)
+      .drop("_graft_es", "_graft_rk")
+  }
+
   /** Kernel twin of [[dupBigramFraction]] (bit-identical, spec-enforced):
     * the per-element interpreted bigram lambda is the hot path of a
     * corpus-wide repetition scan, so it runs as a per-partition loop.

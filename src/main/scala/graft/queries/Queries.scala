@@ -2525,7 +2525,34 @@ object Queries {
             AS mean_logprob
         FROM pd JOIN bf USING (bg)
           JOIN w1 ON split_part(bg, ' ', 1) = w1.w1 CROSS JOIN v
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Weighted sampling without replacement, k per group
+    //      (Efraimidis-Spirakis keys over hash-derived uniforms —
+    //      deterministic quality-weighted corpus mixing) ----
+    QueryDef(
+      "t16_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .weightedSample(
+            t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+            "lang", "doc_id", "n_chars", k = 5)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, n_chars,
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS UBIGINT) + 0.5)
+              / 268435456.0 AS u
+          FROM documents
+          WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+            AND n_chars IS NOT NULL AND n_chars > 0),
+        ranked AS (SELECT doc_id, lang, n_chars,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 6) DESC,
+                doc_id) AS rk
+          FROM w)
+        SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 5
+        ORDER BY lang, doc_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -89,6 +89,29 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(1L).head._4 == expected)
   }
 
+  test("weightedSample: deterministic, weight-dominant rows always win, k-bounded") {
+    val sp = spark; import sp.implicits._
+    // two groups of 50 rows; in group "a" one row carries overwhelming
+    // weight — u^(1/w) → 1 as w grows, so it MUST be sampled
+    val rows = (1L to 50L).map(i => (i, "a", if (i == 17L) 1.0e6 else 0.001)) ++
+      (101L to 150L).map(i => (i, "b", 1.0))
+    val df = rows.toDF("id", "g", "w")
+    val got = TextAnalysis.weightedSample(df, "g", "id", "w", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.count(_._1 == "a") === 3 && got.count(_._1 == "b") === 3)
+    assert(got.contains(("a", 17L)), s"dominant-weight row not sampled: $got")
+    // repartition-invariant (hash-derived u, not RNG)
+    val again = TextAnalysis.weightedSample(df.repartition(13), "g", "id", "w", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again === got)
+    // null / non-positive weights are excluded, never crash the pow
+    val dirty = Seq((1L, "a", Some(2.0)), (2L, "a", Some(0.0)),
+      (3L, "a", Some(-1.0)), (4L, "a", None)).toDF("id", "g", "w")
+    val clean = TextAnalysis.weightedSample(dirty, "g", "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean === Set(1L))
+  }
+
   test("contaminationPairs and tfidfTopTerms handle empty inputs") {
     val empty = spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
     assert(TextAnalysis.contaminationPairs(empty, empty, "doc_id", "text", 0.5).count() == 0)
