@@ -179,6 +179,20 @@ object Graph {
     result.select(col("node"), col("r").as("rank"))
   }
 
+  /** Connected components over an undirected edge list: one row
+    * `(node, component)` per node, where `component` is the smallest
+    * node id reachable from it. Thin graph-API face of
+    * [[Dedup.duplicateClusters]] (the pointer-jumping min-label loop —
+    * O(log diameter) rounds, one Spark job per round, convergence
+    * observed on the labeling aggregation itself); kept there because
+    * dedup clustering is its proving ground, surfaced here because
+    * users look for CC next to PageRank/triangles. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame =
+    Dedup.duplicateClusters(
+      edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")), "id1", "id2", maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
   /** Per-node triangle participation counts over an UNDIRECTED edge list
     * (self-loops and duplicate/reverse edges collapse): one row
     * `(node, triangles)` per node that closes at least one triangle —

@@ -226,6 +226,38 @@ object TextAnalysis {
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
   }
 
+  /** CROSS-corpus unigram LM scoring: train the unigram statistics on
+    * `reference` and score `target` documents under them — the standard
+    * "score web text against a trusted corpus" data-filtering signal,
+    * which [[unigramLogProb]] (self-scoring) cannot express. Add-one
+    * smoothing handles out-of-vocabulary terms (unavoidable across
+    * corpora): P(t) = (cf_ref(t) + 1) / (total_ref + V_ref), score(d) =
+    * Σ_t cnt_d(t)·ln P(t) / len(d), rounded to 6. Shape: two hash-agg
+    * passes over the reference (counted once, reused via its stats
+    * table), per-doc counts on the target, one LEFT equi-join on term;
+    * DECIMAL addends keep the mean partition-order independent. Output:
+    * (doc_id, n_tokens, mean_logprob) for target docs with ≥1 token. */
+  def crossLogProb(target: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val refToks = reference.select(explode(tokens(col(textCol))).as("term"))
+    val refStats = refToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = refToks.count()
+    val vocab = refStats.count()
+    val toks = target.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val perDoc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    perDoc.join(refStats, Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        round(
+          sum((col("cnt").cast("double") *
+            log((coalesce(col("cf"), lit(0L)) + lit(1L)).cast("double") /
+              lit((total + vocab).toDouble)))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
+  }
+
   /** Bigram language-model quality signal: per document, the mean
     * add-one-smoothed log-probability of its bigrams under the corpus's
     * own bigram statistics —

@@ -2204,6 +2204,38 @@ object Queries {
         SELECT node, count(*) AS triangles FROM part
         GROUP BY node ORDER BY node""")),
 
+    // ---- Connected components over the co-purchase graph (public
+    //      Graph API over the d06-proven pointer-jumping loop) vs a
+    //      recursive-CTE transitive closure ----
+    QueryDef(
+      "q76_connected_components",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.connectedComponents(edges, "src", "dst")
+          .groupBy($"component").agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"component")
+      },
+      Some("""WITH RECURSIVE
+        li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 20 = 0),
+        cand AS (SELECT DISTINCT x.pk AS id1, y.pk AS id2
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT component, count(*) AS n_nodes FROM lbl
+        GROUP BY component ORDER BY component""")),
+
     // ---- Heavy hitters via a CUSTOM count-min sketch UDAF (constant
     //      memory over unbounded key domains): estimates come from a
     //      pure Column expression over the aggregated state; the oracle
@@ -2525,6 +2557,35 @@ object Queries {
             AS mean_logprob
         FROM pd JOIN bf USING (bg)
           JOIN w1 ON split_part(bg, ' ', 1) = w1.w1 CROSS JOIN v
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Cross-corpus LM scoring: unigram stats trained on one split,
+    //      the other split scored under them with add-one smoothing
+    //      (the "score web text against a trusted corpus" filter) ----
+    QueryDef(
+      "t17_cross_logprob",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.operators.TextAnalysis.crossLogProb(
+            docs.filter($"doc_id" % 10 > 7), docs.filter($"doc_id" % 10 <= 7),
+            "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ref AS (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents WHERE doc_id % 10 <= 7),
+        rs AS (SELECT term, count(*) AS cf FROM ref GROUP BY term),
+        tot AS (SELECT count(*) AS n FROM ref),
+        vsz AS (SELECT count(*) AS v FROM rs),
+        tt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents WHERE doc_id % 10 > 7),
+        pd AS (SELECT doc_id, term, count(*) AS cnt FROM tt GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+          round(CAST(sum(CAST(cnt * ln(CAST(COALESCE(cf, 0) + 1 AS DOUBLE)
+                / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))
+              AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS mean_logprob
+        FROM pd LEFT JOIN rs USING (term) CROSS JOIN tot CROSS JOIN vsz
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Weighted sampling without replacement, k per group

@@ -62,6 +62,31 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ghost <= 2L * rows.length / width + 1, s"ghost key estimated $ghost")
   }
 
+  test("count-min aggregates identically over a stream (state merges across batches)") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val cm = udaf(Sketches.countMin(64))
+    val q = input.toDF().toDF("k").agg(cm($"k").as("sk"))
+      .writeStream.format("memory").queryName("cmstream")
+      .outputMode("complete").start()
+    val batch1 = (1 to 200).map(i => s"k${i % 23}")
+    val batch2 = (1 to 100).map(i => s"k${i % 7}")
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cmstream")
+      .select($"sk.counters").as[Seq[Long]].collect().head
+    val batch = (batch1 ++ batch2).toDF("k").agg(cm($"k").as("sk"))
+      .select($"sk.counters").as[Seq[Long]].collect().head
+    assert(streamed === batch,
+      "streaming CM state diverged from the batch aggregation")
+  }
+
   test("sketch state is partition-order independent (integer merges)") {
     val sp = spark; import sp.implicits._
     val rows = (1 to 500).map(i => s"k${i % 37}")

@@ -112,6 +112,31 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean === Set(1L))
   }
 
+  test("crossLogProb: in-vocabulary targets outscore OOV ones under the reference LM") {
+    val sp = spark; import sp.implicits._
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the dog sleeps and the fox runs"),
+      (3L, "a quick brown dog")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the quick dog"), // every token in the reference
+      (11L, "zzyzx qwfp vvkk"), // fully out-of-vocabulary
+      (12L, "")).toDF("doc_id", "text") // no tokens → no row
+    val got = TextAnalysis.crossLogProb(target, reference, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(10L, 11L), s"tokenless doc leaked: ${got.keySet}")
+    assert(got(10L)._1 === 3 && got(11L)._1 === 3)
+    assert(got(10L)._2 > got(11L)._2,
+      s"OOV doc did not score lower: ${got(10L)._2} vs ${got(11L)._2}")
+    // OOV floor: every OOV token contributes ln(1/(N+V)) exactly
+    val refToks = reference.select(explode(TextAnalysis.tokens($"text")).as("t"))
+    val refTokens = refToks.count()
+    val vocab = refToks.distinct().count()
+    val floor = BigDecimal(math.log(1.0 / (refTokens + vocab)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(11L)._2 - floor) < 2e-6, s"${got(11L)._2} vs $floor")
+  }
+
   test("contaminationPairs and tfidfTopTerms handle empty inputs") {
     val empty = spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
     assert(TextAnalysis.contaminationPairs(empty, empty, "doc_id", "text", 0.5).count() == 0)
