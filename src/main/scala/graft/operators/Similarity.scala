@@ -696,12 +696,19 @@ object Similarity {
     * `(vec_id, cid)` of the survivors.
     *
     * 100 TB posture: assignment is a broadcast-codebook map; the only
-    * shuffle is the cell equi-join, and per-cell pair work is bounded by
-    * the clustering granularity (cells ≈ `centEvery` vectors — size the
-    * codebook, or train one with [[kmeansCodebook]], so cells stay
-    * task-sized). No driver-side state beyond the codebook. */
+    * shuffles are the cell equi-join and a tiny per-cell count. Per-cell
+    * pair work is Σ|cell|² by the SemDeDup definition, but no single
+    * TASK ever owns a whole cell's pairs: each cell's members are
+    * hash-split into blocks of ≤ `blockSize` and the pair work fans out
+    * over the cell's block-pair grid (the [[cosinePairs]] shape, keyed
+    * by cell) — so a HOT cell (the common case on a clustered corpus,
+    * which is exactly the corpus you dedup) costs more tasks, never a
+    * bigger task. Per-task state is ≤ 2·blockSize vectors regardless of
+    * how skewed the clustering is; the output is identical for any
+    * blockSize. No driver-side state beyond the codebook. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
-      centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+      centEvery: Int = 50, maxCents: Int = 65536, blockSize: Int = 4096): DataFrame = {
+    require(blockSize >= 1, "blockSize must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col(idCol) % centEvery === 0)
@@ -728,14 +735,71 @@ object Similarity {
           (id, v, best)
         }
       }.toDF("vec_id", "v", "cid")
-    val dropped = cells.as("a")
-      .join(cells.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.v").as("va"), col("b.v").as("vb"))
-      .as[(Long, Array[Float], Array[Float])]
-      .mapPartitions(_.flatMap { case (id, va, vb) =>
-        if (cosineKernel(va, vb) >= tau) Iterator.single(Tuple1(id)) else Iterator.empty
-      }).toDF("vec_id").distinct()
+    // hot-cell guard: per-cell block grid. |cells| counts are one tiny
+    // agg (≤ nCents rows — broadcastable by construction); each member
+    // lands in block hash(id) % ceil(cnt/blockSize) of ITS cell and is
+    // replicated to the cell's (i ≤ j) block-pair groups, exactly the
+    // cosinePairs grid but keyed by (cid, i, j).
+    val counts = cells.groupBy(col("cid")).agg(count(lit(1)).as("_cnt"))
+    val gridded = cells.join(broadcast(counts), Seq("cid"))
+      .withColumn("_nb", ceil(col("_cnt") / lit(blockSize.toDouble)).cast("int"))
+      .withColumn("_b", pmod(hash(col("vec_id")), col("_nb")))
+      .withColumn("_pk", explode(array_union(
+        transform(sequence(col("_b"), col("_nb") - 1),
+          j => struct(col("_b").as("i"), j.as("j"))),
+        transform(sequence(lit(0), col("_b")),
+          i => struct(i.as("i"), col("_b").as("j"))))))
+      .select(col("cid"), col("_pk.i").as("pi"), col("_pk.j").as("pj"),
+        col("_b").as("b"), col("vec_id"), col("v"))
+      .as[(Long, Int, Int, Int, Long, Array[Float])]
+    val dropped = gridded.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Float])]) =>
+        val (_, pi, pj) = key
+        val rows = it.toArray // ≤ 2·blockSize members (one or two blocks of one cell)
+        CellTaskGauge.record(rows.length)
+        val out = scala.collection.mutable.HashSet.empty[Long]
+        def check(x: (Long, Int, Int, Int, Long, Array[Float]),
+            y: (Long, Int, Int, Int, Long, Array[Float])): Unit =
+          if (cosineKernel(x._6, y._6) >= tau)
+            out += math.max(x._5, y._5) // the higher id of a near-dup pair drops
+        if (pi == pj) {
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              if (rows(i)._5 != rows(j)._5) check(rows(i), rows(j))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val a = rows.filter(_._4 == pi)
+          val c = rows.filter(_._4 == pj)
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < c.length) { check(a(i), c(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.iterator.map(Tuple1(_))
+      }.toDF("vec_id").distinct()
     cells.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cid"))
+  }
+
+  /** Test-visible gauge of the largest group a single [[semanticDedup]]
+    * pair task materialized — meaningful in local mode, where executors
+    * share the JVM (same contract as the streaming BucketMergeGauge).
+    * The hot-cell spec pins that an adversarial all-one-cell corpus
+    * never hands any task more than ~2·blockSize members. */
+  private[operators] object CellTaskGauge {
+    private val peakRows = new java.util.concurrent.atomic.AtomicLong(0)
+    @annotation.tailrec def record(n: Long): Unit = {
+      val p = peakRows.get()
+      if (n > p && !peakRows.compareAndSet(p, n)) record(n)
+    }
+    def peak: Long = peakRows.get()
+    def reset(): Unit = peakRows.set(0)
   }
 
   /** Kernel ANN: bucket both sides with the broadcast hyperplanes, score

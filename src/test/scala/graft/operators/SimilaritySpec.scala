@@ -113,6 +113,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected id 2 (and only id 2) dropped, got $got")
   }
 
+  test("semanticDedup hot-cell guard: an adversarial one-cell corpus splits pair work across bounded tasks") {
+    val sp = spark; import sp.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // centroids (centEvery=50): ids 0/50/100/150 at 0/90/180/270 degrees.
+    // Every NON-centroid vector sits within 3 degrees of centroid 0 — the
+    // clustered-corpus worst case: one cell holds 197 of 200 members, and
+    // every intra-cell pair is a near-dup at tau=0.95, so only the lowest
+    // id (the centroid itself) survives cell 0.
+    val corpus = (0 until 200).map { i =>
+      val deg = if (i % 50 == 0) (i / 50) * 90.0 else (i % 7) * 0.5
+      (i.toLong, v(deg))
+    }.toDF("vec_id", "embedding")
+    def run(blockSize: Int): Set[(Long, Long)] =
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", tau = 0.95,
+        blockSize = blockSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set((0L, 0L), (50L, 50L), (100L, 100L), (150L, 150L))
+
+    // gridded: no task may ever own the hot cell
+    Similarity.CellTaskGauge.reset()
+    assert(run(blockSize = 16) === expect)
+    val gridPeak = Similarity.CellTaskGauge.peak
+    assert(gridPeak > 0, "gauge not exercised")
+    assert(gridPeak <= 4L * 16,
+      s"hot-cell guard failed: one task materialized $gridPeak members")
+
+    // one-group control: identical output, and the gauge shows what the
+    // unguarded shape would cost — one task owning all 197 members
+    Similarity.CellTaskGauge.reset()
+    assert(run(blockSize = 100000) === expect,
+      "block-gridded result diverged from the single-group result")
+    assert(Similarity.CellTaskGauge.peak === 197L,
+      s"control expected one 197-member group, saw ${Similarity.CellTaskGauge.peak}")
+  }
+
   test("sq8 candidate scan reads the materialized codes, never the float column") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq8-codes").toString
     val bounds = Similarity.sq8Bounds(emb, "embedding")
