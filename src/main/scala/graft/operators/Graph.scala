@@ -41,10 +41,21 @@ object Graph {
     * chained rounds — and lineage is truncated only every
     * `checkpointEvery` rounds (`localCheckpoint` + unpersist) to keep
     * the plan and storage bounded for large iteration counts.
-    */
+    *
+    * `convergeTol` (default None = the lazy fixed-`iterations` lockstep
+    * mode above, byte-identical to every prior round) switches on
+    * observation-based early stopping: each round materializes with an
+    * `Observation` of max |Δrank| riding the SAME action (the
+    * duplicateClusters trick — one Spark job per round, no second
+    * count), and the loop stops once max |Δrank| ≤ tol or `iterations`
+    * rounds have run. `Some(0.0)` stops at EXACT stationarity of the
+    * rounded ranks — from that round on every further iteration
+    * reproduces the same ranks, so the early-stopped result is
+    * identical to any longer fixed run. A converged graph stops
+    * wasting rounds; a slow one still gets the full budget. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85, roundTo: Int = 9,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, convergeTol: Option[Double] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
@@ -67,7 +78,8 @@ object Graph {
     var ranks = nodes.withColumn("r", lit(1.0))
     var lastCkpt: Option[DataFrame] = None
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val contribs = withDeg.join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum((col("r") / col("deg").cast("double"))
@@ -78,23 +90,46 @@ object Graph {
         if (!hasDangling) coalesce(col("csum").cast("double"), lit(0.0))
         else coalesce(col("csum").cast("double"), lit(0.0)) +
           coalesce(col("_dsum").cast("double"), lit(0.0)) / lit(nNodes.toDouble)
-      val joined = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      // convergence mode carries the previous rank through the round so
+      // the Δ observation rides the materializing action itself; the
+      // fixed mode keeps the bare node set (byte-identical legacy plan)
+      val base = convergeTol match {
+        case Some(_) => ranks.select(col("node"), col("r").as("_prev"))
+        case None => nodes
+      }
+      val joined = base.join(contribs, col("node") === col("dst"), "left_outer")
       val withDang =
         if (!hasDangling) joined
         else joined.crossJoin(broadcast(
           ranks.join(dangling, Seq("node"))
             .agg(sum(col("r").cast(DecimalType(28, 12))).as("_dsum"))))
-      var next = withDang.select(col("node"),
-        round(lit(1.0 - damping) + lit(damping) * inflow, roundTo).as("r"))
+      val newRank = round(lit(1.0 - damping) + lit(damping) * inflow, roundTo)
       i += 1
-      if (i % checkpointEvery == 0 && i < iterations) {
-        // truncate lineage; only now does a job run
-        next = next.localCheckpoint(true)
-        lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+      convergeTol match {
+        case Some(tol) =>
+          val obs = org.apache.spark.sql.Observation(s"pr-converge-$i")
+          val next = withDang.select(col("node"), newRank.as("r"), col("_prev"))
+            .observe(obs, max(abs(col("r") - col("_prev"))).as("delta"))
+            .select(col("node"), col("r"))
+            .localCheckpoint(true) // eager: one job per round, Δ collected on it
+          val delta = Option(obs.get("delta"))
+            .map(_.asInstanceOf[Double]).getOrElse(0.0)
+          lastCkpt.foreach(_.unpersist())
+          lastCkpt = Some(next)
+          ranks = next
+          converged = delta <= tol
+        case None =>
+          var next = withDang.select(col("node"), newRank.as("r"))
+          if (i % checkpointEvery == 0 && i < iterations) {
+            // truncate lineage; only now does a job run
+            next = next.localCheckpoint(true)
+            lastCkpt.foreach(_.unpersist())
+            lastCkpt = Some(next)
+          }
+          ranks = next
       }
-      ranks = next
     }
+    ConvergenceGauge.lastRounds = i
     // one final materialization so every intermediate block (withDeg,
     // nodes, the periodic checkpoints) can be freed NOW — the lazy
     // rounds in between never touched the scheduler
@@ -122,10 +157,13 @@ object Graph {
     * partial agg, DECIMAL sums, lazy chained rounds) are exactly
     * [[pageRank]]'s. Kept as its own loop rather than a parameter of
     * [[pageRank]] so the uniform variant's bit-exact oracle lockstep
-    * can never drift. */
+    * can never drift. `convergeTol` behaves exactly as in [[pageRank]]:
+    * None = lazy fixed-iterations lockstep; Some(tol) = one observed
+    * job per round, stop at max |Δrank| ≤ tol. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       sources: Seq[Long], iterations: Int = 10, damping: Double = 0.85,
-      roundTo: Int = 9, checkpointEvery: Int = 4): DataFrame = {
+      roundTo: Int = 9, checkpointEvery: Int = 4,
+      convergeTol: Option[Double] = None): DataFrame = {
     require(sources.nonEmpty, "personalizedPageRank needs at least one source node")
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
@@ -146,7 +184,8 @@ object Graph {
     var ranks = nodes.withColumn("r", tele)
     var lastCkpt: Option[DataFrame] = None
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val contribs = withDeg.join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum((col("r") / col("deg").cast("double"))
@@ -155,28 +194,56 @@ object Graph {
         if (!hasDangling) coalesce(col("csum").cast("double"), lit(0.0))
         else coalesce(col("csum").cast("double"), lit(0.0)) +
           coalesce(col("_dsum").cast("double"), lit(0.0)) * tele
-      val joined = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      val base = convergeTol match {
+        case Some(_) => ranks.select(col("node"), col("r").as("_prev"))
+        case None => nodes
+      }
+      val joined = base.join(contribs, col("node") === col("dst"), "left_outer")
       val withDang =
         if (!hasDangling) joined
         else joined.crossJoin(broadcast(
           ranks.join(dangling, Seq("node"))
             .agg(sum(col("r").cast(DecimalType(28, 12))).as("_dsum"))))
-      var next = withDang.select(col("node"),
-        round(lit(1.0 - damping) * tele + lit(damping) * inflow, roundTo).as("r"))
+      val newRank = round(lit(1.0 - damping) * tele + lit(damping) * inflow, roundTo)
       i += 1
-      if (i % checkpointEvery == 0 && i < iterations) {
-        next = next.localCheckpoint(true)
-        lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+      convergeTol match {
+        case Some(tol) =>
+          val obs = org.apache.spark.sql.Observation(s"ppr-converge-$i")
+          val next = withDang.select(col("node"), newRank.as("r"), col("_prev"))
+            .observe(obs, max(abs(col("r") - col("_prev"))).as("delta"))
+            .select(col("node"), col("r"))
+            .localCheckpoint(true)
+          val delta = Option(obs.get("delta"))
+            .map(_.asInstanceOf[Double]).getOrElse(0.0)
+          lastCkpt.foreach(_.unpersist())
+          lastCkpt = Some(next)
+          ranks = next
+          converged = delta <= tol
+        case None =>
+          var next = withDang.select(col("node"), newRank.as("r"))
+          if (i % checkpointEvery == 0 && i < iterations) {
+            next = next.localCheckpoint(true)
+            lastCkpt.foreach(_.unpersist())
+            lastCkpt = Some(next)
+          }
+          ranks = next
       }
-      ranks = next
     }
+    ConvergenceGauge.lastRounds = i
     val result = ranks.localCheckpoint(true)
     lastCkpt.foreach(_.unpersist())
     withDeg.unpersist()
     nodes.unpersist()
     dangling.unpersist()
     result.select(col("node"), col("r").as("rank"))
+  }
+
+  /** Test-visible count of rounds the last [[pageRank]] /
+    * [[personalizedPageRank]] call on this JVM actually ran — the
+    * convergence specs pin that an already-converged graph stops early
+    * (meaningful in local mode; same contract as the other gauges). */
+  private[operators] object ConvergenceGauge {
+    @volatile var lastRounds: Int = -1
   }
 
   /** Connected components over an undirected edge list: one row

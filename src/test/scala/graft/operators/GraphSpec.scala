@@ -125,6 +125,58 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) === got.values.max)
   }
 
+  test("pageRank convergeTol: an already-stationary graph stops after one round, ranks identical") {
+    val sp = spark; import sp.implicits._
+    // K4 is stationary from the start (rank 1.0 forever): the observed
+    // max |Δrank| is 0.0 in round 1, so Some(0.0) must stop immediately
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val fixed = Graph.pageRank(k4, "src", "dst", iterations = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val conv = Graph.pageRank(k4, "src", "dst", iterations = 10,
+      convergeTol = Some(0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(Graph.ConvergenceGauge.lastRounds === 1,
+      s"stationary graph should stop after round 1, ran ${Graph.ConvergenceGauge.lastRounds}")
+    assert(conv.toSeq === fixed.toSeq)
+  }
+
+  test("pageRank convergeTol: a star converges in fewer than the budgeted rounds with identical ranks") {
+    val sp = spark; import sp.implicits._
+    // symmetric star; low damping + coarse rounding make the rounded
+    // ranks exactly stationary well before the 10-round budget, and from
+    // the stationary round on every further iteration reproduces the
+    // same ranks — so early-stop output == fixed-10-round output
+    val star = sym((1L to 9L).map(l => (0L, l))).toDF("src", "dst")
+    val fixed = Graph.pageRank(star, "src", "dst", iterations = 10,
+      damping = 0.3, roundTo = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val conv = Graph.pageRank(star, "src", "dst", iterations = 10,
+      damping = 0.3, roundTo = 3, convergeTol = Some(0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val rounds = Graph.ConvergenceGauge.lastRounds
+    info(s"star converged in $rounds/10 rounds")
+    assert(rounds < 10, s"expected early convergence, ran all $rounds rounds")
+    assert(conv.toSeq === fixed.toSeq,
+      "converged ranks diverged from the fixed-iteration run")
+  }
+
+  test("personalizedPageRank convergeTol stops early with ranks identical to the fixed run") {
+    val sp = spark; import sp.implicits._
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val fixed = Graph.personalizedPageRank(k4, "src", "dst", Seq(0L),
+      iterations = 12, damping = 0.3, roundTo = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val conv = Graph.personalizedPageRank(k4, "src", "dst", Seq(0L),
+      iterations = 12, damping = 0.3, roundTo = 3, convergeTol = Some(0.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val rounds = Graph.ConvergenceGauge.lastRounds
+    info(s"ppr converged in $rounds/12 rounds")
+    assert(rounds < 12, s"expected early convergence, ran all $rounds rounds")
+    assert(conv.toSeq === fixed.toSeq)
+  }
+
   test("triangleCounts: K4 + pendant, robust to duplicates/reverses/self-loops") {
     val sp = spark; import sp.implicits._
     // K4 on {1,2,3,4} = 4 triangles, every K4 node in exactly 3; pendant
