@@ -9,13 +9,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * with the JVM.
   *
   * Decoder: 8-bit greyscale (colour type 0), truecolour (2),
-  * grey+alpha (4) and RGBA (6), non-interlaced, all five scanline
-  * filters (None/Sub/Up/Average/Paeth), chunk CRCs verified — enough to
+  * palette (3 — PLTE-mapped, decoded to RGB), grey+alpha (4) and RGBA
+  * (6), non-interlaced, all five scanline filters
+  * (None/Sub/Up/Average/Paeth), chunk CRCs verified — enough to
   * read real-world 8-bit PNGs (MultimodalSpec proves it on images
-  * written by the JDK's own ImageIO encoder). Encoder: greyscale with a
-  * caller-chosen filter type, so decode paths are exercised end-to-end.
-  * Deliberately NOT supported (throws): palette (3), bit depths ≠ 8,
-  * interlacing — fail loudly rather than return wrong pixels.
+  * written by the JDK's own ImageIO encoder, palette included).
+  * Encoder: greyscale with a caller-chosen filter type, so decode
+  * paths are exercised end-to-end. Deliberately NOT supported
+  * (throws): bit depths ≠ 8, interlacing, tRNS palette transparency —
+  * fail loudly rather than return wrong pixels.
   */
 object Png {
 
@@ -90,14 +92,21 @@ object Png {
     * allocation happens. */
   def decode(png: Array[Byte], maxPixelBytes: Long = 1L << 28): Image = {
     require(isPng(png), "not a PNG: bad signature")
+    // a caller-passed cap above Int.MaxValue would let rawL.toInt wrap
+    // below — clamp so the Int conversion is always safe
+    val cap = math.min(maxPixelBytes, Int.MaxValue.toLong)
     var pos = 8
-    var width = 0; var height = 0; var channels = 0
+    var width = 0; var height = 0; var channels = 0; var colourType = -1
     var seenIhdr = false; var seenIend = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       require(pos + 8 <= png.length, "truncated PNG: no chunk header")
       val len = readIntBE(png, pos)
-      require(len >= 0 && pos + 12 + len <= png.length, s"truncated PNG chunk at $pos")
+      // Long arithmetic: a hostile len near Int.MaxValue wraps the Int
+      // sum negative and would sneak past the bounds check
+      require(len >= 0 && pos.toLong + 12L + len <= png.length,
+        s"truncated PNG chunk at $pos")
       val typ = new String(png, pos + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(png, pos + 4, 4 + len)
@@ -110,11 +119,13 @@ object Png {
           height = readIntBE(png, pos + 12)
           require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
           val bitDepth = png(pos + 16) & 0xFF
-          val colourType = png(pos + 17) & 0xFF
+          colourType = png(pos + 17) & 0xFF
           val interlace = png(pos + 20) & 0xFF
           require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          // for palette (3) the IDAT stream carries ONE index sample per
+          // pixel; the palette lookup expands to RGB after unfiltering
           channels = colourType match {
-            case 0 => 1
+            case 0 | 3 => 1
             case 2 => 3
             case 4 => 2
             case 6 => 4
@@ -122,6 +133,10 @@ object Png {
           }
           require(interlace == 0, "interlaced PNG unsupported")
           seenIhdr = true
+        case "PLTE" =>
+          require(seenIhdr, "PLTE before IHDR")
+          require(len >= 3 && len <= 768 && len % 3 == 0, s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(png, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(png, pos + 8, len)
         case "IEND" => seenIend = true
         case _ => // ancillary chunk (tEXt, pHYs, gAMA …): skip
@@ -129,12 +144,16 @@ object Png {
       pos += 12 + len
     }
     require(seenIhdr, "PNG missing IHDR")
+    require(colourType != 3 || plte != null, "palette PNG missing PLTE")
     val bpp = channels // 8-bit samples: bytes per pixel = channels
-    // Long math BEFORE any allocation: width/height are attacker data
+    // Long math BEFORE any allocation: width/height are attacker data.
+    // Palette output is 3 bytes/pixel even though the stream is 1 — cap
+    // the EXPANDED size too.
     val strideL = width.toLong * bpp
     val rawL = height.toLong * (1L + strideL)
-    require(rawL <= maxPixelBytes,
-      s"decoded size $rawL B exceeds maxPixelBytes=$maxPixelBytes (${width}x$height×$bpp)")
+    val outL = if (colourType == 3) height.toLong * width * 3L else height.toLong * strideL
+    require(rawL <= cap && outL <= cap,
+      s"decoded size ${math.max(rawL, outL)} B exceeds maxPixelBytes=$maxPixelBytes (${width}x$height×$bpp)")
     val stride = strideL.toInt
     val raw = inflate(idat.toByteArray, rawL.toInt)
     val pixels = new Array[Byte](height * stride)
@@ -162,7 +181,22 @@ object Png {
       }
       y += 1
     }
-    Image(width, height, channels, pixels)
+    if (colourType != 3) Image(width, height, channels, pixels)
+    else {
+      // palette expansion: each unfiltered sample is an index into PLTE
+      val out = new Array[Byte](width * height * 3)
+      val nEntries = plte.length / 3
+      var i = 0
+      while (i < pixels.length) {
+        val p = pixels(i) & 0xFF
+        require(p < nEntries, s"palette index $p out of range (PLTE has $nEntries entries)")
+        out(i * 3) = plte(p * 3)
+        out(i * 3 + 1) = plte(p * 3 + 1)
+        out(i * 3 + 2) = plte(p * 3 + 2)
+        i += 1
+      }
+      Image(width, height, 3, out)
+    }
   }
 
   /** a=left, b=up, c=up-left — the PNG Paeth predictor. */

@@ -66,6 +66,88 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("our decoder reads ImageIO-written palette (colour type 3) PNGs as RGB") {
+    // TYPE_BYTE_INDEXED = the JDK's 256-entry palette image; ImageIO
+    // encodes it as PNG colour type 3 with a PLTE chunk — the most
+    // common real-corpus format the decoder previously refused
+    val (w, h) = (11, 6)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 23) << 16) | ((y * 40) << 8) | ((x * y * 7) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val dec = Png.decode(out.toByteArray)
+    assert(dec.channels === 3 && dec.width === w && dec.height === h)
+    // the indexed write quantized each colour to the palette — compare
+    // our palette-expanded RGB against what the JDK itself stored
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = img.getRGB(x, y)
+      val off = (y * w + x) * 3
+      assert((dec.pixels(off) & 0xFF) === ((expect >> 16) & 0xFF), s"R at ($x,$y)")
+      assert((dec.pixels(off + 1) & 0xFF) === ((expect >> 8) & 0xFF), s"G at ($x,$y)")
+      assert((dec.pixels(off + 2) & 0xFF) === (expect & 0xFF), s"B at ($x,$y)")
+    }
+  }
+
+  /** Minimal hand-built palette PNG: filter-0 index scanlines deflated
+    * with java.util.zip directly (the codec's own encoder is grey-only). */
+  private def palettePng(w: Int, h: Int, plte: Array[Byte],
+      idx: Array[Byte]): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h)
+      System.arraycopy(idx, y * w, raw, y * (1 + w) + 1, w)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
+    d.end()
+    Png.Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", zout.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("hostile palette payloads fail loudly: missing PLTE, bad PLTE length, out-of-range index") {
+    val plte = Array[Byte](10, 20, 30, 40, 50, 60) // 2 entries
+    val good = palettePng(4, 2, plte, Array[Byte](0, 1, 0, 1, 1, 0, 1, 0))
+    val dec = Png.decode(good)
+    assert(dec.channels === 3 &&
+      dec.pixels.toSeq.take(6) === Seq[Byte](10, 20, 30, 40, 50, 60))
+    // index 5 with 2 palette entries — must not read out of the PLTE
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(palettePng(4, 2, plte, Array[Byte](0, 5, 0, 1, 1, 0, 1, 0)))
+    }.getMessage.contains("palette index"))
+    // PLTE length not divisible by 3
+    assert(intercept[IllegalArgumentException] {
+      Png.decode(palettePng(4, 2, Array[Byte](10, 20, 30, 40), Array.fill[Byte](8)(0)))
+    }.getMessage.contains("PLTE"))
+    // type-3 stream with no PLTE chunk at all
+    val noPlte = {
+      val full = palettePng(4, 2, plte, Array.fill[Byte](8)(0))
+      // splice the PLTE chunk out: signature(8) + IHDR(25) | PLTE(18) | rest
+      full.take(8 + 25) ++ full.drop(8 + 25 + 12 + plte.length)
+    }
+    assert(intercept[IllegalArgumentException] { Png.decode(noPlte) }
+      .getMessage.contains("missing PLTE"))
+  }
+
+  test("hostile chunk length near Int.MaxValue fails the bounds check, not array access") {
+    // len = 0x7FFFFFF0 wraps an Int `pos + 12 + len` negative; the check
+    // must be done in Long arithmetic and throw the contract exception
+    val evil = Png.Signature ++ java.nio.ByteBuffer.allocate(16)
+      .putInt(0x7FFFFFF0).put("IHDR".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).array()
+    assert(intercept[IllegalArgumentException] { Png.decode(evil) }
+      .getMessage.toLowerCase.contains("truncated"))
+    // and a cap above Int.MaxValue is clamped, not wrapped through toInt
+    val ok = Png.encodeGray(8, 3, grayPixels(8, 3))
+    assert(Png.decode(ok, maxPixelBytes = Long.MaxValue).pixels.toSeq
+      === grayPixels(8, 3).toSeq)
+  }
+
   test("corrupt CRC, truncation, and unsupported formats are rejected loudly") {
     val ok = Png.encodeGray(8, 3, grayPixels(8, 3))
     // flip one IDAT payload byte → chunk CRC must catch it
@@ -143,6 +225,24 @@ class PngSpec extends AnyFunSuite {
       catch { case _: IllegalArgumentException => }
     }
     assert(decoded >= 1, "every unmutated-equivalent decode failed — fuzz harness broken")
+  }
+
+  test("fuzz: palette-PNG mutations (PLTE included) never escape the decoder contract") {
+    val plte = Array.tabulate[Byte](48)(i => (i * 17 + 3).toByte) // 16 entries
+    val idx = Array.tabulate[Byte](15 * 5)(i => (i % 16).toByte)
+    val ok = palettePng(15, 5, plte, idx)
+    val rnd = new scala.util.Random(43)
+    var decoded = 0
+    for (_ <- 1 to 300) {
+      val m = ok.clone()
+      for (_ <- 1 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      // PLTE byte flips land in the palette table, length, or CRC; index
+      // flips can exceed the entry count — all must stay in contract
+      try { Png.decode(m); decoded += 1 }
+      catch { case _: IllegalArgumentException => }
+    }
+    assert(decoded >= 1, "every unmutated-equivalent palette decode failed — fuzz harness broken")
   }
 
   test("PngCodec sniffs the signature: PNGs decode to pixels, others pass through") {
