@@ -87,6 +87,36 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streaming CM state diverged from the batch aggregation")
   }
 
+  test("depth is a real parameter: deeper sketches keep the guarantees via the extended hash family") {
+    val sp = spark; import sp.implicits._
+    val width = 64
+    val rows = (1 to 30).flatMap(i => Seq.fill(i)(s"key-$i"))
+    for (depth <- Seq(2, 6)) { // below and above the 4 published LCG rows
+      val cm = udaf(Sketches.countMin(width, depth))
+      val sketch = rows.toDF("k").repartition(5).agg(cm($"k").as("sk"))
+      val counters = sketch.select($"sk.counters").as[Seq[Long]].collect().head
+      assert(counters.length === depth * width, s"state not depth x width at depth $depth")
+      // every row holds exactly N increments — each update touched all rows
+      (0 until depth).foreach { r =>
+        assert(counters.slice(r * width, (r + 1) * width).sum === rows.length.toLong,
+          s"row $r of depth-$depth sketch lost counts")
+      }
+      val got = (1 to 30).map(i => s"key-$i").toDF("k")
+        .crossJoin(broadcast(sketch))
+        .select($"k", Sketches.cmEstimate($"sk", $"k", width, depth).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (1 to 30).foreach { i =>
+        assert(got(s"key-$i") >= i.toLong,
+          s"depth-$depth sketch undercounted key-$i: ${got(s"key-$i")} < $i")
+      }
+    }
+    // extended rows are well-formed multipliers: a ∈ [1, P−1], deterministic
+    val (a4, b4) = Sketches.cmHashParams(4)
+    assert(a4 >= 1 && a4 < 2147483647L && b4 >= 0 && b4 < 2147483647L)
+    assert(Sketches.cmHashParams(4) === Sketches.cmHashParams(4))
+    assert(Sketches.cmHashParams(4) !== Sketches.cmHashParams(5))
+  }
+
   test("sketch state is partition-order independent (integer merges)") {
     val sp = spark; import sp.implicits._
     val rows = (1 to 500).map(i => s"k${i % 37}")
