@@ -92,6 +92,26 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Running count-min frequency sketch over an unbounded stream: a
+    * streaming GLOBAL aggregation whose state is the sketch buffer
+    * itself — `depth × width` longs, key-cardinality-FREE. This is
+    * where the sketch's constant-memory claim actually matters: a
+    * `groupBy(key).count()` over an unbounded key domain grows state
+    * forever, while this aggregation's state store holds one fixed
+    * array no matter how many distinct keys flow by (the Aggregator's
+    * partial-merge shape works unchanged as streaming update state).
+    *
+    * Emit with outputMode complete (or update): every trigger produces
+    * the one-row sketch over everything seen so far, and
+    * [[graft.functions.Sketches.cmEstimate]] applies to it unchanged —
+    * same estimator Column, batch or stream. Sizing: see the ε/δ rule
+    * at [[graft.functions.Sketches.CMDepth]]. */
+  def streamingCountMin(keys: DataFrame, keyCol: String, width: Int,
+      depth: Int = graft.functions.Sketches.CMDepth): DataFrame =
+    keys.select(col(keyCol).cast("string").as("k"))
+      .agg(udaf(graft.functions.Sketches.countMin(width, depth))
+        .apply(col("k")).as("sketch"))
+
   /** Session-window aggregation via the BUILT-IN `session_window`
     * function — the declarative alternative to [[sessionize]] when the
     * per-session outputs are plain aggregates (the engine manages merge
@@ -213,17 +233,25 @@ object Streams {
               val next = entries.lastOption.map(_.version + 1L).getOrElse(0L)
               val changes = staged.filter(col("_graft_bkt") === b).drop("_graft_bkt")
               if (baseSnap.isEmpty || deltas.length + 1 >= compactEvery) {
-                // COMPACT: base + accumulated deltas + this batch → snapshot
+                // COMPACT: base + accumulated deltas + this batch → snapshot.
+                // Each delta is tagged with its chain sequence (the d-<n>
+                // version) as a tie-break: rows from DIFFERENT batches at
+                // an equal version resolve by batch order — the serial
+                // per-batch merge's newest-batch-wins semantics — instead
+                // of partition-order luck.
                 val base = baseSnap
                   .map(e => sp.read.parquet(e.path.toString))
                   .getOrElse(sp.createDataFrame(
                     sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                     batch.drop(deletedCol.toSeq: _*).schema))
-                val allChanges = (deltas.map(e => sp.read.parquet(e.path.toString))
-                  :+ changes)
+                val allChanges = (deltas.map(e => sp.read.parquet(e.path.toString)
+                    .withColumn("_graft_seq", lit(e.version)))
+                  :+ changes.withColumn("_graft_seq", lit(next)))
                   .reduce(_.unionByName(_, allowMissingColumns = true))
                 val merged = graft.operators.Analytics
-                  .upsertLatest(base, allChanges, keyCols, versionCol, deletedCol)
+                  .upsertLatest(base, allChanges, keyCols, versionCol, deletedCol,
+                    tieBreakCols = Seq("_graft_seq"))
+                  .drop("_graft_seq") // chain-internal; never in the snapshot
                 val vDir = new org.apache.hadoop.fs.Path(bRoot, s"v-$next")
                 // writes to a FRESH dir — the chain being read is untouched
                 merged.write.mode("overwrite").parquet(vDir.toString)
@@ -254,18 +282,24 @@ object Streams {
           // touched-count × per-bucket latency. Any failure propagates
           // out of foreachBatch → the batch retries as a unit (same
           // semantics as the old serial loop; idempotent under
-          // latest-wins, exactly like checkpoint replay).
+          // latest-wins, exactly like checkpoint replay). Every future is
+          // lifted to Try and ALL are awaited before the first failure
+          // rethrows: a fail-fast await would leave zombie merges writing
+          // v-/d- dirs while the retried batch recomputes the same
+          // version numbers and overwrites them concurrently.
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(maxConcurrentBuckets, math.max(1, touched.length)))
           try {
             implicit val ec: scala.concurrent.ExecutionContext =
               scala.concurrent.ExecutionContext.fromExecutorService(pool)
             val merges = touched.toSeq.map(b =>
-              scala.concurrent.Future(mergeBucket(b)))
-            scala.concurrent.Await.result(
+              scala.concurrent.Future(mergeBucket(b))
+                .transform(t => scala.util.Success(t)))
+            val settled = scala.concurrent.Await.result(
               scala.concurrent.Future.sequence(merges),
               scala.concurrent.duration.Duration.Inf)
-            ()
+            settled.collectFirst { case scala.util.Failure(e) => e }
+              .foreach(e => throw e)
           } finally pool.shutdown()
         } finally { staged.unpersist(); () }
       }
@@ -420,18 +454,27 @@ object Streams {
           val entries = committedEntries(fs, b)
           val snapIdx = entries.lastIndexWhere(_.isSnapshot)
           if (snapIdx < 0) None
-          else Some((entries(snapIdx).path, entries.drop(snapIdx + 1).map(_.path)))
+          else Some((entries(snapIdx).path, entries.drop(snapIdx + 1)))
         }
     require(perBucket.nonEmpty, s"no committed CDC state under $statePath")
     val bases = sp.read.parquet(perBucket.map(_._1.toString): _*)
-    val deltaPaths = perBucket.flatMap(_._2)
-    if (deltaPaths.isEmpty) bases
+    val deltaEntries = perBucket.flatMap(_._2)
+    if (deltaEntries.isEmpty) bases
     else {
       val conf = readSinkConf(fs, root).getOrElse(throw new IllegalStateException(
         s"delta chains under $statePath but no $SinkConfMeta — state dir corrupt"))
-      graft.operators.Analytics.upsertLatest(bases,
-        sp.read.parquet(deltaPaths.map(_.toString): _*),
-        conf.keyCols, conf.versionCol, conf.deletedCol)
+      // per-delta reads (not one multi-path scan) so each carries its
+      // chain sequence — equal-version ties resolve by batch order, the
+      // same rule the sink's compaction applies. Bounded fan-in: at most
+      // compactEvery − 1 deltas per bucket.
+      val tagged = deltaEntries
+        .map(e => sp.read.parquet(e.path.toString)
+          .withColumn("_graft_seq", lit(e.version)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      graft.operators.Analytics.upsertLatest(bases, tagged,
+        conf.keyCols, conf.versionCol, conf.deletedCol,
+        tieBreakCols = Seq("_graft_seq"))
+        .drop("_graft_seq")
     }
   }
 

@@ -108,6 +108,50 @@ class StreamingUpsertSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchTwin === got)
   }
 
+  test("equal-version re-emits resolve by batch order, in the delta chain and through compaction") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft-cdc-tie").toFile
+    dir.deleteOnExit()
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    // an upstream violating the soft monotone-version contract: key 1 is
+    // re-emitted at the SAME version with different content in three
+    // separate batches. The serial pre-delta sink deterministically let
+    // the newest batch win; the delta chain must preserve that rule both
+    // when cdcState resolves live deltas and when compaction folds them.
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = Streams.cdcUpsertSink(
+      input.toDF().toDF("k", "v", "version", "deleted"),
+      statePath, ckpt, Seq("k"), "version", Some("deleted"),
+      nBuckets = 1, compactEvery = 3)
+    try {
+      input.addData((1L, "first", 5L, false)) // → v-0 (initial compaction)
+      q.processAllAvailable()
+      input.addData((1L, "second", 5L, false)) // → d-1
+      q.processAllAvailable()
+      input.addData((1L, "third", 5L, false)) // → d-2
+      q.processAllAvailable()
+      // live chain: v-0 + d-1 + d-2 — the reader must pick batch 3's row
+      val live = Streams.cdcState(spark, statePath)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+      assert(live === Set((1L, "third")),
+        s"delta-chain tie resolved against batch order: $live")
+      assert(!Streams.cdcState(spark, statePath).columns.contains("_graft_seq"),
+        "chain-internal sequence column leaked into the state schema")
+      // next touch compacts (2 deltas + 1 ≥ compactEvery): the folded
+      // snapshot must keep batch 3's row, not a partition-order winner
+      input.addData((2L, "other", 1L, false))
+      q.processAllAvailable()
+      val compacted = Streams.cdcState(spark, statePath)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+      assert(compacted === Set((1L, "third"), (2L, "other")),
+        s"compaction tie resolved against batch order: $compacted")
+    } finally q.stop()
+  }
+
   test("incremental batch rewrites only the touched buckets, not the state") {
     val sp = spark
     implicit val sql = sp.sqlContext

@@ -49,6 +49,44 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch over a MemoryStream equals the batch sketch") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val width = 64
+    // skewed key stream over two triggers: the state between triggers is
+    // the sketch buffer itself, never a per-key map
+    val keys = (1 to 500).map(i => s"supp_${i % 37}")
+    val input = MemoryStream[String]
+    val q = Streams.streamingCountMin(input.toDF(), "value", width)
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      input.addData(keys.take(200): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms").collect()
+      assert(streamed.length === 1)
+      val batch = keys.toDF("k")
+        .agg(org.apache.spark.sql.functions.udaf(
+          graft.functions.Sketches.countMin(width)).apply(col("k")).as("sketch"))
+        .collect()
+      // identical state: same width, counter-for-counter
+      assert(streamed.head.getStruct(0).getInt(0) === batch.head.getStruct(0).getInt(0))
+      assert(streamed.head.getStruct(0).getSeq[Long](1) === batch.head.getStruct(0).getSeq[Long](1))
+      // and the SAME estimator Column reads the streamed sketch: every
+      // key's estimate covers its exact count (CM never undercounts)
+      val exact = keys.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val est = spark.table("cms").crossJoin(exact.toSeq.toDF("k", "exact_cnt"))
+        .select(col("k"), col("exact_cnt"),
+          graft.functions.Sketches.cmEstimate(col("sketch"), col("k"), width).as("est"))
+        .collect()
+      assert(est.length === 37)
+      est.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+        s"undercount for ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val sp = spark
     implicit val sql = sp.sqlContext
