@@ -349,27 +349,36 @@ object TextAnalysis {
   /** WEIGHTED sampling without replacement, k per group — the
     * quality-weighted corpus-mixing primitive (sample documents
     * proportionally to a quality/length score when assembling a
-    * training mix). Efraimidis–Spirakis keys: each row draws
-    * `u ∈ (0,1)` and ranks by `u^(1/w)` descending; the top k per group
-    * are exactly a weight-proportional sample without replacement.
+    * training mix). Efraimidis–Spirakis: each row draws `u ∈ (0,1)`
+    * and the top k per group by `u^(1/w)` are exactly a
+    * weight-proportional sample without replacement. The ranking key
+    * here is the monotone-equivalent `ln(−ln(u)) − ln(w)` ASCENDING:
+    * the naive `u^(1/w)` saturates toward 1.0 once `w` is large
+    * (`u^(1/w) = 1 + ln(u)/w + O(1/w²)` — at w in the tens of
+    * thousands every row rounds to 1.000000 and the "sample" collapses
+    * to ascending ids), while the double-log form keeps RELATIVE
+    * precision at every weight magnitude, so a fixed rounding can
+    * never flatten it.
     *
     * Determinism: `u` is not random — it derives from the md5 of the id
     * (28-bit prefix, +0.5, /2^28), so the same rows win on every run,
-    * every partitioning, and every engine; the ranking key rounds to 6
-    * decimals with an id tie-break so IEEE `pow` last-ulp differences
-    * between engines cannot reorder it (the DuckDB oracle mirrors the
-    * formula). Rows with null/non-positive weight are excluded (their
-    * ES key is undefined). Shape: one window per group — the same
-    * single-shuffle rank pattern as every top-k here. */
+    * every partitioning, and every engine; the key rounds to 9 decimals
+    * with an id tie-break so IEEE `ln` last-ulp differences between
+    * engines cannot reorder it (the DuckDB oracle mirrors the formula).
+    * Rows with null/non-positive weight are excluded (their ES key is
+    * undefined). Shape: one window per group — the same single-shuffle
+    * rank pattern as every top-k here. */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
       .cast("double") + 0.5) / lit((1L << 28).toDouble)
-    val esKey = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+    // u < 1 strictly (max numerator 2^28 − 0.5), so −ln(u) > 0 and the
+    // outer ln is total on the filtered (w > 0) rows
+    val esKey = round(log(-log(u)) - log(col(weightCol).cast("double")), 9)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(col("_graft_es").desc, col(idCol))
+      .orderBy(col("_graft_es").asc, col(idCol))
     df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
         col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
       .withColumn("_graft_es", esKey)

@@ -2597,7 +2597,10 @@ object Queries {
 
     // ---- Weighted sampling without replacement, k per group
     //      (Efraimidis-Spirakis keys over hash-derived uniforms —
-    //      deterministic quality-weighted corpus mixing) ----
+    //      deterministic quality-weighted corpus mixing). Ranked on the
+    //      monotone-equivalent ln(-ln(u)) - ln(w) ASC: the naive
+    //      u^(1/w) saturates to 1.0 for large weights (both engines
+    //      would agree — and both would be wrong) ----
     QueryDef(
       "t16_weighted_sample",
       (s, dir) => {
@@ -2616,7 +2619,7 @@ object Queries {
             AND n_chars IS NOT NULL AND n_chars > 0),
         ranked AS (SELECT doc_id, lang, n_chars,
             row_number() OVER (PARTITION BY lang
-              ORDER BY round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 6) DESC,
+              ORDER BY round(ln(-ln(u)) - ln(CAST(n_chars AS DOUBLE)), 9) ASC,
                 doc_id) AS rk
           FROM w)
         SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 5

@@ -104,12 +104,37 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = TextAnalysis.weightedSample(df.repartition(13), "g", "id", "w", k = 3)
       .collect().map(r => (r.getString(1), r.getLong(0))).toSet
     assert(again === got)
-    // null / non-positive weights are excluded, never crash the pow
+    // null / non-positive weights are excluded, never crash the key math
     val dirty = Seq((1L, "a", Some(2.0)), (2L, "a", Some(0.0)),
       (3L, "a", Some(-1.0)), (4L, "a", None)).toDF("id", "g", "w")
     val clean = TextAnalysis.weightedSample(dirty, "g", "id", "w", k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(clean === Set(1L))
+  }
+
+  test("weightedSample large equal weights stay u-ranked, not id-ascending (key saturation)") {
+    val sp = spark; import sp.implicits._
+    // 40 rows, all weight 50000 — the old u^(1/w) key rounds every row
+    // to 1.000000 at this magnitude, degenerating the "sample" to the k
+    // lowest ids; the double-log key must still rank by u. Equal
+    // weights ⇒ the winners are exactly the k smallest ln(−ln(u)), i.e.
+    // the k largest u — computed here independently from the same md5
+    // formula the operator pins.
+    val ids = (1L to 40L)
+    val df = ids.map(i => (i, "g", 50000.0)).toDF("id", "g", "w")
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / (1L << 28).toDouble
+    }
+    val expect = ids.sortBy(i => (-u(i), i)).take(3).toSet
+    val got = TextAnalysis.weightedSample(df, "g", "id", "w", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect, s"large-weight sample not u-ranked: got $got expected $expect")
+    // and the independently-computed winners are NOT the ascending-id
+    // degenerate answer the saturated key produced
+    assert(expect !== ids.take(3).toSet, "test corpus does not discriminate")
   }
 
   test("crossLogProb: in-vocabulary targets outscore OOV ones under the reference LM") {
