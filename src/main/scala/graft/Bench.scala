@@ -84,7 +84,8 @@ object Bench {
         "lsh" -> r(graft.operators.Similarity.annKnnKernel(q, e, 3)),
         "ivf" -> r(graft.operators.Similarity.ivfKnnTrained(q, e, 3)),
         "ivf_sampled" -> r(graft.operators.Similarity.ivfKnn(q, e, 3)),
-        "sq8" -> r(graft.operators.Similarity.sq8Knn(q, e, 3)))
+        "sq8" -> r(graft.operators.Similarity.sq8Knn(q, e, 3)),
+        "ivf_sq8" -> r(graft.operators.Similarity.ivfSq8KnnTrained(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

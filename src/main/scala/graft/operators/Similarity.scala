@@ -604,6 +604,159 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
 
+  /** IVF-SQ8 composed index: IVF cell probing bounds WHICH corpus rows
+    * are scanned, SQ8 codes bound the BYTES each scanned row costs —
+    * multiplied, that is the FAISS `IVFx,SQ8` recipe and the practical
+    * 100 TB ANN shape (probes/nCells of the corpus touched, at 1/4 the
+    * bandwidth of float32, floats read only for the rerank survivors).
+    *
+    * This wrapper is the engine-portable (DuckDB-oracled) definition:
+    * sampled centroids (every `centEvery`-th id) with the same
+    * auto-scaled probe rule as [[ivfKnn]], global per-dimension SQ8
+    * bounds, candidates = top `k·candMult` per query by quantized
+    * cosine (round-6, id tiebreak), exact rerank on the survivors.
+    * The scale path with a trained fixed-size codebook is
+    * [[ivfSq8KnnTrained]]. */
+  def ivfSq8Knn(queries: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int = 0, centEvery: Int = 50, maxCents: Int = 65536,
+      candMult: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    val p = if (probes > 0) probes
+      else math.max(4, math.ceil(IvfAutoProbeFraction * cents.length).toInt)
+    ivfSq8ProbeRerank(queries, corpus, k, p, cents,
+      sq8Bounds(corpus, "embedding"), candMult)
+  }
+
+  /** [[ivfSq8Knn]] with a TRAINED fixed-size codebook — the primary
+    * scale path, same argument as [[ivfKnnTrained]]: `nCells` is a
+    * parameter, so the probed fraction `probes / nCells` (and recall)
+    * holds constant as the corpus grows while cells absorb the growth,
+    * and the SQ8 scan keeps the per-row cost at 1 byte/dim. */
+  def ivfSq8KnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, probes: Int = 4, iters: Int = 5,
+      candMult: Int = 4): DataFrame = {
+    val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
+    ivfSq8ProbeRerank(queries, corpus, k, probes,
+      cb.zipWithIndex.map { case (c, i) => (i.toLong, c) },
+      sq8Bounds(corpus, "embedding"), candMult)
+  }
+
+  /** Shared IVF-SQ8 engine. One corpus pass assigns each vector to its
+    * cell AND emits its SQ8 code, dropping the floats immediately; the
+    * candidate scan then reads `(cid, codes)` only — cells outside every
+    * query's probe set are skipped by a broadcast cell-set filter before
+    * any decode, and scanned rows stream 1 byte/dim. Queries collect to
+    * the driver (small side by the [[knn]] broadcast contract), so probe
+    * cells are computed against the in-memory codebook with zero extra
+    * jobs. Quantized scores are [[cosineKernelFD]] against the decoded
+    * cell midpoint (round-6, id tiebreak — bit-identical cross-engine);
+    * the only shuffles are the two candidate top-k windows and the
+    * rerank equi-join. */
+  private def ivfSq8ProbeRerank(queries: DataFrame, corpus: DataFrame,
+      k: Int, probes: Int, cents: Array[(Long, Array[Float])],
+      bounds: (Array[Double], Array[Double]), candMult: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(candMult >= 1, "candMult must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    // probe cells per query, computed driver-side against the codebook:
+    // same (-round6 cosine, cid) order as ivfProbeRerank's nearest()
+    val qProbes: Map[Long, Array[(Long, Array[Float])]] = {
+      val byCell = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      qCollected.foreach { case (qid, qv) =>
+        cents.map { case (cid, ce) => (cid, cosineKernel(qv, ce)) }
+          .sortBy { case (cid, cs) => (-cs, cid) }.take(probes)
+          .foreach { case (cid, _) =>
+            byCell.getOrElseUpdate(cid,
+              scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
+          }
+      }
+      byCell.map { case (cid, qs) => (cid, qs.toArray) }.toMap
+    }
+    val cb = sp.sparkContext.broadcast(cents)
+    val qb = sp.sparkContext.broadcast(qProbes)
+    val bb = sp.sparkContext.broadcast(bounds)
+    // single corpus pass: cell assignment + SQ8 encode, floats dropped
+    val index = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        val (m, s) = bb.value
+        it.map { case (id, v) =>
+          var best = cs(0)._1; var bestCs = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val sc = cosineKernel(v, cs(c)._2)
+            if (sc > bestCs) { bestCs = sc; best = cs(c)._1 } // ties → lower cid
+            c += 1
+          }
+          val n = math.min(v.length, m.length)
+          val codes = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            val sSafe = if (s(i) == 0.0) 1.0 else s(i)
+            codes(i) = math.min(255.0, math.max(0.0,
+              math.floor((v(i).toDouble - m(i)) / sSafe * 256.0))).toInt.toByte
+            i += 1
+          }
+          (id, best, codes)
+        }
+      }.toDF("neighbor_id", "cid", "codes")
+    // quantized candidate scan: probed cells only, codes only
+    val approx = index.as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val probed = qb.value
+        val (m, s) = bb.value
+        it.flatMap { case (nid, cid, cd) =>
+          probed.get(cid) match {
+            case None => Iterator.empty // cell no query probes: skipped
+            case Some(qs) =>
+              // decode the cell midpoint once, score every probing query
+              val rec = new Array[Double](cd.length)
+              var i = 0
+              while (i < cd.length) {
+                rec(i) =
+                  if (s(i) == 0.0) m(i)
+                  else m(i) + ((cd(i) & 0xFF).toDouble + 0.5) * s(i) / 256.0
+                i += 1
+              }
+              qs.iterator.filter(_._1 != nid).map { case (qid, qv) =>
+                (qid, nid, cosineKernelFD(qv, rec))
+              }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "acs")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("acs").desc, col("neighbor_id"))
+    val cands = approx
+      .withColumn("_crank", row_number().over(wApprox))
+      .filter(col("_crank") <= k * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: floats touched for the survivors only
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
   /** Per-group embedding centroids, fully relational: posexplode each
     * vector to (group, dim, x), aggregate per-dimension DECIMAL sums (so
     * the centroid is independent of partition merge order), divide by the

@@ -2537,6 +2537,64 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- IVF-SQ8 composed ANN (the FAISS IVFx,SQ8 recipe): IVF probing
+    //      bounds WHICH rows are scanned, SQ8 codes bound the BYTES per
+    //      scanned row; quantized candidate scan + exact rerank. Same
+    //      sampled-centroid / auto-probe definition as s03 and the same
+    //      global SQ8 bounds as s05, so the oracle composes their CTEs. ----
+    QueryDef(
+      "s06_knn_ivf_sq8",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.ivfSq8Knn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        asg AS (SELECT e.vec_id, cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
+          FROM embeddings e, cent c),
+        corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg
+                  WHERE rn <= greatest(4, CAST(ceil(0.4 * (SELECT count(*) FROM cent)) AS BIGINT))
+                    AND vec_id < 10),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS x,
+              unnest(range(len(embedding))) AS dim FROM embeddings)
+          GROUP BY dim),
+        cb AS (SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+               FROM st),
+        rec AS (SELECT vec_id, list_transform(range(len(embedding)), i ->
+            CASE WHEN mxl[i+1] - mnl[i+1] = 0 THEN mnl[i+1]
+              ELSE mnl[i+1] + (least(255.0, greatest(0.0,
+                floor((embedding[i+1]::DOUBLE - mnl[i+1])
+                  / (mxl[i+1] - mnl[i+1]) * 256.0))) + 0.5)
+                * (mxl[i+1] - mnl[i+1]) / 256.0 END) AS re
+          FROM embeddings CROSS JOIN cb),
+        approx AS (SELECT p.query_id, ca.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], r.re), 6) AS acs
+          FROM probe p JOIN corpus_asg ca USING (cid)
+               JOIN rec r ON ca.vec_id = r.vec_id
+               JOIN embeddings q ON p.query_id = q.vec_id
+          WHERE ca.vec_id <> p.query_id),
+        cand AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY acs DESC, neighbor_id) AS crank
+          FROM approx),
+        exact AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id
+          WHERE c.crank <= 12),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Bigram LM quality signal: add-one-smoothed sequence
     //      log-probability under the corpus's own bigram stats ----
     QueryDef(
@@ -2594,6 +2652,47 @@ object Queries {
             AS mean_logprob
         FROM pd LEFT JOIN rs USING (term) CROSS JOIN tot CROSS JOIN vsz
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- BM25 top-k retrieval (Okapi, Lucene idf form): known-item
+    //      self-retrieval over the documents table — inverted-index
+    //      equi-join on term, never query x doc; DECIMAL addends keep
+    //      the per-pair sum partition-order independent ----
+    QueryDef(
+      "t18_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.operators.TextAnalysis.bm25TopK(
+            docs, docs.filter($"doc_id" < 5),
+            "doc_id", "text", "doc_id", "text", k = 5, excludeSelf = true)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents),
+        tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1),
+        dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id < 5),
+        pr AS (SELECT query_id, doc_id,
+            CAST(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(cnt AS DOUBLE) * 2.2)
+              / (CAST(cnt AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avgdl))
+              AS DECIMAL(28,12)) AS contrib
+          FROM qt JOIN tc USING (term) JOIN dl USING (doc_id)
+               JOIN dfq USING (term) CROSS JOIN st
+          WHERE query_id <> doc_id),
+        sc AS (SELECT query_id, doc_id,
+            round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+          FROM pr GROUP BY 1, 2),
+        rk AS (SELECT query_id, doc_id, score,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+          FROM sc)
+        SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     // ---- Weighted sampling without replacement, k per group
     //      (Efraimidis-Spirakis keys over hash-derived uniforms —

@@ -76,16 +76,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ivfS = recall(Similarity.ivfKnn(q, e, 3))
       val ivfT = recall(Similarity.ivfKnnTrained(q, e, 3))
       val sq8 = recall(Similarity.sq8Knn(q, e, 3))
+      val ivfSq8 = recall(Similarity.ivfSq8KnnTrained(q, e, 3))
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
-        f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f")
+        f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f")
       assert(sq8 >= 0.9, s"sq8 recall@3 regressed: $sq8")
       assert(ivfT >= 0.9, s"trained-codebook ivf recall@3 regressed: $ivfT")
+      assert(ivfSq8 >= 0.9, s"ivf-sq8 recall@3 regressed: $ivfSq8")
       assert(ivfS >= 0.7, s"sampled ivf recall@3 regressed: $ivfS")
       assert(lsh >= 0.6, s"lsh recall@3 regressed: $lsh")
       // SQ8 reranks every candidate exactly with candMult=4 headroom — it
       // must dominate the bucket-bounded indexes
       assert(sq8 >= ivfS - 1e-9 && sq8 >= lsh - 1e-9)
     }
+
+  test("ivfSq8Knn with exhaustive probing + full rerank equals exact kNN") {
+    // probes >= nCells scans every cell and candMult large enough reranks
+    // every scanned row exactly — the composed index must then degrade
+    // gracefully into brute force, proving the IVF routing and the SQ8
+    // candidate stage drop nothing they shouldn't
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exhaustive = Similarity.ivfSq8Knn(q, e, 3,
+      probes = Int.MaxValue / 2, candMult = n)
+    assert(rows(exhaustive) === rows(Similarity.knnKernel(q, e, 3)),
+      "exhaustive ivfSq8 diverged from exact kNN")
+  }
 
   test("Column annKnn and kernel annKnnKernel agree on the multi-probe candidates") {
     val e = emb
