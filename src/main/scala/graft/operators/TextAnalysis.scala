@@ -198,6 +198,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** BM25 top-`k` retrieval: score every query against the corpus with
+    * the Okapi BM25 ranking function and keep the `k` best documents
+    * per query — the retrieval primitive behind known-item search,
+    * retrieval-based decontamination, and quality-by-retrievability
+    * screens over a training corpus.
+    *
+    *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · cnt_d(t)·(k1+1) /
+    *                   (cnt_d(t) + k1·(1 − b + b·len_d / avgdl))
+    *   idf(t)      = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+    *
+    * (the Lucene non-negative idf form). Query terms are DISTINCT —
+    * repeating a term in a query does not multiply its weight.
+    *
+    * Shape — this is an inverted-index equi-join, never query × doc:
+    * corpus side = two partial-aggregating hash aggs (per-doc term
+    * counts, document frequencies) + a join back of doc length; query
+    * side = distinct (query_id, term); candidates = the term equi-join,
+    * so a document with no query term in common is never scored or
+    * shuffled. N and avgdl are planning-time scalars. Per-pair sums go
+    * through DECIMAL addends (partition-merge-order independent),
+    * scores round to 6 with doc-id tiebreak — engine-portable.
+    * `excludeSelf` drops query_id = doc_id pairs BEFORE ranking (for
+    * known-item self-retrieval setups where the query IS a corpus
+    * document). Output: (query_id, rank, doc_id, score). */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "need k1 >= 0 and b in [0, 1]")
+    val termCounts = corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val docLens = termCounts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N and avgdl: two tiny planning-time scalars off the doc-length agg
+    val (nDocs, avgdl) = {
+      val r = docLens.agg(count(lit(1)), avg(col("len").cast("double"))).collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    require(nDocs > 0, "empty corpus")
+    val qTerms = queries
+      .select(col(qIdCol).cast("long").as("query_id"),
+        explode(tokens(col(qTextCol))).as("term"))
+      .distinct()
+    val idf = log(
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfPart = (col("cnt").cast("double") * lit(k1 + 1.0)) /
+      (col("cnt").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / lit(avgdl)))
+    val postings = termCounts.join(docLens, Seq("doc_id")).join(docFreq, Seq("term"))
+    val pairs = qTerms.join(postings, Seq("term"))
+    val filtered =
+      if (excludeSelf) pairs.filter(col("query_id") =!= col("doc_id")) else pairs
+    val scored = filtered
+      .groupBy(col("query_id"), col("doc_id"))
+      // DECIMAL addends: the per-term contributions sum identically under
+      // any partition merge order (same contract as unigramLogProb)
+      .agg(round(sum((idf * tfPart)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram model — the classic cheap "perplexity-style" quality signal
     * (a doc of globally rare tokens scores far below prose):

@@ -137,6 +137,37 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect !== ids.take(3).toSet, "test corpus does not discriminate")
   }
 
+  test("bm25TopK ranks rare-term matches over common-term matches and honors excludeSelf") {
+    val sp = spark; import sp.implicits._
+    // "zebra" appears in docs 1 and 10 only (rare); "the" in every doc
+    // (common). Query 1 contains both; BM25's idf must put the zebra
+    // match (doc 10) above the the-only matches regardless of length.
+    val docs = Seq(
+      (1L, "the zebra grazes"),
+      (10L, "a zebra runs far"),
+      (11L, "the cat sat on the mat"),
+      (12L, "the dog barks at the moon"),
+      (13L, "the bird sings")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, docs.filter($"doc_id" === 1L),
+      "doc_id", "text", "doc_id", "text", k = 4, excludeSelf = true)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1) === 10L, s"rare-term match must rank first: $got")
+    assert(!got.values.toSet.contains(1L), "excludeSelf leaked the query doc")
+    // repeating a query term must not multiply its weight (distinct terms)
+    val rep = Seq((1L, "zebra zebra zebra the")).toDF("doc_id", "text")
+    val one = Seq((1L, "zebra the")).toDF("doc_id", "text")
+    def scores(q: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(scores(rep) === scores(one), "query term repetition changed scores")
+    // partition-order independence of the DECIMAL-addend sum
+    val again = TextAnalysis.bm25TopK(docs.repartition(7),
+      docs.filter($"doc_id" === 1L), "doc_id", "text", "doc_id", "text",
+      k = 4, excludeSelf = true)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(again === got)
+  }
+
   test("crossLogProb: in-vocabulary targets outscore OOV ones under the reference LM") {
     val sp = spark; import sp.implicits._
     val reference = Seq(
