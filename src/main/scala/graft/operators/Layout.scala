@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for write-side
-  * file organization. The 100 TB story: a table laid out by z-value has
+  * file organization, plus a file-level min/max stats manifest for
+  * data skipping. The 100 TB story: a table laid out by z-value has
   * every file covering a compact hyper-rectangle of the coordinate
   * space, so parquet min/max (and partition-level) pruning cuts reads on
   * ANY filtered dimension — a plain sort clusters only its leading key.
@@ -28,4 +29,66 @@ object Layout {
   def zorderLayout(df: DataFrame, zCol: String, numPartitions: Int): DataFrame =
     df.repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
+
+  /** Name of the manifest subdirectory. Underscore-prefixed so every
+    * parquet/Hadoop reader treats it as metadata and skips it when
+    * scanning the dataset itself. */
+  val ManifestDir = "_graft_manifest"
+
+  /** Per-FILE min/max stats manifest over `cols`: one row per data file
+    * — (file, n_rows, min_<c>, max_<c>, ...). This is the Delta/Iceberg
+    * data-skipping design: parquet row-group stats already prune WITHIN
+    * a file, but the reader must still list and open every footer to
+    * know that — at millions of files that planning cost dominates. A
+    * manifest is one tiny table (a row per file) that answers "which
+    * files can match?" with a single scan of itself.
+    *
+    * Built as one column-pruned pass over the dataset (only `cols` are
+    * read, grouped by `input_file_name` — partial aggs, no shuffle of
+    * data rows). Min/max ignore nulls (SQL agg semantics), matching how
+    * the pruning predicate treats them. */
+  def statsManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Build and persist the manifest under `dataPath/_graft_manifest`.
+    * The manifest describes the file set AT BUILD TIME — rewrite it
+    * after any write that adds/replaces data files (same contract as a
+    * table format's snapshot). */
+  def writeManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): Unit =
+    statsManifest(spark, dataPath, cols)
+      .coalesce(1) // one row per file: tiny by construction
+      .write.mode("overwrite").parquet(s"$dataPath/$ManifestDir")
+
+  /** Manifest-pruned range scan: `ranges` are inclusive `(col, lo, hi)`
+    * intervals; a file survives iff every interval CAN intersect its
+    * [min, max] (i.e. NOT (max < lo OR min > hi) — files whose stats
+    * are null, meaning all-null values, cannot match and are skipped).
+    * Surviving files are read directly and the exact residual predicate
+    * re-applied, so results are identical to a full scan + filter while
+    * planning I/O touches only the manifest. The surviving-file collect
+    * is one string per file — the same cardinality as the file listing
+    * every scan does anyway. */
+  def prunedRead(spark: SparkSession, dataPath: String,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range predicate")
+    val manifest = spark.read.parquet(s"$dataPath/$ManifestDir")
+    val surviving = ranges.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
+    }
+    val files = surviving.select(col("file")).collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(residual)
+  }
 }

@@ -2049,6 +2049,29 @@ object Queries {
         FROM c ORDER BY o_orderkey"""
       }),
 
+    // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
+    //      shape): write a range-clustered copy, build the per-file
+    //      min/max manifest, answer a range query by reading ONLY the
+    //      files the manifest admits + the exact residual filter.
+    //      Result must equal a plain full-scan filter. ----
+    QueryDef(
+      "q77_skipping_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val out = sinkDir("skipping")
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartitionByRange(16, $"o_custkey")
+          .sortWithinPartitions($"o_custkey")
+          .write.mode("overwrite").parquet(out)
+        graft.operators.Layout.writeManifest(s, out, Seq("o_custkey"))
+        graft.operators.Layout.prunedRead(s, out,
+            Seq(("o_custkey", 100L, 220L)))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey BETWEEN 100 AND 220 ORDER BY o_orderkey""")),
+
     // ---- PageRank by power iteration over a symmetrized supplier–part
     //      bipartite graph; decimal-sum lockstep with the unrolled
     //      oracle at every round ----
