@@ -133,14 +133,9 @@ object Dedup {
     * truncates lineage to a `Scan ExistingRDD`, hiding the join. */
   private[graft] def minhashCandidatesLazy(df: DataFrame, idCol: String, textCol: String,
       k: Int, r: Int, bucketCap: Int): (DataFrame, DataFrame) = {
-    require(k % r == 0, "k must be a multiple of r")
-    val mh = minhashSignatures(df, idCol, textCol, k)
     // banded signatures feed the hot-bucket cap and both self-join sides;
     // one eager materialization pays the k×shingles md5 kernel once
-    val allBands = mh.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(k / r - 1)),
-        b => concat_ws("|", slice(col("mh"), b * r + 1, lit(r))))).as(Seq("band", "key")))
-      .localCheckpoint(true)
+    val allBands = minhashBands(df, idCol, textCol, k, r).localCheckpoint(true)
     val bands =
       if (bucketCap == Int.MaxValue) allBands
       else {
@@ -155,6 +150,23 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     (cands, allBands)
+  }
+
+  /** Banded MinHash keys: one `(doc_id, band, key)` row per band, where
+    * `key` joins the band's `r` signature components — the LSH bucket
+    * representation BOTH sides of any MinHash-LSH match use. Map-only
+    * (signature kernel + posexplode), so it runs identically over a
+    * static corpus (persist it once as the dedup index) and over a
+    * STREAMING DataFrame of incoming documents — which is what makes
+    * the incremental stream-vs-corpus near-dup screen in
+    * [[graft.streaming.Streams.incrementalNearDupCandidates]] a plain
+    * stream-static equi-join. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    require(k % r == 0, "k must be a multiple of r")
+    minhashSignatures(df, idCol, textCol, k).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(k / r - 1)),
+        b => concat_ws("|", slice(col("mh"), b * r + 1, lit(r))))).as(Seq("band", "key")))
   }
 
   /** Kernel shingle postings: one (doc_id, shingle) row per distinct

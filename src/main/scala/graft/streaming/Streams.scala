@@ -112,6 +112,29 @@ object Streams {
       .agg(udaf(graft.functions.Sketches.countMin(width, depth))
         .apply(col("k")).as("sketch"))
 
+  /** Incremental near-dup screen: MinHash-LSH candidates between a
+    * STREAM of incoming documents and a static indexed corpus — the "is
+    * this newly crawled page a duplicate of anything we already hold?"
+    * gate, run per micro-batch instead of re-deduping the corpus.
+    *
+    * `corpusBands` is the persisted output of
+    * [[graft.operators.Dedup.minhashBands]] over the corpus (build
+    * once, reuse for every batch). The stream side computes its own
+    * bands map-only (signature kernel + posexplode — no aggregation, no
+    * watermark needed), and candidates are a stream-static equi-join on
+    * `(band, key)`: per batch, work ∝ batch bands × matching buckets,
+    * never batch × corpus. Output: `(new_id, corpus_id)` candidate
+    * pairs; a pair surfaces once per matching band (bounded by k/r) —
+    * `distinct()` downstream per batch if exact multiplicity matters,
+    * and verify candidates with an exact Jaccard rerank as in batch
+    * LSH. */
+  def incrementalNearDupCandidates(newDocs: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, r: Int = 4): DataFrame =
+    graft.operators.Dedup.minhashBands(newDocs, idCol, textCol, k, r)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
+      .select(col("new_id"), col("corpus_id"))
+
   /** Session-window aggregation via the BUILT-IN `session_window`
     * function — the declarative alternative to [[sessionize]] when the
     * per-session outputs are plain aggregates (the engine manages merge

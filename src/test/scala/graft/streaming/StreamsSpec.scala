@@ -49,6 +49,46 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("incremental near-dup candidates: stream-vs-corpus equals the batch band join") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely different text about spark structured streaming state stores"),
+      (102L, "another unrelated document mentioning parquet files and manifest pruning"))
+      .toDF("doc_id", "text")
+    // the static index: built once, reused by every micro-batch
+    val corpusBands = graft.operators.Dedup.minhashBands(corpus, "doc_id", "text")
+      .cache()
+    val newDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // copy of 100
+      (2L, "zebras graze far away from any of these other texts entirely"),
+      (3L, "completely different text about spark structured streaming state machines"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.incrementalNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), corpusBands, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      input.addData(newDocs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(newDocs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: the same band join run once over all new docs
+      val batch = graft.operators.Dedup
+        .minhashBands(newDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .withColumnRenamed("doc_id", "new_id")
+        .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
+        .select($"new_id", $"corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, "streamed candidates diverged from the batch join")
+      assert(streamed.contains((1L, 100L)), "exact copy of a corpus doc not flagged")
+      assert(!streamed.exists(_._1 == 2L), "unrelated doc produced a candidate")
+    } finally { q.stop(); corpusBands.unpersist(); () }
+  }
+
   test("streaming count-min sketch over a MemoryStream equals the batch sketch") {
     val sp = spark
     implicit val sql = sp.sqlContext
