@@ -67,6 +67,39 @@ object Multimodal {
     if (decoded.length == n) decoded
     else java.util.Arrays.copyOf(decoded, n)
 
+  /** REAL nearest-neighbor image resize over decoded interleaved pixels
+    * (the fixed-resolution normalization step of every vision-training
+    * pipeline). Source pixel for output (x, y) is
+    * (floor(x·w/outW), floor(y·h/outH)) — integer arithmetic, so the
+    * mapping is exact, deterministic, and expressible by any engine
+    * (the m02 oracle recomputes it in SQL). Works for any channel
+    * count; Long intermediates so huge dimensions cannot overflow the
+    * index math. */
+  def resizeNearest(pixels: Array[Byte], w: Int, h: Int, channels: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && channels >= 1, s"bad input dims ${w}x$h×$channels")
+    require(outW >= 1 && outH >= 1, s"bad output dims ${outW}x$outH")
+    require(pixels.length == w * h * channels,
+      s"pixel buffer ${pixels.length} != ${w}x$h×$channels")
+    val out = new Array[Byte](outW * outH * channels)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        var c = 0
+        while (c < channels) {
+          out((y * outW + x) * channels + c) = pixels((sy * w + sx) * channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Deterministic frame sampling: every `stride`-th window of
     * `frameSize` bytes (stands in for video frame extraction). */
   def sampleFrames(decoded: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =

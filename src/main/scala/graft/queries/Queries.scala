@@ -1168,6 +1168,92 @@ object Queries {
           CAST(b.n AS INTEGER) AS n_bytes, md5(b.text) AS checksum, h0, h1, h2, h3
         FROM b JOIN hist ON b.doc_id = hist.doc_id ORDER BY media_id""")),
 
+    // ---- Multimodal: REAL nearest-neighbor resize through the PNG
+    //      codec: each doc's bytes become a 1-row greyscale PNG, are
+    //      DECODED, then resized to a fixed 32-px width — the
+    //      fixed-resolution normalization of a vision pipeline. Decoded
+    //      pixels equal the text bytes, so the oracle recomputes the
+    //      floor(i*n/32) source mapping straight off the text. ----
+    QueryDef(
+      "m02_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val outW = 32
+        t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 1)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val px = text.getBytes("US-ASCII")
+            val png = graft.operators.Png.encodeGray(px.length, 1, px, filter = 2)
+            val img = graft.operators.Png.decode(png)
+            val rs = graft.operators.Multimodal.resizeNearest(
+              img.pixels, img.width, img.height, img.channels, outW, 1)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < rs.length) {
+              val v = rs(i) & 0xFF
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, px.length, sum, mn, mx)
+          })
+          .toDF("doc_id", "n_in", "pix_sum", "pix_min", "pix_max")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)),
+        px AS (SELECT doc_id, n, unnest(range(0, 32)) AS i, text FROM b),
+        v AS (SELECT doc_id, n,
+                ord(substr(text, CAST((i * n) // 32 AS INTEGER) + 1, 1)) AS v
+              FROM px)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_in,
+          CAST(sum(v) AS BIGINT) AS pix_sum,
+          CAST(min(v) AS INTEGER) AS pix_min, CAST(max(v) AS INTEGER) AS pix_max
+        FROM v GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // ---- Multimodal: frame sampling over a binary "video" column —
+    //      every 3rd 8-byte frame of each doc's payload, one output row
+    //      per sampled frame with its own stats (the video keyframe
+    //      extraction shape: explode bounded frames, never the whole
+    //      stream) ----
+    QueryDef(
+      "m03_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 1)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            graft.operators.Multimodal.sampleFrames(bytes, frameSize = 8, stride = 24)
+              .iterator.zipWithIndex.map { case (fr, no) =>
+                var sum = 0L; var i = 0
+                while (i < fr.length) { sum += fr(i) & 0xFF; i += 1 }
+                (id, no, fr.length, sum)
+              }
+          })
+          .toDF("doc_id", "frame_no", "n_bytes", "byte_sum")
+          .orderBy($"doc_id", $"frame_no")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)),
+        f AS (SELECT doc_id, n, text,
+                unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS fi FROM b),
+        fr AS (SELECT doc_id, fi, substr(text, CAST(fi * 24 AS INTEGER) + 1, 8) AS fr
+               FROM f WHERE fi * 24 < n),
+        ch AS (SELECT doc_id, fi, length(fr) AS nb,
+                unnest(range(1, length(fr) + 1)) AS i, fr FROM fr),
+        s AS (SELECT doc_id, fi, nb,
+                sum(ord(substr(fr, CAST(i AS INTEGER), 1))) AS bs
+              FROM ch GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(fi AS INTEGER) AS frame_no, CAST(nb AS INTEGER) AS n_bytes,
+          CAST(bs AS BIGINT) AS byte_sum
+        FROM s ORDER BY doc_id, frame_no""")),
+
     // ---- Window: full ranking-function family ----
     QueryDef(
       "q29_window_ranking",

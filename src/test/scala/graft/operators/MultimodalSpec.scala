@@ -109,6 +109,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resizeStub(Array[Byte](1, 2), 4).toSeq == Seq[Byte](1, 2, 0, 0))
   }
 
+  test("nearest-neighbor resize: identity, downsample mapping, upsample repeat, channels") {
+    // identity: same dims return the same pixels
+    val img4 = Array.tabulate[Byte](16)(_.toByte) // 4x4 grey
+    assert(Multimodal.resizeNearest(img4, 4, 4, 1, 4, 4).toSeq === img4.toSeq)
+    // 4x4 -> 2x2: source pixel (floor(x*4/2), floor(y*4/2)) = (0,0),(2,0),(0,2),(2,2)
+    assert(Multimodal.resizeNearest(img4, 4, 4, 1, 2, 2).toSeq ===
+      Seq[Byte](0, 2, 8, 10))
+    // 2x1 -> 6x1 upsample: each source pixel repeats 3x
+    assert(Multimodal.resizeNearest(Array[Byte](7, 9), 2, 1, 1, 6, 1).toSeq ===
+      Seq[Byte](7, 7, 7, 9, 9, 9))
+    // RGB channels move together: 2x1 RGB -> 4x1 keeps triplets intact
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6)
+    assert(Multimodal.resizeNearest(rgb, 2, 1, 3, 4, 1).toSeq ===
+      Seq[Byte](1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6))
+    // buffer/dims mismatch and degenerate outputs fail loudly
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(img4, 5, 4, 1, 2, 2)
+    }.getMessage.contains("pixel buffer"))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(img4, 4, 4, 1, 0, 2)
+    }.getMessage.contains("output dims"))
+  }
+
   test("metadata-only queries do not deserialize the payload") {
     val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
     assert(meta.filter(col("media_type") === "image").count() == 50)
