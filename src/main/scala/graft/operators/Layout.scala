@@ -67,6 +67,33 @@ object Layout {
       .coalesce(1) // one row per file: tiny by construction
       .write.mode("overwrite").parquet(s"$dataPath/$ManifestDir")
 
+  /** Incrementally extend the manifest after APPENDING data files: the
+    * current file listing is diffed against the manifest's covered set,
+    * and only uncovered files are scanned for stats, which append as
+    * new manifest rows (the manifest dir is itself append-only here —
+    * no rewrite of existing entries). At 100 TB this is the difference
+    * between a stats pass over the day's partition and one over the
+    * whole table. Contract: appends only — a rewritten/compacted file
+    * set needs [[writeManifest]] (same rule as a table format: appends
+    * are cheap, rewrites are a new snapshot). */
+  def updateManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    val manifestPath = s"$dataPath/$ManifestDir"
+    val covered = spark.read.parquet(manifestPath)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    // listing only — no data scan to discover the delta
+    val newFiles = spark.read.parquet(dataPath).inputFiles.filterNot(covered)
+    if (newFiles.nonEmpty)
+      spark.read.parquet(newFiles.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
+        .coalesce(1)
+        .write.mode("append").parquet(manifestPath)
+  }
+
   /** Manifest-pruned range scan: `ranges` are inclusive `(col, lo, hi)`
     * intervals; a file survives iff every interval CAN intersect its
     * [min, max] (i.e. NOT (max < lo OR min > hi) — files whose stats

@@ -64,6 +64,37 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conj === (100L to 150L).toSet)
   }
 
+  test("updateManifest appends stats for new files only, never rescanning covered ones") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-upd").toString
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("k"))
+    // tamper a covered file's stats: if update rescans old files, the
+    // tampered row gets contradicted; if it appends only, it survives
+    val manifestPath = s"$dir/${Layout.ManifestDir}"
+    val tampered = spark.read.parquet(manifestPath)
+      .withColumn("min_k", lit(-777L)).cache()
+    tampered.count()
+    tampered.write.mode("overwrite").parquet(manifestPath)
+    tampered.unpersist()
+    // append a new batch of rows (new files), update incrementally
+    (100L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Layout.updateManifest(spark, dir, Seq("k"))
+    val m = spark.read.parquet(manifestPath).collect()
+    assert(m.length === 2, s"manifest should cover 2 files, has ${m.length}")
+    assert(m.count(_.getAs[Long]("min_k") == -777L) === 1,
+      "update rescanned an already-covered file")
+    // the appended range is served through the updated manifest
+    val got = Layout.prunedRead(spark, dir, Seq(("k", 150L, 160L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (150L to 160L).toSet)
+    // idempotent: nothing new -> nothing appended
+    Layout.updateManifest(spark, dir, Seq("k"))
+    assert(spark.read.parquet(manifestPath).count() === 2)
+  }
+
   test("pruned read opens only the admitted files; full scan opens all of them") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest-files").toString
