@@ -305,4 +305,57 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** k-core peeling over an UNDIRECTED edge list (self-loops and
+    * duplicate/reverse edges collapse): run `rounds` SYNCHRONOUS peel
+    * rounds — each drops EVERY node whose current degree is below `k`
+    * (and its edges), then recomputes — and emit `(node, degree)` of
+    * the surviving subgraph. The k-core (the unique maximal subgraph
+    * with all internal degrees ≥ k) is this loop's fixpoint, and the
+    * synchronous schedule makes every intermediate state deterministic,
+    * so a FIXED round count keeps the DuckDB oracle in exact lockstep
+    * (the [[pageRank]] fixed-`iterations` pattern): converged or not,
+    * both engines agree byte-for-byte, and once a round drops nobody
+    * every later round is identity. Real graphs converge in a handful
+    * of rounds; raise `rounds` when peeling deep cores of long chains.
+    *
+    * Shape per round: one degree aggregation (map-side partial) + two
+    * semi-joins of edges against surviving nodes — all equi-joins, no
+    * node ever gathers its neighborhood on one machine, so a
+    * celebrity hub costs its edge count, not a hot task. Rounds stay
+    * lazy between periodic `localCheckpoint`s (lineage/plan growth is
+    * bounded), the same iteration discipline as [[pageRank]]. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 8, checkpointEvery: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one peel round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(und).filter(col("dg") >= k).select(col("node"))
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        und = und.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(und)
+      }
+    }
+    val out = degrees(und).select(col("node"), col("dg").as("degree"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    out
+  }
 }

@@ -2320,6 +2320,49 @@ object Queries {
         SELECT node, count(*) AS triangles FROM part
         GROUP BY node ORDER BY node""")),
 
+    // ---- k-core peeling (synchronous rounds, fixed count for oracle
+    //      lockstep — the pageRank pattern: converged or not, both
+    //      engines run the SAME rounds and agree byte-for-byte) over
+    //      the q73 co-order parts graph ----
+    QueryDef(
+      "q78_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 8)
+          .orderBy($"node")
+      },
+      Some {
+        // AS MATERIALIZED on every round CTE: each e_i is referenced three
+        // times, and an inlining planner would otherwise expand the chain
+        // into 3^rounds scans of lineitem
+        val k = 3; val rounds = 8
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""")
+        for (i <- 0 until rounds) sb.append(s""",
+        d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM
+                  (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+                GROUP BY node),
+        k$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k),
+        e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                      WHERE a IN (SELECT node FROM k$i)
+                        AND b IN (SELECT node FROM k$i))""")
+        sb.append(s"""
+        SELECT node, count(*) AS degree FROM
+          (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+        GROUP BY node ORDER BY node""")
+        sb.toString
+      }),
+
     // ---- Connected components over the co-purchase graph (public
     //      Graph API over the d06-proven pointer-jumping loop) vs a
     //      recursive-CTE transitive closure ----

@@ -230,4 +230,32 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === ranks)
   }
+
+  test("kCore peels chains off a clique; the cascade needs multiple rounds") {
+    val sp = spark; import sp.implicits._
+    // K4 on {1,2,3,4} (all internal degree 3) + chain 4-10-11-12 hanging
+    // off it. The 2-core is exactly the clique, but the chain peels one
+    // link per round (12 first, then 11, then 10) — a single-round
+    // "filter by degree" gets it wrong, which is what this pins.
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val core2 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"2-core should be the bare K4: $core2")
+    // one round is NOT enough: only 12 (degree 1) peels, 11 survives it
+    val oneRound = Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.contains(11L) && !oneRound.contains(12L),
+      s"single peel round should still hold node 11: $oneRound")
+    // k above the max degree: empty core, not an error
+    assert(Graph.kCore(edges, "src", "dst", k = 4, rounds = 8).count() === 0)
+    // duplicate/reverse/self edges collapse before peeling
+    val messy = (clique ++ chain ++ Seq((2L, 1L), (3L, 3L), (1L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.kCore(messy, "src", "dst", k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === core2)
+  }
 }
