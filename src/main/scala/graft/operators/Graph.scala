@@ -327,6 +327,22 @@ object Graph {
     * bounded), the same iteration discipline as [[pageRank]]. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 8, checkpointEvery: Int = 4): DataFrame = {
+    val (lazyOut, lastCkpt) =
+      kCoreLazy(edges, srcCol, dstCol, k, rounds, checkpointEvery)
+    // one final materialization frees every intermediate block NOW
+    val out = lazyOut.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    out
+  }
+
+  /** [[kCore]] before its final eager materialization: returns (result
+    * with full lineage, the last mid-loop checkpoint the caller must
+    * unpersist). Exists so plan-quality specs can assert the peel
+    * rounds' physical shape — `localCheckpoint` truncates lineage to a
+    * `Scan ExistingRDD`, hiding the joins (the
+    * [[Dedup.minhashCandidatesLazy]] pattern). */
+  private[graft] def kCoreLazy(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, checkpointEvery: Int): (DataFrame, Option[DataFrame]) = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "need at least one peel round")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
@@ -353,9 +369,6 @@ object Graph {
         lastCkpt = Some(und)
       }
     }
-    val out = degrees(und).select(col("node"), col("dg").as("degree"))
-      .localCheckpoint(true)
-    lastCkpt.foreach(_.unpersist())
-    out
+    (degrees(und).select(col("node"), col("dg").as("degree")), lastCkpt)
   }
 }

@@ -79,6 +79,44 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t18 BM25 is an inverted-index equi join with partial aggs, never query x doc") {
+    val p = plan("t18_bm25")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_"), p.take(2000)) // term/df counts combine map-side
+  }
+
+  test("q78 k-core peel rounds are equi joins, never a cartesian") {
+    // the public kCore checkpoints its result (lineage truncates to Scan
+    // ExistingRDD), so inspect the pre-checkpoint plan — few enough
+    // rounds that no mid-loop checkpoint truncates either
+    val li = Queries.t(spark, dir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") % 20 === 0)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        org.apache.spark.sql.functions.col("x.ok") ===
+          org.apache.spark.sql.functions.col("y.ok") &&
+          org.apache.spark.sql.functions.col("x.pk") <
+            org.apache.spark.sql.functions.col("y.pk"))
+      .select(org.apache.spark.sql.functions.col("x.pk").as("src"),
+        org.apache.spark.sql.functions.col("y.pk").as("dst"))
+    val (lazyOut, lastCkpt) = graft.operators.Graph
+      .kCoreLazy(edges, "src", "dst", 3, 3, 100)
+    try {
+      val p = lazyOut.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin LeftSemi") || p.contains("HashJoin"),
+        p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally lastCkpt.foreach(_.unpersist())
+  }
+
+  test("s06 IVF-SQ8 rerank joins are equi-shaped, never a cartesian") {
+    val p = plan("s06_knn_ivf_sq8")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
