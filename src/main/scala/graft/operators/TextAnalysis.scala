@@ -198,6 +198,78 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1
+    * — the repetition-free subset): the standard web-scrape quality gate
+    * expressed as one map-only Column projection. Per document:
+    * word count in [minWords, maxWords], mean word length in
+    * [minMeanLen, maxMeanLen], fraction of words containing an
+    * alphabetic character ≥ minAlphaFrac, and at least minStopHits
+    * distinct hits from a fixed 8-stopword inventory (the "is this
+    * prose at all" test). Emits every signal plus the composite
+    * `passes` flag so a pipeline can either filter or stratify on the
+    * failure reason. Ratios round to 6 (engine-portable); stopword
+    * hits count CONTAINMENT (once per distinct stopword), mirroring
+    * the published rule. Tokens are staged once; no shuffle. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val staged = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 1)
+    val nWords = size(col("tk"))
+    val meanLen = round(
+      aggregate(transform(col("tk"), t => length(t).cast("long")),
+        lit(0L), (s, v) => s + v).cast("double") / nWords.cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("double") /
+        nWords.cast("double"), 6)
+    val stopHits = stops.map(w =>
+      when(array_contains(col("tk"), w), 1).otherwise(0))
+      .reduce(_ + _)
+    staged.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("frac_alpha"), stopHits.as("stop_hits"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("frac_alpha") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    * the MOSS recipe): hash every `kgram`-character window of the
+    * lowercased text, slide a `window`-wide window over the hash
+    * sequence, and keep each window's MINIMUM hash (ties → leftmost
+    * position). Winnowing guarantees any shared substring of length ≥
+    * `window + kgram − 1` between two documents yields at least one
+    * shared fingerprint, at ~2/(window+1) the density of full k-gram
+    * hashing — the partial-overlap / clone-detection complement to
+    * whole-document MinHash. The k-gram hash is the 28-bit md5 prefix
+    * (engine-portable; a true polynomial rolling hash would be faster
+    * per byte but unreproducible in SQL — same hash-vs-rolling trade
+    * every op here makes). Output: one row per distinct (doc_id,
+    * fingerprint) — join fingerprints to find overlapping docs.
+    * Map-only; fingerprints per doc ≈ 2·len/(window+1). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      kgram: Int = 5, window: Int = 4): DataFrame = {
+    require(kgram >= 1, "kgram must be positive")
+    require(window >= 1, "window must be positive")
+    val txt = lower(col(textCol))
+    val nGrams = length(txt) - kgram + 1
+    val hashes = transform(sequence(lit(1), nGrams),
+      i => conv(substring(md5(substring(txt, i, lit(kgram))), 1, 7), 16, 10).cast("long"))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= kgram + window - 1)
+      .select(col(idCol).cast("long").as("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("hs")) - window + 1),
+          w => array_min(slice(col("hs"), w, lit(window))))).as("fingerprint"))
+      .distinct()
+  }
+
   /** BM25 top-`k` retrieval: score every query against the corpus with
     * the Okapi BM25 ranking function and keep the `k` best documents
     * per query — the retrieval primitive behind known-item search,

@@ -2846,6 +2846,69 @@ object Queries {
         SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 5
         ORDER BY query_id, rank""")),
 
+    // ---- Gopher-style quality rules (word count, mean word length,
+    //      alpha fraction, stopword containment) — the standard
+    //      web-scrape prose gate, one map-only projection ----
+    QueryDef(
+      "t19_gopher_quality",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .gopherQuality(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+               FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        t2 AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) >= 1),
+        sig AS (SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+            round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+              / CAST(n AS DOUBLE), 6) AS mean_word_len,
+            round(CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+              / CAST(n AS DOUBLE), 6) AS frac_alpha,
+            (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END) AS stop_hits
+          FROM t2)
+        SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+          ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND frac_alpha >= 0.8 AND stop_hits >= 2) AS passes
+        FROM sig ORDER BY doc_id""")),
+
+    // ---- Winnowing document fingerprints (Schleimer et al. 2003, the
+    //      MOSS recipe): per-window minimum of k-gram hashes — the
+    //      partial-overlap complement to whole-document MinHash ----
+    QueryDef(
+      "t20_winnow_fingerprints",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .winnowFingerprints(
+            t(s, dir, "documents").filter($"doc_id" % 10 === 0),
+            "doc_id", "text")
+          .orderBy($"doc_id", $"fingerprint")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
+                 AND text IS NOT NULL AND length(text) >= 8),
+        g AS (SELECT doc_id, unnest(range(1, length(t) - 5 + 2)) AS i, t FROM d),
+        h AS (SELECT doc_id, i,
+                CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 7))
+                  AS UBIGINT) AS h
+              FROM g),
+        mw AS (SELECT doc_id, i,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                count(*) OVER (PARTITION BY doc_id) AS nh
+              FROM h)
+        SELECT DISTINCT doc_id, CAST(mn AS BIGINT) AS fingerprint
+        FROM mw WHERE i + 3 <= nh ORDER BY doc_id, fingerprint""")),
+
     // ---- Weighted sampling without replacement, k per group
     //      (Efraimidis-Spirakis keys over hash-derived uniforms —
     //      deterministic quality-weighted corpus mixing). Ranked on the

@@ -168,6 +168,56 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === got)
   }
 
+  test("gopherQuality: prose passes; short, numeric, and stopword-free docs fail with the right signal") {
+    val sp = spark; import sp.implicits._
+    val prose = (("the quick brown fox jumps over that lazy dog with " * 6) +
+      "plenty of normal prose words have been added here today").trim
+    val docs = Seq(
+      (1L, prose), // >= 50 words, stopwords, alpha
+      (2L, "too short to pass the gate"), // n_words < 50
+      (3L, ("12345 67890 " * 30).trim), // alpha fraction 0, no stopwords
+      (4L, null.asInstanceOf[String])) // dropped, not crashed
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._3, s"prose doc should pass: ${got(1L)}")
+    assert(got(1L)._2 >= 2, "prose doc should hit stopwords")
+    assert(!got(2L)._3 && got(2L)._1 < 50, "short doc must fail on word count")
+    assert(!got(3L)._3 && got(3L)._2 === 0, "numeric doc must fail with zero stop hits")
+    // frac_alpha of the numeric doc is exactly 0
+    val fa = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .filter($"doc_id" === 3L).collect().head.getDouble(3)
+    assert(fa === 0.0)
+  }
+
+  test("winnowFingerprints: shared long substrings share a fingerprint; disjoint texts do not") {
+    val sp = spark; import sp.implicits._
+    val shared = "abcdefghijklmnopqrstuvwxyz" // 26 chars >= window+kgram-1 = 8
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different lead-in $shared and tail"),
+      (3L, "zzz qqq 0101010101 totally unrelated content vvv"),
+      (4L, "short")) // below kgram+window-1: excluded entirely
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+    val byDoc = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(4L), "sub-threshold doc should emit nothing")
+    // the winnowing guarantee: a shared substring of length >= w+k-1
+    // yields at least one shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 26-char substring not detected")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs share a fingerprint")
+    // deterministic under repartitioning
+    val again = TextAnalysis.winnowFingerprints(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === fp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // density: ~2/(window+1) of the k-gram count, never more than windows
+    val n1 = docs.filter($"doc_id" === 1L).collect().head.getString(1).length
+    assert(byDoc(1L).size <= n1 - 5 - 4 + 2, "more fingerprints than windows")
+  }
+
   test("crossLogProb: in-vocabulary targets outscore OOV ones under the reference LM") {
     val sp = spark; import sp.implicits._
     val reference = Seq(
