@@ -106,8 +106,8 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .kCoreLazy(edges, "src", "dst", 3, 3, 100)
     try {
       val p = lazyOut.queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin LeftSemi") || p.contains("HashJoin"),
-        p.take(2000))
+      assert((p.contains("SortMergeJoin") || p.contains("HashJoin")) &&
+        p.contains("LeftSemi"), p.take(2000))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     } finally lastCkpt.foreach(_.unpersist())
   }
