@@ -270,6 +270,73 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** BPE merge training (Sennrich et al. 2016): learn the `nMerges`
+    * most frequent adjacent-symbol merges over the corpus vocabulary —
+    * the tokenizer-training primitive. Classic algorithm, distributed
+    * the way it scales: the corpus collapses to a (word, count) VOCAB
+    * table in one aggregation, and every merge round then runs on the
+    * vocab, not the corpus — pair counting is a hash agg over vocab
+    * rows weighted by word count, the argmax pair is a 1-row collect
+    * (count desc, then lexicographic (left, right) — deterministic),
+    * and re-segmentation is a map-only string rewrite. Cost ∝
+    * vocab × rounds regardless of corpus size.
+    *
+    * Segmentations are DOUBLE-SPACE-joined symbol strings, so applying
+    * a merge is a plain left-to-right non-overlapping `replace` of
+    * `" l  r "` with `" lr "` on the space-wrapped string — the same
+    * primitive with the same scan semantics in every engine, which is
+    * what lets the DuckDB oracle replay training round for round
+    * (greedy left-to-right pair merging within a round, exactly the
+    * reference algorithm). Rounds with no pairs left emit nothing and
+    * leave segmentations untouched. Output: one row per learned merge,
+    * `(rank, lhs, rhs, cnt)`, rank starting at 1. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val initSeg = concat_ws("  ",
+      transform(sequence(lit(1), length(col("word"))),
+        i => substring(col("word"), i, lit(1))))
+    var vocab = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), initSeg.as("seg"))
+      .localCheckpoint(true) // vocab-sized: the working set for every round
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val syms = split(col("seg"), "  ")
+      // guard: sequence(1, 0) DESCENDS in Spark, so single-symbol words
+      // need an explicit empty pair list
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val top = vocab
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((rank, l, r, pc))
+        val next = vocab.select(col("cnt"),
+          trim(replace(concat(lit(" "), col("seg"), lit(" ")),
+            lit(s" $l  $r "), lit(s" $l$r "))).as("seg"))
+          .localCheckpoint(true) // truncate the per-round rewrite lineage
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
   /** BM25 top-`k` retrieval: score every query against the corpus with
     * the Okapi BM25 ranking function and keep the `k` best documents
     * per query — the retrieval primitive behind known-item search,

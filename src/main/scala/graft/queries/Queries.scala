@@ -2846,6 +2846,48 @@ object Queries {
         SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 5
         ORDER BY query_id, rank""")),
 
+    // ---- BPE merge training (Sennrich 2016): learn the 10 most
+    //      frequent adjacent-symbol merges over the corpus vocab —
+    //      round-for-round lockstep with an unrolled oracle (the
+    //      doubled-separator string-replace gives BOTH engines the
+    //      same greedy left-to-right within-round merge semantics) ----
+    QueryDef(
+      "t21_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .bpeMerges(t(s, dir, "documents"), "text", nMerges = 10)
+          .orderBy($"rank")
+      },
+      Some {
+        val rounds = 10
+        val sb = new StringBuilder(
+          """WITH v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+            array_to_string(list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)), '  ') AS seg
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents)
+          GROUP BY word)""")
+        for (i <- 0 until rounds) sb.append(s""",
+        p$i AS MATERIALIZED (SELECT s[CAST(j AS INTEGER)] AS l,
+            s[CAST(j + 1 AS INTEGER)] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+          FROM (SELECT cnt, string_split(seg, '  ') AS s FROM v$i),
+            LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        m$i AS MATERIALIZED (SELECT l, r, pc FROM p$i
+          ORDER BY pc DESC, l, r LIMIT 1),
+        v${i + 1} AS MATERIALIZED (SELECT cnt,
+            CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN seg
+              ELSE trim(replace(' ' || seg || ' ',
+                ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+                ' ' || (SELECT l || r FROM m$i) || ' '))
+            END AS seg FROM v$i)""")
+        sb.append((0 until rounds).map(i =>
+          s"SELECT CAST(${i + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, pc AS cnt FROM m$i")
+          .mkString("\n        ", "\n        UNION ALL ", "\n        ORDER BY rank"))
+        sb.toString
+      }),
+
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard
     //      web-scrape prose gate, one map-only projection ----

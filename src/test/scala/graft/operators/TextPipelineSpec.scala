@@ -168,6 +168,27 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === got)
   }
 
+  test("bpeMerges learns the hand-computed merge sequence and stops when pairs run out") {
+    val sp = spark; import sp.implicits._
+    // vocab: aaab x2, aab x1. Round 1: (a,a) appears 2*2+1=5 times ->
+    // merge; greedy left-to-right resegments aaab=[aa,a,b], aab=[aa,b].
+    // Round 2: (aa,a)=2 ties (a,b)=2 -> lexicographic tiebreak picks
+    // (a,b) -> aaab=[aa,ab]. Round 3: (aa,ab)=2 beats (aa,b)=1.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+    // exhaustion: a fully merged vocab ends training early, no error
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ex = TextAnalysis.bpeMerges(tiny, "text", nMerges = 50)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(ex.toSeq === Seq((1, "a", "b", 1L)))
+    // deterministic under repartitioning (pair counts are exact integers)
+    val again = TextAnalysis.bpeMerges(docs.repartition(7), "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("gopherQuality: prose passes; short, numeric, and stopword-free docs fail with the right signal") {
     val sp = spark; import sp.implicits._
     val prose = (("the quick brown fox jumps over that lazy dog with " * 6) +
