@@ -337,6 +337,37 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
   }
 
+  /** Apply learned BPE merges (see [[bpeMerges]]) and count the
+    * resulting subword tokens per document — the "how many tokens will
+    * this cost" signal with a REAL trained tokenizer instead of a
+    * whitespace proxy. Encoding runs on the DISTINCT word set, not the
+    * corpus: each vocab word's character segmentation folds through the
+    * merge list in rank order (the same double-space `replace` rewrite
+    * training used, so encode is exactly training's greedy
+    * left-to-right semantics), and documents join their words back to
+    * the precomputed subword counts — cost ∝ vocab + one equi-join,
+    * regardless of how often words repeat. Output:
+    * `(doc_id, n_words, n_bpe_tokens)`. */
+  def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+    val seg0 = concat_ws("  ",
+      transform(sequence(lit(1), length(col("word"))),
+        i => substring(col("word"), i, lit(1))))
+    val segN = merges.foldLeft(seg0) { case (s, (l, r)) =>
+      trim(replace(concat(lit(" "), s, lit(" ")),
+        lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    val vocabCounts = words.select(col("word")).distinct()
+      .select(col("word"), size(split(segN, "  ")).as("n_sub"))
+    words.join(vocabCounts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** BM25 top-`k` retrieval: score every query against the corpus with
     * the Okapi BM25 ranking function and keep the `k` best documents
     * per query — the retrieval primitive behind known-item search,

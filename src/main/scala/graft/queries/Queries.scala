@@ -2888,6 +2888,67 @@ object Queries {
         sb.toString
       }),
 
+    // ---- BPE encode with the learned merges: per-doc subword token
+    //      counts under the t21-trained tokenizer — encoding runs on
+    //      the DISTINCT vocab and joins back, cost ∝ vocab not corpus ----
+    QueryDef(
+      "t22_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", 10)
+          .orderBy($"rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.TextAnalysis
+          .bpeEncodeCounts(docs, "doc_id", "text", merges)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val rounds = 10
+        val sb = new StringBuilder(
+          """WITH v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+            array_to_string(list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)), '  ') AS seg
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents)
+          GROUP BY word)""")
+        for (i <- 0 until rounds) sb.append(s""",
+        p$i AS MATERIALIZED (SELECT s[CAST(j AS INTEGER)] AS l,
+            s[CAST(j + 1 AS INTEGER)] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+          FROM (SELECT cnt, string_split(seg, '  ') AS s FROM v$i),
+            LATERAL (SELECT unnest(range(1, len(s))) AS j)
+          GROUP BY 1, 2),
+        m$i AS MATERIALIZED (SELECT l, r, pc FROM p$i
+          ORDER BY pc DESC, l, r LIMIT 1),
+        v${i + 1} AS MATERIALIZED (SELECT cnt,
+            CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN seg
+              ELSE trim(replace(' ' || seg || ' ',
+                ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+                ' ' || (SELECT l || r FROM m$i) || ' '))
+            END AS seg FROM v$i)""")
+        sb.append(""",
+        dw AS MATERIALIZED (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        w0 AS MATERIALIZED (SELECT DISTINCT word,
+            array_to_string(list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)), '  ') AS seg
+          FROM dw)""")
+        for (i <- 0 until rounds) sb.append(s""",
+        w${i + 1} AS MATERIALIZED (SELECT word,
+            CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN seg
+              ELSE trim(replace(' ' || seg || ' ',
+                ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+                ' ' || (SELECT l || r FROM m$i) || ' '))
+            END AS seg FROM w$i)""")
+        sb.append(s"""
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(len(string_split(seg, '  '))) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN w$rounds USING (word)
+        GROUP BY doc_id ORDER BY doc_id""")
+        sb.toString
+      }),
+
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard
     //      web-scrape prose gate, one map-only projection ----

@@ -189,6 +189,23 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("bpeEncodeCounts applies merges in rank order with training's greedy semantics") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    // merges learned above: (a,a), (a,b), (aa,ab).
+    // aaab: [a,a,a,b] -> [aa,a,b] -> [aa,ab] -> [aaab] = 1 token;
+    // aab: [a,a,b] -> [aa,b] -> (a,b) doesn't apply to [aa,b] -> 2 tokens.
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 1L, 2L)),
+      s"encode mismatch: $got")
+    // no merges: token count equals character count
+    val none = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(none === Set((1L, 8L), (2L, 3L)))
+  }
+
   test("gopherQuality: prose passes; short, numeric, and stopword-free docs fail with the right signal") {
     val sp = spark; import sp.implicits._
     val prose = (("the quick brown fox jumps over that lazy dog with " * 6) +
