@@ -404,12 +404,25 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
     val docLens = termCounts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
     val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // N and avgdl: two tiny planning-time scalars off the doc-length agg
+    // N and avgdl: two tiny planning-time scalars off the doc-length agg.
+    // An empty corpus (avgdl undefined) degrades to an empty result —
+    // the filtered-to-nothing shape of a real pipeline, not an error.
     val (nDocs, avgdl) = {
       val r = docLens.agg(count(lit(1)), avg(col("len").cast("double"))).collect().head
-      (r.getLong(0), r.getDouble(1))
+      (r.getLong(0), if (r.isNullAt(1)) 1.0 else r.getDouble(1))
     }
-    require(nDocs > 0, "empty corpus")
+    if (nDocs == 0)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
     val qTerms = queries
       .select(col(qIdCol).cast("long").as("query_id"),
         explode(tokens(col(qTextCol))).as("term"))

@@ -82,4 +82,24 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptyDocs.groupBy(col("doc_id"))
       .agg(topk(lit(1.0), col("doc_id")).as("t")).count() == 0)
   }
+
+  test("round-8 operators on empty input") {
+    // retrieval / quality / fingerprint / tokenizer family
+    assert(TextAnalysis.bm25TopK(emptyDocs, emptyDocs.limit(0),
+      "doc_id", "text", "doc_id", "text", k = 3).count() == 0)
+    assert(TextAnalysis.gopherQuality(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.winnowFingerprints(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.bpeMerges(emptyDocs, "text", nMerges = 5).count() == 0)
+    assert(TextAnalysis.bpeEncodeCounts(emptyDocs, "doc_id", "text",
+      Seq(("a", "b"))).count() == 0)
+    // graph peeling
+    assert(Graph.kCore(
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("src", "dst"),
+      "src", "dst", k = 2, rounds = 3).count() == 0)
+    // IVF-SQ8: empty corpus cannot yield centroids — fail loud like ivfKnn
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfSq8Knn(emptyVecs, emptyVecs, 3).count()
+    }
+    assert(err.getMessage.contains("centroid"))
+  }
 }
