@@ -80,6 +80,11 @@ object Layout {
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "need at least one indexed column")
     val manifestPath = s"$dataPath/$ManifestDir"
+    // bootstrap: no manifest yet -> full build. Makes per-batch streaming
+    // maintenance a single idempotent call (see StreamsSpec).
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) { writeManifest(spark, dataPath, cols); return }
     val covered = spark.read.parquet(manifestPath)
       .select(col("file")).collect().map(_.getString(0)).toSet
     // listing only — no data scan to discover the delta

@@ -106,6 +106,34 @@ object Multimodal {
     (0 until decoded.length by stride)
       .map(off => decoded.slice(off, math.min(off + frameSize, decoded.length)))
 
+  /** PCM16 audio features: interpret the decoded payload as big-endian
+    * signed 16-bit samples (the WAV/FLAC sample layout) and emit exact
+    * integer statistics — sample count, energy (Σ sample², the exact
+    * form of RMS: rms = sqrt(sum_sq / n)), and peak |sample|. Exact
+    * integers rather than floats so the stats are engine-portable
+    * bit-for-bit (no sqrt ulps); a trailing odd byte is ignored.
+    * Same per-partition batched shape as [[extractFeatures]]. Output:
+    * `(media_id, n_samples, sum_sq, peak)`. */
+  def pcm16Features(ds: Dataset[MediaRecord],
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      var sumSq = 0L
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort
+        val a = math.abs(s.toInt)
+        sumSq += s.toLong * s.toLong
+        if (a > peak) peak = a
+        i += 1
+      }
+      (rec.media_id, n, sumSq, peak)
+    }).toDF("media_id", "n_samples", "sum_sq", "peak")
+  }
+
   /** Per-partition batched feature extraction: md5 checksum + 4-bucket
     * byte histogram (byte >> 6) over the decoded payload. `batchSize`
     * bounds peak memory per partition — the same knob a real decoder

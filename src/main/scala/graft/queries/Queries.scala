@@ -1254,6 +1254,34 @@ object Queries {
           CAST(bs AS BIGINT) AS byte_sum
         FROM s ORDER BY doc_id, frame_no""")),
 
+    // ---- Multimodal: PCM16 audio features over a binary payload —
+    //      big-endian 16-bit samples, EXACT integer energy/peak stats
+    //      (rms = sqrt(sum_sq/n) is the caller's one float op) ----
+    QueryDef(
+      "m04_pcm_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", lit("audio/pcm").as("mt"),
+            encode($"text", "US-ASCII").as("payload"))
+        graft.operators.Multimodal.pcm16Features(
+            graft.operators.Multimodal.pack(media, "doc_id", "mt", "payload")(s))
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, unnest(range(0, n // 2)) AS i, text FROM b),
+        v AS (SELECT doc_id, ns,
+                ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 256
+                  + ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS v
+              FROM sm)
+        SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+          CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+          CAST(max(v) AS INTEGER) AS peak
+        FROM v GROUP BY doc_id, ns ORDER BY media_id""")),
+
     // ---- Window: full ranking-function family ----
     QueryDef(
       "q29_window_ranking",

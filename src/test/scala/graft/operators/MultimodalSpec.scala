@@ -132,6 +132,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("output dims"))
   }
 
+  test("pcm16 features: hand-computed samples, negative peaks, odd trailing byte ignored") {
+    val sp = spark; import sp.implicits._
+    // big-endian pairs: (0x01,0x00)=256, (0x80,0x00)=-32768, (0x00,0x7F)=127,
+    // trailing 0x55 ignored
+    val payload = Array[Byte](0x01, 0x00, 0x80.toByte, 0x00, 0x00, 0x7F, 0x55)
+    val ds = Seq(MediaRecord(1L, "audio/pcm", payload)).toDS()
+    val r = Multimodal.pcm16Features(ds).collect().head
+    assert(r.getInt(1) === 3, "sample count")
+    assert(r.getLong(2) === 256L * 256 + 32768L * 32768 + 127L * 127, "sum_sq")
+    assert(r.getInt(3) === 32768, "peak must be |−32768|")
+    // empty payload: zero samples, zero stats
+    val z = Multimodal.pcm16Features(
+      Seq(MediaRecord(2L, "audio/pcm", Array.emptyByteArray)).toDS()).collect().head
+    assert(z.getInt(1) === 0 && z.getLong(2) === 0L && z.getInt(3) === 0)
+  }
+
   test("metadata-only queries do not deserialize the payload") {
     val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
     assert(meta.filter(col("media_type") === "image").count() == 50)

@@ -89,6 +89,41 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); corpusBands.unpersist(); () }
   }
 
+  test("streaming ingest keeps the skipping manifest fresh with one updateManifest per batch") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-manifest").toFile
+    root.deleteOnExit()
+    val dataDir = s"${root.getAbsolutePath}/data"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"${root.getAbsolutePath}/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dataDir)
+        // idempotent per-batch maintenance: bootstraps on the first
+        // batch, appends stats for the new files on every later one
+        graft.operators.Layout.updateManifest(sp, dataDir, Seq("k"))
+      }.start()
+    try {
+      input.addData((0L until 100L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      input.addData((100L until 200L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      val files = sp.read.parquet(dataDir).inputFiles.toSet
+      val covered = sp.read
+        .parquet(s"$dataDir/${graft.operators.Layout.ManifestDir}")
+        .collect().map(_.getAs[String]("file")).toSet
+      assert(covered === files,
+        s"manifest drifted from the data: ${covered.size} vs ${files.size} files")
+      // ranges spanning both batches serve correctly through the manifest
+      val got = graft.operators.Layout
+        .prunedRead(sp, dataDir, Seq(("k", 95L, 105L)))
+        .collect().map(_.getLong(0)).toSet
+      assert(got === (95L to 105L).toSet)
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch over a MemoryStream equals the batch sketch") {
     val sp = spark
     implicit val sql = sp.sqlContext
