@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the peeling and resize kernels: k-core
+  * must agree with a local reference peeler on arbitrary random graphs
+  * (and reach a true fixpoint — every surviving degree ≥ k), and
+  * nearest-neighbor resize must place exactly the source pixel the
+  * integer mapping names at every output coordinate.
+  */
+class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder().master("local[2]")
+      .appName("graph-property-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Local reference: synchronous peel to the fixpoint. */
+  private def refKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != und
+      und = next
+    }
+    und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private val genGraph = for {
+    n <- Gen.choose(2, 14) // node universe
+    m <- Gen.choose(1, 30)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+    k <- Gen.choose(1, 4)
+  } yield (es, k)
+
+  test("kCore equals the local fixpoint peeler on random graphs (rounds budget respected)") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, k) =>
+      val expect = refKCore(es.toSet, k)
+      // 16 rounds >> fixpoint depth for a ≤14-node graph
+      val got = Graph.kCore(es.toDF("src", "dst"), "src", "dst", k, rounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      val fixpoint = got.values.forall(_ >= k)
+      got == expect && fixpoint
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genResize = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 12)
+    c <- Gen.oneOf(1, 3)
+    ow <- Gen.choose(1, 15)
+    oh <- Gen.choose(1, 15)
+  } yield (w, h, c, ow, oh)
+
+  test("resizeNearest places exactly the mapped source pixel at every output coordinate") {
+    val prop = Prop.forAll(genResize) { case (w, h, c, ow, oh) =>
+      val px = Array.tabulate[Byte](w * h * c)(i => (i * 37 + 11).toByte)
+      val out = Multimodal.resizeNearest(px, w, h, c, ow, oh)
+      out.length == ow * oh * c &&
+        (0 until oh).forall { y =>
+          val sy = (y.toLong * h / oh).toInt
+          (0 until ow).forall { x =>
+            val sx = (x.toLong * w / ow).toInt
+            (0 until c).forall { ch =>
+              out((y * ow + x) * c + ch) == px((sy * w + sx) * c + ch)
+            }
+          }
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
