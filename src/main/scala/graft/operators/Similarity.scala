@@ -630,8 +630,9 @@ object Similarity {
       s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
     val p = if (probes > 0) probes
       else math.max(4, math.ceil(IvfAutoProbeFraction * cents.length).toInt)
-    ivfSq8ProbeRerank(queries, corpus, k, p, cents,
-      sq8Bounds(corpus, "embedding"), candMult)
+    val bounds = sq8Bounds(corpus, "embedding")
+    ivfSq8KnnFromIndex(queries, ivfSq8Index(corpus, cents, bounds),
+      corpus, k, p, cents, bounds, candMult)
   }
 
   /** [[ivfSq8Knn]] with a TRAINED fixed-size codebook — the primary
@@ -643,52 +644,26 @@ object Similarity {
       nCells: Int = 16, probes: Int = 4, iters: Int = 5,
       candMult: Int = 4): DataFrame = {
     val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
-    ivfSq8ProbeRerank(queries, corpus, k, probes,
-      cb.zipWithIndex.map { case (c, i) => (i.toLong, c) },
-      sq8Bounds(corpus, "embedding"), candMult)
+    val cents = cb.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val bounds = sq8Bounds(corpus, "embedding")
+    ivfSq8KnnFromIndex(queries, ivfSq8Index(corpus, cents, bounds),
+      corpus, k, probes, cents, bounds, candMult)
   }
 
-  /** Shared IVF-SQ8 engine. One corpus pass assigns each vector to its
-    * cell AND emits its SQ8 code, dropping the floats immediately; the
-    * candidate scan then reads `(cid, codes)` only — cells outside every
-    * query's probe set are skipped by a broadcast cell-set filter before
-    * any decode, and scanned rows stream 1 byte/dim. Queries collect to
-    * the driver (small side by the [[knn]] broadcast contract), so probe
-    * cells are computed against the in-memory codebook with zero extra
-    * jobs. Quantized scores are [[cosineKernelFD]] against the decoded
-    * cell midpoint (round-6, id tiebreak — bit-identical cross-engine);
-    * the only shuffles are the two candidate top-k windows and the
-    * rerank equi-join. */
-  private def ivfSq8ProbeRerank(queries: DataFrame, corpus: DataFrame,
-      k: Int, probes: Int, cents: Array[(Long, Array[Float])],
-      bounds: (Array[Double], Array[Double]), candMult: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(candMult >= 1, "candMult must be positive")
+  /** MATERIALIZE the IVF-SQ8 index: one corpus pass assigns each vector
+    * to its nearest cell AND emits its SQ8 code, dropping the floats
+    * immediately. Output `(vec_id, cid, codes)` — write it next to the
+    * corpus once (the [[sq8Encode]] contract) and serve every query
+    * batch from it via [[ivfSq8KnnFromIndex]]: the hot scan then
+    * streams 1 byte/dim with cell-routing metadata, never the float
+    * embeddings. Map-only, no shuffle. */
+  def ivfSq8Index(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+      bounds: (Array[Double], Array[Double])): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
-    // probe cells per query, computed driver-side against the codebook:
-    // same (-round6 cosine, cid) order as ivfProbeRerank's nearest()
-    val qProbes: Map[Long, Array[(Long, Array[Float])]] = {
-      val byCell = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
-      qCollected.foreach { case (qid, qv) =>
-        cents.map { case (cid, ce) => (cid, cosineKernel(qv, ce)) }
-          .sortBy { case (cid, cs) => (-cs, cid) }.take(probes)
-          .foreach { case (cid, _) =>
-            byCell.getOrElseUpdate(cid,
-              scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
-          }
-      }
-      byCell.map { case (cid, qs) => (cid, qs.toArray) }.toMap
-    }
     val cb = sp.sparkContext.broadcast(cents)
-    val qb = sp.sparkContext.broadcast(qProbes)
     val bb = sp.sparkContext.broadcast(bounds)
-    // single corpus pass: cell assignment + SQ8 encode, floats dropped
-    val index = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -713,9 +688,53 @@ object Similarity {
           }
           (id, best, codes)
         }
-      }.toDF("neighbor_id", "cid", "codes")
+      }.toDF("vec_id", "cid", "codes")
+  }
+
+  /** IVF-SQ8 ANN over a MATERIALIZED index (see [[ivfSq8Index]]): the
+    * candidate scan reads `(vec_id, cid, codes)` ONLY — cells outside
+    * every query's probe set are skipped by a broadcast cell-set filter
+    * before any decode, scanned rows stream 1 byte/dim, and `corpus`'s
+    * float embeddings are touched just for the exact rerank of the
+    * `k·candMult` survivors. Queries collect to the driver (small side
+    * by the [[knn]] broadcast contract), so probe cells are computed
+    * against the in-memory codebook with zero extra jobs. Quantized
+    * scores are [[cosineKernelFD]] against the decoded cell midpoint
+    * (round-6, id tiebreak — bit-identical cross-engine); the only
+    * shuffles are the two candidate top-k windows and the rerank
+    * equi-join. */
+  def ivfSq8KnnFromIndex(queries: DataFrame, index: DataFrame,
+      corpus: DataFrame, k: Int, probes: Int,
+      cents: Array[(Long, Array[Float])],
+      bounds: (Array[Double], Array[Double]), candMult: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(candMult >= 1, "candMult must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    // probe cells per query, computed driver-side against the codebook:
+    // same (-round6 cosine, cid) order as ivfProbeRerank's nearest()
+    val qProbes: Map[Long, Array[(Long, Array[Float])]] = {
+      val byCell = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      qCollected.foreach { case (qid, qv) =>
+        cents.map { case (cid, ce) => (cid, cosineKernel(qv, ce)) }
+          .sortBy { case (cid, cs) => (-cs, cid) }.take(probes)
+          .foreach { case (cid, _) =>
+            byCell.getOrElseUpdate(cid,
+              scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
+          }
+      }
+      byCell.map { case (cid, qs) => (cid, qs.toArray) }.toMap
+    }
+    val qb = sp.sparkContext.broadcast(qProbes)
+    val bb = sp.sparkContext.broadcast(bounds)
     // quantized candidate scan: probed cells only, codes only
-    val approx = index.as[(Long, Long, Array[Byte])]
+    val approx = index
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         val probed = qb.value
         val (m, s) = bb.value

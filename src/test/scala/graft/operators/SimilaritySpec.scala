@@ -167,6 +167,44 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"control expected one 197-member group, saw ${Similarity.CellTaskGauge.peak}")
   }
 
+  test("ivfSq8 index roundtrips through parquet and its scan never reads the floats") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfsq8-idx").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val bounds = Similarity.sq8Bounds(e, "embedding")
+    val cents = Similarity.kmeansCodebook(e, "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    // build once, persist, serve from the stored index — the production
+    // shape; results must equal the fused single-call path
+    Similarity.ivfSq8Index(e, cents, bounds)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val stored = spark.read.parquet(s"$tmp/index")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromIndex = Similarity.ivfSq8KnnFromIndex(q, stored, e, 3, 4, cents, bounds)
+    val fused = Similarity.ivfSq8KnnFromIndex(q,
+      Similarity.ivfSq8Index(e, cents, bounds), e, 3, 4, cents, bounds)
+    assert(rows(fromIndex) === rows(fused),
+      "stored-index results diverged from the fused path")
+    // the candidate scan reads the index columns only, never embeddings
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity.ivfSq8KnnFromIndex(q, stored, e, 3, 4, cents, bounds)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.requiredSchema.fieldNames.toSet
+        }
+      assert(scans.exists(s => s.contains("codes") && !s.contains("embedding")),
+        s"no codes-only index scan: $scans")
+      assert(scans.forall(s => !(s.contains("codes") && s.contains("embedding"))),
+        s"a scan reads codes AND embeddings: $scans")
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("sq8 candidate scan reads the materialized codes, never the float column") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq8-codes").toString
     val bounds = Similarity.sq8Bounds(emb, "embedding")
