@@ -152,6 +152,67 @@ object Dedup {
     (cands, allBands)
   }
 
+  /** EXACT duplicate spans across documents (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring recipe): every maximal character span of length ≥
+    * `minLen` shared verbatim between two documents, located by
+    * position on both sides. Character `k`-grams with positions join on
+    * gram equality; matches at a fixed position OFFSET (`pos1 − pos2`,
+    * the diagonal) with consecutive positions form one shared run, so
+    * runs are recovered with a per-(pair, diagonal) window — the
+    * sessionize-on-gap shape — and `span_len = maxPos − minPos + k`.
+    * Pure integer arithmetic end to end: hash-exact across engines.
+    *
+    * Scale posture: gram rows are O(total characters) — the honest cost
+    * of the exact algorithm (Lee et al. use a suffix array on one
+    * machine; the relational shape distributes). The join is an
+    * equi-join on gram; a stop-gram hot key ("ing the ") can square —
+    * `dfCap` drops grams seen in more than that many DOCUMENTS (the
+    * [[jaccardPairs]] cap pattern; capped grams can only split a long
+    * span, never invent one). At corpus scale, screen with
+    * [[TextAnalysis.winnowFingerprints]] first and run exact spans on
+    * the candidate pairs. Output: (id1, id2, start1, start2, span_len),
+    * 1-based positions, id1 < id2. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minLen: Int = 40, dfCap: Int = Int.MaxValue): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minLen >= k, "minLen below k would emit sub-gram spans")
+    val grams = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("doc_id"),
+        lower(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("t")) - k + 1),
+          i => struct(i.cast("int").as("pos"),
+            substring(col("t"), i, lit(k)).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val capped =
+      if (dfCap == Int.MaxValue) grams
+      else {
+        val hot = grams.select(col("gram"), col("doc_id")).distinct()
+          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > dfCap).select(col("gram"))
+        grams.join(hot, Seq("gram"), "left_anti")
+      }
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.pos").as("pos1"), col("b.pos").as("pos2"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("pos1"))
+    pairs
+      .withColumn("brk",
+        when(col("pos1") - lag(col("pos1"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("run", sum(col("brk")).over(w))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("run"))
+      .agg(min(col("pos1")).as("start1"), min(col("pos2")).as("start2"),
+        (max(col("pos1")) - min(col("pos1")) + k).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id1"), col("id2"), col("start1"), col("start2"), col("span_len"))
+  }
+
   /** Banded MinHash keys: one `(doc_id, band, key)` row per band, where
     * `key` joins the band's `r` signature components — the LSH bucket
     * representation BOTH sides of any MinHash-LSH match use. Map-only

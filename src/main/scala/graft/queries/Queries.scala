@@ -2977,6 +2977,42 @@ object Queries {
         sb.toString
       }),
 
+    // ---- Exact duplicate spans across documents (Lee et al. 2022
+    //      exact-substring dedup): positioned k-gram equi-join +
+    //      per-diagonal run recovery — pure integer arithmetic ----
+    QueryDef(
+      "t23_dup_spans",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.duplicateSpans(
+            t(s, dir, "documents").filter($"doc_id" % 10 === 0),
+            "doc_id", "text", k = 8, minLen = 16)
+          .orderBy($"id1", $"id2", $"start1", $"start2")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
+                 AND text IS NOT NULL AND length(text) >= 8),
+        g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                substr(t, CAST(i AS INTEGER), 8) AS gram
+              FROM d, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
+                b.pos AS pos2, a.pos - b.pos AS diag
+              FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id),
+        r AS (SELECT id1, id2, diag, pos1, pos2,
+                CASE WHEN pos1 - lag(pos1) OVER (PARTITION BY id1, id2, diag
+                    ORDER BY pos1) = 1 THEN 0 ELSE 1 END AS brk
+              FROM p),
+        runs AS (SELECT id1, id2, diag, pos1, pos2,
+                   sum(brk) OVER (PARTITION BY id1, id2, diag
+                     ORDER BY pos1) AS run FROM r),
+        spans AS (SELECT id1, id2,
+                    CAST(min(pos1) AS INTEGER) AS start1,
+                    CAST(min(pos2) AS INTEGER) AS start2,
+                    CAST(max(pos1) - min(pos1) + 8 AS INTEGER) AS span_len
+                  FROM runs GROUP BY id1, id2, diag, run)
+        SELECT id1, id2, start1, start2, span_len FROM spans
+        WHERE span_len >= 16 ORDER BY id1, id2, start1, start2""")),
+
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard
     //      web-scrape prose gate, one map-only projection ----

@@ -195,6 +195,39 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel(2L)._2 == 0.0 && kernel(1L)._2 >= 0.5)
   }
 
+  test("duplicateSpans finds planted verbatim spans at exact positions, nothing else") {
+    val sp = spark; import sp.implicits._
+    // planted verbatim (case-folded): both docs flank "shared span here"
+    // with spaces, so the MAXIMAL shared span is " shared span here "
+    // (18 chars) — doc 1 from position 5 (after "aaaa"), doc 2 from
+    // position 3 (after "cc"). Maximality is the point: the run must
+    // extend to the flanking matches, not stop at what was "planted".
+    val docs = Seq(
+      (1L, "aaaa SHARED SPAN HERE bbbb"),
+      (2L, "cc shared span here dd"),
+      (3L, "totally unrelated text with zero overlap qq"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(got === Set((1L, 2L, 5, 3, 18)), s"span mismatch: $got")
+    // minLen above the maximal span: silence
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minLen = 19)
+      .count() === 0)
+    // a WITHIN-document repeat never pairs a doc with itself
+    val selfRep = Seq((7L, "zzz motif repeats motif repeats zzz"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(selfRep, "doc_id", "text", k = 8, minLen = 10)
+      .count() === 0)
+    // dfCap drops a gram present in too many docs: with every doc sharing
+    // the hot span, dfCap=2 silences what an uncapped run reports
+    val hot = Seq((1L, "xx common motif block aa"), (2L, "yy common motif block bb"),
+      (3L, "zz common motif block cc")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(hot, "doc_id", "text", k = 8, minLen = 16).count() > 0)
+    assert(Dedup.duplicateSpans(hot, "doc_id", "text", k = 8, minLen = 16, dfCap = 2)
+      .count() === 0)
+  }
+
   test("duplicate clusters: transitive pairs become one component") {
     // components: {1,2,3,4} via chain, {10,11} direct, {20,21,22} triangle
     val pairs = spark.createDataFrame(Seq(
