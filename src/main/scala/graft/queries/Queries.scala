@@ -2986,15 +2986,19 @@ object Queries {
         import s.implicits._
         graft.operators.Dedup.duplicateSpans(
             t(s, dir, "documents").filter($"doc_id" % 10 === 0),
-            "doc_id", "text", k = 8, minLen = 16)
+            "doc_id", "text", k = 8, minLen = 16, dfCap = 64)
           .orderBy($"id1", $"id2", $"start1", $"start2")
       },
       Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
                WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
                  AND text IS NOT NULL AND length(text) >= 8),
-        g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        gall AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
                 substr(t, CAST(i AS INTEGER), 8) AS gram
               FROM d, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)),
+        hot AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS n FROM gall GROUP BY gram)
+                WHERE n > 64),
+        g AS (SELECT * FROM gall WHERE gram NOT IN (SELECT gram FROM hot)),
         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
                 b.pos AS pos2, a.pos - b.pos AS diag
               FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id),
