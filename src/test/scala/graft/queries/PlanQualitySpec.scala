@@ -117,6 +117,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("t23 duplicate-span gram join is an equi join, never a cartesian") {
+    val p = plan("t23_dup_spans")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
