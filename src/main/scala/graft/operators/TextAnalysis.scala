@@ -270,6 +270,33 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Character-level Shannon entropy per document (nats): the standard
+    * degenerate-content screen — repeated-character/boilerplate spam
+    * scores near 0, natural prose sits in a narrow band, and uniform
+    * noise maxes out at ln(alphabet). Relational shape: one hash agg
+    * keyed (doc, char) + one keyed (doc), both map-side partial;
+    * `−Σ p·ln p` sums DECIMAL addends (partition-merge-order
+    * independent) and rounds to 6, engine-portable. Case-folded.
+    * Output: `(doc_id, n_chars, entropy)`. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val counts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= 1)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(transform(sequence(lit(1), length(t)),
+          i => substring(t, i, lit(1)))).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    counts.withColumn("n", sum(col("cnt")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("int").as("n_chars"),
+        round(-sum((p * log(p))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double"), 6).as("entropy"))
+  }
+
   /** BPE merge training (Sennrich et al. 2016): learn the `nMerges`
     * most frequent adjacent-symbol merges over the corpus vocabulary —
     * the tokenizer-training primitive. Classic algorithm, distributed

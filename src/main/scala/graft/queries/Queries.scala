@@ -2977,6 +2977,28 @@ object Queries {
         sb.toString
       }),
 
+    // ---- Character-level Shannon entropy (nats) — the degenerate-
+    //      content screen: repeated-char spam ≈ 0, prose in a narrow
+    //      band, noise → ln(alphabet) ----
+    QueryDef(
+      "t24_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .charEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, ch, count(*) AS cnt FROM (
+            SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), 1) AS ch
+            FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 1)
+          GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY 1)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+          round(-CAST(sum(CAST((cnt / CAST(n AS DOUBLE))
+            * ln(cnt / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        FROM c JOIN tot USING (doc_id) GROUP BY doc_id, n ORDER BY doc_id""")),
+
     // ---- Exact duplicate spans across documents (Lee et al. 2022
     //      exact-substring dedup): positioned k-gram equi-join +
     //      per-diagonal run recovery — pure integer arithmetic ----

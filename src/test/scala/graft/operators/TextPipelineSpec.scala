@@ -206,6 +206,28 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none === Set((1L, 8L), (2L, 3L)))
   }
 
+  test("charEntropy: zero for repeated chars, ln(k) for uniform alphabets, case-folded") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"), // degenerate: entropy 0
+      (2L, "abababab"), // two uniform symbols: ln 2
+      (3L, "abcd"), // four uniform symbols: ln 4
+      (4L, "AaAa")) // case-folded -> one symbol: 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((8, 0.0)))
+    assert(got(2L)._2 === math.rint(math.log(2) * 1e6) / 1e6)
+    assert(got(3L)._2 === math.rint(math.log(4) * 1e6) / 1e6)
+    assert(got(4L) === ((4, 0.0)))
+    // repetition-heavy text scores strictly below varied text of equal length
+    val cmp = TextAnalysis.charEntropy(Seq(
+      (10L, "spam spam spam spam spam"), (11L, "the quick brown fox dove"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cmp(10L) < cmp(11L), s"repetition not penalized: $cmp")
+  }
+
   test("gopherQuality: prose passes; short, numeric, and stopword-free docs fail with the right signal") {
     val sp = spark; import sp.implicits._
     val prose = (("the quick brown fox jumps over that lazy dog with " * 6) +
