@@ -279,14 +279,37 @@ object TextAnalysis {
     * independent) and rounds to 6, engine-portable. Case-folded.
     * Output: `(doc_id, n_chars, entropy)`. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = lower(col(textCol))
+    val sp = df.sparkSession
+    import sp.implicits._
+    // per-partition counting kernel instead of exploding one row per
+    // character: the explode forms a corpus-length intermediate (50M
+    // rows at sf0.1, measured 6.0 s) while the kernel emits only the
+    // ~alphabet-sized (doc, char, count) rows. Code-point iteration so
+    // astral-plane characters count once, Locale.ROOT fold.
     val counts = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= 1)
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(transform(sequence(lit(1), length(t)),
-          i => substring(t, i, lit(1)))).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val m = scala.collection.mutable.HashMap.empty[Int, Long]
+        val lo = text.toLowerCase(java.util.Locale.ROOT)
+        var i = 0
+        while (i < lo.length) {
+          val cp = lo.codePointAt(i)
+          m.update(cp, m.getOrElse(cp, 0L) + 1L)
+          i += Character.charCount(cp)
+        }
+        (id, m.iterator.map { case (cp, cnt) =>
+          (new String(Character.toChars(cp)), cnt)
+        }.toSeq)
+      })
+      .toDF("doc_id", "chs")
+      .select(col("doc_id"), explode(col("chs")).as("c"))
+      .select(col("doc_id"), col("c._1").as("ch"), col("c._2").as("cnt0"))
+      // duplicate doc_ids across input rows merge exactly as the
+      // original per-character groupBy did
+      .groupBy(col("doc_id"), col("ch")).agg(sum(col("cnt0")).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val p = col("cnt").cast("double") / col("n").cast("double")
     counts.withColumn("n", sum(col("cnt")).over(w))
