@@ -391,14 +391,47 @@ object TextAnalysis {
     * resulting subword tokens per document — the "how many tokens will
     * this cost" signal with a REAL trained tokenizer instead of a
     * whitespace proxy. Encoding runs on the DISTINCT word set, not the
-    * corpus: each vocab word's character segmentation folds through the
-    * merge list in rank order (the same double-space `replace` rewrite
-    * training used, so encode is exactly training's greedy
-    * left-to-right semantics), and documents join their words back to
-    * the precomputed subword counts — cost ∝ vocab + one equi-join,
-    * regardless of how often words repeat. Output:
-    * `(doc_id, n_words, n_bpe_tokens)`. */
+    * corpus: each vocab word's segmentation applies the merge list in
+    * rank order (each merge rewrites ALL its occurrences left-to-right
+    * non-overlapping — exactly training's greedy semantics), and
+    * documents join their words back to the precomputed subword counts —
+    * cost ∝ vocab + one equi-join, regardless of how often words repeat.
+    *
+    * The merge application is a per-partition KERNEL over the vocab, not
+    * a Column fold: folding 30k–50k merges (a real tokenizer's table)
+    * into one nested-`replace` expression builds a Catalyst tree whose
+    * depth equals the merge count — analysis cost and codegen method
+    * limits break long before production size. The kernel is a plain
+    * rank-ordered loop per word with a symbols-present prefilter (two
+    * hash probes skip merges whose pair can't occur), so a 30k-merge
+    * table costs 30k probes + the handful of real merge passes per
+    * word. [[bpeEncodeCountsColumn]] keeps the pure-Column form as the
+    * spec-pinned semantic twin. Output: `(doc_id, n_words,
+    * n_bpe_tokens)`. */
   def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val mergeArr = merges.toArray
+    val words = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+    val vocabCounts = words.select(col("word")).distinct()
+      .as[String]
+      .mapPartitions(_.map(w => (w, bpeSubwordCount(w, mergeArr))))
+      .toDF("word", "n_sub")
+    words.join(vocabCounts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
+  /** Pure-Column twin of [[bpeEncodeCounts]]: folds the merges into one
+    * nested-`replace` expression (depth = merge count). Identical
+    * semantics — the spec pins them row-for-row equal — but only usable
+    * at small merge counts; a production-size merge table must go
+    * through the kernel form. */
+  def bpeEncodeCountsColumn(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
@@ -416,6 +449,58 @@ object TextAnalysis {
     words.join(vocabCounts, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
+  /** Kernel body for [[bpeEncodeCounts]]: segment `word` into
+    * single-code-point symbols, apply `merges` IN RANK ORDER — one
+    * left-to-right non-overlapping pass over the symbol array per merge,
+    * the array-level restatement of the double-space `replace` rewrite
+    * (symbols never contain spaces, so every string-level match aligns
+    * on symbol boundaries) — and return the surviving symbol count.
+    * NOT the classic min-rank-first encode loop: when a later merge
+    * forms a pair an EARLIER merge would match, rank-order single-pass
+    * (training's and the Column form's semantics) does not revisit it,
+    * and min-rank-first would — the two disagree exactly there. The
+    * `present` set is a superset of symbols ever seen (never pruned),
+    * so the prefilter only skips merges that provably cannot match. */
+  private def bpeSubwordCount(word: String,
+      merges: Array[(String, String)]): Int = {
+    var syms = new Array[String](word.codePointCount(0, word.length))
+    val present = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    var n = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val s = new String(Character.toChars(cp))
+      syms(n) = s
+      present += s
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var len = n
+    var m = 0
+    while (m < merges.length && len >= 2) {
+      val (l, r) = merges(m)
+      if (present.contains(l) && present.contains(r)) {
+        var read = 0
+        var write = 0
+        var mergedAny = false
+        while (read < len) {
+          if (read + 1 < len && syms(read) == l && syms(read + 1) == r) {
+            syms(write) = l + r
+            mergedAny = true
+            read += 2
+          } else {
+            syms(write) = syms(read)
+            read += 1
+          }
+          write += 1
+        }
+        if (mergedAny) { present += l + r; len = write }
+      }
+      m += 1
+    }
+    len
   }
 
   /** BM25 top-`k` retrieval: score every query against the corpus with

@@ -206,6 +206,55 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none === Set((1L, 8L), (2L, 3L)))
   }
 
+  test("bpeEncodeCounts kernel is row-for-row equal to the Column twin on trained merges") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the bat and the cat chat"),
+      (3L, "concatenate the catalogue"), (4L, "aaab aab abab banana"),
+      (5L, "mississippi missive"), (6L, "zzz zz z")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 32)
+      .orderBy($"rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = rows(TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", merges))
+    val column = rows(TextAnalysis.bpeEncodeCountsColumn(docs, "doc_id", "text", merges))
+    assert(kernel === column, "kernel and Column encoder disagree")
+  }
+
+  test("bpeEncodeCounts is rank-order single-pass, not min-rank-first iteration") {
+    val sp = spark; import sp.implicits._
+    // merge 1 = (ab, c) cannot apply until merge 2 = (a, b) creates the
+    // "ab" symbol; rank-order single-pass (training's semantics) never
+    // revisits merge 1, so "abc" must encode to [ab, c] = 2 tokens.
+    // A min-rank-first loop would re-apply merge 1 and emit 1 token.
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val kernel = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(kernel === Set((1L, 2L)), s"not rank-order single-pass: $kernel")
+    val column = TextAnalysis.bpeEncodeCountsColumn(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(column === kernel)
+  }
+
+  test("bpeEncodeCounts applies a 5000-merge table (production scale) without blowup") {
+    val sp = spark; import sp.implicits._
+    // a deep applicable chain (a+a doubling, then suffix growth) mixed
+    // into thousands of never-matching merges: the kernel must stay a
+    // cheap prefilter loop where the Column fold would build a
+    // 5000-deep expression tree.
+    val chain = Seq(("a", "a"), ("aa", "aa"), ("aaaa", "aaaa"), ("aaaaaaaa", "b"))
+    val noise = (0 until 4996).map(i => (s"q${i}x", s"q${i}y"))
+    val merges = chain ++ noise
+    val docs = Seq((1L, "aaaaaaaab aab"), (2L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // aaaaaaaab: [a*8,b] -> [aa*4,b] -> [aaaa*2,b] -> [a8,b] -> [a8b] = 1
+    // aab: [a,a,b] -> [aa,b] = 2 ; aaaa: -> [aa,aa] -> [aaaa] = 1
+    assert(got === Set((1L, 2L, 3L), (2L, 1L, 1L)), s"5k-merge encode wrong: $got")
+  }
+
   test("charEntropy: zero for repeated chars, ln(k) for uniform alphabets, case-folded") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
