@@ -83,6 +83,15 @@ object Sketches {
   def countMin(width: Int, depth: Int = CMDepth): Aggregator[String, Array[Long], CMSketch] = {
     require(width >= 1, "width must be positive")
     require(depth >= 1, "depth must be positive")
+    // (a, b) per row ONCE at construction: rows ≥ 4 derive their
+    // constants via MD5, and deriving inside reduce would pay a fresh
+    // digest per record per extra row
+    val as = new Array[Long](depth)
+    val bs = new Array[Long](depth)
+    var r0 = 0
+    while (r0 < depth) {
+      val (a, b) = cmHashParams(r0); as(r0) = a; bs(r0) = b; r0 += 1
+    }
     new Aggregator[String, Array[Long], CMSketch] {
       override def zero: Array[Long] = new Array[Long](depth * width)
       override def reduce(buf: Array[Long], key: String): Array[Long] = {
@@ -90,7 +99,7 @@ object Sketches {
           val h = cmBaseHash(key)
           var r = 0
           while (r < depth) {
-            buf(r * width + cmIndex(h, r, width)) += 1
+            buf(r * width + (((as(r) * h + bs(r)) % P) % width).toInt) += 1
             r += 1
           }
         }

@@ -73,15 +73,21 @@ object Multimodal {
     * (floor(x·w/outW), floor(y·h/outH)) — integer arithmetic, so the
     * mapping is exact, deterministic, and expressible by any engine
     * (the m02 oracle recomputes it in SQL). Works for any channel
-    * count; Long intermediates so huge dimensions cannot overflow the
-    * index math. */
+    * count; Long intermediates in the source mapping AND a Long bound
+    * on the output allocation, so huge requested dimensions fail with
+    * a clear message instead of wrapped Int index math. */
   def resizeNearest(pixels: Array[Byte], w: Int, h: Int, channels: Int,
       outW: Int, outH: Int): Array[Byte] = {
     require(w >= 1 && h >= 1 && channels >= 1, s"bad input dims ${w}x$h×$channels")
     require(outW >= 1 && outH >= 1, s"bad output dims ${outW}x$outH")
     require(pixels.length == w * h * channels,
       s"pixel buffer ${pixels.length} != ${w}x$h×$channels")
-    val out = new Array[Byte](outW * outH * channels)
+    // Long BEFORE allocation (same pattern as the Png decoder): the
+    // requested output size is caller data and can overflow Int
+    val outL = outW.toLong * outH * channels
+    require(outL <= Int.MaxValue,
+      s"resized buffer $outL B exceeds a JVM array (${outW}x$outH×$channels)")
+    val out = new Array[Byte](outL.toInt)
     var y = 0
     while (y < outH) {
       val sy = (y.toLong * h / outH).toInt

@@ -16,8 +16,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * written by the JDK's own ImageIO encoder, palette included).
   * Encoder: greyscale with a caller-chosen filter type, so decode
   * paths are exercised end-to-end. Deliberately NOT supported
-  * (throws): bit depths ≠ 8, interlacing, tRNS palette transparency —
-  * fail loudly rather than return wrong pixels.
+  * (throws): bit depths ≠ 8, interlacing, tRNS transparency (any
+  * colour type) — fail loudly rather than return wrong pixels.
   */
 object Png {
 
@@ -139,6 +139,12 @@ object Png {
           plte = java.util.Arrays.copyOfRange(png, pos + 8, pos + 8 + len)
         case "IDAT" => idat.write(png, pos + 8, len)
         case "IEND" => seenIend = true
+        case "tRNS" =>
+          // transparency for colour types 0/2/3 — decoding while
+          // dropping it would be exactly the wrong-pixels outcome the
+          // header contract pledges to reject
+          throw new IllegalArgumentException(
+            "tRNS transparency unsupported: decoding would drop alpha")
         case _ => // ancillary chunk (tEXt, pHYs, gAMA …): skip
       }
       pos += 12 + len

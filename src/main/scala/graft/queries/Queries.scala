@@ -1276,11 +1276,16 @@ object Queries {
         v AS (SELECT doc_id, ns,
                 ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 256
                   + ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS v
-              FROM sm)
+              FROM sm),
+        -- sign-extend: samples are SIGNED big-endian 16-bit, so the
+        -- oracle must model the sign path even though ASCII payloads
+        -- never set the high bit
+        s AS (SELECT doc_id, ns,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v)
         SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
-          CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
-          CAST(max(v) AS INTEGER) AS peak
-        FROM v GROUP BY doc_id, ns ORDER BY media_id""")),
+          CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+          CAST(max(abs(s)) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id, ns ORDER BY media_id""")),
 
     // ---- Window: full ranking-function family ----
     QueryDef(

@@ -132,6 +132,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("output dims"))
   }
 
+  test("nearest-neighbor resize rejects outputs beyond a JVM array with a clear message") {
+    val msg = intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(Array[Byte](0, 0, 0), 1, 1, 3, 50000, 50000)
+    }.getMessage
+    assert(msg.contains("resized buffer"), s"wrong failure: $msg")
+  }
+
   test("pcm16 features: hand-computed samples, negative peaks, odd trailing byte ignored") {
     val sp = spark; import sp.implicits._
     // big-endian pairs: (0x01,0x00)=256, (0x80,0x00)=-32768, (0x00,0x7F)=127,

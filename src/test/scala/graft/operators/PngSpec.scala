@@ -134,6 +134,19 @@ class PngSpec extends AnyFunSuite {
       .getMessage.contains("missing PLTE"))
   }
 
+  test("tRNS transparency is rejected loudly, not silently dropped") {
+    // a palette PNG with a tRNS chunk: decoding to opaque RGB would be
+    // exactly the wrong-pixels outcome the header contract rejects
+    val plte = Array[Byte](10, 20, 30, 40, 50, 60)
+    val good = palettePng(4, 2, plte, Array[Byte](0, 1, 0, 1, 1, 0, 1, 0))
+    // splice a tRNS chunk (one alpha entry) after PLTE:
+    // signature(8) + IHDR(25) + PLTE(12 + plte.length)
+    val cut = 8 + 25 + 12 + plte.length
+    val withTrns = good.take(cut) ++ chunk("tRNS", Array[Byte](0)) ++ good.drop(cut)
+    assert(intercept[IllegalArgumentException] { Png.decode(withTrns) }
+      .getMessage.contains("tRNS"))
+  }
+
   test("hostile chunk length near Int.MaxValue fails the bounds check, not array access") {
     // len = 0x7FFFFFF0 wraps an Int `pos + 12 + len` negative; the check
     // must be done in Long arithmetic and throw the contract exception
