@@ -329,11 +329,20 @@ object Graph {
     * agg twice, both semi-join probe sides, plus the keep subtree) —
     * lazy chaining would replay the chain 5^rounds times, so each
     * round's survivors materialize eagerly by default
-    * (`checkpointEvery = 1`; measured 32 s → 2.2 s at sf0.1). */
+    * (`checkpointEvery = 1`; measured 32 s → 2.2 s at sf0.1).
+    *
+    * `stopEarly = true` stops as soon as a round drops nobody: each
+    * round's surviving-edge count is an `Observation` riding the SAME
+    * per-round materialization (no second count job — the [[pageRank]]
+    * convergence pattern), and since every node in the edge frame has
+    * ≥ 1 edge, an unchanged edge count ⟺ an empty peel round ⟺ the
+    * fixpoint. Output is provably identical to any longer run; keep
+    * the default `false` for fixed-round oracle lockstep. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int = 8, checkpointEvery: Int = 1): DataFrame = {
+      rounds: Int = 8, checkpointEvery: Int = 1,
+      stopEarly: Boolean = false): DataFrame = {
     val (lazyOut, lastCkpt) =
-      kCoreLazy(edges, srcCol, dstCol, k, rounds, checkpointEvery)
+      kCoreLazy(edges, srcCol, dstCol, k, rounds, checkpointEvery, stopEarly)
     // one final materialization frees every intermediate block NOW
     val out = lazyOut.localCheckpoint(true)
     lastCkpt.foreach(_.unpersist())
@@ -347,37 +356,62 @@ object Graph {
     * `Scan ExistingRDD`, hiding the joins (the
     * [[Dedup.minhashCandidatesLazy]] pattern). */
   private[graft] def kCoreLazy(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int, checkpointEvery: Int): (DataFrame, Option[DataFrame]) = {
+      k: Int, rounds: Int, checkpointEvery: Int,
+      stopEarly: Boolean = false): (DataFrame, Option[DataFrame]) = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "need at least one peel round")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     // the canonical edge set materializes ONCE: every round references
     // its edge frame several times, and each of those must hit a
     // materialized block, not replay the caller's join lineage
-    var und = edges
+    val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+    // stopEarly needs the round-0 edge count as the comparison base; the
+    // observation rides the materialization that happens regardless
+    var prevEdges = -1L
+    var und =
+      if (stopEarly) {
+        val obs = org.apache.spark.sql.Observation("kcore-init")
+        val c = canon.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+        prevEdges = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        c
+      } else canon.localCheckpoint(true)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
     var lastCkpt: Option[DataFrame] = Some(und)
     var i = 0
-    while (i < rounds) {
+    var converged = stopEarly && prevEdges == 0L
+    while (i < rounds && !converged) {
       val keep = degrees(und).filter(col("dg") >= k).select(col("node"))
-      und = und
+      val next = und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
       i += 1
-      if (i % checkpointEvery == 0 && i < rounds) {
-        und = und.localCheckpoint(true)
+      if (stopEarly) {
+        // every node in the edge frame has >= 1 edge, so an unchanged
+        // edge count means the round dropped nobody — the fixpoint
+        val obs = org.apache.spark.sql.Observation(s"kcore-$i")
+        und = next.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+        val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         lastCkpt.foreach(_.unpersist())
         lastCkpt = Some(und)
+        converged = n == prevEdges
+        prevEdges = n
+      } else {
+        und = next
+        if (i % checkpointEvery == 0 && i < rounds) {
+          und = und.localCheckpoint(true)
+          lastCkpt.foreach(_.unpersist())
+          lastCkpt = Some(und)
+        }
       }
     }
+    ConvergenceGauge.lastRounds = i
     (degrees(und).select(col("node"), col("dg").as("degree")), lastCkpt)
   }
 }

@@ -258,4 +258,28 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === core2)
   }
+
+  test("kCore stopEarly halts at the fixpoint with output identical to the fixed run") {
+    val sp = spark; import sp.implicits._
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    // chain peels in 3 rounds + 1 round that drops nobody = 4 executed,
+    // far below the requested 50
+    val early = Graph.kCore(edges, "src", "dst", k = 2, rounds = 50, stopEarly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val executed = Graph.ConvergenceGauge.lastRounds
+    assert(executed === 4, s"expected 4 observed rounds, ran $executed")
+    val fixed = Graph.kCore(edges, "src", "dst", k = 2, rounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early === fixed, "early-stopped core differs from the fixed-round run")
+    // an already-converged graph (the bare clique) stops after one
+    // observed round; a fully-peeled (empty) result also terminates
+    Graph.kCore(clique.toDF("src", "dst"), "src", "dst", k = 2,
+      rounds = 50, stopEarly = true).collect()
+    assert(Graph.ConvergenceGauge.lastRounds === 1,
+      s"stationary graph should stop after round 1, ran ${Graph.ConvergenceGauge.lastRounds}")
+    assert(Graph.kCore(edges, "src", "dst", k = 4, rounds = 50,
+      stopEarly = true).count() === 0)
+  }
 }
