@@ -339,16 +339,32 @@ object TextAnalysis {
     * (greedy left-to-right pair merging within a round, exactly the
     * reference algorithm). Rounds with no pairs left emit nothing and
     * leave segmentations untouched. Output: one row per learned merge,
-    * `(rank, lhs, rhs, cnt)`, rank starting at 1. */
-  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    * `(rank, lhs, rhs, cnt)`, rank starting at 1.
+    *
+    * `maxVocab` bounds the per-round working set on heavy-tailed
+    * corpora: keep only the `maxVocab` most frequent words (count desc,
+    * then word asc — deterministic), a distributed top-N
+    * (`TakeOrdered`), never a global sort. When the corpus vocabulary
+    * already fits, the cap is the identity. NOTE the loop's inherent
+    * cost shape: rounds are SEQUENTIAL driver-launched jobs (each
+    * argmax is an action), so wall-clock ∝ nMerges × per-round latency
+    * — fine at screening-size merge counts; a full 30k-merge tokenizer
+    * train is 30k tiny jobs over this vocab-sized frame. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     require(nMerges >= 1, "nMerges must be positive")
+    require(maxVocab >= 1, "maxVocab must be positive")
     val sp = df.sparkSession
     import sp.implicits._
     val initSeg = concat_ws("  ",
       transform(sequence(lit(1), length(col("word"))),
         i => substring(col("word"), i, lit(1))))
-    var vocab = df.select(explode(tokens(col(textCol))).as("word"))
+    val counted = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val capped =
+      if (maxVocab == Int.MaxValue) counted
+      else counted.orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+    var vocab = capped
       .select(col("cnt"), initSeg.as("seg"))
       .localCheckpoint(true) // vocab-sized: the working set for every round
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

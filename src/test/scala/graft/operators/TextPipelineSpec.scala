@@ -206,6 +206,19 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none === Set((1L, 8L), (2L, 3L)))
   }
 
+  test("bpeMerges maxVocab: identity when the vocab fits, deterministic top-N cap when it doesn't") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    def train(cap: Int) = TextAnalysis.bpeMerges(docs, "text", nMerges = 3, maxVocab = cap)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // 2 distinct words: a cap of 2 (or more) is the identity
+    assert(train(2) === train(1000))
+    assert(train(2) === Seq((1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+    // cap of 1 keeps only aaab (cnt 2 beats aab's 1): (a,a) now counts 4,
+    // and aab's contribution is gone from every round
+    assert(train(1) === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+  }
+
   test("bpeEncodeCounts kernel is row-for-row equal to the Column twin on trained merges") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
