@@ -10,14 +10,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Decoder: 8-bit greyscale (colour type 0), truecolour (2),
   * palette (3 — PLTE-mapped, decoded to RGB), grey+alpha (4) and RGBA
-  * (6), non-interlaced, all five scanline filters
+  * (6), plus 16-bit samples for types 0/2/4/6 (reduced to 8-bit by
+  * keeping the big-endian high byte — the standard practical-pipeline
+  * reduction), non-interlaced, all five scanline filters
   * (None/Sub/Up/Average/Paeth), chunk CRCs verified — enough to
-  * read real-world 8-bit PNGs (MultimodalSpec proves it on images
-  * written by the JDK's own ImageIO encoder, palette included).
-  * Encoder: greyscale with a caller-chosen filter type, so decode
-  * paths are exercised end-to-end. Deliberately NOT supported
-  * (throws): bit depths ≠ 8, interlacing, tRNS transparency (any
-  * colour type) — fail loudly rather than return wrong pixels.
+  * read real-world PNGs (MultimodalSpec proves it on images
+  * written by the JDK's own ImageIO encoder, palette and 16-bit
+  * included). Encoder: greyscale with a caller-chosen filter type, so
+  * decode paths are exercised end-to-end. Deliberately NOT supported
+  * (throws): bit depths other than 8/16, interlacing, tRNS
+  * transparency (any colour type) — fail loudly rather than return
+  * wrong pixels.
   */
 object Png {
 
@@ -97,6 +100,7 @@ object Png {
     val cap = math.min(maxPixelBytes, Int.MaxValue.toLong)
     var pos = 8
     var width = 0; var height = 0; var channels = 0; var colourType = -1
+    var bitDepth = 0
     var seenIhdr = false; var seenIend = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -118,10 +122,13 @@ object Png {
           width = readIntBE(png, pos + 8)
           height = readIntBE(png, pos + 12)
           require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
-          val bitDepth = png(pos + 16) & 0xFF
+          bitDepth = png(pos + 16) & 0xFF
           colourType = png(pos + 17) & 0xFF
           val interlace = png(pos + 20) & 0xFF
-          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          require(bitDepth == 8 || bitDepth == 16,
+            s"unsupported bit depth $bitDepth (only 8 and 16)")
+          require(bitDepth == 8 || colourType != 3,
+            "16-bit palette PNG is not a legal combination")
           // for palette (3) the IDAT stream carries ONE index sample per
           // pixel; the palette lookup expands to RGB after unfiltering
           channels = colourType match {
@@ -151,7 +158,10 @@ object Png {
     }
     require(seenIhdr, "PNG missing IHDR")
     require(colourType != 3 || plte != null, "palette PNG missing PLTE")
-    val bpp = channels // 8-bit samples: bytes per pixel = channels
+    // bytes per pixel = channels × bytes per sample; PNG filters operate
+    // on BYTES at this pixel distance, for 16-bit too (spec §6)
+    val bps = bitDepth / 8
+    val bpp = channels * bps
     // Long math BEFORE any allocation: width/height are attacker data.
     // Palette output is 3 bytes/pixel even though the stream is 1 — cap
     // the EXPANDED size too.
@@ -187,8 +197,19 @@ object Png {
       }
       y += 1
     }
-    if (colourType != 3) Image(width, height, channels, pixels)
-    else {
+    if (colourType != 3 && bps == 1) Image(width, height, channels, pixels)
+    else if (bps == 2) {
+      // 16-bit → 8-bit: keep the high byte of each big-endian sample
+      // (>> 8, the standard practical-pipeline reduction) — the sample
+      // layout is big-endian by spec, so the high byte is byte 0
+      val out = new Array[Byte](width * height * channels)
+      var i = 0
+      while (i < out.length) {
+        out(i) = pixels(2 * i)
+        i += 1
+      }
+      Image(width, height, channels, out)
+    } else {
       // palette expansion: each unfiltered sample is an index into PLTE
       val out = new Array[Byte](width * height * 3)
       val nEntries = plte.length / 3
