@@ -140,6 +140,95 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_sq", "peak")
   }
 
+  /** 64-bit difference hash (dHash — the standard perceptual-hash
+    * recipe for image near-dup detection): greyscale, nearest-resize to
+    * 9×8, then bit `y·8 + x` is set iff pixel (x, y) is darker than its
+    * right neighbor. Resize + comparisons make the hash invariant to
+    * re-encoding and (approximately) to rescaling — the image analogue
+    * of the text SimHash. Greyscale is the integer mean of the first
+    * min(channels, 3) samples (alpha ignored); all arithmetic is
+    * integer, so the hash is engine-portable bit-for-bit. */
+  def dHash64(pixels: Array[Byte], w: Int, h: Int, channels: Int): Long = {
+    require(w >= 1 && h >= 1 && channels >= 1, s"bad dims ${w}x$h×$channels")
+    require(pixels.length == w * h * channels,
+      s"pixel buffer ${pixels.length} != ${w}x$h×$channels")
+    val cc = math.min(channels, 3)
+    val gray =
+      if (channels == 1) pixels
+      else {
+        val g = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          var s = 0
+          var c = 0
+          while (c < cc) { s += pixels(i * channels + c) & 0xFF; c += 1 }
+          g(i) = (s / cc).toByte
+          i += 1
+        }
+        g
+      }
+    val rs = resizeNearest(gray, w, h, 1, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((rs(y * 9 + x) & 0xFF) < (rs(y * 9 + x + 1) & 0xFF))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash over PNG payloads: `(media_id, dhash)`. Map-only
+    * kernel (decode → greyscale → 9×8 resize → 64 comparisons);
+    * non-PNG payloads are skipped — a perceptual screen over a mixed
+    * media corpus indexes what it can read. */
+  def imageDHash(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      if (!Png.isPng(rec.payload)) Iterator.empty
+      else {
+        val img = Png.decode(rec.payload)
+        Iterator.single((rec.media_id,
+          dHash64(img.pixels, img.width, img.height, img.channels)))
+      }
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: all `(id1 < id2)` whose dHashes differ
+    * in at most `maxHamming` of 64 bits, WITHOUT the image×image cross
+    * product — the [[Dedup.simhashPairs]] banded-Hamming shape over the
+    * perceptual hash. The 64-bit hash splits into `bands` equal slices;
+    * pigeonhole (`maxHamming < bands`) means every qualifying pair
+    * shares at least one slice verbatim, so the `(band, key)` equi-join
+    * has recall 1.0 by construction and the exact `bit_count(xor)`
+    * verify is codegen'd scalar math. Shuffle is bands×images rows.
+    * Output: (id1, id2, hamming). */
+  def imageNearDupPairs(ds: Dataset[MediaRecord],
+      maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands): " +
+        "a pair may differ in every band otherwise")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashes = imageDHash(ds)
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair shares several bands; hamming is pair-deterministic
+  }
+
   /** Per-partition batched feature extraction: md5 checksum + 4-bucket
     * byte histogram (byte >> 6) over the decoded payload. `batchSize`
     * bounds peak memory per partition — the same knob a real decoder

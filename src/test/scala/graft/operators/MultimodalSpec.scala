@@ -155,6 +155,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.getInt(1) === 0 && z.getLong(2) === 0L && z.getInt(3) === 0)
   }
 
+  test("dHash64: gradient saturates, reverse gradient zeroes, grey==replicated-RGB, rescale-invariant") {
+    def gradient(w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1)).toByte)
+    // strictly increasing rows -> every right neighbor is brighter ->
+    // all 64 bits set
+    assert(Multimodal.dHash64(gradient(32, 32), 32, 32, 1) === -1L)
+    // the same image at 2x resolution hashes identically (the point of
+    // a perceptual hash)
+    assert(Multimodal.dHash64(gradient(64, 64), 64, 64, 1) === -1L)
+    // reverse gradient: no bit set
+    val rev = gradient(32, 32).reverse
+    assert(Multimodal.dHash64(rev, 32, 32, 1) === 0L)
+    // a 3-channel image with all channels equal hashes like its grey twin
+    val g = gradient(16, 16)
+    val rgb = Array.tabulate(16 * 16 * 3)(i => g(i / 3))
+    assert(Multimodal.dHash64(rgb, 16, 16, 3) === Multimodal.dHash64(g, 16, 16, 1))
+  }
+
+  test("imageNearDupPairs: re-encoded/rescaled images pair, distinct images do not") {
+    val sp = spark; import sp.implicits._
+    def gradient(w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1)).toByte)
+    // D = gradient with a flattened patch: sample column 14 copies
+    // column 10 for the top half -> bit x=3 clears in output rows 0-3,
+    // hamming 4 to the clean gradient
+    val dented = {
+      val px = gradient(32, 32)
+      for (y <- 0 until 16) px(y * 32 + 14) = px(y * 32 + 10)
+      px
+    }
+    val recs = Seq(
+      MediaRecord(1L, "image/png", Png.encodeGray(32, 32, gradient(32, 32), filter = 0)),
+      // same image: 2x resolution AND a different scanline filter (re-encoded)
+      MediaRecord(2L, "image/png", Png.encodeGray(64, 64, gradient(64, 64), filter = 4)),
+      MediaRecord(3L, "image/png", Png.encodeGray(32, 32, gradient(32, 32).reverse, filter = 1)),
+      MediaRecord(4L, "image/png", Png.encodeGray(32, 32, dented, filter = 2)),
+      MediaRecord(5L, "text/plain", "not a png at all".getBytes("US-ASCII"))).toDS()
+    val pairs = Multimodal.imageNearDupPairs(recs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"wrong pair set: $pairs")
+    assert(pairs((1L, 2L)) === 0, "rescaled+re-encoded twin must hash identically")
+    assert(pairs((1L, 4L)) === 4, "dented twin should differ in exactly 4 bits")
+    // non-PNG payloads are skipped, not crashed on
+    assert(Multimodal.imageDHash(recs).count() === 4)
+  }
+
   test("metadata-only queries do not deserialize the payload") {
     val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
     assert(meta.filter(col("media_type") === "image").count() == 50)
