@@ -169,14 +169,100 @@ object Dedup {
     * equi-join on gram; a stop-gram hot key ("ing the ") can square —
     * `dfCap` drops grams seen in more than that many DOCUMENTS (the
     * [[jaccardPairs]] cap pattern; capped grams can only split a long
-    * span, never invent one). At corpus scale, screen with
-    * [[TextAnalysis.winnowFingerprints]] first and run exact spans on
-    * the candidate pairs. Output: (id1, id2, start1, start2, span_len),
+    * span, never invent one). At corpus scale, use
+    * [[duplicateSpansCandidates]] — the winnow-screened composition
+    * with an equality guarantee — instead of this whole-corpus join.
+    * Output: (id1, id2, start1, start2, span_len),
     * 1-based positions, id1 < id2. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minLen: Int = 40, dfCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 2, "k must be at least 2")
     require(minLen >= k, "minLen below k would emit sub-gram spans")
+    val capped = positionedGrams(df, idCol, textCol, k, dfCap)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.pos").as("pos1"), col("b.pos").as("pos2"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    spansFromMatches(pairs, k, minLen)
+  }
+
+  /** [[duplicateSpans]] restricted to an explicit `(id1, id2)` candidate
+    * pair set: the gram equi-join runs only WITHIN the given pairs —
+    * a-side grams join the pair list on doc id, then meet b-side grams
+    * on `(gram, id2)` — so the corpus-wide gram self-join (the part of
+    * the exact algorithm that can square on a popular substring) never
+    * forms. Per-pair semantics are exactly [[duplicateSpans]]'s; pairs
+    * not in `candidates` are simply never examined. The a-side fan-out
+    * is one gram row per candidate PARTNER, which is the point of
+    * screening: a handful of partners per doc, not the corpus. */
+  def duplicateSpansWithin(df: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 20, minLen: Int = 40, dfCap: Int = Int.MaxValue): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minLen >= k, "minLen below k would emit sub-gram spans")
+    val capped = positionedGrams(df, idCol, textCol, k, dfCap)
+    val cand = candidates
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .filter(col("id1") < col("id2")).distinct()
+    val aSide = capped.join(cand, col("doc_id") === col("id1"))
+      .select(col("id1"), col("id2"), col("pos").as("pos1"), col("gram"))
+    val bGrams = capped.select(col("doc_id").as("_b_id"),
+      col("pos").as("pos2"), col("gram").as("_b_gram"))
+    val pairs = aSide.join(bGrams,
+        col("gram") === col("_b_gram") && col("id2") === col("_b_id"))
+      .select(col("id1"), col("id2"), col("pos1"), col("pos2"),
+        (col("pos1") - col("pos2")).as("diag"))
+    spansFromMatches(pairs, k, minLen)
+  }
+
+  /** The corpus-scale composition of [[TextAnalysis.winnowFingerprints]]
+    * and [[duplicateSpans]]: winnow both sides, self-join fingerprints
+    * into candidate doc pairs, and run the exact positioned-gram span
+    * recovery only within those pairs ([[duplicateSpansWithin]]).
+    *
+    * EQUALITY GUARANTEE, not a heuristic: winnowing catches every
+    * shared substring of length ≥ `winnowWindow + winnowKgram − 1`
+    * (Schleimer et al. 2003), and every span this operator must emit is
+    * a shared substring of length ≥ `minLen` — so requiring
+    * `minLen ≥ winnowWindow + winnowKgram − 1` makes every emitted
+    * pair a winnow candidate, and the output is row-identical to
+    * uncapped [[duplicateSpans]] (the spec pins it). The screen changes
+    * COST, not answers: gram-join work collapses from corpus² to
+    * Σ(candidate pairs), which is what makes exact-span dedup runnable
+    * at 100 TB. `fpCap` optionally drops fingerprints shared by more
+    * than that many docs — a recall knob for pathological boilerplate
+    * (capped fingerprints can lose candidate pairs; leave unset to keep
+    * the equality guarantee). */
+  def duplicateSpansCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minLen: Int = 40, dfCap: Int = Int.MaxValue,
+      winnowKgram: Int = 5, winnowWindow: Int = 4,
+      fpCap: Int = Int.MaxValue): DataFrame = {
+    require(minLen >= winnowKgram + winnowWindow - 1,
+      s"minLen=$minLen below the winnow guarantee length " +
+        s"${winnowKgram + winnowWindow - 1}: spans could be missed")
+    val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol,
+      winnowKgram, winnowWindow)
+    val fpsCapped =
+      if (fpCap == Int.MaxValue) fps
+      else {
+        val hot = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > fpCap).select(col("fingerprint"))
+        fps.join(hot, Seq("fingerprint"), "left_anti")
+      }
+    val cand = fpsCapped.as("a").join(fpsCapped.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    duplicateSpansWithin(df, cand, idCol, textCol, k, minLen, dfCap)
+  }
+
+  /** Positioned character `k`-grams of the lowercased text, with the
+    * gram document-frequency cap shared by every duplicate-span
+    * variant. */
+  private def positionedGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int): DataFrame = {
     val grams = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= k)
@@ -187,19 +273,19 @@ object Dedup {
           i => struct(i.cast("int").as("pos"),
             substring(col("t"), i, lit(k)).as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    val capped =
-      if (dfCap == Int.MaxValue) grams
-      else {
-        val hot = grams.select(col("gram"), col("doc_id")).distinct()
-          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > dfCap).select(col("gram"))
-        grams.join(hot, Seq("gram"), "left_anti")
-      }
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.pos").as("pos1"), col("b.pos").as("pos2"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+    if (dfCap == Int.MaxValue) grams
+    else {
+      val hot = grams.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > dfCap).select(col("gram"))
+      grams.join(hot, Seq("gram"), "left_anti")
+    }
+  }
+
+  /** Shared span recovery: positioned gram matches `(id1, id2, pos1,
+    * pos2, diag)` → maximal runs per (pair, diagonal) → spans ≥
+    * `minLen`. */
+  private def spansFromMatches(pairs: DataFrame, k: Int, minLen: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("pos1"))
     pairs

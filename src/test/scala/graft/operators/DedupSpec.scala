@@ -228,6 +228,55 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("duplicateSpansWithin examines ONLY the given candidate pairs") {
+    val sp = spark; import sp.implicits._
+    // two independent duplicated pairs; the candidate set names only one
+    val docs = Seq(
+      (1L, "aaaa SHARED SPAN HERE bbbb"), (2L, "cc shared span here dd"),
+      (3L, "xx other duplicate run yy"), (4L, "qq other duplicate run ww"))
+      .toDF("doc_id", "text")
+    val onlyOne = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = Dedup.duplicateSpansWithin(docs, onlyOne, "doc_id", "text",
+        k = 8, minLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      s"pair (3,4) shares a span but is not a candidate — must be absent: $got")
+    // reversed / self pairs are normalized away, never trusted
+    val junk = Seq((2L, 1L), (3L, 3L)).toDF("id1", "id2")
+    assert(Dedup.duplicateSpansWithin(docs, junk, "doc_id", "text",
+      k = 8, minLen = 16).count() === 0)
+  }
+
+  test("duplicateSpansCandidates equals uncapped duplicateSpans (winnow guarantee)") {
+    val sp = spark; import sp.implicits._
+    // planted spans at several lengths + unrelated docs + a repeated
+    // motif: everything the full gram self-join finds, the screened
+    // composition must find identically
+    val docs = Seq(
+      (1L, "aaaa SHARED SPAN HERE bbbb and more prose follows it"),
+      (2L, "cc shared span here dd completely different tail"),
+      (3L, "xx the quick brown fox jumps over the lazy dog yy"),
+      (4L, "qq the quick brown fox jumps over the lazy dog ww"),
+      (5L, "totally unrelated text with zero overlap whatsoever"),
+      (6L, "another loner document that matches absolutely nobody"),
+      (7L, "prefix then the quick brown fox jumps over the lazy dog end"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    val full = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minLen = 16)
+      .collect().map(key).toSet
+    val screened = Dedup.duplicateSpansCandidates(docs, "doc_id", "text",
+        k = 8, minLen = 16)
+      .collect().map(key).toSet
+    assert(full.nonEmpty, "harness broken: no spans planted")
+    assert(screened === full, s"screened composition diverged:\n full=$full\n scr=$screened")
+    // minLen below the winnow guarantee length is a contract error
+    assertThrows[IllegalArgumentException] {
+      Dedup.duplicateSpansCandidates(docs, "doc_id", "text", k = 4,
+        minLen = 6, winnowKgram = 5, winnowWindow = 4)
+    }
+  }
+
   test("duplicate clusters: transitive pairs become one component") {
     // components: {1,2,3,4} via chain, {10,11} direct, {20,21,22} triangle
     val pairs = spark.createDataFrame(Seq(
