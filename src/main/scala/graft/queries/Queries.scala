@@ -1287,6 +1287,51 @@ object Queries {
           CAST(max(abs(s)) AS INTEGER) AS peak
         FROM s GROUP BY doc_id, ns ORDER BY media_id""")),
 
+    // ---- Multimodal: image near-duplicate pairs via 64-bit dHash —
+    //      each doc's bytes reshape into a REAL 16×(n/16) greyscale PNG,
+    //      decode, greyscale-resize to 9×8, difference-hash, then the
+    //      banded-Hamming equi-join (pigeonhole recall 1.0). The oracle
+    //      recomputes the integer pixel mapping + hash off the text and
+    //      brute-forces pairs — banding must lose nothing ----
+    QueryDef(
+      "m05_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 16)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            val h0 = bytes.length / 16
+            val px = java.util.Arrays.copyOf(bytes, 16 * h0)
+            graft.operators.MediaRecord(id, "image/png",
+              graft.operators.Png.encodeGray(16, h0, px, filter = 3))
+          })
+        graft.operators.Multimodal.imageNearDupPairs(media, maxHamming = 6)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 16 AND octet_length(encode(text)) = length(text)),
+        dims AS (SELECT doc_id, text, n // 16 AS h0 FROM b),
+        gy AS (SELECT doc_id, text, h0, unnest(range(0, 8)) AS y FROM dims),
+        gx AS (SELECT doc_id, text, h0, y, unnest(range(0, 9)) AS x FROM gy),
+        v AS (SELECT doc_id, y, x,
+                ord(substr(text,
+                  CAST(((y * h0) // 8) * 16 + ((x * 16) // 9) AS INTEGER) + 1, 1)) AS v
+              FROM gx),
+        h AS (SELECT a.doc_id,
+                CAST(sum(CASE WHEN a.v < c.v
+                  THEN CAST(1 AS UBIGINT) << CAST(a.y * 8 + a.x AS INTEGER)
+                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+              FROM v a JOIN v c ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+              WHERE a.x < 8 GROUP BY a.doc_id),
+        p AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+                CAST(bit_count(xor(a.h, b2.h)) AS INTEGER) AS hamming
+              FROM h a JOIN h b2 ON a.doc_id < b2.doc_id)
+        SELECT id1, id2, hamming FROM p WHERE hamming <= 6 ORDER BY id1, id2""")),
+
     // ---- Window: full ranking-function family ----
     QueryDef(
       "q29_window_ranking",
@@ -3029,6 +3074,65 @@ object Queries {
         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
                 b.pos AS pos2, a.pos - b.pos AS diag
               FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id),
+        r AS (SELECT id1, id2, diag, pos1, pos2,
+                CASE WHEN pos1 - lag(pos1) OVER (PARTITION BY id1, id2, diag
+                    ORDER BY pos1) = 1 THEN 0 ELSE 1 END AS brk
+              FROM p),
+        runs AS (SELECT id1, id2, diag, pos1, pos2,
+                   sum(brk) OVER (PARTITION BY id1, id2, diag
+                     ORDER BY pos1) AS run FROM r),
+        spans AS (SELECT id1, id2,
+                    CAST(min(pos1) AS INTEGER) AS start1,
+                    CAST(min(pos2) AS INTEGER) AS start2,
+                    CAST(max(pos1) - min(pos1) + 8 AS INTEGER) AS span_len
+                  FROM runs GROUP BY id1, id2, diag, run)
+        SELECT id1, id2, start1, start2, span_len FROM spans
+        WHERE span_len >= 16 ORDER BY id1, id2, start1, start2""")),
+
+    // ---- Corpus-scale exact-span composition: winnow fingerprints
+    //      screen candidate pairs, exact positioned-gram span recovery
+    //      runs only within them — row-identical to t23 by the
+    //      Schleimer et al. winnowing guarantee (every span ≥ minLen is
+    //      a shared substring ≥ the guarantee length) ----
+    QueryDef(
+      "t25_dup_spans_screened",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.duplicateSpansCandidates(
+            t(s, dir, "documents").filter($"doc_id" % 10 === 0),
+            "doc_id", "text", k = 8, minLen = 16, dfCap = 64)
+          .orderBy($"id1", $"id2", $"start1", $"start2")
+      },
+      Some("""WITH wd AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
+                 AND text IS NOT NULL AND length(text) >= 8),
+        wg AS (SELECT doc_id, unnest(range(1, length(t) - 5 + 2)) AS i, t FROM wd),
+        wh AS (SELECT doc_id, i,
+                CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 7))
+                  AS UBIGINT) AS h
+              FROM wg),
+        wm AS (SELECT doc_id, i,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                count(*) OVER (PARTITION BY doc_id) AS nh
+              FROM wh),
+        fp AS (SELECT DISTINCT doc_id, mn AS fingerprint FROM wm WHERE i + 3 <= nh),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM fp a JOIN fp b USING (fingerprint) WHERE a.doc_id < b.doc_id),
+        d AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
+                 AND text IS NOT NULL AND length(text) >= 8),
+        gall AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                substr(t, CAST(i AS INTEGER), 8) AS gram
+              FROM d, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)),
+        hot AS (SELECT gram FROM
+                  (SELECT gram, count(DISTINCT doc_id) AS n FROM gall GROUP BY gram)
+                WHERE n > 64),
+        g AS (SELECT * FROM gall WHERE gram NOT IN (SELECT gram FROM hot)),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
+                b.pos AS pos2, a.pos - b.pos AS diag
+              FROM g a JOIN g b USING (gram)
+              JOIN cand ON a.doc_id = cand.id1 AND b.doc_id = cand.id2),
         r AS (SELECT id1, id2, diag, pos1, pos2,
                 CASE WHEN pos1 - lag(pos1) OVER (PARTITION BY id1, id2, diag
                     ORDER BY pos1) = 1 THEN 0 ELSE 1 END AS brk

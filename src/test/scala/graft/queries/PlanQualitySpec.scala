@@ -123,6 +123,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t25 screened span recovery joins grams on (gram, partner id) — no corpus-wide gram self-join") {
+    val p = plan("t25_dup_spans_screened")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the b-side gram join must carry the candidate partner id as an
+    // equi-key alongside the gram — the line proving the gram join is
+    // restricted to candidate pairs rather than the whole corpus
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("_b_gram")).toSeq
+    assert(joinLines.exists(l => l.contains("_b_id")),
+      s"gram join lost the pair restriction:\n${joinLines.mkString("\n")}\n${p.take(2000)}")
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
