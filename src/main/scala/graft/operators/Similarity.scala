@@ -691,6 +691,30 @@ object Similarity {
       }.toDF("vec_id", "cid", "codes")
   }
 
+  /** APPEND maintenance for a materialized [[ivfSq8Index]]: encode ONLY
+    * the corpus vectors whose `vec_id` is absent from the stored index
+    * (one anti-join) and union them in — the [[Layout.updateManifest]]
+    * append-only pattern applied to the ANN index, so a daily ingest
+    * pays for its new vectors, never a corpus-wide re-encode. Covered
+    * rows pass through BYTE-IDENTICAL (the spec tampers with their
+    * embeddings to prove they are not re-read). Cells and bounds stay
+    * FROZEN by contract — that is what keeps the result identical to a
+    * full rebuild with the same `(cents, bounds)`; if the appended
+    * distribution drifts outside the trained codebook or the SQ8
+    * bounds, retrain/re-bound and rebuild (the same periodic-reindex
+    * discipline every IVF deployment runs). */
+  def updateIvfSq8Index(corpus: DataFrame, index: DataFrame,
+      cents: Array[(Long, Array[Float])],
+      bounds: (Array[Double], Array[Double])): DataFrame = {
+    val existing = index.select(col("vec_id").cast("long").as("vec_id"),
+      col("cid"), col("codes"))
+    val fresh = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    existing.unionAll(ivfSq8Index(fresh, cents, bounds))
+  }
+
   /** IVF-SQ8 ANN over a MATERIALIZED index (see [[ivfSq8Index]]): the
     * candidate scan reads `(vec_id, cid, codes)` ONLY — cells outside
     * every query's probe set are skipped by a broadcast cell-set filter

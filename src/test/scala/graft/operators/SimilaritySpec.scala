@@ -205,6 +205,43 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("updateIvfSq8Index appends only absent vectors; two appends equal a full rebuild") {
+    val e = emb
+    val bounds = Similarity.sq8Bounds(e, "embedding")
+    val cents = Similarity.kmeansCodebook(e, "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val part1 = e.filter(col("vec_id") % 3 === 0)
+    val part2 = e.filter(col("vec_id") % 3 === 1)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    // two appends over a growing corpus == one full rebuild with the
+    // same frozen (cents, bounds)
+    val idx0 = Similarity.ivfSq8Index(part1, cents, bounds)
+    val idx1 = Similarity.updateIvfSq8Index(part1.unionAll(part2), idx0, cents, bounds)
+    val idx2 = Similarity.updateIvfSq8Index(e, idx1, cents, bounds)
+    assert(rows(idx2) === rows(Similarity.ivfSq8Index(e, cents, bounds)),
+      "appended index diverged from a full rebuild")
+    // served results are identical too
+    val q = e.filter(col("vec_id") < 5)
+    def knnRows(idx: DataFrame) = Similarity
+      .ivfSq8KnnFromIndex(q, idx, e, 3, 4, cents, bounds)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(knnRows(idx2) === knnRows(Similarity.ivfSq8Index(e, cents, bounds)))
+    // covered rows are never re-read: corrupt part1's embeddings in the
+    // appended corpus — codes must still be idx0's originals
+    val tampered = e.withColumn("embedding",
+      when(col("vec_id") % 3 === 0,
+        org.apache.spark.sql.functions.transform(col("embedding"), v => v * 100f))
+        .otherwise(col("embedding")))
+    val idxT = Similarity.updateIvfSq8Index(tampered, idx0, cents, bounds)
+    val part1Rows = rows(idx0)
+    assert(rows(idxT.join(part1.select(col("vec_id").cast("long").as("vec_id")),
+      Seq("vec_id"), "left_semi")) === part1Rows,
+      "append re-encoded already-covered vectors")
+    // a no-new-vectors append is the identity
+    assert(rows(Similarity.updateIvfSq8Index(part1, idx0, cents, bounds)) === part1Rows)
+  }
+
   test("sq8 candidate scan reads the materialized codes, never the float column") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq8-codes").toString
     val bounds = Similarity.sq8Bounds(emb, "embedding")
