@@ -42,24 +42,43 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // min of `runs` (default 3): the first absorbs first-touch scan /
-      // codegen noise, the min rides out transient host contention.
-      // Timing uses a noop WRITE, not count(): count() lets the optimizer
-      // prune away the very projections under bench. A failed query is
-      // reported as -1 so it can never masquerade as a fast success.
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // min of ~`runs` total attempts PER QUERY, spread across
+    // SPARK_GRAFT_PASSES (default 2) whole-suite passes: back-to-back
+    // attempts share one contention window, so a run-level tax (round-8's
+    // official record ran 25% above a clean run of identical code —
+    // driver-side co-tenancy) inflates every back-to-back min together.
+    // Two temporally distant samples decorrelate that; same attempt
+    // budget, pass 1 keeps an extra attempt to absorb first-touch scan /
+    // codegen noise. Timing uses a noop WRITE, not count(): count() lets
+    // the optimizer prune away the very projections under bench. A failed
+    // query is reported as -1 so it can never masquerade as a fast
+    // success (any failed attempt poisons the query's result to -1).
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val passAttempts: Seq[Int] =
+      if (passes == 1) Seq(runs)
+      else Seq(math.max(1, runs - (passes - 1))) ++ Seq.fill(passes - 1)(1)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    passAttempts.foreach { attempts =>
+      selected.foreach { case (name, fn) =>
+        val times = (1 to attempts).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        val t = if (times.contains(-1.0)) -1.0 else times.min
+        best(name) = best.get(name) match {
+          case Some(prev) if prev < 0 || t < 0 => -1.0
+          case Some(prev) => math.min(prev, t)
+          case None => t
+        }
+        sweep()
       }
-      sweep()
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    val results = selected.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
