@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators — the C4 / Dolma web-scrape recipes a
+  * training pipeline runs between raw scrape and dedup: corpus-level
+  * line deduplication, PII redaction, and line-level quality rules.
+  * Everything is deterministic Column arithmetic (engine-portable, so
+  * every operator carries a DuckDB oracle query) and shaped for 100 TB:
+  * the one corpus-wide operator ([[lineDedup]]) aggregates instead of
+  * windowing so heavy-hitter lines (the empty line, boilerplate
+  * headers) collapse map-side rather than piling onto one task.
+  */
+object Cleaning {
+
+  /** Corpus-level EXACT line deduplication (the C4 recipe: a line that
+    * appears `minOccurrences`+ times across the corpus is boilerplate —
+    * navigation, cookie banners, licence footers — and every occurrence
+    * except the FIRST is removed; "first" = lexicographically smallest
+    * `(doc_id, line_pos)`, deterministic).
+    *
+    * Scale shape — aggregation, NOT a window: per-line `count` +
+    * `min(struct(doc_id, pos))` is one hash agg with map-side partial
+    * combine, so the corpus's hottest line (usually "") collapses to
+    * one row per map task instead of shuffling every occurrence into a
+    * single window partition — the skew that kills the naive
+    * `row_number() OVER (PARTITION BY line)` formulation at corpus
+    * scale. The join back is a plain equi-join on the line; docs
+    * reassemble by sorting each doc's surviving `(pos, line)` pairs —
+    * per-doc state, bounded by document size. Docs whose every line was
+    * removed survive with empty text. Output: `(doc_id, text, n_lines,
+    * n_removed)`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences below 2 would drop every line")
+    val docs = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    val stats = lines.groupBy(col("line")).agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = lines.join(stats, Seq("line"))
+      .filter(col("occ") < minOccurrences ||
+        struct(col("doc_id"), col("pos")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          p => p.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  // Deliberately unambiguous patterns (no alternation whose match LENGTH
+  // could differ between a backtracking engine and RE2): greedy character
+  // classes with a mandatory suffix agree on the matched span in both.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction — the pre-training scrub every public corpus release
+    * runs (emails, IPv4 addresses, NANP-style phone numbers →
+    * `<EMAIL>`/`<IP>`/`<PHONE>` placeholders). Patterns apply IN ORDER
+    * on the progressively redacted text (so a later pattern can never
+    * re-match inside an earlier placeholder's span), and each count is
+    * the number of spans that pattern actually replaced at its stage.
+    * Map-only projection — the 100 TB cost is one codegen'd regex pass
+    * per pattern. Output: `(doc_id, text, n_emails, n_ips, n_phones)`. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    def cnt(c: Column, p: String) = size(regexp_extract_all(c, lit(p), lit(0)))
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    val t3 = regexp_replace(t2, PhonePattern, "<PHONE>")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        t3.as("text"),
+        cnt(t0, EmailPattern).as("n_emails"),
+        cnt(t1, Ipv4Pattern).as("n_ips"),
+        cnt(t2, PhonePattern).as("n_phones"))
+  }
+
+  /** C4 line-level quality rules (Raffel et al. 2020 §2.2): keep only
+    * lines that END in terminal punctuation (`.` `!` `?` `"`), carry at
+    * least `minWords` alphanumeric words, and contain neither
+    * "javascript" (case-folded) nor curly braces (the leaked-code /
+    * cookie-notice tells); surviving lines rejoin in order. Pure Column
+    * arithmetic over the line array — no explode, no shuffle: the 100 TB
+    * cost is a map-only projection. Output: `(doc_id, text, n_lines,
+    * n_kept)`. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3): DataFrame = {
+    require(minWords >= 1, "minWords must be positive")
+    val lines = split(col(textCol), "\n")
+    def keep(l: Column): Column = {
+      val tl = rtrim(l)
+      tl.rlike("[.!?\"]$") &&
+        size(regexp_extract_all(lower(l), lit("[a-z0-9]+"), lit(0))) >= minWords &&
+        !lower(l).contains("javascript") && !l.contains("{") && !l.contains("}")
+    }
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_join(filter(lines, keep _), "\n").as("text"),
+        size(lines).as("n_lines"),
+        size(filter(lines, keep _)).as("n_kept"))
+  }
+}

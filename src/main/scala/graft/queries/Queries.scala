@@ -3100,23 +3100,22 @@ object Queries {
         import s.implicits._
         graft.operators.Dedup.duplicateSpansCandidates(
             t(s, dir, "documents").filter($"doc_id" % 10 === 0),
-            "doc_id", "text", k = 8, minLen = 16, dfCap = 64)
+            "doc_id", "text", k = 8, minLen = 16, dfCap = 64,
+            winnowWindow = 1)
           .orderBy($"id1", $"id2", $"start1", $"start2")
       },
+      // winnowWindow 1 -> auto kgram = minLen = 16: the ZERO-WASTE
+      // screen (a candidate pair shares a verbatim 16-gram, which IS a
+      // qualifying span) — on this repetitive corpus looser screens
+      // admit most doc pairs and stop screening
       Some("""WITH wd AS (SELECT doc_id, lower(text) AS t FROM documents
                WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL
-                 AND text IS NOT NULL AND length(text) >= 8),
-        wg AS (SELECT doc_id, unnest(range(1, length(t) - 5 + 2)) AS i, t FROM wd),
-        wh AS (SELECT doc_id, i,
-                CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)), 1, 7))
+                 AND text IS NOT NULL AND length(text) >= 16),
+        wh AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 16)), 1, 7))
                   AS UBIGINT) AS h
-              FROM wg),
-        wm AS (SELECT doc_id, i,
-                min(h) OVER (PARTITION BY doc_id ORDER BY i
-                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-                count(*) OVER (PARTITION BY doc_id) AS nh
-              FROM wh),
-        fp AS (SELECT DISTINCT doc_id, mn AS fingerprint FROM wm WHERE i + 3 <= nh),
+              FROM wd, LATERAL (SELECT unnest(range(1, length(t) - 16 + 2)) AS i)),
+        fp AS (SELECT DISTINCT doc_id, h AS fingerprint FROM wh),
         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                  FROM fp a JOIN fp b USING (fingerprint) WHERE a.doc_id < b.doc_id),
         d AS (SELECT doc_id, lower(text) AS t FROM documents
@@ -3147,6 +3146,117 @@ object Queries {
                   FROM runs GROUP BY id1, id2, diag, run)
         SELECT id1, id2, start1, start2, span_len FROM spans
         WHERE span_len >= 16 ORDER BY id1, id2, start1, start2""")),
+
+    // ---- Corpus-level exact line dedup (the C4 boilerplate recipe):
+    //      every occurrence of a repeated line except the first
+    //      (doc_id, pos) is removed; aggregation-shaped (count +
+    //      min(struct)) so hot lines collapse map-side. Docs get lines
+    //      by splitting sentences onto their own rows ----
+    QueryDef(
+      "t26_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", regexp_replace($"text", " the ", "\n").as("text"))
+        graft.operators.Cleaning.lineDedup(docs, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                regexp_replace(text, ' the ', chr(10), 'g') AS t
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        l AS (SELECT doc_id,
+                unnest(range(0, len(string_split(t, chr(10))))) AS pos,
+                unnest(string_split(t, chr(10))) AS line
+              FROM d),
+        r AS (SELECT doc_id, pos, line,
+                count(*) OVER (PARTITION BY line) AS occ,
+                row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM l),
+        k AS (SELECT doc_id, pos, line FROM r WHERE occ < 2 OR rn = 1),
+        agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                  count(*) AS n_kept
+                FROM k GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(a.text, '') AS text,
+          CAST(t.n_lines AS BIGINT) AS n_lines,
+          CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""")),
+
+    // ---- PII redaction (emails / IPv4 / phones -> placeholders, the
+    //      pre-release scrub): deterministic synthetic PII is appended
+    //      per doc so the patterns and counts are actually exercised;
+    //      patterns apply in order on the progressively redacted text ----
+    QueryDef(
+      "t27_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .filter($"doc_id".isNotNull && $"text".isNotNull)
+          .select($"doc_id", concat($"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com from 10.0."),
+            ($"doc_id" % 256).cast("string"), lit(".7"),
+            when($"doc_id" % 3 === 0,
+              concat(lit(" call 555-"),
+                lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-1234")))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.Cleaning.piiRedact(docs, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-1234'
+                       ELSE '' END AS t
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        s1 AS (SELECT doc_id, t,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+               FROM d),
+        s2 AS (SELECT doc_id, t, t1,
+                 regexp_replace(t1,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '<IP>', 'g') AS t2
+               FROM s1)
+        SELECT doc_id,
+          regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS text,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(t1,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+          CAST(len(regexp_extract_all(t2,
+            '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones
+        FROM s2 ORDER BY doc_id""")),
+
+    // ---- C4 line-level quality rules (terminal punctuation + min
+    //      words + javascript/brace blacklist), pure array lambdas —
+    //      map-only, no explode ----
+    QueryDef(
+      "t28_c4_lines",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", regexp_replace($"text", " batch ", ".\n").as("text"))
+        graft.operators.Cleaning.c4LineFilter(docs, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                regexp_replace(text, ' batch ', '.' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        k AS (SELECT doc_id, ls,
+                list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                  AND len(regexp_extract_all(lower(l), '[a-z0-9]+')) >= 3
+                  AND NOT contains(lower(l), 'javascript')
+                  AND NOT contains(l, '{') AND NOT contains(l, '}')) AS kept
+              FROM ls)
+        SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text,
+          CAST(len(ls) AS INTEGER) AS n_lines,
+          CAST(len(kept) AS INTEGER) AS n_kept
+        FROM k ORDER BY doc_id""")),
 
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard

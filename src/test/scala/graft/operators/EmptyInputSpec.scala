@@ -102,4 +102,29 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("centroid"))
   }
+
+  test("round-9 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    // cleaning family
+    assert(Cleaning.lineDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Cleaning.piiRedact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Cleaning.c4LineFilter(emptyDocs, "doc_id", "text").count() == 0)
+    // screened exact spans: empty corpus AND empty candidate set
+    assert(Dedup.duplicateSpansCandidates(emptyDocs, "doc_id", "text",
+      k = 8, minLen = 16).count() == 0)
+    assert(Dedup.duplicateSpansWithin(emptyDocs,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), "doc_id", "text",
+      k = 8, minLen = 16).count() == 0)
+    // image family
+    val emptyMedia = Seq.empty[MediaRecord].toDS()
+    assert(Multimodal.imageDHash(emptyMedia).count() == 0)
+    assert(Multimodal.imageNearDupPairs(emptyMedia).count() == 0)
+    // index append over an empty corpus is the identity
+    val cents = Array((0L, Array(1.0f, 0.0f)))
+    val bounds = (Array(0.0, 0.0), Array(1.0, 1.0))
+    val idx = Similarity.ivfSq8Index(
+      Seq((1L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding"), cents, bounds)
+    assert(Similarity.updateIvfSq8Index(emptyVecs, idx, cents, bounds).count() == 1)
+  }
 }
