@@ -12,15 +12,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * palette (3 — PLTE-mapped, decoded to RGB), grey+alpha (4) and RGBA
   * (6), plus 16-bit samples for types 0/2/4/6 (reduced to 8-bit by
   * keeping the big-endian high byte — the standard practical-pipeline
-  * reduction), non-interlaced, all five scanline filters
+  * reduction), both interlace methods (none and Adam7 — each Adam7
+  * pass is an independently filtered sub-image whose pixels scatter
+  * back on the pass grid, spec §8.2), all five scanline filters
   * (None/Sub/Up/Average/Paeth), chunk CRCs verified — enough to
   * read real-world PNGs (MultimodalSpec proves it on images
-  * written by the JDK's own ImageIO encoder, palette and 16-bit
-  * included). Encoder: greyscale with a caller-chosen filter type, so
-  * decode paths are exercised end-to-end. Deliberately NOT supported
-  * (throws): bit depths other than 8/16, interlacing, tRNS
-  * transparency (any colour type) — fail loudly rather than return
-  * wrong pixels.
+  * written by the JDK's own ImageIO encoder, palette, 16-bit and
+  * interlaced included). Encoder: greyscale with a caller-chosen
+  * filter type, so decode paths are exercised end-to-end.
+  * Deliberately NOT supported (throws): bit depths other than 8/16,
+  * tRNS transparency (any colour type) — fail loudly rather than
+  * return wrong pixels.
   */
 object Png {
 
@@ -100,7 +102,7 @@ object Png {
     val cap = math.min(maxPixelBytes, Int.MaxValue.toLong)
     var pos = 8
     var width = 0; var height = 0; var channels = 0; var colourType = -1
-    var bitDepth = 0
+    var bitDepth = 0; var interlaced = false
     var seenIhdr = false; var seenIend = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -138,7 +140,9 @@ object Png {
             case 6 => 4
             case t => throw new IllegalArgumentException(s"unsupported colour type $t")
           }
-          require(interlace == 0, "interlaced PNG unsupported")
+          require(interlace == 0 || interlace == 1,
+            s"unknown interlace method $interlace")
+          interlaced = interlace == 1
           seenIhdr = true
         case "PLTE" =>
           require(seenIhdr, "PLTE before IHDR")
