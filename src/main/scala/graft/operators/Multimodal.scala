@@ -140,6 +140,50 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_sq", "peak")
   }
 
+  /** FRAMED PCM16 features — the time-resolved sibling of
+    * [[pcm16Features]] and the audio analogue of [[sampleFrames]]:
+    * signed big-endian 16-bit samples split into frames of `frameSize`
+    * samples every `stride` samples (overlapping when stride <
+    * frameSize, like every speech front-end), one row per frame with
+    * EXACT integer stats — energy `sum_sq`, `peak` = max |s|, and
+    * `zero_crossings` = #{i : s_{i−1}·s_i < 0 within the frame} (the
+    * classic voiced/unvoiced discriminator; strict sign flips only, so
+    * it is pure integer arithmetic — a sample product magnitude caps at
+    * 2³⁰, no overflow). rms = sqrt(sum_sq/n) stays the caller's one
+    * float op. Map-only kernel (flatMap fan-out ∝ n/stride); frames
+    * exist for every start < nSamples, the [[sampleFrames]] contract. */
+  def pcm16FrameFeatures(ds: Dataset[MediaRecord], frameSize: Int, stride: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(frameSize >= 1 && stride >= 1, "frameSize and stride must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toInt
+        i += 1
+      }
+      val nFrames = if (n == 0) 0 else ((n - 1) / stride) + 1
+      (0 until nFrames).iterator.map { f =>
+        val from = f * stride
+        val until = math.min(from + frameSize, n)
+        var sumSq = 0L; var peak = 0; var zc = 0
+        var j = from
+        while (j < until) {
+          val s = samples(j)
+          sumSq += s.toLong * s.toLong
+          val a = math.abs(s); if (a > peak) peak = a
+          if (j > from && samples(j - 1) * s < 0) zc += 1
+          j += 1
+        }
+        (rec.media_id, f, until - from, sumSq, peak, zc)
+      }
+    }).toDF("media_id", "frame_no", "n_samples", "sum_sq", "peak", "zero_crossings")
+  }
+
   /** 64-bit difference hash (dHash — the standard perceptual-hash
     * recipe for image near-dup detection): greyscale, nearest-resize to
     * 9×8, then bit `y·8 + x` is set iff pixel (x, y) is darker than its

@@ -1035,4 +1035,395 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
+
+  /** Unit-L2-normalize to doubles (in array order, like [[cosineKernel]]'s
+    * accumulation); zero vectors stay zero. PQ distances are measured on
+    * the normalized vectors so L2 ordering is monotone in cosine — the
+    * ranking contract every index in this family shares. */
+  def normalizeKernel(v: Array[Float]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+    val out = new Array[Double](v.length)
+    if (ss != 0.0) {
+      val nrm = math.sqrt(ss); i = 0
+      while (i < v.length) { out(i) = v(i).toDouble / nrm; i += 1 }
+    }
+    out
+  }
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the UNIT-NORMALIZED vector splits
+    * into `m` equal subspaces and each gets its own small codebook.
+    * Deterministic, engine-portable codebook definition (the same
+    * sampled-centroid contract as [[ivfKnn]]): the entries of subspace
+    * `j` are the `j`-th normalized subvectors of every `centEvery`-th
+    * corpus id. Only the codebooks (m × nCodes × dims/m doubles —
+    * kilobytes) reach the driver. Requires dims % m == 0. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, centEvery: Int = 50): Array[Array[(Long, Array[Double])]] = {
+    require(m >= 1, "m must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sampled = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull
+        && col(idCol) % centEvery === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    require(sampled.nonEmpty, "no sampled codebook vectors")
+    val dims = sampled.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sd = dims / m
+    Array.tabulate(m) { j =>
+      sampled.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(normalizeKernel(v), j * sd, (j + 1) * sd))
+      }
+    }
+  }
+
+  /** Squared-L2-then-sqrt distance between a subvector slice of `v`
+    * starting at `off` and codebook entry `c`, rounded to 6 (the
+    * per-subspace PQ distance; HALF_UP round-6 is the cross-engine
+    * contract shared with [[cosineKernel]]). */
+  private def subDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) {
+      val dd = v(off + i) - c(i)
+      s += dd * dd; i += 1
+    }
+    round6(math.sqrt(s))
+  }
+
+  /** MATERIALIZE the PQ code columns: `m` small integers per vector —
+    * for each subspace, the codebook entry minimizing round-6 L2 to the
+    * vector's subvector (ties to the lower code id). Map-only over a
+    * broadcast codebook; at 100 TB this is the stored index column
+    * (m × 1–2 bytes/vector vs 4·dims float32 — a 100×+ compression),
+    * written once next to the corpus like [[sq8Encode]]'s codes.
+    * Output: `(vec_id, codes array<bigint>)`. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sd = books(0)(0)._2.length
+    val bb = sp.sparkContext.broadcast(books)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bks = bb.value
+        it.map { case (id, raw) =>
+          require(raw.length == bks.length * sd,
+            s"vector ${id} has ${raw.length} dims, codebook expects ${bks.length * sd}")
+          val v = normalizeKernel(raw)
+          val codes = new Array[Long](bks.length)
+          var j = 0
+          while (j < bks.length) {
+            var best = 0L; var bestD = Double.PositiveInfinity
+            val bk = bks(j)
+            var e = 0
+            while (e < bk.length) {
+              val dd = subDist(v, j * sd, bk(e)._2)
+              if (dd < bestD || (dd == bestD && bk(e)._1 < best)) {
+                bestD = dd; best = bk(e)._1
+              }
+              e += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          (id, codes)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Product-quantization ANN (the FAISS `PQm` recipe): encode the
+    * corpus to `m` per-subspace codebook ids, score candidates by
+    * asymmetric distance (ADC — the exact query subvector against each
+    * assigned codebook entry, summed across subspaces), keep the top
+    * `k·candMult` per query, and rerank only those with the exact
+    * cosine.
+    *
+    * The 100 TB story: the hot scan streams `m` small ints per vector
+    * (vs 4·dims bytes of float32 — real deployments store 1 byte/code,
+    * a 16× scan-byte cut at m=16 on 64-dim floats); each
+    * task precomputes the per-query distance TABLES (m × nCodes doubles,
+    * kilobytes) once from the broadcast queries + codebooks, so the
+    * per-row work is m table lookups + an integer add — no float math on
+    * the scan. Exact vectors are touched only for the candMult·k
+    * survivors (equi-join on id, the [[sq8KnnFromCodes]] contract).
+    *
+    * All distances are measured on UNIT-NORMALIZED vectors (L2² on the
+    * unit sphere = 2 − 2·cos, so ADC ordering is monotone in cosine —
+    * without this, raw-norm spread dominates and recall collapses).
+    * Determinism: per-subspace distances round to 6 and accumulate in
+    * exact micro-units (Long), so the ADC ordering is independent of
+    * engine and partition order; ties break to the lower neighbor id.
+    * Output: `(query_id, rank, neighbor_id, cs)` — exact cosine of the
+    * reranked survivors. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 16,
+      centEvery: Int = 50, candMult: Int = 16): DataFrame =
+    pqKnnWithBooks(queries, corpus, k,
+      pqCodebooks(corpus, "vec_id", "embedding", m, centEvery), candMult)
+
+  /** Per-subspace Lloyd-trained PQ codebooks — real PQ (the sampled
+    * [[pqCodebooks]] is the engine-portable ORACLE definition; its
+    * entries are arbitrary corpus subvectors, so quantization distortion
+    * is high and recall caps out). Init is the subvectors of the
+    * `kCodes` lowest-id vectors; each iteration assigns every subvector
+    * to its nearest code in a broadcast-codebook kernel and recomputes
+    * means relationally — (subspace, code, dim) DECIMAL sums, so the
+    * trained codebook is independent of partition merge order, and all
+    * `m` subspaces train in the SAME aggregation pass (one shuffle per
+    * iteration, not m). Empty cells keep their previous entry. Only the
+    * m × kCodes × dims/m codebook lives on the driver. */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int = 64, iters: Int = 3): Array[Array[(Long, Array[Double])]] = {
+    require(m >= 1 && kCodes >= 1 && iters >= 0, "bad pq training params")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+    val seed = vecs.orderBy(col(idCol)).limit(kCodes).collect()
+    require(seed.nonEmpty, "empty corpus")
+    val dims = seed.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sd = dims / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seed.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(normalizeKernel(v), j * sd, (j + 1) * sd)
+      }
+    }
+    for (_ <- 0 until iters) {
+      val bb = sp.sparkContext.broadcast(books)
+      val sums = vecs.mapPartitions { it =>
+        val bks = bb.value
+        it.flatMap { case (_, raw) =>
+          val v = normalizeKernel(raw)
+          (0 until bks.length).iterator.flatMap { j =>
+            val bk = bks(j)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var e = 0
+            while (e < bk.length) {
+              var s = 0.0; var i = 0
+              while (i < sd) {
+                val dd = v(j * sd + i) - bk(e)(i); s += dd * dd; i += 1
+              }
+              if (s < bestD) { bestD = s; best = e }
+              e += 1
+            }
+            (0 until sd).iterator.map(i => (j, best, i, v(j * sd + i)))
+          }
+        }
+      }.toDF("j", "code", "dim", "x")
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      bb.destroy()
+      books = next
+    }
+    books.map(_.zipWithIndex.map { case (cv, e) => (e.toLong, cv) })
+  }
+
+  /** [[pqKnn]] over Lloyd-trained codebooks (see [[pqCodebooksTrained]])
+    * — the primary PQ path: same ADC scan and exact rerank, much lower
+    * quantization distortion than the sampled oracle definition. */
+  def pqKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 16, kCodes: Int = 256, iters: Int = 3, candMult: Int = 16): DataFrame =
+    pqKnnWithBooks(queries, corpus, k,
+      pqCodebooksTrained(corpus, "vec_id", "embedding", m, kCodes, iters), candMult)
+
+  /** IVF-PQ composed ANN — the FAISS `IVFx,PQy` recipe and THE
+    * billion-scale index shape: IVF cell probing bounds WHICH corpus
+    * rows are scanned (probes/nCells of the corpus), PQ codes bound the
+    * BYTES each scanned row costs (m code bytes vs 4·dims of float32);
+    * multiplied, the hot scan touches a constant fraction of the corpus
+    * at ~1/16 the bandwidth, and floats are read only for the rerank
+    * survivors. (Classic IVFADC encodes the RESIDUAL v − centroid; this
+    * variant encodes the normalized vector directly — simpler, engine-
+    * portable, and the recall defect is absorbed by the exact rerank.)
+    *
+    * This wrapper is the engine-portable (DuckDB-oracled) definition:
+    * sampled centroids with [[ivfKnn]]'s auto-probe rule, sampled
+    * [[pqCodebooks]], ADC candidates within probed cells only (exact
+    * micro-unit sums, id tiebreak), exact cosine rerank. The scale path
+    * with trained cells AND trained codebooks is [[ivfPqKnnTrained]]. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int = 0, centEvery: Int = 50, maxCents: Int = 65536,
+      m: Int = 16, candMult: Int = 16): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    val p = if (probes > 0) probes
+      else math.max(4, math.ceil(IvfAutoProbeFraction * cents.length).toInt)
+    ivfPqProbeScan(queries, corpus, k, p, cents,
+      pqCodebooks(corpus, "vec_id", "embedding", m, centEvery), candMult)
+  }
+
+  /** [[ivfPqKnn]] with a TRAINED fixed-size cell codebook and TRAINED
+    * per-subspace PQ codebooks — the primary scale path: `nCells` and
+    * `kCodes` are parameters, so probed fraction AND quantization
+    * distortion hold constant as the corpus grows. */
+  def ivfPqKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, probes: Int = 4, iters: Int = 5,
+      m: Int = 16, kCodes: Int = 256, candMult: Int = 16): DataFrame = {
+    val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
+    ivfPqProbeScan(queries, corpus, k, probes,
+      cb.zipWithIndex.map { case (c, i) => (i.toLong, c) },
+      pqCodebooksTrained(corpus, "vec_id", "embedding", m, kCodes), candMult)
+  }
+
+  private def ivfPqProbeScan(queries: DataFrame, corpus: DataFrame, k: Int,
+      probes: Int, cents: Array[(Long, Array[Float])],
+      books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sd = books(0)(0)._2.length
+    val cc = sp.sparkContext.broadcast(cents)
+    val bb = sp.sparkContext.broadcast(books)
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    // per-query probe set + ADC tables, computed once on the driver
+    // (|Q| × probes cells and |Q| × m × nCodes table entries — small
+    // side by contract, like every query broadcast in this family)
+    val qMeta: Array[(Long, Set[Long], Array[scala.collection.immutable.Map[Long, Long]])] =
+      qCollected.map { case (qid, qraw) =>
+        val probed = cents.map { case (cid, ce) => (cid, cosineKernel(qraw, ce)) }
+          .sortBy { case (cid, cs) => (-cs, cid) }.take(probes).map(_._1).toSet
+        val qv = normalizeKernel(qraw)
+        val tables = books.zipWithIndex.map { case (bk, j) =>
+          bk.map { case (cid, cv) =>
+            cid -> math.round(subDist(qv, j * sd, cv) * 1e6)
+          }.toMap
+        }
+        (qid, probed, tables)
+      }
+    val qb = sp.sparkContext.broadcast(qMeta)
+    // one corpus pass: assign cell + PQ-encode, score only the queries
+    // probing that cell — the scan's real 100 TB shape reads a STORED
+    // (cid, codes) index instead (the ivfSq8Index contract); recomputing
+    // here keeps the oracle definition self-contained
+    val approx = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cc.value; val bks = bb.value; val qs = qb.value
+        it.flatMap { case (nid, raw) =>
+          var bestC = 0L; var bestS = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val s = cosineKernel(raw, cs(ci)._2)
+            if (s > bestS) { bestS = s; bestC = cs(ci)._1 }
+            ci += 1
+          }
+          val v = normalizeKernel(raw)
+          val codes = new Array[Long](bks.length)
+          var j = 0
+          while (j < bks.length) {
+            var best = 0L; var bestD = Double.PositiveInfinity
+            val bk = bks(j)
+            var e = 0
+            while (e < bk.length) {
+              val dd = subDist(v, j * sd, bk(e)._2)
+              if (dd < bestD) { bestD = dd; best = bk(e)._1 }
+              e += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          qs.iterator.filter { case (qid, probed, _) =>
+            qid != nid && probed.contains(bestC)
+          }.map { case (qid, _, tables) =>
+            var s = 0L; var jj = 0
+            while (jj < codes.length) { s += tables(jj)(codes(jj)); jj += 1 }
+            (qid, nid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adc")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cands = approx
+      .withColumn("_crank", row_number().over(wApprox))
+      .filter(col("_crank") <= k * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  private def pqKnnWithBooks(queries: DataFrame, corpus: DataFrame, k: Int,
+      books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sd = books(0)(0)._2.length
+    val codes = pqEncode(corpus, "vec_id", "embedding", books)
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    val qb = sp.sparkContext.broadcast(qCollected)
+    val bb = sp.sparkContext.broadcast(books)
+    // ADC scan: codes only; per-partition distance tables in micro-units
+    val approx = codes.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val bks = bb.value
+        // tables(q)(j): codeId -> round6(L2) in exact micro-units
+        val tables: Array[Array[scala.collection.immutable.Map[Long, Long]]] =
+          qs.map { case (_, qraw) =>
+            val qv = normalizeKernel(qraw)
+            bks.zipWithIndex.map { case (bk, j) =>
+              bk.map { case (cid, cv) =>
+                cid -> math.round(subDist(qv, j * sd, cv) * 1e6)
+              }.toMap
+            }
+          }
+        it.flatMap { case (nid, cds) =>
+          qs.iterator.zipWithIndex.filter(_._1._1 != nid)
+            .map { case ((qid, _), qi) =>
+              var s = 0L; var j = 0
+              val tq = tables(qi)
+              while (j < cds.length) { s += tq(j)(cds(j)); j += 1 }
+              (qid, nid, s)
+            }
+        }
+      }.toDF("query_id", "neighbor_id", "adc")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cands = approx
+      .withColumn("_crank", row_number().over(wApprox))
+      .filter(col("_crank") <= k * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
 }

@@ -707,6 +707,103 @@ object TextAnalysis {
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every `raw` document by its log importance ratio under two
+    * add-one-smoothed unigram LMs — one trained on the small trusted
+    * `target` corpus, one on `raw` itself:
+    *
+    *   w(d) = Σ_t cnt_d(t) · (ln p_target(t) − ln p_raw(t))
+    *
+    * A doc whose vocabulary looks like the target (and unlike the raw
+    * pool) gets a high weight — THE standard pretraining-data selection
+    * signal. Smoothing follows [[crossLogProb]]: each model uses its own
+    * (total + vocab) mass, OOV terms contribute count 0.
+    *
+    * Scale shape: two corpus-stat hash aggs (each counted once and
+    * reused), per-doc term counts on the raw side, one LEFT join against
+    * the target stats + one inner join against the raw stats (a raw
+    * doc's terms are in the raw model by construction); DECIMAL addends
+    * keep the sum partition-order independent. The target corpus is the
+    * SMALL side by contract (a hand-curated trusted set), so its stats
+    * broadcast. Output: (doc_id, n_tokens, log_ratio), log_ratio the
+    * TOTAL (not mean) ratio in nats rounded to 6 — DSIR resamples on
+    * the document-level weight, so length matters. */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tToks = target.select(explode(tokens(col(textCol))).as("term"))
+    val tStats = tToks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val tTotal = tToks.count()
+    val tVocab = tStats.count()
+    val rToks = raw.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val rStats = rToks.groupBy(col("term")).agg(count(lit(1)).as("rf"))
+    val rTotal = rToks.count()
+    val rVocab = rStats.count()
+    val perDoc = rToks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    perDoc.join(broadcast(tStats), Seq("term"), "left_outer")
+      .join(rStats, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        round(
+          sum((col("cnt").cast("double") *
+            (log((coalesce(col("tf"), lit(0L)) + lit(1L)).cast("double") /
+              lit((tTotal + tVocab).toDouble))
+              - log((col("rf") + lit(1L)).cast("double") /
+                lit((rTotal + rVocab).toDouble))))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double"), 6).as("log_ratio"))
+  }
+
+  /** DSIR importance RESAMPLING: keep `k` documents from `raw`, sampled
+    * without replacement with probability ∝ exp(w(d)) — implemented as
+    * the Gumbel-top-k trick (key = w(d) + Gumbel noise; the top k keys
+    * ARE a weighted sample without replacement). The noise is
+    * deterministic — u(d) from an LCG over doc_id,
+    * g = −ln(−ln(u)) — so selection is reproducible anywhere (the same
+    * seeded-hash discipline as [[stratifiedSample]]). One window over
+    * the weighted rows; no driver state. Output: the selected
+    * (doc_id, n_tokens, log_ratio, gkey). */
+  def dsirResample(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = dsirWeights(raw, target, idCol, textCol)
+    val u = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .cast("double").plus(lit(0.5)).divide(lit(2147483648.0))
+    val keyed = w.withColumn("gkey", round(col("log_ratio") - log(-log(u)), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gkey").desc, col("doc_id"))
+    keyed.withColumn("_graft_rk", row_number().over(win))
+      .filter(col("_graft_rk") <= k)
+      .drop("_graft_rk")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): score every document with the corpus
+    * unigram LM ([[unigramLogProb]]), then split each `groupCol` stratum
+    * into `nBuckets` equal-frequency buckets by score — bucket 1 is the
+    * "head" (most fluent), the last is the "tail"; downstream pipelines
+    * keep head+middle or reweight by bucket. ntile over a
+    * (group, score desc, doc_id) window — deterministic because the
+    * score is rounded to 6 with an id tiebreak. The window partitions by
+    * stratum, so no single task sees more than a stratum's ids — at
+    * 100 TB strata are languages/sources, thousands of ways wide.
+    * Output: (doc_id, group, n_tokens, mean_logprob, bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val lp = unigramLogProb(df, idCol, textCol)
+    val groups = df.select(col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("grp"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("mean_logprob").desc, col("doc_id"))
+    lp.join(groups, Seq("doc_id"))
+      .withColumn("bucket", ntile(nBuckets).over(win))
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        col("mean_logprob"), col("bucket"))
+  }
+
   /** LLM sequence PACKING: concatenate the corpus token stream in
     * `idCol` order and cut it into fixed `seqLen`-token training
     * sequences (the "concat-then-chunk" packing real pretraining

@@ -44,9 +44,18 @@ object Queries {
     * embedding this in a shared session should set the conf themselves.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // the generator has shipped `ts` as INT64 TIMESTAMP(NANOS) in some
+    // rounds and TIMESTAMP_NTZ(MICROS) in others — accept both: nanos
+    // surface as LongType under nanosAsLong and need the div-1000
+    // conversion; anything already temporal just casts to TimestampType
+    // (session TZ is UTC everywhere, so NTZ -> LTZ is value-preserving)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact double aggregation: sum via decimal, return double (see above). */
@@ -2825,6 +2834,130 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Product-quantization ANN (the FAISS PQm recipe): per-subspace
+    //      sampled codebooks, corpus encoded to m code ids, asymmetric-
+    //      distance candidate scan (round-6 per-subspace L2 summed in
+    //      exact micro-units), exact cosine rerank of the survivors.
+    //      The oracle replays codebook, encoding, ADC, and rerank. ----
+    QueryDef(
+      "s07_knn_pq",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.pqKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH dimsq AS (SELECT CAST(len(embedding) // 16 AS INTEGER) AS sd
+               FROM embeddings LIMIT 1),
+        nrm AS (SELECT vec_id,
+            CASE WHEN sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[], x ->
+                x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+            END AS ne
+          FROM embeddings),
+        sub AS (SELECT vec_id, unnest(range(0, 16)) AS j, ne FROM nrm),
+        subv AS (SELECT s.vec_id, s.j,
+            list_slice(s.ne, CAST(s.j * sd AS INTEGER) + 1,
+              CAST((s.j + 1) * sd AS INTEGER)) AS sv
+          FROM sub s CROSS JOIN dimsq),
+        cb AS (SELECT vec_id AS code_id, j, sv AS cv FROM subv WHERE vec_id % 50 = 0),
+        enc0 AS (SELECT v.vec_id, v.j, c.code_id,
+            row_number() OVER (PARTITION BY v.vec_id, v.j
+              ORDER BY round(list_distance(v.sv, c.cv), 6), c.code_id) AS rn
+          FROM subv v JOIN cb c USING (j)),
+        enc AS (SELECT vec_id, j, code_id FROM enc0 WHERE rn = 1),
+        adc AS (SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+            sum(CAST(round(list_distance(qs.sv, c.cv), 6) AS DECIMAL(18,6))) AS adc
+          FROM enc e
+            JOIN cb c ON e.j = c.j AND e.code_id = c.code_id
+            JOIN subv qs ON qs.j = e.j
+          WHERE qs.vec_id < 10 AND e.vec_id <> qs.vec_id
+          GROUP BY 1, 2),
+        cand AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS crank
+          FROM adc),
+        exact AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id
+          WHERE c.crank <= 48),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // ---- IVF-PQ composed ANN (the FAISS IVFx,PQy recipe): IVF probing
+    //      bounds WHICH rows are scanned, PQ codes bound the BYTES per
+    //      scanned row; ADC candidates within probed cells + exact
+    //      rerank. Oracle composes the s06 probe CTEs with the s07
+    //      codebook/encoding/ADC CTEs. ----
+    QueryDef(
+      "s08_knn_ivf_pq",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.ivfPqKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        asg AS (SELECT e.vec_id, cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
+          FROM embeddings e, cent c),
+        corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg
+                  WHERE rn <= greatest(4, CAST(ceil(0.4 * (SELECT count(*) FROM cent)) AS BIGINT))
+                    AND vec_id < 10),
+        dimsq AS (SELECT CAST(len(embedding) // 16 AS INTEGER) AS sd
+               FROM embeddings LIMIT 1),
+        nrm AS (SELECT vec_id,
+            CASE WHEN sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[], x ->
+                x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+            END AS ne
+          FROM embeddings),
+        sub AS (SELECT vec_id, unnest(range(0, 16)) AS j, ne FROM nrm),
+        subv AS (SELECT s.vec_id, s.j,
+            list_slice(s.ne, CAST(s.j * sd AS INTEGER) + 1,
+              CAST((s.j + 1) * sd AS INTEGER)) AS sv
+          FROM sub s CROSS JOIN dimsq),
+        cb AS (SELECT vec_id AS code_id, j, sv AS cv FROM subv WHERE vec_id % 50 = 0),
+        enc0 AS (SELECT v.vec_id, v.j, c.code_id,
+            row_number() OVER (PARTITION BY v.vec_id, v.j
+              ORDER BY round(list_distance(v.sv, c.cv), 6), c.code_id) AS rn
+          FROM subv v JOIN cb c USING (j)),
+        enc AS (SELECT vec_id, j, code_id FROM enc0 WHERE rn = 1),
+        adc AS (SELECT p.query_id, ca.vec_id AS neighbor_id,
+            sum(CAST(round(list_distance(qs.sv, c.cv), 6) AS DECIMAL(18,6))) AS adc
+          FROM probe p JOIN corpus_asg ca USING (cid)
+            JOIN enc e ON e.vec_id = ca.vec_id
+            JOIN cb c ON e.j = c.j AND e.code_id = c.code_id
+            JOIN subv qs ON qs.j = e.j AND qs.vec_id = p.query_id
+          WHERE ca.vec_id <> p.query_id
+          GROUP BY 1, 2),
+        cand AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS crank
+          FROM adc),
+        exact AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id
+          WHERE c.crank <= 48),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Bigram LM quality signal: add-one-smoothed sequence
     //      log-probability under the corpus's own bigram stats ----
     QueryDef(
@@ -3257,6 +3390,127 @@ object Queries {
           CAST(len(ls) AS INTEGER) AS n_lines,
           CAST(len(kept) AS INTEGER) AS n_kept
         FROM k ORDER BY doc_id""")),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): log importance
+    //      ratio under target-vs-raw unigram LMs, deterministic
+    //      Gumbel-top-k selection. Target = three trusted sources;
+    //      raw = the rest of the corpus. ----
+    QueryDef(
+      "t29_dsir",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val target = d.filter($"source".isin("src1", "src2", "src3"))
+        val raw = d.filter(!$"source".isin("src1", "src2", "src3"))
+        graft.operators.TextAnalysis
+          .dsirResample(raw, target, "doc_id", "text", k = 50)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tgt AS (SELECT * FROM documents WHERE source IN ('src1','src2','src3')),
+        rawd AS (SELECT * FROM documents WHERE source NOT IN ('src1','src2','src3')),
+        ttok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM tgt),
+        tstats AS (SELECT term, count(*) AS tf FROM ttok GROUP BY 1),
+        tc AS (SELECT (SELECT count(*) FROM ttok) AS ttotal,
+                      (SELECT count(*) FROM tstats) AS tvocab),
+        rtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                 FROM rawd),
+        rstats AS (SELECT term, count(*) AS rf FROM rtok GROUP BY 1),
+        rc AS (SELECT (SELECT count(*) FROM rtok) AS rtotal,
+                      (SELECT count(*) FROM rstats) AS rvocab),
+        pd AS (SELECT doc_id, term, count(*) AS cnt FROM rtok GROUP BY 1, 2),
+        wts AS (SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+            round(CAST(sum(CAST(cnt *
+                (ln((COALESCE(tf, 0) + 1.0) / (ttotal + tvocab))
+                 - ln((rf + 1.0) / (rtotal + rvocab)))
+              AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_ratio
+          FROM pd LEFT JOIN tstats USING (term) JOIN rstats USING (term)
+            CROSS JOIN tc CROSS JOIN rc
+          GROUP BY doc_id),
+        keyed AS (SELECT doc_id, n_tokens, log_ratio,
+            round(log_ratio - ln(-ln(
+              (CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
+                / 2147483648.0)), 6) AS gkey
+          FROM wts),
+        rk AS (SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn
+               FROM keyed)
+        SELECT doc_id, n_tokens, log_ratio, gkey FROM rk
+        WHERE rn <= 50 ORDER BY doc_id""")),
+
+    // ---- CCNet perplexity bucketing (Wenzek et al. 2020): unigram-LM
+    //      score, then per-language equal-frequency head/middle/tail ----
+    QueryDef(
+      "t30_ppl_buckets",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+            "lang", nBuckets = 3)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents),
+        pd AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        cfq AS (SELECT term, sum(cnt) AS cf FROM pd GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM tok),
+        lp AS (SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+            round(CAST(sum(CAST(cnt * ln(CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+              AS mean_logprob
+          FROM pd JOIN cfq USING (term) CROSS JOIN tot
+          GROUP BY doc_id)
+        SELECT lp.doc_id, d.lang AS grp, lp.n_tokens, lp.mean_logprob,
+          CAST(ntile(3) OVER (PARTITION BY d.lang
+            ORDER BY lp.mean_logprob DESC, lp.doc_id) AS INTEGER) AS bucket
+        FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+        ORDER BY lp.doc_id""")),
+
+    // ---- Multimodal: framed PCM16 features — overlapping frames
+    //      (frameSize=8 samples, stride=6), exact integer energy/peak/
+    //      zero-crossing stats. Payload bytes are doubled mod 256 so the
+    //      sign path (negative samples, crossings) is actually exercised
+    //      — ASCII alone never sets a high bit. ----
+    QueryDef(
+      "m06_pcm_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val b = text.getBytes("US-ASCII")
+              .map(x => (((x & 0xFF) * 2) % 256).toByte)
+            graft.operators.MediaRecord(id, "audio/pcm", b)
+          })
+        graft.operators.Multimodal
+          .pcm16FrameFeatures(media, frameSize = 8, stride = 6)
+          .orderBy($"media_id", $"frame_no")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, text FROM b),
+        fr AS (SELECT doc_id, ns, text,
+                unnest(range(0, CAST(ceil(ns / 6.0) AS BIGINT))) AS f FROM sm
+               WHERE ns >= 1),
+        idx AS (SELECT doc_id, f, text,
+                unnest(range(f * 6, least(f * 6 + 8, ns))) AS i
+               FROM fr WHERE f * 6 < ns),
+        v AS (SELECT doc_id, f, i,
+                ((ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 2) % 256) * 256
+                  + ((ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) * 2) % 256) AS v
+              FROM idx),
+        sgn AS (SELECT doc_id, f, i,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v),
+        z AS (SELECT doc_id, f, i, s,
+                lag(s) OVER (PARTITION BY doc_id, f ORDER BY i) AS prev FROM sgn)
+        SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+          CAST(count(*) AS INTEGER) AS n_samples,
+          CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+          CAST(max(abs(s)) AS INTEGER) AS peak,
+          CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
+            THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+        FROM z GROUP BY doc_id, f ORDER BY media_id, frame_no""")),
 
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard

@@ -77,8 +77,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ivfT = recall(Similarity.ivfKnnTrained(q, e, 3))
       val sq8 = recall(Similarity.sq8Knn(q, e, 3))
       val ivfSq8 = recall(Similarity.ivfSq8KnnTrained(q, e, 3))
+      // PQ: the sampled codebook is the oracle definition (measured
+      // 0.833 sf0.01 / 0.633 sf0.1 — arbitrary corpus subvectors make a
+      // high-distortion quantizer by construction); the Lloyd-trained
+      // 256-entry codebook is the primary path (1.000 at both SFs,
+      // kCodes=64 still 0.933 at sf0.1)
+      val pqS = recall(Similarity.pqKnn(q, e, 3))
+      val pqT = recall(Similarity.pqKnnTrained(q, e, 3))
+      val ivfPqT = recall(Similarity.ivfPqKnnTrained(q, e, 3))
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
-        f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f")
+        f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f " +
+        f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f")
+      assert(pqS >= 0.5, s"sampled pq recall@3 regressed: $pqS")
+      assert(pqT >= 0.9, s"trained pq recall@3 regressed: $pqT")
+      assert(ivfPqT >= 0.9, s"trained ivf-pq recall@3 regressed: $ivfPqT")
       assert(sq8 >= 0.9, s"sq8 recall@3 regressed: $sq8")
       assert(ivfT >= 0.9, s"trained-codebook ivf recall@3 regressed: $ivfT")
       assert(ivfSq8 >= 0.9, s"ivf-sq8 recall@3 regressed: $ivfSq8")
@@ -103,6 +115,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       probes = Int.MaxValue / 2, candMult = n)
     assert(rows(exhaustive) === rows(Similarity.knnKernel(q, e, 3)),
       "exhaustive ivfSq8 diverged from exact kNN")
+  }
+
+  test("pqKnn with full rerank equals exact kNN; codes are m small ids") {
+    // candMult >= n reranks every ADC candidate exactly — the quantizer
+    // can distort the candidate ORDER but no longer the result, so the
+    // PQ pipeline must degrade gracefully into brute force
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.pqKnn(q, e, 3, candMult = n)) ===
+      rows(Similarity.knnKernel(q, e, 3)),
+      "exhaustive pq diverged from exact kNN")
+    // the materialized code column is m=16 ids per vector, every id a
+    // codebook member — the stored-index schema the ADC scan reads
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding", 16)
+    val valid = books(0).map(_._1).toSet
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", books)
+      .collect().map(r => r.getSeq[Long](1))
+    assert(codes.length === n)
+    assert(codes.forall(c => c.length == 16 && c.forall(valid.contains)))
+  }
+
+  test("trained PQ codebook is partition-layout independent") {
+    // DECIMAL update sums + deterministic seeding: the same corpus in a
+    // different physical layout must train byte-identical codebooks
+    val e = emb
+    val b1 = Similarity.pqCodebooksTrained(e, "vec_id", "embedding", 16,
+      kCodes = 32, iters = 2)
+    val b2 = Similarity.pqCodebooksTrained(e.repartition(13), "vec_id",
+      "embedding", 16, kCodes = 32, iters = 2)
+    assert(b1.length === b2.length)
+    for (j <- b1.indices; c <- b1(j).indices)
+      assert(java.util.Arrays.equals(b1(j)(c)._2, b2(j)(c)._2),
+        s"codebook diverged at subspace $j code $c")
   }
 
   test("Column annKnn and kernel annKnnKernel agree on the multi-probe candidates") {
