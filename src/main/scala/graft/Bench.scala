@@ -105,7 +105,10 @@ object Bench {
         "ivf" -> r(graft.operators.Similarity.ivfKnnTrained(q, e, 3)),
         "ivf_sampled" -> r(graft.operators.Similarity.ivfKnn(q, e, 3)),
         "sq8" -> r(graft.operators.Similarity.sq8Knn(q, e, 3)),
-        "ivf_sq8" -> r(graft.operators.Similarity.ivfSq8KnnTrained(q, e, 3)))
+        "ivf_sq8" -> r(graft.operators.Similarity.ivfSq8KnnTrained(q, e, 3)),
+        "pq" -> r(graft.operators.Similarity.pqKnnTrained(q, e, 3)),
+        "pq_sampled" -> r(graft.operators.Similarity.pqKnn(q, e, 3)),
+        "ivf_pq" -> r(graft.operators.Similarity.ivfPqKnnTrained(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -804,6 +804,45 @@ object TextAnalysis {
         col("mean_logprob"), col("bucket"))
   }
 
+  /** TEMPERATURE-based domain reweighting (the multilingual-LM mixture
+    * sampler — XLM-R/mT5-style): a group's share of the output is
+    * proportional to n_g^α instead of n_g, so α < 1 up-weights small
+    * domains/languages and flattens the head. Per-group take counts are
+    * computed in EXACT integer arithmetic — scaled weight
+    * sw_g = round(n_g^α · 10⁶), take_g = ⌊targetTotal · sw_g / Σsw⌋
+    * (floor allocation; a boosted group caps at its own size) — and the
+    * rows taken are the group's first take_g by the md5-prefix order of
+    * [[splitAssign]]/[[stratifiedSample]], id tiebreak: a deterministic
+    * "random" subset, reproducible anywhere.
+    *
+    * Scale shape: one tiny group-count agg (broadcast back), one
+    * per-group window for the rank — partitioned by group, thousands of
+    * ways wide at corpus scale; no driver state. Output: the selected
+    * (id, group) rows. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(targetTotal >= 1, "targetTotal must be positive")
+    val sizes = df.groupBy(col(groupCol).as("_graft_grp"))
+      .agg(count(lit(1)).as("_graft_n"))
+    val weights = sizes.withColumn("_graft_sw",
+      round(pow(col("_graft_n").cast("double"), lit(alpha)) * lit(1e6), 0)
+        .cast("long"))
+    val takes = weights
+      .crossJoin(broadcast(weights.agg(sum(col("_graft_sw")).as("_graft_swt"))))
+      .select(col("_graft_grp"),
+        expr(s"($targetTotal * _graft_sw) div _graft_swt").as("_graft_take"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .withColumn("_graft_rn", row_number().over(win))
+      .join(broadcast(takes), col(groupCol) === col("_graft_grp"))
+      .filter(col("_graft_rn") <= col("_graft_take"))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** LLM sequence PACKING: concatenate the corpus token stream in
     * `idCol` order and cut it into fixed `seqLen`-token training
     * sequences (the "concat-then-chunk" packing real pretraining

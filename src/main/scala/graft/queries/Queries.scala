@@ -3512,6 +3512,31 @@ object Queries {
             THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
         FROM z GROUP BY doc_id, f ORDER BY media_id, frame_no""")),
 
+    // ---- Temperature-based domain reweighting (XLM-R/mT5 mixture
+    //      sampling): per-source share ∝ n^0.5, exact integer floor
+    //      allocation, md5-order deterministic selection ----
+    QueryDef(
+      "t31_temperature_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .temperatureSample(t(s, dir, "documents"), "source", "doc_id",
+            alpha = 0.5, targetTotal = 200L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sz AS (SELECT source AS grp, count(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT grp, CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000, 0) AS BIGINT) AS sw
+              FROM sz),
+        tw AS (SELECT sum(sw) AS swt FROM w),
+        cq AS (SELECT grp, (200 * sw) // swt AS c FROM w CROSS JOIN tw),
+        rk AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+              doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM rk JOIN cq ON rk.source = cq.grp
+        WHERE rn <= c ORDER BY doc_id""")),
+
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard
     //      web-scrape prose gate, one map-only projection ----

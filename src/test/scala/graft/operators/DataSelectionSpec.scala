@@ -73,6 +73,29 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fluent docs must land in the head bucket: $out")
   }
 
+  test("temperatureSample: exact floor allocation, flattening, layout independence") {
+    val sp = spark; import sp.implicits._
+    // A has 16 docs, B has 4; alpha=0.5 -> sw_A=4e6, sw_B=2e6, W=6e6;
+    // target 6 -> take_A = 6*4/6 = 4, take_B = 6*2/6 = 2
+    val docs = ((1L to 16L).map(i => (i, "A")) ++ (17L to 20L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val half = TextAnalysis.temperatureSample(docs, "source", "doc_id", 0.5, 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(half.length === 6)
+    assert(half.count(_._2 == "A") === 4)
+    assert(half.count(_._2 == "B") === 2)
+    // alpha=1 degrades to proportional: takes 6*16/20=4 (floor 4.8) and
+    // 6*4/20=1 (floor 1.2) -> the small group's share SHRINKS vs alpha=0.5
+    val prop = TextAnalysis.temperatureSample(docs, "source", "doc_id", 1.0, 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(prop.count(_._2 == "B") === 1,
+      "alpha=1 must give the small group its proportional share")
+    // physical layout must not change the selected set
+    val re = TextAnalysis.temperatureSample(docs.repartition(7), "source",
+      "doc_id", 0.5, 6L).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(re.toSet === half.toSet)
+  }
+
   test("pcm16FrameFeatures: hand-computed frames, overlap, sign flips") {
     val sp = spark; import sp.implicits._
     // samples: +1, -2, +3, -4, +5 (big-endian 16-bit signed)
