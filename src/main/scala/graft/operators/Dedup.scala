@@ -597,4 +597,22 @@ object Dedup {
             pow(lit(2.0), b).cast(LongType)).otherwise(0L)))
       .otherwise(lit(null).cast(LongType))
   }
+
+  /** The near-dup dedup FILTER pipelines actually run: MinHash-LSH
+    * candidate pairs → connected components → keep each cluster's
+    * lowest-id member (the [[duplicateClusters]] label) plus every
+    * unclustered doc, dropping the rest. Returns the surviving rows of
+    * `docs` with their original columns (one anti-join against the
+    * dropped-id set — clusters only hold docs that had a candidate
+    * pair, so the anti-join's right side is small relative to a mostly-
+    * unique corpus). Composes the d03/d06 machinery into the actual
+    * corpus-reduction step rather than a diagnostic. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, bucketCap = bucketCap)
+    val dropped = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("_graft_drop"))
+    docs.join(dropped, col(idCol) === col("_graft_drop"), "left_anti")
+  }
 }

@@ -1373,19 +1373,48 @@ object Similarity {
   }
 
   private def pqKnnWithBooks(queries: DataFrame, corpus: DataFrame, k: Int,
-      books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame = {
+      books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame =
+    pqKnnFromCodes(queries, pqEncode(corpus, "vec_id", "embedding", books),
+      corpus, books, k, candMult)
+
+  /** Append NEW vectors to a stored PQ code table without re-encoding
+    * the corpus — the [[updateIvfSq8Index]] discipline applied to PQ:
+    * one anti-join finds the vectors absent from the stored codes, only
+    * those encode (against the SAME frozen codebooks — cells and codes
+    * are part of the index contract, retraining means rebuilding), and
+    * the result unions onto the existing rows untouched. Two appends
+    * compose to the same table as a full rebuild. */
+  def updatePqCodes(corpus: DataFrame, codes: DataFrame,
+      books: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    val existing = codes.select(col("vec_id").cast("long").as("vec_id"),
+      col("codes"))
+    val fresh = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    existing.unionAll(pqEncode(fresh, "vec_id", "embedding", books))
+  }
+
+  /** PQ ANN over a MATERIALIZED code column (see [[pqEncode]]) — the
+    * deployment shape: write `(vec_id, codes)` next to the corpus once,
+    * then every query batch's ADC scan streams the m-id code column
+    * ONLY (never the float embeddings — spec-pinned like SQ8's), and
+    * the floats are read just for the candMult·k rerank survivors.
+    * Results are identical to the recompute-from-floats wrappers. */
+  def pqKnnFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      books: Array[Array[(Long, Array[Double])]], k: Int, candMult: Int): DataFrame = {
     require(k >= 1 && candMult >= 1, "k and candMult must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
     val sd = books(0)(0)._2.length
-    val codes = pqEncode(corpus, "vec_id", "embedding", books)
     val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])].collect()
     val qb = sp.sparkContext.broadcast(qCollected)
     val bb = sp.sparkContext.broadcast(books)
     // ADC scan: codes only; per-partition distance tables in micro-units
-    val approx = codes.as[(Long, Array[Long])]
+    val approx = codes.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val qs = qb.value
         val bks = bb.value

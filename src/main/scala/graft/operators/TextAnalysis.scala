@@ -602,6 +602,69 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic: least-
+    * squares slope of ln(frequency) vs ln(rank) over the top `maxRank`
+    * terms (natural prose sits near −1; a slope collapsing toward 0
+    * flags boilerplate/spam floods, steeper flags vocabulary collapse).
+    * The top-`maxRank` cut is a distributed TakeOrdered (never a global
+    * window over the full vocabulary — vocab grows with the corpus,
+    * maxRank doesn't); ranks then come from a window over ≤ maxRank
+    * rows. Regression sums go through DECIMAL so the fit is partition-
+    * order independent; the closed-form slope computes from those exact
+    * sums. Output: one row (n_points, zipf_slope). */
+  def zipfFit(df: DataFrame, textCol: String, maxRank: Int = 500): DataFrame = {
+    require(maxRank >= 2, "need at least two points to fit")
+    val dt = org.apache.spark.sql.types.DecimalType(28, 12)
+    val tc = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = tc.orderBy(col("cnt").desc, col("term")).limit(maxRank)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val pts = top.withColumn("rank", row_number().over(win))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dt)).cast("double").as("sx"),
+        sum(col("y").cast(dt)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dt)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dt)).cast("double").as("sxx"))
+      .select(col("n").cast("int").as("n_points"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes 1/(c + rank) for
+    * every (query, doc) it ranked, fused docs order by the summed score.
+    * Rank-based (score-scale-free), so a BM25 list and an ANN cosine
+    * list fuse without calibration — THE production recipe for
+    * lexical + semantic search. Inputs need (query_id, rank, doc_id);
+    * addends round to 9 and sum as DECIMAL so the fused score is
+    * partition-order and engine independent; ties break to the lower
+    * doc id. One union + one hash agg + one per-query window — the
+    * fan-in is Σ|list| ≤ nLists·|Q|·k rows, tiny by construction.
+    * Output: (query_id, rank, doc_id, rrf, n_lists). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && c >= 0, "need k >= 1 and c >= 0")
+    val normd = rankings.map(_.select(col("query_id").cast("long"),
+      col("rank").cast("int").as("rank"), col("doc_id").cast("long")))
+    val all = normd.reduce(_ unionByName _)
+    val fused = all.groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        round(sum(round(lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double"), 9).as("rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("n_lists"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram model — the classic cheap "perplexity-style" quality signal
     * (a doc of globally rare tokens scores far below prose):

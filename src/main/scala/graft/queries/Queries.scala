@@ -966,6 +966,40 @@ object Queries {
         SELECT cluster_id, count(*) AS n_docs FROM lbl
         GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ---- Near-dup dedup as the actual corpus FILTER: MinHash-LSH
+    //      pairs → connected components → keep each cluster's lowest id
+    //      + all unclustered docs (the d03/d06 machinery composed into
+    //      the reduction step pipelines really run) ----
+    QueryDef(
+      "d10_neardup_survivors",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .dedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+        ORDER BY doc_id""")),
+
     // ---- Dedup: 32-bit SimHash + identical-hash groups ----
     QueryDef(
       "d04_simhash",
@@ -3511,6 +3545,101 @@ object Queries {
           CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
             THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
         FROM z GROUP BY doc_id, f ORDER BY media_id, frame_no""")),
+
+    // ---- Zipf rank-frequency fit over the top-500 terms: least-squares
+    //      slope of ln(freq) vs ln(rank) from DECIMAL-exact sums — the
+    //      corpus-health diagnostic (prose ≈ −1) ----
+    QueryDef(
+      "t33_zipf_fit",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")
+      },
+      Some("""WITH tc AS (SELECT term, count(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+            FROM documents) GROUP BY 1),
+        top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 500),
+        rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+               FROM top),
+        pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y FROM rk),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+          FROM pts)
+        SELECT CAST(n AS INTEGER) AS n_points,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+        FROM s""")),
+
+    // ---- Hybrid retrieval via reciprocal-rank fusion: BM25 lexical
+    //      top-10 + exact-cosine semantic top-10 over the same ids,
+    //      fused by sum of 1/(60+rank) (DECIMAL addends). The oracle
+    //      composes the t18 BM25 chain, the s01 kNN chain, and the
+    //      fusion. ----
+    QueryDef(
+      "t32_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val lex = graft.operators.TextAnalysis.bm25TopK(
+            docs, docs.filter($"doc_id" < 5),
+            "doc_id", "text", "doc_id", "text", k = 10, excludeSelf = true)
+          .select($"query_id", $"rank", $"doc_id")
+        val sem = graft.operators.Similarity
+          .knnKernel(emb.filter($"vec_id" < 5), emb, 10)
+          .select($"query_id", $"rank", $"neighbor_id".as("doc_id"))
+        graft.operators.TextAnalysis.rrfFuse(Seq(lex, sem), k = 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+               FROM documents),
+        tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1),
+        dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id < 5),
+        pr AS (SELECT query_id, doc_id,
+            CAST(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(cnt AS DOUBLE) * 2.2)
+              / (CAST(cnt AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avgdl))
+              AS DECIMAL(28,12)) AS contrib
+          FROM qt JOIN tc USING (term) JOIN dl USING (doc_id)
+               JOIN dfq USING (term) CROSS JOIN st
+          WHERE query_id <> doc_id),
+        sc AS (SELECT query_id, doc_id,
+            round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+          FROM pr GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rank
+          FROM sc),
+        csem AS (SELECT q.vec_id AS query_id, cc.vec_id AS doc_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], cc.embedding::DOUBLE[]), 6) AS cs
+          FROM embeddings q, embeddings cc
+          WHERE q.vec_id < 5 AND q.vec_id <> cc.vec_id),
+        sem AS (SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, doc_id) AS rank
+          FROM csem),
+        uni AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10
+                UNION ALL
+                SELECT query_id, doc_id, rank FROM sem WHERE rank <= 10),
+        f AS (SELECT query_id, doc_id,
+            round(CAST(sum(CAST(round(1.0 / (60.0 + rank), 9)
+              AS DECIMAL(18,9))) AS DOUBLE), 9) AS rrf,
+            CAST(count(*) AS INTEGER) AS n_lists
+          FROM uni GROUP BY 1, 2),
+        outq AS (SELECT query_id, doc_id, rrf, n_lists,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+          FROM f)
+        SELECT query_id, rank, doc_id, rrf, n_lists FROM outq
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- Temperature-based domain reweighting (XLM-R/mT5 mixture
     //      sampling): per-source share ∝ n^0.5, exact integer floor

@@ -96,6 +96,67 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.toSet === half.toSet)
   }
 
+  test("rrfFuse: exact addend arithmetic, consensus outranks single-list") {
+    val sp = spark; import sp.implicits._
+    // list A ranks docs 10,11,12; list B ranks 11,10,13
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1, 11L), (1L, 2, 10L), (1L, 3, 13L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val s1061 = r9(1.0 / 61) + r9(1.0 / 62) // docs 10 and 11 symmetric
+    // consensus docs (in both lists) beat single-list docs
+    assert(out.map(_._2).take(2).toSet === Set(10L, 11L))
+    assert(out.take(2).forall(_._4 == 2))
+    assert(out.take(2).forall(t => math.abs(t._3 - r9(s1061)) < 1e-12),
+      s"fused score mismatch: ${out.toSeq}")
+    // doc 12 (rank 3 in A only) vs doc 13 (rank 3 in B only): tie on
+    // score, id tiebreak
+    assert(out.drop(2).map(_._2).toSeq === Seq(12L, 13L))
+  }
+
+  test("dedupSurvivors keeps cluster minima and unclustered docs, original columns intact") {
+    val sp = spark; import sp.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, shared, "a"), (2L, shared, "b"), (3L, shared + " extra", "c"),
+      (9L, "completely different content about astronomy and telescopes", "d"))
+      .toDF("doc_id", "text", "src")
+    val out = Dedup.dedupSurvivors(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // 1,2,3 cluster (3 shares all its shingle bands' neighbors via 1/2);
+    // the cluster keeps doc 1; doc 9 is untouched
+    assert(out.keySet === Set(1L, 9L), s"survivors: $out")
+    assert(out(1L) === "a" && out(9L) === "d",
+      "original columns must ride through the anti-join")
+  }
+
+  test("zipfFit recovers an exact power law's slope") {
+    val sp = spark; import sp.implicits._
+    // build a corpus whose term counts are exactly cnt(w_r) = 64/r for
+    // r in {1,2,4,8,...}: a perfect slope of -1 on the fitted points
+    val words = Seq(("w1", 64), ("w2", 32), ("w4", 16), ("w8", 8))
+    // cnt desc ties impossible; ranks 1..4 -> x=ln r in {0,ln2,2ln2,3ln2},
+    // y = ln 64 - x exactly? ln(64/r) = ln64 - ln r only when cnt=64/r:
+    // 64,32,16,8 at ranks 1,2,3,4 -> x=ln1..ln4, y=ln64-ln(2^(r-1)) —
+    // NOT collinear in ln(rank); compute the expected slope locally
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(got.getInt(0) === 4)
+    val pts = Seq(64, 32, 16, 8).zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-5,
+      s"slope ${got.getDouble(1)} vs expected $slope")
+  }
+
   test("pcm16FrameFeatures: hand-computed frames, overlap, sign flips") {
     val sp = spark; import sp.implicits._
     // samples: +1, -2, +3, -4, +5 (big-endian 16-bit signed)

@@ -290,6 +290,63 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Similarity.updateIvfSq8Index(part1, idx0, cents, bounds)) === part1Rows)
   }
 
+  test("pq candidate scan reads the materialized codes, never the float column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-codes").toString
+    val books = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding", 16,
+      kCodes = 64, iters = 2)
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(Similarity.pqEncode(emb, "vec_id", "embedding", books), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    val tbl = spark.read.parquet(s"$tmp/corpus")
+    val q = tbl.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Similarity.pqKnnFromCodes(q, tbl.select("vec_id", "codes"),
+        tbl.select("vec_id", "embedding"), books, 3, 16)
+      val scans = out.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSet
+      }
+      assert(scans.nonEmpty, "no file scans in the pq plan")
+      assert(scans.exists(s => s.contains("codes") && !s.contains("embedding")),
+        s"no codes-only scan: $scans")
+      assert(scans.forall(s => !(s.contains("codes") && s.contains("embedding"))),
+        s"a scan reads codes AND embeddings: $scans")
+      // stored-code path is result-identical to recompute-from-floats
+      val expect = Similarity.pqKnnTrained(q, tbl.select("vec_id", "embedding"),
+        3, kCodes = 64, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.sorted.toSeq === expect.sorted.toSeq)
+    } finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("updatePqCodes appends only absent vectors; two appends equal a full rebuild") {
+    val sp = spark; import sp.implicits._
+    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding", 16)
+    val part1 = e.filter(col("vec_id") < 1000)
+    val part2 = e.filter(col("vec_id") < 3000)
+    // tamper part1's embeddings in the second batch: covered rows must
+    // come from the STORED codes, not be re-encoded
+    val tampered = part2.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, if (id < 1000) v.map(x => -x) else v)
+      }.toDF("vec_id", "embedding")
+    val base = Similarity.pqEncode(part1, "vec_id", "embedding", books)
+    val updated = Similarity.updatePqCodes(tampered, base, books)
+    val full = Similarity.pqEncode(part2, "vec_id", "embedding", books)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(m(updated) === m(full),
+      "incremental code append diverged from the full rebuild")
+  }
+
   test("sq8 candidate scan reads the materialized codes, never the float column") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sq8-codes").toString
     val bounds = Similarity.sq8Bounds(emb, "embedding")

@@ -316,4 +316,25 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // the full-data window is partitioned (never a global unpartitioned sort)
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("t29 DSIR joins the small target stats by broadcast, no cartesian") {
+    val p = plan("t29_dsir")
+    // the trusted-target LM stats are the small side by contract
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("t31 temperature sampling broadcasts the per-group takes; partial group counts") {
+    val p = plan("t31_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // group sizes combine map-side
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t32 RRF fusion aggregates partially and joins without cartesian blowup") {
+    val p = plan("t32_hybrid_rrf")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
