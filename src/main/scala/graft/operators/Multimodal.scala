@@ -273,6 +273,50 @@ object Multimodal {
       .distinct() // a close pair shares several bands; hamming is pair-deterministic
   }
 
+  /** Per-tile greyscale statistics over a decoded image: the image
+    * splits into a grid of `tileW`×`tileH` tiles (edge tiles smaller)
+    * and each yields exact integer pixel-count and grey-sum — the
+    * region-level signal layer (exposure maps, dead-region detection,
+    * crop scoring) computed the [[dHash64]] way: greyscale is the
+    * integer mean of the first min(channels, 3) samples, all arithmetic
+    * integer, so every row is engine-portable. Map-only flatMap with
+    * ~ (w/tileW)·(h/tileH) rows per image; non-PNG payloads skip.
+    * Output: (media_id, tile_x, tile_y, n_px, sum_gray). */
+  def tileStats(ds: Dataset[MediaRecord], tileW: Int, tileH: Int): DataFrame = {
+    require(tileW >= 1 && tileH >= 1, "tile dims must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      if (!Png.isPng(rec.payload)) Iterator.empty
+      else {
+        val img = Png.decode(rec.payload)
+        val ch = img.channels
+        val gch = math.min(ch, 3)
+        val tilesX = (img.width + tileW - 1) / tileW
+        val tilesY = (img.height + tileH - 1) / tileH
+        (0 until tilesY).iterator.flatMap { ty =>
+          (0 until tilesX).iterator.map { tx =>
+            val x0 = tx * tileW; val x1 = math.min(x0 + tileW, img.width)
+            val y0 = ty * tileH; val y1 = math.min(y0 + tileH, img.height)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val base = (y * img.width + x) * ch
+                var g = 0; var c = 0
+                while (c < gch) { g += img.pixels(base + c) & 0xFF; c += 1 }
+                sum += g / gch
+                x += 1
+              }
+              y += 1
+            }
+            (rec.media_id, tx, ty, (x1 - x0) * (y1 - y0), sum)
+          }
+        }
+      }
+    }).toDF("media_id", "tile_x", "tile_y", "n_px", "sum_gray")
+  }
+
   /** Per-partition batched feature extraction: md5 checksum + 4-bucket
     * byte histogram (byte >> 6) over the decoded payload. `batchSize`
     * bounds peak memory per partition — the same knob a real decoder

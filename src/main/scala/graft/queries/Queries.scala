@@ -966,6 +966,67 @@ object Queries {
         SELECT cluster_id, count(*) AS n_docs FROM lbl
         GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ---- Window navigation battery: lag/lead, running first_value,
+    //      and IGNORE NULLS last_value ("most recent purchase so far")
+    //      — deterministic (ts, event_id) ordering ----
+    QueryDef(
+      "q79_window_nav",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").filter($"user_id" < 200)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+        val pv = when($"event_type" === "purchase", $"value")
+        e.select($"user_id", $"event_id",
+            lag($"value", 1).over(w).as("prev_v"),
+            lead($"value", 1).over(w).as("next_v"),
+            first($"value").over(run).as("first_v"),
+            last(pv, ignoreNulls = true).over(run).as("last_purchase"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          lag(value) OVER w AS prev_v,
+          lead(value) OVER w AS next_v,
+          first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS first_v,
+          last_value(CASE WHEN event_type = 'purchase' THEN value END
+            IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS last_purchase
+        FROM events WHERE user_id < 200
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // ---- UNPIVOT (wide -> long): four measure columns stacked into
+    //      (metric, val) rows — the melt step of feature pipelines ----
+    QueryDef(
+      "q80_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").filter($"l_orderkey" < 100)
+          .select($"l_orderkey", $"l_linenumber",
+            expr("""stack(4,
+              'discount', l_discount,
+              'extendedprice', l_extendedprice,
+              'quantity', l_quantity,
+              'tax', l_tax) AS (metric, val)"""))
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+          SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+            FROM lineitem WHERE l_orderkey < 100
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'tax', l_tax
+            FROM lineitem WHERE l_orderkey < 100)
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
     // ---- Near-dup dedup as the actual corpus FILTER: MinHash-LSH
     //      pairs → connected components → keep each cluster's lowest id
     //      + all unclustered docs (the d03/d06 machinery composed into
@@ -3665,6 +3726,47 @@ object Queries {
           FROM documents)
         SELECT doc_id, source FROM rk JOIN cq ON rk.source = cq.grp
         WHERE rn <= c ORDER BY doc_id""")),
+
+    // ---- Multimodal: per-tile greyscale stats over REAL decoded PNGs
+    //      (8×8 tiles of the 16×(n/16) image) — exact integer
+    //      pixel-count and grey-sum per tile; the oracle replays the
+    //      pixel grid straight off the pre-encode text bytes ----
+    QueryDef(
+      "m07_image_tiles",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 16)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            val h0 = bytes.length / 16
+            val px = java.util.Arrays.copyOf(bytes, 16 * h0)
+            graft.operators.MediaRecord(id, "image/png",
+              graft.operators.Png.encodeGray(16, h0, px, filter = 3))
+          })
+        graft.operators.Multimodal.tileStats(media, tileW = 8, tileH = 8)
+          .orderBy($"media_id", $"tile_y", $"tile_x")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 16 AND octet_length(encode(text)) = length(text)),
+        dims AS (SELECT doc_id, text, n // 16 AS h0 FROM b),
+        tyq AS (SELECT doc_id, text, h0, unnest(range(0, (h0 + 7) // 8)) AS ty
+                FROM dims WHERE h0 >= 1),
+        txq AS (SELECT doc_id, text, h0, ty, unnest(range(0, 2)) AS tx FROM tyq),
+        py AS (SELECT doc_id, text, h0, tx, ty,
+                unnest(range(ty * 8, least(ty * 8 + 8, h0))) AS y FROM txq),
+        pxx AS (SELECT doc_id, text, tx, ty, y,
+                unnest(range(tx * 8, tx * 8 + 8)) AS x FROM py),
+        v AS (SELECT doc_id, tx, ty,
+                ord(substr(text, CAST(y * 16 + x + 1 AS INTEGER), 1)) AS g
+              FROM pxx)
+        SELECT doc_id AS media_id, CAST(tx AS INTEGER) AS tile_x,
+          CAST(ty AS INTEGER) AS tile_y, CAST(count(*) AS INTEGER) AS n_px,
+          CAST(sum(g) AS BIGINT) AS sum_gray
+        FROM v GROUP BY doc_id, tx, ty ORDER BY media_id, tile_y, tile_x""")),
 
     // ---- Gopher-style quality rules (word count, mean word length,
     //      alpha fraction, stopword containment) — the standard

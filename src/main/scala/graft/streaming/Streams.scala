@@ -128,6 +128,23 @@ object Streams {
     * `distinct()` downstream per batch if exact multiplicity matters,
     * and verify candidates with an exact Jaccard rerank as in batch
     * LSH. */
+  /** Streaming corpus-quality screen: the batch Gopher prose gate
+    * ([[graft.operators.TextAnalysis.gopherQuality]]) applied to a
+    * document stream and filtered to survivors. The gate is pure
+    * stateless Column arithmetic, so the SAME operator runs per
+    * micro-batch with no state store, no watermark, and append output —
+    * a stream batch-equal to the batch screen by construction (the spec
+    * proves it anyway). At 100 TB this is the shape of an ingest-time
+    * filter: quality decided the moment a crawl record lands, nothing
+    * re-scanned later. */
+  def qualityScreen(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame =
+    graft.operators.TextAnalysis.gopherQuality(docs, idCol, textCol,
+        minWords, maxWords, minMeanLen, maxMeanLen, minAlphaFrac, minStopHits)
+      .filter(col("passes"))
+
   def incrementalNearDupCandidates(newDocs: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, r: Int = 4): DataFrame =
     graft.operators.Dedup.minhashBands(newDocs, idCol, textCol, k, r)

@@ -33,6 +33,27 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def emptyVecs: DataFrame =
     spark.createDataFrame(Seq.empty[(Long, Array[Float])]).toDF("vec_id", "embedding")
 
+  test("round-9 data-selection and retrieval operators on empty input") {
+    // a non-empty target with an empty raw pool, and vice versa
+    val sp = spark; import sp.implicits._
+    val target = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(TextAnalysis.dsirWeights(emptyDocs, target, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.dsirResample(emptyDocs, target, "doc_id", "text", 5).count() == 0)
+    // empty target: every raw term is OOV — weights still compute
+    assert(TextAnalysis.dsirWeights(target, emptyDocs, "doc_id", "text").count() == 1)
+    assert(TextAnalysis.perplexityBuckets(
+      emptyDocs.withColumn("lang", lit("en")), "doc_id", "text", "lang").count() == 0)
+    assert(TextAnalysis.temperatureSample(
+      emptyDocs.withColumn("source", lit("s")), "source", "doc_id", 0.5, 10L).count() == 0)
+    val emptyRanking = spark.createDataFrame(Seq.empty[(Long, Int, Long)])
+      .toDF("query_id", "rank", "doc_id")
+    assert(TextAnalysis.rrfFuse(Seq(emptyRanking), 5).count() == 0)
+    assert(TextAnalysis.zipfFit(emptyDocs, "text").collect().head.getInt(0) == 0)
+    assert(Dedup.dedupSurvivors(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyMedia = sp.emptyDataset[MediaRecord]
+    assert(Multimodal.pcm16FrameFeatures(emptyMedia, 8, 6).count() == 0)
+  }
+
   test("dedup operators on an empty corpus") {
     assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 0.5).count() == 0)

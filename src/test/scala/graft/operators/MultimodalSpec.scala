@@ -206,4 +206,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
     assert(meta.filter(col("media_type") === "image").count() == 50)
   }
+
+  test("tileStats: exact tile grid, edge tiles smaller, sums cover the image") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // 16×5 uniform grey 77: tiles 8×3 -> grid 2×2, bottom tiles 8×2
+    val px = Array.fill[Byte](16 * 5)(77)
+    val ds = s.createDataset(Seq(
+      MediaRecord(1L, "image/png", Png.encodeGray(16, 5, px, filter = 2)),
+      MediaRecord(2L, "text/plain", Array[Byte](1, 2, 3)))) // non-PNG skips
+    val rows = Multimodal.tileStats(ds, tileW = 8, tileH = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)),
+        (r.getInt(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set((1L, 0, 0), (1L, 1, 0), (1L, 0, 1), (1L, 1, 1)))
+    assert(rows((1L, 0, 0)) === ((24, 24L * 77)))
+    assert(rows((1L, 1, 0)) === ((24, 24L * 77)))
+    assert(rows((1L, 0, 1)) === ((16, 16L * 77))) // edge: 8×2
+    assert(rows((1L, 1, 1)) === ((16, 16L * 77)))
+    assert(rows.values.map(_._1).sum === 16 * 5, "tiles must cover every pixel once")
+  }
 }

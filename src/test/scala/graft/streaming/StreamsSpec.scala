@@ -89,6 +89,41 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); corpusBands.unpersist(); () }
   }
 
+  test("streaming quality screen equals the batch Gopher gate over sf0.001 docs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    // permissive thresholds: the synthetic corpus fails the strict Gopher
+    // defaults wholesale (no stopword prose), which would make the
+    // equality vacuous — these pass SOME and fail SOME
+    val q = Streams.qualityScreen(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 50, minMeanLen = 1.0, maxMeanLen = 20.0,
+        minAlphaFrac = 0.3, minStopHits = 0)
+      .writeStream.format("memory").queryName("qscreen").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("qscreen").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getInt(4), r.getBoolean(5))).toSet
+      val batch = graft.operators.TextAnalysis
+        .gopherQuality(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minWords = 50, maxWords = 100000, minMeanLen = 1.0, maxMeanLen = 20.0,
+          minAlphaFrac = 0.3, minStopHits = 0)
+        .filter($"passes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getInt(4), r.getBoolean(5))).toSet
+      assert(streamed === batch, "streamed screen diverged from the batch gate")
+      assert(streamed.nonEmpty, "screen passed nothing — vacuous equality")
+      assert(streamed.size < docs.length, "screen passed everything — vacuous gate")
+    } finally { q.stop(); () }
+  }
+
   test("streaming ingest keeps the skipping manifest fresh with one updateManifest per batch") {
     val sp = spark
     implicit val sql = sp.sqlContext
