@@ -615,4 +615,28 @@ object Dedup {
       .select(col("doc_id").as("_graft_drop"))
     docs.join(dropped, col(idCol) === col("_graft_drop"), "left_anti")
   }
+
+  /** [[dedupSurvivors]] with a QUALITY-aware representative: each
+    * cluster keeps its member with the highest `scoreCol` (ties to the
+    * lower id) instead of blindly the lowest id — "keep the longest /
+    * highest-quality duplicate", which is what production pipelines
+    * actually do (a truncated page and its full version are near-dups;
+    * you want the full one). The per-cluster argmax is a window over
+    * cluster members only (clusters are tiny relative to the corpus);
+    * unclustered docs pass untouched via the same single anti-join. */
+  def dedupSurvivorsBy(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, bucketCap: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, bucketCap = bucketCap)
+    val members = duplicateClusters(pairs)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).as("_graft_score")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_graft_score").desc, col("doc_id"))
+    val dropped = members
+      .withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") > 1)
+      .select(col("doc_id").as("_graft_drop"))
+    docs.join(dropped, col(idCol) === col("_graft_drop"), "left_anti")
+  }
 }

@@ -818,6 +818,53 @@ object TextAnalysis {
             .cast("double"), 6).as("log_ratio"))
   }
 
+  /** FROZEN DSIR scoring model — the deployment artifact: a term-level
+    * log-ratio table (ln p_target − ln p_raw, add-one smoothed per
+    * [[dsirWeights]]) over the UNION vocabulary, plus the constant
+    * both-sides-OOV weight for terms no training corpus saw. Build once
+    * from the trusted target + raw pool, then [[dsirScore]] any batch
+    * OR STREAM of new documents against it — scoring is a stateless
+    * broadcast join, so the model serves at ingest time. Returns
+    * (table(term, w), wOov). */
+  def dsirModel(raw: DataFrame, target: DataFrame,
+      textCol: String): (DataFrame, Double) = {
+    val tToks = target.select(explode(tokens(col(textCol))).as("term"))
+    val tStats = tToks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val tTotal = tToks.count(); val tVocab = tStats.count()
+    val rToks = raw.select(explode(tokens(col(textCol))).as("term"))
+    val rStats = rToks.groupBy(col("term")).agg(count(lit(1)).as("rf"))
+    val rTotal = rToks.count(); val rVocab = rStats.count()
+    val tMass = (tTotal + tVocab).toDouble
+    val rMass = (rTotal + rVocab).toDouble
+    val table = tStats.join(rStats, Seq("term"), "full_outer")
+      .select(col("term"),
+        (log((coalesce(col("tf"), lit(0L)) + lit(1L)).cast("double") / lit(tMass))
+          - log((coalesce(col("rf"), lit(0L)) + lit(1L)).cast("double") / lit(rMass)))
+          .as("w"))
+    (table, math.log(1.0 / tMass) - math.log(1.0 / rMass))
+  }
+
+  /** Score documents under a FROZEN [[dsirModel]]: per-doc total
+    * log importance ratio with both-sides-OOV terms falling back to
+    * `wOov`. Pure explode → broadcast join → hash agg (DECIMAL
+    * addends), no state — runs identically on a batch DataFrame or a
+    * Structured Streaming micro-batch (the spec proves stream ≡ batch).
+    * Output: (doc_id, n_tokens, log_ratio). */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, wOov: Double): DataFrame =
+    // ONE aggregation (token instances straight to the per-doc sum, no
+    // per-(doc, term) pre-count): chained stateful aggregations are not
+    // streamable, and per-instance DECIMAL addends sum exactly anyway
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(model), Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(
+          sum(coalesce(col("w"), lit(wOov))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double"), 6).as("log_ratio"))
+
   /** DSIR importance RESAMPLING: keep `k` documents from `raw`, sampled
     * without replacement with probability ∝ exp(w(d)) — implemented as
     * the Gumbel-top-k trick (key = w(d) + Gumbel noise; the top k keys

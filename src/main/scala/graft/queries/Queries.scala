@@ -1061,6 +1061,43 @@ object Queries {
         WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
         ORDER BY doc_id""")),
 
+    // ---- Quality-aware near-dup dedup: each cluster keeps its LONGEST
+    //      member (ties to lower id) — "keep the full page, drop the
+    //      truncated copy" ----
+    QueryDef(
+      "d11_neardup_keep_best",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .dedupSurvivorsBy(t(s, dir, "documents"), "doc_id", "text", "n_chars")
+          .select($"doc_id", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        mem AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+                FROM lbl l JOIN documents d USING (doc_id)),
+        rep AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_chars DESC, doc_id) AS rk FROM mem)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rk > 1)
+        ORDER BY doc_id""")),
+
     // ---- Dedup: 32-bit SimHash + identical-hash groups ----
     QueryDef(
       "d04_simhash",

@@ -134,6 +134,19 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "original columns must ride through the anti-join")
   }
 
+  test("dedupSurvivorsBy keeps the highest-score cluster member instead of the min id") {
+    val sp = spark; import sp.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, shared, 64L), (2L, shared, 64L), (3L, shared + " extra", 70L),
+      (9L, "completely different content about astronomy and telescopes", 59L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupSurvivorsBy(docs, "doc_id", "text", "n_chars")
+      .collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: 3 is longest -> survives; min-id policy would keep 1
+    assert(out === Set(3L, 9L), s"survivors: $out")
+  }
+
   test("zipfFit recovers an exact power law's slope") {
     val sp = spark; import sp.implicits._
     // build a corpus whose term counts are exactly cnt(w_r) = 64/r for

@@ -50,6 +50,10 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.rrfFuse(Seq(emptyRanking), 5).count() == 0)
     assert(TextAnalysis.zipfFit(emptyDocs, "text").collect().head.getInt(0) == 0)
     assert(Dedup.dedupSurvivors(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupSurvivorsBy(emptyDocs.withColumn("n_chars", lit(0L)),
+      "doc_id", "text", "n_chars").count() == 0)
+    val (mdl, wOov) = TextAnalysis.dsirModel(emptyDocs, target, "text")
+    assert(TextAnalysis.dsirScore(emptyDocs, "doc_id", "text", mdl, wOov).count() == 0)
     val emptyMedia = sp.emptyDataset[MediaRecord]
     assert(Multimodal.pcm16FrameFeatures(emptyMedia, 8, 6).count() == 0)
   }

@@ -124,6 +124,43 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming DSIR scoring under a frozen model equals the batch scorer") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    // model trained once on a static target + raw pool
+    val target = Seq((100L, "science research data experiments analysis"),
+      (101L, "data science methods research results")).toDF("doc_id", "text")
+    val rawPool = Seq((200L, "casino jackpot slots winner bonus"),
+      (201L, "shopping deals discount offers sale today")).toDF("doc_id", "text")
+    val (model, wOov) = graft.operators.TextAnalysis
+      .dsirModel(rawPool, target, "text")
+    val frozen = model.cache(); frozen.count()
+    // new docs arriving as a stream: target-like, raw-like, and
+    // both-sides-OOV content (exercises the wOov fallback)
+    val newDocs = Seq(
+      (1L, "science data research"),
+      (2L, "casino bonus offers"),
+      (3L, "zebras telescopes astronomy"),
+      (4L, "data casino zebras"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.dsirScore(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", frozen, wOov)
+      .writeStream.format("memory").queryName("dsirscore").outputMode("update").start()
+    try {
+      input.addData(newDocs.take(2): _*); q.processAllAvailable()
+      input.addData(newDocs.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("dsirscore").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TextAnalysis.dsirScore(
+          newDocs.toDF("doc_id", "text"), "doc_id", "text", frozen, wOov)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(streamed === batch, "streamed DSIR scores diverged from batch")
+      val byId = streamed.map(t => t._1 -> t._3).toMap
+      assert(byId(1L) > byId(2L), "target-like doc must outscore raw-like")
+    } finally { q.stop(); frozen.unpersist(); () }
+  }
+
   test("streaming ingest keeps the skipping manifest fresh with one updateManifest per batch") {
     val sp = spark
     implicit val sql = sp.sqlContext
