@@ -270,6 +270,24 @@ object Dedup {
     duplicateSpansWithin(df, cand, idCol, textCol, k, minLen, dfCap)
   }
 
+  /** Top-`topK` most-duplicated character `k`-grams corpus-wide, by
+    * DOCUMENT frequency (each doc counts once however often it repeats
+    * the gram) — the "which boilerplate dominates this corpus" report
+    * that decides dfCap/blocklist settings for the span-dedup family.
+    * Two partial-aggregating hash aggs (distinct (gram, doc), then per-
+    * gram doc counts) and a distributed TakeOrdered for the cut — never
+    * a global sort of the gram table. Ties break lexicographically on
+    * the gram, so the cut is deterministic. Output: (gram, n_docs). */
+  def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int, topK: Int): DataFrame = {
+    require(k >= 2 && topK >= 1, "need k >= 2 and topK >= 1")
+    positionedGrams(df, idCol, textCol, k, Int.MaxValue)
+      .select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Positioned character `k`-grams of the lowercased text, with the
     * gram document-frequency cap shared by every duplicate-span
     * variant. */

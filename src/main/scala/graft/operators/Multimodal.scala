@@ -273,6 +273,32 @@ object Multimodal {
       .distinct() // a close pair shares several bands; hamming is pair-deterministic
   }
 
+  /** PCM16 DECIMATION features: keep every `factor`-th sample (the
+    * integer-factor downsample every audio pipeline runs before heavy
+    * feature extraction; no anti-alias filter — this is the decimation
+    * step itself, exact by construction) and emit the same exact
+    * integer stats as [[pcm16Features]] over the decimated signal.
+    * Map-only. Output: (media_id, n_samples, sum_sq, peak). */
+  def pcm16Decimate(ds: Dataset[MediaRecord], factor: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(factor >= 1, "factor must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      var sumSq = 0L; var peak = 0; var kept = 0
+      var i = 0
+      while (i < n) {
+        val s = (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toInt
+        sumSq += s.toLong * s.toLong
+        val a = math.abs(s); if (a > peak) peak = a
+        kept += 1
+        i += factor
+      }
+      (rec.media_id, kept, sumSq, peak)
+    }).toDF("media_id", "n_samples", "sum_sq", "peak")
+  }
+
   /** Per-tile greyscale statistics over a decoded image: the image
     * splits into a grid of `tileW`×`tileH` tiles (edge tiles smaller)
     * and each yields exact integer pixel-count and grey-sum — the

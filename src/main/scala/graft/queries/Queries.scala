@@ -1061,6 +1061,27 @@ object Queries {
         WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
         ORDER BY doc_id""")),
 
+    // ---- Boilerplate census: top-50 most-duplicated 12-grams by
+    //      DOCUMENT frequency — the report that tunes dfCap/blocklists
+    //      for the span-dedup family ----
+    QueryDef(
+      "t34_top_ngrams",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .topDuplicatedGrams(t(s, dir, "documents"), "doc_id", "text",
+            k = 12, topK = 50)
+      },
+      Some("""WITH b AS (SELECT doc_id, lower(text) AS t FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 12),
+        pos AS (SELECT doc_id, t,
+                unnest(range(1, length(t) - 12 + 2)) AS i FROM b),
+        g AS (SELECT DISTINCT doc_id,
+                substr(t, CAST(i AS INTEGER), 12) AS gram FROM pos)
+        SELECT gram, count(*) AS n_docs FROM g
+        GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 50""")),
+
     // ---- Quality-aware near-dup dedup: each cluster keeps its LONGEST
     //      member (ties to lower id) — "keep the full page, drop the
     //      truncated copy" ----
@@ -3595,6 +3616,43 @@ object Queries {
             ORDER BY lp.mean_logprob DESC, lp.doc_id) AS INTEGER) AS bucket
         FROM lp JOIN documents d ON lp.doc_id = d.doc_id
         ORDER BY lp.doc_id""")),
+
+    // ---- Multimodal: PCM16 decimation (every 3rd sample) with exact
+    //      integer stats over the downsampled signal; doubled payload
+    //      bytes exercise the sign path ----
+    QueryDef(
+      "m08_pcm_decimate",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val b = text.getBytes("US-ASCII")
+              .map(x => (((x & 0xFF) * 2) % 256).toByte)
+            graft.operators.MediaRecord(id, "audio/pcm", b)
+          })
+        graft.operators.Multimodal.pcm16Decimate(media, factor = 3)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, text FROM b),
+        idx AS (SELECT doc_id, ns, text,
+                unnest(range(0, ns)) AS i FROM sm WHERE ns >= 1),
+        dec AS (SELECT doc_id, ns, text, i FROM idx WHERE i % 3 = 0),
+        v AS (SELECT doc_id, i,
+                ((ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 2) % 256) * 256
+                  + ((ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) * 2) % 256) AS v
+              FROM dec),
+        sgn AS (SELECT doc_id, i,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v)
+        SELECT doc_id AS media_id, CAST(count(*) AS INTEGER) AS n_samples,
+          CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+          CAST(max(abs(s)) AS INTEGER) AS peak
+        FROM sgn GROUP BY doc_id ORDER BY media_id""")),
 
     // ---- Multimodal: framed PCM16 features — overlapping frames
     //      (frameSize=8 samples, stride=6), exact integer energy/peak/

@@ -170,6 +170,31 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"slope ${got.getDouble(1)} vs expected $slope")
   }
 
+  test("topDuplicatedGrams counts DOCUMENT frequency with a deterministic cut") {
+    val sp = spark; import sp.implicits._
+    // "boilerplate x" (12 chars) in all 3 docs; doc 1 repeats it 3 times
+    // but still counts once; "unique other" only in doc 1
+    val docs = Seq(
+      (1L, "boilerplate xboilerplate xboilerplate x unique other"),
+      (2L, "boilerplate x and something else"),
+      (3L, "boilerplate x third document")).toDF("doc_id", "text")
+    val top = Dedup.topDuplicatedGrams(docs, "doc_id", "text", k = 12, topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length === 1)
+    assert(top.head === (("boilerplate ", 3L)), s"got ${top.toSeq}")
+  }
+
+  test("pcm16Decimate keeps every Nth sample with exact stats") {
+    val sp = spark; import sp.implicits._
+    def be(s: Short): Array[Byte] =
+      Array(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)
+    val payload = Seq[Short](1, -2, 3, -4, 5).flatMap(be).toArray
+    val ds = sp.createDataset(Seq(MediaRecord(3L, "audio/pcm", payload)))
+    // factor 2 -> samples 1, 3, 5
+    val r = Multimodal.pcm16Decimate(ds, factor = 2).collect().head
+    assert((r.getInt(1), r.getLong(2), r.getInt(3)) === ((3, 1L + 9L + 25L, 5)))
+  }
+
   test("pcm16FrameFeatures: hand-computed frames, overlap, sign flips") {
     val sp = spark; import sp.implicits._
     // samples: +1, -2, +3, -4, +5 (big-endian 16-bit signed)
