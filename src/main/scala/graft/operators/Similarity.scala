@@ -1285,6 +1285,172 @@ object Similarity {
       pqCodebooksTrained(corpus, "vec_id", "embedding", m, kCodes), candMult)
   }
 
+  /** Assign `raw` to its argmax-cosine cell (ties to the lower id via
+    * first-wins over the id-sorted array) and return (cellId, residual
+    * of the NORMALIZED vector against the normalized centroid) — the
+    * IVFADC encoding primitive, object-level so task closures never
+    * capture enclosing method state. */
+  private def residualAgainst(raw: Array[Float],
+      cells: Array[(Long, Array[Float])]): (Long, Array[Double]) = {
+    var bestC = 0; var bestS = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cells.length) {
+      val s = cosineKernel(raw, cells(ci)._2)
+      if (s > bestS) { bestS = s; bestC = ci }
+      ci += 1
+    }
+    val v = normalizeKernel(raw)
+    val c = normalizeKernel(cells(bestC)._2)
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i) - (if (i < c.length) c(i) else 0.0); i += 1 }
+    (cells(bestC)._1, r)
+  }
+
+  /** TRUE IVFADC (Jégou et al. 2011 §IV): the PQ codebooks quantize the
+    * RESIDUAL v − c(v) of each (normalized) vector against its assigned
+    * cell centroid, and the query scores a probed cell's members by
+    * ‖(q − c) − r̂‖ with per-(query, cell) lookup tables. Residuals are
+    * far more concentrated than raw vectors, so the same code budget
+    * buys less distortion — the reason every production FAISS index is
+    * `IVFx,PQy` over residuals. [[ivfPqKnnTrained]] (no residuals) stays
+    * as the simpler spec'd variant; this is the faithful recipe.
+    *
+    * Training: residual books come from the SAME relational DECIMAL
+    * k-means pass shape as [[pqCodebooksTrained]], run over the
+    * residual stream (map-only against broadcast cells). Scan: one
+    * corpus pass assigns + encodes; per-task ADC tables are
+    * |Q| × probes × m × kCodes micro-unit Longs (kilobytes). Exact
+    * cosine rerank of the candMult·k survivors as everywhere. */
+  def ivfAdcKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, probes: Int = 4, iters: Int = 5,
+      m: Int = 16, kCodes: Int = 256, pqIters: Int = 3,
+      candMult: Int = 16): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cellArr = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val cb = sp.sparkContext.broadcast(cellArr)
+    val vecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+    // train residual PQ books: seed from the kCodes lowest-id residuals,
+    // then pqIters relational DECIMAL update passes
+    val dims = vecs.orderBy(col("vec_id")).limit(1).collect().head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sd = dims / m
+    val seed = vecs.orderBy(col("vec_id")).limit(kCodes).collect()
+      .map { case (_, raw) => residualAgainst(raw, cellArr)._2 }
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seed.map(r => java.util.Arrays.copyOfRange(r, j * sd, (j + 1) * sd))
+    }
+    for (_ <- 0 until pqIters) {
+      val bb = sp.sparkContext.broadcast(books)
+      val sums = vecs.mapPartitions { it =>
+        val bks = bb.value
+        val cells = cb.value
+        it.flatMap { case (_, raw) =>
+          val r = residualAgainst(raw, cells)._2
+          (0 until bks.length).iterator.flatMap { j =>
+            val bk = bks(j)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var e = 0
+            while (e < bk.length) {
+              var s = 0.0; var i = 0
+              while (i < sd) { val dd = r(j * sd + i) - bk(e)(i); s += dd * dd; i += 1 }
+              if (s < bestD) { bestD = s; best = e }
+              e += 1
+            }
+            (0 until sd).iterator.map(i => (j, best, i, r(j * sd + i)))
+          }
+        }
+      }.toDF("j", "code", "dim", "x")
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      bb.destroy()
+      books = next
+    }
+    val fb = sp.sparkContext.broadcast(books)
+    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])].collect()
+    // per-query: probed cells + per-cell ADC tables over (q − c) vs book
+    val qMeta: Array[(Long, scala.collection.immutable.Map[Long, Array[Array[Long]]])] =
+      qCollected.map { case (qid, qraw) =>
+        val qv = normalizeKernel(qraw)
+        val probed = cellArr.map { case (cid, ce) => (cid, cosineKernel(qraw, ce)) }
+          .sortBy { case (cid, s) => (-s, cid) }.take(probes)
+        val tables = probed.map { case (cid, _) =>
+          val c = normalizeKernel(cellArr(cid.toInt)._2)
+          val qr = new Array[Double](qv.length)
+          var i = 0
+          while (i < qv.length) { qr(i) = qv(i) - (if (i < c.length) c(i) else 0.0); i += 1 }
+          cid -> Array.tabulate(m) { j =>
+            books(j).map { cv =>
+              var s = 0.0; var i2 = 0
+              while (i2 < sd) { val dd = qr(j * sd + i2) - cv(i2); s += dd * dd; i2 += 1 }
+              math.round(round6(math.sqrt(s)) * 1e6)
+            }
+          }
+        }.toMap
+        (qid, tables)
+      }
+    val qb = sp.sparkContext.broadcast(qMeta)
+    val approx = vecs.mapPartitions { it =>
+        val bks = fb.value; val qs = qb.value
+        val cells = cb.value
+        it.flatMap { case (nid, raw) =>
+          val (cid, r) = residualAgainst(raw, cells)
+          val codes = new Array[Int](bks.length)
+          var j = 0
+          while (j < bks.length) {
+            val bk = bks(j)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var e = 0
+            while (e < bk.length) {
+              var s = 0.0; var i = 0
+              while (i < sd) { val dd = r(j * sd + i) - bk(e)(i); s += dd * dd; i += 1 }
+              if (s < bestD) { bestD = s; best = e }
+              e += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          qs.iterator.filter { case (qid, tables) =>
+            qid != nid && tables.contains(cid)
+          }.map { case (qid, tables) =>
+            val tq = tables(cid)
+            var s = 0L; var jj = 0
+            while (jj < codes.length) { s += tq(jj)(codes(jj)); jj += 1 }
+            (qid, nid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adc")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val cands = approx
+      .withColumn("_crank", row_number().over(wApprox))
+      .filter(col("_crank") <= k * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
   private def ivfPqProbeScan(queries: DataFrame, corpus: DataFrame, k: Int,
       probes: Int, cents: Array[(Long, Array[Float])],
       books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame = {

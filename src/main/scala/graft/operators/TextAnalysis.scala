@@ -169,6 +169,19 @@ object TextAnalysis {
       .select(col("test_id"), col("train_id"), col("containment"))
   }
 
+  /** Train/test decontamination as the corpus FILTER (the step
+    * pipelines actually run after the [[contaminationPairs]]
+    * diagnostic): drop every train document whose 3-gram-shingle
+    * containment against ANY test document reaches `tau`, keep the rest
+    * with their original columns — one distinct + one anti-join on top
+    * of the pairs join. */
+  def decontamFilter(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, tau: Double): DataFrame = {
+    val flagged = contaminationPairs(train, test, idCol, textCol, tau)
+      .select(col("train_id").as("_graft_drop")).distinct()
+    train.join(flagged, col(idCol) === col("_graft_drop"), "left_anti")
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = term count / doc length,
     * idf = ln(N / df) over the corpus, score rounded to 6 decimals
     * (cross-engine reproducible), rank ties broken alphabetically. The

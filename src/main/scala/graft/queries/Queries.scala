@@ -851,6 +851,44 @@ object Queries {
         WHERE CAST(common AS DOUBLE) / n_test >= 0.2
         ORDER BY test_id, train_id""")),
 
+    // ---- Decontamination as the corpus FILTER: drop train docs with
+    //      3-gram containment >= 0.2 against any test doc, keep the
+    //      rest (the t09 diagnostic composed into the reduction) ----
+    QueryDef(
+      "t35_decontam_filter",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+        graft.operators.TextAnalysis.decontamFilter(
+            docs.filter($"split" === "train"), docs.filter($"split" === "test"),
+            "doc_id", "text", tau = 0.2)
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+                FROM tok WHERE len(tk) >= 3),
+        sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                 CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) % 100 AS b
+                 FROM documents)),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        tst AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'test'),
+        trn AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'train'),
+        ts AS (SELECT doc_id, count(*) AS n_test FROM tst GROUP BY doc_id),
+        com AS (SELECT tst.doc_id AS test_id, trn.doc_id AS train_id, count(*) AS common
+                FROM tst JOIN trn ON tst.s = trn.s GROUP BY 1, 2),
+        flag AS (SELECT DISTINCT train_id
+                 FROM com JOIN ts ON com.test_id = ts.doc_id
+                 WHERE CAST(common AS DOUBLE) / n_test >= 0.2)
+        SELECT d.doc_id, d.source FROM documents d JOIN sp USING (doc_id)
+        WHERE sp.split = 'train'
+          AND d.doc_id NOT IN (SELECT train_id FROM flag)
+        ORDER BY d.doc_id""")),
+
     // ---- Text pipeline: top-3 TF-IDF terms per document ----
     QueryDef(
       "t10_tfidf",

@@ -54,6 +54,12 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text", "n_chars").count() == 0)
     val (mdl, wOov) = TextAnalysis.dsirModel(emptyDocs, target, "text")
     assert(TextAnalysis.dsirScore(emptyDocs, "doc_id", "text", mdl, wOov).count() == 0)
+    assert(TextAnalysis.decontamFilter(emptyDocs, target, "doc_id", "text", 0.2)
+      .count() == 0)
+    // an empty TEST side flags nothing: the whole train side survives
+    assert(TextAnalysis.decontamFilter(target, emptyDocs, "doc_id", "text", 0.2)
+      .count() == 1)
+    assert(Dedup.topDuplicatedGrams(emptyDocs, "doc_id", "text", 12, 5).count() == 0)
     val emptyMedia = sp.emptyDataset[MediaRecord]
     assert(Multimodal.pcm16FrameFeatures(emptyMedia, 8, 6).count() == 0)
   }

@@ -85,9 +85,12 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val pqS = recall(Similarity.pqKnn(q, e, 3))
       val pqT = recall(Similarity.pqKnnTrained(q, e, 3))
       val ivfPqT = recall(Similarity.ivfPqKnnTrained(q, e, 3))
+      val ivfAdc = recall(Similarity.ivfAdcKnnTrained(q, e, 3))
+      assert(ivfAdc >= 0.9, s"residual IVFADC recall@3 regressed: $ivfAdc")
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
         f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f " +
-        f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f")
+        f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f " +
+        f"ivf_adc=$ivfAdc%.3f")
       assert(pqS >= 0.5, s"sampled pq recall@3 regressed: $pqS")
       assert(pqT >= 0.9, s"trained pq recall@3 regressed: $pqT")
       assert(ivfPqT >= 0.9, s"trained ivf-pq recall@3 regressed: $ivfPqT")
