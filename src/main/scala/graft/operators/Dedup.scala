@@ -281,8 +281,26 @@ object Dedup {
   def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
       k: Int, topK: Int): DataFrame = {
     require(k >= 2 && topK >= 1, "need k >= 2 and topK >= 1")
-    positionedGrams(df, idCol, textCol, k, Int.MaxValue)
-      .select(col("gram"), col("doc_id")).distinct()
+    val sp = df.sparkSession
+    import sp.implicits._
+    // per-doc dedup in a kernel: a (gram, doc) pair can only repeat
+    // WITHIN a document, so a per-doc HashSet makes the rows globally
+    // distinct already — the corpus-wide distinct (a full shuffle of
+    // every gram occurrence, the dominant cost) never happens.
+    // Lowercasing stays the Column lower() so the engine contract is
+    // byte-identical to the span-dedup family on any locale.
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= k)
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, t) =>
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        val n = t.length - k + 1
+        while (i < n) { seen.add(t.substring(i, i + k)); i += 1 }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+      })
+      .toDF("gram")
       .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(topK)
