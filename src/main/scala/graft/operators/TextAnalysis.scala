@@ -615,6 +615,29 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Sentence-level shape statistics: segments = non-empty trimmed
+    * pieces after splitting on `[.!?]+` runs, per-doc sentence count
+    * and mean words per sentence (the C4/Gopher-adjacent "is this
+    * prose-shaped" signal at sentence granularity — a wall of unbroken
+    * text and a list of fragments both stand out). Pure Column
+    * expressions (split/transform/filter/aggregate), map-only. Docs
+    * with no sentences drop. Output:
+    * (doc_id, n_sentences, mean_sentence_words). */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), segs.as("ss"))
+      .filter(size(col("ss")) >= 1)
+      .select(col("doc_id"),
+        size(col("ss")).as("n_sentences"),
+        round(
+          aggregate(transform(col("ss"), s => size(tokens(s)).cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("double") /
+            size(col("ss")).cast("double"), 6).as("mean_sentence_words"))
+  }
+
   /** Zipf rank-frequency fit — the corpus-health diagnostic: least-
     * squares slope of ln(frequency) vs ln(rank) over the top `maxRank`
     * terms (natural prose sits near −1; a slope collapsing toward 0

@@ -851,6 +851,27 @@ object Queries {
         WHERE CAST(common AS DOUBLE) / n_test >= 0.2
         ORDER BY test_id, train_id""")),
 
+    // ---- Sentence-shape statistics: per-doc sentence count + mean
+    //      words per sentence over [.!?]+ segmentation ----
+    QueryDef(
+      "t36_sentence_stats",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .sentenceStats(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH seg AS (SELECT doc_id,
+            list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+              s -> trim(s)), s -> length(s) > 0) AS ss
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        k AS (SELECT doc_id, ss, len(ss) AS n FROM seg WHERE len(ss) >= 1)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_sentences,
+          round(CAST(list_sum(list_transform(ss,
+              s -> len(regexp_extract_all(lower(s), '[a-z0-9]+')))) AS DOUBLE)
+            / CAST(n AS DOUBLE), 6) AS mean_sentence_words
+        FROM k ORDER BY doc_id""")),
+
     // ---- Decontamination as the corpus FILTER: drop train docs with
     //      3-gram containment >= 0.2 against any test doc, keep the
     //      rest (the t09 diagnostic composed into the reduction) ----
@@ -1034,6 +1055,34 @@ object Queries {
             AND CURRENT ROW) AS last_purchase
         FROM events WHERE user_id < 200
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id""")),
+
+    // ---- Time-based sliding window: per-user sum of value over the
+    //      trailing 10 minutes (RANGE frame on event-time seconds);
+    //      DECIMAL sums keep the trailing aggregate exact ----
+    QueryDef(
+      "q81_sliding_time_sum",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").filter($"user_id" < 200)
+        // exact MICROSECOND frame bounds: second-truncated ordering
+        // (unix_timestamp) widens peer groups vs the oracle's
+        // fractional epoch and the frames diverge on sub-second data
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"))
+          .rangeBetween(-600000000L, 0L)
+        e.select($"user_id", $"event_id",
+            sum($"value".cast(DecimalType(18, 4))).over(w)
+              .cast("double").as("trailing_10m"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS trailing_10m
+        FROM events WHERE user_id < 200
         ORDER BY user_id, event_id""")),
 
     // ---- UNPIVOT (wide -> long): four measure columns stacked into
