@@ -306,6 +306,73 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous label propagation (LPA, Raghavan et al. 2007) over an
+    * UNDIRECTED edge list (self-loops and duplicate/reverse edges
+    * collapse): every node starts labeled with its own id, and each of
+    * `rounds` SYNCHRONOUS rounds relabels every node with the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label — the linear-time community-detection primitive.
+    *
+    * The deterministic-schedule choice is deliberate: textbook LPA
+    * updates asynchronously in random node order (and breaks ties
+    * randomly), which is irreproducible and serializes naturally only
+    * on one machine. The synchronous min-tie variant makes every
+    * intermediate state a pure function of the previous one — integer
+    * counts, lexicographic (count desc, label asc) argmax — so a FIXED
+    * round count keeps a DuckDB oracle in exact lockstep (the
+    * [[pageRank]] pattern) and the result is independent of
+    * partitioning. Synchronous LPA can 2-cycle on bipartite structure
+    * (a known property); a fixed round budget makes that a defined
+    * outcome rather than a hang.
+    *
+    * Shape per round: one equi-join of the directed-both-ways edge list
+    * against the labels on the NEIGHBOR key, then two hash
+    * aggregations — `(node, label) → count` and the per-node
+    * lexicographic argmax via `min(struct(-count, label))` — all
+    * partial-aggregating, never a window over a node's whole
+    * neighborhood, so a celebrity hub costs its edge count spread
+    * across tasks, not one hot partition. Rounds chain lazily with
+    * periodic lineage truncation (each round references its
+    * predecessor once — the [[pageRank]] discipline, not [[kCore]]'s
+    * eager per-round materialization). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5, checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    // (node, neighbor) in both directions; materialized once, every
+    // round's join probes this same block
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val counts = und.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      var next = counts
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("a").as("node"), col("m.l").as("lbl"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      labels = next
+    }
+    val result = labels.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    und.unpersist()
+    result.select(col("node"), col("lbl").as("label"))
+  }
+
   /** k-core peeling over an UNDIRECTED edge list (self-loops and
     * duplicate/reverse edges collapse): run `rounds` SYNCHRONOUS peel
     * rounds — each drops EVERY node whose current degree is below `k`

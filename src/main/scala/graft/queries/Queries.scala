@@ -2690,6 +2690,48 @@ object Queries {
         sb.toString
       }),
 
+    // ---- Synchronous label propagation (LPA) communities over the q73
+    //      co-order parts graph: integer counts + lexicographic
+    //      (count desc, label asc) argmax, fixed rounds for oracle
+    //      lockstep — the q78 pattern for a second iterative algorithm
+    //      family (frequency argmax instead of degree threshold) ----
+    QueryDef(
+      "q82_label_prop",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+          .orderBy($"node")
+      },
+      Some {
+        // AS MATERIALIZED: e is probed every round and each l_i feeds the
+        // next round's count join — inlining would replay the whole chain
+        val rounds = 4
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e)""")
+        for (i <- 1 to rounds) sb.append(s""",
+        c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS cnt
+               FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY e.a, l.lbl),
+        l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+               SELECT a, lbl,
+                 row_number() OVER (PARTITION BY a ORDER BY cnt DESC, lbl) AS rn
+               FROM c$i) WHERE rn = 1)""")
+        sb.append(s"""
+        SELECT node, lbl AS label FROM l$rounds ORDER BY node""")
+        sb.toString
+      }),
+
     // ---- Connected components over the co-purchase graph (public
     //      Graph API over the d06-proven pointer-jumping loop) vs a
     //      recursive-CTE transitive closure ----

@@ -259,6 +259,48 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === core2)
   }
 
+  test("labelPropagation: disjoint cliques each converge to their minimum node id") {
+    val sp = spark; import sp.implicits._
+    // two K4s with no bridge: within a clique, round 1 relabels everyone
+    // to the min neighbor id and the min node adopts the second-smallest;
+    // by round 3 every node carries the clique minimum — and stays there
+    val cliqueA = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val edges = (cliqueA ++ cliqueB).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), s"communities wrong: $got")
+  }
+
+  test("labelPropagation matches a local synchronous reference and ignores dirty edges") {
+    val sp = spark; import sp.implicits._
+    // pseudo-random graph fed dirty (reverses, duplicates, self-loops);
+    // reference = same synchronous min-tie-break schedule in plain Scala
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val canon = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (canon ++ canon.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+        val best = counts.toSeq.map { case (l, c) => (-c, l) }.min
+        n -> best._2
+      }
+    }
+    val dirty = (raw ++ raw.take(10) ++ Seq((3L, 3L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(dirty, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lbl)
+    // and partitioning must not change anything (integer argmax lockstep)
+    val got7 = Graph.labelPropagation(dirty.repartition(7), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 === got)
+  }
+
   test("kCore stopEarly halts at the fixpoint with output identical to the fixed run") {
     val sp = spark; import sp.implicits._
     val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
