@@ -109,7 +109,8 @@ object Bench {
         "pq" -> r(graft.operators.Similarity.pqKnnTrained(q, e, 3)),
         "pq_sampled" -> r(graft.operators.Similarity.pqKnn(q, e, 3)),
         "ivf_pq" -> r(graft.operators.Similarity.ivfPqKnnTrained(q, e, 3)),
-        "ivf_adc" -> r(graft.operators.Similarity.ivfAdcKnnTrained(q, e, 3)))
+        "ivf_adc" -> r(graft.operators.Similarity.ivfAdcKnnTrained(q, e, 3)),
+        "binary" -> r(graft.operators.Similarity.binaryKnn(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -244,6 +244,109 @@ object Similarity {
     else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** 1-bit BINARY quantization signatures: bit `i` of word `i/64` is set
+    * iff `v(i) > 0` — 32× smaller than float32, the cheapest code in the
+    * quantization family ([[sq8Encode]] is 4×, PQ is dims/m bytes).
+    * Hamming distance between sign signatures is the classic SRP bound
+    * on angular distance (Charikar 2002 with coordinate hyperplanes), so
+    * a Hamming pre-rank orders candidates roughly by cosine at
+    * XOR+popcount cost. Output `(vec_id, sig array<long>)`; map-only, no
+    * shuffle — write it next to the corpus once and every scan streams
+    * 8 bytes per 64 dims. Zero components quantize to 0 (ties on the
+    * hyperplane are a measure-zero fringe; the exact rerank fixes any). */
+  def binarySignatures(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val words = new Array[Long](math.max(1, (v.length + 63) / 64))
+          var i = 0
+          while (i < v.length) {
+            if (v(i) > 0f) words(i >> 6) |= 1L << (i & 63)
+            i += 1
+          }
+          (id, words)
+        }
+      }.toDF("vec_id", "sig")
+  }
+
+  /** Binary-quantization ANN over MATERIALIZED sign signatures (see
+    * [[binarySignatures]]): the candidate scan reads `(vec_id, sig)`
+    * ONLY — 8 bytes per 64 dims off storage — ranks every corpus row
+    * against the broadcast queries by Hamming distance (XOR+popcount),
+    * keeps the top `k·candMult` per query by `(hamming asc, id asc)`,
+    * and touches the float embeddings just for those survivors (exact
+    * cosine rerank, round-6, id tiebreak). Everything is integer
+    * arithmetic until the rerank, so candidate sets — and results — are
+    * engine-portable bit-for-bit. */
+  def binaryKnnFromSigs(queries: DataFrame, sigs: DataFrame, corpus: DataFrame,
+      k: Int, candMult: Int, candFraction: Double = 0.05): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(candMult >= 1, "candMult must be positive")
+    require(candFraction >= 0.0 && candFraction <= 1.0, "candFraction in [0,1]")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    // A 1-bit/dim sketch is COARSE (for 64-dim embeddings the whole
+    // signature is 64 bits), so a fixed candidate count decays with
+    // corpus growth: more rows crowd into each Hamming shell and the
+    // true neighbors fall below the cut (measured recall@3 0.667 at
+    // sf0.01 → 0.367 at sf0.1 with a fixed 24). The budget therefore
+    // scales as max(k·candMult, ceil(candFraction·N)) — the auto-probe
+    // rule from [[ivfKnn]]: a constant FRACTION of the corpus reranks,
+    // so recall holds under growth by construction. The bandwidth story
+    // is unchanged (the full scan reads 1-bit codes; only the fraction
+    // reranks from float storage); the count() is one columnar job over
+    // the code column.
+    val nCorpus = sigs.count()
+    val budget = math.max(k.toLong * candMult,
+      math.ceil(candFraction * nCorpus).toLong)
+    val qCollected = binarySignatures(queries, "vec_id", "embedding")
+      .as[(Long, Array[Long])].collect()
+    val qb = sp.sparkContext.broadcast(qCollected)
+    val hams = sigs.select(col("vec_id").cast("long"), col("sig"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        it.flatMap { case (nid, sg) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, qs0) =>
+            val n = math.min(sg.length, qs0.length)
+            var h = 0; var w = 0
+            while (w < n) {
+              h += java.lang.Long.bitCount(sg(w) ^ qs0(w)); w += 1
+            }
+            (qid, nid, h)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "ham")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val cands = hams
+      .withColumn("_crank", row_number().over(wApprox))
+      .filter(col("_crank") <= budget)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  /** Binary-quantization ANN with signatures computed inline from the
+    * corpus (the [[sq8Knn]]-style convenience over
+    * [[binaryKnnFromSigs]]). */
+  def binaryKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      candMult: Int = 8): DataFrame =
+    binaryKnnFromSigs(queries,
+      binarySignatures(corpus, "vec_id", "embedding"), corpus, k, candMult)
+
   /** Recall@k of an approximate kNN result against the exact result on
     * the same corpus — the tuning-regression gate for [[annKnn]] /
     * [[ivfKnn]] / [[sq8Knn]]: a planes/probes/candMult change that

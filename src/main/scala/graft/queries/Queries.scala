@@ -3240,6 +3240,45 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Similarity: 1-bit binary-quantization ANN — Hamming pre-rank
+    //      over sign signatures (XOR+popcount, integer-exact in both
+    //      engines), exact cosine rerank of the top k·candMult. The
+    //      oracle counts per-dimension sign disagreements instead of
+    //      packing bits: same Hamming value, no 64-bit packing in SQL ----
+    QueryDef(
+      "s09_knn_binary",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.binaryKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH vd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            (unnest(embedding::DOUBLE[]) > 0) AS s FROM embeddings),
+        ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            sum(CASE WHEN q.s <> c.s THEN 1 ELSE 0 END) AS ham
+          FROM vd q JOIN vd c USING (i)
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ham, neighbor_id) AS rn
+            FROM ham)
+          WHERE rn <= greatest(24, CAST(ceil(0.05 *
+            (SELECT count(*) FROM embeddings)) AS BIGINT))),
+        cs AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Bigram LM quality signal: add-one-smoothed sequence
     //      log-probability under the corpus's own bigram stats ----
     QueryDef(

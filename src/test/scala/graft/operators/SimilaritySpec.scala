@@ -87,10 +87,12 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ivfPqT = recall(Similarity.ivfPqKnnTrained(q, e, 3))
       val ivfAdc = recall(Similarity.ivfAdcKnnTrained(q, e, 3))
       assert(ivfAdc >= 0.9, s"residual IVFADC recall@3 regressed: $ivfAdc")
+      val bin = recall(Similarity.binaryKnn(q, e, 3))
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
         f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f " +
         f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f " +
-        f"ivf_adc=$ivfAdc%.3f")
+        f"ivf_adc=$ivfAdc%.3f binary=$bin%.3f")
+      assert(bin >= 0.6, s"binary-quantization recall@3 regressed: $bin")
       assert(pqS >= 0.5, s"sampled pq recall@3 regressed: $pqS")
       assert(pqT >= 0.9, s"trained pq recall@3 regressed: $pqT")
       assert(ivfPqT >= 0.9, s"trained ivf-pq recall@3 regressed: $ivfPqT")
@@ -403,6 +405,31 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally aqeBefore match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("binaryKnn: huge candMult degrades to exact kNN; signatures pack signs exactly") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    // candidate budget >= corpus: every row survives the Hamming screen,
+    // so the exact rerank IS brute force — routing proven lossless
+    val n = e.count().toInt
+    val brute = Similarity.knnKernel(q, e, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val degraded = Similarity.binaryKnn(q, e, 3, candMult = n).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(degraded.toSeq === brute.toSeq)
+    // signature = sign bits, bit i of word i/64 ⟺ v(i) > 0, and an
+    // identical vector is Hamming-0 — pack a hand-built case and check
+    val sp = spark; import sp.implicits._
+    val v = Array.tabulate(70)(i => if (i % 3 == 0) 1.5f else -0.5f)
+    val sigs = Similarity.binarySignatures(
+        Seq((1L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getSeq[Long](1).toArray)
+    assert(sigs.head.length === 2, "70 dims need two 64-bit words")
+    (0 until 70).foreach { i =>
+      val bit = (sigs.head(i >> 6) >> (i & 63)) & 1L
+      assert((bit == 1L) === (v(i) > 0f), s"sign bit wrong at dim $i")
     }
   }
 }
