@@ -675,4 +675,86 @@ object Dedup {
       .select(col("doc_id").as("_graft_drop"))
     docs.join(dropped, col(idCol) === col("_graft_drop"), "left_anti")
   }
+
+  /** Edit-distance self-join over SHORT strings (names, titles, codes —
+    * the entity-resolution / typo-clustering primitive): all pairs
+    * `(id1 < id2, dist)` with `levenshtein(s1, s2) <= maxDist`.
+    *
+    * Candidate screen = DELETION NEIGHBORHOODS (FastSS, Bocek et al.
+    * 2007 — the SymSpell recipe): each string fans out to every variant
+    * reachable by deleting up to `maxDist` characters, candidates are
+    * pairs sharing a variant (one equi-join on the variant string), and
+    * survivors verify with the exact DP `levenshtein`. The screen is
+    * provably COMPLETE: any alignment witnessing `lev(s1,s2) = e <= d`
+    * deletes at most `e` characters from each side to reach a common
+    * string (a substitution deletes one on each side, an insert/delete
+    * deletes one on the longer side), so true pairs always share a
+    * variant and the verify only trims false positives — which is why
+    * the d12 oracle can be a genuine brute-force cross join rather than
+    * a screen replay.
+    *
+    * Scale shape: a string of length L fans out to Σ C(L, 0..d)
+    * variants (L+1 at d=1) — map-only — and the join groups by variant
+    * key, which is naturally balanced: two strings share a variant only
+    * if they already nearly agree, so group size tracks the true
+    * near-match count, not the corpus (unlike q-gram postings, where
+    * one common gram collects everything). Adversarially hot variants
+    * (mass-duplicated strings) can be dropped whole with `dfCap`
+    * (0 = off; dropping a key whole keeps output deterministic, the
+    * [[jaccardPairs]] discipline, at the cost of recall on those keys).
+    * Not for long text: variant count and `levenshtein` cost both grow
+    * with length — document-scale near-dup belongs to
+    * [[minhashCandidates]] / [[simhashPairs]] / [[duplicateSpans]]. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, dfCap: Int = 0): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist beyond 3 explodes the deletion neighborhood; use the gram/minhash family")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val rows = df.select(col(idCol).cast("long").as("_graft_id"),
+        col(strCol).cast("string").as("_graft_s"))
+      .filter(col("_graft_id").isNotNull && col("_graft_s").isNotNull)
+    val variants = rows.as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, s) =>
+          // all distinct strings reachable by <= maxDist deletions; L is
+          // short by contract so the recursion is a few hundred calls
+          val out = collection.mutable.HashSet.empty[String]
+          def rec(str: String, d: Int): Unit = {
+            out.add(str)
+            if (d > 0) {
+              var i = 0
+              while (i < str.length) {
+                rec(str.substring(0, i) + str.substring(i + 1), d - 1)
+                i += 1
+              }
+            }
+          }
+          rec(s, maxDist)
+          out.iterator.map(v => (v, id))
+        }
+      }.toDF("_graft_v", "_graft_vid")
+    val screened =
+      if (dfCap <= 0) variants
+      else {
+        val hot = variants.groupBy(col("_graft_v"))
+          .agg(count(lit(1)).as("_graft_df"))
+          .filter(col("_graft_df") > dfCap)
+          .select(col("_graft_v"))
+        variants.join(hot, Seq("_graft_v"), "left_anti")
+      }
+    val cands = screened.as("x").join(screened.as("y"),
+        col("x._graft_v") === col("y._graft_v") &&
+          col("x._graft_vid") < col("y._graft_vid"))
+      .select(col("x._graft_vid").as("id1"), col("y._graft_vid").as("id2"))
+      .distinct()
+    cands
+      .join(rows.select(col("_graft_id").as("id1"), col("_graft_s").as("_graft_s1")),
+        Seq("id1"))
+      .join(rows.select(col("_graft_id").as("id2"), col("_graft_s").as("_graft_s2")),
+        Seq("id2"))
+      .withColumn("dist", levenshtein(col("_graft_s1"), col("_graft_s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

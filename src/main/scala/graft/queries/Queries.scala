@@ -1206,6 +1206,25 @@ object Queries {
         WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rk > 1)
         ORDER BY doc_id""")),
 
+    // ---- Dedup: edit-distance fuzzy self-join (entity resolution /
+    //      typo clustering). The FastSS deletion-neighborhood screen is
+    //      provably complete for lev <= maxDist, so the oracle is a TRUE
+    //      brute-force cross join, not a screen replay ----
+    QueryDef(
+      "d12_fuzzy_join",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup.editDistancePairs(
+            t(s, dir, "customer").select($"c_custkey", $"c_name"),
+            "c_custkey", "c_name", maxDist = 1)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+          levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id1, id2""")),
+
     // ---- Dedup: 32-bit SimHash + identical-hash groups ----
     QueryDef(
       "d04_simhash",

@@ -311,4 +311,75 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kernel == expr)
   }
+
+  test("editDistancePairs finds planted typos and matches brute force exactly") {
+    val sp = spark; import sp.implicits._
+    val names = Seq(
+      (1L, "jonathan smith"),   // base
+      (2L, "jonathon smith"),   // substitution, dist 1
+      (3L, "jonathan smyth"),   // substitution, dist 1 (of 1)
+      (4L, "jonathan smiths"),  // insertion, dist 1
+      (5L, "jonathan smit"),    // deletion, dist 1
+      (6L, "jonathon smyth"),   // dist 2 from base
+      (7L, "maria garcia"),     // unrelated
+      (8L, "jonathan smith"))   // exact dup, dist 0
+      .toDF("id", "name")
+    def run(d: Int) = Dedup.editDistancePairs(names, "id", "name", maxDist = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // brute force over the same strings with a plain DP levenshtein
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0 })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val raw = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    def brute(d: Int) = (for {
+      (i1, s1) <- raw; (i2, s2) <- raw if i1 < i2
+      dist = lev(s1, s2) if dist <= d
+    } yield (i1, i2, dist)).sorted.toSeq
+    val d1 = run(1)
+    assert(d1 === brute(1), "maxDist=1 diverged from brute force")
+    // every planted distance-1 edit (and the exact dup) pairs with base
+    assert(Set((1L, 2L), (1L, 4L), (1L, 5L), (1L, 8L))
+      .subsetOf(d1.map(t => (t._1, t._2)).toSet))
+    assert(!d1.exists(t => t._1 == 1L && t._2 == 6L), "dist-2 leaked into maxDist=1")
+    val d2 = run(2)
+    assert(d2 === brute(2), "maxDist=2 diverged from brute force")
+    assert(d2.contains((1L, 6L, 2)))
+  }
+
+  test("editDistancePairs: completeness vs brute force on random strings; dfCap drops hot keys whole") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    // random short strings over a tiny alphabet — lots of accidental
+    // near-matches, exercising every edit kind the screen must catch
+    val strs = (1L to 60L).map(i =>
+      (i, (0 until 4 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0 })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val brute = (for {
+      (i1, s1) <- strs; (i2, s2) <- strs if i1 < i2
+      d = lev(s1, s2) if d <= 2
+    } yield (i1, i2, d)).sorted.toSeq
+    val got = Dedup.editDistancePairs(strs.toDF("id", "s"), "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got === brute, "deletion-neighborhood screen missed a true pair")
+    // dfCap: a mass-duplicated string makes its variants hot; capping
+    // drops those keys whole (deterministic recall loss), never partially
+    val dup = ((1L to 20L).map(i => (i, "aaaa")) :+ (21L, "zzzz") :+ (22L, "zzzz"))
+      .toDF("id", "s")
+    val capped = Dedup.editDistancePairs(dup, "id", "s", maxDist = 1, dfCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((21L, 22L)),
+      s"hot 'aaaa' keys should drop whole, cool 'zzzz' pair survives: $capped")
+  }
 }
