@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Trainable linear text classifier over hashed bag-of-words features —
+  * the fastText-style "target domain vs rest" filter real pipelines
+  * train to score crawl text against a trusted corpus (the GPT-3 /
+  * LLaMA data-selection recipe), expressed entirely as relational
+  * aggregations so training runs WHERE THE DATA IS.
+  *
+  * Model: `p(doc) = σ̃(bias + Σ_{b ∈ features(doc)} w_b)` with the
+  * RATIONAL sigmoid `σ̃(m) = 0.5 + 0.5·m/(1+|m|)` instead of the
+  * logistic `1/(1+e^-m)`. That choice is deliberate: `exp` is a libm
+  * call whose last-ulp behavior differs across engines, while add /
+  * multiply / divide / abs are all IEEE-exact — so gradient descent
+  * stays in bit-identical lockstep with a DuckDB replay at every round
+  * (the [[Graph.pageRank]] determinism contract applied to model
+  * training). σ̃ is a proper sigmoid (monotone, symmetric, (0,1)), and
+  * `σ̃' > 0` everywhere, so full-batch gradient descent on squared-ish
+  * residuals `err = σ̃(m) − y` converges the same way in practice.
+  *
+  * Scale shape per round: one broadcast join of features against the
+  * weight table + a doc-keyed partial agg (margins), one join back +
+  * a bucket-keyed partial agg (gradients) — both DECIMAL(28,12)
+  * addends, so partition merge order can never perturb a weight.
+  * Weights live in a DataFrame keyed by bucket (vocab-bounded, never
+  * larger than `nBuckets` rows — broadcastable by construction for the
+  * hashed-feature sizes that matter); only the 1-row bias crosses to
+  * the driver each round. Rounds are sequential driver-launched jobs
+  * (inherent to full-batch GD, same cost frame as
+  * [[TextAnalysis.bpeMerges]] / [[Similarity.kmeansCodebook]]).
+  */
+object Classifier {
+
+  /** Deterministic md5 feature bucket for a token — engine-portable
+    * (same recipe as [[Dedup.hash32]]; DuckDB replays it as
+    * `CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % nBuckets`). */
+  def hashBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** Binary presence features: one `(doc_id, bucket)` row per distinct
+    * feature bucket of each doc. Map-side projection + one distinct. */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_graft_t"))
+      .select(col("doc_id"), hashBucket(col("_graft_t"), nBuckets).as("bucket"))
+      .distinct()
+
+  /** The rational sigmoid σ̃(m) = 0.5 + 0.5·m/(1+|m|) (see header). */
+  def fastSigmoid(m: Column): Column =
+    lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+
+  /** Train `rounds` full-batch gradient-descent rounds from zero
+    * weights: `w ← round(w − lr·(Σ_d err_d)/N, 12)` per bucket, where
+    * `err_d = σ̃(margin_d) − y_d`. Output: `(bucket, weight)` for every
+    * bucket PRESENT in the corpus plus the bias as bucket −1 (absent
+    * buckets are implicitly 0 — score-time left joins coalesce them).
+    * `labelCol` must cast to 0.0/1.0 doubles. */
+  def trainTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, nBuckets: Int = 64, rounds: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2, "need at least two feature buckets")
+    require(rounds >= 1, "need at least one round")
+    require(lr > 0.0, "learning rate must be positive")
+    val feats = features(docs, idCol, textCol, nBuckets).localCheckpoint(true)
+    val labels = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast(DoubleType).as("y")).localCheckpoint(true)
+    val nDocs = labels.count()
+    require(nDocs > 0, "cannot train on an empty corpus")
+    def round12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    // weights start at zero over the buckets that actually occur; each
+    // round references w twice (margin join + update join) so every
+    // round's weight table materializes eagerly (vocab-sized, cheap —
+    // the kCore discipline, not pageRank's lazy chaining)
+    var w = feats.select(col("bucket")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint(true)
+    var bias = 0.0
+    var i = 0
+    while (i < rounds) {
+      val margins = feats.join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w").cast(DecimalType(28, 12))).as("_graft_ms"))
+      val errs = labels.join(margins, Seq("doc_id"), "left_outer")
+        .withColumn("_graft_m",
+          lit(bias) + coalesce(col("_graft_ms").cast(DoubleType), lit(0.0)))
+        .select(col("doc_id"),
+          (fastSigmoid(col("_graft_m")) - col("y")).as("_graft_err"))
+      val grads = feats.join(errs, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("_graft_err").cast(DecimalType(28, 12))).as("_graft_g"))
+      val gBias = errs
+        .agg(sum(col("_graft_err").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("g"))
+        .collect().head.getDouble(0)
+      bias = round12(bias - lr * gBias / nDocs.toDouble)
+      val next = w.join(grads, Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          round(col("w") - lit(lr) *
+            coalesce(col("_graft_g").cast(DoubleType), lit(0.0)) /
+            lit(nDocs.toDouble), 12).as("w"))
+        .localCheckpoint(true)
+      w.unpersist()
+      w = next
+      i += 1
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val out = w.select(col("bucket"), col("w").as("weight"))
+      .unionAll(Seq((-1L, bias)).toDF("bucket", "weight"))
+      .localCheckpoint(true)
+    w.unpersist(); feats.unpersist(); labels.unpersist()
+    out
+  }
+
+  /** Score docs under a trained weight table (the [[trainTextClassifier]]
+    * output, bias at bucket −1): `(doc_id, score, pred)` with
+    * `score = round(σ̃(margin), 6)` and `pred = score ≥ 0.5`. Stateless —
+    * one broadcast join + one doc-keyed agg, so the SAME operator scores
+    * a batch or a structured stream (the [[TextAnalysis.dsirScore]]
+    * deployment shape). */
+  def scoreTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val w = weights.filter(col("bucket") >= 0)
+      .select(col("bucket"), col("weight"))
+    val biasDf = weights.filter(col("bucket") === -1)
+      .select(col("weight").as("_graft_bias"))
+    val margins = features(docs, idCol, textCol, nBuckets)
+      .join(broadcast(w), Seq("bucket"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("weight"), lit(0.0)).cast(DecimalType(28, 12)))
+        .as("_graft_ms"))
+    val score = round(fastSigmoid(col("_graft_bias") +
+      coalesce(col("_graft_ms").cast(DoubleType), lit(0.0))), 6)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(margins, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(biasDf))
+      .select(col("doc_id"), score.as("score"),
+        (score >= 0.5).as("pred"))
+  }
+}

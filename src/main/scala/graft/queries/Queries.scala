@@ -3298,6 +3298,67 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Trainable quality classifier: fastText-style hashed
+    //      bag-of-words linear model ("is this doc target-language?"),
+    //      trained by 3 full-batch GD rounds with the RATIONAL sigmoid
+    //      (division is IEEE-exact, exp is not) — DuckDB replays the
+    //      whole training trajectory round-for-round, then scores ----
+    QueryDef(
+      "t37_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val labeled = docs.withColumn("y", ($"lang" === "en").cast("double"))
+        val wts = graft.operators.Classifier.trainTextClassifier(
+          labeled, "doc_id", "text", "y", nBuckets = 64, rounds = 3, lr = 0.5)
+        graft.operators.Classifier.scoreTextClassifier(docs, "doc_id", "text", wts)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val rounds = 3
+        val sb = new StringBuilder(
+          """WITH tok AS (SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+             FROM documents),
+        feat AS MATERIALIZED (SELECT DISTINCT doc_id,
+               CAST(CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
+             FROM tok),
+        lbl AS MATERIALIZED (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+        b0 AS (SELECT 0.0 AS bias)""")
+        for (i <- 1 to rounds) sb.append(s""",
+        m$i AS MATERIALIZED (SELECT l.doc_id, l.y,
+               b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
+             FROM lbl l CROSS JOIN b${i - 1} b LEFT JOIN (
+               SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(28,12))) AS ms
+               FROM feat f JOIN w${i - 1} w USING (bucket)
+               GROUP BY f.doc_id) s ON l.doc_id = s.doc_id),
+        e$i AS MATERIALIZED (SELECT doc_id,
+               0.5 + 0.5 * m / (1.0 + abs(m)) - y AS err FROM m$i),
+        g$i AS MATERIALIZED (SELECT f.bucket, sum(CAST(e.err AS DECIMAL(28,12))) AS g
+             FROM feat f JOIN e$i e USING (doc_id) GROUP BY f.bucket),
+        w$i AS MATERIALIZED (SELECT w.bucket,
+               round(w.w - 0.5 * COALESCE(CAST(g.g AS DOUBLE), 0.0) / nn.n, 12) AS w
+             FROM w${i - 1} w LEFT JOIN g$i g USING (bucket) CROSS JOIN nn),
+        b$i AS (SELECT round(b.bias - 0.5 * CAST(s.g AS DOUBLE) / nn.n, 12) AS bias
+             FROM b${i - 1} b CROSS JOIN
+               (SELECT sum(CAST(err AS DECIMAL(28,12))) AS g FROM e$i) s
+             CROSS JOIN nn)""")
+        sb.append(s"""
+        , mf AS (SELECT d.doc_id, b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
+             FROM (SELECT doc_id FROM documents) d CROSS JOIN b$rounds b
+             LEFT JOIN (
+               SELECT f.doc_id, sum(CAST(COALESCE(w.w, 0.0) AS DECIMAL(28,12))) AS ms
+               FROM feat f LEFT JOIN w$rounds w USING (bucket)
+               GROUP BY f.doc_id) s ON d.doc_id = s.doc_id)
+        SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score,
+          (round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) >= 0.5) AS pred
+        FROM mf ORDER BY doc_id""")
+        sb.toString
+      }),
+
     // ---- Bigram LM quality signal: add-one-smoothed sequence
     //      log-probability under the corpus's own bigram stats ----
     QueryDef(
