@@ -86,8 +86,9 @@ object Png {
   // ---------------- decode ----------------
 
   /** Decode a PNG to its raw sample buffer. Throws IllegalArgumentException
-    * on anything that is not an 8-bit non-interlaced PNG of colour type
-    * 0/2/4/6, or whose chunk CRCs / stream structure are corrupt.
+    * on anything outside the header contract (8/16-bit, colour types
+    * 0/2/3/4/6, interlace none or Adam7), or whose chunk CRCs / stream
+    * structure are corrupt.
     *
     * `maxPixelBytes` caps the decoded buffer (default 256 MB): PNG is a
     * DEFLATE container, so a ~100-byte payload can legally declare
@@ -175,32 +176,45 @@ object Png {
     require(rawL <= cap && outL <= cap,
       s"decoded size ${math.max(rawL, outL)} B exceeds maxPixelBytes=$maxPixelBytes (${width}x$height×$bpp)")
     val stride = strideL.toInt
-    val raw = inflate(idat.toByteArray, rawL.toInt)
-    val pixels = new Array[Byte](height * stride)
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * (1 + stride)) & 0xFF
-      val rowOff = y * (1 + stride) + 1
-      val outOff = y * stride
-      var x = 0
-      while (x < stride) {
-        val f = raw(rowOff + x) & 0xFF
-        val left = if (x >= bpp) pixels(outOff + x - bpp) & 0xFF else 0
-        val up = if (y > 0) pixels(outOff - stride + x) & 0xFF else 0
-        val upLeft = if (y > 0 && x >= bpp) pixels(outOff - stride + x - bpp) & 0xFF else 0
-        val recon = filter match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, upLeft)
-          case t => throw new IllegalArgumentException(s"bad scanline filter $t")
+    val pixels =
+      if (!interlaced) unfilter(inflate(idat.toByteArray, rawL.toInt), 0, height, stride, bpp)
+      else {
+        // Adam7 (spec §8.2): seven passes, each an INDEPENDENTLY filtered
+        // sub-image over the pass grid (xStart, yStart, xStep, yStep);
+        // empty passes contribute no scanlines at all
+        var totL = 0L
+        Adam7.foreach { case (x0, y0, dx, dy) =>
+          val pw = passExtent(width, x0, dx); val ph = passExtent(height, y0, dy)
+          if (pw > 0 && ph > 0) totL += ph.toLong * (1L + pw.toLong * bpp)
         }
-        pixels(outOff + x) = recon.toByte
-        x += 1
+        require(totL <= cap,
+          s"interlaced raw size $totL B exceeds maxPixelBytes=$maxPixelBytes")
+        val raw = inflate(idat.toByteArray, totL.toInt)
+        val out = new Array[Byte](height * stride)
+        var off = 0
+        Adam7.foreach { case (x0, y0, dx, dy) =>
+          val pw = passExtent(width, x0, dx); val ph = passExtent(height, y0, dy)
+          if (pw > 0 && ph > 0) {
+            val pStride = pw * bpp
+            val sub = unfilter(raw, off, ph, pStride, bpp)
+            off += ph * (1 + pStride)
+            // scatter the pass pixels back onto the full-image grid
+            var r = 0
+            while (r < ph) {
+              var c = 0
+              while (c < pw) {
+                val srcOff = (r * pStride) + c * bpp
+                val dstOff = (y0 + r * dy) * stride + (x0 + c * dx) * bpp
+                var k = 0
+                while (k < bpp) { out(dstOff + k) = sub(srcOff + k); k += 1 }
+                c += 1
+              }
+              r += 1
+            }
+          }
+        }
+        out
       }
-      y += 1
-    }
     if (colourType != 3 && bps == 1) Image(width, height, channels, pixels)
     else if (bps == 2) {
       // 16-bit → 8-bit: keep the high byte of each big-endian sample
@@ -228,6 +242,51 @@ object Png {
       }
       Image(width, height, 3, out)
     }
+  }
+
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pixels of one Adam7 pass along an axis of `full` pixels. */
+  private def passExtent(full: Int, start: Int, step: Int): Int =
+    if (full > start) (full - start + step - 1) / step else 0
+
+  /** Reverse the scanline filters of `rows` rows of `rowBytes` bytes
+    * starting at `raw(off0)` (each row = 1 filter byte + `rowBytes`
+    * filtered bytes); left/up neighbors live within this sub-image —
+    * exactly the independence Adam7 passes require. */
+  private def unfilter(raw: Array[Byte], off0: Int, rows: Int,
+      rowBytes: Int, bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](rows * rowBytes)
+    var y = 0
+    var off = off0
+    while (y < rows) {
+      val filter = raw(off) & 0xFF
+      off += 1
+      val outOff = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val f = raw(off + x) & 0xFF
+        val left = if (x >= bpp) out(outOff + x - bpp) & 0xFF else 0
+        val up = if (y > 0) out(outOff - rowBytes + x) & 0xFF else 0
+        val upLeft = if (y > 0 && x >= bpp) out(outOff - rowBytes + x - bpp) & 0xFF else 0
+        val recon = filter match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+          case t => throw new IllegalArgumentException(s"bad scanline filter $t")
+        }
+        out(outOff + x) = recon.toByte
+        x += 1
+      }
+      off += rowBytes
+      y += 1
+    }
+    out
   }
 
   /** a=left, b=up, c=up-left — the PNG Paeth predictor. */

@@ -1225,6 +1225,30 @@ object Queries {
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         ORDER BY id1, id2""")),
 
+    // ---- LATERAL correlated subquery join (SQL surface): per-customer
+    //      top-2 orders without a window — the dependent-join shape
+    //      Catalyst decorrelates into a ranked join under the hood ----
+    QueryDef(
+      "q83_lateral_topk",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_q83_customer")
+        t(s, dir, "orders").createOrReplaceTempView("graft_q83_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM graft_q83_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q83_orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          WHERE c.c_custkey < 50
+          ORDER BY c.c_custkey, o.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, o.o_orderkey""")),
+
     // ---- Dedup: 32-bit SimHash + identical-hash groups ----
     QueryDef(
       "d04_simhash",

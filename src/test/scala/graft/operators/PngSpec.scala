@@ -66,6 +66,51 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("our decoder reads ImageIO-written Adam7 INTERLACED PNGs across sizes") {
+    // sizes chosen to exercise empty passes (anything < 8 skips whole
+    // passes), partial passes, and the 1x1 corner where only pass 1 has
+    // a pixel; expected pixels come from ImageIO reading ITS OWN bytes
+    def interlacedBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (8, 8), (13, 11), (17, 9))) {
+      // greyscale gradient
+      val gray = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        gray.getRaster.setSample(x, y, 0, (x * 37 + y * 11) % 256)
+      val gbytes = interlacedBytes(gray)
+      assert((gbytes(8 + 8 + 12) & 0xFF) === 1,
+        s"ImageIO did not write interlaced at ${w}x$h") // IHDR interlace byte
+      val gdec = Png.decode(gbytes)
+      assert(gdec.width === w && gdec.height === h && gdec.channels === 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gdec.pixels(y * w + x) & 0xFF) === (x * 37 + y * 11) % 256,
+          s"grey pixel ($x,$y) of ${w}x$h")
+      // RGB gradient
+      val rgb = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        rgb.setRGB(x, y, ((x * 29 % 256) << 16) | ((y * 53 % 256) << 8) | ((x + y) % 256))
+      val rdec = Png.decode(interlacedBytes(rgb))
+      assert(rdec.width === w && rdec.height === h && rdec.channels === 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val off = (y * w + x) * 3
+        assert((rdec.pixels(off) & 0xFF) === x * 29 % 256, s"R ($x,$y) ${w}x$h")
+        assert((rdec.pixels(off + 1) & 0xFF) === y * 53 % 256, s"G ($x,$y) ${w}x$h")
+        assert((rdec.pixels(off + 2) & 0xFF) === (x + y) % 256, s"B ($x,$y) ${w}x$h")
+      }
+    }
+  }
+
   test("our decoder reads ImageIO-written palette (colour type 3) PNGs as RGB") {
     // TYPE_BYTE_INDEXED = the JDK's 256-entry palette image; ImageIO
     // encodes it as PNG colour type 3 with a PLTE chunk — the most
