@@ -201,13 +201,34 @@ object Dedup {
       k: Int = 20, minLen: Int = 40, dfCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 2, "k must be at least 2")
     require(minLen >= k, "minLen below k would emit sub-gram spans")
-    val capped = positionedGrams(df, idCol, textCol, k, dfCap)
-    val cand = candidates
+    val cand0 = candidates
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
       .filter(col("id1") < col("id2")).distinct()
-    val aSide = capped.join(cand, col("doc_id") === col("id1"))
+    // Without a gram cap, grams are PER-DOC facts — so only docs that
+    // appear in a candidate pair need their grams exploded at all (the
+    // screen's whole point: O(candidate chars), not O(corpus chars)).
+    // With a finite dfCap the cap is a CORPUS-level statistic (document
+    // frequency over every doc, candidate or not), so the full gram
+    // table must exist to count it and the restriction would change
+    // answers — the explode stays corpus-wide in that branch.
+    val (aGrams, bGrams0, cand) =
+      if (dfCap == Int.MaxValue) {
+        // cand feeds three consumers (both semi-joins + the pair join):
+        // materialize it once or the upstream screen replays three times
+        val c = cand0.localCheckpoint(true)
+        val d1 = c.select(col("id1").as("_graft_d")).distinct()
+        val d2 = c.select(col("id2").as("_graft_d")).distinct()
+        val dfA = df.join(d1, col(idCol) === col("_graft_d"), "left_semi")
+        val dfB = df.join(d2, col(idCol) === col("_graft_d"), "left_semi")
+        (positionedGrams(dfA, idCol, textCol, k, dfCap),
+          positionedGrams(dfB, idCol, textCol, k, dfCap), c)
+      } else {
+        val g = positionedGrams(df, idCol, textCol, k, dfCap)
+        (g, g, cand0)
+      }
+    val aSide = aGrams.join(cand, col("doc_id") === col("id1"))
       .select(col("id1"), col("id2"), col("pos").as("pos1"), col("gram"))
-    val bGrams = capped.select(col("doc_id").as("_b_id"),
+    val bGrams = bGrams0.select(col("doc_id").as("_b_id"),
       col("pos").as("pos2"), col("gram").as("_b_gram"))
     val pairs = aSide.join(bGrams,
         col("gram") === col("_b_gram") && col("id2") === col("_b_id"))

@@ -2775,6 +2775,38 @@ object Queries {
         sb.toString
       }),
 
+    // ---- RECURSIVE CTE (SQL surface, new in Spark 4): BFS distances
+    //      from supplier 1 over the symmetrized supplier–part graph as a
+    //      depth-bounded recursive walk + min-distance aggregation; the
+    //      SAME dialect-neutral SQL text runs on both engines ----
+    QueryDef(
+      "q84_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_q84_lineitem")
+        s.sql("""WITH RECURSIVE
+          e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+                FROM graft_q84_lineitem WHERE l_partkey % 10 = 0),
+          und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+          reach(node, d) AS (
+            SELECT CAST(1 AS BIGINT), 0
+            UNION ALL
+            SELECT u.dst, r.d + 1 FROM reach r JOIN und u ON u.src = r.node
+            WHERE r.d < 3)
+          SELECT node, min(d) AS dist FROM reach
+          GROUP BY node ORDER BY node""")
+      },
+      Some("""WITH RECURSIVE
+        e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+              FROM lineitem WHERE l_partkey % 10 = 0),
+        und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        reach(node, d) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT u.dst, r.d + 1 FROM reach r JOIN und u ON u.src = r.node
+          WHERE r.d < 3)
+        SELECT node, min(d) AS dist FROM reach
+        GROUP BY node ORDER BY node""")),
+
     // ---- Connected components over the co-purchase graph (public
     //      Graph API over the d06-proven pointer-jumping loop) vs a
     //      recursive-CTE transitive closure ----
