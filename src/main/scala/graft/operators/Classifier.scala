@@ -41,13 +41,19 @@ object Classifier {
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
 
   /** Binary presence features: one `(doc_id, bucket)` row per distinct
-    * feature bucket of each doc. Map-side projection + one distinct. */
+    * feature bucket of each doc. The per-doc dedup happens ROW-LOCALLY
+    * (`array_distinct` over the hashed token array before the explode),
+    * so this is map-only — no distinct shuffle, and therefore STATELESS
+    * under Structured Streaming, which is what lets
+    * [[scoreTextClassifier]] run on a stream as a single aggregation.
+    * A doc with no tokens keeps one `(doc_id, null)` row
+    * (`explode_outer`) so every doc survives to the margin aggregation
+    * without a join back to the input. */
   def features(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("_graft_t"))
-      .select(col("doc_id"), hashBucket(col("_graft_t"), nBuckets).as("bucket"))
-      .distinct()
+      explode_outer(array_distinct(transform(TextAnalysis.tokens(col(textCol)),
+        t => hashBucket(t, nBuckets)))).as("bucket"))
 
   /** The rational sigmoid σ̃(m) = 0.5 + 0.5·m/(1+|m|) (see header). */
   def fastSigmoid(m: Column): Column =
@@ -65,7 +71,10 @@ object Classifier {
     require(nBuckets >= 2, "need at least two feature buckets")
     require(rounds >= 1, "need at least one round")
     require(lr > 0.0, "learning rate must be positive")
-    val feats = features(docs, idCol, textCol, nBuckets).localCheckpoint(true)
+    // training never needs the null-bucket placeholder rows (empty docs
+    // influence only the bias, via the labels left join below)
+    val feats = features(docs, idCol, textCol, nBuckets)
+      .filter(col("bucket").isNotNull).localCheckpoint(true)
     val labels = docs.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast(DoubleType).as("y")).localCheckpoint(true)
     val nDocs = labels.count()
@@ -126,18 +135,27 @@ object Classifier {
       weights: DataFrame, nBuckets: Int = 64): DataFrame = {
     val w = weights.filter(col("bucket") >= 0)
       .select(col("bucket"), col("weight"))
-    val biasDf = weights.filter(col("bucket") === -1)
-      .select(col("weight").as("_graft_bias"))
+    // the bias is one row of the (static, trained) weight table — read
+    // it at plan-construction time like [[TextAnalysis.dsirScore]]'s
+    // wOov scalar, so the streaming plan stays join+agg only
+    val bias = weights.filter(col("bucket") === -1)
+      .select(col("weight")).collect().headOption
+      .map(_.getDouble(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "weight table has no bias row (bucket -1) — not a trainTextClassifier output"))
+    // every doc reaches the aggregation (explode_outer keeps a null-
+    // bucket row for token-free docs, which matches no weight and sums
+    // as 0), so no join back onto the input is needed — the whole
+    // scorer is one broadcast join + one aggregation, the only shape a
+    // structured stream can run statefully
     val margins = features(docs, idCol, textCol, nBuckets)
       .join(broadcast(w), Seq("bucket"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("weight"), lit(0.0)).cast(DecimalType(28, 12)))
         .as("_graft_ms"))
-    val score = round(fastSigmoid(col("_graft_bias") +
+    val score = round(fastSigmoid(lit(bias) +
       coalesce(col("_graft_ms").cast(DoubleType), lit(0.0))), 6)
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(margins, Seq("doc_id"), "left_outer")
-      .crossJoin(broadcast(biasDf))
+    margins
       .select(col("doc_id"), score.as("score"),
         (score >= 0.5).as("pred"))
   }

@@ -158,4 +158,32 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding"), cents, bounds)
     assert(Similarity.updateIvfSq8Index(emptyVecs, idx, cents, bounds).count() == 1)
   }
+
+  test("third-session round-9 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagation(emptyEdges, "src", "dst").count() == 0)
+    // binary ANN: empty corpus yields no neighbors; empty QUERY side too
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.binaryKnn(emptyVecs, vecs, 3).count() == 0)
+    assert(Similarity.binaryKnn(vecs, emptyVecs, 3).count() == 0)
+    assert(Similarity.binarySignatures(emptyVecs, "vec_id", "embedding").count() == 0)
+    // fuzzy join on nothing, and on one string (no pairs possible)
+    val emptyNames = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(Dedup.editDistancePairs(emptyNames, "id", "s").count() == 0)
+    assert(Dedup.editDistancePairs(
+      Seq((1L, "solo")).toDF("id", "s"), "id", "s").count() == 0)
+    // classifier: empty corpus cannot train (fails loudly, not wrong);
+    // scoring an empty corpus under real weights yields no rows
+    val lbl = Seq((1L, "good stuff", 1.0), (2L, "bad stuff", 0.0))
+      .toDF("doc_id", "text", "y")
+    val err = intercept[IllegalArgumentException] {
+      Classifier.trainTextClassifier(
+        emptyDocs.withColumn("y", lit(0.0)), "doc_id", "text", "y")
+    }
+    assert(err.getMessage.contains("empty"))
+    val w = Classifier.trainTextClassifier(lbl, "doc_id", "text", "y", rounds = 1)
+    assert(Classifier.scoreTextClassifier(emptyDocs, "doc_id", "text", w).count() == 0)
+  }
 }

@@ -135,6 +135,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gram join lost the pair restriction:\n${joinLines.mkString("\n")}\n${p.take(2000)}")
   }
 
+  test("d12 fuzzy-join variant screen is an equi join, never all-pairs levenshtein") {
+    val p = plan("d12_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the self-join key is the deletion variant string — levenshtein
+    // must appear only downstream of it, on screened candidates
+    assert(p.contains("_graft_v"), p.take(2000))
+    assert(p.contains("levenshtein"), p.take(2000))
+  }
+
+  test("q83 lateral top-k decorrelates into a ranked join, not a per-row nested loop") {
+    val p = plan("q83_lateral_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // Catalyst rewrites the correlated LIMIT subquery into a window
+    // rank + equi join — the shape that scales
+    assert(p.contains("Window") || p.contains("row_number"), p.take(2000))
+  }
+
+  test("t37 classifier scoring is a broadcast weight join + partial aggs") {
+    val p = plan("t37_quality_classifier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))

@@ -161,6 +161,41 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); frozen.unpersist(); () }
   }
 
+  test("streaming quality-classifier scoring under frozen weights equals the batch scorer") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    // train once on a static labeled corpus, freeze the weights
+    val labeled = ((1L to 8L).map(i => (i, s"excellent wonderful item $i", 1.0)) ++
+      (9L to 16L).map(i => (i, s"terrible awful item $i", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val w = graft.operators.Classifier
+      .trainTextClassifier(labeled, "doc_id", "text", "y", rounds = 10, lr = 1.0)
+      .cache()
+    w.count()
+    // new docs arrive as a stream: positive-like, negative-like, and a
+    // token-free doc (exercises the explode_outer null-bucket path)
+    val newDocs = Seq((101L, "excellent wonderful thing"),
+      (102L, "terrible awful thing"), (103L, "???"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Classifier.scoreTextClassifier(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("clfscore").outputMode("update").start()
+    try {
+      input.addData(newDocs.take(2): _*); q.processAllAvailable()
+      input.addData(newDocs.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("clfscore").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      val batch = graft.operators.Classifier.scoreTextClassifier(
+          newDocs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(streamed === batch, "streamed classifier scores diverged from batch")
+      val byId = streamed.map(t => t._1 -> t._2).toMap
+      assert(byId(101L) > byId(102L), "positive-like doc must outscore negative-like")
+      assert(byId.contains(103L), "token-free doc must still be scored")
+    } finally { q.stop(); w.unpersist(); () }
+  }
+
   test("streaming ingest keeps the skipping manifest fresh with one updateManifest per batch") {
     val sp = spark
     implicit val sql = sp.sqlContext
