@@ -132,4 +132,119 @@ object Sketches {
           pmod(pmod(lit(a) * h + lit(b), lit(P)), lit(width))).cast("int") + 1)
     }: _*)
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002 /
+  // Beyer et al. 2007. Keeps the k smallest DISTINCT 60-bit hash values
+  // seen; state is ≤ k longs per group regardless of cardinality. Unlike
+  // HLL, two KMV signatures support set INTERSECTION estimation (the
+  // theta-sketch trick): the k smallest of the union are a uniform
+  // sample of A ∪ B, so the fraction present in both signatures
+  // estimates the Jaccard similarity. Everything is md5-derived and the
+  // k-min of a set is order-independent, so results are bit-
+  // deterministic and DuckDB-replayable.
+  // --------------------------------------------------------------------
+
+  /** 2^60 as an exact double (60-bit hashes normalize against it). */
+  val KmvSpace: Double = 1.152921504606846976e18
+
+  /** 60-bit hash = first 15 hex chars of md5(key); JVM twin of the
+    * Column `conv(substring(md5(k), 1, 15), 16, 10)`. */
+  def kmvHash(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(key.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 52) | ((d(1) & 0xFFL) << 44) | ((d(2) & 0xFFL) << 36) |
+      ((d(3) & 0xFFL) << 28) | ((d(4) & 0xFFL) << 20) | ((d(5) & 0xFFL) << 12) |
+      ((d(6) & 0xFFL) << 4) | ((d(7) & 0xF0L) >> 4)
+  }
+
+  /** Column twin of [[kmvHash]] for callers that want the hash of a
+    * probe value without building a sketch. */
+  def kmvHashCol(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV sketch builder: per-group state is a sorted array of at most
+    * `k` distinct hash values. `reduce` is a binary-search insert;
+    * `merge` is a linear merge — both bounded by k, so partial
+    * aggregation ships ≤ 8k bytes per group per map task no matter how
+    * many rows fed it. `finish` emits the sorted signature (ascending),
+    * estimable with the pure-Column [[kmvEstimate]]. */
+  def kmv(k: Int): Aggregator[String, Array[Long], Seq[Long]] = {
+    require(k >= 2, "kmv needs k >= 2 (the estimator divides by the kth minimum)")
+    new Aggregator[String, Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+      override def reduce(buf: Array[Long], key: String): Array[Long] = {
+        if (key == null) buf
+        else {
+          val h = kmvHash(key)
+          val i = java.util.Arrays.binarySearch(buf, h)
+          if (i >= 0) buf // already present
+          else {
+            val ins = -i - 1
+            if (buf.length < k) {
+              val out = new Array[Long](buf.length + 1)
+              System.arraycopy(buf, 0, out, 0, ins)
+              out(ins) = h
+              System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+              out
+            } else if (ins < k) { // h beats the current kth minimum
+              val out = new Array[Long](k)
+              System.arraycopy(buf, 0, out, 0, ins)
+              out(ins) = h
+              System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+              out
+            } else buf
+          }
+        }
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        if (a.isEmpty) b
+        else if (b.isEmpty) a
+        else {
+          val out = new Array[Long](math.min(k, a.length + b.length))
+          var i = 0; var j = 0; var n = 0
+          while (n < out.length && (i < a.length || j < b.length)) {
+            val take =
+              if (i >= a.length) { val v = b(j); j += 1; v }
+              else if (j >= b.length) { val v = a(i); i += 1; v }
+              else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+              else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+              else { val v = a(i); i += 1; j += 1; v } // shared hash: once
+            out(n) = take; n += 1
+          }
+          if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+        }
+      }
+      override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+  }
+
+  /** Distinct-count estimate from a KMV signature column (ascending
+    * array<long> from [[kmv]]): exact |sig| when the sketch never
+    * filled, else (k−1) · 2^60 / kth-minimum — the classic unbiased
+    * KMV estimator. Pure Column arithmetic; both factors are exact
+    * doubles so the value is engine-portable bit-for-bit. */
+  def kmvEstimate(sig: Column, k: Int): Column =
+    when(size(sig) < k, size(sig).cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvSpace) /
+        element_at(sig, k).cast("double"))
+
+  /** Intersection-size estimate for two KMV signatures built with the
+    * same k (theta-sketch style): the k smallest of sigA ∪ sigB are a
+    * uniform hash-sample of A ∪ B, so
+    *   |A ∩ B| ≈ (|{h ∈ K : h ∈ sigA ∧ h ∈ sigB}| / |K|) · est(A ∪ B).
+    * All array built-ins — no UDF, no re-scan of the data. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(a, b)), 1, k)
+    val kk = size(merged)
+    val unionEst = when(kk < k, kk.cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvSpace) /
+        element_at(merged, k).cast("double"))
+    val inBoth = size(array_intersect(array_intersect(merged, a), b))
+    (inBoth.cast("double") / kk.cast("double")) * unionEst
+  }
 }

@@ -481,4 +481,84 @@ object Graph {
     ConvergenceGauge.lastRounds = i
     (degrees(und).select(col("node"), col("dg").as("degree")), lastCkpt)
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999): `iterations` rounds of
+    *
+    *   auth(v) ← round((Σ_{u→v} hub(u))  / max_v Σ, roundTo)
+    *   hub(u)  ← round((Σ_{u→v} auth(v)) / max_u Σ, roundTo)
+    *
+    * over a DIRECTED edge list — the mutually-recursive centrality pair
+    * PageRank's single score can't express (a page can be a great index
+    * of authorities without being one). Sup-norm (divide-by-max)
+    * normalization instead of the textbook L2: the max is a one-row
+    * broadcast and the division one IEEE op, so — with DECIMAL(28,12)
+    * addends and per-round rounding, exactly [[pageRank]]'s determinism
+    * contract — both engines stay in bit-identical lockstep round for
+    * round. Fixed-point scores are identical up to the (deterministic)
+    * scaling either way.
+    *
+    * Scale shape: each half-round is one equi-join of the edge list
+    * against the current score + one dst/src-keyed partial-aggregating
+    * sum, eagerly materialized (`localCheckpoint`) with the normalizing
+    * max riding the SAME job as an `Observation` — the max enters the
+    * next expression as a driver literal, so the sums frame is never
+    * referenced twice (a lazy double-reference here recomputes the
+    * whole history per round, the kCore lesson). One job per
+    * half-round, state one row per node. Output: (node, hub, auth) for
+    * every node in the edge set. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, roundTo: Int = 9): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    var ckpts = List.empty[DataFrame]
+    def halfRound(sums: DataFrame, valCol: String, tag: String,
+        outCol: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val mat = sums
+        .observe(obs, max(col(valCol).cast("double")).as("mx"))
+        .localCheckpoint(true) // the max rides the materializing job
+      val mx = Option(obs.get("mx")).map(_.asInstanceOf[Double]).getOrElse(1.0)
+      ckpts ::= mat
+      nodes.join(mat, col("node") === col(mat.columns.head), "left_outer")
+        .select(col("node"),
+          round(coalesce(col(valCol).cast("double"), lit(0.0)) / lit(mx),
+            roundTo).as(outCol))
+    }
+    var i = 0
+    while (i < iterations) {
+      // auth step: inflow of hub mass along edge direction
+      auths = halfRound(
+        e.join(hubs, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("h").cast(DecimalType(28, 12))).as("asum")),
+        "asum", s"hits-a-$i", "a")
+      // hub step: outflow toward the fresh authority scores
+      hubs = halfRound(
+        e.join(auths.select(col("node").as("anode"), col("a")),
+            col("dst") === col("anode"))
+          .groupBy(col("src"))
+          .agg(sum(col("a").cast(DecimalType(28, 12))).as("hsum")),
+        "hsum", s"hits-h-$i", "h")
+      i += 1
+      // the two frames just built are still needed next round; older
+      // half-round checkpoints are dead — free them now
+      val (live, dead) = ckpts.splitAt(2)
+      dead.foreach(_.unpersist())
+      ckpts = live
+    }
+    val result = hubs.join(auths.select(col("node").as("n2"), col("a")),
+        col("node") === col("n2"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+      .localCheckpoint(true)
+    ckpts.foreach(_.unpersist())
+    e.unpersist()
+    nodes.unpersist()
+    result
+  }
 }

@@ -123,4 +123,120 @@ object Layout {
       spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(files: _*).filter(residual)
   }
+
+  // --------------------------------------------------------------------
+  // Per-file Bloom filters: point-lookup skipping where min/max can't.
+  // A hash-distributed layout (the common case for write throughput)
+  // gives every file nearly the SAME [min, max] on a high-cardinality
+  // key, so range stats prune nothing. A small per-file Bloom filter
+  // (2^bitsLog2 bits, default 8 KiB) answers "can this key be in this
+  // file?" with no false negatives — the same design as Parquet's
+  // optional bloom pages and Delta's deletion-vector lookups, but
+  // planned from one tiny manifest table instead of a footer per file.
+  // --------------------------------------------------------------------
+
+  /** Name of the Bloom-manifest subdirectory (metadata-prefixed). */
+  val BloomManifestDir = "_graft_bloom"
+
+  /** Bit positions for `value`: Kirsch–Mitzenmacher double hashing over
+    * the md5-derived 60-bit [[graft.functions.Sketches.kmvHash]] split
+    * into two 30-bit halves — deterministic, seed-free, and identical
+    * at build and probe time. */
+  def bloomBitPositions(value: String, bitsLog2: Int, nHashes: Int): Array[Long] = {
+    val m = 1L << bitsLog2
+    val h = graft.functions.Sketches.kmvHash(value)
+    val h1 = h & 0x3FFFFFFFL
+    val h2 = (h >>> 30) & 0x3FFFFFFFL
+    Array.tabulate(nHashes)(i => (h1 + i.toLong * h2) % m)
+  }
+
+  /** Bloom-bitset builder: per-file state is a FIXED 2^bitsLog2-bit
+    * array (2^(bitsLog2−6) longs) regardless of row count — partial
+    * aggregation ORs word-wise, so the shuffle ships one bitset per
+    * file per map task. */
+  def bloomAgg(bitsLog2: Int, nHashes: Int):
+      org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Seq[Long]] = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 24, "bloom size must be 2^6..2^24 bits")
+    require(nHashes >= 1 && nHashes <= 16, "1..16 hash functions")
+    val words = 1 << (bitsLog2 - 6)
+    new org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = new Array[Long](words)
+      override def reduce(buf: Array[Long], v: String): Array[Long] = {
+        if (v != null) {
+          val bits = bloomBitPositions(v, bitsLog2, nHashes)
+          var i = 0
+          while (i < bits.length) {
+            buf((bits(i) >> 6).toInt) |= 1L << (bits(i) & 63); i += 1
+          }
+        }
+        buf
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+      override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+  }
+
+  /** JVM-side membership probe (no false negatives; false positives at
+    * the classic (1 − e^(−kn/m))^k rate). */
+  def bloomMightContain(bloom: Seq[Long], value: String,
+      bitsLog2: Int, nHashes: Int): Boolean =
+    bloomBitPositions(value, bitsLog2, nHashes).forall { bit =>
+      (bloom((bit >> 6).toInt) & (1L << (bit & 63))) != 0L
+    }
+
+  /** One manifest row per data file: (file, n_rows, bloom bitset over
+    * `colName` cast to string). One column-pruned pass, grouped by
+    * `input_file_name` — same build shape as [[statsManifest]]. */
+  def bloomManifest(spark: SparkSession, dataPath: String, colName: String,
+      bitsLog2: Int = 16, nHashes: Int = 5): DataFrame = {
+    val ba = udaf(bloomAgg(bitsLog2, nHashes))
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file"), col(colName).cast("string").as("v"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), ba(col("v")).as("bloom"))
+  }
+
+  /** Build and persist the Bloom manifest under
+    * `dataPath/_graft_bloom` (build-time snapshot — same rewrite
+    * contract as [[writeManifest]]). */
+  def writeBloomManifest(spark: SparkSession, dataPath: String,
+      colName: String, bitsLog2: Int = 16, nHashes: Int = 5): Unit =
+    bloomManifest(spark, dataPath, colName, bitsLog2, nHashes)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataPath/$BloomManifestDir")
+
+  /** Point-lookup scan pruned by the Bloom manifest: a file is read iff
+    * its bitset CAN contain at least one probe value. The membership
+    * test runs as a Column expression over the manifest (probe bit
+    * positions are nValues × nHashes driver-side ints; the bitsets
+    * never leave the executors) and only surviving file NAMES are
+    * collected — the same cardinality as any scan's file listing. The
+    * exact `IN` predicate is re-applied on the surviving files, so
+    * results are identical to a full scan + filter. */
+  def bloomPrunedRead(spark: SparkSession, dataPath: String, colName: String,
+      values: Seq[Any], bitsLog2: Int = 16, nHashes: Int = 5): DataFrame = {
+    require(values.nonEmpty, "need at least one probe value")
+    val manifest = spark.read.parquet(s"$dataPath/$BloomManifestDir")
+    val survives = values.map { v =>
+      bloomBitPositions(String.valueOf(v), bitsLog2, nHashes).map { bit =>
+        element_at(col("bloom"), (bit >> 6).toInt + 1)
+          .bitwiseAND(lit(1L << (bit & 63))) =!= 0L
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val files = manifest.filter(survives)
+      .select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(dataPath).filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(colName).isin(values: _*))
+  }
 }

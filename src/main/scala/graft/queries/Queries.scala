@@ -2528,6 +2528,71 @@ object Queries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_custkey BETWEEN 100 AND 220 ORDER BY o_orderkey""")),
 
+    // ---- Per-file BLOOM skipping: the layout min/max can't prune — a
+    //      hash-distributed write gives every file the same key range —
+    //      but an 8 KiB per-file Bloom bitset prunes a point lookup to
+    //      the files that can actually hold the keys (no false
+    //      negatives, so the result equals a full scan + IN filter) ----
+    QueryDef(
+      "q87_bloom_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val out = sinkDir("bloomskip")
+        t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartition(16, $"doc_id") // hash layout: range stats useless
+          .write.mode("overwrite").parquet(out)
+        graft.operators.Layout.writeBloomManifest(s, out, "doc_id")
+        graft.operators.Layout
+          .bloomPrunedRead(s, out, "doc_id", Seq(11L, 137L, 407L))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (11, 137, 407) ORDER BY doc_id""")),
+
+    // ---- HITS hubs & authorities over the DIRECTED supplier→part
+    //      graph (the mutually-recursive centrality pair PageRank's one
+    //      score can't express); sup-norm normalization keeps both
+    //      engines in bit-identical lockstep round for round ----
+    QueryDef(
+      "q88_hits",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("src"), ($"l_partkey" + 1000000L).as("dst"))
+          .distinct()
+        graft.operators.Graph.hits(edges, "src", "dst", iterations = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""s$i AS MATERIALIZED (SELECT e.dst AS node,
+              sum(CAST(h${i - 1}.h AS DECIMAL(28,12))) AS asum
+            FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY e.dst),
+          a$i AS (SELECT n.node,
+              round(COALESCE(CAST(s.asum AS DOUBLE), 0.0) /
+                (SELECT max(CAST(asum AS DOUBLE)) FROM s$i), 9) AS a
+            FROM n LEFT JOIN s$i s ON s.node = n.node),
+          t$i AS MATERIALIZED (SELECT e.src AS node,
+              sum(CAST(a$i.a AS DECIMAL(28,12))) AS hsum
+            FROM e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+          h$i AS (SELECT n.node,
+              round(COALESCE(CAST(t.hsum AS DOUBLE), 0.0) /
+                (SELECT max(CAST(hsum AS DOUBLE)) FROM t$i), 9) AS h
+            FROM n LEFT JOIN t$i t ON t.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+            l_partkey + 1000000 AS dst
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, 1.0 AS h FROM n),
+        $rounds
+        SELECT n.node, h6.h AS hub, a6.a AS auth
+        FROM n JOIN h6 ON h6.node = n.node JOIN a6 ON a6.node = n.node
+        ORDER BY n.node"""
+      }),
+
     // ---- PageRank by power iteration over a symmetrized supplier–part
     //      bipartite graph; decimal-sum lockstep with the unrolled
     //      oracle at every round ----
@@ -2872,6 +2937,120 @@ object Queries {
         SELECT k AS supp_key, exact_cnt,
           TRUE AS cm_no_undercount, TRUE AS cm_within_bound
         FROM exact ORDER BY supp_key""")),
+
+    // ---- KMV (k-minimum-values) distinct sketch: bounded state (≤ k
+    //      longs per group), mergeable, and — unlike HLL — able to
+    //      estimate set INTERSECTIONS from signatures alone. The k-min
+    //      of a set is order-independent and md5-derived, so the
+    //      ESTIMATE itself is bit-deterministic and the oracle replays
+    //      it exactly (not just a bounds verdict) ----
+    QueryDef(
+      "q85_kmv_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val k = 64
+        val km = udaf(graft.functions.Sketches.kmv(k))
+        t(s, dir, "orders")
+          .select($"o_orderpriority".as("pri"), $"o_custkey".cast("string").as("ck"))
+          .filter($"pri".isNotNull && $"ck".isNotNull)
+          .groupBy($"pri")
+          .agg(km($"ck").as("sig"), countDistinct($"ck").as("exact_distinct"))
+          .select($"pri",
+            graft.functions.Sketches.kmvEstimate($"sig", k).as("est_distinct"),
+            $"exact_distinct")
+          .orderBy($"pri")
+      },
+      Some("""WITH v AS (SELECT DISTINCT o_orderpriority AS pri,
+            CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+          FROM orders WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+        r AS (SELECT pri, h,
+                row_number() OVER (PARTITION BY pri ORDER BY h) AS rn
+              FROM v),
+        sig AS (SELECT pri, count(*) FILTER (rn <= 64) AS nsig,
+                  max(CASE WHEN rn = 64 THEN h END) AS kth
+                FROM r GROUP BY pri),
+        ex AS (SELECT o_orderpriority AS pri,
+                 count(DISTINCT o_custkey) AS exact_distinct
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+               GROUP BY 1)
+        SELECT s.pri,
+          CASE WHEN s.nsig < 64 THEN CAST(s.nsig AS DOUBLE)
+               ELSE 63 * POWER(2, 60) / CAST(s.kth AS DOUBLE) END AS est_distinct,
+          ex.exact_distinct
+        FROM sig s JOIN ex ON ex.pri = s.pri ORDER BY s.pri""")),
+
+    // ---- KMV set-intersection estimate (the theta-sketch trick): the
+    //      k smallest of sigA ∪ sigB are a uniform hash-sample of
+    //      A ∪ B, so the fraction present in BOTH signatures × the
+    //      union estimate gives |A ∩ B| — from ≤ 2k longs, no re-scan
+    //      of the data. Estimated against exact overlap per pair ----
+    QueryDef(
+      "q86_kmv_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val k = 64
+        val km = udaf(graft.functions.Sketches.kmv(k))
+        val base = t(s, dir, "orders")
+          .select($"o_orderpriority".as("pri"), $"o_custkey".cast("string").as("ck"))
+          .filter($"pri".isNotNull && $"ck".isNotNull)
+        val sigs = base.groupBy($"pri").agg(km($"ck").as("sig"))
+        val pairs = sigs.select($"pri".as("pri_a"), $"sig".as("sig_a"))
+          .join(broadcast(sigs.select($"pri".as("pri_b"), $"sig".as("sig_b"))),
+            $"pri_a" < $"pri_b")
+        val dk = base.distinct()
+        val exact = dk.select($"pri".as("pri_a"), $"ck")
+          .join(dk.select($"pri".as("pri_b"), $"ck"), Seq("ck"))
+          .filter($"pri_a" < $"pri_b")
+          .groupBy($"pri_a", $"pri_b").agg(count(lit(1)).as("exact_common"))
+        pairs
+          .select($"pri_a", $"pri_b",
+            graft.functions.Sketches
+              .kmvIntersectEstimate($"sig_a", $"sig_b", k).as("est_common"))
+          .join(exact, Seq("pri_a", "pri_b"), "left")
+          .select($"pri_a", $"pri_b", $"est_common",
+            coalesce($"exact_common", lit(0L)).as("exact_common"))
+          .orderBy($"pri_a", $"pri_b")
+      },
+      Some("""WITH v AS (SELECT DISTINCT o_orderpriority AS pri,
+            CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+          FROM orders WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+        sig AS (SELECT pri, h FROM
+                  (SELECT pri, h, row_number() OVER (PARTITION BY pri ORDER BY h) AS rn
+                   FROM v) WHERE rn <= 64),
+        pr AS (SELECT DISTINCT pri FROM sig),
+        pairs AS (SELECT a.pri AS pri_a, b.pri AS pri_b
+                  FROM pr a JOIN pr b ON a.pri < b.pri),
+        uh AS (SELECT p.pri_a, p.pri_b, s.h FROM pairs p
+               JOIN sig s ON s.pri IN (p.pri_a, p.pri_b)
+               GROUP BY p.pri_a, p.pri_b, s.h),
+        mrg AS (SELECT pri_a, pri_b, h,
+                  row_number() OVER (PARTITION BY pri_a, pri_b ORDER BY h) AS rn
+                FROM uh),
+        kmin AS (SELECT * FROM mrg WHERE rn <= 64),
+        stats AS (SELECT pri_a, pri_b, count(*) AS kk,
+                    max(CASE WHEN rn = 64 THEN h END) AS kth
+                  FROM kmin GROUP BY pri_a, pri_b),
+        bth AS (SELECT k.pri_a, k.pri_b, count(*) AS ib
+                 FROM kmin k
+                 JOIN sig sa ON sa.pri = k.pri_a AND sa.h = k.h
+                 JOIN sig sb ON sb.pri = k.pri_b AND sb.h = k.h
+                 GROUP BY k.pri_a, k.pri_b),
+        dk AS (SELECT DISTINCT o_orderpriority AS pri, o_custkey AS ck
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+        ex AS (SELECT a.pri AS pri_a, b.pri AS pri_b, count(*) AS exact_common
+               FROM dk a JOIN dk b ON a.ck = b.ck AND a.pri < b.pri
+               GROUP BY 1, 2)
+        SELECT s.pri_a, s.pri_b,
+          (CAST(COALESCE(b.ib, 0) AS DOUBLE) / CAST(s.kk AS DOUBLE)) *
+          (CASE WHEN s.kk < 64 THEN CAST(s.kk AS DOUBLE)
+                ELSE 63 * POWER(2, 60) / CAST(s.kth AS DOUBLE) END) AS est_common,
+          COALESCE(ex.exact_common, 0) AS exact_common
+        FROM stats s
+        LEFT JOIN bth b ON b.pri_a = s.pri_a AND b.pri_b = s.pri_b
+        LEFT JOIN ex ON ex.pri_a = s.pri_a AND ex.pri_b = s.pri_b
+        ORDER BY s.pri_a, s.pri_b""")),
 
     // ---- Single-scan column profiler (ANALYZE-style pipeline health
     //      check): nulls / exact distincts / native-type min-max ----

@@ -125,4 +125,101 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(cm($"k").as("sk")).select($"sk.counters").as[Seq[Long]].collect().head
     assert(state(1) === state(13))
   }
+
+  // ---------------- KMV distinct sketch ----------------
+
+  test("KMV JVM hash equals the Column 15-hex md5 prefix hash") {
+    val sp = spark; import sp.implicits._
+    val keys = Seq("a", "customer-917", "", "ü-multibyte", "0042", "y" * 80)
+    val viaColumn = keys.toDF("k")
+      .select($"k", Sketches.kmvHashCol($"k").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Sketches.kmvHash(k) === viaColumn(k), s"kmv hash mismatch for '$k'")
+      assert(Sketches.kmvHash(k) >= 0, "60-bit hash must be non-negative")
+    }
+  }
+
+  test("KMV signature is the k smallest distinct hashes, partition-order independent") {
+    val sp = spark; import sp.implicits._
+    val k = 16
+    val rows = (1 to 400).map(i => s"v${i % 123}") // 123 distinct, with repeats
+    val km = udaf(Sketches.kmv(k))
+    def sig(parts: Int): Seq[Long] = rows.toDF("k").repartition(parts)
+      .agg(km($"k").as("sig")).as[Seq[Long]].collect().head
+    val s1 = sig(1)
+    assert(s1 === sig(11), "signature must not depend on partitioning")
+    val expected = (0 until 123).map(i => Sketches.kmvHash(s"v$i"))
+      .distinct.sorted.take(k)
+    assert(s1 === expected, "signature must be the k smallest distinct hashes")
+    assert(s1 === s1.sorted && s1.distinct.size === s1.size)
+  }
+
+  test("KMV estimate is exact below k and within 5/sqrt(k) relative error above") {
+    val sp = spark; import sp.implicits._
+    val k = 64
+    val km = udaf(Sketches.kmv(k))
+    // below k: 40 distinct values -> estimate must be exactly 40.0
+    val small = (1 to 200).map(i => s"s${i % 40}").toDF("k")
+      .agg(km($"k").as("sig"))
+      .select(Sketches.kmvEstimate($"sig", k).as("est"))
+      .as[Double].collect().head
+    assert(small === 40.0)
+    // above k: 5000 distinct -> relative error should be ~1/sqrt(63)
+    val big = (1 to 5000).map(i => s"b$i").toDF("k").repartition(9)
+      .agg(km($"k").as("sig"))
+      .select(Sketches.kmvEstimate($"sig", k).as("est"))
+      .as[Double].collect().head
+    assert(math.abs(big - 5000.0) / 5000.0 < 5.0 / math.sqrt(k.toDouble),
+      s"KMV estimate $big too far from 5000")
+  }
+
+  test("KMV intersection estimate tracks true overlap and nails disjoint/identical") {
+    val sp = spark; import sp.implicits._
+    val k = 64
+    val km = udaf(Sketches.kmv(k))
+    // A = 1..3000, B = 2001..5000 -> |A ∩ B| = 1000, |A ∪ B| = 5000
+    val df = ((1 to 3000).map(i => ("A", s"e$i")) ++
+      (2001 to 5000).map(i => ("B", s"e$i"))).toDF("g", "v")
+    val sigs = df.groupBy($"g").agg(km($"v").as("sig"))
+    val a = sigs.filter($"g" === "A").select($"sig".as("sa"))
+    val b = sigs.filter($"g" === "B").select($"sig".as("sb"))
+    val est = a.crossJoin(b)
+      .select(Sketches.kmvIntersectEstimate($"sa", $"sb", k).as("est"))
+      .as[Double].collect().head
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.6,
+      s"intersection estimate $est too far from 1000")
+    // identical sets: estimate equals the distinct estimate of the set
+    val selfEst = a.crossJoin(a.select($"sa".as("sb")))
+      .select(Sketches.kmvIntersectEstimate($"sa", $"sb", k).as("est"))
+      .as[Double].collect().head
+    val distinctEst = a.select(Sketches.kmvEstimate($"sa", k).as("e"))
+      .as[Double].collect().head
+    assert(selfEst === distinctEst)
+    // disjoint sets: C = x1..x2000 shares nothing with A
+    val c = (1 to 2000).map(i => ("C", s"x$i")).toDF("g", "v")
+      .groupBy($"g").agg(km($"v").as("sig")).select($"sig".as("sb"))
+    val disjoint = a.crossJoin(c)
+      .select(Sketches.kmvIntersectEstimate($"sa", $"sb", k).as("est"))
+      .as[Double].collect().head
+    // a shared k-min member requires a shared element (md5 is injective
+    // here for our purposes), so disjoint sets estimate exactly 0
+    assert(disjoint === 0.0)
+  }
+
+  test("KMV state never exceeds k entries and merge handles empty sides") {
+    val sp = spark; import sp.implicits._
+    val k = 8
+    val km = udaf(Sketches.kmv(k))
+    val sig = (1 to 1000).map(i => s"m$i").toDF("k").repartition(17)
+      .agg(km($"k").as("sig")).as[Seq[Long]].collect().head
+    assert(sig.size === k)
+    // empty input -> empty signature, estimate 0
+    val empty = Seq.empty[String].toDF("k")
+      .agg(km($"k").as("sig"))
+      .select(Sketches.kmvEstimate($"sig", k).as("est"), $"sig")
+      .collect().head
+    assert(empty.getDouble(0) === 0.0)
+    assert(empty.getSeq[Long](1).isEmpty)
+  }
 }

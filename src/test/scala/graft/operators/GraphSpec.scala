@@ -324,4 +324,35 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graph.kCore(edges, "src", "dst", k = 4, rounds = 50,
       stopEarly = true).count() === 0)
   }
+
+  test("hits: pure hubs point at the pure authority; scores are sup-normalized") {
+    val sp = spark; import sp.implicits._
+    // 3 hubs all point at node 100; 100 points nowhere, hubs receive nothing
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(100L) === ((0.0, 1.0)), "sink must be the pure authority")
+    Seq(1L, 2L, 3L).foreach { h =>
+      assert(got(h) === ((1.0, 0.0)), s"source $h must be a pure hub")
+    }
+  }
+
+  test("hits separates index pages from content pages and is lockstep-deterministic") {
+    val sp = spark; import sp.implicits._
+    // hub 1 links to all three authorities, hub 2 to one of them; authority
+    // 10 is cited by both. A directed cycle 20->21->20 adds mixed roles.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (20L, 21L), (21L, 20L)).toDF("src", "dst")
+    def run(parts: Int) = Graph.hits(edges.repartition(parts), "src", "dst",
+        iterations = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val a = run(1)
+    assert(a === run(7), "HITS must be partition-order independent")
+    assert(a(1L)._1 === 1.0, "the 3-link page is the top hub")
+    assert(a(1L)._1 > a(2L)._1, "more authorities linked -> higher hub score")
+    assert(a(10L)._2 === 1.0, "the doubly-cited page is the top authority")
+    assert(a(10L)._2 > a(11L)._2)
+    // the isolated 2-cycle reinforces itself symmetrically
+    assert(a(20L)._1 === a(21L)._1 && a(20L)._2 === a(21L)._2)
+  }
 }

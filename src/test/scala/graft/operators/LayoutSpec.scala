@@ -121,4 +121,63 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pf <= 2, s"manifest admitted $pf files for a 1-file slab")
     info(s"slab scan file counts: pruned=$pf full=$ff")
   }
+
+  // ---------------- per-file Bloom skipping ----------------
+
+  test("bloomPrunedRead equals full scan + IN filter on a hash layout min/max can't prune") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // hash-distributed: every file spans nearly the whole key range, so
+    // a min/max manifest admits ALL files for any point lookup
+    (0L until 4096L).map(i => (i, s"payload-$i"))
+      .toDF("k", "v").repartition(16, $"k")
+      .write.mode("overwrite").parquet(dir)
+    Layout.writeBloomManifest(spark, dir, "k")
+    val probes = Seq(7L, 1234L, 4000L, 9999L) // 9999 absent from the data
+    val pruned = Layout.bloomPrunedRead(spark, dir, "k", probes)
+    val full = spark.read.parquet(dir).filter($"k".isin(probes: _*))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      full.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val (pf, ff) = (pruned.inputFiles.length, full.inputFiles.length)
+    assert(ff === 16, s"expected 16 files in the full scan, saw $ff")
+    // 3 present keys live in ≤ 3 files; Bloom false positives could
+    // admit a couple more but must never approach the full listing
+    assert(pf <= 6, s"bloom admitted $pf of 16 files for 3 present keys")
+    info(s"bloom point-lookup file counts: pruned=$pf full=$ff")
+  }
+
+  test("bloom membership has no false negatives and bitsets are layout-independent") {
+    val sp = spark; import sp.implicits._
+    val values = (0 until 2000).map(i => s"key-$i")
+    // every inserted value must probe true, at any (bitsLog2, nHashes)
+    Seq((10, 3), (16, 5), (12, 7)).foreach { case (b, h) =>
+      val agg = Layout.bloomAgg(b, h)
+      val bloom = values.foldLeft(agg.zero)(agg.reduce).toSeq
+      values.foreach { v =>
+        assert(Layout.bloomMightContain(bloom, v, b, h),
+          s"false negative for $v at 2^$b bits / $h hashes")
+      }
+    }
+    // the aggregated bitset is a pure set-OR: partitioning cannot change it
+    val ba = udaf(Layout.bloomAgg(16, 5))
+    def bits(parts: Int): Seq[Long] = values.toDF("v").repartition(parts)
+      .agg(ba($"v").as("b")).as[Seq[Long]].collect().head
+    assert(bits(1) === bits(13))
+    // false-positive rate stays near theory: n=2000, m=2^16, k=5 -> ~1.6%
+    val bloom = bits(1)
+    val fp = (0 until 2000).count(i =>
+      Layout.bloomMightContain(bloom, s"absent-$i", 16, 5))
+    assert(fp < 2000 * 0.06, s"false-positive rate ${fp / 2000.0} far above theory")
+  }
+
+  test("bloomPrunedRead on all-absent probes reads nothing but keeps the schema") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-miss").toString
+    (0L until 256L).map(i => (i, i * 2)).toDF("k", "w")
+      .repartition(4, $"k").write.mode("overwrite").parquet(dir)
+    Layout.writeBloomManifest(spark, dir, "k")
+    val out = Layout.bloomPrunedRead(spark, dir, "k", Seq(100000L, 200000L))
+    assert(out.columns.toSeq === Seq("k", "w"))
+    assert(out.count() === 0L)
+  }
 }
