@@ -30,6 +30,19 @@ object Layout {
     df.repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
 
+  /** Column wrapper over the native [[graft.functions.HilbertIndex]]
+    * codegen expression: position of (x, y) along the order-`bits`
+    * Hilbert curve. Drop-in for [[zvalue]] in 2-D layouts; strictly
+    * better locality (consecutive indices are always grid neighbors,
+    * so a file's index range is one connected near-square region —
+    * no Morton Z-jumps inflating its min/max box). */
+  def hilbert2d(bits: Int, x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HilbertIndex(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(bits),
+      ColumnBridge.expression(x), ColumnBridge.expression(y))))
+  }
+
   /** Name of the manifest subdirectory. Underscore-prefixed so every
     * parquet/Hadoop reader treats it as metadata and skips it when
     * scanning the dataset itself. */

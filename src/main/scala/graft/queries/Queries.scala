@@ -2505,6 +2505,47 @@ object Queries {
         FROM c ORDER BY o_orderkey"""
       }),
 
+    // ---- Hilbert-curve clustering value via the native codegen
+    //      expression — the better-locality 2-D layout key (consecutive
+    //      indices are ALWAYS grid neighbors; Morton's Z-jumps never
+    //      happen). Oracle replays the quadrant-rotation walk as one
+    //      unrolled CTE chain per level ----
+    QueryDef(
+      "q89_hilbert",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 3000)
+          .select($"o_orderkey",
+            ($"o_custkey" % 256).as("hx"),
+            (floor($"o_totalprice" / 1000.0) % 256).as("hy"))
+          .withColumn("hval", graft.operators.Layout.hilbert2d(8, $"hx", $"hy"))
+          .orderBy($"o_orderkey")
+      },
+      Some {
+        val n = 256
+        val levels = (7 to 0 by -1).map { k =>
+          val sBit = 1 << k
+          s"""l$k AS (SELECT o_orderkey, hx, hy,
+            d + ${sBit.toLong * sBit} * (CASE
+                  WHEN (x & $sBit) > 0 AND (y & $sBit) > 0 THEN 2
+                  WHEN (x & $sBit) > 0 THEN 3
+                  WHEN (y & $sBit) > 0 THEN 1 ELSE 0 END) AS d,
+            CASE WHEN (y & $sBit) > 0 THEN x
+                 WHEN (x & $sBit) > 0 THEN ${n - 1} - y ELSE y END AS x,
+            CASE WHEN (y & $sBit) > 0 THEN y
+                 WHEN (x & $sBit) > 0 THEN ${n - 1} - x ELSE x END AS y
+          FROM ${if (k == 7) "c" else s"l${k + 1}"})"""
+        }.mkString(",\n")
+        s"""WITH c AS (SELECT o_orderkey, o_custkey % 256 AS hx,
+            CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 256 AS hy,
+            o_custkey % 256 AS x,
+            CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 256 AS y,
+            CAST(0 AS BIGINT) AS d
+          FROM orders WHERE o_orderkey <= 3000),
+        $levels
+        SELECT o_orderkey, hx, hy, d AS hval FROM l0 ORDER BY o_orderkey"""
+      }),
+
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file
     //      min/max manifest, answer a range query by reading ONLY the

@@ -298,7 +298,8 @@ class PrunedScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.schema.GraftExtensions` enables automatic
   * nested-read pruning for all queries in the session, and registers the
-  * library's native SQL functions (`graft_cosine`, `graft_zvalue`). */
+  * library's native SQL functions (`graft_cosine`, `graft_zvalue`,
+  * `graft_hilbert`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new PrunedScanRule(spark))
@@ -317,5 +318,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.ZValue].getName, "graft_zvalue"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ZValue(children)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hilbert"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HilbertIndex(children)))
   }
 }

@@ -112,6 +112,29 @@ object Streams {
       .agg(udaf(graft.functions.Sketches.countMin(width, depth))
         .apply(col("k")).as("sketch"))
 
+  /** Running per-group DISTINCT-count sketch over an unbounded stream:
+    * the KMV signature ([[graft.functions.Sketches.kmv]]) as streaming
+    * aggregation state — ≤ k longs per group no matter how many
+    * distinct values flow by, where a streaming
+    * `groupBy(g).approx_count_distinct` or exact distinct would grow
+    * state with cardinality. The k-min of a set is insertion-order
+    * independent, so the stream state equals the batch signature after
+    * any micro-batch slicing (spec-proven), and
+    * [[graft.functions.Sketches.kmvEstimate]] /
+    * [[graft.functions.Sketches.kmvIntersectEstimate]] apply to the
+    * emitted signatures unchanged — including intersecting a LIVE
+    * group's signature with a static corpus signature, the streaming
+    * "how much does today's traffic overlap yesterday's?" probe. Emit
+    * with outputMode complete/update. */
+  def streamingKmvDistinct(rows: DataFrame, groupCol: String,
+      valueCol: String, k: Int): DataFrame =
+    rows.select(col(groupCol).as("grp"),
+        col(valueCol).cast("string").as("v"))
+      .groupBy(col("grp"))
+      .agg(udaf(graft.functions.Sketches.kmv(k)).apply(col("v")).as("sig"))
+      .select(col("grp"), col("sig"),
+        graft.functions.Sketches.kmvEstimate(col("sig"), k).as("est_distinct"))
+
   /** Incremental near-dup screen: MinHash-LSH candidates between a
     * STREAM of incoming documents and a static indexed corpus — the "is
     * this newly crawled page a duplicate of anything we already hold?"

@@ -207,6 +207,37 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disjoint === 0.0)
   }
 
+  test("streaming KMV distinct equals the batch signature after any micro-batch slicing") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = graft.streaming.Streams
+      .streamingKmvDistinct(input.toDF().toDF("g", "v"), "g", "v", k = 16)
+      .writeStream.format("memory").queryName("kmvstream")
+      .outputMode("complete").start()
+    val batch1 = (1 to 150).map(i => ("a", s"x${i % 40}")) ++
+      (1 to 60).map(i => ("b", s"y$i"))
+    val batch2 = (1 to 80).map(i => ("a", s"x$i")) ++ // new + repeat values
+      (1 to 30).map(i => ("b", s"y${i % 10}"))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmvstream")
+      .select($"grp", $"sig", $"est_distinct")
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+    val km = udaf(Sketches.kmv(16))
+    val batch = (batch1 ++ batch2).toDF("g", "v")
+      .groupBy($"g").agg(km($"v").as("sig"))
+      .select($"g", $"sig", Sketches.kmvEstimate($"sig", 16).as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+    assert(streamed === batch,
+      "streaming KMV state diverged from the batch aggregation")
+  }
+
   test("KMV state never exceeds k entries and merge handles empty sides") {
     val sp = spark; import sp.implicits._
     val k = 8
