@@ -299,6 +299,52 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_sq", "peak")
   }
 
+  /** PCM16 LINEAR-INTERPOLATION resampling at an arbitrary rational
+    * rate `num/den` (output rate = input rate × num/den) — the
+    * fractional-rate complement to [[pcm16Decimate]]'s integer-factor
+    * path (a 44.1→48 kHz conversion has no integer factor). Output
+    * sample j sits at source position j·den/num; its value
+    * interpolates the two neighboring input samples. To stay
+    * bit-portable across engines ALL arithmetic is integer: emitted
+    * values are SCALED BY `num` —
+    *
+    *   v_scaled(j) = s[idx]·(num − frac) + s[idx+1]·frac,
+    *   idx = (j·den) div num,  frac = (j·den) mod num
+    *
+    * — so no division (whose rounding mode differs between engines)
+    * ever happens. Map-only; emits exact integer stats over the
+    * resampled signal. Output: (media_id, n_out, sum_scaled,
+    * peak_scaled), the latter two in `num`-scaled sample units. */
+  def pcm16ResampleLinear(ds: Dataset[MediaRecord], num: Int, den: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(num >= 1 && den >= 1, "rate factors must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      def sample(i: Int): Long =
+        (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toLong
+      if (n == 0) (rec.media_id, 0, 0L, 0L)
+      else {
+        val nOut = ((n - 1).toLong * num / den + 1).toInt
+        var sum = 0L; var peak = 0L
+        var j = 0
+        while (j < nOut) {
+          val p = j.toLong * den
+          val idx = (p / num).toInt
+          val frac = p % num
+          val v =
+            if (frac == 0L) sample(idx) * num
+            else sample(idx) * (num - frac) + sample(idx + 1) * frac
+          sum += v
+          val a = math.abs(v); if (a > peak) peak = a
+          j += 1
+        }
+        (rec.media_id, nOut, sum, peak)
+      }
+    }).toDF("media_id", "n_out", "sum_scaled", "peak_scaled")
+  }
+
   /** Per-tile greyscale statistics over a decoded image: the image
     * splits into a grid of `tileW`×`tileH` tiles (edge tiles smaller)
     * and each yields exact integer pixel-count and grey-sum — the

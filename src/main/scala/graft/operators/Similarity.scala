@@ -47,6 +47,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
 
+  /** Exact MAX-INNER-PRODUCT top-k (MIPS — the recommendation-scoring
+    * semantic, where vector MAGNITUDE matters: a popular item's long
+    * vector should outrank a niche item cosine would prefer). Same
+    * broadcast-query brute-force shape as [[knn]], ranked on the raw
+    * dot product rounded to 6. */
+  def mipsKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", round(dot(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+  }
+
+  /** MIPS → unit-sphere reduction (Bachrach et al. 2014, "Speeding up
+    * the Xbox recommender"): append one coordinate
+    * `sqrt(M² − ‖v‖²)` to every corpus vector (M = max corpus norm)
+    * and `0` to every query. Then `dot(q_aug, v_aug) = dot(q, v)` and
+    * `‖v_aug‖ = M` for ALL corpus vectors, so COSINE ranking on the
+    * augmented vectors equals inner-product ranking on the originals —
+    * which means every cosine ANN index in this library
+    * ([[ivfKnnTrained]], [[ivfSq8Knn]], PQ, binary…) serves MIPS
+    * unchanged: augment once at build time, search with cosine. M² is
+    * a one-row aggregate broadcast back; the append is map-only. */
+  def mipsAugmentCorpus(corpus: DataFrame): DataFrame = {
+    val n2 = aggregate(transform(d(col("embedding")), x => x * x),
+      lit(0.0), (s, v) => s + v)
+    val m2 = corpus.agg(max(n2).as("_graft_m2"))
+    corpus.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        concat(col("embedding"),
+          array(sqrt(greatest(col("_graft_m2") - n2, lit(0.0))).cast("float")))
+          .as("embedding"))
+  }
+
+  /** Query-side twin of [[mipsAugmentCorpus]]: append a literal 0, so
+    * the augmented coordinate never contributes to any dot product. */
+  def mipsAugmentQueries(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id"),
+      concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+
   /** Random-hyperplane LSH bucket id over `planes` hyperplanes of `dims`
     * components, each component a deterministic ±1 drawn from md5 parity
     * of "plane_dim" — reproducible anywhere, no stored model.

@@ -1331,6 +1331,29 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- Similarity: exact max-inner-product top-k (MIPS — magnitude
+    //      matters; the recommendation-scoring semantic cosine can't
+    //      express). The unit-sphere reduction (spec-proven) lets every
+    //      cosine ANN index in the library serve this ranking ----
+    QueryDef(
+      "s10_knn_mips",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.mipsKnn(e.filter($"vec_id" < 10), e, 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH ip AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS ip
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, ip,
+            row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+          FROM ip)
+        SELECT query_id, rank, neighbor_id, ip FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
     //      (scale path; candidates = buckets within 2 bit flips of the
     //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20
@@ -4177,6 +4200,56 @@ object Queries {
           CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
           CAST(max(abs(s)) AS INTEGER) AS peak
         FROM sgn GROUP BY doc_id ORDER BY media_id""")),
+
+    // ---- Multimodal: fractional-rate PCM16 resampling (3/2 = 1.5×
+    //      upsample) by linear interpolation, all-integer arithmetic
+    //      (values scaled by num so no division's rounding mode can
+    //      diverge between engines); doubled payload bytes exercise
+    //      the sign path ----
+    QueryDef(
+      "m09_pcm_resample",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val b = text.getBytes("US-ASCII")
+              .map(x => (((x & 0xFF) * 2) % 256).toByte)
+            graft.operators.MediaRecord(id, "audio/pcm", b)
+          })
+        graft.operators.Multimodal
+          .pcm16ResampleLinear(media, num = 3, den = 2)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, text FROM b),
+        outp AS (SELECT doc_id, ns, text,
+                unnest(range(0, (ns - 1) * 3 // 2 + 1)) AS j
+              FROM sm WHERE ns >= 1),
+        pos AS (SELECT doc_id, text, ns, j,
+                j * 2 // 3 AS idx, j * 2 % 3 AS frac FROM outp),
+        sv AS (SELECT doc_id, j, frac,
+                (SELECT CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FROM
+                  (SELECT ((ord(substr(text, CAST(2 * idx + 1 AS INTEGER), 1)) * 2) % 256) * 256
+                    + ((ord(substr(text, CAST(2 * idx + 2 AS INTEGER), 1)) * 2) % 256) AS v)) AS s1,
+                CASE WHEN frac > 0 THEN
+                  (SELECT CASE WHEN v >= 32768 THEN v - 65536 ELSE v END FROM
+                    (SELECT ((ord(substr(text, CAST(2 * idx + 3 AS INTEGER), 1)) * 2) % 256) * 256
+                      + ((ord(substr(text, CAST(2 * idx + 4 AS INTEGER), 1)) * 2) % 256) AS v))
+                  ELSE 0 END AS s2
+              FROM pos),
+        v AS (SELECT doc_id, j,
+                CASE WHEN frac = 0 THEN s1 * 3
+                     ELSE s1 * (3 - frac) + s2 * frac END AS v
+              FROM sv)
+        SELECT doc_id AS media_id, CAST(count(*) AS INTEGER) AS n_out,
+          CAST(sum(v) AS BIGINT) AS sum_scaled,
+          CAST(max(abs(v)) AS BIGINT) AS peak_scaled
+        FROM v GROUP BY doc_id ORDER BY media_id""")),
 
     // ---- Multimodal: framed PCM16 features — overlapping frames
     //      (frameSize=8 samples, stride=6), exact integer energy/peak/

@@ -186,4 +186,18 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = Classifier.trainTextClassifier(lbl, "doc_id", "text", "y", rounds = 1)
     assert(Classifier.scoreTextClassifier(emptyDocs, "doc_id", "text", w).count() == 0)
   }
+
+  test("fourth-session round-9 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // HITS on no edges: no nodes, no scores — and the per-round max
+    // observation must tolerate the empty aggregate
+    assert(Graph.hits(emptyEdges, "src", "dst", iterations = 2).count() == 0)
+    // an all-zero bloom bitset (no insertions) can contain nothing
+    val agg = Layout.bloomAgg(10, 3)
+    assert(!Layout.bloomMightContain(agg.zero.toSeq, "anything", 10, 3))
+    // null values never set bits
+    assert(agg.reduce(agg.zero, null).forall(_ == 0L))
+  }
 }

@@ -225,4 +225,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows((1L, 1, 1)) === ((16, 16L * 77)))
     assert(rows.values.map(_._1).sum === 16 * 5, "tiles must cover every pixel once")
   }
+
+  test("pcm16ResampleLinear: identity at 1/1, hand-computed 3/2 upsample, decimation parity") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // samples: 100, -200, 300 (big-endian PCM16)
+    def be(v: Int): Seq[Byte] =
+      Seq((((v & 0xFFFF) >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val payload = (be(100) ++ be(-200) ++ be(300)).toArray
+    val ds = s.createDataset(Seq(MediaRecord(1L, "audio/pcm", payload)))
+    // identity: n_out = n, values scaled by 1
+    val id1 = Multimodal.pcm16ResampleLinear(ds, 1, 1).collect().head
+    assert((id1.getInt(1), id1.getLong(2), id1.getLong(3)) === ((3, 200L, 300L)))
+    // 3/2: positions j*2/3 for j=0..3 -> src 0, 2/3, 4/3, 2
+    //   j=0: s0*3 = 300 ; j=1: s0*1 + s1*2 = 100 - 400 = -300
+    //   j=2: s1*2 + s2*1 = -400 + 300 = -100 ; j=3: s2*3 = 900
+    val up = Multimodal.pcm16ResampleLinear(ds, 3, 2).collect().head
+    assert((up.getInt(1), up.getLong(2), up.getLong(3)) ===
+      ((4, (300L - 300L - 100L + 900L), 900L)))
+    // 1/den is exact decimation: matches pcm16Decimate's kept count
+    val longPay = (0 until 20).flatMap(i => be(i * 37 - 300)).toArray
+    val ds2 = s.createDataset(Seq(MediaRecord(2L, "audio/pcm", longPay)))
+    val down = Multimodal.pcm16ResampleLinear(ds2, 1, 3).collect().head
+    val dec = Multimodal.pcm16Decimate(ds2, 3).collect().head
+    assert(down.getInt(1) === dec.getInt(1), "1/den must keep every den-th sample")
+    assert(down.getLong(3) === dec.getInt(3).toLong, "peaks must agree (scale 1)")
+    // empty payload: total function, zero row
+    val e = Multimodal.pcm16ResampleLinear(
+      s.createDataset(Seq(MediaRecord(3L, "audio/pcm", Array.emptyByteArray))), 3, 2)
+      .collect().head
+    assert((e.getInt(1), e.getLong(2), e.getLong(3)) === ((0, 0L, 0L)))
+  }
 }

@@ -432,4 +432,41 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((bit == 1L) === (v(i) > 0f), s"sign bit wrong at dim $i")
     }
   }
+
+  test("MIPS differs from cosine where magnitude matters; augmentation reduces it to cosine") {
+    val sp = spark; import sp.implicits._
+    // query along (1, 0): cosine prefers the perfectly-aligned unit
+    // vector (id 1), MIPS the long nearly-aligned one (id 2)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(8.0f, 2.0f)),
+      (3L, Array(0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val query = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsKnn(query, corpus, 3).orderBy($"rank")
+      .collect().map(_.getLong(2)).toSeq
+    val cos = Similarity.knn(query, corpus, 3).orderBy($"rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(mips === Seq(2L, 1L, 3L), s"MIPS ranking wrong: $mips")
+    assert(cos.head === 1L, s"cosine must prefer the aligned unit vector: $cos")
+    // the reduction: cosine top-k on augmented vectors = MIPS top-k on
+    // originals, for a spread of random queries/corpus
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat)
+    val bigC = (1L to 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val bigQ = (101L to 110L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val wantRanks = Similarity.mipsKnn(bigQ, bigC, 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val gotRanks = Similarity.knn(
+        Similarity.mipsAugmentQueries(bigQ), Similarity.mipsAugmentCorpus(bigC), 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotRanks === wantRanks,
+      "augmented-cosine ranking diverged from inner-product ranking")
+    // every augmented corpus vector sits on the sphere of radius M
+    val norms = Similarity.mipsAugmentCorpus(bigC)
+      .select(Similarity.norm($"embedding").as("n")).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - norms.max) < 1e-3),
+      "augmented corpus must be equi-norm")
+  }
 }

@@ -363,4 +363,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q85 KMV signatures build with partial (map-side) object aggregation") {
+    val p = plan("q85_kmv_distinct")
+    // the Aggregator's partial-merge shape: ≤ k longs per group ship
+    // per map task, not the raw keys
+    assert(p.contains("partial_kmv") || p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q88 HITS rounds are equi joins + partial aggs, never a cartesian") {
+    // the public hits() checkpoints its result; inspect a live round's plan
+    val e = Queries.t(spark, dir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_partkey") % 10 === 0)
+      .selectExpr("l_suppkey AS src", "l_partkey + 1000000 AS dst").distinct()
+    val p = graft.operators.Graph.hits(e, "src", "dst", iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q89 hilbert value stays inside whole-stage codegen") {
+    val p = plan("q89_hilbert")
+    // the native expression must not break the codegen span it sits in
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      p.take(3000))
+  }
 }
