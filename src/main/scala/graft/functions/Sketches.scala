@@ -245,6 +245,9 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble * KmvSpace) /
         element_at(merged, k).cast("double"))
     val inBoth = size(array_intersect(array_intersect(merged, a), b))
-    (inBoth.cast("double") / kk.cast("double")) * unionEst
+    // Two empty signatures (both groups all-null / empty) intersect in 0
+    // elements, not NULL — guard the 0/0 division.
+    when(kk === 0, lit(0.0))
+      .otherwise((inBoth.cast("double") / kk.cast("double")) * unionEst)
   }
 }

@@ -386,9 +386,12 @@ object Dedup {
   }
 
   /** Kernel shingle postings: one (doc_id, shingle) row per distinct
-    * 3-gram shingle, tokenized in scalar code (the interpreted transform/
-    * element_at formulation costs ~2 ms per document). */
-  def shinglePostings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * word n-gram shingle (default 3), tokenized in scalar code (the
+    * interpreted transform/element_at formulation costs ~2 ms per
+    * document). */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3): DataFrame = {
+    require(ngram >= 1, "ngram must be positive")
     val sp = df.sparkSession
     import sp.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
@@ -396,7 +399,7 @@ object Dedup {
       .as[(Long, String)]
       .repartition(sp.sparkContext.defaultParallelism) // CPU-bound kernel: one input file must not mean one core
       .mapPartitions(_.flatMap { case (id, text) =>
-        Kernel.shingles3(text).iterator.map(s => (id, s))
+        Kernel.shingles(text, ngram).iterator.map(s => (id, s))
       }).toDF("doc_id", "s")
   }
 
@@ -462,7 +465,7 @@ object Dedup {
 
   /** Shared scalar kernels, tokenization identical to
     * `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
-  private[operators] object Kernel {
+  private[graft] object Kernel {
     private val token = java.util.regex.Pattern.compile("[a-z0-9]+")
     private val hexChars = "0123456789abcdef".toCharArray
 
@@ -473,10 +476,14 @@ object Dedup {
       out.result()
     }
 
-    def shingles3(text: String): IndexedSeq[String] = {
+    def shingles3(text: String): IndexedSeq[String] = shingles(text, 3)
+
+    /** Distinct word n-gram shingles; empty for docs under n tokens. */
+    def shingles(text: String, n: Int): IndexedSeq[String] = {
       val tk = tokens(text)
-      if (tk.length < 3) IndexedSeq.empty
-      else (0 until tk.length - 2).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").distinct
+      if (tk.length < n) IndexedSeq.empty
+      else (0 to tk.length - n)
+        .map(i => tk.slice(i, i + n).mkString(" ")).distinct
     }
 
     /** Lower-case hex of a byte array (char-array loop — the per-byte

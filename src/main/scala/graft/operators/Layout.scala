@@ -43,6 +43,18 @@ object Layout {
       ColumnBridge.expression(x), ColumnBridge.expression(y))))
   }
 
+  /** k-dimensional [[hilbert2d]]: position of (c₁ … c_k) along the
+    * order-`bits` Hilbert curve over the k-d grid (Skilling transform
+    * for k ≥ 3). Real layout keys are 3-4 columns — same call shape as
+    * [[zvalue]], same strictly-better locality story as 2-D. Requires
+    * bits × k ≤ 63. */
+  def hilbert(bits: Int, coords: Column*): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(bits) +:
+        coords.map(ColumnBridge.expression)))
+  }
+
   /** Name of the manifest subdirectory. Underscore-prefixed so every
     * parquet/Hadoop reader treats it as metadata and skips it when
     * scanning the dataset itself. */
@@ -238,8 +250,27 @@ object Layout {
       values: Seq[Any], bitsLog2: Int = 16, nHashes: Int = 5): DataFrame = {
     require(values.nonEmpty, "need at least one probe value")
     val manifest = spark.read.parquet(s"$dataPath/$BloomManifestDir")
-    val survives = values.map { v =>
-      bloomBitPositions(String.valueOf(v), bitsLog2, nHashes).map { bit =>
+    // Probe strings MUST replay build-time stringification exactly: the
+    // manifest hashed `col(colName).cast("string")`, so each probe is
+    // cast to the COLUMN's type first, then to string, by Spark's own
+    // Cast (JVM toString diverges for decimals '1.50' vs '1.5',
+    // timestamps with fractional seconds, …) — a divergent string
+    // hashes to different bits → silent FALSE NEGATIVES. One local
+    // one-row projection evaluates the same Cast chain.
+    val colType = spark.read.parquet(dataPath).schema(colName).dataType
+    val probeStrings: Seq[String] = {
+      val cols = values.zipWithIndex.map { case (v, i) =>
+        lit(v).cast(colType).cast("string").as(s"_p$i")
+      }
+      val row = spark.range(1).select(cols: _*).collect().head
+      values.indices.map(i => if (row.isNullAt(i)) null else row.getString(i))
+    }
+    // A null probe can never match (IN skips nulls; the builder skips
+    // nulls), so drop it from the bitset test.
+    val probes = probeStrings.filter(_ != null)
+    require(probes.nonEmpty, "all probe values cast to null")
+    val survives = probes.map { v =>
+      bloomBitPositions(v, bitsLog2, nHashes).map { bit =>
         element_at(col("bloom"), (bit >> 6).toInt + 1)
           .bitwiseAND(lit(1L << (bit & 63))) =!= 0L
       }.reduce(_ && _)

@@ -18,6 +18,35 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
+  /** Hard bound on the DRIVER-SIDE query set every kernel ANN index
+    * accepts (the kNN-probe shape broadcasts the query side). A caller
+    * passing a corpus as the query side would otherwise OOM the driver
+    * silently at scale — past this bound the index fails LOUDLY with a
+    * pointer at the distributed-join alternatives ([[knn]] /
+    * [[nearDupPairs]] / [[cosinePairsBlocked]]), whose shuffles scale
+    * with the data instead of the driver heap. 2^16 query vectors ×
+    * ~1 KiB each ≈ 64 MiB broadcast — the practical broadcast ceiling. */
+  val MaxBroadcastQueries: Int = 1 << 16
+
+  /** Bounded driver-side materialization of the query side, shared by
+    * every kernel index. Reads at most [[MaxBroadcastQueries]] + 1 rows
+    * (never the whole oversized set) before failing the contract. */
+  private[operators] def collectQueryVectors(
+      queries: DataFrame): Array[(Long, Array[Float])] = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val qs = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .limit(MaxBroadcastQueries + 1)
+      .as[(Long, Array[Float])].collect()
+    require(qs.length <= MaxBroadcastQueries,
+      s"ANN query set exceeds MaxBroadcastQueries=$MaxBroadcastQueries vectors; " +
+        "the broadcast-query index shape collects the query side to the driver. " +
+        "For corpus-sized query sets use the distributed join paths instead " +
+        "(Similarity.knn top-k join, nearDupPairs, cosinePairsBlocked).")
+    qs
+  }
+
   private def d(c: Column): Column = transform(c, _.cast(DoubleType))
 
   def dot(a: Column, b: Column): Column =
@@ -73,7 +102,14 @@ object Similarity {
     * which means every cosine ANN index in this library
     * ([[ivfKnnTrained]], [[ivfSq8Knn]], PQ, binary…) serves MIPS
     * unchanged: augment once at build time, search with cosine. M² is
-    * a one-row aggregate broadcast back; the append is map-only. */
+    * a one-row aggregate broadcast back; the append is map-only.
+    *
+    * Precision caveat: the augmented coordinate is stored as FLOAT (the
+    * corpus embedding element type), so augmented norms equal M only up
+    * to float rounding (~1e-3 relative) — ranking equality vs
+    * [[mipsKnn]] holds up to that rounding, and near-exact inner-product
+    * ties can swap order. Exact-MIPS callers should use [[mipsKnn]];
+    * the augmentation exists to reuse the approximate cosine indexes. */
   def mipsAugmentCorpus(corpus: DataFrame): DataFrame = {
     val n2 = aggregate(transform(d(col("embedding")), x => x * x),
       lit(0.0), (s, v) => s + v)
@@ -228,9 +264,7 @@ object Similarity {
     require(candMult >= 1, "candMult must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
+    val qCollected = collectQueryVectors(queries)
     val qb = sp.sparkContext.broadcast(qCollected)
     val bb = sp.sparkContext.broadcast(bounds)
     // quantized scan: codes only — 1 byte/dim off storage
@@ -348,7 +382,11 @@ object Similarity {
     val budget = math.max(k.toLong * candMult,
       math.ceil(candFraction * nCorpus).toLong)
     val qCollected = binarySignatures(queries, "vec_id", "embedding")
+      .limit(MaxBroadcastQueries + 1)
       .as[(Long, Array[Long])].collect()
+    require(qCollected.length <= MaxBroadcastQueries,
+      s"ANN query set exceeds MaxBroadcastQueries=$MaxBroadcastQueries vectors; " +
+        "use the distributed join paths for corpus-sized query sets")
     val qb = sp.sparkContext.broadcast(qCollected)
     val hams = sigs.select(col("vec_id").cast("long"), col("sig"))
       .as[(Long, Array[Long])]
@@ -601,10 +639,7 @@ object Similarity {
   def knnKernel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val qb = sp.sparkContext.broadcast(
-      queries.select(col("vec_id").cast("long"), col("embedding"))
-        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-        .as[(Long, Array[Float])].collect())
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .as[(Long, Array[Float])]
@@ -882,9 +917,7 @@ object Similarity {
     require(candMult >= 1, "candMult must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
+    val qCollected = collectQueryVectors(queries)
     // probe cells per query, computed driver-side against the codebook:
     // same (-round6 cosine, cid) order as ivfProbeRerank's nearest()
     val qProbes: Map[Long, Array[(Long, Array[Float])]] = {
@@ -1157,11 +1190,8 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val signs = signMatrix(planes, dims)
-    val qb = sp.sparkContext.broadcast(
-      queries.select(col("vec_id").cast("long"), col("embedding"))
-        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-        .as[(Long, Array[Float])].collect()
-        .map { case (id, v) => (id, v, bucketOf(v, signs)) })
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries)
+      .map { case (id, v) => (id, v, bucketOf(v, signs)) })
     val sb = sp.sparkContext.broadcast(signs)
     val pairs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
@@ -1525,9 +1555,7 @@ object Similarity {
       books = next
     }
     val fb = sp.sparkContext.broadcast(books)
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
+    val qCollected = collectQueryVectors(queries)
     // per-query: probed cells + per-cell ADC tables over (q − c) vs book
     val qMeta: Array[(Long, scala.collection.immutable.Map[Long, Array[Array[Long]]])] =
       qCollected.map { case (qid, qraw) =>
@@ -1607,9 +1635,7 @@ object Similarity {
     val sd = books(0)(0)._2.length
     val cc = sp.sparkContext.broadcast(cents)
     val bb = sp.sparkContext.broadcast(books)
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
+    val qCollected = collectQueryVectors(queries)
     // per-query probe set + ADC tables, computed once on the driver
     // (|Q| × probes cells and |Q| × m × nCodes table entries — small
     // side by contract, like every query broadcast in this family)
@@ -1720,9 +1746,7 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val sd = books(0)(0)._2.length
-    val qCollected = queries.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])].collect()
+    val qCollected = collectQueryVectors(queries)
     val qb = sp.sparkContext.broadcast(qCollected)
     val bb = sp.sparkContext.broadcast(books)
     // ADC scan: codes only; per-partition distance tables in micro-units

@@ -154,13 +154,31 @@ object TextAnalysis {
     * asymmetry natively, and a broadcast of the test postings is the
     * planner's own call when the side is small enough. */
   def contaminationPairs(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, tau: Double): DataFrame = {
-    val trainInv = Dedup.shinglePostings(train, idCol, textCol)
+      idCol: String, textCol: String, tau: Double,
+      ngram: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val trainInv = Dedup.shinglePostings(train, idCol, textCol, ngram)
       .toDF("train_id", "s")
-    val testInv = Dedup.shinglePostings(test, idCol, textCol)
+    val testInv = Dedup.shinglePostings(test, idCol, textCol, ngram)
       .toDF("test_id", "s")
     val testSizes = testInv.groupBy(col("test_id")).agg(count(lit(1)).as("n_test"))
-    testInv.join(trainInv, Seq("s"))
+    // `maxDf` caps TRAIN-side shingle document frequency: one stop-shingle
+    // ("one of the") present in most of a 100 TB crawl makes the postings
+    // join hot-key-bound (|test postings| × |train postings| rows on a
+    // single key). Shingles with train-df > maxDf are dropped WHOLE
+    // before the join — same discipline as [[Dedup.jaccardPairs]]'s
+    // dfCap. Containment denominators stay the full test shingle counts,
+    // so scores are exact unless a capped (ubiquitous) shingle was
+    // shared; with real decontam n-grams (8–13 words, near-unique) the
+    // cap almost never fires. Default uncapped; uncapped calls skip the
+    // df-count + anti-join stages entirely.
+    val keptTrain =
+      if (maxDf == Int.MaxValue) trainInv
+      else {
+        val hot = trainInv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        trainInv.join(hot, Seq("s"), "left_anti")
+      }
+    testInv.join(keptTrain, Seq("s"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("common"))
       .join(testSizes, Seq("test_id"))
@@ -176,8 +194,9 @@ object TextAnalysis {
     * with their original columns — one distinct + one anti-join on top
     * of the pairs join. */
   def decontamFilter(train: DataFrame, test: DataFrame,
-      idCol: String, textCol: String, tau: Double): DataFrame = {
-    val flagged = contaminationPairs(train, test, idCol, textCol, tau)
+      idCol: String, textCol: String, tau: Double,
+      ngram: Int = 3, maxDf: Int = Int.MaxValue): DataFrame = {
+    val flagged = contaminationPairs(train, test, idCol, textCol, tau, ngram, maxDf)
       .select(col("train_id").as("_graft_drop")).distinct()
     train.join(flagged, col(idCol) === col("_graft_drop"), "left_anti")
   }

@@ -851,6 +851,43 @@ object Queries {
         WHERE CAST(common AS DOUBLE) / n_test >= 0.2
         ORDER BY test_id, train_id""")),
 
+    // ---- Decontamination at REAL pipeline parameters: 8-gram shingles
+    //      (near-unique, the 8-13-gram industry standard) + a train-side
+    //      df cap dropping hot shingles whole before the postings join —
+    //      the discipline that keeps the join hot-key-free at 100 TB ----
+    QueryDef(
+      "t38_decontam_ngram",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+        graft.operators.TextAnalysis.contaminationPairs(
+            docs.filter($"split" === "train"), docs.filter($"split" === "test"),
+            "doc_id", "text", tau = 0.2, ngram = 8, maxDf = 2)
+          .orderBy($"test_id", $"train_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-6),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS sh
+                FROM tok WHERE len(tk) >= 8),
+        sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                 CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) % 100 AS b
+                 FROM documents)),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        tst AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'test'),
+        trn AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'train'),
+        hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM trn GROUP BY s) WHERE df > 2),
+        kept AS (SELECT * FROM trn WHERE s NOT IN (SELECT s FROM hot)),
+        ts AS (SELECT doc_id, count(*) AS n_test FROM tst GROUP BY doc_id),
+        com AS (SELECT tst.doc_id AS test_id, kept.doc_id AS train_id, count(*) AS common
+                FROM tst JOIN kept ON tst.s = kept.s GROUP BY 1, 2)
+        SELECT test_id, train_id, CAST(common AS DOUBLE) / n_test AS containment
+        FROM com JOIN ts ON com.test_id = ts.doc_id
+        WHERE CAST(common AS DOUBLE) / n_test >= 0.2
+        ORDER BY test_id, train_id""")),
+
     // ---- Sentence-shape statistics: per-doc sentence count + mean
     //      words per sentence over [.!?]+ segmentation ----
     QueryDef(
@@ -2567,6 +2604,71 @@ object Queries {
           FROM orders WHERE o_orderkey <= 3000),
         $levels
         SELECT o_orderkey, hx, hy, d AS hval FROM l0 ORDER BY o_orderkey"""
+      }),
+
+    // ---- 3-D Hilbert layout key (Skilling transform): real layout
+    //      keys use 3-4 columns. Oracle replays Skilling's
+    //      inverse-undo → Gray-encode → bit-plane-interleave walk as
+    //      one generated CTE chain per (bit-plane, axis) step ----
+    QueryDef(
+      "q90_hilbert_3d",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderkey" <= 3000)
+          .select($"o_orderkey",
+            ($"o_custkey" % 16).as("hx"),
+            (floor($"o_totalprice" / 1000.0).cast("long") % 16).as("hy"),
+            ($"o_orderkey" % 16).as("hz"))
+          .withColumn("hval", graft.operators.Layout.hilbert(4, $"hx", $"hy", $"hz"))
+          .orderBy($"o_orderkey")
+      },
+      Some {
+        val b = 4; val n = 3
+        val steps = new StringBuilder
+        var prev = "c"
+        var idx = 0
+        for (q <- Seq(8, 4, 2); i <- 0 until n) {
+          val p = q - 1
+          idx += 1
+          val cur = s"s$idx"
+          val body =
+            if (i == 0)
+              s"""SELECT o_orderkey, hx, hy, hz,
+                CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+                x1, x2 FROM $prev"""
+            else {
+              val xi = s"x$i"
+              // both columns read THIS step's input row (t from originals)
+              s"""SELECT o_orderkey, hx, hy, hz,
+                CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p)
+                     ELSE xor(x0, xor(x0, $xi) & $p) END AS x0,
+                ${if (i == 1) s"CASE WHEN (x1 & $q) != 0 THEN x1 ELSE xor(x1, xor(x0, x1) & $p) END AS x1" else "x1"},
+                ${if (i == 2) s"CASE WHEN (x2 & $q) != 0 THEN x2 ELSE xor(x2, xor(x0, x2) & $p) END AS x2" else "x2"}
+                FROM $prev"""
+            }
+          steps.append(s",\n        $cur AS ($body)")
+          prev = cur
+        }
+        val inter = (for (j <- (b - 1) to 0 by -1; k <- 0 until n) yield
+          s"((x$k >> $j) & 1) * ${1L << (j * n + (n - 1 - k))}").mkString(" + ")
+        s"""WITH c AS (SELECT o_orderkey,
+            o_custkey % 16 AS hx,
+            CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 16 AS hy,
+            o_orderkey % 16 AS hz,
+            o_custkey % 16 AS x0,
+            CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 16 AS x1,
+            o_orderkey % 16 AS x2
+          FROM orders WHERE o_orderkey <= 3000)$steps,
+        g AS (SELECT o_orderkey, hx, hy, hz, x0,
+            xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM $prev),
+        f AS (SELECT o_orderkey, hx, hy, hz,
+            xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2
+          FROM (SELECT *, xor(xor(
+              CASE WHEN (x2 & 8) != 0 THEN 7 ELSE 0 END,
+              CASE WHEN (x2 & 4) != 0 THEN 3 ELSE 0 END),
+              CASE WHEN (x2 & 2) != 0 THEN 1 ELSE 0 END) AS t FROM g))
+        SELECT o_orderkey, hx, hy, hz, CAST($inter AS BIGINT) AS hval
+        FROM f ORDER BY o_orderkey"""
       }),
 
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping

@@ -168,6 +168,65 @@ object Streams {
         minWords, maxWords, minMeanLen, maxMeanLen, minAlphaFrac, minStopHits)
       .filter(col("passes"))
 
+  /** Ingest-time train/test DECONTAMINATION screen — the streaming twin
+    * of [[graft.operators.TextAnalysis.decontamFilter]], completing the
+    * family's diagnostic → filter → stream progression (as d10/d11 did
+    * for near-dup). The TEST side is a static benchmark suite — bounded
+    * by construction (thousands of documents, not billions) — so its
+    * n-gram inverted index is collected once and broadcast; each
+    * arriving train document is then decided MAP-ONLY (no state, no
+    * watermark, no shuffle): tokenize → distinct n-gram shingles →
+    * tally hits per test doc through the broadcast index → drop when
+    * any containment |∩| / |test shingles| reaches `tau`. Works
+    * identically on batch input, which is how the spec proves
+    * stream ≡ batch ≡ `decontamFilter`. (The batch filter's `maxDf`
+    * train-side cap is a cross-document corpus statistic and so has no
+    * streaming counterpart; the screen is the uncapped semantics.) */
+  def decontamScreen(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, tau: Double, ngram: Int = 3): DataFrame = {
+    require(tau > 0.0, "tau must be positive (tau <= 0 would drop every document)")
+    val sp = test.sparkSession
+    import sp.implicits._
+    val testSets = graft.operators.Dedup
+      .shinglePostings(test, idCol, textCol, ngram)
+      .groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
+      .select(col("sh")).as[Seq[String]].collect()
+    // shingle -> test-doc ordinals (ordinals keep the broadcast compact;
+    // test doc ids never influence the verdict)
+    val nTest: Array[Int] = testSets.map(_.size)
+    val index = new java.util.HashMap[String, Array[Int]]()
+    for ((sh, ord) <- testSets.zipWithIndex; s <- sh) {
+      val prev = index.get(s)
+      index.put(s, if (prev == null) Array(ord) else prev :+ ord)
+    }
+    val bIndex = sp.sparkContext.broadcast(index)
+    val bN = sp.sparkContext.broadcast(nTest)
+    val keep = udf { (text: String) =>
+      if (text == null) true
+      else {
+        val idx = bIndex.value
+        val n = bN.value
+        val counts = new java.util.HashMap[Int, Int]()
+        var contaminated = false
+        val it = graft.operators.Dedup.Kernel.shingles(text, ngram).iterator
+        while (!contaminated && it.hasNext) {
+          val hits = idx.get(it.next())
+          if (hits != null) {
+            var i = 0
+            while (!contaminated && i < hits.length) {
+              val ord = hits(i)
+              val c = counts.merge(ord, 1, (a, b) => a + b)
+              if (c.toDouble / n(ord) >= tau) contaminated = true
+              i += 1
+            }
+          }
+        }
+        !contaminated
+      }
+    }
+    train.filter(keep(col(textCol)))
+  }
+
   def incrementalNearDupCandidates(newDocs: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, r: Int = 4): DataFrame =
     graft.operators.Dedup.minhashBands(newDocs, idCol, textCol, k, r)

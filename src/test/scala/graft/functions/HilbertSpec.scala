@@ -103,4 +103,73 @@ class HilbertSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.toLowerCase.contains("graft_hilbert"))
   }
+
+  test("k-d kernel is a bijection with unit-step adjacency (3-D orders 3-4, 4-D order 2)") {
+    Seq((4, 3), (3, 3), (2, 4)).foreach { case (b, dims) =>
+      val n = 1 << b
+      val total = 1L << (b * dims)
+      val byD = new Array[Array[Long]](total.toInt)
+      def walk(prefix: List[Long], depth: Int): Unit =
+        if (depth == 0) {
+          val xs = prefix.reverse.toArray
+          val d = HilbertIndex.axesToIndex(b, xs)
+          assert(d >= 0 && d < total, s"index $d out of range for ${xs.mkString(",")}")
+          assert(byD(d.toInt) == null,
+            s"collision at d=$d: ${xs.mkString(",")} vs " +
+              Option(byD(d.toInt)).map(_.mkString(",")).getOrElse("-"))
+          byD(d.toInt) = xs
+        } else (0L until n).foreach(v => walk(v :: prefix, depth - 1))
+      walk(Nil, dims)
+      for (d <- 0 until total.toInt - 1) {
+        val diff = byD(d).zip(byD(d + 1)).map { case (a, c) => math.abs(a - c) }.sum
+        assert(diff === 1L,
+          s"b=$b dims=$dims curve jumps at d=$d: ${byD(d).mkString(",")} -> ${byD(d + 1).mkString(",")}")
+      }
+    }
+    // masking: coordinates wrap into the grid
+    assert(HilbertIndex.axesToIndex(4, Array(19L, 5L, 7L)) ===
+      HilbertIndex.axesToIndex(4, Array(3L, 5L, 7L)))
+  }
+
+  test("3-D SQL function and codegen agree with the k-d kernel; arity bound enforced") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 300).map(i =>
+      (i.toLong, (i * 7 % 16).toLong, (i * 13 % 16).toLong, (i * 3 % 16).toLong))
+      .toDF("id", "x", "y", "z")
+    df.createOrReplaceTempView("hpts3")
+    val viaSql = spark.sql(
+      "SELECT id, graft_hilbert(4, x, y, z) AS h FROM hpts3 ORDER BY id").collect()
+    val viaColumn = df.select($"id",
+        graft.operators.Layout.hilbert(4, $"x", $"y", $"z").as("h"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq === viaColumn.map(_.getLong(1)).toSeq)
+    viaSql.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(1) === HilbertIndex.axesToIndex(4,
+        Array(i * 7 % 16, i * 13 % 16, i * 3 % 16)))
+    }
+    // null coordinate propagates
+    assert(spark.sql("SELECT graft_hilbert(4, 1L, CAST(NULL AS BIGINT), 3L) AS h")
+      .collect().head.isNullAt(0))
+    // bits × dims must fit one signed long: 16 bits × 4 dims = 64 > 63
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(16, 1L, 2L, 3L, 4L)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_hilbert"))
+  }
+
+  test("bits argument fails analysis (not eval) on NULL and on Long values past Int range") {
+    // a foldable NULL bits must surface as a type-check failure during
+    // analysis, not an IllegalArgumentException thrown out of it
+    val nullErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(CAST(NULL AS INT), 1L, 2L)").collect()
+    }
+    assert(nullErr.getMessage.toLowerCase.contains("graft_hilbert"))
+    // 2^32 + 7 truncates to 7 as an Int — the range check must see the
+    // full Long and reject, never silently index at bits=7
+    val bigErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(4294967303L, 1L, 2L)").collect()
+    }
+    assert(bigErr.getMessage.contains("4294967303"))
+  }
 }

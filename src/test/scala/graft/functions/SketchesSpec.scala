@@ -205,6 +205,14 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a shared k-min member requires a shared element (md5 is injective
     // here for our purposes), so disjoint sets estimate exactly 0
     assert(disjoint === 0.0)
+    // empty signatures (groups that saw only nulls): estimate is 0.0,
+    // never NULL — a NULL would silently drop the pair in downstream
+    // filters
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("sa", "sb")
+      .select(Sketches.kmvIntersectEstimate($"sa", $"sb", k).as("est"))
+      .collect().head
+    assert(!empty.isNullAt(0) && empty.getDouble(0) === 0.0,
+      "empty-signature pair must estimate 0.0, not NULL")
   }
 
   test("streaming KMV distinct equals the batch signature after any micro-batch slicing") {

@@ -44,6 +44,47 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel(1L) == kernel(2L)) // identical docs → identical signature
   }
 
+  test("kernel n-gram shingles generalize shingles3 and respect the length floor") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    assert(Dedup.Kernel.shingles(text, 3) === Dedup.Kernel.shingles3(text))
+    // 9 tokens → 2 distinct 8-grams, each 8 words long
+    val g8 = Dedup.Kernel.shingles(text, 8)
+    assert(g8.length === 2 && g8.forall(_.split(" ").length === 8))
+    assert(g8.head === "the quick brown fox jumps over the lazy")
+    assert(Dedup.Kernel.shingles(text, 9) === IndexedSeq(text))
+    assert(Dedup.Kernel.shingles(text, 10).isEmpty)
+    // duplicates collapse (distinct), matching the Column/oracle form
+    assert(Dedup.Kernel.shingles("a b a b a b", 2) === IndexedSeq("a b", "b a"))
+    // postings ride the same kernel
+    val p8 = Dedup.shinglePostings(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(p8.count(_._1 == 1L) === Dedup.Kernel.shingles(
+      "the quick brown fox jumps over the lazy dog again and again", 8).length)
+    assert(!p8.exists(_._1 == 5L))
+  }
+
+  test("contaminationPairs maxDf drops hot shingles whole; uncapped equals capped-at-infinity") {
+    val sp2 = spark
+    val train = sp2.createDataFrame(Seq(
+      (10L, "alpha beta gamma delta shared tail here"),
+      (11L, "epsilon zeta eta theta shared tail here"),
+      (12L, "iota kappa lambda mu shared tail here"),
+      (13L, "alpha beta gamma delta unique ending one"))).toDF("doc_id", "text")
+    val test = sp2.createDataFrame(Seq(
+      (20L, "alpha beta gamma delta"),
+      (21L, "shared tail here"))).toDF("doc_id", "text")
+    val un = TextAnalysis.contaminationPairs(train, test, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 21's only shingle "shared tail here" appears in 3 train docs;
+    // doc 20 matches the "alpha beta gamma delta" prefix docs
+    assert(un === Set((20L, 10L), (20L, 13L), (21L, 10L), (21L, 11L), (21L, 12L)))
+    // maxDf=2 drops the df-3 boilerplate shingle whole → 21 loses all pairs
+    val capped = TextAnalysis.contaminationPairs(train, test, "doc_id", "text", 0.5,
+        ngram = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((20L, 10L), (20L, 13L)))
+  }
+
   test("kernel simhash equals the Column formulation") {
     val kernel = Dedup.simhashKernel(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -170,6 +170,30 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp < 2000 * 0.06, s"false-positive rate ${fp / 2000.0} far above theory")
   }
 
+  test("bloomPrunedRead has no false negatives on decimal keys whose toString diverges from Spark's cast") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-dec").toString
+    // decimal(10,2): value 1.5 stringifies as "1.50" under Spark's cast
+    // but "1.5" under JVM BigDecimal.toString — a probe hashed from the
+    // JVM form would miss the file and silently drop its rows
+    (0 until 512).map(i => (new java.math.BigDecimal(s"$i.50"), s"p-$i"))
+      .toDF("k", "v")
+      .select($"k".cast("decimal(10,2)").as("k"), $"v")
+      .repartition(8, $"k").write.mode("overwrite").parquet(dir)
+    Layout.writeBloomManifest(spark, dir, "k")
+    // probe with scale-1 BigDecimals ("7.5" not "7.50")
+    val probes: Seq[Any] = Seq(new java.math.BigDecimal("7.5"),
+      new java.math.BigDecimal("123.5"))
+    val pruned = Layout.bloomPrunedRead(spark, dir, "k", probes)
+    assert(pruned.count() === 2L,
+      "decimal probes must survive re-stringification through Spark's cast")
+    val full = spark.read.parquet(dir).filter($"k".isin(probes: _*))
+    assert(pruned.select($"v").as[String].collect().toSet ===
+      full.select($"v").as[String].collect().toSet)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "pruning must still discard files")
+  }
+
   test("bloomPrunedRead on all-absent probes reads nothing but keeps the schema") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-miss").toString

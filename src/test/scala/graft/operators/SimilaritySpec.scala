@@ -469,4 +469,28 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(norms.forall(n => math.abs(n - norms.max) < 1e-3),
       "augmented corpus must be equi-norm")
   }
+
+  test("oversized query sets fail the broadcast contract loudly, bounded sets still work") {
+    val sp = spark; import sp.implicits._
+    // a "corpus passed as queries": MaxBroadcastQueries + 1 tiny vectors
+    val over = spark.range(Similarity.MaxBroadcastQueries + 1L)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), ($"id" % 7).cast("float")).as("embedding"))
+    val corpus = (1L to 10L)
+      .map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    Seq[(String, () => DataFrame)](
+      ("knnKernel", () => Similarity.knnKernel(over, corpus, 3)),
+      ("annKnnKernel", () => Similarity.annKnnKernel(over, corpus, 3)),
+      ("binaryKnn", () => Similarity.binaryKnn(over, corpus, 3)),
+      ("sq8Knn", () => Similarity.sq8Knn(over, corpus, 3))).foreach {
+      case (name, run) =>
+        val e = intercept[IllegalArgumentException] { run().collect() }
+        assert(e.getMessage.contains("MaxBroadcastQueries"),
+          s"$name did not enforce the query-set bound: ${e.getMessage}")
+    }
+    // the bound is a ceiling, not a truncation: a set under it runs whole
+    val okQ = (101L to 103L).map(i => (i, Array(1.0f, i.toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.knnKernel(okQ, corpus, 3)
+      .select($"query_id").distinct().count() === 3L)
+  }
 }

@@ -135,6 +135,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gram join lost the pair restriction:\n${joinLines.mkString("\n")}\n${p.take(2000)}")
   }
 
+  test("t09/t35/t38 contamination family joins postings on the shingle — never test×train cross") {
+    Seq("t09_decontam", "t35_decontam_filter", "t38_decontam_ngram").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+        s"$q lost its equi join:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a cross product:\n${p.take(2000)}")
+    }
+    // the capped variant must anti-join the hot-shingle set out BEFORE
+    // the postings join (the 100 TB hot-key guard)
+    assert(plan("t38_decontam_ngram").contains("LeftAnti"),
+      plan("t38_decontam_ngram").take(2000))
+  }
+
   test("d12 fuzzy-join variant screen is an equi join, never all-pairs levenshtein") {
     val p = plan("d12_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -89,6 +89,35 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); corpusBands.unpersist(); () }
   }
 
+  test("streaming decontamination screen equals the batch decontamFilter over sf0.001 docs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+    val test = docs.filter($"split" === "test").select($"doc_id", $"text")
+    val train = docs.filter($"split" === "train").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.decontamScreen(
+        input.toDF().toDF("doc_id", "text"), test, "doc_id", "text", tau = 0.2)
+      .writeStream.format("memory").queryName("dscreen").outputMode("append").start()
+    try {
+      val (a, b) = train.splitAt(train.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("dscreen").select($"doc_id")
+        .as[Long].collect().toSet
+      val batch = graft.operators.TextAnalysis
+        .decontamFilter(train.toDF("doc_id", "text"), test, "doc_id", "text", tau = 0.2)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed === batch, "streamed screen diverged from the batch filter")
+      assert(streamed.nonEmpty, "screen dropped everything — vacuous equality")
+      assert(streamed.size < train.length,
+        "screen dropped nothing — vacuous gate (contaminated clones must be caught)")
+    } finally { q.stop(); () }
+  }
+
   test("streaming quality screen equals the batch Gopher gate over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext
