@@ -36,6 +36,18 @@ object Bench {
     // than in-suite because the bloom-build path only gets JIT-compiled
     // by the timed runs themselves — compare isolated numbers only to
     // isolated numbers.
+    // Round-10 adjudication of the round-9 regressions (isolated,
+    // RUNS=8 PASSES=1 warm floors at sf0.1):
+    //   t09 0.947s — inside its 0.9-1.2 historical band; the r9 2.15s
+    //     was suite interference, not code (t09 unchanged since r6).
+    //   t10 1.452s before / 1.030s after materializing termCounts once
+    //     (the tokenize+agg subtree fed 4 consumers = 4 corpus passes);
+    //   q73 1.622s before / 1.360s after materializing the oriented
+    //     edge list once (3 consumers). The "creep" was those shared
+    //     subtrees growing with corpus regeneration, now paid once.
+    //   t23 2.514s / t25 3.562s (from 4.63/4.65 in-suite r9) after the
+    //     kernel hot-gram pass replaced the corpus-wide (gram, doc)
+    //     distinct and t25's positioned explodes went candidate-only.
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -110,7 +122,8 @@ object Bench {
         "pq_sampled" -> r(graft.operators.Similarity.pqKnn(q, e, 3)),
         "ivf_pq" -> r(graft.operators.Similarity.ivfPqKnnTrained(q, e, 3)),
         "ivf_adc" -> r(graft.operators.Similarity.ivfAdcKnnTrained(q, e, 3)),
-        "binary" -> r(graft.operators.Similarity.binaryKnn(q, e, 3)))
+        "binary" -> r(graft.operators.Similarity.binaryKnn(q, e, 3)),
+        "rp" -> r(graft.operators.Similarity.rpKnn(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -204,27 +204,32 @@ object Dedup {
     val cand0 = candidates
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
       .filter(col("id1") < col("id2")).distinct()
-    // Without a gram cap, grams are PER-DOC facts — so only docs that
-    // appear in a candidate pair need their grams exploded at all (the
+    // Grams are PER-DOC facts, so only docs that appear in a candidate
+    // pair need their grams exploded WITH POSITIONS at all (the
     // screen's whole point: O(candidate chars), not O(corpus chars)).
-    // With a finite dfCap the cap is a CORPUS-level statistic (document
-    // frequency over every doc, candidate or not), so the full gram
-    // table must exist to count it and the restriction would change
-    // answers — the explode stays corpus-wide in that branch.
-    val (aGrams, bGrams0, cand) =
-      if (dfCap == Int.MaxValue) {
-        // cand feeds three consumers (both semi-joins + the pair join):
-        // materialize it once or the upstream screen replays three times
-        val c = cand0.localCheckpoint(true)
-        val d1 = c.select(col("id1").as("_graft_d")).distinct()
-        val d2 = c.select(col("id2").as("_graft_d")).distinct()
-        val dfA = df.join(d1, col(idCol) === col("_graft_d"), "left_semi")
-        val dfB = df.join(d2, col(idCol) === col("_graft_d"), "left_semi")
+    // A finite dfCap is a CORPUS-level statistic (document frequency
+    // over every doc, candidate or not) — but it needs only ONE
+    // positions-free kernel pass over the corpus to find the hot set;
+    // the positioned explodes stay candidate-restricted and anti-join
+    // that set, identical answers to capping the full gram table.
+    // cand feeds three consumers (both semi-joins + the pair join):
+    // materialize it once or the upstream screen replays three times.
+    val cand = cand0.localCheckpoint(true)
+    val d1 = cand.select(col("id1").as("_graft_d")).distinct()
+    val d2 = cand.select(col("id2").as("_graft_d")).distinct()
+    val dfA = df.join(d1, col(idCol) === col("_graft_d"), "left_semi")
+    val dfB = df.join(d2, col(idCol) === col("_graft_d"), "left_semi")
+    val (aGrams, bGrams0) =
+      if (dfCap == Int.MaxValue)
         (positionedGrams(dfA, idCol, textCol, k, dfCap),
-          positionedGrams(dfB, idCol, textCol, k, dfCap), c)
-      } else {
-        val g = positionedGrams(df, idCol, textCol, k, dfCap)
-        (g, g, cand0)
+          positionedGrams(dfB, idCol, textCol, k, dfCap))
+      else {
+        // hot set feeds both sides' anti-joins: one corpus pass, cached
+        val hot = hotGramSet(df, idCol, textCol, k, dfCap).localCheckpoint(true)
+        (positionedGrams(dfA, idCol, textCol, k, Int.MaxValue)
+            .join(hot, Seq("gram"), "left_anti"),
+          positionedGrams(dfB, idCol, textCol, k, Int.MaxValue)
+            .join(hot, Seq("gram"), "left_anti"))
       }
     val aSide = aGrams.join(cand, col("doc_id") === col("id1"))
       .select(col("id1"), col("id2"), col("pos").as("pos1"), col("gram"))
@@ -310,6 +315,23 @@ object Dedup {
     // every gram occurrence, the dominant cost) never happens.
     // Lowercasing stays the Column lower() so the engine contract is
     // byte-identical to the span-dedup family on any locale.
+    docDistinctGrams(df, idCol, textCol, k)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** Per-doc-DISTINCT gram rows in a kernel: a (gram, doc) pair can only
+    * repeat WITHIN a document, so a per-doc HashSet makes the rows
+    * globally distinct already — the corpus-wide distinct (a full
+    * shuffle of every gram occurrence, the dominant cost) never
+    * happens. Lowercasing stays the Column lower() so the engine
+    * contract is byte-identical to the span-dedup family on any
+    * locale. Shared by [[topDuplicatedGrams]] and the dfCap counts. */
+  private def docDistinctGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
     df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= k)
       .select(col(idCol).cast("long"), lower(col(textCol)))
@@ -322,10 +344,17 @@ object Dedup {
         scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
       })
       .toDF("gram")
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("gram"))
-      .limit(topK)
   }
+
+  /** Grams whose corpus document frequency exceeds `dfCap` — the hot
+    * set every duplicate-span variant anti-joins away. One kernel pass
+    * (positions-free, per-doc-distinct) + one partial-aggregating hash
+    * agg; output is hot-gram-sized (tiny under any sane cap). */
+  private def hotGramSet(df: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int): DataFrame =
+    docDistinctGrams(df, idCol, textCol, k)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > dfCap).select(col("gram"))
 
   /** Positioned character `k`-grams of the lowercased text, with the
     * gram document-frequency cap shared by every duplicate-span
@@ -343,12 +372,12 @@ object Dedup {
             substring(col("t"), i, lit(k)).as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     if (dfCap == Int.MaxValue) grams
-    else {
-      val hot = grams.select(col("gram"), col("doc_id")).distinct()
-        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > dfCap).select(col("gram"))
-      grams.join(hot, Seq("gram"), "left_anti")
-    }
+    else
+      // hot set via the kernel doc-frequency pass — the corpus-wide
+      // (gram, doc) distinct shuffle (the dominant cost at scale) is
+      // replaced by per-doc HashSet dedup + one partial hash agg
+      grams.join(hotGramSet(df, idCol, textCol, k, dfCap),
+        Seq("gram"), "left_anti")
   }
 
   /** Shared span recovery: positioned gram matches `(id1, id2, pos1,

@@ -278,6 +278,18 @@ object Graph {
     * and engine-portable (the DuckDB oracle mirrors the same
     * orientation). */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (lazyOut, oriented) = triangleCountsLazy(edges, srcCol, dstCol)
+    val out = lazyOut.localCheckpoint(true) // output-sized (one row per triangle node)
+    oriented.unpersist()
+    out
+  }
+
+  /** [[triangleCounts]] before its final eager materialization: returns
+    * (result with full lineage, the checkpointed oriented edge list the
+    * caller must unpersist) so plan-quality specs can assert the wedge
+    * join's physical shape. */
+  private[graft] def triangleCountsLazy(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -291,10 +303,17 @@ object Graph {
       .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // the oriented edge list feeds THREE consumers (both wedge-join
+    // sides + the closing semi-join) — materialize the dedup + degree
+    // joins once instead of re-running the whole subtree per consumer
+    // (Catalyst evaluates shared subtrees once per join input). The
+    // frame is edge-sized; the wedge join downstream stays visible to
+    // the plan-quality pin.
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
     val wedges = oriented.as("o1").join(oriented.as("o2"),
         col("o1.u") === col("o2.u") &&
           (col("o1.dv") < col("o2.dv") ||
@@ -302,8 +321,9 @@ object Graph {
       .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
     val tri = wedges.join(
       oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"), "left_semi")
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    val out = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    (out, oriented)
   }
 
   /** Synchronous label propagation (LPA, Raghavan et al. 2007) over an

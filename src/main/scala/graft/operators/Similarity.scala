@@ -487,6 +487,113 @@ object Similarity {
     else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** [[cosineKernel]] for two double vectors — the projected-space
+    * scorer. Same contract: double accumulation in array order over the
+    * common prefix, round-6, zero-norm → 0. */
+  def cosineKernelDD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Johnson–Lindenstrauss projection of one vector onto the ±1 sign
+    * matrix: round-6( Σ_i v_i·s_ji / √outDims ) per output coordinate
+    * — deterministic, engine-portable, no stored model. */
+  def projectJl(v: Array[Float], signs: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](signs.length)
+    val scale = 1.0 / math.sqrt(signs.length.toDouble)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j); var s = 0.0; var i = 0
+      val n = math.min(v.length, row.length)
+      while (i < n) { s += v(i).toDouble * row(i); i += 1 }
+      out(j) = round6(s * scale)
+      j += 1
+    }
+    out
+  }
+
+  /** RANDOM-PROJECTION kNN (Johnson–Lindenstrauss): project both sides
+    * onto `outDims` deterministic ±1/√outDims hyperplanes (the same
+    * md5-parity [[signMatrix]] as LSH — zero stored model, the
+    * embedding-COMPRESSION member of the ANN family), rank candidates
+    * by cosine in the PROJECTED space, keep `k·candMult` per query,
+    * exact-cosine rerank on the original embeddings. JL concentration
+    * keeps projected inner products near the originals, so recall is
+    * tuned by `outDims`/`candMult` with no training pass at all.
+    *
+    * 100 TB shape: the candidate scan reads corpus vectors once and
+    * multiplies against outDims×dims broadcast doubles — at
+    * outDims = 32 over 64-d vectors the projected scoring does 2× less
+    * arithmetic than brute force, and a PERSISTED projected column
+    * (the natural deployment, like [[sq8Encode]]'s codes) reads 2×
+    * fewer bytes too. The rerank budget is max(k·candMult,
+    * ceil(candFraction·N)) — a constant corpus FRACTION, so recall
+    * holds under corpus growth by construction (the binaryKnn lesson).
+    *
+    * Recall caveat: the synthetic test embeddings are near-isotropic
+    * noise — every pairwise cosine concentrates near 0 and top-k
+    * margins are O(1/√d), the provably hardest case for ANY
+    * metric-preserving projection — so the pinned floors (0.5/0.83
+    * measured at sf0.01/sf0.1 with the 10% budget) are the WORST-case
+    * end of JL behavior; clustered real-world embeddings project far
+    * better at the same settings. */
+  def rpKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      outDims: Int = 32, dims: Int = 64, candMult: Int = 4,
+      candFraction: Double = 0.1): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be positive")
+    require(outDims >= 1 && dims >= 1, "dims must be positive")
+    require(candFraction > 0.0 && candFraction <= 1.0,
+      "candFraction must be in (0, 1]")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val signs = signMatrix(outDims, dims)
+    val qProj = collectQueryVectors(queries)
+      .map { case (id, v) => (id, projectJl(v, signs)) }
+    val qb = sp.sparkContext.broadcast(qProj)
+    val sgb = sp.sparkContext.broadcast(signs)
+    val corp = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+    // the rerank budget is a CONSTANT CORPUS FRACTION (the binaryKnn
+    // lesson: a fixed candidate count decays with corpus growth, a
+    // fixed fraction survives it); the count is one columnar job
+    val nCorpus = corp.count()
+    val budget = math.max(k.toLong * candMult,
+      math.ceil(candFraction * nCorpus).toLong)
+    val approx = corp
+      .mapPartitions { it =>
+        val qs = qb.value
+        val sg = sgb.value
+        it.flatMap { case (nid, v) =>
+          val p = projectJl(v, sg)
+          qs.iterator.filter(_._1 != nid).map { case (qid, qp) =>
+            (qid, nid, cosineKernelDD(qp, p))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "acs")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acs").desc, col("neighbor_id"))
+    val cands = approx.withColumn("_crank", row_number().over(wA))
+      .filter(col("_crank") <= budget)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
   /** All pairs (id1 < id2) with cosine >= tau, as one fully distributed
     * block-grid self-join — NO driver-side materialization and NO corpus
     * broadcast anywhere in the path.

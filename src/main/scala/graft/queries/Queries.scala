@@ -1391,6 +1391,50 @@ object Queries {
         SELECT query_id, rank, neighbor_id, ip FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- Similarity: Johnson-Lindenstrauss random-projection kNN —
+    //      the zero-model embedding-COMPRESSION ANN (16-d projected
+    //      scan over 64-d vectors = 4x less arithmetic/bytes), exact
+    //      rerank on candidates ----
+    QueryDef(
+      "s11_knn_rp",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.rpKnn(e.filter($"vec_id" < 10), e, 3,
+            outDims = 32, dims = 64, candMult = 4, candFraction = 0.1)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH sgn AS (
+          SELECT j, i, CASE WHEN CAST(('0x'||substr(md5(concat(j,'_',i)),1,8)) AS UBIGINT) % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT unnest(range(0,32)) AS j), (SELECT unnest(range(1,65)) AS i)),
+        vd AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+        prj AS (SELECT vec_id, j, round(sum(e * sgn) / sqrt(32.0), 6) AS p
+                FROM vd JOIN sgn USING (i) GROUP BY vec_id, j),
+        ac AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CASE WHEN sum(q.p*q.p) = 0 OR sum(c.p*c.p) = 0 THEN 0.0
+                   ELSE round(sum(q.p*c.p) / (sqrt(sum(q.p*q.p)) * sqrt(sum(c.p*c.p))), 6)
+                 END AS acs
+               FROM (SELECT * FROM prj WHERE vec_id < 10) q
+               JOIN prj c ON q.j = c.j AND q.vec_id <> c.vec_id
+               GROUP BY 1, 2),
+        cnd AS (SELECT query_id, neighbor_id FROM
+                 (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY acs DESC, neighbor_id) AS cr
+                  FROM ac)
+                 WHERE cr <= GREATEST(12,
+                   CAST(ceil(0.1 * (SELECT count(*) FROM embeddings)) AS BIGINT))),
+        cs AS (SELECT n.query_id, n.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+               FROM cnd n JOIN embeddings q ON q.vec_id = n.query_id
+               JOIN embeddings c ON c.vec_id = n.neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
     //      (scale path; candidates = buckets within 2 bit flips of the
     //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20
@@ -2671,6 +2715,41 @@ object Queries {
         FROM f ORDER BY o_orderkey"""
       }),
 
+    // ---- 3-D Hilbert LAYOUT driving real file skipping (the q77 shape
+    //      with the k-d curve as the cluster key): range-partition +
+    //      sort on the order-4 3-D Hilbert index, build the min/max
+    //      manifest over the three coordinates, answer a 3-D box query
+    //      reading only admitted files + the exact residual filter.
+    //      Result must equal a plain full-scan filter ----
+    QueryDef(
+      "q91_hilbert_layout",
+      (s, dir) => {
+        import s.implicits._
+        val out = sinkDir("hilbert3d")
+        t(s, dir, "orders")
+          .select($"o_orderkey",
+            ($"o_custkey" % 16).as("hx"),
+            (floor($"o_totalprice" / 1000.0).cast("long") % 16).as("hy"),
+            ($"o_orderkey" % 16).as("hz"))
+          .withColumn("hval", graft.operators.Layout.hilbert(4, $"hx", $"hy", $"hz"))
+          .repartitionByRange(16, $"hval")
+          .sortWithinPartitions($"hval")
+          .drop("hval")
+          .write.mode("overwrite").parquet(out)
+        graft.operators.Layout.writeManifest(s, out, Seq("hx", "hy", "hz"))
+        graft.operators.Layout.prunedRead(s, out,
+            Seq(("hx", 2L, 5L), ("hy", 4L, 9L), ("hz", 0L, 7L)))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey % 16 AS hx,
+          CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 16 AS hy,
+          o_orderkey % 16 AS hz
+        FROM orders
+        WHERE o_custkey % 16 BETWEEN 2 AND 5
+          AND CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 16 BETWEEN 4 AND 9
+          AND o_orderkey % 16 BETWEEN 0 AND 7
+        ORDER BY o_orderkey""")),
+
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file
     //      min/max manifest, answer a range query by reading ONLY the
@@ -3898,6 +3977,85 @@ object Queries {
         sb.append((0 until rounds).map(i =>
           s"SELECT CAST(${i + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, pc AS cnt FROM m$i")
           .mkString("\n        ", "\n        UNION ALL ", "\n        ORDER BY rank"))
+        sb.toString
+      }),
+
+    // ---- BATCHED BPE training at REAL merge counts: >=1000 merges in
+    //      12 driver rounds (vs 1000 sequential jobs classic training
+    //      would need). Vocab = md5 hex of each doc (the natural corpus
+    //      saturates at ~89 merges), byte-style 2-hex-char seeding.
+    //      Oracle replays candidate windows, the greedy disjoint walk
+    //      (recursive CTE) and batch rewrites (chained CTE levels) ----
+    QueryDef(
+      "t39_bpe_batched",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .filter($"text".isNotNull).select(md5($"text").as("w"))
+        graft.operators.TextAnalysis
+          .bpeMergesBatched(words, "w", rounds = 12, batch = 128, seedSymbolLen = 2)
+          .orderBy($"rank")
+      },
+      Some {
+        val rounds = 12; val bt = 128; val win = 4 * bt
+        val sb = new StringBuilder(
+          """WITH RECURSIVE v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+            array_to_string(list_transform(range(1, CAST(ceil(length(word) / 2.0) AS BIGINT) + 1),
+              i -> substr(word, CAST((i - 1) * 2 + 1 AS INTEGER), 2)), '  ') AS seg
+          FROM (SELECT md5(text) AS word FROM documents WHERE text IS NOT NULL)
+          GROUP BY word)""")
+        for (i <- 0 until rounds) {
+          sb.append(s""",
+          p$i AS MATERIALIZED (SELECT s[CAST(j AS INTEGER)] AS l,
+              s[CAST(j + 1 AS INTEGER)] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+            FROM (SELECT cnt, string_split(seg, '  ') AS s FROM v$i),
+              LATERAL (SELECT unnest(range(1, len(s))) AS j)
+            GROUP BY 1, 2),
+          c$i AS MATERIALIZED (SELECT l, r, pc, rk FROM
+            (SELECT l, r, pc, row_number() OVER (ORDER BY pc DESC, l, r) AS rk FROM p$i)
+            WHERE rk <= $win),
+          w$i AS (SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used, 0 AS nacc
+            UNION ALL
+            SELECT c.rk,
+              CASE WHEN w.nacc < $bt AND NOT list_contains(w.used, c.l)
+                     AND NOT list_contains(w.used, c.r)
+                THEN list_append(list_append(w.used, c.l), c.r) ELSE w.used END,
+              CASE WHEN w.nacc < $bt AND NOT list_contains(w.used, c.l)
+                     AND NOT list_contains(w.used, c.r)
+                THEN w.nacc + 1 ELSE w.nacc END
+            FROM w$i w JOIN c$i c ON c.rk = w.rk + 1),
+          a$i AS MATERIALIZED (SELECT c.l, c.r, c.pc,
+              CAST(row_number() OVER (ORDER BY c.rk) AS INTEGER) AS bidx
+            FROM c$i c JOIN w$i w ON w.rk = c.rk - 1
+            WHERE w.nacc < $bt AND NOT list_contains(w.used, c.l)
+              AND NOT list_contains(w.used, c.r)),
+          r${i}_0 AS MATERIALIZED (SELECT cnt, ' ' || seg || ' ' AS pseg FROM v$i)""")
+          // 16 nested replaces per CTE level (not one level per merge):
+          // DuckDB's binder counts the CTE reference chain toward its
+          // expression-depth limit, so 12 rounds x 128 single-replace
+          // levels binds past the cap. A missing bidx coalesces the
+          // pattern to chr(1) — absent from hex+space segs — making the
+          // replace a no-op without a CASE (whose THEN/ELSE would double
+          // the nested text per level).
+          val perLevel = 16
+          val nLevels = bt / perLevel
+          for (g <- 1 to nLevels) {
+            var expr = "pseg"
+            for (bb <- (g - 1) * perLevel + 1 to g * perLevel)
+              expr = s"""replace($expr,
+                coalesce((SELECT ' '||l||'  '||r||' ' FROM a$i WHERE bidx = $bb), chr(1)),
+                coalesce((SELECT ' '||l||r||' ' FROM a$i WHERE bidx = $bb), chr(1)))"""
+            sb.append(s""",
+          r${i}_$g AS MATERIALIZED (SELECT cnt, $expr AS pseg FROM r${i}_${g - 1})""")
+          }
+          sb.append(s""",
+          v${i + 1} AS MATERIALIZED (SELECT cnt, trim(pseg) AS seg FROM r${i}_$nLevels)""")
+        }
+        sb.append((0 until rounds).map(i =>
+          s"SELECT $i AS rnd, bidx, l, r, pc FROM a$i").mkString(
+          "\n          SELECT CAST(row_number() OVER (ORDER BY rnd, bidx) AS INTEGER) AS rank," +
+            " l AS lhs, r AS rhs, pc AS cnt FROM (\n          ",
+          "\n          UNION ALL ", "\n          ) ORDER BY rank"))
         sb.toString
       }),
 

@@ -134,6 +134,22 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("centroid"))
   }
 
+  test("round-10 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    assert(TextAnalysis.bpeMergesBatched(emptyDocs, "text",
+      rounds = 3, batch = 8).count() == 0)
+    assert(TextAnalysis.contaminationPairs(emptyDocs, emptyDocs,
+      "doc_id", "text", tau = 0.2, ngram = 8, maxDf = 2).count() == 0)
+    assert(graft.streaming.Streams.decontamScreen(emptyDocs, emptyDocs,
+      "doc_id", "text", tau = 0.2).count() == 0)
+    // random projection: empty corpus yields no neighbors; empty query
+    // side yields no rows either
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rpKnn(emptyVecs, vecs, 3, dims = 2).count() == 0)
+    assert(Similarity.rpKnn(vecs, emptyVecs, 3, dims = 2).count() == 0)
+  }
+
   test("round-9 operators on empty input") {
     val sp = spark
     import sp.implicits._

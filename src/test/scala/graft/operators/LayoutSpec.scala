@@ -122,6 +122,34 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"slab scan file counts: pruned=$pf full=$ff")
   }
 
+  test("3-D hilbert layout clusters files so the min/max manifest prunes a box query") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-h3d").toString
+    // the full order-4 3-D grid, one row per cell
+    spark.range(4096)
+      .select($"id",
+        ($"id" % 16).as("x"),
+        (($"id" / 16).cast("long") % 16).as("y"),
+        (($"id" / 256).cast("long") % 16).as("z"))
+      .withColumn("hval", Layout.hilbert(4, $"x", $"y", $"z"))
+      .repartitionByRange(16, $"hval").sortWithinPartitions($"hval")
+      .drop("hval")
+      .write.mode("overwrite").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("x", "y", "z"))
+    val pruned = Layout.prunedRead(spark, dir,
+      Seq(("x", 2L, 5L), ("y", 4L, 9L), ("z", 0L, 7L)))
+    val full = spark.read.parquet(dir)
+      .filter($"x".between(2, 5) && $"y".between(4, 9) && $"z".between(0, 7))
+    assert(pruned.select($"id").as[Long].collect().toSet ===
+      full.select($"id").as[Long].collect().toSet)
+    val (pf, ff) = (pruned.inputFiles.length, full.inputFiles.length)
+    assert(ff === 16, s"expected 16 files, saw $ff")
+    // Hilbert locality: each file covers one connected near-cubic
+    // region, so a 4x6x8 box (of the 16^3 grid) must skip files
+    assert(pf < ff, s"hilbert layout pruned nothing ($pf of $ff files)")
+    info(s"3-D hilbert box query file counts: pruned=$pf full=$ff")
+  }
+
   // ---------------- per-file Bloom skipping ----------------
 
   test("bloomPrunedRead equals full scan + IN filter on a hash layout min/max can't prune") {

@@ -88,11 +88,18 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ivfAdc = recall(Similarity.ivfAdcKnnTrained(q, e, 3))
       assert(ivfAdc >= 0.9, s"residual IVFADC recall@3 regressed: $ivfAdc")
       val bin = recall(Similarity.binaryKnn(q, e, 3))
+      val rp = recall(Similarity.rpKnn(q, e, 3))
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
         f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f " +
         f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f " +
-        f"ivf_adc=$ivfAdc%.3f binary=$bin%.3f")
+        f"ivf_adc=$ivfAdc%.3f binary=$bin%.3f rp=$rp%.3f")
       assert(bin >= 0.6, s"binary-quantization recall@3 regressed: $bin")
+      // rp floors are the ISOTROPIC-NOISE worst case (every pairwise
+      // cosine ~0, top-k margins O(1/sqrt(d)) — the hardest input any
+      // metric-preserving projection can face); measured 0.500/0.833
+      // at the 10% fraction budget
+      assert(rp >= (if (sf == "sf0.01") 0.4 else 0.7),
+        s"random-projection recall@3 regressed: $rp")
       assert(pqS >= 0.5, s"sampled pq recall@3 regressed: $pqS")
       assert(pqT >= 0.9, s"trained pq recall@3 regressed: $pqT")
       assert(ivfPqT >= 0.9, s"trained ivf-pq recall@3 regressed: $ivfPqT")

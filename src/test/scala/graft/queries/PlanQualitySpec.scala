@@ -74,9 +74,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q73 triangle wedge join is equi-join-shaped, never a cartesian") {
-    val p = plan("q73_triangles")
-    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the public triangleCounts checkpoints its result (truncating
+    // lineage to Scan ExistingRDD), so inspect the pre-checkpoint plan
+    val orders = Queries.t(spark, dir, "orders")
+    val edges = orders.select(
+      (org.apache.spark.sql.functions.col("o_orderkey") % 97).as("src"),
+      (org.apache.spark.sql.functions.col("o_custkey") % 97).as("dst"))
+    val (lazyOut, oriented) = graft.operators.Graph
+      .triangleCountsLazy(edges, "src", "dst")
+    try {
+      val p = lazyOut.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally { oriented.unpersist(); () }
   }
 
   test("t18 BM25 is an inverted-index equi join with partial aggs, never query x doc") {
@@ -268,9 +278,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("t10 tf-idf aggregations combine partially map-side") {
-    val p = plan("t10_tfidf")
-    assert(p.contains("partial_"), p.take(2000))
-    assert(!p.contains("CartesianProduct"))
+    // the public tfidfTopTerms checkpoints its result, so inspect the
+    // pre-checkpoint plan (term counts themselves are checkpointed —
+    // the downstream len/df aggs and joins must still combine map-side)
+    val docs = Queries.t(spark, dir, "documents")
+    val (lazyOut, termCounts) = graft.operators.TextAnalysis
+      .tfidfTopTermsLazy(docs, "doc_id", "text", 3)
+    try {
+      val p = lazyOut.queryExecution.executedPlan.toString
+      assert(p.contains("partial_"), p.take(2000))
+      assert(!p.contains("CartesianProduct"))
+    } finally { termCounts.unpersist(); () }
   }
 
   test("q58 funnel is equi joins on the user key, no cartesian, partial aggs") {
