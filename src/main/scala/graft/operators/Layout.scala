@@ -160,6 +160,40 @@ object Layout {
   // planned from one tiny manifest table instead of a footer per file.
   // --------------------------------------------------------------------
 
+  /** INCREMENTAL manifest maintenance: add stats rows for data files
+    * not yet covered by the stored manifest (an append write's new
+    * files) without re-scanning the corpus — only the NEW files are
+    * read, the old rows ride along untouched. This is the table-format
+    * append contract (Delta/Iceberg snapshot append) for the manifest:
+    * at 100 TB a full [[writeManifest]] rebuild re-reads every file,
+    * while an append touches exactly the appended bytes. File identity
+    * is the scan's own listing (`inputFiles` ↔ `input_file_name`, same
+    * URI form). Returns the number of files added (0 = no-op, manifest
+    * untouched). Spec-pinned byte-identical to a full rebuild. */
+  def appendManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    val manifestPath = s"$dataPath/$ManifestDir"
+    // old rows are per-file (tiny): materialize them eagerly so the
+    // overwrite below never reads from the directory it replaces
+    val existing = spark.read.parquet(manifestPath).localCheckpoint(true)
+    val known = existing.select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataPath).inputFiles.filterNot(known)
+    if (fresh.isEmpty) { existing.unpersist(); 0L }
+    else {
+      val newStats = spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
+      existing.unionByName(newStats)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestPath)
+      existing.unpersist()
+      fresh.length.toLong
+    }
+  }
+
   /** Name of the Bloom-manifest subdirectory (metadata-prefixed). */
   val BloomManifestDir = "_graft_bloom"
 

@@ -545,9 +545,54 @@ object Similarity {
     * better at the same settings. */
   def rpKnn(queries: DataFrame, corpus: DataFrame, k: Int,
       outDims: Int = 32, dims: Int = 64, candMult: Int = 4,
-      candFraction: Double = 0.1): DataFrame = {
-    require(k >= 1 && candMult >= 1, "k and candMult must be positive")
+      candFraction: Double = 0.1): DataFrame =
+    rpKnnFromProjections(queries, rpEncode(corpus, outDims, dims), corpus,
+      k, outDims, dims, candMult, candFraction)
+
+  /** Materialized JL projections — the STORED-INDEX form of [[rpKnn]]
+    * (the [[sq8Encode]] deployment pattern): persist this once and the
+    * candidate scan reads `(vec_id, proj)` only, 2× fewer bytes than
+    * the float embeddings at outDims = 32 over 64-d. One kernel map,
+    * no shuffle. */
+  def rpEncode(corpus: DataFrame, outDims: Int = 32,
+      dims: Int = 64): DataFrame = {
     require(outDims >= 1 && dims >= 1, "dims must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val sgb = sp.sparkContext.broadcast(signMatrix(outDims, dims))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val sg = sgb.value
+        it.map { case (id, v) => (id, projectJl(v, sg)) }
+      }.toDF("vec_id", "proj")
+  }
+
+  /** Append-only maintenance for a persisted [[rpEncode]] table: one
+    * anti-join finds corpus vectors absent from the stored projections
+    * and encodes ONLY those — spec-pinned equal to a full re-encode.
+    * The sign matrix is deterministic (md5 parity), so old and new
+    * rows always come from the same projection. */
+  def updateRpProjections(existing: DataFrame, corpus: DataFrame,
+      outDims: Int = 32, dims: Int = 64): DataFrame = {
+    val absent = corpus.join(
+      existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    existing.select(col("vec_id"), col("proj"))
+      .unionByName(rpEncode(absent, outDims, dims))
+  }
+
+  /** [[rpKnn]] over a MATERIALIZED projection table: the candidate
+    * scan never touches the float embeddings — it scores broadcast
+    * projected queries against `(vec_id, proj)` rows and only the
+    * surviving candidates read exact vectors (an equi-join on ids).
+    * Budget = max(k·candMult, ceil(candFraction·|projections|)) — a
+    * constant corpus FRACTION, so recall holds under corpus growth by
+    * construction (the binaryKnn lesson). */
+  def rpKnnFromProjections(queries: DataFrame, projections: DataFrame,
+      corpus: DataFrame, k: Int, outDims: Int = 32, dims: Int = 64,
+      candMult: Int = 4, candFraction: Double = 0.1): DataFrame = {
+    require(k >= 1 && candMult >= 1, "k and candMult must be positive")
     require(candFraction > 0.0 && candFraction <= 1.0,
       "candFraction must be in (0, 1]")
     val sp = corpus.sparkSession
@@ -556,22 +601,15 @@ object Similarity {
     val qProj = collectQueryVectors(queries)
       .map { case (id, v) => (id, projectJl(v, signs)) }
     val qb = sp.sparkContext.broadcast(qProj)
-    val sgb = sp.sparkContext.broadcast(signs)
-    val corp = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      .as[(Long, Array[Float])]
-    // the rerank budget is a CONSTANT CORPUS FRACTION (the binaryKnn
-    // lesson: a fixed candidate count decays with corpus growth, a
-    // fixed fraction survives it); the count is one columnar job
-    val nCorpus = corp.count()
+    val proj = projections.select(col("vec_id").cast("long"), col("proj"))
+      .as[(Long, Array[Double])]
+    val nCorpus = proj.count()
     val budget = math.max(k.toLong * candMult,
       math.ceil(candFraction * nCorpus).toLong)
-    val approx = corp
+    val approx = proj
       .mapPartitions { it =>
         val qs = qb.value
-        val sg = sgb.value
-        it.flatMap { case (nid, v) =>
-          val p = projectJl(v, sg)
+        it.flatMap { case (nid, p) =>
           qs.iterator.filter(_._1 != nid).map { case (qid, qp) =>
             (qid, nid, cosineKernelDD(qp, p))
           }

@@ -122,6 +122,36 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"slab scan file counts: pruned=$pf full=$ff")
   }
 
+  test("appendManifest covers appended files identically to a full rebuild") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("k"))
+    val before = spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+    // append a disjoint key range as new files
+    (2000L until 2500L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("append").parquet(dir)
+    val added = Layout.appendManifest(spark, dir, Seq("k"))
+    assert(added >= 1, "append must register the new files")
+    def rows(path: String) = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val incremental = rows(s"$dir/${Layout.ManifestDir}")
+    assert(incremental.length === before + added)
+    Layout.writeManifest(spark, dir, Seq("k")) // full rebuild, re-reads everything
+    assert(incremental === rows(s"$dir/${Layout.ManifestDir}"),
+      "incremental manifest diverged from a full rebuild")
+    // idempotent: nothing new -> no-op
+    assert(Layout.appendManifest(spark, dir, Seq("k")) === 0L)
+    // the appended range prunes correctly through the incremental manifest
+    val pruned = Layout.prunedRead(spark, dir, Seq(("k", 2100L, 2200L)))
+    assert(pruned.count() === 101L)
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
   test("3-D hilbert layout clusters files so the min/max manifest prunes a box query") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-h3d").toString

@@ -477,6 +477,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "augmented corpus must be equi-norm")
   }
 
+  test("rp stored projections equal the inline index; append-only update equals re-encode") {
+    val sp = spark; import sp.implicits._
+    val e = emb
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val stored = rows(Similarity.rpKnnFromProjections(q, Similarity.rpEncode(e), e, 3)
+      .orderBy($"query_id", $"rank"))
+    val inline = rows(Similarity.rpKnn(q, e, 3).orderBy($"query_id", $"rank"))
+    assert(stored === inline, "stored-projection path diverged from the inline index")
+    // append-only maintenance: encode half, update with the full corpus,
+    // must equal a from-scratch encode row-for-row
+    val half = Similarity.rpEncode(e.filter($"vec_id" % 2 === 0))
+    def projRows(df: DataFrame) = df.orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(projRows(Similarity.updateRpProjections(half, e)) ===
+      projRows(Similarity.rpEncode(e)),
+      "append-only projection update diverged from a full re-encode")
+  }
+
   test("oversized query sets fail the broadcast contract loudly, bounded sets still work") {
     val sp = spark; import sp.implicits._
     // a "corpus passed as queries": MaxBroadcastQueries + 1 tiny vectors
