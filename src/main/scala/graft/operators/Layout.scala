@@ -272,6 +272,33 @@ object Layout {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dataPath/$BloomManifestDir")
 
+  /** INCREMENTAL Bloom-manifest maintenance — the [[appendManifest]]
+    * contract for the point-lookup bitsets: build bitsets ONLY for data
+    * files not yet covered (an append write's new files; listing diff
+    * against the stored rows), union with the old rows, rewrite.
+    * Bitsets are per-file ORs, so old rows never change when files are
+    * appended. Returns the number of files added (0 = no-op). */
+  def appendBloomManifest(spark: SparkSession, dataPath: String,
+      colName: String, bitsLog2: Int = 16, nHashes: Int = 5): Long = {
+    val manifestPath = s"$dataPath/$BloomManifestDir"
+    val existing = spark.read.parquet(manifestPath).localCheckpoint(true)
+    val known = existing.select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataPath).inputFiles.filterNot(known)
+    if (fresh.isEmpty) { existing.unpersist(); 0L }
+    else {
+      val ba = udaf(bloomAgg(bitsLog2, nHashes))
+      val newRows = spark.read.parquet(fresh.toIndexedSeq: _*)
+        .select(input_file_name().as("file"), col(colName).cast("string").as("v"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"), ba(col("v")).as("bloom"))
+      existing.unionByName(newRows)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestPath)
+      existing.unpersist()
+      fresh.length.toLong
+    }
+  }
+
   /** Point-lookup scan pruned by the Bloom manifest: a file is read iff
     * its bitset CAN contain at least one probe value. The membership
     * test runs as a Column expression over the manifest (probe bit

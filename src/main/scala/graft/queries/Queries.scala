@@ -1435,6 +1435,67 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Labels: kNN majority-vote classifier over the labeled
+    //      embedding corpus (weak-supervision label prediction; the
+    //      aggregation composes over ANY ANN neighbor frame) ----
+    QueryDef(
+      "s12_knn_classify",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Labels.knnClassify(e.filter($"vec_id" < 50), e, 5)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH cs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs,
+            c.label
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, label,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs),
+        vt AS (SELECT query_id, label, count(*) AS votes FROM ranked
+          WHERE rank <= 5 AND label IS NOT NULL GROUP BY 1, 2)
+        SELECT query_id AS vec_id, label AS pred_label, votes FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+           FROM vt)
+        WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- Labels: kNN label AUDIT — own-label neighborhood agreement
+    //      plus the majority prediction, the confident-learning screen
+    //      that flags probable annotation errors ----
+    QueryDef(
+      "s13_label_audit",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Labels.knnLabelAudit(e.filter($"vec_id" < 50), e, 5)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH cs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs,
+            c.label
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, label,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs),
+        kept AS (SELECT * FROM ranked WHERE rank <= 5 AND label IS NOT NULL),
+        vt AS (SELECT query_id, label, count(*) AS votes FROM kept GROUP BY 1, 2),
+        win AS (SELECT query_id, label AS pred_label, votes FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+           FROM vt) WHERE rn = 1),
+        ag AS (SELECT k.query_id, q.label AS own_label,
+            round(sum(CASE WHEN k.label = q.label THEN 1.0 ELSE 0.0 END) / count(*), 6) AS agree_frac
+          FROM kept k JOIN embeddings q ON q.vec_id = k.query_id
+          WHERE q.label IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT ag.query_id AS vec_id, own_label, agree_frac, pred_label, votes
+        FROM ag JOIN win ON ag.query_id = win.query_id
+        ORDER BY vec_id""")),
+
     // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
     //      (scale path; candidates = buckets within 2 bit flips of the
     //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20

@@ -318,6 +318,45 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnow screen on a realistic-sparsity corpus admits ~true pairs, not the cross product") {
+    val sp = spark; import sp.implicits._
+    // 300 mostly-unique docs + 4 planted clone pairs sharing a long
+    // span — the REAL corpus shape (the bench documents table is
+    // worst-case dense: most docs share spans, so the screen's
+    // admitted-pair count there says nothing about its selectivity)
+    val span = "this exact long shared sentence appears verbatim in both members"
+    val base = (0 until 300).map { i =>
+      (i.toLong, s"u${i}q alpha${i}z unique${i}x filler${i}y words${i}w tail${i}v " +
+        s"more${i}t prose${i}s goes${i}r here${i}p")
+    }
+    val clones = (0 until 4).flatMap { j =>
+      Seq((1000L + j, s"left${j} padding then $span and a j${j} suffix"),
+        (2000L + j, s"other${j} intro also containing $span plus j${j} ending"))
+    }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val kg = 16 - 4 + 1 // the auto tightest winnow k-gram for minLen=16, window=4
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", kg, 4)
+    val candidates = fps.as("a").join(fps.as("b"),
+        $"a.fingerprint" === $"b.fingerprint" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val truePairs = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minLen = 16)
+      .select($"id1", $"id2").distinct().count()
+    assert(truePairs >= 4L, s"harness broken: planted pairs missing ($truePairs)")
+    // the screen's selectivity claim: candidates ≈ true pairs, nowhere
+    // near the 308·307/2 ≈ 47k cross product the dense corpus admits
+    assert(candidates <= truePairs * 3,
+      s"screen admitted $candidates pairs for $truePairs true pairs")
+    // and the screened composition still finds exactly the full answer
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    val full = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minLen = 16)
+      .collect().map(key).toSet
+    val screened = Dedup.duplicateSpansCandidates(docs, "doc_id", "text",
+        k = 8, minLen = 16)
+      .collect().map(key).toSet
+    assert(screened === full)
+  }
+
   test("duplicate clusters: transitive pairs become one component") {
     // components: {1,2,3,4} via chain, {10,11} direct, {20,21,22} triangle
     val pairs = spark.createDataFrame(Seq(

@@ -148,6 +148,11 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     assert(Similarity.rpKnn(emptyVecs, vecs, 3, dims = 2).count() == 0)
     assert(Similarity.rpKnn(vecs, emptyVecs, 3, dims = 2).count() == 0)
+    // label family: empty corpus -> no predictions, nothing audited
+    val lv = Seq((1L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val emptyLv = lv.limit(0)
+    assert(Labels.knnClassify(emptyLv, lv, 3).count() == 0)
+    assert(Labels.knnLabelAudit(lv, emptyLv, 3).count() == 0)
   }
 
   test("round-9 operators on empty input") {

@@ -252,6 +252,29 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pruning must still discard files")
   }
 
+  test("appendBloomManifest registers appended files identically to a full rebuild") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-app").toString
+    (0L until 1024L).map(i => (i, s"p$i")).toDF("k", "v")
+      .repartition(4, $"k").write.mode("overwrite").parquet(dir)
+    Layout.writeBloomManifest(spark, dir, "k")
+    (5000L until 5512L).map(i => (i, s"p$i")).toDF("k", "v")
+      .repartition(2, $"k").write.mode("append").parquet(dir)
+    val added = Layout.appendBloomManifest(spark, dir, "k")
+    assert(added >= 1)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1).toSeq
+    val incremental = rows(s"$dir/${Layout.BloomManifestDir}")
+    Layout.writeBloomManifest(spark, dir, "k")
+    assert(incremental === rows(s"$dir/${Layout.BloomManifestDir}"),
+      "incremental bloom manifest diverged from a full rebuild")
+    assert(Layout.appendBloomManifest(spark, dir, "k") === 0L)
+    // point lookups into BOTH the original and appended ranges prune
+    val pruned = Layout.bloomPrunedRead(spark, dir, "k", Seq(7L, 5100L))
+    assert(pruned.count() === 2L)
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
   test("bloomPrunedRead on all-absent probes reads nothing but keeps the schema") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-miss").toString

@@ -99,4 +99,26 @@ class TextPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // small random corpora over a tiny alphabet: heavy pair collisions,
+  // ties, repeated words — the adversarial ground for merge ordering
+  private val genBpeCorpus = for {
+    nDocs <- Gen.choose(1, 4)
+    docs <- Gen.listOfN(nDocs, Gen.listOfN(6,
+      Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString)).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("bpeMergesBatched at batch=1 equals classic bpeMerges on random corpora") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genBpeCorpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val classic = TextAnalysis.bpeMerges(df, "text", nMerges = 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val batched = TextAnalysis.bpeMergesBatched(df, "text", rounds = 6, batch = 1)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      batched == classic
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
