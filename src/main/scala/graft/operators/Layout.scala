@@ -282,6 +282,17 @@ object Layout {
       colName: String, bitsLog2: Int = 16, nHashes: Int = 5): Long = {
     val manifestPath = s"$dataPath/$BloomManifestDir"
     val existing = spark.read.parquet(manifestPath).localCheckpoint(true)
+    // guard against parameter drift: appending rows built with a
+    // different bitsLog2 would make probe bit positions inconsistent
+    // across files — SILENT false negatives. The stored bitset length
+    // pins the original size.
+    val storedWords = existing.select(size(col("bloom")))
+      .limit(1).collect().headOption.map(_.getInt(0))
+    storedWords.foreach { w =>
+      require(w == 1 << (bitsLog2 - 6),
+        s"appendBloomManifest bitsLog2=$bitsLog2 (${1 << (bitsLog2 - 6)} words) " +
+          s"does not match the stored manifest's $w-word bitsets")
+    }
     val known = existing.select(col("file")).collect().map(_.getString(0)).toSet
     val fresh = spark.read.parquet(dataPath).inputFiles.filterNot(known)
     if (fresh.isEmpty) { existing.unpersist(); 0L }

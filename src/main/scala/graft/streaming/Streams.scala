@@ -227,6 +227,88 @@ object Streams {
     train.filter(keep(col(textCol)))
   }
 
+  /** Ingest-time kNN LABEL SUGGESTION — the streaming twin of
+    * [[graft.operators.Labels.knnClassify]]: score each arriving
+    * vector against a STATIC labeled reference set (bounded by the
+    * same broadcast contract as the ANN query side —
+    * [[graft.operators.Similarity.MaxBroadcastQueries]] rows, checked
+    * loudly) and attach the majority label of its `k` nearest
+    * reference vectors. MAP-ONLY: no state, no watermark, no shuffle —
+    * the per-record cost is one pass over the broadcast reference, so
+    * it runs identically on a batch frame, which is how the spec
+    * proves stream ≡ batch. Ordering and ties mirror the batch
+    * operator exactly (cosine round-6 desc, id asc; majority ties to
+    * the smallest label; a reference row sharing the record's id is
+    * excluded, null-label rows cast no vote). Null id/vector rows pass
+    * through with a null prediction. Adds (pred_label, votes). */
+  def streamingKnnClassify(stream: DataFrame, reference: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val sp = reference.sparkSession
+    import sp.implicits._
+    val ref: Array[(Long, Array[Float], Int)] = reference
+      .select(col(idCol).cast("long"), col(vecCol), col("label").cast("int"))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull && col("label").isNotNull)
+      .limit(graft.operators.Similarity.MaxBroadcastQueries + 1)
+      .as[(Long, Array[Float], Int)].collect()
+    require(ref.length <= graft.operators.Similarity.MaxBroadcastQueries,
+      "labeled reference set exceeds the broadcast contract " +
+        s"(${graft.operators.Similarity.MaxBroadcastQueries} rows); " +
+        "classify corpus-scale sets via Labels.classifyFromNeighbors over an ANN frame")
+    require(ref.nonEmpty, "labeled reference set is empty")
+    val bref = sp.sparkContext.broadcast(ref)
+    val kk = k
+    val predict = udf { (id: java.lang.Long, v: Array[Float]) =>
+      if (id == null || v == null) null
+      else {
+        val refs = bref.value
+        // bounded insertion top-k by (cosine round-6 desc, ref id asc)
+        val topIds = new Array[Long](kk)
+        val topCs = new Array[Double](kk)
+        val topLb = new Array[Int](kk)
+        var n = 0
+        var i = 0
+        while (i < refs.length) {
+          val (rid, rv, rl) = refs(i)
+          if (rid != id.longValue()) {
+            val cs = graft.operators.Similarity.cosineKernel(v, rv)
+            var pos = n
+            while (pos > 0 &&
+              (topCs(pos - 1) < cs || (topCs(pos - 1) == cs && topIds(pos - 1) > rid))) pos -= 1
+            if (pos < kk) {
+              val last = math.min(n, kk - 1)
+              var j = last
+              while (j > pos) {
+                topIds(j) = topIds(j - 1); topCs(j) = topCs(j - 1); topLb(j) = topLb(j - 1)
+                j -= 1
+              }
+              topIds(pos) = rid; topCs(pos) = cs; topLb(pos) = rl
+              if (n < kk) n += 1
+            }
+          }
+          i += 1
+        }
+        if (n == 0) null
+        else {
+          val counts = new java.util.HashMap[Int, Long]()
+          var j = 0
+          while (j < n) { counts.merge(topLb(j), 1L, (a, b) => a + b); j += 1 }
+          var bestLabel = Int.MaxValue; var bestVotes = -1L
+          counts.forEach { (lb, c) =>
+            if (c > bestVotes || (c == bestVotes && lb < bestLabel)) {
+              bestLabel = lb; bestVotes = c
+            }
+          }
+          (bestLabel, bestVotes)
+        }
+      }
+    }
+    stream.withColumn("_graft_pred", predict(col(idCol).cast("long"), col(vecCol)))
+      .withColumn("pred_label", col("_graft_pred._1"))
+      .withColumn("votes", col("_graft_pred._2"))
+      .drop("_graft_pred")
+  }
+
   def incrementalNearDupCandidates(newDocs: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, r: Int = 4): DataFrame =
     graft.operators.Dedup.minhashBands(newDocs, idCol, textCol, k, r)

@@ -269,6 +269,12 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incremental === rows(s"$dir/${Layout.BloomManifestDir}"),
       "incremental bloom manifest diverged from a full rebuild")
     assert(Layout.appendBloomManifest(spark, dir, "k") === 0L)
+    // parameter drift fails loudly — mismatched bitsLog2 would make
+    // probe bit positions silently inconsistent across files
+    val drift = intercept[IllegalArgumentException] {
+      Layout.appendBloomManifest(spark, dir, "k", bitsLog2 = 12)
+    }
+    assert(drift.getMessage.contains("bitsLog2"))
     // point lookups into BOTH the original and appended ranges prune
     val pruned = Layout.bloomPrunedRead(spark, dir, "k", Seq(7L, 5100L))
     assert(pruned.count() === 2L)

@@ -118,6 +118,35 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming kNN label suggestion equals the batch classifier over sf0.001 embeddings") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // reference = the labeled corpus; stream = the same vectors arriving
+    // (self excluded per record, mirroring the batch exclusion)
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.streamingKnnClassify(
+        input.toDF().toDF("vec_id", "embedding"), emb, k = 5)
+      .writeStream.format("memory").queryName("kclassify")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("kclassify")
+        .select($"vec_id", $"pred_label", $"votes")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      val batch = graft.operators.Labels.knnClassify(emb, emb, 5)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(streamed === batch, "streamed label suggestions diverged from batch")
+      assert(streamed.nonEmpty && streamed.values.map(_._1).toSet.size > 1,
+        "vacuous: all predictions identical")
+    } finally { q.stop(); () }
+  }
+
   test("streaming quality screen equals the batch Gopher gate over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext
