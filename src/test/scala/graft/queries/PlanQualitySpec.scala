@@ -185,6 +185,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("s12/s13 label aggregations combine partially map-side, never a per-neighborhood window") {
+    val p12 = plan("s12_knn_classify")
+    assert(p12.contains("partial_"), s"s12 lost map-side combine:\n${p12.take(2000)}")
+    assert(!p12.contains("CartesianProduct") && !p12.contains("RunningWindowFunction"))
+    // the audit checkpoints its output — inspect the pre-checkpoint
+    // composition over a materialized neighbor frame
+    val e = Queries.t(spark, dir, "embeddings")
+    val neighbors = graft.operators.Similarity
+      .knnKernel(e.filter(org.apache.spark.sql.functions.col("vec_id") < 10), e, 3)
+      .localCheckpoint(true)
+    try {
+      val audit = graft.operators.Labels.agreementFromNeighbors(neighbors, e)
+        .join(graft.operators.Labels.classifyFromNeighbors(neighbors, e), Seq("vec_id"))
+      val p13 = audit.queryExecution.executedPlan.toString
+      assert(p13.contains("partial_"), s"s13 lost map-side combine:\n${p13.take(2000)}")
+      assert(!p13.contains("CartesianProduct") && !p13.contains("RunningWindowFunction"))
+    } finally { neighbors.unpersist(); () }
+  }
+
+  test("q91 hilbert-layout pruned read pushes the residual box filter into the scan") {
+    val p = plan("q91_hilbert_layout")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(hx"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q26 as-of join is window-based — no nested-loop range join") {
     val p = plan("q26_asof_join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(2000))
