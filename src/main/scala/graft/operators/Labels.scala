@@ -61,6 +61,64 @@ object Labels {
       .select(col("query_id").as("vec_id"), col("own_label"), col("agree_frac"))
   }
 
+  /** Contrastive-pair mining over a labeled embedding corpus — the
+    * training-data op behind metric-learning / embedding fine-tuning:
+    * for each labeled query vector, the `kNeg` most-SIMILAR corpus
+    * vectors with a DIFFERENT label (hard negatives — the confusable
+    * impostors a contrastive loss needs) and the `kPos` LEAST-similar
+    * vectors with the SAME label (hard positives — the in-class
+    * stragglers). One kernel pass over the corpus emits both kinds
+    * (labeled rows only, self excluded); a single window ranks them
+    * with a kind-dependent direction, so the cost is the
+    * [[Similarity.knnKernel]] shape — broadcast-bounded query side,
+    * corpus scanned once, rank prune before anything wide. Output:
+    * `(query_id, kind, rank, neighbor_id, cs, own_label, pair_label)`
+    * with kind ∈ {"neg","pos"} and cs the round-6 cosine. */
+  def contrastiveMine(queries: DataFrame, corpus: DataFrame,
+      kNeg: Int, kPos: Int): DataFrame = {
+    require(kNeg >= 0 && kPos >= 0 && kNeg + kPos > 0,
+      "need a positive kNeg or kPos")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qs = queries
+      .select(col("vec_id").cast("long"), col("label").cast("int"),
+        col("embedding"))
+      .filter(col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull)
+      .limit(Similarity.MaxBroadcastQueries + 1)
+      .as[(Long, Int, Array[Float])].collect()
+    require(qs.length <= Similarity.MaxBroadcastQueries,
+      s"query set exceeds MaxBroadcastQueries=${Similarity.MaxBroadcastQueries}")
+    val qb = sp.sparkContext.broadcast(qs)
+    val pairs = corpus
+      .select(col("vec_id").cast("long"), col("label").cast("int"),
+        col("embedding"))
+      .filter(col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull)
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val q = qb.value
+        it.flatMap { case (nid, nlab, v) =>
+          q.iterator.filter(_._1 != nid).map { case (qid, qlab, qv) =>
+            (qid, if (qlab == nlab) "pos" else "neg", nid, nlab,
+              Similarity.cosineKernel(qv, v), qlab)
+          }
+        }
+      }.toDF("query_id", "kind", "neighbor_id", "pair_label", "cs",
+        "own_label")
+    // negatives rank by cosine DESC (most similar impostor first),
+    // positives by cosine ASC (least similar classmate first): one
+    // window, kind-signed order key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("kind"))
+      .orderBy(when(col("kind") === "neg", -col("cs")).otherwise(col("cs")),
+        col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= when(col("kind") === "neg", kNeg).otherwise(kPos))
+      .select(col("query_id"), col("kind"), col("rank"), col("neighbor_id"),
+        col("cs"), col("own_label"), col("pair_label"))
+  }
+
   /** Exact-kNN majority classifier: [[classifyFromNeighbors]] over
     * [[Similarity.knnKernel]]'s top-`k` (self excluded). The query
     * side is the audit sample (bounded by the broadcast contract);

@@ -55,6 +55,51 @@ object Layout {
         coords.map(ColumnBridge.expression)))
   }
 
+  /** Small-file compaction planner — the maintenance op every large
+    * table needs: streaming ingest and per-executor writers leave
+    * thousands of undersized files per partition, and read throughput
+    * dies on open/footer overhead long before bytes matter. Given a
+    * `(key, file, bytes)` frame (from [[manifest]]/[[bloomManifest]]
+    * file stats or a catalog listing), assign files to compaction bins
+    * by the FIRST-FIT-in-name-order greedy: walk each partition's files
+    * in file-name order, keep appending to the current bin while it
+    * stays ≤ `targetBytes`, else open a new bin (an oversized single
+    * file gets its own bin). One rewrite job per bin then yields
+    * ~target-sized files.
+    *
+    * The greedy is inherently sequential PER PARTITION (each decision
+    * depends on the running bin fill — no prefix-sum shortcut exists
+    * for the reset), so it runs as a group-bounded kernel: partitions
+    * pack in parallel across the cluster, and the per-group state is
+    * one file list (files-per-partition is bounded by compaction cadence
+    * in practice — this is a listing-sized frame, not data-sized).
+    * Deterministic and engine-replayable (oracle q92 replays the walk
+    * as a recursive CTE). Output: `(key, file, bytes, bin)`. */
+  def compactionPlan(files: DataFrame, keyCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sp = files.sparkSession
+    import sp.implicits._
+    files.select(col(keyCol).cast("string").as("key"),
+        col(fileCol).cast("string").as("file"),
+        col(bytesCol).cast("long").as("bytes"))
+      .filter(col("file").isNotNull && col("bytes").isNotNull)
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val fs = it.toArray.sortBy(_._2)
+        val out = new scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)](fs.length)
+        var bin = 0L; var binSum = Long.MinValue
+        fs.foreach { case (_, f, b) =>
+          if (binSum == Long.MinValue) binSum = b
+          else if (binSum + b <= targetBytes) binSum += b
+          else { bin += 1; binSum = b }
+          out += ((key, f, b, bin))
+        }
+        out.iterator
+      }.toDF("key", "file", "bytes", "bin")
+  }
+
   /** Name of the manifest subdirectory. Underscore-prefixed so every
     * parquet/Hadoop reader treats it as metadata and skips it when
     * scanning the dataset itself. */

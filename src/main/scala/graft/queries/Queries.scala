@@ -1496,6 +1496,76 @@ object Queries {
         FROM ag JOIN win ON ag.query_id = win.query_id
         ORDER BY vec_id""")),
 
+    // ---- Labels: contrastive-pair mining — hard negatives (most
+    //      similar wrong-label) + hard positives (least similar
+    //      same-label) per labeled query, one corpus kernel pass ----
+    QueryDef(
+      "s14_contrastive_mine",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Labels
+          .contrastiveMine(e.filter($"vec_id" < 20), e, kNeg = 5, kPos = 3)
+          .orderBy($"query_id", $"kind", $"rank")
+      },
+      Some("""WITH cs AS (
+          SELECT q.vec_id AS query_id,
+            CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS kind,
+            c.vec_id AS neighbor_id, c.label AS pair_label,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs,
+            q.label AS own_label
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            AND q.label IS NOT NULL AND c.label IS NOT NULL),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, kind
+            ORDER BY CASE WHEN kind = 'neg' THEN -cs ELSE cs END, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, kind, rank, neighbor_id, cs, own_label, pair_label
+        FROM ranked WHERE rank <= CASE WHEN kind = 'neg' THEN 5 ELSE 3 END
+        ORDER BY query_id, kind, rank""")),
+
+    // ---- Embeddings: distributed top-principal-component via power
+    //      iteration — DECIMAL-exact cross-row sums keep Spark and the
+    //      unrolled-SQL replay in bit-identical lockstep every round
+    //      (the t37 training discipline applied to PCA) ----
+    QueryDef(
+      "s15_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Pca
+          .pcaPowerProject(t(s, dir, "embeddings"), rounds = 3)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+            unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        mu AS (SELECT dim,
+            round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM nn), 12) AS mu
+          FROM ex GROUP BY dim),
+        xc AS (SELECT vec_id, dim, x - mu AS xc FROM ex JOIN mu USING (dim)),
+        v0 AS (SELECT dim, CAST(CASE WHEN dim = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS v
+          FROM (SELECT DISTINCT dim FROM xc)),
+        s1 AS (SELECT vec_id, CAST(SUM(CAST(xc * v AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM xc JOIN v0 USING (dim) GROUP BY vec_id),
+        w1 AS (SELECT dim, CAST(SUM(CAST(s * xc AS DECIMAL(28,12))) AS DOUBLE) AS w
+          FROM xc JOIN s1 USING (vec_id) GROUP BY dim),
+        v1 AS (SELECT dim, round(w / (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w1), 12) AS v FROM w1),
+        s2 AS (SELECT vec_id, CAST(SUM(CAST(xc * v AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM xc JOIN v1 USING (dim) GROUP BY vec_id),
+        w2 AS (SELECT dim, CAST(SUM(CAST(s * xc AS DECIMAL(28,12))) AS DOUBLE) AS w
+          FROM xc JOIN s2 USING (vec_id) GROUP BY dim),
+        v2 AS (SELECT dim, round(w / (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w2), 12) AS v FROM w2),
+        s3 AS (SELECT vec_id, CAST(SUM(CAST(xc * v AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM xc JOIN v2 USING (dim) GROUP BY vec_id),
+        w3 AS (SELECT dim, CAST(SUM(CAST(s * xc AS DECIMAL(28,12))) AS DOUBLE) AS w
+          FROM xc JOIN s3 USING (vec_id) GROUP BY dim),
+        v3 AS (SELECT dim, round(w / (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) FROM w3), 12) AS v FROM w3)
+        SELECT vec_id, round(CAST(SUM(CAST(xc * v AS DECIMAL(28,12))) AS DOUBLE), 6) AS pc1
+        FROM xc JOIN v3 USING (dim) GROUP BY vec_id ORDER BY vec_id""")),
+
     // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
     //      (scale path; candidates = buckets within 2 bit flips of the
     //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20
@@ -2810,6 +2880,41 @@ object Queries {
           AND CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 16 BETWEEN 4 AND 9
           AND o_orderkey % 16 BETWEEN 0 AND 7
         ORDER BY o_orderkey""")),
+
+    // ---- Small-file compaction planner: first-fit-in-name-order
+    //      greedy bin-packing of each partition's files toward a target
+    //      size — sequential per partition (bin fill carries a reset,
+    //      no prefix-sum shortcut), so the oracle replays the walk as a
+    //      recursive CTE ----
+    QueryDef(
+      "q92_compaction_plan",
+      (s, dir) => {
+        import s.implicits._
+        val files = t(s, dir, "documents")
+          .groupBy($"lang",
+            concat(lit("shard_"),
+              lpad(($"doc_id" % 17).cast("string"), 2, "0")).as("file"))
+          .agg(sum(length($"text")).cast("long").as("bytes"))
+        graft.operators.Layout
+          .compactionPlan(files, "lang", "file", "bytes", targetBytes = 8000L)
+          .orderBy($"key", $"file")
+      },
+      Some("""WITH RECURSIVE f AS (
+          SELECT lang AS key,
+            'shard_' || lpad(CAST(doc_id % 17 AS VARCHAR), 2, '0') AS file,
+            CAST(SUM(length(text)) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1, 2),
+        rn AS (SELECT key, file, bytes,
+            row_number() OVER (PARTITION BY key ORDER BY file) AS rn FROM f),
+        packs AS (
+          SELECT key, file, bytes, rn, CAST(0 AS BIGINT) AS bin, bytes AS binsum
+          FROM rn WHERE rn = 1
+          UNION ALL
+          SELECT r.key, r.file, r.bytes, r.rn,
+            CASE WHEN p.binsum + r.bytes <= 8000 THEN p.bin ELSE p.bin + 1 END,
+            CASE WHEN p.binsum + r.bytes <= 8000 THEN p.binsum + r.bytes ELSE r.bytes END
+          FROM rn r JOIN packs p ON r.key = p.key AND r.rn = p.rn + 1)
+        SELECT key, file, bytes, bin FROM packs ORDER BY key, file""")),
 
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file

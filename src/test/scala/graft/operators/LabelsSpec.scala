@@ -70,6 +70,33 @@ class LabelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(preds(2L) === ((0, 2L)), s"null-label vote leaked: ${preds(2L)}")
   }
 
+  test("contrastive mining: confusable impostor is the top hard negative, straggler the top hard positive") {
+    val out = Labels.contrastiveMine(vecs, vecs, kNeg = 2, kPos = 2).collect()
+    // query 1 (label 0, cluster A): the mislabeled id 4 sits IN cluster A
+    // with label 1 — exactly the confusable a contrastive loss needs first
+    val neg1 = out.filter(r => r.getLong(0) == 1L && r.getString(1) == "neg")
+      .sortBy(_.getInt(2))
+    assert(neg1.length === 2 && neg1.head.getLong(3) === 4L,
+      s"top hard negative for 1 must be the planted mislabel: ${neg1.mkString(";")}")
+    assert(neg1(0).getDouble(4) >= neg1(1).getDouble(4),
+      "negatives must rank by cosine DESC")
+    // query 5 (label 1, cluster B): its LEAST-similar same-label point is
+    // the cluster-A mislabel — the hard positive
+    val pos5 = out.filter(r => r.getLong(0) == 5L && r.getString(1) == "pos")
+      .sortBy(_.getInt(2))
+    assert(pos5.head.getLong(3) === 4L,
+      s"top hard positive for 5 must be the mislabel: ${pos5.mkString(";")}")
+    assert(pos5(0).getDouble(4) <= pos5(1).getDouble(4),
+      "positives must rank by cosine ASC")
+    // the label-less id 9 is neither query nor pair, ranks stay bounded,
+    // and no pair is a self-pair
+    assert(!out.exists(r => r.getLong(0) == 9L || r.getLong(3) == 9L))
+    assert(out.forall(r => r.getInt(2) <= 2 && r.getLong(0) != r.getLong(3)))
+    // labels are carried faithfully: neg rows differ, pos rows agree
+    assert(out.forall(r => if (r.getString(1) == "neg") r.getInt(5) != r.getInt(6)
+      else r.getInt(5) == r.getInt(6)))
+  }
+
   test("majority ties break to the smallest label, deterministically") {
     val sp = spark; import sp.implicits._
     // neighbor frame built by hand: two labels with equal votes

@@ -291,4 +291,32 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq === Seq("k", "w"))
     assert(out.count() === 0L)
   }
+
+  test("compactionPlan packs first-fit in name order with per-key restarts; oversized files get their own bin") {
+    val sp = spark; import sp.implicits._
+    // rows deliberately shuffled: packing must follow FILE-NAME order,
+    // not input order
+    val files = Seq(
+      ("A", "f3", 3L), ("A", "f1", 5L), ("B", "g2", 1L),
+      ("A", "f4", 2L), ("B", "g1", 10L), ("A", "f2", 4L))
+      .toDF("part", "fname", "sz")
+    val plan = Layout.compactionPlan(files, "part", "fname", "sz", targetBytes = 8L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // A in name order: f1(5)→bin0(5); f2(4): 9>8→bin1(4); f3(3): 7≤8
+    // stays bin1; f4(2): 9>8→bin2
+    assert(plan(("A", "f1")) === ((5L, 0L)))
+    assert(plan(("A", "f2")) === ((4L, 1L)))
+    assert(plan(("A", "f3")) === ((3L, 1L)))
+    assert(plan(("A", "f4")) === ((2L, 2L)))
+    // B restarts at bin 0; the oversized g1 sits alone, g2 opens bin 1
+    assert(plan(("B", "g1")) === ((10L, 0L)))
+    assert(plan(("B", "g2")) === ((1L, 1L)))
+    // invariant: every bin is ≤ target unless it is a single oversized file
+    val byBin = plan.toSeq.groupBy { case ((k, _), (_, bin)) => (k, bin) }
+    byBin.values.foreach { members =>
+      val tot = members.map(_._2._1).sum
+      assert(tot <= 8L || members.length == 1, s"overfull multi-file bin: $members")
+    }
+  }
 }
