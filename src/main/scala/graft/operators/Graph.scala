@@ -581,4 +581,126 @@ object Graph {
     nodes.unpersist()
     result
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over an UNDIRECTED
+    * edge list: score every non-adjacent node pair that shares at least
+    * one neighbor by
+    *
+    *   score(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    *
+    * and return the `topN` highest-scoring pairs — the classic
+    * "people you may know" / co-occurrence-completion primitive.
+    *
+    * Scale shape: candidate pairs are enumerated by the WEDGE equi-join
+    * on the shared neighbor `w` (adjacency self-joined on the center) —
+    * never a node×node cross. A center with degree d contributes d²
+    * pairs, so hubs are the scale hazard; `degCap` drops centers with
+    * deg > degCap WHOLE (deterministic, mirrored by the oracle) — the
+    * standard mitigation, principled here because a hub's 1/ln(deg)
+    * weight is the least informative signal in the sum (a million-follower
+    * account tells you nothing about two of its followers). Per-pair
+    * weights go through DECIMAL(28,12) addends so the sum is independent
+    * of partition merge order; existing edges leave via one anti-join;
+    * the global topN is a TakeOrdered (distributed heap), never a full
+    * sort. deg(w) ≥ 2 for every wedge center by construction, so
+    * ln(deg) is never 0. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int = 50, degCap: Int = 256): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    require(degCap >= 2, "degCap must be at least 2")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees, adjacency, and the anti-join
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    // adjacency centered on each candidate wedge middle w; hub centers
+    // (dg > degCap) are dropped whole BEFORE the self-join, so the d²
+    // blowup is bounded by degCap² per center
+    val adj = und.select(col("a").as("w"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("nb")))
+      .join(deg.filter(col("dg") >= 2 && col("dg") <= degCap)
+        .select(col("node").as("w"), col("dg")), Seq("w"))
+      .localCheckpoint(true) // both sides of the wedge self-join
+    val pairs = adj.as("x").join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"),
+        (lit(1.0) / log(col("x.dg").cast("double"))).as("wt"))
+    val scored = pairs.groupBy(col("u"), col("v"))
+      .agg(sum(col("wt").cast(DecimalType(28, 12))).as("ssum"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"),
+        round(col("ssum").cast("double"), 6).as("score"))
+    val result = scored
+      .orderBy(col("score").desc, col("u"), col("v"))
+      .limit(topN)
+      .localCheckpoint(true)
+    und.unpersist()
+    adj.unpersist()
+    result
+  }
+
+  /** Single-source shortest paths by synchronous Bellman–Ford over a
+    * DIRECTED edge list with non-negative integer weights: `rounds`
+    * relaxation rounds of
+    *
+    *   dist(v) ← min(dist(v), min_{u→v} dist(u) + w(u, v))
+    *
+    * starting from dist(source) = 0. Output is one row `(node, dist)`
+    * per node REACHED within `rounds` hops (absent = unreached — the
+    * relational ∞). All arithmetic is exact Long addition and MIN — no
+    * floating point anywhere — so a fixed round count is in perfect
+    * lockstep with any other engine running the same rounds (the
+    * [[pageRank]] oracle discipline, here without even needing
+    * rounding).
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the current frontier-inclusive distance table (shuffled on the edge
+    * src) + one dst-keyed partial-aggregating MIN — the min combines
+    * map-side, so a hot destination receives one row per map partition,
+    * not one per in-edge. Rounds stay lazy between `checkpointEvery`
+    * lineage truncations. State is one row per reached node; the edge
+    * list is read (not re-derived) every round. Negative weights are
+    * rejected: with them, `rounds` < V−1 returns non-final distances
+    * silently. */
+  def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, rounds: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one relaxation round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull && col("w").isNotNull)
+      .localCheckpoint(true)
+    require(e.filter(col("w") < 0).isEmpty,
+      "ssspBellmanFord requires non-negative weights")
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "d")
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e.join(dist, col("esrc") === col("node"))
+        .select(col("edst").as("node"), (col("d") + col("w")).as("d"))
+      var next = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      dist = next
+    }
+    val result = dist.select(col("node"), col("d").as("dist"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    result
+  }
 }

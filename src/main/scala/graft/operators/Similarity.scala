@@ -801,6 +801,105 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    * take the exact cosine top-`nCandidates` per query ([[knnKernel]]),
+    * then greedily select `k` of them, each step maximizing
+    *
+    *   mmr(c) = λ · rel(c) − (1 − λ) · max_{s ∈ selected} sim(c, s)
+    *
+    * — relevance traded against redundancy with what is already picked,
+    * the standard retrieval/RAG answer to "my top-5 are five copies of
+    * the same paragraph". Step 1 picks pure relevance (empty selected
+    * set ⇒ redundancy 0). Output: one row `(query_id, step,
+    * neighbor_id, mmr)` per selection, `mmr` the round-6 objective at
+    * pick time.
+    *
+    * Determinism contract: rel and all candidate-pair sims are round-6
+    * cosines ([[cosineKernel]]) — i.e. exact 6-digit decimals — and λ is
+    * taken at its shortest-decimal value, so the objective is computed
+    * EXACTLY in decimal arithmetic (no IEEE rounding ambiguity at all):
+    * the greedy ranks on the exact decimal, ties break on the smaller
+    * neighbor id, and the emitted `mmr` is that decimal's nearest
+    * double. An engine replaying the same greedy (the DuckDB oracle
+    * unrolls the k steps as CTEs over DECIMAL casts) agrees
+    * bit-for-bit.
+    *
+    * Scale shape: the candidate stage is the broadcast-query kernel scan
+    * (one corpus pass, no shuffle beyond the top-k window); the greedy
+    * runs per query over ≤ nCandidates rows grouped to one task —
+    * O(k · n²) kernel work on a bounded set, never a corpus operation.
+    * The O(n²) pair sims are computed lazily inside the group kernel,
+    * not materialized as a join. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCandidates: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      "need 1 <= k <= nCandidates")
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cands = knnKernel(queries, corpus, nCandidates)
+    val withEmb = cands.join(
+        corpus.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cs"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    withEmb.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // rel desc, id asc — the knnKernel ranking order, so step 1's pick
+      // is exactly its rank-1 row
+      val cs = it.toArray.sortBy(c => (-c._3, c._2))
+      val n = cs.length
+      val chosen = new Array[Boolean](n)
+      // pair sims computed at most once per (i, j) and only when a
+      // selected row forces them
+      val sim = Array.fill(n)(null: Array[Double])
+      def pairSim(i: Int, j: Int): Double = {
+        if (sim(i) == null) sim(i) = Array.fill(n)(Double.NaN)
+        if (sim(i)(j).isNaN) sim(i)(j) = cosineKernel(cs(i)._4, cs(j)._4)
+        sim(i)(j)
+      }
+      val lamBd = java.math.BigDecimal.valueOf(lambda)
+      val oneMinusBd = java.math.BigDecimal.ONE.subtract(lamBd)
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      var step = 1
+      val kk = math.min(k, n)
+      while (step <= kk) {
+        var bestIdx = -1
+        var bestRaw: java.math.BigDecimal = null
+        var i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            // true max over the selected set (can be negative — a
+            // candidate ANTI-correlated with every pick gets a bonus,
+            // matching the SQL MAX the oracle replays)
+            var ms = Double.NegativeInfinity
+            var j = 0
+            while (j < n) {
+              if (chosen(j)) { val s = pairSim(i, j); if (s > ms) ms = s }
+              j += 1
+            }
+            // round-6 doubles ARE 6-digit decimals; valueOf recovers
+            // them exactly, so the objective is exact decimal math
+            val relBd = java.math.BigDecimal.valueOf(cs(i)._3)
+            val raw =
+              if (step == 1) lamBd.multiply(relBd)
+              else lamBd.multiply(relBd).subtract(
+                oneMinusBd.multiply(java.math.BigDecimal.valueOf(ms)))
+            if (bestIdx < 0 || raw.compareTo(bestRaw) > 0 ||
+                (raw.compareTo(bestRaw) == 0 && cs(i)._2 < cs(bestIdx)._2)) {
+              bestIdx = i; bestRaw = raw
+            }
+          }
+          i += 1
+        }
+        chosen(bestIdx) = true
+        out += ((qid, step, cs(bestIdx)._2, bestRaw.doubleValue()))
+        step += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "step", "neighbor_id", "mmr")
+  }
+
   /** Deterministic ±1 hyperplane matrix from md5 parity of "plane_dim" —
     * computed once on the driver and broadcast (the model-free analogue
     * of shipping an IVF codebook). Same values as the Column

@@ -1566,6 +1566,72 @@ object Queries {
         SELECT vec_id, round(CAST(SUM(CAST(xc * v AS DECIMAL(28,12))) AS DOUBLE), 6) AS pc1
         FROM xc JOIN v3 USING (dim) GROUP BY vec_id ORDER BY vec_id""")),
 
+    // ---- Retrieval: Maximal-Marginal-Relevance re-rank — greedy
+    //      diversity/relevance tradeoff over the exact top-15
+    //      candidates; round-6 cosines + literal IEEE objective keep
+    //      the greedy in lockstep with the unrolled-CTE oracle ----
+    QueryDef(
+      "s16_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity
+          .mmrRerank(e.filter($"vec_id" < 8), e, k = 5,
+            nCandidates = 15, lambda = 0.7)
+          .orderBy($"query_id", $"step")
+      },
+      Some {
+        // exact decimal objective: round-6 cosines cast back to their
+        // 6-digit decimals, λ = 0.7 exact — no IEEE rounding anywhere
+        val obj = "CAST(0.7 AS DECIMAL(18,6)) * CAST(rel AS DECIMAL(18,6)) " +
+          "- (CAST(1.0 AS DECIMAL(18,6)) - CAST(0.7 AS DECIMAL(18,6))) " +
+          "* CAST(ms AS DECIMAL(18,6))"
+        val steps = (2 to 5).map { t =>
+          s"""pk$t AS (
+            SELECT c.query_id, c.nid, c.rel, max(pw.s) AS ms
+            FROM cand c
+            JOIN pw ON pw.query_id = c.query_id AND pw.i = c.nid
+            JOIN sall${t - 1} sl ON sl.query_id = pw.query_id AND sl.nid = pw.j
+            WHERE NOT EXISTS (SELECT 1 FROM sall${t - 1} s2
+              WHERE s2.query_id = c.query_id AND s2.nid = c.nid)
+            GROUP BY 1, 2, 3),
+          sel$t AS (SELECT query_id, nid, CAST($obj AS DOUBLE) AS mmr
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY $obj DESC, nid) AS rnk
+              FROM pk$t) WHERE rnk = 1),
+          sall$t AS (SELECT * FROM sall${t - 1}
+            UNION ALL SELECT query_id, nid FROM sel$t)"""
+        }.mkString(",\n")
+        val finalUnion = (2 to 5).map(t =>
+          s"UNION ALL SELECT query_id, $t AS step, nid, mmr FROM sel$t")
+          .mkString("\n")
+        s"""WITH cs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nid,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS rel
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        cand AS (SELECT query_id, nid, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, nid) AS rnk FROM cs)
+          WHERE rnk <= 15),
+        pw AS (SELECT a.query_id, a.nid AS i, b.nid AS j,
+            round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS s
+          FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+          JOIN embeddings ea ON ea.vec_id = a.nid
+          JOIN embeddings eb ON eb.vec_id = b.nid),
+        sel1 AS (SELECT query_id, nid,
+            CAST(CAST(0.7 AS DECIMAL(18,6)) * CAST(rel AS DECIMAL(18,6)) AS DOUBLE) AS mmr
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, nid) AS rnk FROM cand) WHERE rnk = 1),
+        sall1 AS (SELECT query_id, nid FROM sel1),
+        $steps
+        SELECT query_id, step, nid AS neighbor_id, mmr FROM (
+          SELECT query_id, 1 AS step, nid, mmr FROM sel1
+          $finalUnion)
+        ORDER BY query_id, step"""
+      }),
+
     // ---- Similarity: LSH-bucketed ANN top-k with multi-probe
     //      (scale path; candidates = buckets within 2 bit flips of the
     //      query's over 6 hyperplanes — measured recall@3 0.70 vs 0.20
@@ -2915,6 +2981,86 @@ object Queries {
             CASE WHEN p.binsum + r.bytes <= 8000 THEN p.binsum + r.bytes ELSE r.bytes END
           FROM rn r JOIN packs p ON r.key = p.key AND r.rn = p.rn + 1)
         SELECT key, file, bytes, bin FROM packs ORDER BY key, file""")),
+
+    // ---- Adamic-Adar link prediction over the q73 co-order parts
+    //      graph: shared-neighbor wedge equi-join (never node×node),
+    //      hub centers dropped whole by degCap, DECIMAL addends,
+    //      existing edges anti-joined away, global top-50 ----
+    QueryDef(
+      "q93_adamic_adar",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.adamicAdar(edges, "src", "dst",
+            topN = 50, degCap = 256)
+          .orderBy($"score".desc, $"u", $"v")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        adj AS (SELECT w, nb, dg FROM
+                  (SELECT a AS w, b AS nb FROM und
+                   UNION ALL SELECT b AS w, a AS nb FROM und)
+                JOIN deg ON node = w WHERE dg BETWEEN 2 AND 256),
+        pr AS (SELECT x.nb AS u, y.nb AS v,
+                 sum(CAST(1.0 / ln(CAST(x.dg AS DOUBLE)) AS DECIMAL(28,12))) AS ssum
+               FROM adj x JOIN adj y ON x.w = y.w AND x.nb < y.nb
+               GROUP BY 1, 2),
+        sc AS (SELECT u, v, round(CAST(ssum AS DOUBLE), 6) AS score FROM pr
+               WHERE NOT EXISTS (SELECT 1 FROM und
+                                 WHERE und.a = pr.u AND und.b = pr.v))
+        SELECT u, v, score FROM sc
+        ORDER BY score DESC, u, v LIMIT 50""")),
+
+    // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
+    //      relaxation rounds) over a supplier->part shipping lattice
+    //      with integer hop costs — exact Long min-plus arithmetic, so
+    //      the unrolled-CTE oracle is in perfect lockstep with no
+    //      rounding at all ----
+    QueryDef(
+      "q94_sssp",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"),
+            $"l_linenumber".as("w"))
+          .unionAll(t(s, dir, "lineitem")
+            .select(($"l_suppkey" % 100 + 100L).as("src"),
+              (($"l_partkey" + 37) % 100).as("dst"),
+              ($"l_linenumber" + 2).as("w")))
+        graft.operators.Graph.ssspBellmanFord(edges, "src", "dst", "w",
+            source = 0L, rounds = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 6).map(i =>
+          s"""d$i AS (SELECT node, min(d) AS d FROM (
+               SELECT node, d FROM d${i - 1}
+               UNION ALL
+               SELECT e.dst AS node, d${i - 1}.d + e.w AS d
+               FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             GROUP BY node)""").mkString(",\n")
+        s"""WITH e AS (
+          SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst,
+            CAST(l_linenumber AS BIGINT) AS w FROM lineitem
+          UNION ALL
+          SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst,
+            CAST(l_linenumber + 2 AS BIGINT) AS w FROM lineitem),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+        $rounds
+        SELECT node, d AS dist FROM d6 ORDER BY node"""
+      }),
 
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file

@@ -355,4 +355,95 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the isolated 2-cycle reinforces itself symmetrically
     assert(a(20L)._1 === a(21L)._1 && a(20L)._2 === a(21L)._2)
   }
+
+  test("adamicAdar scores non-adjacent pairs by 1/ln(deg) of shared neighbors") {
+    val sp = spark; import sp.implicits._
+    // path 1-2-3-4 plus chord 2-4: N(2) = {1,3,4} (deg 3), N(3) = {2,4},
+    // N(4) = {2,3}. Non-adjacent pairs with a common neighbor:
+    //   (1,3) via 2, (1,4) via 2 -> each 1/ln(3)
+    //   (2,3)? adjacent. (3,4)? adjacent. (2,4)? adjacent.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.adamicAdar(edges, "src", "dst", topN = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val w3 = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 3L) -> w3, (1L, 4L) -> w3), s"got $got")
+  }
+
+  test("adamicAdar sums over multiple shared neighbors; degCap drops hub centers whole") {
+    val sp = spark; import sp.implicits._
+    // u=1 and v=2 share low-degree neighbors 10 (deg 2), 11 (deg 2) and a
+    // hub 99 connected to 6 extra satellites (deg 8)
+    val base = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (1L, 99L), (2L, 99L)) ++ (200L to 205L).map(s => (99L, s))
+    val edges = base.toDF("src", "dst")
+    def score(cap: Int) = Graph.adamicAdar(edges, "src", "dst",
+        topN = 100, degCap = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = score(256)((1L, 2L))
+    val capped = score(4)((1L, 2L))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(full === r6(2.0 / math.log(2.0) + 1.0 / math.log(8.0)))
+    // cap 4 excludes the deg-8 hub as a center but keeps both deg-2 wedges
+    assert(capped === r6(2.0 / math.log(2.0)))
+    // satellite pairs through the hub exist only uncapped
+    assert(score(256).keys.exists(p => p._1 >= 200L && p._2 >= 200L))
+    assert(!score(4).keys.exists(p => p._1 >= 200L && p._2 >= 200L))
+  }
+
+  test("adamicAdar is deterministic under repartitioning and excludes existing edges") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).filter(p => p._1 != p._2)
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df7 = edges.toDF("src", "dst").repartition(7)
+    val a = Graph.adamicAdar(df1, "src", "dst", topN = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    val b = Graph.adamicAdar(df7, "src", "dst", topN = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    val und = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    assert(a.forall { case (u, v, _) => !und.contains((u, v)) },
+      "predicted pairs must not already be edges")
+  }
+
+  test("ssspBellmanFord relaxes shortest paths; hop horizon and min-multi-edge") {
+    val sp = spark; import sp.implicits._
+    // 0 -> 1 (w 10), 0 -> 2 (w 1), 2 -> 1 (w 2): best 0->1 is 3 via 2.
+    // Parallel edge 0 -> 2 (w 5) must lose to the w-1 copy. A long chain
+    // 1 -> 5 -> 6 -> 7 -> 8 puts node 8 exactly 6 hops out.
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (0L, 2L, 5L),
+      (1L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L), (7L, 8L, 1L))
+      .toDF("src", "dst", "w")
+    val d6 = Graph.ssspBellmanFord(edges, "src", "dst", "w", source = 0L, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d6 === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 5L -> 4L, 6L -> 5L,
+      7L -> 6L, 8L -> 7L))
+    // 3 rounds can't see past 3 relaxations: 7/8 absent, 6 carries the
+    // NON-final distance through the slow 0->1(10) path (the Bellman-Ford
+    // horizon contract: rounds < needed relaxations = provisional values)
+    val d3 = Graph.ssspBellmanFord(edges, "src", "dst", "w", source = 0L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 5L -> 4L, 6L -> 12L))
+  }
+
+  test("ssspBellmanFord rejects negative weights and is repartition-deterministic") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.ssspBellmanFord(bad, "src", "dst", "w", source = 0L, rounds = 2)
+    }
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong, (1 + rnd.nextInt(9)).toLong))
+    val a = Graph.ssspBellmanFord(edges.toDF("src", "dst", "w").repartition(1),
+        "src", "dst", "w", source = 0L, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.ssspBellmanFord(edges.toDF("src", "dst", "w").repartition(7),
+        "src", "dst", "w", source = 0L, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
 }

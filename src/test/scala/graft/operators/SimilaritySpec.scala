@@ -520,4 +520,59 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.knnKernel(okQ, corpus, 3)
       .select($"query_id").distinct().count() === 3L)
   }
+
+  test("mmrRerank trades relevance for diversity: near-dup of the top pick loses to a diverse doc") {
+    val sp = spark; import sp.implicits._
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // 1 and 2 are near-identical high-relevance docs; 3 is less relevant
+    // but orthogonal-ish. Pure top-2 = {1, 2}; MMR step 2 must skip the
+    // near-dup 2 and take 3.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)),
+      (2L, Array(1.0f, 0.06f)),
+      (3L, Array(0.5f, 0.85f))).toDF("vec_id", "embedding")
+    val knn2 = Similarity.knnKernel(q, corpus, 2)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(knn2.toSeq === Seq(1L, 2L), "relevance-only top-2 is the dup pair")
+    val mmr = Similarity.mmrRerank(q, corpus, k = 2, nCandidates = 3, lambda = 0.3)
+      .orderBy($"step").collect()
+    assert(mmr.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L),
+      "MMR must pick the diverse doc at step 2")
+    // step-1 objective is exactly λ·rel of the knn rank-1 row (decimal math)
+    val rel1 = Similarity.knnKernel(q, corpus, 1).collect()(0).getAs[Double]("cs")
+    val expect1 = new java.math.BigDecimal("0.3")
+      .multiply(java.math.BigDecimal.valueOf(rel1)).doubleValue()
+    assert(mmr(0).getAs[Double]("mmr") === expect1)
+  }
+
+  test("mmrRerank: lambda = 1 reduces to pure relevance ranking; short corpora cap at n") {
+    val sp = spark; import sp.implicits._
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)),
+      (2L, Array(1.0f, 0.06f)),
+      (3L, Array(0.5f, 0.85f))).toDF("vec_id", "embedding")
+    val pure = Similarity.mmrRerank(q, corpus, k = 5, nCandidates = 5, lambda = 1.0)
+      .orderBy($"step").collect().map(_.getAs[Long]("neighbor_id"))
+    val knn = Similarity.knnKernel(q, corpus, 5)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(pure.toSeq === knn.toSeq, "λ=1 must be the relevance order")
+    // k > corpus: emits exactly n = 3 steps, no padding, no crash
+    assert(pure.length === 3)
+  }
+
+  test("mmrRerank is deterministic under corpus repartitioning") {
+    val sp = spark; import sp.implicits._
+    val e = emb
+    def run(parts: Int) = Similarity.mmrRerank(
+        e.filter($"vec_id" < 5), e.repartition(parts), k = 4, nCandidates = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val a = run(1)
+    assert(a.nonEmpty && a.toSeq === run(9).toSeq)
+    // every query emits exactly k distinct picks
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length === 4 && rows.map(_._3).distinct.length === 4)
+    }
+  }
 }
