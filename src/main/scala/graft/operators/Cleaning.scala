@@ -111,4 +111,107 @@ object Cleaning {
         size(lines).as("n_lines"),
         size(filter(lines, keep _)).as("n_kept"))
   }
+
+  /** Aho–Corasick multi-pattern automaton (Aho & Corasick 1975): goto
+    * trie + BFS failure links, with each node's output list closed over
+    * its failure chain — one pass over the text finds EVERY occurrence
+    * of every pattern (overlapping and nested included: "she" finds
+    * "she", "he", AND "hers"'s prefix state) in O(text + matches),
+    * independent of pattern count. Built once per partition from the
+    * broadcast pattern list. */
+  private[operators] final class AhoCorasick(patterns: Array[String]) {
+    private val children = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    private val outIdx = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        if (!children(s).containsKey(ch)) {
+          children += new java.util.HashMap[Char, Int]()
+          outIdx += Nil
+          fail += 0
+          children(s).put(ch, children.size - 1)
+        }
+        s = children(s).get(ch)
+      }
+      outIdx(s) = pi :: outIdx(s)
+    }
+    locally { // BFS failure links; close outputs over the fail chain
+      val queue = scala.collection.mutable.Queue[Int]()
+      children(0).forEach((_, c) => { fail(c) = 0; queue += c })
+      while (queue.nonEmpty) {
+        val s = queue.dequeue()
+        outIdx(s) = outIdx(s) ::: outIdx(fail(s))
+        children(s).forEach { (ch, c) =>
+          var f = fail(s)
+          while (f != 0 && !children(f).containsKey(ch)) f = fail(f)
+          fail(c) = if (children(f).containsKey(ch) && children(f).get(ch) != c)
+            children(f).get(ch) else 0
+          queue += c
+        }
+      }
+    }
+    /** Scan `text`, incrementing `hits(patternIndex)` for every match
+      * START position; returns total match count. */
+    def scan(text: String, hits: Array[Long]): Long = {
+      var s = 0
+      var total = 0L
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        while (s != 0 && !children(s).containsKey(ch)) s = fail(s)
+        if (children(s).containsKey(ch)) s = children(s).get(ch)
+        var o = outIdx(s)
+        while (o.nonEmpty) { hits(o.head) += 1; total += 1; o = o.tail }
+        i += 1
+      }
+      total
+    }
+  }
+
+  /** Blocklist screening — the "bad-word / banned-phrase" filter every
+    * public-corpus release runs before training: count every occurrence
+    * (overlapping included — AC semantics: one count per match START
+    * position) of every `patterns` phrase in the case-folded text, and
+    * keep docs with at most `maxHits` total hits. Output: `(doc_id,
+    * n_hits, n_patterns, keep)` — total matches, distinct patterns that
+    * hit, and the screen verdict.
+    *
+    * Scale shape: the pattern list is a broadcast (bounded by contract —
+    * real blocklists are 10²–10⁵ phrases, not corpus-sized), compiled
+    * ONCE PER PARTITION into an Aho–Corasick automaton, and each doc is
+    * one O(len + matches) kernel pass regardless of how many patterns
+    * there are — the naive per-pattern `contains` loop is O(len ×
+    * patterns) and loses by the blocklist size factor. Map-only: no
+    * shuffle, no state, so the same scorer screens a stream unchanged
+    * ([[graft.streaming.Streams]]). */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxHits: Long = 0L): DataFrame = {
+    val pats = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
+    require(pats.nonEmpty && pats.forall(_.nonEmpty),
+      "need at least one non-empty pattern")
+    require(pats.length <= 100000,
+      "blocklist exceeds the broadcast contract (100k phrases)")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val pb = sp.sparkContext.broadcast(pats)
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new AhoCorasick(pb.value)
+        val nPat = pb.value.length
+        it.map { case (id, t) =>
+          val hits = new Array[Long](nPat)
+          val total = ac.scan(t, hits)
+          var distinct = 0
+          var i = 0
+          while (i < nPat) { if (hits(i) > 0) distinct += 1; i += 1 }
+          (id, total, distinct)
+        }
+      }
+      .toDF("doc_id", "n_hits", "n_patterns")
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
 }

@@ -417,4 +417,42 @@ object Multimodal {
       }
     }
   }
+
+  /** Byte-value histogram + Shannon entropy per asset — the cheap
+    * content fingerprint a media-ingest pipeline computes on EVERY blob
+    * before any codec runs (compressed/encrypted payloads sit near 8
+    * bits/byte of entropy; text, sparse bitmaps, and silence sit far
+    * below — the classic triage signal for "is this worth decoding").
+    * Bytes bucket into `bins` equal ranges (bins must divide 256);
+    * output is one row `(media_id, bin, cnt, n_bytes, entropy)` per
+    * NON-EMPTY bin, `entropy` the asset's bin-distribution Shannon
+    * entropy in bits, round 6.
+    *
+    * Scale shape: the histogram is one kernel pass per payload (map
+    * only); entropy is computed RELATIONALLY from the ≤ bins rows per
+    * asset with DECIMAL(28,12) addends — the t15/bigram discipline — so
+    * the value is partition-order independent and replays exactly in
+    * the DuckDB oracle. Empty payloads produce no rows. */
+  def byteHistogram(ds: Dataset[MediaRecord], bins: Int = 16): DataFrame = {
+    require(bins >= 2 && 256 % bins == 0, "bins must divide 256")
+    import ds.sparkSession.implicits._
+    val width = 256 / bins
+    val rows = ds.flatMap { rec =>
+      val counts = new Array[Long](bins)
+      rec.payload.foreach(b => counts((b & 0xFF) / width) += 1)
+      val n = rec.payload.length.toLong
+      (0 until bins).filter(counts(_) > 0L)
+        .map(b => (rec.media_id, b, counts(b), n))
+    }.toDF("media_id", "bin", "cnt", "n_bytes")
+    val ent = rows.groupBy(col("media_id"), col("n_bytes"))
+      .agg(sum((col("cnt").cast("double") * log(col("cnt").cast("double")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("sl"))
+      .select(col("media_id"),
+        round((log(col("n_bytes").cast("double")) -
+          col("sl").cast("double") / col("n_bytes").cast("double")) /
+          log(lit(2.0)), 6).as("entropy"))
+    rows.join(ent, Seq("media_id"))
+      .select(col("media_id"), col("bin"), col("cnt"), col("n_bytes"),
+        col("entropy"))
+  }
 }

@@ -4663,6 +4663,38 @@ object Queries {
           CAST(len(kept) AS INTEGER) AS n_kept
         FROM k ORDER BY doc_id""")),
 
+    // ---- Blocklist screen: Aho-Corasick multi-phrase matching (every
+    //      match START position counts, overlapping included — "a a a"
+    //      holds TWO "a a" matches) vs a brute-force every-position
+    //      oracle; one automaton pass per doc regardless of pattern
+    //      count ----
+    QueryDef(
+      "t40_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Cleaning.blocklistScreen(
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("table part", "fast table", "a a", "spark", "never-matches-xyz"),
+            maxHits = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH pats AS (SELECT * FROM (VALUES ('table part'), ('fast table'),
+                ('a a'), ('spark'), ('never-matches-xyz')) p(pat)),
+        d AS (SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        rng AS (SELECT unnest(range(1, 10001)) AS i),
+        pos AS (SELECT doc_id, t, n, i FROM d JOIN rng ON i <= n),
+        hit AS (SELECT doc_id, pat FROM pos JOIN pats
+                ON i <= n - length(pat) + 1
+                AND substr(t, CAST(i AS INTEGER), length(pat)) = pat),
+        agg AS (SELECT doc_id, count(*) AS n_hits,
+                  CAST(count(DISTINCT pat) AS INTEGER) AS n_patterns
+                FROM hit GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+          COALESCE(n_patterns, 0) AS n_patterns,
+          COALESCE(n_hits, 0) <= 2 AS keep
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""")),
+
     // ---- DSIR importance resampling (Xie et al. 2023): log importance
     //      ratio under target-vs-raw unigram LMs, deterministic
     //      Gumbel-top-k selection. Target = three trusted sources;
@@ -4822,6 +4854,44 @@ object Queries {
           CAST(sum(v) AS BIGINT) AS sum_scaled,
           CAST(max(abs(v)) AS BIGINT) AS peak_scaled
         FROM v GROUP BY doc_id ORDER BY media_id""")),
+
+    // ---- Multimodal: byte-value histogram + bin-entropy triage — the
+    //      pre-codec content fingerprint (compressed blobs ~8 bits/byte,
+    //      text far below); entropy via the t15 DECIMAL-addend ln
+    //      discipline so both engines agree bit-for-bit ----
+    QueryDef(
+      "m10_byte_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 1)
+          .select($"doc_id", lit("application/octet-stream").as("mt"),
+            encode($"text", "US-ASCII").as("payload"))
+        graft.operators.Multimodal.byteHistogram(
+            graft.operators.Multimodal.pack(media, "doc_id", "mt", "payload")(s),
+            bins = 16)
+          .orderBy($"media_id", $"bin")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                 AND length(text) >= 1 AND octet_length(encode(text)) = length(text)),
+        rng AS (SELECT unnest(range(1, 10001)) AS i),
+        byt AS (SELECT doc_id, n,
+                  ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bin
+                FROM b JOIN rng ON i <= n),
+        h AS (SELECT doc_id, CAST(bin AS INTEGER) AS bin,
+                count(*) AS cnt, CAST(any_value(n) AS BIGINT) AS n_bytes
+              FROM byt GROUP BY 1, 2),
+        e AS (SELECT doc_id,
+                round((ln(CAST(n_bytes AS DOUBLE))
+                  - CAST(sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+                      AS DECIMAL(28,12))) AS DOUBLE) / CAST(n_bytes AS DOUBLE))
+                  / ln(2.0), 6) AS entropy
+              FROM h GROUP BY doc_id, n_bytes)
+        SELECT h.doc_id AS media_id, bin, cnt, n_bytes, entropy
+        FROM h JOIN e ON h.doc_id = e.doc_id
+        ORDER BY media_id, bin""")),
 
     // ---- Multimodal: framed PCM16 features — overlapping frames
     //      (frameSize=8 samples, stride=6), exact integer energy/peak/

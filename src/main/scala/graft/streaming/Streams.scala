@@ -776,4 +776,17 @@ object Streams {
           closed.map(close(userId, _)).iterator
       }
   }
+
+  /** Ingest-time BLOCKLIST screen — the streaming face of
+    * [[graft.operators.Cleaning.blocklistScreen]]. The scorer is
+    * map-only by construction (broadcast Aho–Corasick automaton, no
+    * state, no watermark, no shuffle), so the SAME operator call
+    * screens a micro-batch stream unchanged — this alias exists to
+    * document the contract and give StreamsSpec a named surface to pin
+    * stream ≡ batch on. Emits only the rows the screen keeps. */
+  def blocklistScreen(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxHits: Long = 0L): DataFrame =
+    graft.operators.Cleaning
+      .blocklistScreen(docs, idCol, textCol, patterns, maxHits)
+      .filter(col("keep"))
 }

@@ -76,4 +76,58 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "\"A quoted line ends well.\"").mkString("\n"))
     assert(got.getInt(2) === 7 && got.getInt(3) === 3)
   }
+
+  test("blocklistScreen counts nested and overlapping matches (the classic ushers case)") {
+    val sp = spark; import sp.implicits._
+    // "ushers": "she" @2, "he" @3 (nested inside "she"), "hers" @3 — the
+    // canonical Aho-Corasick output-closure test. "a a a" holds TWO
+    // overlapping "a a" matches.
+    val docs = Seq(
+      (1L, "ushers"),
+      (2L, "a a a"),
+      (3L, "SHE said HE is hers"), // case-folded: she@1(+he@2), he, hers(+he)
+      (4L, "nothing to see")).toDF("doc_id", "text")
+    val got = Cleaning.blocklistScreen(docs, "doc_id", "text",
+        Seq("he", "she", "hers", "a a"), maxHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((3L, 3, false)), s"ushers: got ${got(1L)}")
+    assert(got(2L) === ((2L, 1, true)))
+    // "she said he is hers": she@1, he@2 (in she), he@10, hers@16, he@16 -> 5 hits
+    assert(got(3L) === ((5L, 3, false)))
+    assert(got(4L) === ((0L, 0, true)))
+  }
+
+  test("blocklistScreen matches a brute-force every-position reference on real docs") {
+    val sp = spark; import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val pats = Seq("table part", "a a", "spark", "row scan", "zzz-no-match")
+    val got = Cleaning.blocklistScreen(docs, "doc_id", "text", pats, maxHits = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val ref = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val t = text.toLowerCase
+      val counts = pats.map { p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+      }
+      id -> ((counts.map(_.toLong).sum, counts.count(_ > 0)))
+    }.toMap
+    assert(got === ref)
+    assert(got.values.exists(_._1 > 0L), "vacuous: no pattern ever matched")
+  }
+
+  test("blocklistScreen rejects empty pattern lists and dedups case-folded patterns") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "spark spark")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Cleaning.blocklistScreen(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.blocklistScreen(docs, "doc_id", "text", Seq("ok", ""))
+    }
+    // "Spark" and "spark" fold to ONE pattern: 2 hits, 1 distinct
+    val got = Cleaning.blocklistScreen(docs, "doc_id", "text",
+      Seq("Spark", "spark")).collect().head
+    assert(got.getLong(1) === 2L && got.getInt(2) === 1)
+  }
 }

@@ -256,4 +256,42 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert((e.getInt(1), e.getLong(2), e.getLong(3)) === ((0, 0L, 0L)))
   }
+
+  test("byteHistogram: degenerate payload has entropy 0, uniform payload has log2(bins)") {
+    val s = spark
+    import s.implicits._
+    // 1: 64 copies of byte 0x41 (bin 4); 2: one byte per bin value 0..255
+    // (16 bytes per bin -> uniform over 16 bins -> 4.0 bits); 3: empty
+    val ds = s.createDataset(Seq(
+      MediaRecord(1L, "bin", Array.fill(64)(0x41.toByte)),
+      MediaRecord(2L, "bin", (0 until 256).map(_.toByte).toArray),
+      MediaRecord(3L, "bin", Array.emptyByteArray)))
+    val got = Multimodal.byteHistogram(ds, bins = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((1L, 4)) === ((64L, 64L, 0.0)))
+    assert(got.keys.count(_._1 == 1L) === 1, "single-bin payload: one row")
+    val twoRows = got.filter(_._1._1 == 2L)
+    assert(twoRows.size === 16 && twoRows.values.forall(_ === ((16L, 256L, 4.0))))
+    assert(!got.keys.exists(_._1 == 3L), "empty payload emits no rows")
+    // bins must divide 256
+    intercept[IllegalArgumentException] { Multimodal.byteHistogram(ds, bins = 10) }
+  }
+
+  test("byteHistogram entropy is repartition-deterministic on real payloads") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", lit("bin").as("mt"),
+        encode($"text", "US-ASCII").as("payload"))
+    def run(parts: Int) = Multimodal.byteHistogram(
+        Multimodal.pack(docs.repartition(parts), "doc_id", "mt", "payload")(s))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(x => (x._1, x._2))
+    val a = run(1)
+    assert(a.nonEmpty && a.toSeq === run(7).toSeq)
+    // entropies vary across docs and stay within (0, 8]
+    val ents = a.map(_._4).distinct
+    assert(ents.size > 1 && ents.forall(h => h >= 0.0 && h <= 8.0))
+  }
 }

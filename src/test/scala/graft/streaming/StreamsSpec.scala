@@ -182,6 +182,34 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming blocklist screen equals the batch Aho-Corasick screen over sf0.001 docs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val pats = Seq("table part", "fast table", "a a")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.blocklistScreen(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", pats, maxHits = 1)
+      .writeStream.format("memory").queryName("bscreen").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("bscreen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.Cleaning
+        .blocklistScreen(docs.toDF("doc_id", "text"), "doc_id", "text",
+          pats, maxHits = 1)
+        .filter($"keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed === batch, "streamed screen diverged from the batch screen")
+      assert(streamed.nonEmpty, "screen kept nothing — vacuous equality")
+      assert(streamed.size < docs.length, "screen kept everything — vacuous gate")
+    } finally { q.stop(); () }
+  }
+
   test("streaming DSIR scoring under a frozen model equals the batch scorer") {
     val sp = spark
     implicit val sql = sp.sqlContext
