@@ -1008,6 +1008,32 @@ object Queries {
         WHERE common / (s1.n + s2.n - common) >= 0.5
         ORDER BY id1, id2""")),
 
+    // ---- Dedup: EXACT Jaccard pairs by PREFIX FILTERING — same result
+    //      as d02 (the oracle below is d02's brute inverted join), but
+    //      the self-join runs only over each doc's rarest
+    //      |s|-ceil(tau|s|)+1 shingles, so the screen needs no df cap:
+    //      hot shingles never enter a prefix ----
+    QueryDef(
+      "d13_prefix_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        com AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        siz AS (SELECT doc_id, len(sh) AS n FROM sh)
+        SELECT id1, id2, common / (s1.n + s2.n - common) AS jac
+        FROM com JOIN siz s1 ON com.id1 = s1.doc_id JOIN siz s2 ON com.id2 = s2.doc_id
+        WHERE common / (s1.n + s2.n - common) >= 0.5
+        ORDER BY id1, id2""")),
+
     // ---- Dedup: MinHash+LSH banding candidates (k=16, r=4) ----
     QueryDef(
       "d03_minhash_lsh",

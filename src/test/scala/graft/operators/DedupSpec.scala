@@ -462,4 +462,52 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped === Set((21L, 22L)),
       s"hot 'aaaa' keys should drop whole, cool 'zzzz' pair survives: $capped")
   }
+
+  test("prefixJaccardPairs equals the full inverted-index join at several taus") {
+    val sp = spark; import sp.implicits._
+    val real = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(0.3, 0.5, 0.8).foreach { tau =>
+      val full = Dedup.jaccardPairs(real, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val pfx = Dedup.prefixJaccardPairs(real, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(pfx === full, s"prefix screen lost or invented pairs at tau=$tau")
+      if (tau == 0.3)
+        assert(full.nonEmpty, "vacuous: no pairs at the loosest tau")
+    }
+  }
+
+  test("prefix candidate set is measurably smaller than the full self-join's") {
+    val sp = spark; import sp.implicits._
+    val real = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inv = Dedup.shinglePostings(real, "doc_id", "text").localCheckpoint(true)
+    val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val (lazyCands, prefix) = Dedup.prefixCandidates(inv, sizes, 0.8)
+    val nPrefix = lazyCands.count()
+    val nFull = inv.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    prefix.unpersist(); inv.unpersist()
+    assert(nPrefix < nFull / 5,
+      s"prefix filtering should cut candidates hard at tau=0.8: $nPrefix vs $nFull")
+    assert(nPrefix > 0, "vacuous: no candidates at all")
+  }
+
+  test("prefixJaccardPairs: a hot shingle shared by every doc never creates candidates") {
+    val sp = spark; import sp.implicits._
+    // every doc contains the same boilerplate 3-gram ("one two three")
+    // plus a unique tail — pairwise Jaccard is far below tau, and the
+    // prefix (rarest shingles first) consists of the UNIQUE tails, so
+    // the hot shingle builds no candidate group at all
+    val boiler = (1L to 30L).map(i =>
+      (i, s"one two three unique$i tail$i word$i ending$i"))
+      .toDF("doc_id", "text")
+    val inv = Dedup.shinglePostings(boiler, "doc_id", "text").localCheckpoint(true)
+    val sizes = inv.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val (lazyCands, prefix) = Dedup.prefixCandidates(inv, sizes, 0.5)
+    assert(lazyCands.count() === 0L,
+      "boilerplate-only overlap must not reach the candidate join")
+    prefix.unpersist(); inv.unpersist()
+    assert(Dedup.prefixJaccardPairs(boiler, "doc_id", "text", 0.5).count() === 0L)
+  }
 }
