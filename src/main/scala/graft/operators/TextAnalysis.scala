@@ -1252,4 +1252,79 @@ object TextAnalysis {
         }
       }).toDF("doc_id", "n_tokens", "dup_bigram_frac")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): per document,
+    * build the word co-occurrence graph (an undirected edge for every
+    * token pair within `window` positions), run `iterations` synchronous
+    * PageRank rounds over it, and emit each document's top-`k` words by
+    * final rank — the classic unsupervised keyword/keyphrase primitive.
+    *
+    * Relational shape — ONE graph computation for the whole corpus, not
+    * a per-document loop: nodes are `(doc_id, word)` composite keys, so
+    * every per-doc graph iterates together in the same
+    * join-per-round/partial-agg discipline as [[Graph.pageRank]]
+    * (DECIMAL(28,12) contribution addends, per-round round-`roundTo`,
+    * lineage truncated every 3 rounds). Symmetrized edges mean no
+    * dangling nodes by construction. The top-k is a per-doc
+    * row_number window — bounded by vocabulary per document, never a
+    * global sort. Lockstep-deterministic: the oracle unrolls the same
+    * rounds as CTEs and agrees byte-for-byte. Documents with < 2 tokens
+    * have no co-occurrence edges and emit nothing. */
+  def textRankKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 2, iterations: Int = 6,
+      damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+    require(k >= 1 && window >= 1 && iterations >= 1, "k, window, iterations must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val toks = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          (col("b.i") - col("a.i")).between(1, window) &&
+          col("a.w") =!= col("b.w"))
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("u"), col("b.w").as("v"))
+    val e = pairs
+      .unionAll(pairs.select(col("doc_id"), col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true) // degrees + every round's contribution join
+    val deg = e.groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, Seq("doc_id", "u")).localCheckpoint(true)
+    val nodes = e.select(col("doc_id"), col("u").as("node"))
+      .distinct().localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < iterations) {
+      val contribs = withDeg.join(ranks,
+          withDeg("doc_id") === ranks("doc_id") && col("u") === col("node"))
+        .groupBy(withDeg("doc_id").as("cdoc"), col("v"))
+        .agg(sum((col("r") / col("deg").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("csum"))
+      var next = nodes.join(contribs,
+          col("doc_id") === col("cdoc") && col("node") === col("v"), "left_outer")
+        .select(col("doc_id"), col("node"),
+          round(lit(1.0 - damping) + lit(damping) *
+            coalesce(col("csum").cast("double"), lit(0.0)), roundTo).as("r"))
+      i += 1
+      if (i % 3 == 0 && i < iterations) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      ranks = next
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("r").desc, col("node"))
+    val result = ranks.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("node").as("word"),
+        col("r").as("score"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    withDeg.unpersist()
+    nodes.unpersist()
+    result
+  }
 }

@@ -4721,6 +4721,50 @@ object Queries {
           COALESCE(n_hits, 0) <= 2 AS keep
         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""")),
 
+    // ---- TextRank keywords: per-doc PageRank over word co-occurrence
+    //      graphs, ALL docs iterating together on (doc_id, word)
+    //      composite keys — q64's decimal-lockstep discipline, so the
+    //      6 rounds unroll as CTEs byte-for-byte ----
+    QueryDef(
+      "t41_textrank",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .textRankKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+          .orderBy($"doc_id", $"rank")
+      },
+      Some {
+        val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
+        val rounds = (1 to 6).map(i =>
+          s"""p$i AS (SELECT n.doc_id, n.node,
+            round($oneMinusD + 0.85 * COALESCE(CAST(c.csum AS DOUBLE), 0.0), 9) AS r
+          FROM n LEFT JOIN (
+            SELECT e.doc_id, e.v AS node,
+              sum(CAST(p${i - 1}.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS csum
+            FROM p${i - 1}
+              JOIN e ON p${i - 1}.doc_id = e.doc_id AND p${i - 1}.node = e.u
+              JOIN d ON d.doc_id = p${i - 1}.doc_id AND d.u = p${i - 1}.node
+            GROUP BY 1, 2) c
+          ON n.doc_id = c.doc_id AND n.node = c.node)""").mkString(",\n")
+        s"""WITH tok AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+            generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        pe AS (SELECT a.doc_id, a.w AS u, b.w AS v FROM tok a JOIN tok b
+               ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2 AND a.w <> b.w),
+        e AS (SELECT DISTINCT doc_id, u, v FROM
+              (SELECT doc_id, u, v FROM pe
+               UNION ALL SELECT doc_id, v, u FROM pe)),
+        d AS (SELECT doc_id, u, count(*) AS deg FROM e GROUP BY 1, 2),
+        n AS (SELECT DISTINCT doc_id, u AS node FROM e),
+        p0 AS (SELECT doc_id, node, CAST(1.0 AS DOUBLE) AS r FROM n),
+        $rounds,
+        ranked AS (SELECT doc_id, node, r, row_number() OVER
+            (PARTITION BY doc_id ORDER BY r DESC, node) AS rank FROM p6)
+        SELECT doc_id, rank, node AS word, r AS score FROM ranked
+        WHERE rank <= 3 ORDER BY doc_id, rank"""
+      }),
+
     // ---- DSIR importance resampling (Xie et al. 2023): log importance
     //      ratio under target-vs-raw unigram LMs, deterministic
     //      Gumbel-top-k selection. Target = three trusted sources;

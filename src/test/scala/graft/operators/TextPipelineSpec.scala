@@ -415,4 +415,39 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.tfidfTopTerms(empty, "doc_id", "text", 3).count() == 0)
     assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
   }
+
+  test("textRankKeywords ranks the co-occurrence hub first; tiny docs emit nothing") {
+    val sp = spark; import sp.implicits._
+    // "pivot" neighbors every other word; satellites only touch pivot +
+    // one neighbor — the hub must win. Doc 2 has a single token (no
+    // edges), doc 3 is empty: neither emits rows.
+    val docs = Seq(
+      (1L, "pivot alpha pivot beta pivot gamma pivot delta"),
+      (2L, "lonely"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.forall(_._1 == 1L), "edge-less docs must emit nothing")
+    assert(got.length === 2)
+    assert(got.find(_._2 == 1).get._3 === "pivot", s"hub word must rank 1: ${got.toSeq}")
+    val scores = got.map(_._4)
+    assert(scores(0) > scores(1), "rank order must follow score order")
+  }
+
+  test("textRankKeywords is deterministic under repartitioning on real docs") {
+    val sp = spark; import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = TextAnalysis.textRankKeywords(
+        docs.repartition(parts), "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val a = run(1)
+    assert(a.nonEmpty && a.toSeq === run(7).toSeq)
+    // every emitting doc yields exactly k=3 ranked words with distinct ranks
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // keywords vary across docs (not one global winner — graphs are per doc)
+    assert(a.filter(_._2 == 1).map(_._3).distinct.length > 1)
+  }
 }
