@@ -606,6 +606,19 @@ object Graph {
     * ln(deg) is never 0. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
       topN: Int = 50, degCap: Int = 256): DataFrame = {
+    val (scored, und, adj) = adamicAdarLazy(edges, srcCol, dstCol, topN, degCap)
+    val result = scored.localCheckpoint(true)
+    und.unpersist()
+    adj.unpersist()
+    result
+  }
+
+  /** [[adamicAdar]] before its final eager materialization: returns
+    * (scored top-N with full lineage, the two checkpointed frames the
+    * caller must unpersist) so plan-quality specs can assert the wedge
+    * join's physical shape. */
+  private[graft] def adamicAdarLazy(edges: DataFrame, srcCol: String,
+      dstCol: String, topN: Int, degCap: Int): (DataFrame, DataFrame, DataFrame) = {
     require(topN >= 1, "topN must be positive")
     require(degCap >= 2, "degCap must be at least 2")
     val und = edges
@@ -635,13 +648,9 @@ object Graph {
         Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"),
         round(col("ssum").cast("double"), 6).as("score"))
-    val result = scored
       .orderBy(col("score").desc, col("u"), col("v"))
       .limit(topN)
-      .localCheckpoint(true)
-    und.unpersist()
-    adj.unpersist()
-    result
+    (scored, und, adj)
   }
 
   /** Single-source shortest paths by synchronous Bellman–Ford over a

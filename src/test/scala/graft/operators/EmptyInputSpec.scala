@@ -221,4 +221,28 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     // null values never set bits
     assert(agg.reduce(agg.zero, null).forall(_ == 0L))
   }
+
+  test("round-10 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val emptyWeighted = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Graph.adamicAdar(emptyEdges, "src", "dst").count() == 0)
+    // SSSP from a source with no edges: the source itself at distance 0
+    val sOnly = Graph.ssspBellmanFord(emptyWeighted, "src", "dst", "w",
+      source = 7L, rounds = 2).collect()
+    assert(sOnly.length == 1 && sOnly.head.getLong(0) == 7L
+      && sOnly.head.getLong(1) == 0L)
+    assert(Similarity.mmrRerank(emptyVecs, emptyVecs, k = 2, nCandidates = 3)
+      .count() == 0)
+    // empty corpus with live queries: no candidates, no picks
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrRerank(q, emptyVecs, k = 2, nCandidates = 3).count() == 0)
+    assert(Cleaning.blocklistScreen(emptyDocs, "doc_id", "text",
+      Seq("x")).count() == 0)
+    assert(Dedup.prefixJaccardPairs(emptyDocs, "doc_id", "text", 0.5).count() == 0)
+    assert(TextAnalysis.textRankKeywords(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyMedia = sp.createDataset(Seq.empty[MediaRecord])
+    assert(Multimodal.byteHistogram(emptyMedia).count() == 0)
+  }
 }

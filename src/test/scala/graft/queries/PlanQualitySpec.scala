@@ -447,4 +447,48 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
       p.take(3000))
   }
+
+  test("q93 Adamic-Adar wedge stage is an equi join with the top-N as a TakeOrdered") {
+    val sp = spark; import sp.implicits._
+    val li = sp.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_orderkey" % 20 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .select($"x.pk".as("src"), $"y.pk".as("dst"))
+    val (scored, und, adj) = graft.operators.Graph
+      .adamicAdarLazy(edges, "src", "dst", topN = 50, degCap = 256)
+    val p = scored.queryExecution.executedPlan.toString
+    und.unpersist(); adj.unpersist()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("TakeOrdered"),
+      s"global top-N must be a distributed heap, not a full sort:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"),
+      s"existing edges must leave via an anti join:\n${p.take(3000)}")
+  }
+
+  test("d13 prefix-filter candidates join on the prefix shingle — equi join, no cartesian") {
+    val sp = spark; import sp.implicits._
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+    val inv = graft.operators.Dedup.shinglePostings(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val sizes = inv.groupBy($"doc_id").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    val (cands, prefix) = graft.operators.Dedup.prefixCandidates(inv, sizes, 0.5)
+    val p = cands.queryExecution.executedPlan.toString
+    prefix.unpersist(); inv.unpersist()
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("t40 blocklist screen is map-only: no Exchange anywhere in the scoring plan") {
+    val sp = spark; import sp.implicits._
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Cleaning.blocklistScreen(
+        docs, "doc_id", "text", Seq("table part", "a a"), maxHits = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"a stateless screen must not shuffle:\n${p.take(3000)}")
+  }
 }
