@@ -916,6 +916,67 @@ object TextAnalysis {
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every serious count-based LM uses, and the quality signal
+    * add-one smoothing distorts for rare-but-valid continuations):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + D · N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/T
+    *
+    * with discount D = 0.75 (EXACTLY representable in binary — the
+    * determinism contract needs no rounding on the discount),
+    * N₁₊(w₁·)/N₁₊(·w₂) the distinct right/left continuation counts, and
+    * T the total distinct-bigram count. The continuation term is what
+    * makes "francisco" low-probability after anything but "san" even
+    * though "francisco" itself is frequent. Scored on the corpus's own
+    * statistics, so every bigram has c ≥ 1 and no zero-division arises.
+    * Output: (doc_id, n_bigrams, mean_logprob), nats, round 6.
+    *
+    * Scale shape — [[bigramLogProb]]'s plus two type-count aggs: all
+    * stats are partial-aggregating hash aggs on the bigram/start/end
+    * keys, joined back by hash; T is a one-row broadcast. Every
+    * per-bigram probability is a fixed IEEE expression over integer
+    * counts, so the DuckDB oracle replays it bit-for-bit; DECIMAL
+    * addends make the mean partition-order independent. */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val perDoc = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val corpus = perDoc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
+      .localCheckpoint(true) // feeds starts, rightTypes, leftTypes, T, and the score join
+    val starts = corpus.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("bf")).as("w1f"), count(lit(1)).as("n1r"))
+    val leftTypes = corpus.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1l"))
+    val types = corpus.agg(count(lit(1)).as("tt"))
+    val d = lit(discount)
+    val p = greatest(col("bf").cast("double") - d, lit(0.0)) /
+      col("w1f").cast("double") +
+      d * col("n1r").cast("double") / col("w1f").cast("double") *
+      (col("n1l").cast("double") / col("tt").cast("double"))
+    val out = perDoc.join(corpus, Seq("bg"))
+      .join(starts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(leftTypes, substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_bigrams"),
+        round(
+          sum((col("cnt").cast("double") * log(p))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
+    val result = out.localCheckpoint(true)
+    corpus.unpersist()
+    result
+  }
+
   /** Bigram language-model quality signal: per document, the mean
     * add-one-smoothed log-probability of its bigrams under the corpus's
     * own bigram statistics —

@@ -4765,6 +4765,44 @@ object Queries {
         WHERE rank <= 3 ORDER BY doc_id, rank"""
       }),
 
+    // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
+    //      D = 0.75 (binary-exact) + continuation-count backoff — the
+    //      LM-quality signal add-one smoothing distorts; every
+    //      probability is a fixed IEEE expression over integer counts,
+    //      replayed bit-for-bit by the oracle ----
+    QueryDef(
+      "t42_kn_bigram",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        bg AS (SELECT doc_id,
+            unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS bg
+          FROM tok WHERE len(tk) >= 2),
+        pd AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        bf AS (SELECT bg, sum(cnt) AS bf FROM pd GROUP BY 1),
+        w1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(bf) AS w1f,
+                 count(*) AS n1r FROM bf GROUP BY 1),
+        w2 AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1l
+               FROM bf GROUP BY 1),
+        tt AS (SELECT count(*) AS tt FROM bf)
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+          round(CAST(sum(CAST(cnt * ln(
+              greatest(CAST(bf AS DOUBLE) - 0.75, 0.0) / CAST(w1f AS DOUBLE)
+              + 0.75 * CAST(n1r AS DOUBLE) / CAST(w1f AS DOUBLE)
+                * (CAST(n1l AS DOUBLE) / CAST(tt AS DOUBLE)))
+            AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS mean_logprob
+        FROM pd JOIN bf USING (bg)
+          JOIN w1 ON split_part(bg, ' ', 1) = w1.w1
+          JOIN w2 ON split_part(bg, ' ', 2) = w2.w2
+          CROSS JOIN tt
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- DSIR importance resampling (Xie et al. 2023): log importance
     //      ratio under target-vs-raw unigram LMs, deterministic
     //      Gumbel-top-k selection. Target = three trusted sources;

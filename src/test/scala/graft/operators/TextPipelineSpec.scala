@@ -416,6 +416,69 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
   }
 
+  test("knBigramLogProb matches a local Kneser-Ney reference; continuation counts matter") {
+    val sp = spark; import sp.implicits._
+    // "york" always follows "new" (one context); "run" follows four
+    // different words (four contexts) at the same total frequency —
+    // the continuation term must separate them where raw counts can't
+    val docs = Seq(
+      (1L, "new york new york new york new york"),
+      (2L, "dogs run cats run kids run horses run"),
+      (3L, "new york dogs run"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // local reference over the same corpus stats
+    val toks = Seq(
+      1L -> "new york new york new york new york".split(" ").toSeq,
+      2L -> "dogs run cats run kids run horses run".split(" ").toSeq,
+      3L -> "new york dogs run".split(" ").toSeq)
+    val allBg = toks.flatMap { case (id, tk) =>
+      tk.sliding(2).map(p => (id, p.mkString(" "))).toSeq }
+    val bf = allBg.groupBy(_._2).map { case (bg, xs) => bg -> xs.size.toLong }
+    val w1f = bf.groupBy(_._1.split(" ")(0)).map { case (w, xs) => w -> xs.values.sum }
+    val n1r = bf.groupBy(_._1.split(" ")(0)).map { case (w, xs) => w -> xs.size.toLong }
+    val n1l = bf.groupBy(_._1.split(" ")(1)).map { case (w, xs) => w -> xs.size.toLong }
+    val tt = bf.size.toDouble
+    def p(bg: String): Double = {
+      val Array(a, b) = bg.split(" ")
+      math.max(bf(bg) - 0.75, 0.0) / w1f(a) +
+        0.75 * n1r(a) / w1f(a) * (n1l(b) / tt)
+    }
+    toks.foreach { case (id, tk) =>
+      val perDoc = tk.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (bg, xs) => bg -> xs.size }
+      val sl = perDoc.map { case (bg, cnt) =>
+        java.math.BigDecimal.valueOf(cnt * math.log(p(bg)))
+          .setScale(12, java.math.RoundingMode.HALF_UP) }
+        .reduce(_ add _)
+      val n = perDoc.values.sum
+      val expect = java.math.BigDecimal
+        .valueOf(sl.doubleValue() / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(got(id)._1 === n, s"doc $id bigram count")
+      assert(got(id)._2 === expect, s"doc $id mean logprob")
+    }
+    // the repeated-context doc must score higher than the diverse one is
+    // NOT required — but "new york" must be more probable than any
+    // single "X run" bigram: same count ratio, richer continuation is
+    // offset by york's single left context
+    assert(p("new york") > p("dogs run"),
+      "high-count bigram must outscore a low-count one")
+  }
+
+  test("knBigramLogProb is repartition-deterministic on real docs") {
+    val sp = spark; import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = TextAnalysis.knBigramLogProb(
+        docs.repartition(parts), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val a = run(1)
+    assert(a.nonEmpty && a.toSeq === run(7).toSeq)
+    assert(a.map(_._3).distinct.length > 1, "scores must vary across docs")
+  }
+
   test("textRankKeywords ranks the co-occurrence hub first; tiny docs emit nothing") {
     val sp = spark; import sp.implicits._
     // "pivot" neighbors every other word; satellites only touch pivot +
