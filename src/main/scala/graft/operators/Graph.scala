@@ -260,6 +260,36 @@ object Graph {
       edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")), "id1", "id2", maxIter)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** INCREMENTAL connected-components maintenance — the append-only
+    * update the manifest/index families already have
+    * ([[graft.operators.Layout]].appendManifest,
+    * [[graft.operators.Similarity]].updateIvfSq8Index), for clustering:
+    * given the labeling of an already-clustered graph and a batch of NEW
+    * edges, produce the labeling of the union graph WITHOUT re-reading
+    * the old edge set. Correctness: connectivity only depends on the
+    * partition, so the old graph is replayed as its STAR form (one
+    * `node → component` edge per node — same partition, n rows instead
+    * of m) and the min-label pointer-jumping loop runs over
+    * star ∪ newEdges. Spec-pinned identical to a full rebuild over
+    * edges₁ ∪ edges₂.
+    *
+    * The 100 TB point: re-clustering after an append costs
+    * O(n + Δm) join input instead of O(m + Δm) — on a near-dup corpus
+    * where m (candidate pairs) dwarfs n (docs), the old pair set never
+    * needs to exist again. Old component ids are min node ids, and min
+    * labels only shrink under union, so ids stay STABLE: a component
+    * untouched by new edges keeps its id; merged components adopt the
+    * smaller of their ids. */
+  def updateConnectedComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame =
+    Dedup.duplicateClusters(
+      labels.select(col("node").cast("long").as("id1"),
+          col("component").cast("long").as("id2"))
+        .unionAll(newEdges.select(col(srcCol).cast("long").as("id1"),
+          col(dstCol).cast("long").as("id2"))),
+      "id1", "id2", maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
   /** Per-node triangle participation counts over an UNDIRECTED edge list
     * (self-loops and duplicate/reverse edges collapse): one row
     * `(node, triangles)` per node that closes at least one triangle —

@@ -3487,6 +3487,43 @@ object Queries {
         SELECT component, count(*) AS n_nodes FROM lbl
         GROUP BY component ORDER BY component""")),
 
+    // ---- Incremental CC maintenance: cluster the first half of the
+    //      co-order graph, then fold in the second half as an APPEND
+    //      (old graph replayed as its n-row star form, never re-read) —
+    //      the oracle clusters the UNION from scratch, so the append
+    //      path must land exactly where a full rebuild does ----
+    QueryDef(
+      "q95_incremental_cc",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.ok".as("ok"), $"x.pk".as("src"), $"y.pk".as("dst"))
+        val batch1 = edges.filter($"ok" % 40 === 0).select($"src", $"dst")
+        val batch2 = edges.filter($"ok" % 40 =!= 0).select($"src", $"dst")
+        val labels1 = graft.operators.Graph
+          .connectedComponents(batch1, "src", "dst")
+        graft.operators.Graph
+          .updateConnectedComponents(labels1, batch2, "src", "dst")
+          .orderBy($"node")
+      },
+      Some("""WITH RECURSIVE
+        li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 20 = 0),
+        cand AS (SELECT DISTINCT x.pk AS id1, y.pk AS id2
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT node, component FROM lbl ORDER BY node""")),
+
     // ---- Heavy hitters via a CUSTOM count-min sketch UDAF (constant
     //      memory over unbounded key domains): estimates come from a
     //      pure Column expression over the aggregated state; the oracle

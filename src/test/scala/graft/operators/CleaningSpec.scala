@@ -130,4 +130,28 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("Spark", "spark")).collect().head
     assert(got.getLong(1) === 2L && got.getInt(2) === 1)
   }
+
+  test("AhoCorasick automaton equals brute every-position counting on random inputs") {
+    // kernel-only property (no Spark): a 2-letter alphabet maximizes
+    // overlap/nesting/failure-link traffic
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      nPat <- Gen.choose(1, 5)
+      pats <- Gen.listOfN(nPat,
+        Gen.choose(1, 4).flatMap(l => Gen.stringOfN(l, Gen.oneOf('a', 'b'))))
+      text <- Gen.choose(0, 40).flatMap(l =>
+        Gen.stringOfN(l, Gen.oneOf('a', 'b', ' ')))
+    } yield (pats.distinct, text)
+    val prop = Prop.forAll(genCase) { case (pats, text) =>
+      val ac = new Cleaning.AhoCorasick(pats.toArray)
+      val hits = new Array[Long](pats.length)
+      val total = ac.scan(text, hits)
+      val brute = pats.map(p =>
+        (0 to text.length - p.length)
+          .count(i => text.regionMatches(i, p, 0, p.length)).toLong)
+      total == brute.sum && hits.toSeq == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

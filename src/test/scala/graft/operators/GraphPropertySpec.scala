@@ -69,6 +69,81 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  private val genWeightedDigraph = for {
+    n <- Gen.choose(2, 9)
+    m <- Gen.choose(1, 22)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L)
+      w <- Gen.choose(1L, 9L)
+    } yield (a, b, w))
+  } yield es
+
+  /** Local reference: Bellman–Ford to the fixpoint (≤ n−1 relaxations). */
+  private def refSssp(edges: Seq[(Long, Long, Long)], source: Long): Map[Long, Long] = {
+    var dist = Map(source -> 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b, w) =>
+        dist.get(a).foreach { da =>
+          if (dist.get(b).forall(_ > da + w)) { dist += b -> (da + w); changed = true }
+        }
+      }
+    }
+    dist
+  }
+
+  test("ssspBellmanFord equals the local fixpoint reference when rounds >= n-1") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genWeightedDigraph) { es =>
+      val expect = refSssp(es, source = 0L)
+      val got = Graph.ssspBellmanFord(es.toDF("src", "dst", "w"),
+          "src", "dst", "w", source = 0L, rounds = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Local reference: Adamic–Adar with the operator's decimal discipline
+    * (each 1/ln(deg) addend quantized to 12 decimals, sum rounded to 6). */
+  private def refAdamicAdar(edges: Set[(Long, Long)]): Map[(Long, Long), Double] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = for {
+      (u, nu) <- nbrs.toSeq
+      (v, nv) <- nbrs.toSeq
+      if u < v && !und((u, v))
+      commons = nu & nv
+      if commons.nonEmpty
+    } yield {
+      val s = commons.toSeq.map { w =>
+        java.math.BigDecimal.valueOf(1.0 / math.log(nbrs(w).size.toDouble))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      }.reduce(_ add _)
+      (u, v) -> java.math.BigDecimal.valueOf(s.doubleValue())
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    out.toMap
+  }
+
+  test("adamicAdar equals the local brute reference on random graphs (uncapped)") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, _) =>
+      val expect = refAdamicAdar(es.toSet)
+      val got = Graph.adamicAdar(es.toDF("src", "dst"),
+          "src", "dst", topN = 10000, degCap = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val genResize = for {
     w <- Gen.choose(1, 12)
     h <- Gen.choose(1, 12)

@@ -356,6 +356,30 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a(20L)._1 === a(21L)._1 && a(20L)._2 === a(21L)._2)
   }
 
+  test("updateConnectedComponents equals a full rebuild and keeps untouched component ids stable") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val all = (1 to 250).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val labels1 = Graph.connectedComponents(b1.toDF("src", "dst"), "src", "dst")
+    val incr = Graph.updateConnectedComponents(labels1,
+        b2.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.connectedComponents(all.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full, "append path diverged from the full rebuild")
+    // two separate cliques merge through ONE new edge and adopt the
+    // smaller id; a third untouched clique keeps its id
+    val cliques = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val l1 = Graph.connectedComponents(cliques.toDF("src", "dst"), "src", "dst")
+    val merged = Graph.updateConnectedComponents(l1,
+        Seq((3L, 10L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(merged(_) == 1L))
+    assert(merged(20L) === 20L && merged(21L) === 20L)
+  }
+
   test("adamicAdar scores non-adjacent pairs by 1/ln(deg) of shared neighbors") {
     val sp = spark; import sp.implicits._
     // path 1-2-3-4 plus chord 2-4: N(2) = {1,3,4} (deg 3), N(3) = {2,4},
