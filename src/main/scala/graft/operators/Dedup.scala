@@ -43,6 +43,23 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical text form for [[normalizedExactGroups]]: casefold, every
+    * non-alphanumeric run → one space, trim. Exposed so filters can
+    * normalize consistently with the dedup key. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Exact dedup AFTER canonical normalization (the C4/RefinedWeb step
+    * between raw-bytes dedup and near-dup: "Hello, World!" and
+    * "hello world" are the same document to a trainer). Same output
+    * shape as [[exactGroups]] but keyed on md5 of [[normalizeText]] —
+    * casefolded, punctuation/whitespace runs collapsed to single
+    * spaces, trimmed. Map-only projection + one hash agg; the
+    * normalization is a codegen'd regex pass, no kernel needed. */
+  def normalizedExactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Near-duplicate pairs by exact n-gram Jaccard >= tau, computed with an
     * inverted-index equi-join on shingles (shuffle ∝ postings, never the
     * doc×doc cross product).

@@ -983,6 +983,32 @@ object Queries {
       Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
+    // ---- Dedup: exact dedup after canonical normalization (casefold,
+    //      punct/space runs -> single space, trim) — the C4/RefinedWeb
+    //      step between byte-exact and near-dup; punctuation variants
+    //      of a page collapse to one group ----
+    QueryDef(
+      "d14_normalized_dedup",
+      (s, dir) => {
+        import s.implicits._
+        // inject punctuation/case variants so normalization has real work:
+        // every doc_id % 7 == 0 doc reappears shouted + punctuated
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val variants = docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat(upper($"text"), lit("!!")).as("text"))
+        graft.operators.Dedup
+          .normalizedExactGroups(docs.unionAll(variants), "text", "doc_id")
+          .orderBy($"keep_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(text) || '!!' FROM documents
+              WHERE doc_id % 7 = 0)
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+          min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM d GROUP BY 1 ORDER BY keep_id""")),
+
     // ---- Dedup: exact 3-gram Jaccard pairs via inverted-index join ----
     QueryDef(
       "d02_jaccard_pairs",

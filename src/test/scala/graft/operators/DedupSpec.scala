@@ -463,6 +463,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot 'aaaa' keys should drop whole, cool 'zzzz' pair survives: $capped")
   }
 
+  test("normalizedExactGroups collapses case/punctuation variants; byte-exact dedup doesn't") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO-WORLD"),
+      (4L, "hello worlds")).toDF("doc_id", "text")
+    val norm = Dedup.normalizedExactGroups(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(norm === Map(1L -> 3L, 4L -> 1L),
+      s"three variants must collapse to keep_id 1: $norm")
+    // the byte-exact pass sees four distinct documents
+    assert(Dedup.exactGroups(docs, "text", "doc_id").count() === 4L)
+    // leading/trailing punctuation trims away entirely
+    val t = Seq((1L, "  ...a b...  "), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.normalizedExactGroups(t, "text", "doc_id").count() === 1L)
+  }
+
   test("prefixJaccardPairs equals the full inverted-index join at several taus") {
     val sp = spark; import sp.implicits._
     val real = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
