@@ -709,9 +709,30 @@ object Graph {
   def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, source: Long, rounds: Int,
       checkpointEvery: Int = 4): DataFrame = {
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
+    multiSourceSssp(edges, srcCol, dstCol, weightCol,
+      Seq(source).toDF("source"), rounds, checkpointEvery)
+      .select(col("node"), col("dist"))
+  }
+
+  /** MULTI-source Bellman–Ford: [[ssspBellmanFord]] from every node in
+    * `sources` (a one-column frame) AT ONCE, keyed on `(source, node)`
+    * composite state — the landmark-distance primitive (graph
+    * embeddings, sampled closeness centrality, k-landmark routing
+    * sketches all start from "distances from k chosen nodes").
+    *
+    * Scale shape: identical to the single-source loop — one equi-join +
+    * one map-side-combining MIN per round — except state/shuffle keys
+    * are `(source, node)`; k landmarks cost one traversal with k× state,
+    * NOT k traversals, because every relaxation round is one job over
+    * the union of all frontiers. Output: `(source, node, dist)` per
+    * reached pair. Exact Long arithmetic; same lockstep contract. */
+  def multiSourceSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, rounds: Int,
+      checkpointEvery: Int = 4): DataFrame = {
     require(rounds >= 1, "need at least one relaxation round")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("esrc"),
         col(dstCol).cast("long").as("edst"),
         col(weightCol).cast("long").as("w"))
@@ -719,15 +740,16 @@ object Graph {
       .localCheckpoint(true)
     require(e.filter(col("w") < 0).isEmpty,
       "ssspBellmanFord requires non-negative weights")
-    import spark.implicits._
-    var dist = Seq((source, 0L)).toDF("node", "d")
+    var dist = sources.select(col(sources.columns.head).cast("long").as("source"))
+      .filter(col("source").isNotNull).distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("d"))
     var lastCkpt: Option[DataFrame] = None
     var i = 0
     while (i < rounds) {
       val relaxed = e.join(dist, col("esrc") === col("node"))
-        .select(col("edst").as("node"), (col("d") + col("w")).as("d"))
+        .select(col("source"), col("edst").as("node"), (col("d") + col("w")).as("d"))
       var next = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .groupBy(col("source"), col("node")).agg(min(col("d")).as("d"))
       i += 1
       if (i % checkpointEvery == 0 && i < rounds) {
         next = next.localCheckpoint(true)
@@ -736,7 +758,7 @@ object Graph {
       }
       dist = next
     }
-    val result = dist.select(col("node"), col("d").as("dist"))
+    val result = dist.select(col("source"), col("node"), col("d").as("dist"))
       .localCheckpoint(true)
     lastCkpt.foreach(_.unpersist())
     e.unpersist()

@@ -832,13 +832,25 @@ object Similarity {
     * not materialized as a join. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
       nCandidates: Int, lambda: Double = 0.7): DataFrame = {
-    require(k >= 1 && nCandidates >= k,
-      "need 1 <= k <= nCandidates")
+    require(nCandidates >= k, "need nCandidates >= k")
+    mmrRerankFrom(knnKernel(queries, corpus, nCandidates), corpus, k, lambda)
+  }
+
+  /** [[mmrRerank]] over a PRE-COMPUTED neighbor frame
+    * `(query_id, neighbor_id, cs)` — the composition surface the label
+    * family established ([[graft.operators.Labels]] aggregates over any
+    * neighbor frame): run the greedy diversity re-rank on candidates
+    * from WHICHEVER index the corpus size demands (exact [[knnKernel]],
+    * [[ivfKnn]], [[sq8Knn]], …). Candidate embeddings are joined from
+    * `corpus` for the pairwise-similarity term; the greedy itself is
+    * unchanged (exact decimal objective, id tie-breaks). */
+  def mmrRerankFrom(neighbors: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be positive")
     require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
     val sp = corpus.sparkSession
     import sp.implicits._
-    val cands = knnKernel(queries, corpus, nCandidates)
-    val withEmb = cands.join(
+    val withEmb = neighbors.join(
         corpus.select(col("vec_id").cast("long").as("neighbor_id"),
           col("embedding")),
         Seq("neighbor_id"))

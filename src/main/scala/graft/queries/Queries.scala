@@ -3114,6 +3114,47 @@ object Queries {
         SELECT node, d AS dist FROM d6 ORDER BY node"""
       }),
 
+    // ---- Multi-source (landmark) shortest paths: distances from 3
+    //      landmarks in ONE traversal — (source, node) composite state,
+    //      one relax join + map-combining MIN per round, k landmarks =
+    //      k× state, never k traversals ----
+    QueryDef(
+      "q96_landmark_dists",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"),
+            $"l_linenumber".as("w"))
+          .unionAll(t(s, dir, "lineitem")
+            .select(($"l_suppkey" % 100 + 100L).as("src"),
+              (($"l_partkey" + 37) % 100).as("dst"),
+              ($"l_linenumber" + 2).as("w")))
+        graft.operators.Graph.multiSourceSssp(edges, "src", "dst", "w",
+            Seq(0L, 50L, 150L).toDF("source"), rounds = 5)
+          .orderBy($"source", $"node")
+      },
+      Some {
+        val rounds = (1 to 5).map(i =>
+          s"""d$i AS (SELECT source, node, min(d) AS d FROM (
+               SELECT source, node, d FROM d${i - 1}
+               UNION ALL
+               SELECT d${i - 1}.source, e.dst AS node, d${i - 1}.d + e.w AS d
+               FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             GROUP BY 1, 2)""").mkString(",\n")
+        s"""WITH e AS (
+          SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst,
+            CAST(l_linenumber AS BIGINT) AS w FROM lineitem
+          UNION ALL
+          SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst,
+            CAST(l_linenumber + 2 AS BIGINT) AS w FROM lineitem),
+        d0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS d
+               FROM (VALUES (0), (50), (150)) t(s)),
+        $rounds
+        SELECT source, node, d AS dist FROM d5 ORDER BY source, node"""
+      }),
+
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file
     //      min/max manifest, answer a range query by reading ONLY the

@@ -453,6 +453,24 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3 === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 5L -> 4L, 6L -> 12L))
   }
 
+  test("multiSourceSssp equals per-source single runs in one traversal") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(19)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, (1 + rnd.nextInt(5)).toLong))
+      .toDF("src", "dst", "w")
+    val sources = Seq(0L, 7L, 23L)
+    val multi = Graph.multiSourceSssp(edges, "src", "dst", "w",
+        sources.toDF("source"), rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sources.foreach { s =>
+      val single = Graph.ssspBellmanFord(edges, "src", "dst", "w", s, rounds = 8)
+        .collect().map(r => (s, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(multi.filter(_._1._1 == s) === single,
+        s"landmark $s diverged from its single-source run")
+    }
+  }
+
   test("ssspBellmanFord rejects negative weights and is repartition-deterministic") {
     val sp = spark; import sp.implicits._
     val bad = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")

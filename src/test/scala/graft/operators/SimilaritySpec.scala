@@ -561,6 +561,27 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pure.length === 3)
   }
 
+  test("mmrRerankFrom composes with any neighbor frame and matches the exact path on its own") {
+    val sp = spark; import sp.implicits._
+    val e = emb
+    val q = e.filter($"vec_id" < 5)
+    val exact = Similarity.mmrRerank(q, e, k = 4, nCandidates = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromExact = Similarity.mmrRerankFrom(
+        Similarity.knnKernel(q, e, 10), e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fromExact === exact, "mmrRerankFrom(knnKernel) must equal mmrRerank")
+    // an ANN candidate source plugs in unchanged: same schema, valid greedy
+    val fromIvf = Similarity.mmrRerankFrom(
+        Similarity.ivfKnn(q, e, k = 10), e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fromIvf.map(_._1).distinct.length === 5)
+    fromIvf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to 4) &&
+        rows.map(_._3).distinct.length === 4)
+    }
+  }
+
   test("mmrRerank is deterministic under corpus repartitioning") {
     val sp = spark; import sp.implicits._
     val e = emb
