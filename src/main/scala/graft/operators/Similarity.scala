@@ -429,6 +429,104 @@ object Similarity {
     binaryKnnFromSigs(queries,
       binarySignatures(corpus, "vec_id", "embedding"), corpus, k, candMult)
 
+  /** CASCADED ANN — the billion-scale production scan: three stages,
+    * each reading strictly fewer rows at strictly more bytes per row.
+    *
+    *   1. 1-bit sign signatures, Hamming pre-rank (XOR+popcount over
+    *      1 bit/dim) → top max(k·c1Mult, ⌈candFraction·N⌉) per query —
+    *      [[binaryKnnFromSigs]]'s corpus-fraction budget rule, so the
+    *      wide cut survives corpus growth;
+    *   2. SQ8 asymmetric rescore of ONLY those survivors (1 byte/dim,
+    *      midpoint reconstruction) → top k·c2Mult;
+    *   3. exact cosine on the finalists (4 bytes/dim floats touched for
+    *      k·c2Mult rows per query, nothing else).
+    *
+    * The full corpus is scanned once at 1 bit/dim; every later byte is
+    * spent on a provably shrinking candidate set — the memory-bandwidth
+    * shape FAISS deployments use when even 1 byte/dim over the whole
+    * corpus is too much. Every stage keeps the established determinism
+    * contract (integer Hamming / round-6 scores, id tiebreaks), so the
+    * cascade is engine-portable end to end and the oracle replays all
+    * three cuts. */
+  def cascadeKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      c1Mult: Int = 8, c2Mult: Int = 4, candFraction: Double = 0.05): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(c1Mult >= c2Mult && c2Mult >= 1, "need c1Mult >= c2Mult >= 1")
+    require(candFraction >= 0.0 && candFraction <= 1.0, "candFraction in [0,1]")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    // stage 1 — 1-bit Hamming pre-rank
+    val sigs = binarySignatures(corpus, "vec_id", "embedding")
+    val nCorpus = sigs.count()
+    val budget1 = math.max(k.toLong * c1Mult,
+      math.ceil(candFraction * nCorpus).toLong)
+    val qSigs = binarySignatures(queries, "vec_id", "embedding")
+      .limit(MaxBroadcastQueries + 1)
+      .as[(Long, Array[Long])].collect()
+    require(qSigs.length <= MaxBroadcastQueries,
+      s"ANN query set exceeds MaxBroadcastQueries=$MaxBroadcastQueries vectors; " +
+        "use the distributed join paths for corpus-sized query sets")
+    val qsb = sp.sparkContext.broadcast(qSigs)
+    val hams = sigs.select(col("vec_id").cast("long"), col("sig"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = qsb.value
+        it.flatMap { case (nid, sg) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, q0) =>
+            val n = math.min(sg.length, q0.length)
+            var h = 0; var w = 0
+            while (w < n) { h += java.lang.Long.bitCount(sg(w) ^ q0(w)); w += 1 }
+            (qid, nid, h)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "ham")
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val cands1 = hams.withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= budget1)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2 — SQ8 asymmetric rescore of the stage-1 survivors
+    val bounds = sq8Bounds(corpus, "embedding")
+    val codes = sq8Encode(corpus, "vec_id", "embedding", bounds)
+    val qfb = sp.sparkContext.broadcast(collectQueryVectors(queries).toMap)
+    val bb = sp.sparkContext.broadcast(bounds)
+    val approx = cands1
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qm = qfb.value
+        val (m, s) = bb.value
+        it.map { case (qid, nid, cd) =>
+          val rec = new Array[Double](cd.length)
+          var i = 0
+          while (i < cd.length) {
+            rec(i) =
+              if (s(i) == 0.0) m(i)
+              else m(i) + ((cd(i) & 0xFF).toDouble + 0.5) * s(i) / 256.0
+            i += 1
+          }
+          (qid, nid, cosineKernelFD(qm(qid), rec))
+        }
+      }.toDF("query_id", "neighbor_id", "acs")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("acs").desc, col("neighbor_id"))
+    val cands2 = approx.withColumn("_r2", row_number().over(w2))
+      .filter(col("_r2") <= k * c2Mult)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 3 — exact rerank, floats read for the finalists only
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    cands2.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
   /** Recall@k of an approximate kNN result against the exact result on
     * the same corpus — the tuning-regression gate for [[annKnn]] /
     * [[ivfKnn]] / [[sq8Knn]]: a planes/probes/candMult change that

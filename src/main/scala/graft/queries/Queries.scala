@@ -4220,6 +4220,68 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Cascaded ANN: 1-bit Hamming pre-rank (s09's cut) -> SQ8
+    //      rescore of the survivors only (s05's reconstruction) ->
+    //      exact rerank — each stage reads fewer rows at more
+    //      bytes/row; the oracle composes both stages' CTEs with all
+    //      three cuts replayed ----
+    QueryDef(
+      "s17_knn_cascade",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.cascadeKnn(e.filter($"vec_id" < 10), e, 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH vd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            (unnest(embedding::DOUBLE[]) > 0) AS s FROM embeddings),
+        ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            sum(CASE WHEN q.s <> c.s THEN 1 ELSE 0 END) AS ham
+          FROM vd q JOIN vd c USING (i)
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        cand1 AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ham, neighbor_id) AS rn
+            FROM ham)
+          WHERE rn <= greatest(24, CAST(ceil(0.05 *
+            (SELECT count(*) FROM embeddings)) AS BIGINT))),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS x,
+              unnest(range(len(embedding))) AS dim FROM embeddings)
+          GROUP BY dim),
+        cb AS (SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+               FROM st),
+        rec AS (SELECT vec_id, list_transform(range(len(embedding)), i ->
+            CASE WHEN mxl[i+1] - mnl[i+1] = 0 THEN mnl[i+1]
+              ELSE mnl[i+1] + (least(255.0, greatest(0.0,
+                floor((embedding[i+1]::DOUBLE - mnl[i+1])
+                  / (mxl[i+1] - mnl[i+1]) * 256.0))) + 0.5)
+                * (mxl[i+1] - mnl[i+1]) / 256.0 END) AS re
+          FROM embeddings CROSS JOIN cb),
+        approx AS (SELECT c1.query_id, c1.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], r.re), 6) AS acs
+          FROM cand1 c1 JOIN embeddings q ON c1.query_id = q.vec_id
+                        JOIN rec r ON c1.neighbor_id = r.vec_id),
+        cand2 AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY acs DESC, neighbor_id) AS rn
+            FROM approx)
+          WHERE rn <= 12),
+        exact AS (SELECT c2.query_id, c2.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand2 c2 JOIN embeddings q ON c2.query_id = q.vec_id
+                        JOIN embeddings n ON c2.neighbor_id = n.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),
     //      trained by 3 full-batch GD rounds with the RATIONAL sigmoid

@@ -561,6 +561,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pure.length === 3)
   }
 
+  test("cascadeKnn degrades to exact kNN under full budgets; recall floor holds at tight ones") {
+    val sp = spark; import sp.implicits._
+    val e = emb
+    val q = e.filter($"vec_id" < 10)
+    val n = e.count().toInt
+    // budgets >= corpus: every stage passes everything through -> exact
+    val full = Similarity.cascadeKnn(q, e, k = 3,
+        c1Mult = n, c2Mult = n, candFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.knnKernel(q, e, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full === exact, "full-budget cascade must equal exact kNN")
+    // production budgets: the three-cut cascade keeps the binary floor
+    // (stage 2 can only REFINE the stage-1 candidate ordering)
+    val tight = Similarity.cascadeKnn(q, e, k = 3)
+    val rec = Similarity.recallAtK(tight, Similarity.knnKernel(q, e, 3), 3)
+      .agg(org.apache.spark.sql.functions.avg($"recall")).collect()(0).getDouble(0)
+    assert(rec >= 0.666, s"cascade recall@3 fell below the binary floor: $rec")
+  }
+
   test("mmrRerankFrom composes with any neighbor frame and matches the exact path on its own") {
     val sp = spark; import sp.implicits._
     val e = emb
