@@ -55,7 +55,8 @@ object Graph {
     * wasting rounds; a slow one still gets the full budget. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85, roundTo: Int = 9,
-      checkpointEvery: Int = 4, convergeTol: Option[Double] = None): DataFrame = {
+      checkpointEvery: Int = 4, convergeTol: Option[Double] = None,
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
@@ -75,7 +76,22 @@ object Graph {
       .localCheckpoint(true)
     val hasDangling = !dangling.isEmpty
     val nNodes = nodes.count()
-    var ranks = nodes.withColumn("r", lit(1.0))
+    // WARM START (incremental analytics): seed from a previous run's
+    // `(node, rank)` output instead of the uniform 1.0. Exactness
+    // contract: warm-starting from round-i ranks and running j fixed
+    // rounds replays rounds i+1..i+j of the cold run bit-for-bit (the
+    // update only reads the previous round), and under convergeTol an
+    // already-stationary seed stops after ONE verification round — the
+    // append-cheaply story of [[updateConnectedComponents]] for rank.
+    // Nodes absent from the seed (appended subgraph) start at 1.0.
+    var ranks = initRanks match {
+      case None => nodes.withColumn("r", lit(1.0))
+      case Some(seed) => nodes.join(
+          seed.select(col("node").cast("long").as("node"),
+            col("rank").cast("double").as("_seed")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_seed"), lit(1.0)).as("r"))
+    }
     var lastCkpt: Option[DataFrame] = None
     var i = 0
     var converged = false

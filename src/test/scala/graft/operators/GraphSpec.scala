@@ -356,6 +356,47 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a(20L)._1 === a(21L)._1 && a(20L)._2 === a(21L)._2)
   }
 
+  test("pageRank warm start replays the cold trajectory and stops instantly when stationary") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = sym((1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30).toLong)).distinct)
+      .toDF("src", "dst")
+    // trajectory equivalence: cold 8 rounds == cold 4 rounds, then 4
+    // more warm-started from that output (the update reads only the
+    // previous round, so the split must be bit-exact)
+    val cold8 = Graph.pageRank(edges, "src", "dst", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mid = Graph.pageRank(edges, "src", "dst", iterations = 4)
+    val warm = Graph.pageRank(edges, "src", "dst", iterations = 4,
+        initRanks = Some(mid))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(warm === cold8, "warm-started rounds diverged from the cold trajectory")
+    // a stationary seed under convergeTol(0.0) stops after one
+    // verification round with identical output — K4 is EXACTLY
+    // stationary at uniform 1.0 (random graphs can limit-cycle in the
+    // last rounded decimal and never hit delta == 0)
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val stat = Graph.pageRank(k4, "src", "dst", iterations = 5,
+      convergeTol = Some(0.0))
+    val resumed = Graph.pageRank(k4, "src", "dst", iterations = 30,
+        convergeTol = Some(0.0), initRanks = Some(stat))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Graph.ConvergenceGauge.lastRounds === 1,
+      "stationary warm start must stop after one round")
+    assert(resumed === stat.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    // appended nodes (absent from the seed) enter at 1.0; the enlarged
+    // graph (K4 + isolated symmetric pair) is still stationary
+    val extra = k4.unionAll(Seq((100L, 101L), (101L, 100L)).toDF("src", "dst"))
+    val appended = Graph.pageRank(extra, "src", "dst", iterations = 30,
+        convergeTol = Some(0.0), initRanks = Some(stat))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Graph.ConvergenceGauge.lastRounds === 1,
+      "appended-but-stationary graph must also stop after one round")
+    assert(appended(100L) === 1.0 && appended(101L) === 1.0)
+  }
+
   test("updateConnectedComponents equals a full rebuild and keeps untouched component ids stable") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(17)
