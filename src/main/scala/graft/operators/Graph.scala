@@ -732,6 +732,64 @@ object Graph {
       .select(col("node"), col("dist"))
   }
 
+  /** Earliest-arrival reachability over a TEMPORAL edge list
+    * `(src, dst, t)` — an edge is traversable only at its own timestamp,
+    * and a path must respect time (each hop departs no earlier than the
+    * previous arrival):
+    *
+    *   arr(v) ← min(arr(v), min_{(u,v,t) : t ≥ arr(u)} t)
+    *
+    * from `arr(source) = startTime`. THE propagation primitive static
+    * shortest paths cannot express: in a shipment/citation/infection
+    * graph, an edge that fired BEFORE the node was reached carries
+    * nothing (the "missed connection" semantics — B→C at noon does not
+    * help cargo arriving at B in the evening). Output: `(node, arrival)`
+    * per node reached within `rounds` hops; exact Long timestamps, MIN
+    * relaxation — the [[ssspBellmanFord]] lockstep contract, so the
+    * oracle unrolls the rounds as CTEs with the time guard in the join
+    * condition.
+    *
+    * Scale shape: identical to Bellman–Ford — per round one equi-join of
+    * the edge list against the arrival table (the `t ≥ arr(u)` guard
+    * rides the join) + one dst-keyed map-side-combining MIN. Arrival
+    * times only decrease, so rounds are monotone and a fixed count is
+    * deterministic. */
+  def temporalEarliestArrival(edges: DataFrame, srcCol: String, dstCol: String,
+      timeCol: String, source: Long, startTime: Long, rounds: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one relaxation round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"),
+        col(timeCol).cast("long").as("et"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull && col("et").isNotNull)
+      .localCheckpoint(true)
+    var arr = Seq((source, startTime)).toDF("node", "a")
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e.join(arr,
+          col("esrc") === col("node") && col("et") >= col("a"))
+        .select(col("edst").as("node"), col("et").as("a"))
+      var next = arr.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("a")).as("a"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      arr = next
+    }
+    val result = arr.select(col("node"), col("a").as("arrival"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    result
+  }
+
   /** MULTI-source Bellman–Ford: [[ssspBellmanFord]] from every node in
     * `sources` (a one-column frame) AT ONCE, keyed on `(source, node)`
     * composite state — the landmark-distance primitive (graph

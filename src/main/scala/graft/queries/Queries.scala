@@ -3155,6 +3155,47 @@ object Queries {
         SELECT source, node, d AS dist FROM d5 ORDER BY source, node"""
       }),
 
+    // ---- Temporal earliest-arrival reachability: edges usable only at
+    //      their own ship-day, paths must respect time (the "missed
+    //      connection" semantics static SSSP can't express); exact
+    //      integer epoch days, unrolled-CTE lockstep with the t >= arr
+    //      guard riding the join ----
+    QueryDef(
+      "q97_temporal_reach",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val day = datediff($"l_shipdate", lit("1970-01-01")).cast("long")
+        val edges = li.select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"), day.as("tm"))
+          .unionAll(li.select(($"l_suppkey" % 100 + 100L).as("src"),
+            (($"l_partkey" + 37) % 100).as("dst"), (day + 3L).as("tm")))
+        graft.operators.Graph.temporalEarliestArrival(edges, "src", "dst", "tm",
+            source = 0L, startTime = 9000L, rounds = 5)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 5).map(i =>
+          s"""d$i AS (SELECT node, min(a) AS a FROM (
+               SELECT node, a FROM d${i - 1}
+               UNION ALL
+               SELECT e.dst AS node, e.tm AS a
+               FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node
+                 AND e.tm >= d${i - 1}.a)
+             GROUP BY node)""").mkString(",\n")
+        s"""WITH e AS (
+          SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS tm
+          FROM lineitem
+          UNION ALL
+          SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 3 AS BIGINT) AS tm
+          FROM lineitem),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(9000 AS BIGINT) AS a),
+        $rounds
+        SELECT node, a AS arrival FROM d5 ORDER BY node"""
+      }),
+
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file
     //      min/max manifest, answer a range query by reading ONLY the

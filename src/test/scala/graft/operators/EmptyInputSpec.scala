@@ -222,7 +222,7 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.reduce(agg.zero, null).forall(_ == 0L))
   }
 
-  test("round-10 operators on empty input") {
+  test("round-10 second-session operators on empty input") {
     val sp = spark
     import sp.implicits._
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
@@ -244,5 +244,20 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.textRankKeywords(emptyDocs, "doc_id", "text").count() == 0)
     val emptyMedia = sp.createDataset(Seq.empty[MediaRecord])
     assert(Multimodal.byteHistogram(emptyMedia).count() == 0)
+    assert(Dedup.normalizedExactGroups(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.knBigramLogProb(emptyDocs, "doc_id", "text").count() == 0)
+    // empty edge set: the three landmarks still report themselves at 0
+    val ms = Graph.multiSourceSssp(emptyWeighted, "src", "dst", "w",
+      Seq(1L, 2L).toDF("source"), rounds = 2).collect()
+    assert(ms.length == 2 && ms.forall(r => r.getLong(2) == 0L))
+    assert(Graph.temporalEarliestArrival(emptyWeighted.toDF("src", "dst", "tm"),
+      "src", "dst", "tm", source = 5L, startTime = 7L, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 7L)))
+    // empty labeling + edges: update degrades to a fresh clustering
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("node", "component")
+    assert(Graph.updateConnectedComponents(emptyLabels,
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
   }
 }

@@ -494,6 +494,44 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3 === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 5L -> 4L, 6L -> 12L))
   }
 
+  test("temporalEarliestArrival enforces the missed-connection rule") {
+    val sp = spark; import sp.implicits._
+    // s=0 reaches a at t=5. a->b fires at t=3 (BEFORE arrival — dead),
+    // and again at t=9 (usable). A direct 0->b at t=10 must lose to 9.
+    // c is reachable only through the dead edge's timeline: never.
+    val edges = Seq(
+      (0L, 1L, 5L), (1L, 2L, 3L), (1L, 2L, 9L), (0L, 2L, 10L),
+      (1L, 3L, 3L)).toDF("src", "dst", "tm")
+    val got = Graph.temporalEarliestArrival(edges, "src", "dst", "tm",
+        source = 0L, startTime = 0L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 5L, 2L -> 9L),
+      s"missed connections must not propagate: $got")
+    // startTime after every edge: nothing moves
+    val late = Graph.temporalEarliestArrival(edges, "src", "dst", "tm",
+        source = 0L, startTime = 100L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late === Map(0L -> 100L))
+    // a LATER arrival can unlock an edge an earlier path misses:
+    // 0->1 at t=1 and t=6; 1->4 fires only at t=2..5 (t=4). The t=1
+    // arrival catches it — earliest arrival at 4 is 4.
+    val window = Seq((0L, 1L, 1L), (0L, 1L, 6L), (1L, 4L, 4L))
+      .toDF("src", "dst", "tm")
+    val w = Graph.temporalEarliestArrival(window, "src", "dst", "tm",
+        source = 0L, startTime = 0L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w === Map(0L -> 0L, 1L -> 1L, 4L -> 4L))
+    // repartition determinism
+    val rnd = new scala.util.Random(29)
+    val big = (1 to 300).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, rnd.nextInt(50).toLong))
+    def run(parts: Int) = Graph.temporalEarliestArrival(
+        big.toDF("src", "dst", "tm").repartition(parts),
+        "src", "dst", "tm", source = 0L, startTime = 5L, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run(1).toSeq === run(7).toSeq)
+  }
+
   test("multiSourceSssp equals per-source single runs in one traversal") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(19)
