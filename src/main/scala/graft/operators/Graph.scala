@@ -158,6 +158,81 @@ object Graph {
     result.select(col("node"), col("r").as("rank"))
   }
 
+  /** WEIGHTED PageRank: [[pageRank]] where each edge carries a
+    * non-negative integer weight and a node's rank flows out
+    * PROPORTIONALLY to edge weight —
+    *
+    *   rank(v) ← round((1 − d) + d · Σ_{u→v} rank(u) · w(u,v) / W(u), roundTo)
+    *
+    * with `W(u)` the node's total out-weight (the co-occurrence /
+    * interaction-strength variant every recommender graph uses; the
+    * unweighted operator is the w ≡ 1 special case). Zero-weight edges
+    * drop (they carry no mass but would otherwise make W(u) = 0 nodes
+    * ambiguous); nodes whose every out-edge is zero-weight become
+    * dangling and redistribute uniformly, exactly like no-out-edge
+    * nodes. Same determinism contract as [[pageRank]]: per-edge
+    * contribution is rank·w/W — two IEEE ops off integer inputs —
+    * DECIMAL(28,12) addends, per-round rounding; same scale shape
+    * (out-weights computed once and joined into the edge list, one
+    * equi-join + partial agg per round). */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10, damping: Double = 0.85,
+      roundTo: Int = 9, checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    require(e0.filter(col("w") < 0).isEmpty,
+      "weightedPageRank requires non-negative weights")
+    val e = e0.filter(col("w") > 0)
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val withW = e.join(wsum, Seq("src")).localCheckpoint(true)
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val dangling = nodes.join(e.select(col("src")).distinct(),
+      col("node") === col("src"), "left_anti").localCheckpoint(true)
+    val hasDangling = !dangling.isEmpty
+    val nNodes = nodes.count()
+    var ranks = nodes.withColumn("r", lit(1.0))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < iterations) {
+      val contribs = withW.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") * col("w").cast("double") / col("wsum").cast("double"))
+          .cast(DecimalType(28, 12))).as("csum"))
+      val inflow =
+        if (!hasDangling) coalesce(col("csum").cast("double"), lit(0.0))
+        else coalesce(col("csum").cast("double"), lit(0.0)) +
+          coalesce(col("_dsum").cast("double"), lit(0.0)) / lit(nNodes.toDouble)
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      val withDang =
+        if (!hasDangling) joined
+        else joined.crossJoin(broadcast(
+          ranks.join(dangling, Seq("node"))
+            .agg(sum(col("r").cast(DecimalType(28, 12))).as("_dsum"))))
+      var next = withDang.select(col("node"),
+        round(lit(1.0 - damping) + lit(damping) * inflow, roundTo).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        next = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(next)
+      }
+      ranks = next
+    }
+    val result = ranks.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    withW.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    result.select(col("node"), col("r").as("rank"))
+  }
+
   /** PERSONALIZED PageRank: the random surfer restarts at the `sources`
     * set instead of everywhere, so rank measures proximity to the seeds
     * — the recommendation / related-items primitive. Mass-1

@@ -3196,6 +3196,51 @@ object Queries {
         SELECT node, a AS arrival FROM d5 ORDER BY node"""
       }),
 
+    // ---- WEIGHTED PageRank over the directed supplier->part graph
+    //      (line numbers as interaction strength, parts dangling):
+    //      rank flows proportionally to edge weight, multi-edges kept
+    //      as separate addends — q72's decimal-lockstep with the
+    //      w/W(u) factor in each contribution ----
+    QueryDef(
+      "q98_weighted_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val edges = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("src"), ($"l_partkey" + 1000000L).as("dst"),
+            $"l_linenumber".as("w"))
+        graft.operators.Graph
+          .weightedPageRank(edges, "src", "dst", "w", iterations = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
+        val rounds = (1 to 6).map(i =>
+          s"""p$i AS (SELECT n.node,
+            round($oneMinusD + 0.85 * (COALESCE(CAST(c.csum AS DOUBLE), 0.0)
+              + COALESCE(CAST(ds.dsum AS DOUBLE), 0.0) / nn.cnt), 9) AS r
+          FROM n CROSS JOIN nn
+          CROSS JOIN (SELECT sum(CAST(p${i - 1}.r AS DECIMAL(28,12))) AS dsum
+            FROM p${i - 1} JOIN dang ON p${i - 1}.node = dang.node) ds
+          LEFT JOIN (
+            SELECT e.dst AS node,
+              sum(CAST(p${i - 1}.r * CAST(e.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE)
+                AS DECIMAL(28,12))) AS csum
+            FROM p${i - 1} JOIN e ON p${i - 1}.node = e.src
+              JOIN ws ON ws.src = p${i - 1}.node
+            GROUP BY e.dst) c ON n.node = c.node)""").mkString(",\n")
+        s"""WITH e AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst,
+            CAST(l_linenumber AS BIGINT) AS w
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n),
+        dang AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM e)),
+        p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+        $rounds
+        SELECT node, r AS rank FROM p6 ORDER BY node"""
+      }),
+
     // ---- File-skipping stats manifest (the Delta/Iceberg data-skipping
     //      shape): write a range-clustered copy, build the per-file
     //      min/max manifest, answer a range query by reading ONLY the

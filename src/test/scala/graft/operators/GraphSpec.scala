@@ -494,6 +494,33 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3 === Map(0L -> 0L, 2L -> 1L, 1L -> 3L, 5L -> 4L, 6L -> 12L))
   }
 
+  test("weightedPageRank: uniform weights equal the unweighted operator; mass follows weight") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30).toLong)).distinct
+    val edges = sym(base).toDF("src", "dst")
+    val uw = Graph.pageRank(edges, "src", "dst", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = Graph.weightedPageRank(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(7L)),
+        "src", "dst", "w", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 === uw, "constant weights must reduce to the unweighted operator")
+    // hub 0 points at 1 (weight 9) and 2 (weight 1): 1 must outrank 2,
+    // and a zero-weight edge to 3 carries NOTHING (3 is rank-source only)
+    val star = Seq((0L, 1L, 9L), (0L, 2L, 1L), (0L, 3L, 0L),
+      (1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.weightedPageRank(star, "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L), s"the weight-9 target must outrank the weight-1: $got")
+    assert(got(3L) < got(2L), s"a zero-weight target receives nothing: $got")
+    intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(Seq((0L, 1L, -2L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+  }
+
   test("temporalEarliestArrival enforces the missed-connection rule") {
     val sp = spark; import sp.implicits._
     // s=0 reaches a at t=5. a->b fires at t=3 (BEFORE arrival — dead),
