@@ -663,8 +663,14 @@ object Dedup {
     * diameter-d component converges in O(log d) rounds rather than O(d).
     * Every step is an equi-join + aggregation shuffled on node id — no
     * component is ever materialized on one machine. Each round's result
-    * is `localCheckpoint`ed: iterative lineage would otherwise grow the
-    * logical plan (and analysis time) without bound.
+    * is `localCheckpoint`ed (iterative lineage would otherwise grow the
+    * logical plan without bound) and then re-wrapped as a
+    * stats-flat leaf ([[org.apache.spark.sql.graft.PlanBridge]]):
+    * localCheckpoint CARRIES the origin's estimated sizeInBytes, and the
+    * pointer-jump label ⋈ label step would square it every round —
+    * `base^(2^rounds)` is a BigInteger with 2^rounds digits, and around
+    * 17 rounds (a sparse long-path graph) the PLANNER hard-hangs
+    * multiplying million-digit numbers while the data is kilobytes.
     * Output: (doc_id, cluster_id = min doc_id reachable). Connected docs
     * sharing no direct pair edge still cluster (A~B, B~C ⇒ {A,B,C}) —
     * exactly what pair-level dedup cannot express.
@@ -678,8 +684,10 @@ object Dedup {
     val edges = pairs.select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
       .union(pairs.select(col(id2).cast("long").as("src"), col(id1).cast("long").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
+    val labels0 = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    var labelsCkpt = labels0
+    var labels = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(labels0)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -706,8 +714,11 @@ object Dedup {
         .select(col("node"), col("label"))
         .localCheckpoint(true)
       val changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist() // free the previous round's checkpoint blocks NOW
-      labels = next
+      labelsCkpt.unpersist() // free the previous round's checkpoint blocks NOW
+      labelsCkpt = next
+      // stats-flat wrapper over the SAME checkpointed rows: the next
+      // round's label self-join must not square the carried estimate
+      labels = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(next)
       converged = changed == 0
       iter += 1
     }
@@ -717,7 +728,9 @@ object Dedup {
     require(converged,
       s"connected components did not converge in $maxIter rounds " +
         "(component diameter > 2^maxIter?) — raise maxIter")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // return rides the final CHECKPOINT (not the stats-flat wrapper), so
+    // the caller-owns-unpersist contract is unchanged
+    labelsCkpt.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Bloom-filter MEMBERSHIP flagging: build a Bloom filter over

@@ -463,6 +463,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot 'aaaa' keys should drop whole, cool 'zzzz' pair survives: $capped")
   }
 
+  test("duplicateClusters survives a deep-diameter graph without planner stats blowup") {
+    val sp = spark; import sp.implicits._
+    // a 100k-node PATH needs ~17 pointer-jump rounds. Before the
+    // stats-flat leaf fix, the label⋈label step SQUARED the carried
+    // sizeInBytes estimate each round — by round ~17 the planner ground
+    // through 100k-digit BigInteger multiplies (the q95 bench hang,
+    // reproduced: minutes of driver CPU on kilobytes of data). With the
+    // fix this is ~20 small shuffle rounds.
+    val n = 100000
+    val path = sp.range(n - 1).select($"id".as("id1"), ($"id" + 1).as("id2"))
+    val labels = Dedup.duplicateClusters(path, "id1", "id2", maxIter = 25)
+    val agg = labels.agg(
+      count(lit(1)), countDistinct($"cluster_id"), min($"cluster_id"))
+      .collect().head
+    assert(agg.getLong(0) === n.toLong, "every path node labeled")
+    assert(agg.getLong(1) === 1L && agg.getLong(2) === 0L,
+      "one component rooted at node 0")
+    labels.unpersist()
+    ()
+  }
+
   test("normalizedExactGroups collapses case/punctuation variants; byte-exact dedup doesn't") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
