@@ -13,6 +13,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Per-round loop state re-wrapped as a stats-flat leaf
+    * ([[org.apache.spark.sql.graft.PlanBridge]]): `localCheckpoint`
+    * carries the origin's ESTIMATED sizeInBytes onto the new leaf, and
+    * any round that inner-joins the previous round's frame against
+    * itself (or against the edge list) compounds that estimate
+    * multiplicatively — after enough rounds the planner multiplies
+    * astronomically large BigIntegers and the driver hangs on ANALYSIS
+    * (observed on a 17-round connected-components input; see
+    * [[Dedup.duplicateClusters]]). Constant-size leaf stats per round
+    * make the estimate round-independent; the final result of every
+    * loop still rides a real checkpoint. */
+  private def flat(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(df)
+
   /** PageRank by power iteration: `iterations` rounds of
     *
     *   rank(v) ← round((1 − d) + d · (Σ_{u→v} rank(u) / outdeg(u)
@@ -132,15 +146,16 @@ object Graph {
             .map(_.asInstanceOf[Double]).getOrElse(0.0)
           lastCkpt.foreach(_.unpersist())
           lastCkpt = Some(next)
-          ranks = next
+          ranks = flat(next)
           converged = delta <= tol
         case None =>
           var next = withDang.select(col("node"), newRank.as("r"))
           if (i % checkpointEvery == 0 && i < iterations) {
             // truncate lineage; only now does a job run
-            next = next.localCheckpoint(true)
+            val ck = next.localCheckpoint(true)
             lastCkpt.foreach(_.unpersist())
-            lastCkpt = Some(next)
+            lastCkpt = Some(ck)
+            next = flat(ck)
           }
           ranks = next
       }
@@ -219,9 +234,10 @@ object Graph {
         round(lit(1.0 - damping) + lit(damping) * inflow, roundTo).as("r"))
       i += 1
       if (i % checkpointEvery == 0 && i < iterations) {
-        next = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
         lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+        lastCkpt = Some(ck)
+        next = flat(ck)
       }
       ranks = next
     }
@@ -308,14 +324,15 @@ object Graph {
             .map(_.asInstanceOf[Double]).getOrElse(0.0)
           lastCkpt.foreach(_.unpersist())
           lastCkpt = Some(next)
-          ranks = next
+          ranks = flat(next)
           converged = delta <= tol
         case None =>
           var next = withDang.select(col("node"), newRank.as("r"))
           if (i % checkpointEvery == 0 && i < iterations) {
-            next = next.localCheckpoint(true)
+            val ck = next.localCheckpoint(true)
             lastCkpt.foreach(_.unpersist())
-            lastCkpt = Some(next)
+            lastCkpt = Some(ck)
+            next = flat(ck)
           }
           ranks = next
       }
@@ -502,9 +519,10 @@ object Graph {
         .select(col("a").as("node"), col("m.l").as("lbl"))
       i += 1
       if (i % checkpointEvery == 0 && i < rounds) {
-        next = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
         lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+        lastCkpt = Some(ck)
+        next = flat(ck)
       }
       labels = next
     }
@@ -852,9 +870,10 @@ object Graph {
         .groupBy(col("node")).agg(min(col("a")).as("a"))
       i += 1
       if (i % checkpointEvery == 0 && i < rounds) {
-        next = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
         lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+        lastCkpt = Some(ck)
+        next = flat(ck)
       }
       arr = next
     }
@@ -901,9 +920,10 @@ object Graph {
         .groupBy(col("source"), col("node")).agg(min(col("d")).as("d"))
       i += 1
       if (i % checkpointEvery == 0 && i < rounds) {
-        next = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
         lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+        lastCkpt = Some(ck)
+        next = flat(ck)
       }
       dist = next
     }

@@ -1369,9 +1369,12 @@ object TextAnalysis {
             coalesce(col("csum").cast("double"), lit(0.0)), roundTo).as("r"))
       i += 1
       if (i % 3 == 0 && i < iterations) {
-        next = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
         lastCkpt.foreach(_.unpersist())
-        lastCkpt = Some(next)
+        lastCkpt = Some(ck)
+        // stats-flat leaf: the carried size estimate must not compound
+        // across rounds (see Graph.flat / PlanBridge)
+        next = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(ck)
       }
       ranks = next
     }
