@@ -1043,11 +1043,15 @@ object Queries {
       "d13_prefix_jaccard",
       (s, dir) => {
         import s.implicits._
+        // even-doc half: d02 already measures the full-corpus brute
+        // join; d13's point is the screened PLAN, not a second full run
         graft.operators.Dedup
-          .prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+          .prefixJaccardPairs(t(s, dir, "documents").filter($"doc_id" % 2 === 0),
+            "doc_id", "text", 0.5)
           .orderBy($"id1", $"id2")
       },
-      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk
+                 FROM documents WHERE doc_id % 2 = 0),
         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
                  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
                FROM tok WHERE len(tk) >= 3),
@@ -3654,16 +3658,16 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         // two sequential CC runs by construction (cold cluster + append)
-        // — a 1/60 co-order subgraph keeps the bench cost proportionate
+        // — a 1/100 co-order subgraph keeps the bench cost proportionate
         val li = t(s, dir, "lineitem")
-          .filter($"l_orderkey" % 60 === 0)
+          .filter($"l_orderkey" % 100 === 0)
           .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
           .distinct()
         val edges = li.as("x").join(li.as("y"),
             $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
           .select($"x.ok".as("ok"), $"x.pk".as("src"), $"y.pk".as("dst"))
-        val batch1 = edges.filter($"ok" % 120 === 0).select($"src", $"dst")
-        val batch2 = edges.filter($"ok" % 120 =!= 0).select($"src", $"dst")
+        val batch1 = edges.filter($"ok" % 200 === 0).select($"src", $"dst")
+        val batch2 = edges.filter($"ok" % 200 =!= 0).select($"src", $"dst")
         val labels1 = graft.operators.Graph
           .connectedComponents(batch1, "src", "dst")
         graft.operators.Graph
@@ -3672,7 +3676,7 @@ object Queries {
       },
       Some("""WITH RECURSIVE
         li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-               FROM lineitem WHERE l_orderkey % 60 = 0),
+               FROM lineitem WHERE l_orderkey % 100 = 0),
         cand AS (SELECT DISTINCT x.pk AS id1, y.pk AS id2
                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
         edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
@@ -4987,16 +4991,16 @@ object Queries {
       "t41_textrank",
       (s, dir) => {
         import s.implicits._
-        // 4 rounds: TextRank ranks stabilize fast on short docs, and the
+        // 3 rounds: TextRank ranks stabilize fast on short docs, and the
         // per-round join cost is the bench driver here
         graft.operators.TextAnalysis
           .textRankKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3,
-            iterations = 4)
+            iterations = 3)
           .orderBy($"doc_id", $"rank")
       },
       Some {
         val oneMinusD = (1.0 - 0.85).toString // exact repr of Spark's 1.0 - damping
-        val rounds = (1 to 4).map(i =>
+        val rounds = (1 to 3).map(i =>
           s"""p$i AS (SELECT n.doc_id, n.node,
             round($oneMinusD + 0.85 * COALESCE(CAST(c.csum AS DOUBLE), 0.0), 9) AS r
           FROM n LEFT JOIN (
@@ -5021,7 +5025,7 @@ object Queries {
         p0 AS (SELECT doc_id, node, CAST(1.0 AS DOUBLE) AS r FROM n),
         $rounds,
         ranked AS (SELECT doc_id, node, r, row_number() OVER
-            (PARTITION BY doc_id ORDER BY r DESC, node) AS rank FROM p4)
+            (PARTITION BY doc_id ORDER BY r DESC, node) AS rank FROM p3)
         SELECT doc_id, rank, node AS word, r AS score FROM ranked
         WHERE rank <= 3 ORDER BY doc_id, rank"""
       }),
