@@ -824,4 +824,25 @@ class SchemaOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("DROP TABLE IF EXISTS graft_shadow")
     }
   }
+
+  test("Limit/Offset/Tail/Sample pass lineage through without widening demand") {
+    // these route through the fail-closed catch-all, whose expressions
+    // are literals (limit counts, sample fractions) — resolving them
+    // must demand NO columns, so the pruned schema equals the plain
+    // projection's
+    val base = jsonDF.select(col("someLong"), col("struct.col1"))
+    val expected = st(
+      fld("someLong", LongType),
+      fld("struct", st(fld("col1", LongType))))
+    assertSchema(pruned(base.limit(5)), expected)
+    assertSchema(pruned(base.offset(2)), expected)
+    assertSchema(pruned(base.offset(1).limit(3)), expected)
+    assertSchema(pruned(base.sample(0.5, seed = 7)), expected)
+    // and result-equality: the pruned re-read computes the same rows
+    val q = jsonDF.select(col("struct.col1")).limit(1)
+    val schema = SchemaOnRead.generate(q).schemaFor(jsonPath).get
+    val narrow = spark.read.schema(schema).json(jsonPath)
+      .select(col("struct.col1")).limit(1).collect()
+    assert(narrow.map(_.getLong(0)).toSeq === q.collect().map(_.getLong(0)).toSeq)
+  }
 }
