@@ -185,7 +185,13 @@ object Cleaning {
     * there are — the naive per-pattern `contains` loop is O(len ×
     * patterns) and loses by the blocklist size factor. Map-only: no
     * shuffle, no state, so the same scorer screens a stream unchanged
-    * ([[graft.streaming.Streams]]). */
+    * ([[graft.streaming.Streams]]).
+    *
+    * Case folding: patterns fold via `String.toLowerCase(Locale.ROOT)`,
+    * document text via Spark's `lower` — identical for ASCII/Latin-1
+    * blocklists (the supported shape); locale-sensitive exotic case
+    * (e.g. Turkish dotted İ) can fold differently on the two paths, so
+    * keep blocklist phrases in simple-cased form. */
   def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String], maxHits: Long = 0L): DataFrame = {
     val pats = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
