@@ -187,11 +187,11 @@ object Cleaning {
     * shuffle, no state, so the same scorer screens a stream unchanged
     * ([[graft.streaming.Streams]]).
     *
-    * Case folding: patterns fold via `String.toLowerCase(Locale.ROOT)`,
-    * document text via Spark's `lower` — identical for ASCII/Latin-1
-    * blocklists (the supported shape); locale-sensitive exotic case
-    * (e.g. Turkish dotted İ) can fold differently on the two paths, so
-    * keep blocklist phrases in simple-cased form. */
+    * Case folding: patterns AND document text both fold via the SAME
+    * `String.toLowerCase(Locale.ROOT)` call inside the kernel —
+    * consistent by construction, so locale-sensitive characters
+    * (e.g. Turkish dotted İ, ligatures) cannot silently diverge between
+    * the two paths the way a JVM-pattern/Spark-`lower` split could. */
   def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String], maxHits: Long = 0L): DataFrame = {
     val pats = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
@@ -203,12 +203,13 @@ object Cleaning {
     import sp.implicits._
     val pb = sp.sparkContext.broadcast(pats)
     df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ac = new AhoCorasick(pb.value)
         val nPat = pb.value.length
-        it.map { case (id, t) =>
+        it.map { case (id, raw) =>
+          val t = raw.toLowerCase(java.util.Locale.ROOT)
           val hits = new Array[Long](nPat)
           val total = ac.scan(t, hits)
           var distinct = 0

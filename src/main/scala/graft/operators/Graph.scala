@@ -901,13 +901,15 @@ object Graph {
       checkpointEvery: Int = 4): DataFrame = {
     require(rounds >= 1, "need at least one relaxation round")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    val e = edges.select(col(srcCol).cast("long").as("esrc"),
+    val pre = edges.select(col(srcCol).cast("long").as("esrc"),
         col(dstCol).cast("long").as("edst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("esrc").isNotNull && col("edst").isNotNull && col("w").isNotNull)
-      .localCheckpoint(true)
-    require(e.filter(col("w") < 0).isEmpty,
-      "ssspBellmanFord requires non-negative weights")
+    // validate BEFORE checkpointing: a thrown require must not leave
+    // orphaned checkpoint blocks on the failure path
+    require(pre.filter(col("w") < 0).isEmpty,
+      "multi-source SSSP requires non-negative weights")
+    val e = pre.localCheckpoint(true)
     var dist = sources.select(col(sources.columns.head).cast("long").as("source"))
       .filter(col("source").isNotNull).distinct()
       .select(col("source"), col("source").as("node"), lit(0L).as("d"))

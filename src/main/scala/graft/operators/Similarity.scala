@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -455,8 +455,11 @@ object Similarity {
     require(candFraction >= 0.0 && candFraction <= 1.0, "candFraction in [0,1]")
     val sp = corpus.sparkSession
     import sp.implicits._
-    // stage 1 — 1-bit Hamming pre-rank
-    val sigs = binarySignatures(corpus, "vec_id", "embedding")
+    // stage 1 — 1-bit Hamming pre-rank. The signature frame feeds BOTH
+    // the corpus count and the Hamming scan: materialize it once
+    // (jaccardPairs/pageRank discipline) instead of re-signing the
+    // billion-row corpus per consumer.
+    val sigs = binarySignatures(corpus, "vec_id", "embedding").localCheckpoint(true)
     val nCorpus = sigs.count()
     val budget1 = math.max(k.toLong * c1Mult,
       math.ceil(candFraction * nCorpus).toLong)
@@ -485,9 +488,12 @@ object Similarity {
     val cands1 = hams.withColumn("_r1", row_number().over(w1))
       .filter(col("_r1") <= budget1)
       .select(col("query_id"), col("neighbor_id"))
-    // stage 2 — SQ8 asymmetric rescore of the stage-1 survivors
+    // stage 2 — SQ8 asymmetric rescore of the stage-1 survivors. Codes
+    // are materialized once too: the rescore join is the only consumer,
+    // but without a checkpoint a retried/AQE-replanned stage would
+    // re-encode the whole corpus.
     val bounds = sq8Bounds(corpus, "embedding")
-    val codes = sq8Encode(corpus, "vec_id", "embedding", bounds)
+    val codes = sq8Encode(corpus, "vec_id", "embedding", bounds).localCheckpoint(true)
     val qfb = sp.sparkContext.broadcast(collectQueryVectors(queries).toMap)
     val bb = sp.sparkContext.broadcast(bounds)
     val approx = cands1
@@ -520,11 +526,15 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
-    cands2.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
+    val result = cands2.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
       .withColumn("cs", cosine(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+      .localCheckpoint(true) // materialize (k rows/query) before freeing the stages
+    sigs.unpersist()
+    codes.unpersist()
+    result
   }
 
   /** Recall@k of an approximate kNN result against the exact result on
@@ -1332,6 +1342,72 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
+  }
+
+  /** Persist a cell-keyed ANN index (the `(vec_id, cid, codes)` frame of
+    * [[ivfSq8Index]], or any frame with a numeric cell column)
+    * RANGE-PARTITIONED AND SORTED by cell id, and register a per-file
+    * min/max manifest over the cell column (the [[Layout.writeManifest]]
+    * machinery). At 100 TB the index itself is terabytes: bounding the
+    * rows *scanned logically* (the broadcast cell-set filter in
+    * [[ivfSq8KnnFromIndex]]) still READS every file — clustering by cid
+    * turns a probe set into FILE-level pruning, so a query batch touches
+    * only the files whose [min_cid, max_cid] intersect its probed cells.
+    * Same layout loop as the Hilbert data path (q91): cluster → manifest
+    * → pruned read. */
+  def writeCellIndex(index: DataFrame, path: String, numFiles: Int,
+      cellCol: String = "cid"): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    index.repartitionByRange(numFiles, col(cellCol))
+      .sortWithinPartitions(cellCol)
+      .write.mode("overwrite").parquet(path)
+    graft.operators.Layout.writeManifest(index.sparkSession, path, Seq(cellCol))
+  }
+
+  /** Manifest-pruned read of a [[writeCellIndex]] layout for a probe
+    * cell SET: a file survives iff some probed cell lies in its
+    * [min_cid, max_cid] (null-stats files cannot match), surviving
+    * files are read directly, and the exact cell-membership residual is
+    * re-applied — byte-identical rows to a full scan + filter while the
+    * planning I/O is one tiny manifest. The manifest collect is one row
+    * per file, the same cardinality as the listing every scan does. */
+  def readCellIndex(spark: SparkSession, path: String, cells: Seq[Long],
+      cellCol: String = "cid"): DataFrame = {
+    require(cells.nonEmpty, "need at least one probed cell")
+    val manifest = spark.read
+      .parquet(s"$path/${graft.operators.Layout.ManifestDir}")
+      .select(col("file"), col(s"min_$cellCol").cast("long"),
+        col(s"max_$cellCol").cast("long"))
+      .collect()
+    val sorted = cells.distinct.sorted
+    val files = manifest.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2) &&
+          sorted.exists(c => c >= r.getLong(1) && c <= r.getLong(2)) =>
+        r.getString(0)
+    }
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col(cellCol).isInCollection(sorted))
+  }
+
+  /** IVF-SQ8 ANN over a STORED [[writeCellIndex]] layout: the probe
+    * cells are computed driver-side against the codebook exactly as
+    * [[ivfSq8KnnFromIndex]] does, the layout is file-pruned to those
+    * cells via the manifest, and the pruned frame feeds the unchanged
+    * FromIndex kernel — results byte-identical to scanning the whole
+    * index, I/O proportional to the probed cells' files. */
+  def ivfSq8KnnFromStoredIndex(queries: DataFrame, indexPath: String,
+      corpus: DataFrame, k: Int, probes: Int,
+      cents: Array[(Long, Array[Float])],
+      bounds: (Array[Double], Array[Double]), candMult: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
+    val probedCells = collectQueryVectors(queries).flatMap { case (_, qv) =>
+      cents.map { case (cid, ce) => (cid, cosineKernel(qv, ce)) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(probes).map(_._1)
+    }.distinct.toIndexedSeq
+    val pruned = readCellIndex(sp, indexPath, probedCells)
+    ivfSq8KnnFromIndex(queries, pruned, corpus, k, probes, cents, bounds, candMult)
   }
 
   /** Per-group embedding centroids, fully relational: posexplode each

@@ -1331,20 +1331,29 @@ object TextAnalysis {
     * global sort. Lockstep-deterministic: the oracle unrolls the same
     * rounds as CTEs and agrees byte-for-byte. Documents with < 2 tokens
     * have no co-occurrence edges and emit nothing. */
+  /** Map-only TextRank co-occurrence pair generation: for each position
+    * i the partners are the next `window` tokens — slice + transform
+    * emit exactly the (b.i − a.i) ∈ [1, window], u ≠ v pairs without
+    * ever forming the per-doc T² cross product a doc_id-keyed self-join
+    * would (a 100k-token document is 10^10 candidate rows on one join
+    * key; this is O(T·window) rows and ZERO joins/shuffles —
+    * PlanQualitySpec pins the join-free plan). */
+  private[graft] def cooccurrencePairs(df: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame =
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), explode(flatten(transform(col("tk"),
+        (w, i) => transform(slice(col("tk"), i + lit(2), lit(window)),
+          v => struct(w.as("u"), v.as("v")))))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+
   def textRankKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 2, iterations: Int = 6,
       damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
     require(k >= 1 && window >= 1 && iterations >= 1, "k, window, iterations must be positive")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val toks = df
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("i", "w")))
-    val pairs = toks.as("a").join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          (col("b.i") - col("a.i")).between(1, window) &&
-          col("a.w") =!= col("b.w"))
-      .select(col("a.doc_id").as("doc_id"), col("a.w").as("u"), col("b.w").as("v"))
+    val pairs = cooccurrencePairs(df, idCol, textCol, window)
     val e = pairs
       .unionAll(pairs.select(col("doc_id"), col("v").as("u"), col("u").as("v")))
       .distinct()

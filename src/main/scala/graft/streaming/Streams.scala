@@ -172,8 +172,11 @@ object Streams {
     * of [[graft.operators.TextAnalysis.decontamFilter]], completing the
     * family's diagnostic → filter → stream progression (as d10/d11 did
     * for near-dup). The TEST side is a static benchmark suite — bounded
-    * by construction (thousands of documents, not billions) — so its
-    * n-gram inverted index is collected once and broadcast; each
+    * by construction (thousands of documents, not billions) AND by the
+    * enforced ANN broadcast contract
+    * ([[graft.operators.Similarity.MaxBroadcastQueries]] docs, checked
+    * loudly) — so its n-gram inverted index is collected once and
+    * broadcast; each
     * arriving train document is then decided MAP-ONLY (no state, no
     * watermark, no shuffle): tokenize → distinct n-gram shingles →
     * tally hits per test doc through the broadcast index → drop when
@@ -187,18 +190,28 @@ object Streams {
     require(tau > 0.0, "tau must be positive (tau <= 0 would drop every document)")
     val sp = test.sparkSession
     import sp.implicits._
+    // Same driver-side bound as every ANN kernel
+    // ([[graft.operators.Similarity.collectQueryVectors]]): read at most
+    // MaxBroadcastQueries + 1 test documents — never a corpus-sized
+    // collect — and fail LOUDLY pointing at the distributed batch path.
+    val maxTest = graft.operators.Similarity.MaxBroadcastQueries
     val testSets = graft.operators.Dedup
       .shinglePostings(test, idCol, textCol, ngram)
       .groupBy(col("doc_id")).agg(collect_list(col("s")).as("sh"))
-      .select(col("sh")).as[Seq[String]].collect()
+      .select(col("sh")).limit(maxTest + 1).as[Seq[String]].collect()
+    require(testSets.length <= maxTest,
+      s"decontamScreen test set exceeds $maxTest documents; the streaming " +
+        "screen broadcasts the test-side inverted index to the driver. For " +
+        "corpus-sized test sets use the batch distributed path instead " +
+        "(TextAnalysis.decontamFilter, whose postings join shuffles with the data).")
     // shingle -> test-doc ordinals (ordinals keep the broadcast compact;
     // test doc ids never influence the verdict)
     val nTest: Array[Int] = testSets.map(_.size)
-    val index = new java.util.HashMap[String, Array[Int]]()
-    for ((sh, ord) <- testSets.zipWithIndex; s <- sh) {
-      val prev = index.get(s)
-      index.put(s, if (prev == null) Array(ord) else prev :+ ord)
-    }
+    val building = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    for ((sh, ord) <- testSets.zipWithIndex; s <- sh)
+      building.computeIfAbsent(s, _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += ord
+    val index = new java.util.HashMap[String, Array[Int]](building.size * 2)
+    building.forEach((s, ords) => index.put(s, ords.toArray))
     val bIndex = sp.sparkContext.broadcast(index)
     val bN = sp.sparkContext.broadcast(nTest)
     val keep = udf { (text: String) =>

@@ -131,6 +131,20 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(1) === 2L && got.getInt(2) === 1)
   }
 
+  test("blocklistScreen folds locale-sensitive characters identically on both paths") {
+    val sp = spark; import sp.implicits._
+    // Turkish dotted İ and the ﬁ ligature are exactly the characters a
+    // JVM-pattern/Spark-lower split could fold differently; both paths
+    // now share one String.toLowerCase(Locale.ROOT) call in the kernel.
+    val docs = Seq((1L, "news from İSTANBUL tonight"),
+                   (2L, "a ﬁne day")).toDF("doc_id", "text")
+    val got = Cleaning.blocklistScreen(docs, "doc_id", "text",
+        Seq("İstanbul", "ﬁne"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L, "dotted-İ pattern missed its dotted-İ document")
+    assert(got(2L) === 1L, "ligature pattern missed its ligature document")
+  }
+
   test("AhoCorasick automaton equals brute every-position counting on random inputs") {
     // kernel-only property (no Spark): a 2-letter alphabet maximizes
     // overlap/nesting/failure-link traffic

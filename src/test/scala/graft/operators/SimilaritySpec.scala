@@ -265,6 +265,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cell-partitioned index layout prunes FILES for a probe set, results byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cell-idx").toString
+    val e = emb
+    val q = e.filter(col("vec_id") === 1)
+    val bounds = Similarity.sq8Bounds(e, "embedding")
+    val cents = Similarity.kmeansCodebook(e, "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val index = Similarity.ivfSq8Index(e, cents, bounds)
+    Similarity.writeCellIndex(index, s"$tmp/index", numFiles = 4)
+    val allFiles = spark.read.parquet(s"$tmp/index").inputFiles.toSet
+    assert(allFiles.size >= 3, s"layout produced too few files to prove pruning: $allFiles")
+    // a 1-probe query must touch a STRICT subset of the layout's files
+    val probedCells = Similarity.collectQueryVectors(q).flatMap { case (_, qv) =>
+      cents.map { case (cid, ce) => (cid, Similarity.cosineKernel(qv, ce)) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(1).map(_._1)
+    }.distinct.toIndexedSeq
+    val pruned = Similarity.readCellIndex(spark, s"$tmp/index", probedCells)
+    val touched = pruned.inputFiles.toSet
+    assert(touched.nonEmpty && touched.subsetOf(allFiles) && touched.size < allFiles.size,
+      s"probed read did not prune files: ${touched.size} of ${allFiles.size}")
+    // pruned-read rows equal a full-scan cell filter (manifest is exact)
+    def idxRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(idxRows(pruned) === idxRows(spark.read.parquet(s"$tmp/index")
+        .filter(col("cid").isInCollection(probedCells))),
+      "manifest-pruned rows diverged from a full scan + filter")
+    // served results are byte-identical to the whole-index path
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val storedResult = Similarity.ivfSq8KnnFromStoredIndex(
+      q, s"$tmp/index", e, 3, 1, cents, bounds)
+    assert(rows(storedResult) ===
+      rows(Similarity.ivfSq8KnnFromIndex(q, index, e, 3, 1, cents, bounds)),
+      "file-pruned stored index diverged from the full-index path")
+  }
+
   test("updateIvfSq8Index appends only absent vectors; two appends equal a full rebuild") {
     val e = emb
     val bounds = Similarity.sq8Bounds(e, "embedding")

@@ -159,6 +159,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("t38_decontam_ngram").take(2000))
   }
 
+  test("t41 textrank co-occurrence pair stage is map-only — no join of any kind") {
+    // A doc_id-keyed self-join here forms the per-document T² token
+    // cross product before the position filter (one 100k-token doc =
+    // 10^10 candidate rows on one key). The pair stage must be pure
+    // array HOFs: zero joins, zero shuffle exchanges.
+    val p = graft.operators.TextAnalysis
+      .cooccurrencePairs(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", window = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"t41 pair stage planned a join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"t41 pair stage shuffles:\n${p.take(2000)}")
+  }
+
   test("d12 fuzzy-join variant screen is an equi join, never all-pairs levenshtein") {
     val p = plan("d12_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

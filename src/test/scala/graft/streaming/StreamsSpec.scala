@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -116,6 +116,29 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.size < train.length,
         "screen dropped nothing — vacuous gate (contaminated clones must be caught)")
     } finally { q.stop(); () }
+  }
+
+  test("decontamination screen bounds the test-side collect by the ANN broadcast contract") {
+    val sp = spark
+    import sp.implicits._
+    // a "corpus passed as the test set": MaxBroadcastQueries + 1 tiny docs
+    val over = sp.range(graft.operators.Similarity.MaxBroadcastQueries + 1L)
+      .select($"id".as("doc_id"),
+        concat(lit("alpha beta gamma delta "), $"id").as("text"))
+    val train = Seq((1L, "totally unrelated")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Streams.decontamScreen(train, over, "doc_id", "text", tau = 0.2)
+    }
+    assert(e.getMessage.contains("decontamFilter"),
+      s"oversized test set must point at the batch path: ${e.getMessage}")
+    // the bound is a ceiling, not a truncation: a bounded set screens whole
+    val okTest = Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val screened = Streams.decontamScreen(
+      Seq((1L, "the quick brown fox jumps high"), (2L, "nothing in common here at all"))
+        .toDF("doc_id", "text"),
+      okTest, "doc_id", "text", tau = 0.5)
+    assert(screened.select($"doc_id").as[Long].collect().toSet === Set(2L),
+      "bounded screen changed semantics")
   }
 
   test("streaming kNN label suggestion equals the batch classifier over sf0.001 embeddings") {
