@@ -48,6 +48,15 @@ object Bench {
     //   t23 2.514s / t25 3.562s (from 4.63/4.65 in-suite r9) after the
     //     kernel hot-gram pass replaced the corpus-wide (gram, doc)
     //     distinct and t25's positioned explodes went candidate-only.
+    // Round-11 adjudication of the round-10 upticks (isolated, RUNS=8
+    // PASSES=1 warm floors at sf0.1): q74 2.525s, q64 3.463s,
+    // q98 2.772s, q72 2.663s, q58 0.420s, q75 0.445s, t26 0.471s —
+    // every one at or BELOW its round-9 in-suite number (q74 2.65s r9
+    // vs 2.53s isolated now), so the r10 in-suite 3.73s/1.4x cluster was
+    // suite interference, not the statsFlatLeaf discipline: the
+    // conservative leaf stats (ColumnBridge.scala) cost nothing
+    // measurable at sf0.1, and they are what keeps deep iterative
+    // rounds from hanging the planner. No code change warranted.
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

@@ -481,7 +481,18 @@ object TextAnalysis {
     * 256-symbol seeding, which is what gives early rounds enough
     * disjoint pairs to batch against).
     * Output: (rank, lhs, rhs, cnt) — global rank in (round, batch
-    * order). */
+    * order).
+    *
+    * Sizing at real vocab scale (measured via [[graft.BpeBench]],
+    * committed in `bpe_scale.json`): 23,880 merges in 140 rounds /
+    * 74.2 s at sf0.1 local[32] with `batch = 512` — 3.1 ms/merge, vs
+    * ~600 ms/merge for the one-job-per-merge classic loop. Acceptance
+    * per round is disjointness-limited early (~100/round over a
+    * 256-symbol seed alphabet) and approaches `batch` as the symbol
+    * space grows, so for a ~30k-merge production tokenizer plan
+    * roughly `rounds ≈ 30000/batch + 60` slack rounds; `maxVocab`
+    * caps the working frame at the top-N words by count (the
+    * Zipf-head is where all high-count pairs live). */
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
       batch: Int, seedSymbolLen: Int = 1,
       maxVocab: Int = Int.MaxValue): DataFrame = {
