@@ -132,11 +132,47 @@ object Bench {
         "ivf_pq" -> r(graft.operators.Similarity.ivfPqKnnTrained(q, e, 3)),
         "ivf_adc" -> r(graft.operators.Similarity.ivfAdcKnnTrained(q, e, 3)),
         "binary" -> r(graft.operators.Similarity.binaryKnn(q, e, 3)),
-        "rp" -> r(graft.operators.Similarity.rpKnn(q, e, 3)))
+        "rp" -> r(graft.operators.Similarity.rpKnn(q, e, 3)),
+        "nsw" -> r(graft.operators.Similarity.nswKnn(
+          q, e, graft.operators.Similarity.nswGraph(e), 3)),
+        "nsw_trained" -> r(graft.operators.Similarity.nswKnnTrained(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc,"sf":"$sfDir"}"""
+    // Stored cell-index FILE pruning at this SF: write the IVF-SQ8 index
+    // as a 16-file cell layout (64 kmeans cells) and record how many
+    // files a 2-probe single-query read touches vs a 10-query batch vs
+    // the layout total — the at-scale I/O win is file-level, and this
+    // keeps it a measured number in the round record, not only a spec.
+    val filesRead = {
+      import org.apache.spark.sql.functions.col
+      val S = graft.operators.Similarity
+      try {
+        val e = graft.queries.Queries.t(spark, sfDir, "embeddings")
+        val bounds = S.sq8Bounds(e, "embedding")
+        val cents = S.kmeansCodebook(e, "vec_id", "embedding", 64)
+          .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        val index = S.ivfSq8Index(e, cents, bounds)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cell-idx").toString
+        S.writeCellIndex(index, s"$tmp/index", numFiles = 16)
+        val totalFiles = spark.read.parquet(s"$tmp/index").inputFiles.length
+        def probesFor(q: org.apache.spark.sql.DataFrame): IndexedSeq[Long] =
+          q.select(col("vec_id").cast("long"), col("embedding")).collect()
+            .flatMap { r =>
+              val qv = r.getSeq[Float](1).toArray
+              cents.map { case (cid, ce) => (cid, S.cosineKernel(qv, ce)) }
+                .sortBy { case (cid, cs) => (-cs, cid) }.take(2).map(_._1)
+            }.distinct.toIndexedSeq
+        val one = S.readCellIndex(spark, s"$tmp/index",
+          probesFor(e.filter(col("vec_id") === 1))).inputFiles.length
+        val batch = S.readCellIndex(spark, s"$tmp/index",
+          probesFor(e.filter(col("vec_id") < 10))).inputFiles.length
+        s""","index_files":{"one_query":$one,"batch_10":$batch,"total":$totalFiles,"probes":2}"""
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(s"[bench] cell-index files-read failed: ${ex.getMessage}"); ""
+      }
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc$filesRead,"sf":"$sfDir"}"""
     // Full JSON both on stdout and in a file, then the headline total on its
     // own LAST line: a tail-truncated capture still recovers the total, and
     // the file recovers everything.

@@ -19,6 +19,19 @@ final case class MediaFeatures(
     checksum: String,
     h0: Long, h1: Long, h2: Long, h3: Long)
 
+/** [[Multimodal.triageFeatures]] output: [[MediaFeatures]] plus the
+  * decode outcome channel — `decode_ok=false` rows carry the codec's
+  * loud error (truncated stream, bomb cap, unsupported frame type …)
+  * with zeroed features, ready for dead-letter routing. */
+final case class MediaTriageRow(
+    media_id: Long,
+    media_type: String,
+    decode_ok: Boolean,
+    error: String,
+    n_bytes: Int,
+    checksum: String,
+    h0: Long, h1: Long, h2: Long, h3: Long)
+
 /** Decoder seam for multimodal payloads: turns an encoded codec stream
   * (PNG, JPEG, PCM, H.264 …) into decoded sample bytes. Implementations
   * must be serializable shells — any native/heavy decoder state must be
@@ -413,6 +426,47 @@ object Multimodal {
           val checksum = Dedup.Kernel.hex(digest.digest(decoded))
           MediaFeatures(rec.media_id, rec.media_type, decoded.length, checksum,
             hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+    }
+  }
+
+  /** [[extractFeatures]] with an ERROR CHANNEL: decode each payload
+    * (default [[SniffCodec]]: PNG/JPEG by magic bytes, else
+    * passthrough), but a payload the codec REJECTS — truncated, bomb
+    * caps, unsupported frame type, any IllegalArgumentException from
+    * the untrusted-bytes contract — becomes a `decode_ok=false` row
+    * carrying the error instead of failing the job. This is the
+    * ingest-at-scale posture: on a 100 TB crawl SOME records are
+    * always malformed, and one hostile blob must neither kill the
+    * pipeline (this operator) nor silently decode to garbage (the
+    * codec contract — which is why only the codecs' own
+    * IllegalArgumentException is converted to a row; a genuine
+    * engine fault still propagates). Stateless map-only, so the SAME
+    * operator runs per micro-batch as
+    * [[graft.streaming.Streams.mediaTriageScreen]]. */
+  def triageFeatures(ds: Dataset[MediaRecord],
+      codec: MediaCodec = SniffCodec): Dataset[MediaTriageRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        try {
+          val decoded = codec.decode(rec.media_type, rec.payload)
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < decoded.length) {
+            hist((decoded(i) & 0xFF) >> 6) += 1
+            i += 1
+          }
+          digest.reset()
+          val checksum = Dedup.Kernel.hex(digest.digest(decoded))
+          MediaTriageRow(rec.media_id, rec.media_type, decode_ok = true, "",
+            decoded.length, checksum, hist(0), hist(1), hist(2), hist(3))
+        } catch {
+          case e: IllegalArgumentException =>
+            MediaTriageRow(rec.media_id, rec.media_type, decode_ok = false,
+              String.valueOf(e.getMessage), 0, "", 0L, 0L, 0L, 0L)
         }
       }
     }

@@ -1410,6 +1410,297 @@ object Similarity {
     ivfSq8KnnFromIndex(queries, pruned, corpus, k, probes, cents, bounds, candMult)
   }
 
+  /** Build a NAVIGABLE-SMALL-WORLD-style neighbor graph over the corpus
+    * (Malkov & Yashunin 2016's base layer, relationalized): assign every
+    * vector to its nearest sampled centroid (the [[ivfKnn]] coarse
+    * layer — every `centEvery`-th id, round-6 cosine, ties to the lower
+    * cid) and emit each node's top-`m` nearest SAME-CELL neighbors
+    * (round-6 cosine desc, id asc). Output `(node_id, nbr_id)` —
+    * materialize it once next to the corpus and serve query batches with
+    * [[nswKnn]].
+    *
+    * Scale shape: the self-join is an EQUI join on the cell id (never
+    * all-pairs — the d09 blocking discipline), per-cell work is bounded
+    * by cell membership, and the per-node top-m is a window over
+    * cell-local candidates. The graph is corpus-sized × m rows of two
+    * longs — far smaller than the embeddings it indexes. */
+  def nswGraph(corpus: DataFrame, m: Int = 16, centEvery: Int = 50,
+      maxCents: Int = 65536): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    nswGraphOn(corpus, cents, m)
+  }
+
+  /** [[nswGraph]] on an EXPLICIT centroid set (the trained-codebook
+    * primary path feeds [[kmeansCodebook]] cells here). Edges are the
+    * UNION of each node's top-`m` same-cell kNN and its reverse — the
+    * NSW bidirectional-link rule, which keeps the cell subgraph
+    * navigable where a raw kNN digraph on weakly-structured data
+    * fragments into islands — then HARD-CAPPED at degree 2m per node
+    * (nearest first, id tiebreak): in-degree is unbounded on hubby
+    * data, and an uncapped hub would explode every frontier ⋈ graph
+    * round at corpus scale (the HNSW M_max pruning rule, spec-pinned). */
+  def nswGraphOn(corpus: DataFrame,
+      cents: Array[(Long, Array[Float])], m: Int): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    nswGraphFromAssign(nswAssign(corpus, cents), m)
+  }
+
+  /** [[nswGraphOn]] over a pre-computed `(vec_id, cid, e)` assignment —
+    * shared by the sampled and trained builds so the assignment is
+    * computed exactly once per index build. */
+  private def nswGraphFromAssign(asg: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be positive")
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("ncs").desc, col("nbr_id"))
+    val knnEdges = asg.as("a").join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("node_id"), col("b.vec_id").as("nbr_id"),
+        cosine(col("a.e"), col("b.e")).as("ncs"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= m)
+      .select(col("node_id"), col("nbr_id"), col("ncs"))
+    knnEdges
+      .union(knnEdges.select(col("nbr_id").as("node_id"),
+        col("node_id").as("nbr_id"), col("ncs")))
+      .distinct()
+      .withColumn("_d", row_number().over(w))
+      .filter(col("_d") <= 2 * m)
+      .select(col("node_id"), col("nbr_id"))
+  }
+
+  /** Nearest-centroid assignment carrying the vector:
+    * `(vec_id, cid, e)`. Round-6 cosine, ties → lower cid (the
+    * [[ivfSq8Index]] kernel convention). */
+  private def nswAssign(corpus: DataFrame,
+      cents: Array[(Long, Array[Float])]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cb = sp.sparkContext.broadcast(cents)
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, v) =>
+          var best = cs(0)._1; var bestCs = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val sc = cosineKernel(v, cs(c)._2) // round-6: ties → lower cid
+            if (sc > bestCs) { bestCs = sc; best = cs(c)._1 }
+            c += 1
+          }
+          (id, best, v)
+        }
+      }.toDF("vec_id", "cid", "e")
+  }
+
+  /** Graph-based ANN search over a [[nswGraph]] neighbor graph: beam
+    * search as FIXED synchronous expansion rounds (the
+    * [[graft.operators.Graph]] relax-join shape — deterministic and
+    * engine-replayable, unlike priority-queue NSW descent). Start from
+    * the sampled coarse layer scored map-only against the broadcast
+    * query set; each round expands the per-query top-`beam` visited
+    * nodes through ONE frontier ⋈ graph equi-join, anti-joins already
+    * visited `(query, node)` pairs, scores only the genuinely new
+    * candidates (exact round-6 cosine — graph ANN scores true vectors,
+    * so there is no rerank stage), and re-beams. After `rounds` rounds
+    * the per-query top-`k` of the visited set is the answer.
+    *
+    * Scale shape: per round one equi-join of a (queries × beam)-row
+    * frontier against the stored graph + one equi-join to the corpus
+    * embeddings for scoring — never a corpus scan after the entry round;
+    * visited state is per-query-bounded (entries + beam·m·rounds).
+    * Per-round frames ride the statsFlatLeaf discipline like every
+    * iterative loop. Queries are bounded by the broadcast contract
+    * ([[MaxBroadcastQueries]], loud). */
+  def nswKnn(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+      k: Int, beam: Int = 12, rounds: Int = 4, centEvery: Int = 50,
+      maxCents: Int = 65536): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val entries = corpus
+      .filter(col("vec_id").isNotNull && col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long").as("node_id"))
+      .orderBy(col("node_id")).limit(maxCents)
+    nswKnnOn(queries, corpus, graph, entries, k, beam, rounds)
+  }
+
+  /** [[nswKnn]] with EXPLICIT entry nodes (see [[nswEntries]]) — the
+    * shape both the sampled-oracle and trained primary paths share. */
+  def nswKnnOn(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+      entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(beam >= 1, "beam must be positive")
+    require(rounds >= 0, "rounds must be non-negative")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
+    val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val entries = corpusVecs
+      .join(entryNodes.select(col("node_id")),
+        col("vec_id") === col("node_id"), "left_semi")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        // the query's OWN corpus node stays in the search state: its
+        // out-edges point exactly at its nearest neighbors, so dropping
+        // it here severs the best navigation path for corpus-member
+        // queries (measured: recall 0.333→1.0 at round 1 on sf0.01 for
+        // queries whose id is an entry). Self is excluded from the
+        // RESULT ranking only.
+        it.flatMap { case (nid, v) =>
+          qs.iterator.map { case (qid, qv) =>
+            (qid, nid, cosineKernel(qv, v))
+          }
+        }
+      }.toDF("query_id", "node", "cs")
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("node"))
+    var prevCkpt = entries.localCheckpoint(true)
+    var visited = prevCkpt
+    var r = 0
+    while (r < rounds) {
+      val frontier = visited.withColumn("_b", row_number().over(wBeam))
+        .filter(col("_b") <= beam).select(col("query_id"), col("node"))
+      val cand = frontier.join(graph, frontier("node") === graph("node_id"))
+        .select(col("query_id"), col("nbr_id").as("node")).distinct()
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      val scored = cand
+        .join(corpusVecs, cand("node") === corpusVecs("vec_id"))
+        .select(col("query_id"), col("node"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val qm = qb.value.toMap
+          it.map { case (qid, nid, v) =>
+            (qid, nid, cosineKernel(qm(qid), v))
+          }
+        }.toDF("query_id", "node", "cs")
+      val next = visited.unionAll(scored).localCheckpoint(true)
+      prevCkpt.unpersist()
+      prevCkpt = next
+      // visited is referenced twice per round (frontier + anti-join):
+      // flatten carried stats so estimates never compound (PlanBridge)
+      visited = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(next)
+      r += 1
+    }
+    val result = visited
+      .filter(col("node") =!= col("query_id")) // self only ever navigates
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cs"))
+      .localCheckpoint(true)
+    prevCkpt.unpersist()
+    result
+  }
+
+  /** The PRIMARY graph-ANN path at scale: [[kmeansCodebook]]-trained
+    * cells (real clusters, not arbitrary id-sampled rows) under the
+    * bidirectional top-`m` graph, searched from the DIVERSE sampled
+    * entry layer (every `centEvery`-th id). As with
+    * [[ivfKnnTrained]]/[[pqKnnTrained]], the trained variant is the
+    * recall path and the sampled [[nswKnn]] is the engine-portable
+    * oracle definition.
+    *
+    * Entry design note (measured, round 11): per-cell MEDOID entries —
+    * the textbook "enter at the most central node" — collapse recall to
+    * near-random here (0.067 vs 0.833 at sf0.1, identical graph),
+    * because on weakly-clustered data greedy expansion from a few
+    * central nodes stalls in their neighborhoods; a SCATTERED entry
+    * sample seeds every region of the space and lets the beam keep
+    * whichever region matches the query. Entry diversity, not entry
+    * centrality, is what buys recall.
+    *
+    * Entry COVERAGE note (measured, round 11): the cell graph has no
+    * inter-cell edges — each cell is its own connected component — so a
+    * cell with no entry node is UNREACHABLE no matter the beam. The
+    * sampled path covers cells by construction (its centroids are
+    * themselves `% centEvery` entries); here the kmeans centroids are
+    * synthetic points, so the scattered sample alone left 4+ of 16
+    * sf0.01 cells entry-less and capped recall at 0.367. Entries are
+    * therefore the scattered sample UNION one guaranteed member per
+    * cell (its min vec_id) — nCells extra rows for full reachability. */
+  def nswKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, m: Int = 16, beam: Int = 12, rounds: Int = 4,
+      iters: Int = 5, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+    val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val asg = nswAssign(corpus, cb)
+    val graph = nswGraphFromAssign(asg, m)
+    val scattered = asg
+      .filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").as("node_id"))
+      .orderBy(col("node_id")).limit(maxCents)
+    val perCell = asg.groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
+    val entries = scattered.union(perCell).distinct()
+    nswKnnOn(queries, corpus, graph, entries, k, beam, rounds)
+  }
+
+  /** Append maintenance for a [[nswGraphOn]] neighbor graph: fold NEW
+    * corpus vectors in with the HNSW insert rule (Malkov & Yashunin
+    * 2016 §4, alg. 1) — each new node links to its top-`m` same-cell
+    * neighbors (old or new), reverse edges are added, and every node
+    * that GAINED an edge is re-capped at degree 2m (nearest first, id
+    * tiebreak). Nodes gaining nothing pass through untouched, so the
+    * work is O(new × cell + touched × 2m), never a rebuild — which
+    * also means the result is NOT byte-equal to a from-scratch
+    * [[nswGraphOn]] (the real HNSW trade: inserts are local; an old
+    * node keeps an edge a rebuild would have replaced unless the
+    * re-cap evicts it). The spec pins what the trade guarantees:
+    * appending already-present nodes is an exact no-op, the degree
+    * bound holds after any append sequence, every appended node
+    * enters the graph, and beam-search recall over the appended graph
+    * matches the rebuilt graph's floor. `cents` must be the FROZEN
+    * centroid set the graph was built with (the [[updateIvfSq8Index]]
+    * convention — re-deriving centroids from a grown corpus would
+    * silently re-cell the old nodes). */
+  def updateNswGraph(graph: DataFrame, corpus: DataFrame,
+      cents: Array[(Long, Array[Float])], m: Int): DataFrame = {
+    require(m >= 1, "m must be positive")
+    require(cents.nonEmpty, "need at least one centroid")
+    val asg = nswAssign(corpus, cents)
+    val known = graph.select(col("node_id")).distinct()
+    val newAsg = asg.join(known, asg("vec_id") === known("node_id"), "left_anti")
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("ncs").desc, col("nbr_id"))
+    val fwd = newAsg.as("a").join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("node_id"), col("b.vec_id").as("nbr_id"),
+        cosine(col("a.e"), col("b.e")).as("ncs"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= m)
+      .select(col("node_id"), col("nbr_id"), col("ncs"))
+    val newEdges = fwd.union(fwd.select(col("nbr_id").as("node_id"),
+      col("node_id").as("nbr_id"), col("ncs")))
+    val touched = newEdges.select(col("node_id")).distinct()
+    // stored graphs carry no scores: re-score the touched nodes'
+    // existing edges once (O(touched × 2m) cosine pairs) so the re-cap
+    // ranks old and new edges on the same key
+    val vecs = asg.select(col("vec_id"), col("e"))
+    val existingScored = graph.join(touched, Seq("node_id"), "left_semi")
+      .join(vecs.as("va"), col("node_id") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("nbr_id") === col("vb.vec_id"))
+      .select(col("node_id"), col("nbr_id"),
+        cosine(col("va.e"), col("vb.e")).as("ncs"))
+    val recapped = existingScored.union(newEdges).distinct()
+      .withColumn("_d", row_number().over(w))
+      .filter(col("_d") <= 2 * m)
+      .select(col("node_id"), col("nbr_id"))
+    graph.join(touched, Seq("node_id"), "left_anti")
+      .select(col("node_id"), col("nbr_id"))
+      .union(recapped)
+  }
+
   /** Per-group embedding centroids, fully relational: posexplode each
     * vector to (group, dim, x), aggregate per-dimension DECIMAL sums (so
     * the centroid is independent of partition merge order), divide by the

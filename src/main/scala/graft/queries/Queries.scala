@@ -4378,6 +4378,77 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // ---- Graph-based ANN (NSW): cell-local top-m neighbor graph +
+    //      fixed-round relational beam search from the sampled coarse
+    //      layer; every score is a round-6 cosine and every round is one
+    //      frontier ⋈ graph equi-join, so DuckDB unrolls the rounds as
+    //      CTEs in exact lockstep ----
+    QueryDef(
+      "s18_knn_nsw",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val graph = graft.operators.Similarity.nswGraph(e, m = 8)
+        graft.operators.Similarity
+          .nswKnn(e.filter($"vec_id" < 10), e, graph, 3, beam = 8, rounds = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        val rounds = 3; val beam = 8; val m = 8
+        val sb = new StringBuilder(
+          s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          asg AS (SELECT e.vec_id, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                  c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rn
+            FROM embeddings e, cent c),
+          cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+          g0 AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
+              round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                eb.embedding::DOUBLE[]), 6) AS ncs,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                  eb.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS gr
+            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          gm AS (SELECT node_id, nbr_id, ncs FROM g0 WHERE gr <= $m),
+          sym AS (SELECT node_id, nbr_id, ncs FROM gm
+            UNION SELECT nbr_id, node_id, ncs FROM gm),
+          graph AS (SELECT node_id, nbr_id FROM (
+              SELECT node_id, nbr_id,
+                row_number() OVER (PARTITION BY node_id
+                  ORDER BY ncs DESC, nbr_id) AS dr
+              FROM sym) WHERE dr <= ${2 * m}),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          v0 AS (SELECT q.query_id, c.vec_id AS node,
+              round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+            FROM q, cent c)""")
+        for (i <- 1 to rounds) {
+          sb.append(s""",
+          f$i AS (SELECT query_id, node FROM (
+              SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, node) AS b FROM v${i - 1}) WHERE b <= $beam),
+          c$i AS (SELECT DISTINCT f.query_id, g.nbr_id AS node
+            FROM f$i f JOIN graph g ON f.node = g.node_id
+            WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+              WHERE v.query_id = f.query_id AND v.node = g.nbr_id)),
+          s$i AS (SELECT c.query_id, c.node,
+              round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
+            FROM c$i c JOIN q ON q.query_id = c.query_id
+                       JOIN embeddings e ON e.vec_id = c.node),
+          v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
+        }
+        sb.append(s""",
+          ranked AS (SELECT query_id, node AS neighbor_id, cs,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, node) AS rank
+            FROM v$rounds WHERE node <> query_id)
+          SELECT query_id, rank, neighbor_id, cs FROM ranked
+          WHERE rank <= 3 ORDER BY query_id, rank""")
+        sb.toString
+      }),
+
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),
     //      trained by 3 full-batch GD rounds with the RATIONAL sigmoid
@@ -5265,6 +5336,58 @@ object Queries {
         SELECT h.doc_id AS media_id, bin, cnt, n_bytes, entropy
         FROM h JOIN e ON h.doc_id = e.doc_id
         ORDER BY media_id, bin""")),
+
+    // ---- Multimodal: features through the REAL baseline JPEG codec
+    //      (ITU T.81): each doc's first 48 bytes become a row of
+    //      BLOCK-CONSTANT 8×8 tiles, encoded with all-ones quant
+    //      tables — the one configuration where a lossy DCT codec
+    //      round-trips bit-exactly (every AC quantizes to zero, the DC
+    //      path is exact power-of-two arithmetic) — then DECODED and
+    //      reduced to integer pixel stats, which DuckDB recomputes
+    //      straight off the text without a JPEG decoder of its own ----
+    QueryDef(
+      "m11_jpeg_features",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 1)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            val n = math.min(bytes.length, 48)
+            val w = 8 * n
+            val px = new Array[Byte](w * 8)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < w) { px(y * w + x) = bytes(x / 8); x += 1 }
+              y += 1
+            }
+            val jpeg = graft.operators.Jpeg.encodeGray(w, 8, px,
+              quant = graft.operators.Jpeg.UnitQuant)
+            val img = graft.operators.Jpeg.decode(jpeg)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xFF
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, img.width, img.height, sum, mn, mx)
+          })
+          .toDF("doc_id", "jpg_w", "jpg_h", "pix_sum", "pix_min", "pix_max")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, substr(text, 1, 48) AS t FROM documents
+               WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)),
+        ch AS (SELECT doc_id, length(t) AS n, unnest(range(1, length(t) + 1)) AS i, t FROM b),
+        v AS (SELECT doc_id, n, ord(substr(t, CAST(i AS INTEGER), 1)) AS v FROM ch)
+        SELECT doc_id, CAST(8 * n AS INTEGER) AS jpg_w, 8 AS jpg_h,
+          CAST(64 * sum(v) AS BIGINT) AS pix_sum,
+          CAST(min(v) AS INTEGER) AS pix_min, CAST(max(v) AS INTEGER) AS pix_max
+        FROM v GROUP BY doc_id, n ORDER BY doc_id""")),
 
     // ---- Multimodal: framed PCM16 features — overlapping frames
     //      (frameSize=8 samples, stride=6), exact integer energy/peak/

@@ -168,6 +168,22 @@ object Streams {
         minWords, maxWords, minMeanLen, maxMeanLen, minAlphaFrac, minStopHits)
       .filter(col("passes"))
 
+  /** Ingest-time MEDIA TRIAGE screen — the streaming twin of
+    * [[graft.operators.Multimodal.triageFeatures]]: decode each binary
+    * payload the moment it lands (magic-byte sniffed PNG/JPEG through
+    * the real codecs), emit features for good records and
+    * `decode_ok=false` dead-letter rows for payloads the codecs
+    * reject. Pure stateless map per micro-batch: no state store, no
+    * watermark, append output — stream ≡ batch by construction (the
+    * spec proves it anyway, malformed payloads included). At 100 TB
+    * this is the crawl-ingest shape: triage at landing time, hostile
+    * blobs quarantined by the SAME bomb-cap contract the batch path
+    * enforces, nothing re-scanned later. */
+  def mediaTriageScreen(media: Dataset[graft.operators.MediaRecord],
+      codec: graft.operators.MediaCodec = graft.operators.SniffCodec)
+      : Dataset[graft.operators.MediaTriageRow] =
+    graft.operators.Multimodal.triageFeatures(media, codec)
+
   /** Ingest-time train/test DECONTAMINATION screen — the streaming twin
     * of [[graft.operators.TextAnalysis.decontamFilter]], completing the
     * family's diagnostic → filter → stream progression (as d10/d11 did

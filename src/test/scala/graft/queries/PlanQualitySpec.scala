@@ -172,6 +172,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"t41 pair stage shuffles:\n${p.take(2000)}")
   }
 
+  test("s18 NSW graph build is a cell-blocked equi join, never a cartesian") {
+    // the per-node kNN must be blocked by cell id — an unkeyed
+    // self-join is corpus² pairs. (The SEARCH loop's per-round plans
+    // are not inspectable here: each round is eagerly checkpointed, so
+    // the returned frame's plan is just the checkpoint scan; the
+    // rounds reuse this same frontier ⋈ graph equi-join shape by
+    // construction — Similarity.nswKnnOn.)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val graph = graft.operators.Similarity.nswGraph(e, m = 4)
+    val gp = graph.queryExecution.executedPlan.toString
+    assert(!gp.contains("CartesianProduct") && !gp.contains("BroadcastNestedLoop"),
+      s"nsw graph build planned a cartesian:\n${gp.take(2000)}")
+    assert(gp.contains("Join"), "nsw graph build lost its cell equi-join")
+  }
+
   test("d12 fuzzy-join variant screen is an equi join, never all-pairs levenshtein") {
     val p = plan("d12_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

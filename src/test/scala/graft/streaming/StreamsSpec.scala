@@ -205,6 +205,64 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming media triage equals the batch path; hostile blobs dead-letter, never kill the query") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    // a mixed feed: real PNGs, real JPEGs, raw blobs, and HOSTILE
+    // payloads (truncated JPEG, PNG bomb header) — the triage must
+    // decode the good, dead-letter the bad, and the stream must match
+    // the batch operator row for row
+    val pngPx = Array.tabulate[Byte](16 * 4)(i => ((i * 29 + 3) % 256).toByte)
+    val jpgPx = Array.fill[Byte](16 * 8)(77)
+    val goodPng = graft.operators.Png.encodeGray(16, 4, pngPx, filter = 2)
+    val goodJpg = graft.operators.Jpeg.encodeGray(16, 8, jpgPx,
+      quant = graft.operators.Jpeg.UnitQuant)
+    val truncatedJpg = java.util.Arrays.copyOf(goodJpg, 24)
+    val bombPng = {
+      val m = goodPng.clone()
+      // blow up IHDR dims to 2^30 × 2^30 (CRC now wrong too — either
+      // loud error is in contract)
+      m(16) = 0x40; m(20) = 0x40
+      m
+    }
+    val feed: Seq[(Long, String, Array[Byte])] = Seq(
+      (1L, "image/png", goodPng), (2L, "image/jpeg", goodJpg),
+      (3L, "application/octet-stream", Array[Byte](9, 8, 7)),
+      (4L, "image/jpeg", truncatedJpg), (5L, "image/png", bombPng))
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = Streams.mediaTriageScreen(
+        graft.operators.Multimodal.pack(
+          input.toDF().toDF("media_id", "media_type", "payload"),
+          "media_id", "media_type", "payload")(sp))
+      .writeStream.format("memory").queryName("mtriage").outputMode("append").start()
+    try {
+      val (a, b) = feed.splitAt(2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3),
+          r.getInt(4), r.getString(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9))).toSet
+      val streamed = rows(spark.table("mtriage"))
+      val batch = rows(graft.operators.Multimodal.triageFeatures(
+        sp.createDataset(feed.map(f =>
+          graft.operators.MediaRecord(f._1, f._2, f._3)))).toDF())
+      assert(streamed === batch, "streamed triage diverged from the batch path")
+      val ok = streamed.filter(_._3).map(_._1)
+      val dead = streamed.filter(!_._3).map(_._1)
+      assert(ok === Set(1L, 2L, 3L), s"wrong survivors: $ok")
+      assert(dead === Set(4L, 5L), s"wrong dead letters: $dead")
+      // decoded features are REAL decodes, not payload passthrough
+      val pngRow = streamed.find(_._1 == 1L).get
+      assert(pngRow._5 === 16 * 4, "PNG did not decode to its pixel count")
+      val jpgRow = streamed.find(_._1 == 2L).get
+      assert(jpgRow._5 === 16 * 8, "JPEG did not decode to its pixel count")
+      // dead letters carry the codec's loud message
+      assert(streamed.find(_._1 == 5L).get._4.nonEmpty, "bomb row lost its error")
+    } finally { q.stop(); () }
+  }
+
   test("streaming blocklist screen equals the batch Aho-Corasick screen over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext
