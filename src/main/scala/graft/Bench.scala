@@ -57,6 +57,16 @@ object Bench {
     // conservative leaf stats (ColumnBridge.scala) cost nothing
     // measurable at sf0.1, and they are what keeps deep iterative
     // rounds from hanging the planner. No code change warranted.
+    // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
+    // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
+    // graph once (it was lazy and its whole build re-executed in EVERY
+    // search round's join) -> 2.59s after the scoring joins switched
+    // from the interpreted HOF cosine (five per-element lambda
+    // aggregates per pair) to the native codegen CosineSimilarity
+    // expression (Similarity.cosineF, bit-identical for array<float> —
+    // all s/d oracles re-verified hash-equal). Stage profile at sf0.1:
+    // graph build 3.9s -> 1.25s warm, search rounds=3 ~1.8s (job
+    // scheduling on 3 eager per-round checkpoints dominates).
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

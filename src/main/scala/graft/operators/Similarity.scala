@@ -62,6 +62,22 @@ object Similarity {
     when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0))
       .otherwise(round(dot(a, b) / (norm(a) * norm(b)), 6))
 
+  /** [[cosine]] through the native codegen
+    * [[graft.functions.CosineSimilarity]] expression — bit-identical to
+    * the HOF formulation for `array<float>` inputs
+    * (CosineSimilaritySpec pins it) at a fraction of the cost: the HOF
+    * path runs five interpreted per-element lambda aggregates per pair,
+    * the native kernel one fused loop inside whole-stage codegen.
+    * Float-only by ANALYSIS check — the library's embedding contract
+    * (every index path already encodes via `Array[Float]`). Internal
+    * scoring joins use this; the HOF stays the engine-portable
+    * reference formulation any numeric array type can run. */
+  def cosineF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Exact top-k neighbors for each query vector (brute force; broadcast
     * the query side — it is the small side by construction). */
   def knn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -70,7 +86,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -177,7 +193,7 @@ object Similarity {
       .orderBy(col("cs").desc, col("neighbor_id"))
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -301,7 +317,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -415,7 +431,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -527,7 +543,7 @@ object Similarity {
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     val result = cands2.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -734,7 +750,7 @@ object Similarity {
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -1144,7 +1160,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("neighbor_id"))
     broadcast(queryCells).join(corpusCells, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cs"))
+      .select(col("query_id"), col("neighbor_id"), cosineF(col("qe"), col("ce")).as("cs"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -1338,7 +1354,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -1462,7 +1478,7 @@ object Similarity {
     val knnEdges = asg.as("a").join(asg.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("node_id"), col("b.vec_id").as("nbr_id"),
-        cosine(col("a.e"), col("b.e")).as("ncs"))
+        cosineF(col("a.e"), col("b.e")).as("ncs"))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= m)
       .select(col("node_id"), col("nbr_id"), col("ncs"))
@@ -1542,6 +1558,14 @@ object Similarity {
     val sp = corpus.sparkSession
     import sp.implicits._
     val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
+    // The graph is joined EVERY round (and once more by the final
+    // checkpoint): left lazy, its whole build — assignment scan, cell
+    // self-join, two windows, distinct — re-executes per round.
+    // Materialize it once (the cascadeKnn sigs/codes discipline) and
+    // flatten its carried stats like every other loop-carried frame.
+    val graphCkpt = graph.select(col("node_id"), col("nbr_id"))
+      .localCheckpoint(true)
+    val g = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(graphCkpt)
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
     val entries = corpusVecs
@@ -1570,7 +1594,7 @@ object Similarity {
     while (r < rounds) {
       val frontier = visited.withColumn("_b", row_number().over(wBeam))
         .filter(col("_b") <= beam).select(col("query_id"), col("node"))
-      val cand = frontier.join(graph, frontier("node") === graph("node_id"))
+      val cand = frontier.join(g, frontier("node") === g("node_id"))
         .select(col("query_id"), col("nbr_id").as("node")).distinct()
         .join(visited.select(col("query_id"), col("node")),
           Seq("query_id", "node"), "left_anti")
@@ -1600,6 +1624,7 @@ object Similarity {
         col("cs"))
       .localCheckpoint(true)
     prevCkpt.unpersist()
+    graphCkpt.unpersist()
     result
   }
 
@@ -1634,7 +1659,10 @@ object Similarity {
       iters: Int = 5, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
     val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
       .zipWithIndex.map { case (c, i) => (i.toLong, c) }
-    val asg = nswAssign(corpus, cb)
+    // asg feeds three consumers (graph build, scattered entries, per-cell
+    // entries) — materialize the assignment scan once (cascadeKnn
+    // discipline); safe to free after nswKnnOn's eager result checkpoint.
+    val asg = nswAssign(corpus, cb).localCheckpoint(true)
     val graph = nswGraphFromAssign(asg, m)
     val scattered = asg
       .filter(col("vec_id") % centEvery === 0)
@@ -1643,7 +1671,9 @@ object Similarity {
     val perCell = asg.groupBy(col("cid"))
       .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
     val entries = scattered.union(perCell).distinct()
-    nswKnnOn(queries, corpus, graph, entries, k, beam, rounds)
+    val res = nswKnnOn(queries, corpus, graph, entries, k, beam, rounds)
+    asg.unpersist()
+    res
   }
 
   /** Append maintenance for a [[nswGraphOn]] neighbor graph: fold NEW
@@ -1676,7 +1706,7 @@ object Similarity {
     val fwd = newAsg.as("a").join(asg.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("node_id"), col("b.vec_id").as("nbr_id"),
-        cosine(col("a.e"), col("b.e")).as("ncs"))
+        cosineF(col("a.e"), col("b.e")).as("ncs"))
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= m)
       .select(col("node_id"), col("nbr_id"), col("ncs"))
@@ -1691,7 +1721,7 @@ object Similarity {
       .join(vecs.as("va"), col("node_id") === col("va.vec_id"))
       .join(vecs.as("vb"), col("nbr_id") === col("vb.vec_id"))
       .select(col("node_id"), col("nbr_id"),
-        cosine(col("va.e"), col("vb.e")).as("ncs"))
+        cosineF(col("va.e"), col("vb.e")).as("ncs"))
     val recapped = existingScored.union(newEdges).distinct()
       .withColumn("_d", row_number().over(w))
       .filter(col("_d") <= 2 * m)
@@ -2341,7 +2371,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -2426,7 +2456,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
@@ -2508,7 +2538,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("neighbor_id"))
     cands.join(c, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .withColumn("cs", cosine(col("qe"), col("ce")))
+      .withColumn("cs", cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cs"))
