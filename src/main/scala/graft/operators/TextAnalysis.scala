@@ -1377,16 +1377,19 @@ object TextAnalysis {
     var lastCkpt: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
-      val contribs = withDeg.join(ranks,
+      // The graph is SYMMETRIZED (e carries both directions), so every
+      // node in `nodes` has at least one INCOMING edge and the contrib
+      // aggregate covers every node — re-joining `nodes` per round to
+      // backfill dangling nodes (the directed-PageRank shape) would be
+      // a provably-never-firing left_outer costing one shuffle a round.
+      var next = withDeg.join(ranks,
           withDeg("doc_id") === ranks("doc_id") && col("u") === col("node"))
-        .groupBy(withDeg("doc_id").as("cdoc"), col("v"))
+        .groupBy(withDeg("doc_id").as("doc_id"), col("v").as("node"))
         .agg(sum((col("r") / col("deg").cast("double"))
           .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("csum"))
-      var next = nodes.join(contribs,
-          col("doc_id") === col("cdoc") && col("node") === col("v"), "left_outer")
         .select(col("doc_id"), col("node"),
           round(lit(1.0 - damping) + lit(damping) *
-            coalesce(col("csum").cast("double"), lit(0.0)), roundTo).as("r"))
+            col("csum").cast("double"), roundTo).as("r"))
       i += 1
       if (i % 3 == 0 && i < iterations) {
         val ck = next.localCheckpoint(true)
