@@ -1552,12 +1552,7 @@ object Similarity {
     * shape both the sampled-oracle and trained primary paths share. */
   def nswKnnOn(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(beam >= 1, "beam must be positive")
-    require(rounds >= 0, "rounds must be non-negative")
     val sp = corpus.sparkSession
-    import sp.implicits._
-    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     // The graph is joined EVERY round (and once more by the final
     // checkpoint): left lazy, its whole build — assignment scan, cell
     // self-join, two windows, distinct — re-executes per round.
@@ -1566,6 +1561,56 @@ object Similarity {
     val graphCkpt = graph.select(col("node_id"), col("nbr_id"))
       .localCheckpoint(true)
     val g = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(graphCkpt)
+    val res = nswSearch(queries, corpus, entryNodes, k, beam, rounds,
+      _ => g)
+    graphCkpt.unpersist()
+    res
+  }
+
+  /** Persist a [[nswGraph]] neighbor graph range-partitioned + sorted by
+    * `node_id` with a per-file min/max manifest — the [[writeCellIndex]]
+    * layout keyed on the SEARCH key, so a serving round's frontier
+    * prunes FILES: at corpus scale the graph is corpus-sized × degree
+    * rows, and a beam of a few dozen nodes must read a few files, not
+    * the graph. */
+  def writeNswGraph(graph: DataFrame, path: String, numFiles: Int): Unit =
+    writeCellIndex(graph.select(col("node_id"), col("nbr_id")), path,
+      numFiles, cellCol = "node_id")
+
+  /** Beam search over a STORED [[writeNswGraph]] layout — the serving
+    * path: each round collects the frontier's node ids (at most
+    * queries × beam longs, and queries are already bounded by the
+    * [[MaxBroadcastQueries]] contract), manifest-prunes the graph files
+    * to those ids via [[readCellIndex]], and joins ONLY the surviving
+    * files' edges. Results are byte-identical to [[nswKnnOn]] over the
+    * same graph (the spec pins it); the I/O is proportional to the
+    * frontier's file span instead of the whole graph — the same
+    * file-level win [[ivfSq8KnnFromStoredIndex]] buys the cell index. */
+  def nswKnnStored(queries: DataFrame, corpus: DataFrame, graphPath: String,
+      entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    nswSearch(queries, corpus, entryNodes, k, beam, rounds, { frontier =>
+      val ids = frontier.select(col("node")).distinct()
+        .as[Long].collect().toIndexedSeq
+      if (ids.isEmpty) readCellIndex(sp, graphPath, Seq(Long.MinValue), "node_id")
+      else readCellIndex(sp, graphPath, ids, "node_id")
+    })
+  }
+
+  /** Shared fixed-round beam-search loop: `edgesFor(frontier)` supplies
+    * each round's `(node_id, nbr_id)` edge set — the whole materialized
+    * graph for the in-memory path, a manifest-file-pruned read for the
+    * stored path. */
+  private def nswSearch(queries: DataFrame, corpus: DataFrame,
+      entryNodes: DataFrame, k: Int, beam: Int, rounds: Int,
+      edgesFor: DataFrame => DataFrame): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(beam >= 1, "beam must be positive")
+    require(rounds >= 0, "rounds must be non-negative")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
     val entries = corpusVecs
@@ -1594,6 +1639,7 @@ object Similarity {
     while (r < rounds) {
       val frontier = visited.withColumn("_b", row_number().over(wBeam))
         .filter(col("_b") <= beam).select(col("query_id"), col("node"))
+      val g = edgesFor(frontier)
       val cand = frontier.join(g, frontier("node") === g("node_id"))
         .select(col("query_id"), col("nbr_id").as("node")).distinct()
         .join(visited.select(col("query_id"), col("node")),
@@ -1624,7 +1670,6 @@ object Similarity {
         col("cs"))
       .localCheckpoint(true)
     prevCkpt.unpersist()
-    graphCkpt.unpersist()
     result
   }
 

@@ -78,6 +78,67 @@ object Queries {
   }
   private def sinkDir(tag: String): String = s"$sinkRoot/$tag"
 
+  /** The NSW beam-search oracle (shared by s18 in-memory and s19
+    * stored-layout: the storage layout cannot change the answer, so one
+    * SQL definition pins both): sampled centroids → cell-blocked top-m
+    * graph + reverse edges capped at 2m → entry layer scored exactly →
+    * `rounds` unrolled frontier-expansion CTEs in exact lockstep with
+    * the Spark loop. */
+  private def nswOracleSql(rounds: Int, beam: Int, m: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      asg AS (SELECT e.vec_id, c.vec_id AS cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+              c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rn
+        FROM embeddings e, cent c),
+      cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+      g0 AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
+          round(list_cosine_similarity(ea.embedding::DOUBLE[],
+            eb.embedding::DOUBLE[]), 6) AS ncs,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[],
+              eb.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS gr
+        FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      gm AS (SELECT node_id, nbr_id, ncs FROM g0 WHERE gr <= $m),
+      sym AS (SELECT node_id, nbr_id, ncs FROM gm
+        UNION SELECT nbr_id, node_id, ncs FROM gm),
+      graph AS (SELECT node_id, nbr_id FROM (
+          SELECT node_id, nbr_id,
+            row_number() OVER (PARTITION BY node_id
+              ORDER BY ncs DESC, nbr_id) AS dr
+          FROM sym) WHERE dr <= ${2 * m}),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      v0 AS (SELECT q.query_id, c.vec_id AS node,
+          round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+        FROM q, cent c)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+      f$i AS (SELECT query_id, node FROM (
+          SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, node) AS b FROM v${i - 1}) WHERE b <= $beam),
+      c$i AS (SELECT DISTINCT f.query_id, g.nbr_id AS node
+        FROM f$i f JOIN graph g ON f.node = g.node_id
+        WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+          WHERE v.query_id = f.query_id AND v.node = g.nbr_id)),
+      s$i AS (SELECT c.query_id, c.node,
+          round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
+        FROM c$i c JOIN q ON q.query_id = c.query_id
+                   JOIN embeddings e ON e.vec_id = c.node),
+      v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
+    }
+    sb.append(s""",
+      ranked AS (SELECT query_id, node AS neighbor_id, cs,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, node) AS rank
+        FROM v$rounds WHERE node <> query_id)
+      SELECT query_id, rank, neighbor_id, cs FROM ranked
+      WHERE rank <= 3 ORDER BY query_id, rank""")
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Aggregate (TPC-H Q1 shape: filter + group + multi-agg + sort) ----
@@ -4393,61 +4454,30 @@ object Queries {
           .nswKnn(e.filter($"vec_id" < 10), e, graph, 3, beam = 8, rounds = 3)
           .orderBy($"query_id", $"rank")
       },
-      Some {
-        val rounds = 3; val beam = 8; val m = 8
-        val sb = new StringBuilder(
-          s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
-          asg AS (SELECT e.vec_id, c.vec_id AS cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
-                  c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rn
-            FROM embeddings e, cent c),
-          cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
-          g0 AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
-              round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                eb.embedding::DOUBLE[]), 6) AS ncs,
-              row_number() OVER (PARTITION BY a.vec_id
-                ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                  eb.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS gr
-            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-              JOIN embeddings ea ON ea.vec_id = a.vec_id
-              JOIN embeddings eb ON eb.vec_id = b.vec_id),
-          gm AS (SELECT node_id, nbr_id, ncs FROM g0 WHERE gr <= $m),
-          sym AS (SELECT node_id, nbr_id, ncs FROM gm
-            UNION SELECT nbr_id, node_id, ncs FROM gm),
-          graph AS (SELECT node_id, nbr_id FROM (
-              SELECT node_id, nbr_id,
-                row_number() OVER (PARTITION BY node_id
-                  ORDER BY ncs DESC, nbr_id) AS dr
-              FROM sym) WHERE dr <= ${2 * m}),
-          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-          v0 AS (SELECT q.query_id, c.vec_id AS node,
-              round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
-            FROM q, cent c)""")
-        for (i <- 1 to rounds) {
-          sb.append(s""",
-          f$i AS (SELECT query_id, node FROM (
-              SELECT query_id, node, row_number() OVER (PARTITION BY query_id
-                ORDER BY cs DESC, node) AS b FROM v${i - 1}) WHERE b <= $beam),
-          c$i AS (SELECT DISTINCT f.query_id, g.nbr_id AS node
-            FROM f$i f JOIN graph g ON f.node = g.node_id
-            WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
-              WHERE v.query_id = f.query_id AND v.node = g.nbr_id)),
-          s$i AS (SELECT c.query_id, c.node,
-              round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
-            FROM c$i c JOIN q ON q.query_id = c.query_id
-                       JOIN embeddings e ON e.vec_id = c.node),
-          v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
-        }
-        sb.append(s""",
-          ranked AS (SELECT query_id, node AS neighbor_id, cs,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cs DESC, node) AS rank
-            FROM v$rounds WHERE node <> query_id)
-          SELECT query_id, rank, neighbor_id, cs FROM ranked
-          WHERE rank <= 3 ORDER BY query_id, rank""")
-        sb.toString
-      }),
+      Some(nswOracleSql(rounds = 3, beam = 8, m = 8))),
+
+    // ---- Graph-based ANN served from the STORED graph layout: same
+    //      search as s18 (storage cannot change the answer - one shared
+    //      oracle pins both), but the neighbor graph is persisted
+    //      range-partitioned by node_id with a min/max manifest and each
+    //      round's frontier reads ONLY its files ----
+    QueryDef(
+      "s19_knn_nsw_stored",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val S = graft.operators.Similarity
+        val graph = S.nswGraph(e, m = 8)
+        val out = sinkDir("nsw_graph")
+        S.writeNswGraph(graph, out, numFiles = 8)
+        val entries = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".cast("long").as("node_id"))
+        S.nswKnnStored(e.filter($"vec_id" < 10), e, out, entries,
+            3, beam = 8, rounds = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(nswOracleSql(rounds = 3, beam = 8, m = 8))),
+
 
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),

@@ -611,6 +611,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pure.length === 3)
   }
 
+  test("stored NSW graph serves byte-identical results reading only the frontier's files") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nsw-stored").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val g = Similarity.nswGraph(e, m = 6)
+    Similarity.writeNswGraph(g, s"$tmp/graph", numFiles = 8)
+    val allFiles = spark.read.parquet(s"$tmp/graph").inputFiles.toSet
+    assert(allFiles.size >= 6, s"layout produced too few files: ${allFiles.size}")
+    // a beam-sized frontier prunes to a strict subset of the graph files
+    val someNodes = spark.read.parquet(s"$tmp/graph")
+      .select(col("node_id")).distinct().orderBy(col("node_id"))
+      .limit(4).as[Long].collect().toIndexedSeq
+    val pruned = Similarity.readCellIndex(spark, s"$tmp/graph", someNodes, "node_id")
+    val touched = pruned.inputFiles.toSet
+    assert(touched.nonEmpty && touched.subsetOf(allFiles) && touched.size < allFiles.size,
+      s"frontier read did not prune files: ${touched.size} of ${allFiles.size}")
+    // and the pruned rows equal a full scan + membership filter
+    def edges(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(pruned) === edges(spark.read.parquet(s"$tmp/graph")
+        .filter(col("node_id").isInCollection(someNodes))),
+      "manifest-pruned edges diverged from a full scan + filter")
+    // served search is byte-identical to the in-memory graph path —
+    // same entries, same rounds, same beam
+    val entries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("node_id"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val stored = Similarity.nswKnnStored(
+      q, e, s"$tmp/graph", entries, 3, beam = 8, rounds = 3)
+    val inMem = Similarity.nswKnnOn(q, e, g, entries, 3, beam = 8, rounds = 3)
+    assert(rows(stored) === rows(inMem),
+      "stored-graph beam search diverged from the in-memory path")
+  }
+
   test("nswKnn: rounds=0 is exact kNN over the entry layer; rounds only add visited nodes") {
     val sp = spark; import sp.implicits._
     val e = emb
