@@ -80,6 +80,40 @@ object Analytics {
       .drop("_graft_ps_b", "_graft_ps_off")
   }
 
+  /** [[withPrefixSum]] PER GROUP: exact exclusive prefix sum of
+    * `valueCol` in `orderCol` order within each `partitionCol` group,
+    * via the same two-level scan — per-(group, bucket) totals first
+    * (ordinary hash aggregate), then bucket offsets by a window over
+    * the TINY per-bucket frame (one row per populated bucket, windowed
+    * per group), then the within-bucket window. No group ever runs as
+    * one window partition: a billion-row group is thousands of
+    * bucket-bounded partitions plus a broadcastable offset frame —
+    * the scale shape a per-source cumulative scan needs (a naive
+    * `Window.partitionBy(group).orderBy(id)` serializes each group
+    * onto one task). */
+  def withPrefixSumBy(df: DataFrame, partitionCol: String, orderCol: String,
+      valueCol: String, outCol: String, bucketSize: Long = 1024L): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be positive")
+    require(!df.columns.exists(_.startsWith("_graft_ps")),
+      "input already has _graft_ps staging columns")
+    val staged = df.withColumn("_graft_ps_b",
+      expr(s"CAST($orderCol AS BIGINT) div $bucketSize"))
+    val offsets = staged.groupBy(col(partitionCol), col("_graft_ps_b"))
+      .agg(sum(col(valueCol)).as("_graft_ps_tot"))
+      .withColumn("_graft_ps_off",
+        coalesce(sum(col("_graft_ps_tot")).over(
+          Window.partitionBy(col(partitionCol)).orderBy(col("_graft_ps_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_ps_tot")
+    val within = Window.partitionBy(col(partitionCol), col("_graft_ps_b"))
+      .orderBy(col(orderCol))
+    staged.join(broadcast(offsets), Seq(partitionCol, "_graft_ps_b"))
+      .withColumn(outCol,
+        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(
+          within.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_graft_ps_b", "_graft_ps_off")
+  }
+
   /** Latest-wins CDC merge (the MERGE INTO / SCD-1 pattern): apply an
     * `updates` changeset onto a `base` snapshot. Each key keeps the row
     * with the highest `versionCol` (updates win version ties — base rows

@@ -1259,6 +1259,49 @@ object TextAnalysis {
     df.filter(bucket < pct)
   }
 
+  /** TOKEN-BUDGETED mixture assembly — the training-mix builder: given
+    * per-source mixture weights and a total token budget, select from
+    * each source the maximal doc-id-ordered PREFIX of documents whose
+    * token total fits the source's quota `floor(weight × budget)`.
+    * Documents are taken WHOLE (a doc that would overflow the quota is
+    * excluded, as is everything after it — prefix semantics, so the
+    * selection is a pure per-row predicate on the cumulative count:
+    * deterministic, reshuffle-proof, engine-portable). Sources absent
+    * from `weights` are excluded. Output:
+    * `(doc_id, source, n_tokens, cum_tokens, quota)` for selected docs.
+    *
+    * Scale shape: token counts are one map pass; the per-source
+    * cumulative count runs through [[Analytics.withPrefixSumBy]]'s
+    * two-level scan, so a source with billions of documents is
+    * thousands of bucket-bounded window partitions — never one task —
+    * and the final quota filter is a pure predicate. Nothing is
+    * collected; the weights map is a literal CASE expression. */
+  def mixtureByTokenBudget(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, weights: Map[String, Double], totalTokens: Long,
+      bucketSize: Long = 1024L): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinite),
+      "weights must be finite and non-negative")
+    require(totalTokens >= 0, "totalTokens must be non-negative")
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).cast("string").as("source"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0 &&
+        col("source").isin(weights.keys.toSeq.sorted: _*))
+    val quota = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) =>
+        when(col("source") === s,
+          lit(math.floor(w * totalTokens).toLong)).otherwise(acc)
+    }
+    Analytics.withPrefixSumBy(perDoc, "source", "doc_id", "n_tokens",
+        "cum_before", bucketSize)
+      .withColumn("cum_tokens", col("cum_before") + col("n_tokens"))
+      .withColumn("quota", quota)
+      .filter(col("cum_tokens") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quota"))
+  }
+
   /** WEIGHTED sampling without replacement, k per group — the
     * quality-weighted corpus-mixing primitive (sample documents
     * proportionally to a quality/length score when assembling a

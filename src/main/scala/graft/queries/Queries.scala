@@ -5131,6 +5131,31 @@ object Queries {
         WHERE rank <= 3 ORDER BY doc_id, rank"""
       }),
 
+    // ---- Token-budgeted mixture assembly: per-source quota =
+    //      floor(weight x budget), maximal doc-id-ordered prefix per
+    //      source via the two-level grouped prefix scan (no
+    //      one-task-per-source window), docs taken whole ----
+    QueryDef(
+      "t43_mixture_budget",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .mixtureByTokenBudget(t(s, dir, "documents"), "doc_id", "lang",
+            "text", Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15), 10000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang AS source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE lang IN ('de','en','fr')),
+        c AS (SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          CAST(CASE source WHEN 'en' THEN 6000 WHEN 'de' THEN 2500
+            ELSE 1500 END AS BIGINT) AS quota
+        FROM tk WHERE n_tokens > 0)
+        SELECT doc_id, source, n_tokens, cum_tokens, quota FROM c
+        WHERE cum_tokens <= quota ORDER BY doc_id""")),
+
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the
     //      LM-quality signal add-one smoothing distorts; every

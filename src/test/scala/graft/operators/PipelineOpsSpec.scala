@@ -46,6 +46,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("withPrefixSumBy equals the per-group single-window formulation, any bucketSize") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 600).map(i =>
+      (i.toLong * 3 + (i % 2), s"src${i % 5}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "src", "v").repartition(4)
+    val reference = df.withColumn("cum",
+      coalesce(sum($"v").over(Window.partitionBy($"src").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"src", $"cum").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (bs <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = Analytics.withPrefixSumBy(df, "src", "id", "v", "cum", bs)
+        .select($"id", $"src", $"cum").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === reference, s"bucketSize=$bs diverged from grouped window prefix sum")
+    }
+  }
+
+  // ---- mixtureByTokenBudget ----
+
+  test("mixtureByTokenBudget selects the maximal whole-doc prefix per source under quota") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a", "w x y z"),        // 4 tokens
+      (2L, "a", "w x y"),          // 3
+      (3L, "a", "w x y z w x"),    // 6 — a-cum 13
+      (4L, "a", "w"),              // a-cum 14 > quota
+      (5L, "b", "w x"),            // 2
+      (6L, "b", "w x y z w"),      // 5 — b-cum 7 > quota(6): dropped, prefix stops
+      (7L, "b", "w"),              // would fit alone, but prefix semantics drop it
+      (8L, "c", "w x y"),          // source absent from weights
+      (9L, "a", "")                // zero tokens: excluded before counting
+    ).toDF("doc_id", "lang", "text")
+    // budget 20: quotas a = floor(0.65*20) = 13, b = floor(0.3*20) = 6
+    val out = TextAnalysis.mixtureByTokenBudget(docs, "doc_id", "lang",
+        "text", Map("a" -> 0.65, "b" -> 0.3), 20L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 4L, 4L, 13L),
+      (2L, "a", 3L, 7L, 13L),
+      (3L, "a", 6L, 13L, 13L),
+      (5L, "b", 2L, 2L, 6L)))
+    // quota never exceeded, by construction of the filter
+    assert(out.forall { case (_, _, _, cum, quota) => cum <= quota })
+    // zero budget selects nothing
+    assert(TextAnalysis.mixtureByTokenBudget(docs, "doc_id", "lang",
+      "text", Map("a" -> 1.0), 0L).isEmpty)
+  }
+
   // ---- packSequences ----
 
   test("packSequences spans are contiguous and cover the token stream") {
