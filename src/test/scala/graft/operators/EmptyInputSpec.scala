@@ -260,4 +260,46 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 1L), (2L, 1L)))
   }
+
+  test("round-11 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    // NSW: an empty corpus has no sampled centroid — the build fails
+    // loudly instead of returning a silently-unsearchable graph
+    val exBuild = intercept[IllegalArgumentException] {
+      Similarity.nswGraph(emptyVecs)
+    }
+    assert(exBuild.getMessage.contains("centroid"))
+    // a live graph with zero QUERIES returns an empty result cleanly
+    val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (50L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val g = Similarity.nswGraph(e, m = 2)
+    assert(Similarity.nswKnn(emptyVecs, e, g, 2, beam = 2, rounds = 1)
+      .count() == 0)
+    // a live query over an EMPTY graph frame degrades to the entry layer
+    val emptyGraph = Seq.empty[(Long, Long)].toDF("node_id", "nbr_id")
+    val q = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.nswKnnOn(q, e, emptyGraph,
+      e.select($"vec_id".as("node_id")), 2, beam = 2, rounds = 2).count() == 2)
+    // mixture: empty corpus selects nothing; weights covering no source
+    // likewise
+    assert(TextAnalysis.mixtureByTokenBudget(
+      emptyDocs.withColumn("lang", lit("en")), "doc_id", "lang", "text",
+      Map("en" -> 1.0), 100L).count() == 0)
+    // media triage: empty stream of assets, and one hostile blob that
+    // must become a dead-letter row, not an exception
+    val emptyMedia = sp.createDataset(Seq.empty[MediaRecord])
+    assert(Multimodal.triageFeatures(emptyMedia).count() == 0)
+    // the full 8-byte PNG magic followed by garbage: sniffed as PNG,
+    // rejected by the codec (a magic-less blob passes through undecoded)
+    val hostile = sp.createDataset(Seq(MediaRecord(1L, "image",
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        ++ "garbage".getBytes("ISO-8859-1"))))
+    val rows = Multimodal.triageFeatures(hostile).collect()
+    assert(rows.length == 1 && !rows.head.decode_ok)
+    // JPEG decoder: empty and truncated streams fail as decode errors
+    assert(intercept[IllegalArgumentException] {
+      Jpeg.decode(Array.emptyByteArray)
+    }.getMessage.nonEmpty)
+  }
 }
