@@ -641,6 +641,73 @@ object Graph {
     (degrees(und).select(col("node"), col("dg").as("degree")), lastCkpt)
   }
 
+  /** k-truss peeling (Cohen 2008): iteratively drop every edge whose
+    * SUPPORT (number of triangles it closes) is below k−2, until the
+    * fixpoint where each surviving edge lies in ≥ k−2 triangles — the
+    * edge-level analogue of [[kCore]]'s node peel, and the standard
+    * cohesive-subgraph strengthening of it (every k-truss is inside the
+    * (k−1)-core, but not vice versa). FIXED synchronous rounds for
+    * DuckDB oracle lockstep, exactly the [[kCore]] contract.
+    *
+    * Shape per round: oriented triangle enumeration — wedge equi-join
+    * at each triangle's SMALLEST vertex (every triangle a<b<c found
+    * exactly once from edges (a,b),(a,c)) + one closing-edge equi-join
+    * — then a count per edge and a semi-join filter. All equi-joins, no
+    * per-node neighborhood gathering; the wedge fan-out is the [[q73]]
+    * triangle shape already adjudicated at scale. The round references
+    * its edge frame four times, so every round's survivors materialize
+    * eagerly (the kCore 5×-reference rationale).
+    *
+    * Output: surviving canonical edges with their support ON the
+    * surviving edge set (recomputed once after the loop, so a
+    * non-converged fixed-round run still reports consistent numbers). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 4): DataFrame = {
+    // k = 2 is the identity truss (threshold 0), which the support
+    // aggregate cannot express — edges in no triangle have no support
+    // row at all, and the semi-join would wrongly drop them
+    require(k >= 3, "k must be at least 3 (the 2-truss is the input graph)")
+    require(rounds >= 1, "need at least one peel round")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("x").join(e.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .join(e.as("z"),
+          col("z.a") === col("x.b") && col("z.b") === col("y.b"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+      tri.select(col("ta").as("a"), col("tb").as("b"))
+        .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
+        .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var und = canon.localCheckpoint(true)
+    var lastCkpt = und
+    var i = 0
+    while (i < rounds) {
+      val keep = support(und).filter(col("sup") >= k - 2)
+        .select(col("a"), col("b"))
+      val next = und.join(keep, Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      lastCkpt.unpersist()
+      lastCkpt = next
+      und = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(next)
+      i += 1
+    }
+    // LEFT join: a non-converged fixed-round run can still hold edges
+    // whose support dropped to zero (no support row at all) — they are
+    // part of the round state and must be reported, not silently lost
+    val out = und.join(support(und), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .localCheckpoint(true)
+    lastCkpt.unpersist()
+    out
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999): `iterations` rounds of
     *
     *   auth(v) ← round((Σ_{u→v} hub(u))  / max_v Σ, roundTo)

@@ -3265,6 +3265,58 @@ object Queries {
         SELECT node, a AS arrival FROM d5 ORDER BY node"""
       }),
 
+    // ---- k-truss peeling over the q73 co-order parts graph: per round
+    //      an oriented triangle enumeration (wedge at the smallest
+    //      vertex + closing edge), per-edge support count, and a
+    //      support >= k-2 filter — the edge-level cohesion analogue of
+    //      q78's k-core, same fixed-round lockstep ----
+    QueryDef(
+      "q99_ktruss",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.kTruss(edges, "src", "dst", k = 4, rounds = 3)
+          .orderBy($"a", $"b")
+      },
+      Some {
+        // AS MATERIALIZED throughout — each e_i feeds three triangle scans
+        // and the support join (the q78 inlining-blowup rationale)
+        val k = 4; val rounds = 3
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+          e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""")
+        for (i <- 0 until rounds) sb.append(s""",
+          t$i AS MATERIALIZED (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+                 FROM e$i x JOIN e$i y ON x.a = y.a AND x.b < y.b
+                 JOIN e$i z ON z.a = x.b AND z.b = y.b),
+          s$i AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+                 SELECT ta AS a, tb AS b FROM t$i
+                 UNION ALL SELECT ta AS a, tc AS b FROM t$i
+                 UNION ALL SELECT tb AS a, tc AS b FROM t$i) GROUP BY a, b),
+          e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+                 JOIN s$i s ON e.a = s.a AND e.b = s.b WHERE s.sup >= ${k - 2})""")
+        sb.append(s""",
+          tf AS MATERIALIZED (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+                 FROM e$rounds x JOIN e$rounds y ON x.a = y.a AND x.b < y.b
+                 JOIN e$rounds z ON z.a = x.b AND z.b = y.b),
+          sf AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+                 SELECT ta AS a, tb AS b FROM tf
+                 UNION ALL SELECT ta AS a, tc AS b FROM tf
+                 UNION ALL SELECT tb AS a, tc AS b FROM tf) GROUP BY a, b)
+          SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+          FROM e$rounds e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b
+          ORDER BY e.a, e.b""")
+        sb.toString
+      }),
+
     // ---- WEIGHTED PageRank over the directed supplier->part graph
     //      (line numbers as interaction strength, parts dangling):
     //      rank flows proportionally to edge weight, multi-edges kept

@@ -69,6 +69,46 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  /** Local reference: synchronous support peel to the fixpoint; returns
+    * each surviving canonical edge with its final support. */
+  private def refKTruss(edges: Set[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+    var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    def supports(e: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val nbrs = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      e.iterator.map { case (a, b) =>
+        (a, b) -> (nbrs(a) & nbrs(b)).size
+      }.toMap
+    }
+    var changed = true
+    while (changed) {
+      val sup = supports(und)
+      val next = und.filter(sup(_) >= k - 2)
+      changed = next != und
+      und = next
+    }
+    supports(und)
+  }
+
+  test("kTruss equals the local fixpoint support peeler on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      k <- Gen.choose(3, 5)
+    } yield (es, k)
+    val prop = Prop.forAll(gen) { case (es, k) =>
+      val expect = refKTruss(es.toSet, k)
+      // 16 rounds >> fixpoint depth for a <=14-node graph
+      val got = Graph.kTruss(es.toDF("src", "dst"), "src", "dst", k, rounds = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+      val fixpoint = got.values.forall(_ >= k - 2)
+      got == expect && fixpoint
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val genWeightedDigraph = for {
     n <- Gen.choose(2, 9)
     m <- Gen.choose(1, 22)

@@ -231,6 +231,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === ranks)
   }
 
+  test("kTruss peels support cascades; one round is not the fixpoint") {
+    val sp = spark; import sp.implicits._
+    // K5 on {1..5}: every edge closes 3 triangles. Bowtie {20,21,22} +
+    // {21,22,23}: edge (21,22) has support 2, the other four support 1.
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val bowtie = Seq((20L, 21L), (20L, 22L), (21L, 22L), (21L, 23L), (22L, 23L))
+    val edges = (k5 ++ bowtie).toDF("src", "dst")
+    def rows(k: Int, rounds: Int) =
+      Graph.kTruss(edges, "src", "dst", k, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 3-truss (support >= 1): everything survives, supports reported
+    val t3 = rows(3, 8)
+    assert(t3.size === 15 && t3((21L, 22L)) === 2L && t3((20L, 21L)) === 1L)
+    // 4-truss (support >= 2): the bowtie cascades away — round 1 drops
+    // the four support-1 edges, round 2 drops the now-triangle-less
+    // (21,22). One round is NOT enough.
+    val t4 = rows(4, 8)
+    assert(t4.keySet === k5.toSet && t4.values.forall(_ === 3L),
+      s"4-truss should be the bare K5: $t4")
+    val oneRound = rows(4, 1)
+    assert(oneRound.get((21L, 22L)).contains(0L) && !oneRound.contains((20L, 21L)),
+      s"single peel round should still hold (21,22) at support 0: $oneRound")
+    // above the clique's truss number: empty, not an error
+    assert(rows(6, 8).isEmpty)
+    // k = 2 would be the identity truss the support join cannot express
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(edges, "src", "dst", k = 2, rounds = 1)
+    }
+  }
+
   test("kCore peels chains off a clique; the cascade needs multiple rounds") {
     val sp = spark; import sp.implicits._
     // K4 on {1,2,3,4} (all internal degree 3) + chain 4-10-11-12 hanging
