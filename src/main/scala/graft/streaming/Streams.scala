@@ -256,6 +256,38 @@ object Streams {
     train.filter(keep(col(textCol)))
   }
 
+  /** Streaming ANN SERVING over a STORED [[graft.operators.Similarity
+    * .writeNswGraph]] layout — the query-stream twin of
+    * [[graft.operators.Similarity.nswKnnStored]]: each micro-batch of
+    * query vectors runs the full file-pruned beam search against the
+    * static corpus + graph and lands its top-k as
+    * `outPath/batch-<id>`, written with OVERWRITE so a checkpoint
+    * replay of a micro-batch clobbers its own output instead of
+    * double-appending (the idempotence discipline the CDC sink uses).
+    * Unlike [[streamingKnnClassify]] this never broadcasts the corpus —
+    * the corpus and graph stay on disk and each round reads only the
+    * frontier's graph files, so the SAME serving path scales from this
+    * spec's 500 vectors to a corpus no executor set could hold. The
+    * per-batch query side rides the usual broadcast contract (a
+    * micro-batch is bounded by construction; the limit is still checked
+    * loudly). Read results with `spark.read.parquet(outPath + "/b*")`
+    * or per batch. Returns the started query; callers own its
+    * lifecycle. */
+  def annServeSink(queries: DataFrame, corpus: DataFrame, graphPath: String,
+      entryNodes: DataFrame, outPath: String, checkpointPath: String,
+      k: Int, beam: Int = 12, rounds: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity
+            .nswKnnStored(batch, corpus, graphPath, entryNodes, k, beam, rounds)
+            .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
+        }
+      }.start()
+
   /** Ingest-time kNN LABEL SUGGESTION — the streaming twin of
     * [[graft.operators.Labels.knnClassify]]: score each arriving
     * vector against a STATIC labeled reference set (bounded by the

@@ -170,6 +170,47 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming ANN serve over the stored NSW graph equals per-batch stored search") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val S = graft.operators.Similarity
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-serve").toString
+    S.writeNswGraph(S.nswGraph(emb, m = 6), s"$tmp/graph", numFiles = 8)
+    val entries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".cast("long").as("node_id"))
+    val qrows = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annServeSink(input.toDF().toDF("vec_id", "embedding"),
+      emb, s"$tmp/graph", entries, s"$tmp/out", s"$tmp/ckpt",
+      k = 3, beam = 6, rounds = 2)
+    try {
+      val (a, b) = qrows.splitAt(4)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      def resSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"query_id", $"rank", $"neighbor_id", $"cs").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // each micro-batch landed as its own overwrite-idempotent dir,
+      // and the union equals the stored-graph batch search per batch
+      val batches = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.getName.startsWith("batch-")).sortBy(_.getName)
+      assert(batches.length == 2, s"expected 2 batch dirs: ${batches.toSeq}")
+      val streamed = resSet(sp.read.parquet(s"$tmp/out/batch-*"))
+      val expected =
+        resSet(S.nswKnnStored(a.toDF("vec_id", "embedding"), emb,
+          s"$tmp/graph", entries, 3, beam = 6, rounds = 2)) ++
+        resSet(S.nswKnnStored(b.toDF("vec_id", "embedding"), emb,
+          s"$tmp/graph", entries, 3, beam = 6, rounds = 2))
+      assert(streamed === expected, "streamed ANN serve diverged from batch")
+      assert(streamed.map(_._1).size == streamed.map(t => t._1).size
+        && streamed.nonEmpty && streamed.map(_._1) == qrows.map(_._1).toSet,
+        "vacuous: not every streamed query answered")
+    } finally { q.stop(); () }
+  }
+
   test("streaming quality screen equals the batch Gopher gate over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext
