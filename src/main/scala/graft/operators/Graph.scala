@@ -661,6 +661,22 @@ object Graph {
     * Output: surviving canonical edges with their support ON the
     * surviving edge set (recomputed once after the loop, so a
     * non-converged fixed-round run still reports consistent numbers). */
+  /** One [[kTruss]] support round on a canonical `(a, b)` edge frame:
+    * oriented triangle enumeration + per-edge count. `private[graft]`
+    * so the plan-quality spec can pin the round's physical shape
+    * (the kCoreLazy rationale — the loop's checkpoints hide it). */
+  private[graft] def trussSupport(e: DataFrame): DataFrame = {
+    val tri = e.as("x").join(e.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .join(e.as("z"),
+        col("z.a") === col("x.b") && col("z.b") === col("y.b"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    tri.select(col("ta").as("a"), col("tb").as("b"))
+      .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
+      .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+  }
+
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 4): DataFrame = {
     // k = 2 is the identity truss (threshold 0), which the support
@@ -673,17 +689,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    def support(e: DataFrame): DataFrame = {
-      val tri = e.as("x").join(e.as("y"),
-          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
-        .join(e.as("z"),
-          col("z.a") === col("x.b") && col("z.b") === col("y.b"))
-        .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
-      tri.select(col("ta").as("a"), col("tb").as("b"))
-        .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
-        .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-    }
+    def support(e: DataFrame): DataFrame = trussSupport(e)
     var und = canon.localCheckpoint(true)
     var lastCkpt = und
     var i = 0

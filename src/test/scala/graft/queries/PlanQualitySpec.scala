@@ -172,6 +172,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"t41 pair stage shuffles:\n${p.take(2000)}")
   }
 
+  test("q99 k-truss support round is equi joins + a partial count, never a cartesian") {
+    val sp = spark; import sp.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val p = graft.operators.Graph.trussSupport(e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"truss support planned a cartesian:\n${p.take(2000)}")
+    assert(p.contains("Join"), "truss support lost its wedge equi-join")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"support count lost map-side partial aggregation:\n${p.take(2000)}")
+  }
+
+  test("t43 mixture stages the per-source bucket offsets behind a broadcast join") {
+    val p = plan("t43_mixture_budget")
+    // the grouped prefix scan joins tiny (source, bucket) offsets by
+    // broadcast; the per-row window is (source, bucket)-partitioned —
+    // never one window partition per source
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("s18 NSW graph build is a cell-blocked equi join, never a cartesian") {
     // the per-node kNN must be blocked by cell id — an unkeyed
     // self-join is corpus² pairs. (The SEARCH loop's per-round plans
