@@ -661,6 +661,63 @@ object Graph {
     * Output: surviving canonical edges with their support ON the
     * surviving edge set (recomputed once after the loop, so a
     * non-converged fixed-round run still reports consistent numbers). */
+  /** Newman MODULARITY per community (Newman & Girvan 2004): for each
+    * community c over an undirected graph with m canonical edges,
+    *
+    *   Q_c = e_c/m − (d_c/(2m))²
+    *
+    * where e_c counts intra-community edges and d_c sums member
+    * degrees; Σ_c Q_c is the partition's modularity. The quality gauge
+    * for any node labeling — [[labelPropagation]], [[kCore]] shells,
+    * external clusterings — COMPOSES with whatever produced `labels`.
+    *
+    * Determinism: e_c, d_c, m are exact integers; each Q_c is a fixed
+    * IEEE expression over them (the square written as x·x, not pow),
+    * rounded to `roundTo` — the [[pageRank]] cross-engine convention.
+    *
+    * Shape: one degree aggregate, two label equi-joins on the edge
+    * list, two hash aggregates, and the edge total as a ONE-ROW
+    * broadcast (the q72 dangling-mass pattern) — no collect, no
+    * per-community gathering; a hot community costs its edge count.
+    * Output: (community, n_nodes, intra_edges, degree_sum, q_contrib),
+    * communities with zero intra edges included. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node", labelCol: String = "label",
+      roundTo: Int = 9): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees, intra join, and the total
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("lbl"))
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val intra = canon
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val comm = lab.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_sum"))
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    val ratio = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+    // materialize before freeing canon's blocks — out's lineage rides them
+    val out = comm.join(intra, Seq("community"), "left_outer")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m")
+          - ratio * ratio, roundTo).as("q_contrib"))
+      .localCheckpoint(true)
+    canon.unpersist()
+    out
+  }
+
   /** One [[kTruss]] support round on a canonical `(a, b)` edge frame:
     * oriented triangle enumeration + per-edge count. `private[graft]`
     * so the plan-quality spec can pin the round's physical shape

@@ -139,6 +139,28 @@ object Queries {
     sb.toString
   }
 
+  /** q82's LPA round chain as a WITH body ending at `l<rounds>` —
+    * shared with q100, which scores the SAME labeling (AS MATERIALIZED:
+    * e is probed every round and each l_i feeds the next round's count
+    * join — inlining would replay the whole chain). */
+  private def lpaOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 20 = 0),
+    cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+    e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e)""")
+    for (i <- 1 to rounds) sb.append(s""",
+    c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS cnt
+           FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY e.a, l.lbl),
+    l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+           SELECT a, lbl,
+             row_number() OVER (PARTITION BY a ORDER BY cnt DESC, lbl) AS rn
+           FROM c$i) WHERE rn = 1)""")
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Aggregate (TPC-H Q1 shape: filter + group + multi-agg + sort) ----
@@ -3317,6 +3339,50 @@ object Queries {
         sb.toString
       }),
 
+    // ---- Newman modularity of the q82 LPA partition: exact integer
+    //      e_c / d_c / m through one fixed IEEE expression per
+    //      community (square as x*x, round 9) — the community-quality
+    //      gauge composing the labeling operator with the scorer;
+    //      oracle = q82's shared LPA CTE chain + the modularity SQL ----
+    QueryDef(
+      "q100_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        val labels = graft.operators.Graph
+          .labelPropagation(edges, "src", "dst", rounds = 4)
+        graft.operators.Graph.modularity(edges, "src", "dst", labels)
+          .orderBy($"community")
+      },
+      Some(s"""${lpaOracleCtes(4)},
+        deg AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+               SELECT a AS node FROM cand UNION ALL SELECT b FROM cand)
+             GROUP BY node),
+        mm AS (SELECT count(*) AS m FROM cand),
+        lab AS (SELECT node, lbl FROM l4),
+        intra AS (SELECT la.lbl AS community, count(*) AS intra_edges
+               FROM cand c JOIN lab la ON c.a = la.node
+                           JOIN lab lb ON c.b = lb.node
+               WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        comm AS (SELECT l.lbl AS community, count(*) AS n_nodes,
+                 SUM(d.dg) AS degree_sum
+               FROM lab l JOIN deg d ON l.node = d.node GROUP BY l.lbl)
+        SELECT CAST(c.community AS BIGINT) AS community,
+          CAST(c.n_nodes AS BIGINT) AS n_nodes,
+          CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+          CAST(c.degree_sum AS BIGINT) AS degree_sum,
+          round(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / mm.m
+            - (CAST(c.degree_sum AS DOUBLE) / (2.0 * mm.m))
+              * (CAST(c.degree_sum AS DOUBLE) / (2.0 * mm.m)), 9) AS q_contrib
+        FROM comm c LEFT JOIN intra i ON c.community = i.community
+        CROSS JOIN mm ORDER BY community""")),
+
     // ---- WEIGHTED PageRank over the directed supplier->part graph
     //      (line numbers as interaction strength, parts dangling):
     //      rank flows proportionally to edge weight, multi-edges kept
@@ -3674,28 +3740,8 @@ object Queries {
         graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
           .orderBy($"node")
       },
-      Some {
-        // AS MATERIALIZED: e is probed every round and each l_i feeds the
-        // next round's count join — inlining would replay the whole chain
-        val rounds = 4
-        val sb = new StringBuilder(
-          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-                 FROM lineitem WHERE l_orderkey % 20 = 0),
-        cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
-               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-        e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
-        l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e)""")
-        for (i <- 1 to rounds) sb.append(s""",
-        c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS cnt
-               FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY e.a, l.lbl),
-        l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
-               SELECT a, lbl,
-                 row_number() OVER (PARTITION BY a ORDER BY cnt DESC, lbl) AS rn
-               FROM c$i) WHERE rn = 1)""")
-        sb.append(s"""
-        SELECT node, lbl AS label FROM l$rounds ORDER BY node""")
-        sb.toString
-      }),
+      Some(s"""${lpaOracleCtes(4)}
+        SELECT node, lbl AS label FROM l4 ORDER BY node""")),
 
     // ---- RECURSIVE CTE (SQL surface, new in Spark 4): BFS distances
     //      from supplier 1 over the symmetrized supplier–part graph as a

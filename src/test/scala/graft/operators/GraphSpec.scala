@@ -231,6 +231,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === ranks)
   }
 
+  test("modularity matches hand-computed Q on labeled triangles") {
+    val sp = spark; import sp.implicits._
+    // two disjoint triangles, m = 6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    def q(labels: Seq[(Long, Long)]) =
+      Graph.modularity(edges, "src", "dst", labels.toDF("node", "label"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // perfect partition: each triangle its own community ->
+    // Q_c = 3/6 - (6/12)^2 = 0.25 each, total 0.5
+    val perfect = q(Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L))
+    assert(perfect === Map(
+      10L -> (3L, 3L, 6L, 0.25), 20L -> (3L, 3L, 6L, 0.25)))
+    // everything in one community: Q = 6/6 - (12/12)^2 = 0
+    val lumped = q((1L to 6L).map(_ -> 99L))
+    assert(lumped === Map(99L -> (6L, 6L, 12L, 0.0)))
+    // a community with NO intra edges still appears, negative contribution:
+    // split one triangle node into its own label -> e_c = 0
+    val split = q(Seq(1L -> 10L, 2L -> 10L, 3L -> 30L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L))
+    assert(split(30L) === ((1L, 0L, 2L,           // round-9 of -(2/12)^2
+        BigDecimal(-(2.0 / 12) * (2.0 / 12))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"singleton community wrong: ${split(30L)}")
+  }
+
   test("kTruss peels support cascades; one round is not the fixpoint") {
     val sp = spark; import sp.implicits._
     // K5 on {1..5}: every edge closes 3 triangles. Bowtie {20,21,22} +
