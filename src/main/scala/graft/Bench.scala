@@ -145,7 +145,8 @@ object Bench {
         "rp" -> r(graft.operators.Similarity.rpKnn(q, e, 3)),
         "nsw" -> r(graft.operators.Similarity.nswKnn(
           q, e, graft.operators.Similarity.nswGraph(e), 3)),
-        "nsw_trained" -> r(graft.operators.Similarity.nswKnnTrained(q, e, 3)))
+        "nsw_trained" -> r(graft.operators.Similarity.nswKnnTrained(q, e, 3)),
+        "hnsw" -> r(graft.operators.Similarity.hnswKnn(q, e, 3)))
     }
     val rc = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

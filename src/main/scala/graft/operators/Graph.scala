@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1064,5 +1065,271 @@ object Graph {
     lastCkpt.foreach(_.unpersist())
     e.unpersist()
     result
+  }
+
+  /** Louvain-style local-move community detection (Blondel et al. 2008,
+    * phase 1) over an UNDIRECTED unit-weight edge list: `rounds`
+    * SYNCHRONOUS rounds in which each active node adopts the neighbor
+    * community maximizing the modularity gain, or stays put.
+    *
+    * Determinism contract (the [[labelPropagation]] fixed-round
+    * pattern): all modularity-gain comparisons are EXACT — the gain of
+    * moving u into community c (vs. u isolated) is
+    * `k_{u,c}/m − deg(u)·tot_c/(2m²)`, and multiplying through by the
+    * positive constant 2m² gives the integer score
+    * `2m·k_{u,c} − deg(u)·tot'_c` (tot' excludes u itself when c is
+    * u's current community), computed in DECIMAL so a trillion-edge
+    * graph cannot wrap — ties break toward the smaller community id
+    * via the same `min(struct(-score, comm))` shape as LPA's argmax.
+    * Synchronous simultaneous moves can oscillate (two connected nodes
+    * swapping communities forever), so each round only nodes of one id
+    * parity (`node % 2 == round % 2`) move — a deterministic
+    * half-schedule that a DuckDB oracle replays in exact lockstep,
+    * unlike the randomized sequential sweep of the original algorithm.
+    *
+    * Shape per round: one neighbor-label equi-join + a (node, comm)
+    * partial-counting aggregation (k_{u,c}), one per-community degree
+    * sum (tot), and one per-node argmax — never a window over a
+    * neighborhood, so hubs cost their edge count spread across tasks.
+    * The labels frame feeds four consumers per round, so each round
+    * materializes eagerly with flattened stats (the [[kCore]]
+    * discipline). Output: `(node, label)` for every node with an edge.
+    */
+  /** One [[louvainMove]] round's per-node argmax on a directed-both-ways
+    * edge frame `und (a, b)`, a degree frame `deg (node, dg)`, a label
+    * frame `lab (node, lbl)` and the undirected edge total `m`: returns
+    * `(node, newlbl)` for EVERY labeled node (staying is always a
+    * candidate). `private[graft]` so the plan-quality spec can pin the
+    * round's physical shape — the loop's checkpoints hide it (the
+    * [[trussSupport]] rationale). */
+  private[graft] def louvainBest(und: DataFrame, deg: DataFrame,
+      lab: DataFrame, m: Long): DataFrame =
+    louvainBestW(und.withColumn("w", lit(1L)), deg, lab, m)
+
+  /** Weighted [[louvainBest]]: `und (a, b, w)` carries integer edge
+    * weights (both directions, NO self-loops — their weight enters only
+    * through `deg`, where it counts twice; a self-loop moves with its
+    * node, so it adds the same constant to every candidate's gain and
+    * cancels out of the argmax). `deg` must cover EVERY labeled node —
+    * an isolated super-node (self-loop only) still rides the `stay`
+    * candidate. The integer score is `2m·k_{u,c} − deg(u)·tot'_c` with
+    * weighted k/deg/tot — the exact unit-graph formula with sums for
+    * counts. */
+  private[graft] def louvainBestW(und: DataFrame, deg: DataFrame,
+      lab: DataFrame, m: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast(DecimalType(18, 0))
+    val twoM = dec(lit(2L * m))
+    val tot = lab.join(deg, Seq("node"))
+      .groupBy(col("lbl")).agg(sum(col("dg")).as("tot"))
+    val kuc = und
+      .join(lab.select(col("node").as("b"), col("lbl").as("c")), Seq("b"))
+      .groupBy(col("a"), col("c")).agg(sum(col("w")).as("k"))
+    // staying is always a candidate — even when u has zero edges into
+    // its own community (no kuc row); u leaves its own degree out of
+    // its community's total
+    val stay = lab.join(deg, Seq("node")).join(tot, Seq("lbl"))
+      .join(kuc, kuc("a") === col("node") && kuc("c") === col("lbl"),
+        "left_outer")
+      .select(col("node"), col("lbl").as("comm"),
+        (twoM * dec(coalesce(col("k"), lit(0L))) -
+          dec(col("dg")) * dec(col("tot") - col("dg"))).as("score"))
+    val mv = kuc.as("k")
+      .join(lab.as("l"),
+        col("k.a") === col("l.node") && col("k.c") =!= col("l.lbl"))
+      .join(deg.as("d"), col("k.a") === col("d.node"))
+      .join(tot.as("t"), col("k.c") === col("t.lbl"))
+      .select(col("k.a").as("node"), col("k.c").as("comm"),
+        (twoM * dec(col("k.k")) -
+          dec(col("d.dg")) * dec(col("t.tot"))).as("score"))
+    stay.unionAll(mv)
+      .groupBy(col("node"))
+      .agg(min(struct((-col("score")).as("ns"), col("comm").as("cm"))).as("b"))
+      .select(col("node"), col("b.cm").as("newlbl"))
+  }
+
+  def louvainMove(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    // the edge total is one scalar in every score — a driver literal,
+    // not a cross-join; reuses the job that materialized canon
+    val m = canon.count()
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    canon.unpersist()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    var labels = deg.select(col("node"), col("node").as("lbl"))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val lab = labels
+      val best = louvainBest(und, deg, lab, m)
+      val next = lab.join(best, Seq("node"))
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(i % 2), col("newlbl"))
+            .otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      lastCkpt.foreach(_.unpersist())
+      lastCkpt = Some(next)
+      labels = flat(next)
+    }
+    val result = labels.select(col("node"), col("lbl").as("label"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    und.unpersist()
+    deg.unpersist()
+    result
+  }
+
+  /** Full two-pass Louvain (Blondel et al. 2008 phases 1+2):
+    * [[louvainMove]] local moves on the unit graph, then COARSEN — each
+    * community becomes a super-node, parallel inter-community edges sum
+    * into integer weights, intra-community edges become self-loops
+    * (entering degrees twice, the modularity convention) — and
+    * `rounds2` weighted parity-scheduled local moves run on the coarse
+    * graph ([[louvainBestW]]; the total weight m is UNCHANGED by
+    * coarsening, so scores stay in the same exact integer scale and
+    * the DuckDB oracle replays both passes in lockstep). Final labels
+    * project back: label(node) = coarseLabel(phase1Label(node)).
+    *
+    * Shape: the coarse graph is communities², orders of magnitude
+    * smaller than the input, so pass 2 costs a fraction of pass 1; the
+    * projection is one equi-join against the n-row phase-1 labeling.
+    * Output `(node, label)` for every node with an edge. */
+  def louvainTwoPass(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds1: Int = 4, rounds2: Int = 4): DataFrame = {
+    require(rounds2 >= 1, "need at least one coarse round")
+    val l1 = louvainMove(edges, srcCol, dstCol, rounds1)
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val ce = canon
+      .join(l1.select(col("node").as("a"), col("label").as("ca")), Seq("a"))
+      .join(l1.select(col("node").as("b"), col("label").as("cb")), Seq("b"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val mRow = ce.agg(sum(col("w"))).head()
+    if (mRow.isNullAt(0)) { ce.unpersist(); return l1 } // no edges at all
+    val m = mRow.getLong(0)
+    val inter = ce.filter(col("a") =!= col("b"))
+    val und2 = inter
+      .unionAll(inter.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(true)
+    val selfw = ce.filter(col("a") === col("b"))
+      .select(col("a").as("node"), col("w").as("sw"))
+    val nodes2 = l1.select(col("label").as("node")).distinct()
+    val interDeg = und2.groupBy(col("a").as("node"))
+      .agg(sum(col("w")).as("idg"))
+    val deg2 = nodes2
+      .join(interDeg, Seq("node"), "left_outer")
+      .join(selfw, Seq("node"), "left_outer")
+      .select(col("node"),
+        (coalesce(col("idg"), lit(0L)) +
+          lit(2L) * coalesce(col("sw"), lit(0L))).as("dg"))
+      .localCheckpoint(true)
+    var labels = deg2.select(col("node"), col("node").as("lbl"))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 1 to rounds2) {
+      val lab = labels
+      val best = louvainBestW(und2, deg2, lab, m)
+      val next = lab.join(best, Seq("node"))
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(i % 2), col("newlbl"))
+            .otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      lastCkpt.foreach(_.unpersist())
+      lastCkpt = Some(next)
+      labels = flat(next)
+    }
+    val result = l1
+      .join(labels.select(col("node").as("label"), col("lbl")), Seq("label"))
+      .select(col("node"), col("lbl").as("label"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    und2.unpersist(); deg2.unpersist(); ce.unpersist(); l1.unpersist()
+    result
+  }
+
+  /** Deterministic random walks over a DIRECTED edge list (symmetrize
+    * upstream for undirected semantics) — the corpus-generation step of
+    * DeepWalk/node2vec (Perozzi 2014, Grover 2016): `walksPerNode`
+    * walks of `length` steps start at every node with an out-edge.
+    *
+    * The "random" choice is a seeded integer mix replayable by any SQL
+    * engine: at node v, step t, walker (start, wk), the next neighbor
+    * is rank `mix(v, t, start, wk) mod outdeg(v)` over the node's
+    * neighbors ranked by id. Every multiplicand is pre-reduced modulo
+    * 2^20-ish primes so no term exceeds ~2^41 — the arithmetic can
+    * never overflow a 64-bit integer, which keeps engines that ERROR
+    * on overflow (DuckDB) and engines that wrap (the JVM) in exact
+    * lockstep. A walk that reaches a node with no out-edge halts;
+    * its emitted prefix keeps its rows.
+    *
+    * Shape: the ranked adjacency builds once (per-node sort — the same
+    * cost class as a groupBy on the node key; a celebrity hub's
+    * neighbor ranking is one window partition, so pre-cap hub degrees
+    * upstream if the graph has 10^8-degree nodes), then each step is
+    * ONE equi-join of the walker frontier against it on
+    * (node, chosen-rank) — never a gather of a whole neighborhood.
+    * Frontier state is one row per live walker, eagerly materialized
+    * per step with flattened stats (the [[kCore]] discipline; the
+    * per-step output slices ride the SAME materialized block, so the
+    * final union replays nothing). Output:
+    * `(start, walk, step, node)`, steps 0..length. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int = 1, length: Int = 4, seed: Long = 42L): DataFrame = {
+    require(walksPerNode >= 1, "need at least one walk per node")
+    require(length >= 1, "need at least one step")
+    require(seed >= 0, "seed must be non-negative")
+    val dir = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = dir
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
+      .withColumn("dg", count(lit(1)).over(Window.partitionBy(col("a"))))
+      .select(col("a").as("node"), col("b").as("nbr"),
+        col("rnk").cast("long").as("rnk"), col("dg"))
+      .localCheckpoint(true)
+    def mix(cur: Column, step: Int, start: Column, wk: Column): Column =
+      pmod(lit(1000003L) * pmod(cur, lit(1048573L)) +
+        lit(10007L) * lit(step.toLong) +
+        lit(100003L) * pmod(pmod(start, lit(1048573L)) * lit(31L) + wk,
+          lit(1048573L)) +
+        lit(seed % 2147483647L), lit(2147483647L))
+    var state = adj.select(col("node")).distinct()
+      .withColumn("wk",
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))))
+      .select(col("node").as("start"), col("wk"), col("node").as("cur"))
+      .localCheckpoint(true)
+    val slices = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("wk"), lit(0L).as("step"),
+        col("cur").as("node")))
+    val ckpts = scala.collection.mutable.ArrayBuffer(state)
+    for (t <- 1 to length) {
+      val chosen = pmod(mix(col("cur"), t, col("start"), col("wk")), col("dg"))
+      val next = flat(state)
+        .join(adj, col("cur") === col("node") && col("rnk") === chosen)
+        .select(col("start"), col("wk"), col("nbr").as("cur"))
+        .localCheckpoint(true)
+      ckpts += next
+      slices += next.select(col("start"), col("wk"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+      state = next
+    }
+    val out = slices.reduce(_ unionAll _).localCheckpoint(true)
+    ckpts.foreach(_.unpersist())
+    adj.unpersist()
+    out
   }
 }

@@ -148,3 +148,47 @@ object TemporalJoins {
       .drop("_prev_ts", "_new_session")
   }
 }
+
+/** Skew-resistant join shapes. AQE's skew-join split handles moderate skew
+  * at runtime, but a key hot enough to dwarf a single executor's memory
+  * needs the salt replicated into the JOIN KEY itself so the hot key's
+  * rows land in `saltBuckets` independent tasks. This is the two-phase
+  * discipline of the salted aggregation (q34) applied to joins.
+  */
+object SkewJoins {
+
+  /** Salted equi-join of a skewed `fact` side against a `dim` side that is
+    * too large (or too replicated) to broadcast.
+    *
+    * The fact side gains a deterministic salt in [0, saltBuckets) derived
+    * from `saltSource` (any high-cardinality fact column); the dim side is
+    * replicated once per salt value. The join runs on
+    * (key, salt) — so a key carrying 10% of a 100 TB fact table spreads
+    * over `saltBuckets` tasks instead of hot-spotting one — and the salt
+    * never escapes: the output is exactly the plain equi-join's.
+    *
+    * The dim side is hinted SHUFFLE_HASH: salting exists precisely when
+    * broadcast is off the table, and a sort-merge over the replicated dim
+    * would pay `saltBuckets` sorts of the dim for nothing.
+    */
+  def saltedEquiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      saltSource: Column): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    require(fact.columns.contains(key), s"fact side has no column $key")
+    require(dim.columns.contains(key), s"dim side has no column $key")
+    val shared = fact.columns.toSet.intersect(dim.columns.toSet) - key
+    require(shared.isEmpty,
+      s"fact and dim share non-key columns $shared; rename one side")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not carry a _salt column")
+    val salted = fact.withColumn("_salt", pmod(hash(saltSource), lit(saltBuckets)))
+    val dimExp = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(dimExp.hint("SHUFFLE_HASH"), Seq(key, "_salt"))
+      .drop("_salt")
+  }
+}

@@ -1609,31 +1609,54 @@ object Similarity {
     require(beam >= 1, "beam must be positive")
     require(rounds >= 0, "rounds must be non-negative")
     val sp = corpus.sparkSession
-    import sp.implicits._
     val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-    val entries = corpusVecs
+    val v0 = nswScoreEntries(qb, corpusVecs, entryNodes).localCheckpoint(true)
+    nswRank(nswExpand(qb, corpusVecs, v0, beam, rounds, edgesFor), k)
+  }
+
+  /** Score an entry-node id set against every broadcast query exactly
+    * (round-6 cosine) — the seed `(query_id, node, cs)` visited state.
+    * The query's OWN corpus node stays in the search state: its
+    * out-edges point exactly at its nearest neighbors, so dropping it
+    * here severs the best navigation path for corpus-member queries
+    * (measured: recall 0.333→1.0 at round 1 on sf0.01 for queries whose
+    * id is an entry). Self is excluded from the RESULT ranking only
+    * ([[nswRank]]). */
+  private def nswScoreEntries(
+      qb: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]],
+      corpusVecs: DataFrame, entryNodes: DataFrame): DataFrame = {
+    val sp = corpusVecs.sparkSession
+    import sp.implicits._
+    corpusVecs
       .join(entryNodes.select(col("node_id")),
         col("vec_id") === col("node_id"), "left_semi")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qb.value
-        // the query's OWN corpus node stays in the search state: its
-        // out-edges point exactly at its nearest neighbors, so dropping
-        // it here severs the best navigation path for corpus-member
-        // queries (measured: recall 0.333→1.0 at round 1 on sf0.01 for
-        // queries whose id is an entry). Self is excluded from the
-        // RESULT ranking only.
         it.flatMap { case (nid, v) =>
           qs.iterator.map { case (qid, qv) =>
             (qid, nid, cosineKernel(qv, v))
           }
         }
       }.toDF("query_id", "node", "cs")
+  }
+
+  /** `rounds` fixed expansion rounds from an ALREADY-SCORED, eagerly
+    * checkpointed `(query_id, node, cs)` visited state: returns the
+    * final visited CHECKPOINT (the input itself when `rounds == 0` —
+    * the caller owns unpersisting the returned frame; every superseded
+    * intermediate, including the input, is unpersisted here). */
+  private def nswExpand(
+      qb: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]],
+      corpusVecs: DataFrame, visited0: DataFrame, beam: Int, rounds: Int,
+      edgesFor: DataFrame => DataFrame): DataFrame = {
+    val sp = corpusVecs.sparkSession
+    import sp.implicits._
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("node"))
-    var prevCkpt = entries.localCheckpoint(true)
+    var prevCkpt = visited0
     var visited = prevCkpt
     var r = 0
     while (r < rounds) {
@@ -1662,15 +1685,104 @@ object Similarity {
       visited = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(next)
       r += 1
     }
-    val result = visited
-      .filter(col("node") =!= col("query_id")) // self only ever navigates
+    prevCkpt
+  }
+
+  /** Per-query top-`k` of a visited checkpoint (self excluded — it only
+    * ever navigates): materializes the result eagerly and unpersists the
+    * input checkpoint. */
+  private def nswRank(visitedCkpt: DataFrame, k: Int): DataFrame = {
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("node"))
+    val result = visitedCkpt
+      .filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         col("cs"))
       .localCheckpoint(true)
-    prevCkpt.unpersist()
+    visitedCkpt.unpersist()
     result
+  }
+
+  /** Hierarchical NSW (Malkov & Yashunin 2016's layered descent,
+    * relationalized) with a DETERMINISTIC layer rule: node v lives on
+    * every layer `l` with `vec_id % levelBase^l == 0` — HNSW's geometric
+    * level draw replaced by id-stride sampling, so each layer is a
+    * `levelBase`× sparser subgraph (exactly HNSW's expected layer sizes)
+    * and any SQL engine replays membership. Layer graphs are
+    * [[nswGraphFromAssign]] over ONE shared cell assignment restricted
+    * to the layer's members; search seeds at the whole (capped) top
+    * layer scored exactly, then descends: each layer runs
+    * `roundsPerLayer` fixed expansion rounds and the accumulated
+    * per-query visited state seeds the next layer — upper layers are
+    * the long-range hops that place the beam in the right region before
+    * the dense base layer refines it.
+    *
+    * Entries are the whole (capped) top layer plus one minimum-id
+    * member per cell (the [[nswKnnTrained]] coverage lesson — cells
+    * have no inter-cell edges, so a cell with no entry is unreachable).
+    * Upper layers run `roundsPerLayer` navigation rounds each; the
+    * base layer runs `baseRounds` — HNSW's greedy-upper / wide-base
+    * split. The default `beam` is HNSW's ef, NOT k: measured at
+    * beam=12 (flat nsw's default) the narrowed frontier expands only
+    * the few best-scoring cells and recall drops to 0.633/0.500
+    * (sf0.01/sf0.1); at ef=48 it measures 1.000/0.767 — above flat
+    * nsw's 0.933/0.633 at the same graph — because the wide beam keeps
+    * one frontier slot per plausible region while the layers keep the
+    * per-round join bounded.
+    *
+    * Scale shape: per-round joins identical to [[nswKnnOn]]; the extra
+    * cost is `maxLevel` sparse graph builds off the one assignment scan
+    * (layer l's self-join touches corpus/levelBase^l rows); the entry
+    * set is ≤ 2·cells rows. */
+  def hnswKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 16, beam: Int = 48, roundsPerLayer: Int = 2,
+      baseRounds: Int = 4, levelBase: Int = 4, maxLevel: Int = 2,
+      centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+    require(levelBase >= 2, "levelBase must be at least 2")
+    require(maxLevel >= 0, "maxLevel must be non-negative")
+    require(roundsPerLayer >= 0, "roundsPerLayer must be non-negative")
+    require(baseRounds >= 0, "baseRounds must be non-negative")
+    require(k >= 1, "k must be positive")
+    require(beam >= 1, "beam must be positive")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    // one assignment scan feeds every layer's graph (cascadeKnn discipline)
+    val asg = nswAssign(corpus, cents).localCheckpoint(true)
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
+    val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val strides: IndexedSeq[Long] =
+      (0 to maxLevel).map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
+    val topLayer = asg
+      .filter(pmod(col("vec_id"), lit(strides(maxLevel))) === 0)
+      .select(col("vec_id").as("node_id"))
+      .orderBy(col("node_id")).limit(maxCents)
+    val cellMin = asg.groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
+    val entryIds = topLayer.union(cellMin).distinct()
+    var visited = nswScoreEntries(qb, corpusVecs, entryIds)
+      .localCheckpoint(true)
+    for (l <- maxLevel to 0 by -1) {
+      val members =
+        if (l == 0) asg
+        else asg.filter(pmod(col("vec_id"), lit(strides(l))) === 0)
+      val rounds = if (l == 0) baseRounds else roundsPerLayer
+      val gCkpt = nswGraphFromAssign(members, m).localCheckpoint(true)
+      val g = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(gCkpt)
+      visited = nswExpand(qb, corpusVecs, visited, beam, rounds, _ => g)
+      gCkpt.unpersist()
+    }
+    val res = nswRank(visited, k)
+    asg.unpersist()
+    res
   }
 
   /** The PRIMARY graph-ANN path at scale: [[kmeansCodebook]]-trained

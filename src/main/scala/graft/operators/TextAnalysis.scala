@@ -129,6 +129,30 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Leakage-safe train/val/test split (t45): assign each document the
+    * split of its DUPLICATE-CLUSTER representative, so near-duplicates
+    * can never straddle train and test — the contamination vector a
+    * doc-keyed [[splitAssign]] leaves open (one near-dup lands in
+    * train, its twin in test, and the eval is polluted). `clusters` is
+    * any `(doc_id, cluster_id)` frame
+    * ([[graft.operators.Dedup.duplicateClusters]] — cluster_id is the
+    * cluster's minimum member id); docs outside every cluster key on
+    * their own id. Stateless: ONE left join against the cluster map
+    * (duplicate clusters are a vanishing fraction of a deduped corpus,
+    * so the map is broadcast-sized in practice; the join stays an
+    * equi-join either way) plus the md5 bucket — the same operator
+    * splits a batch or a stream. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(!docs.columns.contains("split"),
+      "input already has a split column")
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(cl, Seq(idCol), "left_outer")
+      .withColumn("split",
+        splitAssign(coalesce(col("cluster_id"), col(idCol)), trainPct, valPct))
+      .drop("cluster_id")
+  }
+
   /** Duplicate n-gram fraction (Gopher-style repetition signal): the
     * share of bigrams that are repeats — 0 for clean prose, → 1 for
     * degenerate repetition. Null under 2 tokens. Takes a STAGED token
@@ -1456,5 +1480,40 @@ object TextAnalysis {
     withDeg.unpersist()
     nodes.unpersist()
     result
+  }
+
+  /** Sequence packing for LLM pretraining (t44): concatenate each
+    * source's documents in doc-id order into one token stream (one EOS
+    * separator after every doc, hence the `+ 1`) and slice the stream
+    * into fixed `windowLen`-token context windows. Output: one row per
+    * (document, window) overlap —
+    * `(source, doc_id, window_id, start_in_doc, n_tokens)`, where
+    * `start_in_doc` is the first packed token's offset inside the doc
+    * and `n_tokens` is how many of the doc's tokens (incl. its EOS)
+    * land in that window. Every window except each source's last is
+    * exactly full, and a doc's slices reassemble it exactly — the
+    * invariants the spec pins.
+    *
+    * Scale shape: the stream offset is [[Analytics.withPrefixSumBy]]
+    * (per-(source, bucket) totals + a tiny broadcast offset frame —
+    * never one window task per source), and the doc→window fan-out is a
+    * map-side `explode(sequence(first_w, last_w))`: a doc costs
+    * ceil(len/windowLen) rows, with no join anywhere past the offset
+    * broadcast. */
+  def packSequences(docs: DataFrame, windowLen: Long): DataFrame = {
+    require(windowLen >= 2, "windowLen must fit at least one token plus EOS")
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        (size(tokens(col("text"))) + 1).cast("long").as("len"))
+    val pre = Analytics.withPrefixSumBy(toks, "source", "doc_id", "len", "off")
+    val winStart = col("window_id") * windowLen
+    pre
+      .withColumn("first_w", expr(s"off div ${windowLen}L"))
+      .withColumn("last_w", expr(s"(off + len - 1) div ${windowLen}L"))
+      .withColumn("window_id", explode(sequence(col("first_w"), col("last_w"))))
+      .select(col("source"), col("doc_id"), col("window_id"),
+        (greatest(winStart, col("off")) - col("off")).as("start_in_doc"),
+        (least(winStart + windowLen, col("off") + col("len")) -
+          greatest(winStart, col("off"))).as("n_tokens"))
   }
 }

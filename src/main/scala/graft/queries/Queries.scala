@@ -139,6 +139,174 @@ object Queries {
     sb.toString
   }
 
+  /** The layered HNSW beam-search oracle (s20): [[nswOracleSql]]'s round
+    * chain PER LAYER — deterministic id-stride layer membership, one
+    * cell-blocked top-m graph per layer off the shared assignment, and a
+    * descent in which each layer's unrolled rounds start from the
+    * previous layer's accumulated visited state. */
+  private def hnswOracleSql(roundsPerLayer: Int, baseRounds: Int, beam: Int,
+      m: Int, levelBase: Int, maxLevel: Int): String = {
+    val strides = (0 to maxLevel)
+      .map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
+    val sb = new StringBuilder(
+      s"""WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      asg AS (SELECT e.vec_id, c.vec_id AS cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+              c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rn
+        FROM embeddings e, cent c),
+      cells AS MATERIALIZED (SELECT vec_id, cid FROM asg WHERE rn = 1)""")
+    for (l <- 0 to maxLevel) {
+      val mem = if (l == 0) "cells"
+        else s"(SELECT * FROM cells WHERE vec_id % ${strides(l)} = 0)"
+      sb.append(s""",
+      g0_$l AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
+          round(list_cosine_similarity(ea.embedding::DOUBLE[],
+            eb.embedding::DOUBLE[]), 6) AS ncs,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY round(list_cosine_similarity(ea.embedding::DOUBLE[],
+              eb.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS gr
+        FROM $mem a JOIN $mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      gm_$l AS (SELECT node_id, nbr_id, ncs FROM g0_$l WHERE gr <= $m),
+      sym_$l AS (SELECT node_id, nbr_id, ncs FROM gm_$l
+        UNION SELECT nbr_id, node_id, ncs FROM gm_$l),
+      graph_$l AS MATERIALIZED (SELECT node_id, nbr_id FROM (
+          SELECT node_id, nbr_id,
+            row_number() OVER (PARTITION BY node_id
+              ORDER BY ncs DESC, nbr_id) AS dr
+          FROM sym_$l) WHERE dr <= ${2 * m})""")
+    }
+    sb.append(s""",
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      ent AS (SELECT vec_id FROM cells
+          WHERE vec_id % ${strides(maxLevel)} = 0
+        UNION SELECT min(vec_id) FROM cells GROUP BY cid),
+      v0 AS (SELECT q.query_id, c.vec_id AS node,
+          round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
+        FROM q CROSS JOIN ent c JOIN embeddings e ON e.vec_id = c.vec_id)""")
+    var i = 0
+    for (l <- maxLevel to 0 by -1;
+         _ <- 1 to (if (l == 0) baseRounds else roundsPerLayer)) {
+      i += 1
+      sb.append(s""",
+      f$i AS (SELECT query_id, node FROM (
+          SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, node) AS b FROM v${i - 1}) WHERE b <= $beam),
+      c$i AS (SELECT DISTINCT f.query_id, g.nbr_id AS node
+        FROM f$i f JOIN graph_$l g ON f.node = g.node_id
+        WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+          WHERE v.query_id = f.query_id AND v.node = g.nbr_id)),
+      s$i AS (SELECT c.query_id, c.node,
+          round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
+        FROM c$i c JOIN q ON q.query_id = c.query_id
+                   JOIN embeddings e ON e.vec_id = c.node),
+      v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
+    }
+    sb.append(s""",
+      ranked AS (SELECT query_id, node AS neighbor_id, cs,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, node) AS rank
+        FROM v$i WHERE node <> query_id)
+      SELECT query_id, rank, neighbor_id, cs FROM ranked
+      WHERE rank <= 3 ORDER BY query_id, rank""")
+    sb.toString
+  }
+
+  /** q102's Louvain phase-1 chain as a WITH body ending at `l<rounds>`:
+    * the co-order parts graph, unit weights, EXACT integer modularity
+    * scores (2m·k − deg·tot', DECIMAL), parity half-schedule — shared
+    * with q104, which coarsens the SAME labeling. */
+  private def louvainOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 20 = 0),
+      cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+      deg AS MATERIALIZED (SELECT a AS node, count(*) AS dg FROM e GROUP BY a),
+      mm AS (SELECT count(*) AS m FROM cand),
+      l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg)""")
+    for (i <- 1 to rounds) sb.append(s""",
+      tot$i AS MATERIALIZED (SELECT l.lbl, SUM(d.dg) AS tot
+             FROM l${i - 1} l JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+      kuc$i AS MATERIALIZED (SELECT e.a, l.lbl AS c, count(*) AS k
+             FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY e.a, l.lbl),
+      allc$i AS MATERIALIZED (
+        SELECT c.node AS a, c.lbl AS comm,
+          CAST(2 * mm.m AS DECIMAL(18,0)) * CAST(COALESCE(k.k, 0) AS DECIMAL(18,0))
+            - CAST(d.dg AS DECIMAL(18,0)) * CAST(t.tot - d.dg AS DECIMAL(18,0)) AS score
+        FROM l${i - 1} c JOIN deg d ON c.node = d.node
+        JOIN tot$i t ON c.lbl = t.lbl
+        LEFT JOIN kuc$i k ON k.a = c.node AND k.c = c.lbl CROSS JOIN mm
+        UNION ALL
+        SELECT k.a, k.c AS comm,
+          CAST(2 * mm.m AS DECIMAL(18,0)) * CAST(k.k AS DECIMAL(18,0))
+            - CAST(d.dg AS DECIMAL(18,0)) * CAST(t.tot AS DECIMAL(18,0)) AS score
+        FROM kuc$i k JOIN l${i - 1} c ON k.a = c.node AND k.c <> c.lbl
+        JOIN deg d ON k.a = d.node JOIN tot$i t ON k.c = t.lbl CROSS JOIN mm),
+      l$i AS MATERIALIZED (
+        SELECT c.node,
+          CASE WHEN c.node % 2 = ${i % 2} THEN b.newlbl ELSE c.lbl END AS lbl
+        FROM l${i - 1} c JOIN (
+          SELECT a AS node, comm AS newlbl FROM (
+            SELECT a, comm,
+              row_number() OVER (PARTITION BY a ORDER BY score DESC, comm) AS rn
+            FROM allc$i) WHERE rn = 1) b ON c.node = b.node)""")
+    sb.toString
+  }
+
+  /** q104's weighted coarse-graph continuation: coarsen `l<r1>` (sum
+    * inter-community multiplicities, intra edges as self-loops counted
+    * twice in degree) and run `r2` weighted parity rounds, ending at
+    * `m<r2>` over super-nodes. */
+  private def louvainCoarseCtes(r1: Int, r2: Int): String = {
+    val sb = new StringBuilder(s""",
+      ce AS MATERIALIZED (SELECT least(x.lbl, y.lbl) AS a,
+          greatest(x.lbl, y.lbl) AS b, count(*) AS w
+        FROM cand c JOIN l$r1 x ON c.a = x.node JOIN l$r1 y ON c.b = y.node
+        GROUP BY 1, 2),
+      e2 AS MATERIALIZED (SELECT a, b, w FROM ce WHERE a <> b
+        UNION ALL SELECT b, a, w FROM ce WHERE a <> b),
+      nodes2 AS (SELECT DISTINCT lbl AS node FROM l$r1),
+      deg2 AS MATERIALIZED (SELECT n.node,
+          COALESCE(i.idg, 0) + 2 * COALESCE(s.w, 0) AS dg
+        FROM nodes2 n
+        LEFT JOIN (SELECT a AS node, SUM(w) AS idg FROM e2 GROUP BY 1) i
+          ON n.node = i.node
+        LEFT JOIN (SELECT a AS node, w FROM ce WHERE a = b) s
+          ON n.node = s.node),
+      m0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg2)""")
+    for (j <- 1 to r2) sb.append(s""",
+      tot2$j AS MATERIALIZED (SELECT l.lbl, SUM(d.dg) AS tot
+             FROM m${j - 1} l JOIN deg2 d ON l.node = d.node GROUP BY l.lbl),
+      kuc2$j AS MATERIALIZED (SELECT e.a, l.lbl AS c, SUM(e.w) AS k
+             FROM e2 e JOIN m${j - 1} l ON e.b = l.node GROUP BY e.a, l.lbl),
+      allc2$j AS MATERIALIZED (
+        SELECT c.node AS a, c.lbl AS comm,
+          CAST(2 * mm.m AS DECIMAL(18,0)) * CAST(COALESCE(k.k, 0) AS DECIMAL(18,0))
+            - CAST(d.dg AS DECIMAL(18,0)) * CAST(t.tot - d.dg AS DECIMAL(18,0)) AS score
+        FROM m${j - 1} c JOIN deg2 d ON c.node = d.node
+        JOIN tot2$j t ON c.lbl = t.lbl
+        LEFT JOIN kuc2$j k ON k.a = c.node AND k.c = c.lbl CROSS JOIN mm
+        UNION ALL
+        SELECT k.a, k.c AS comm,
+          CAST(2 * mm.m AS DECIMAL(18,0)) * CAST(k.k AS DECIMAL(18,0))
+            - CAST(d.dg AS DECIMAL(18,0)) * CAST(t.tot AS DECIMAL(18,0)) AS score
+        FROM kuc2$j k JOIN m${j - 1} c ON k.a = c.node AND k.c <> c.lbl
+        JOIN deg2 d ON k.a = d.node JOIN tot2$j t ON k.c = t.lbl CROSS JOIN mm),
+      m$j AS MATERIALIZED (
+        SELECT c.node,
+          CASE WHEN c.node % 2 = ${j % 2} THEN b.newlbl ELSE c.lbl END AS lbl
+        FROM m${j - 1} c JOIN (
+          SELECT a AS node, comm AS newlbl FROM (
+            SELECT a, comm,
+              row_number() OVER (PARTITION BY a ORDER BY score DESC, comm) AS rn
+            FROM allc2$j) WHERE rn = 1) b ON c.node = b.node)""")
+    sb.toString
+  }
+
   /** q82's LPA round chain as a WITH body ending at `l<rounds>` —
     * shared with q100, which scores the SAME labeling (AS MATERIALIZED:
     * e is probed every round and each l_i feeds the next round's count
@@ -3383,6 +3551,134 @@ object Queries {
         FROM comm c LEFT JOIN intra i ON c.community = i.community
         CROSS JOIN mm ORDER BY community""")),
 
+    // ---- Salted skew join: events hot-spot on a handful of event_type
+    //      values — the salt rides the JOIN KEY so one hot key spreads
+    //      over 16 tasks; integer micro-unit compare keeps the
+    //      above-average filter bit-exact in both engines ----
+    QueryDef(
+      "q101_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_type", $"event_id",
+            round($"value" * 1000000L).cast(LongType).as("vmic"))
+        val dim = ev.groupBy($"event_type")
+          .agg(sum($"vmic").as("svm"), count(lit(1)).as("cnt"))
+        val joined = graft.operators.SkewJoins.saltedEquiJoin(
+          ev, dim, "event_type", saltBuckets = 16, saltSource = $"event_id")
+        joined.filter($"vmic" * $"cnt" > $"svm")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+          CAST(round(value * 1000000) AS BIGINT) AS vmic FROM events),
+        dim AS (SELECT event_type, SUM(vmic) AS svm, count(*) AS cnt
+          FROM ev GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_above
+        FROM ev e JOIN dim d ON e.event_type = d.event_type
+        WHERE e.vmic * d.cnt > d.svm
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    // ---- Louvain phase-1 local moves over the co-order parts graph:
+    //      each parity half-round every active node adopts the
+    //      neighbor community with the best EXACT integer modularity
+    //      gain (2m*k_uc - deg*tot, DECIMAL) or stays — the
+    //      modularity-ascending refinement of q82's LPA, scored by
+    //      q100's gauge; oracle replays the half-schedule in lockstep ----
+    QueryDef(
+      "q102_louvain",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.louvainMove(edges, "src", "dst", rounds = 4)
+          .orderBy($"node")
+      },
+      Some(louvainOracleCtes(4) + """
+          SELECT node, lbl AS label FROM l4 ORDER BY node""")),
+
+    // ---- Full two-pass Louvain: phase-1 local moves, then the
+    //      community graph COARSENS (inter-community multiplicities as
+    //      integer weights, intra edges as self-loops in degree) and
+    //      weighted parity rounds refine on super-nodes; labels project
+    //      back through the phase-1 partition ----
+    QueryDef(
+      "q104_louvain_coarse",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph
+          .louvainTwoPass(edges, "src", "dst", rounds1 = 4, rounds2 = 4)
+          .orderBy($"node")
+      },
+      Some(louvainOracleCtes(4) + louvainCoarseCtes(4, 4) + """
+          SELECT x.node, y.lbl AS label FROM l4 x
+          JOIN m4 y ON x.lbl = y.node ORDER BY x.node""")),
+
+    // ---- Deterministic random walks (the DeepWalk/node2vec corpus
+    //      step) over the symmetrized co-order graph: the neighbor
+    //      choice is a seeded overflow-free integer mix both engines
+    //      replay exactly — 2 walks x 4 steps from every node ----
+    QueryDef(
+      "q103_random_walks",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val cand = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        val edges = cand.unionAll(cand.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.Graph
+          .randomWalks(edges, "src", "dst", walksPerNode = 2, length = 4,
+            seed = 7L)
+          .select($"start", $"wk".as("walk"), $"step", $"node")
+          .orderBy($"start", $"walk", $"step", $"node")
+      },
+      Some {
+        val steps = 4
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+          cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+          e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+          adj AS MATERIALIZED (SELECT a AS node, b AS nbr,
+                 CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS rnk,
+                 count(*) OVER (PARTITION BY a) AS dg FROM e),
+          s0 AS MATERIALIZED (SELECT n.node AS start, w.wk, n.node AS cur
+                 FROM (SELECT DISTINCT node FROM adj) n
+                 CROSS JOIN (SELECT range AS wk FROM range(0, 2)) w)""")
+        for (i <- 1 to steps) sb.append(s""",
+          s$i AS MATERIALIZED (SELECT s.start, s.wk, a.nbr AS cur
+                 FROM s${i - 1} s JOIN adj a ON a.node = s.cur
+                 AND a.rnk = ((1000003 * (s.cur % 1048573) + 10007 * $i
+                   + 100003 * (((s.start % 1048573) * 31 + s.wk) % 1048573)
+                   + 7) % 2147483647) % a.dg)""")
+        sb.append(s"""
+          SELECT start, wk AS walk, step, node FROM (
+            SELECT start, wk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0""")
+        for (i <- 1 to steps) sb.append(s"""
+            UNION ALL SELECT start, wk, CAST($i AS BIGINT), cur FROM s$i""")
+        sb.append("""
+          ) ORDER BY start, walk, step, node""")
+        sb.toString
+      }),
+
     // ---- WEIGHTED PageRank over the directed supplier->part graph
     //      (line numbers as interaction strength, parts dangling):
     //      rank flows proportionally to edge weight, multi-edges kept
@@ -4576,6 +4872,22 @@ object Queries {
       },
       Some(nswOracleSql(rounds = 3, beam = 8, m = 8))),
 
+    // ---- Hierarchical NSW (HNSW): deterministic id-stride layers
+    //      (vec_id % 4^l == 0), one cell-blocked top-m graph per layer,
+    //      descent seeds each layer's beam from the layer above — the
+    //      oracle unrolls every layer's rounds as CTEs in lockstep ----
+    QueryDef(
+      "s20_knn_hnsw",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity
+          .hnswKnn(e.filter($"vec_id" < 10), e, 3, m = 8, beam = 8,
+            roundsPerLayer = 1, baseRounds = 3, levelBase = 4, maxLevel = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
+        m = 8, levelBase = 4, maxLevel = 2))),
 
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),
@@ -5253,6 +5565,79 @@ object Queries {
         FROM tk WHERE n_tokens > 0)
         SELECT doc_id, source, n_tokens, cum_tokens, quota FROM c
         WHERE cum_tokens <= quota ORDER BY doc_id""")),
+
+    // ---- Sequence packing: per-source token stream (docs in doc-id
+    //      order, one EOS each) sliced into fixed 256-token context
+    //      windows — exact prefix sums via the two-level grouped scan,
+    //      doc->window fan-out as a map-side explode ----
+    QueryDef(
+      "t44_pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .packSequences(t(s, dir, "documents"), windowLen = 256L)
+          .orderBy($"source", $"doc_id", $"window_id")
+      },
+      Some("""WITH toks AS (SELECT source, doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1 AS BIGINT) AS len
+        FROM documents),
+        pre AS (SELECT source, doc_id, len,
+          COALESCE(SUM(len) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS off
+        FROM toks),
+        w AS (SELECT source, doc_id, len, off,
+          CAST(off // 256 AS BIGINT) AS first_w,
+          CAST((off + len - 1) // 256 AS BIGINT) AS last_w FROM pre),
+        expl AS (SELECT source, doc_id, off, len,
+          unnest(generate_series(first_w, last_w)) AS window_id FROM w)
+        SELECT source, doc_id, window_id,
+          CAST(greatest(window_id * 256, off) - off AS BIGINT) AS start_in_doc,
+          CAST(least((window_id + 1) * 256, off + len)
+            - greatest(window_id * 256, off) AS BIGINT) AS n_tokens
+        FROM expl ORDER BY source, doc_id, window_id""")),
+
+    // ---- Leakage-safe split: each doc takes the split of its
+    //      near-dup cluster representative (min member id), so twins
+    //      never straddle train/test; unclustered docs key on their
+    //      own id — one left join + the md5 bucket ----
+    QueryDef(
+      "t45_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = graft.operators.Dedup
+          .minhashCandidates(docs, "doc_id", "text", bucketCap = Int.MaxValue)
+        val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+        graft.operators.TextAnalysis
+          .leakageSafeSplit(docs.select($"doc_id"), "doc_id", clusters)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        keyed AS (SELECT d.doc_id,
+            CAST(('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id)
+              AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+        SELECT doc_id,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM keyed ORDER BY doc_id""")),
 
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the

@@ -301,5 +301,33 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException] {
       Jpeg.decode(Array.emptyByteArray)
     }.getMessage.nonEmpty)
+    // salted join: empty fact, and an empty dim, both yield zero rows
+    val emptyFact = Seq.empty[(String, Long)].toDF("k", "id")
+    val dim = Seq(("a", 1L)).toDF("k", "payload")
+    assert(SkewJoins.saltedEquiJoin(emptyFact, dim, "k", 4, $"id").count() == 0)
+    val fact = Seq(("a", 1L)).toDF("k", "id")
+    val emptyDim = Seq.empty[(String, Long)].toDF("k", "payload")
+    assert(SkewJoins.saltedEquiJoin(fact, emptyDim, "k", 4, $"id").count() == 0)
+    // louvain: an empty edge list yields an empty labeling; a graph of
+    // pure self-loops likewise (they are filtered, leaving no nodes)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.louvainMove(emptyEdges, "src", "dst", rounds = 2).count() == 0)
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.louvainMove(loops, "src", "dst", rounds = 2).count() == 0)
+    assert(Graph.louvainTwoPass(emptyEdges, "src", "dst").count() == 0)
+    assert(Graph.louvainTwoPass(loops, "src", "dst").count() == 0)
+    // random walks: no edges, no walkers
+    assert(Graph.randomWalks(emptyEdges, "src", "dst").count() == 0)
+    // hnsw: a corpus with no centroid-divisible id fails LOUDLY (the
+    // nswGraph contract), and an empty query set returns no rows
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.hnswKnn(vecs, vecs, 1, centEvery = 50)
+    }.getMessage.contains("centroid"))
+    val withZero = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.hnswKnn(withZero.filter($"vec_id" < 0), withZero, 1,
+      m = 2, beam = 2, roundsPerLayer = 1, maxLevel = 1).count() == 0)
   }
 }

@@ -210,4 +210,167 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** Local reference: the exact synchronous parity-scheduled local-move
+    * rule — integer score 2m·k_uc − deg·tot' in BigInt, ties to the
+    * smaller community id, only `node % 2 == round % 2` nodes move. */
+  private def refLouvain(edges: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    if (und.isEmpty) return Map.empty
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (i <- 1 to rounds) {
+      val tot: Map[Long, Long] = lab.toSeq.groupBy(_._2)
+        .view.mapValues(_.map(x => deg(x._1)).sum).toMap
+      lab = lab.map { case (u, cur) =>
+        if (u % 2 != i % 2) u -> cur
+        else {
+          val kuc: Map[Long, Long] = adj(u).map(lab).groupBy(identity)
+            .view.mapValues(_.size.toLong).toMap
+          val stay = (cur, BigInt(2 * m) * BigInt(kuc.getOrElse(cur, 0L)) -
+            BigInt(deg(u)) * BigInt(tot(cur) - deg(u)))
+          val moves = kuc.keys.filter(_ != cur).toSeq.map { c =>
+            (c, BigInt(2 * m) * BigInt(kuc(c)) - BigInt(deg(u)) * BigInt(tot(c)))
+          }
+          u -> (stay +: moves).minBy { case (c, s) => (-s, c) }._1
+        }
+      }
+    }
+    lab
+  }
+
+  test("louvainMove equals the local parity-scheduled reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      r <- Gen.choose(1, 4)
+    } yield (es, r)
+    val prop = Prop.forAll(gen) { case (es, r) =>
+      val expect = refLouvain(es.toSet, r)
+      if (expect.isEmpty) true // all self-loops: operator requires no rows
+      else {
+        val got = Graph.louvainMove(es.toDF("src", "dst"), "src", "dst", r)
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Local reference for the two-pass Louvain: phase 1 via
+    * [[refLouvain]], then an exact weighted coarse replay (BigInt
+    * scores, self-loops twice in degree, parity schedule on super-node
+    * ids) and the projection. */
+  private def refLouvainTwoPass(edges: Set[(Long, Long)], r1: Int,
+      r2: Int): Map[Long, Long] = {
+    val l1 = refLouvain(edges, r1)
+    if (l1.isEmpty) return Map.empty
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    val ce: Map[(Long, Long), Long] = und.toSeq.groupBy { case (a, b) =>
+        val (ca, cb) = (l1(a), l1(b)); (math.min(ca, cb), math.max(ca, cb))
+      }.view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    val nodes2 = l1.values.toSet
+    val selfw = ce.collect { case ((a, b), w) if a == b => a -> w }
+    val adj2: Map[Long, Seq[(Long, Long)]] = ce.toSeq
+      .collect { case ((a, b), w) if a != b => Seq(a -> (b, w), b -> (a, w)) }
+      .flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg2: Map[Long, Long] = nodes2.map { n =>
+      n -> (adj2.getOrElse(n, Seq()).map(_._2).sum +
+        2 * selfw.getOrElse(n, 0L))
+    }.toMap
+    var lab: Map[Long, Long] = nodes2.map(n => n -> n).toMap
+    for (i <- 1 to r2) {
+      val tot = lab.toSeq.groupBy(_._2)
+        .view.mapValues(_.map(x => deg2(x._1)).sum).toMap
+      lab = lab.map { case (u, cur) =>
+        if (u % 2 != i % 2) u -> cur
+        else {
+          val kuc = adj2.getOrElse(u, Seq()).groupBy { case (v, _) => lab(v) }
+            .view.mapValues(_.map(_._2).sum).toMap
+          val stay = (cur, BigInt(2 * m) * BigInt(kuc.getOrElse(cur, 0L)) -
+            BigInt(deg2(u)) * BigInt(tot(cur) - deg2(u)))
+          val moves = kuc.keys.filter(_ != cur).toSeq.map { c =>
+            (c, BigInt(2 * m) * BigInt(kuc(c)) - BigInt(deg2(u)) * BigInt(tot(c)))
+          }
+          u -> (stay +: moves).minBy { case (c, s) => (-s, c) }._1
+        }
+      }
+    }
+    l1.map { case (n, c) => n -> lab(c) }
+  }
+
+  test("louvainTwoPass equals the local coarsened reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      r1 <- Gen.choose(1, 3)
+      r2 <- Gen.choose(1, 3)
+    } yield (es, r1, r2)
+    val prop = Prop.forAll(gen) { case (es, r1, r2) =>
+      val expect = refLouvainTwoPass(es.toSet, r1, r2)
+      if (expect.isEmpty) true
+      else {
+        val got = Graph.louvainTwoPass(es.toDF("src", "dst"), "src", "dst",
+            r1, r2)
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Local reference: replay the seeded-mix walk rule step by step. */
+  private def refWalks(edges: Set[(Long, Long)], walks: Int, len: Int,
+      seed: Long): Set[(Long, Long, Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- adj.keys; wk <- 0L until walks.toLong) {
+      var cur = start
+      out += ((start, wk, 0L, cur))
+      var t = 1
+      var alive = true
+      while (t <= len && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val h = (1000003L * (cur % 1048573L) + 10007L * t +
+              100003L * (((start % 1048573L) * 31L + wk) % 1048573L) +
+              seed % 2147483647L) % 2147483647L
+            cur = nbrs((h % nbrs.size).toInt)
+            out += ((start, wk, t.toLong, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("randomWalks equals the local seeded-mix replay on random directed graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      w <- Gen.choose(1, 3)
+      l <- Gen.choose(1, 5)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (es, w, l, seed)
+    val prop = Prop.forAll(gen) { case (es, w, l, seed) =>
+      val dedup = es.toSet
+      val expect = refWalks(dedup, w, l, seed)
+      val got = Graph.randomWalks(es.toDF("src", "dst"), "src", "dst", w, l, seed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

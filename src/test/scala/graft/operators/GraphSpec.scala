@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -257,6 +258,91 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
         BigDecimal(-(2.0 / 12) * (2.0 / 12))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)),
       s"singleton community wrong: ${split(30L)}")
+  }
+
+  test("louvainMove finds the two triangles and raises modularity over singletons") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val lab = Graph.louvainMove(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced half-schedule: triangle one collapses onto label 1,
+    // triangle two onto label 4, by round 3
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"labels: $lab")
+    def totalQ(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(edges, "src", "dst", labels)
+        .agg(org.apache.spark.sql.functions.sum("q_contrib")).head.getDouble(0)
+    val qLouvain = totalQ(Graph.louvainMove(edges, "src", "dst", rounds = 4))
+    val singletons = (1L to 6L).map(n => n -> n).toDF("node", "label")
+    assert(qLouvain === 0.5) // the optimal partition of two triangles
+    assert(qLouvain > totalQ(singletons))
+    // deterministic under repartitioning
+    val lab2 = Graph.louvainMove(edges.repartition(7), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab2 === lab)
+  }
+
+  test("louvainTwoPass coarsens the phase-1 partition and never splits a community") {
+    val sp = spark; import sp.implicits._
+    // two triangles, separate: the optimal partition — pass 2 must keep
+    // them apart (no inter-community edges → stay is the only candidate)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val two = Graph.louvainTwoPass(tri, "src", "dst", rounds1 = 4, rounds2 = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.values.toSet.size == 2, s"two triangles merged or split: $two")
+    assert(two(1L) == two(2L) && two(2L) == two(3L))
+    assert(two(4L) == two(5L) && two(5L) == two(6L) && two(1L) != two(4L))
+    // coarsening invariant on a denser graph: the final labeling is a
+    // FUNCTION of the phase-1 labeling (pass 2 moves whole communities,
+    // never splits one)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("src", "dst")
+    val p1 = Graph.louvainMove(g, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = Graph.louvainTwoPass(g, "src", "dst", rounds1 = 3, rounds2 = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keySet === p2.keySet)
+    p1.groupBy(_._2).values.foreach { members =>
+      val finals = members.keys.map(p2).toSet
+      assert(finals.size == 1,
+        s"pass 2 split a phase-1 community: ${members.keys} -> $finals")
+    }
+    // determinism under repartitioning
+    val again = Graph.louvainTwoPass(g.repartition(5), "src", "dst", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === p2)
+  }
+
+  test("randomWalks halts at dangling nodes, walks only real edges, repartition-stable") {
+    val sp = spark; import sp.implicits._
+    // directed chain 1 -> 2 -> 3; 3 is dangling
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rows = Graph.randomWalks(chain, "src", "dst", walksPerNode = 1,
+      length = 4, seed = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // start 3 never appears (no out-edge); start 1 emits steps 0,1,2 and
+    // halts at 3; start 2 emits steps 0,1
+    assert(rows.toSet === Set(
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 3L),
+      (2L, 0L, 0L, 2L), (2L, 0L, 1L, 3L)), rows.mkString(","))
+    // every emitted transition is a real edge, on a branching graph too
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+    val walked = Graph.randomWalks(star.toDF("src", "dst"), "src", "dst",
+      walksPerNode = 3, length = 5, seed = 11L)
+    val bad = walked.as("x").join(walked.as("y"),
+        col("x.start") === col("y.start") && col("x.wk") === col("y.wk") &&
+          col("x.step") + 1 === col("y.step"))
+      .join(star.toDF("a", "b"),
+        col("x.node") === col("a") && col("y.node") === col("b"), "left_anti")
+    assert(bad.count() == 0, "a walk used a non-edge transition")
+    // deterministic under repartitioning
+    val again = Graph.randomWalks(star.toDF("src", "dst").repartition(5),
+      "src", "dst", walksPerNode = 3, length = 5, seed = 11L)
+    assert(walked.exceptAll(again).count() == 0 &&
+      again.exceptAll(walked).count() == 0)
   }
 
   test("kTruss peels support cascades; one round is not the fixpoint") {

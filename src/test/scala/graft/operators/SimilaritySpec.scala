@@ -91,11 +91,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       val rp = recall(Similarity.rpKnn(q, e, 3))
       val nsw = recall(Similarity.nswKnn(q, e, Similarity.nswGraph(e), 3))
       val nswT = recall(Similarity.nswKnnTrained(q, e, 3))
+      val hnsw = recall(Similarity.hnswKnn(q, e, 3))
       info(f"recall@3 on $sf: lsh=$lsh%.3f ivf_sampled=$ivfS%.3f " +
         f"ivf_trained=$ivfT%.3f sq8=$sq8%.3f ivf_sq8=$ivfSq8%.3f " +
         f"pq_sampled=$pqS%.3f pq_trained=$pqT%.3f ivf_pq_trained=$ivfPqT%.3f " +
         f"ivf_adc=$ivfAdc%.3f binary=$bin%.3f rp=$rp%.3f " +
-        f"nsw=$nsw%.3f nsw_trained=$nswT%.3f")
+        f"nsw=$nsw%.3f nsw_trained=$nswT%.3f hnsw=$hnsw%.3f")
+      // HNSW floors sit ABOVE flat nsw's: the descent seeds the base
+      // layer from the whole scored top layer, and the default beam is
+      // ef=48 (HNSW's ef >> k rule — measured: at nsw's beam=12 the
+      // narrowed frontier only expands the few best-scoring cells and
+      // recall drops to 0.633/0.500 on this weakly-clustered data;
+      // ef=48 measures 1.000/0.767 vs flat nsw's 0.933/0.633).
+      assert(hnsw >= (if (sf == "sf0.01") 0.9 else 0.65),
+        s"hnsw recall@3 regressed: $hnsw")
       // NSW floors: beam search visits entries + beam·2m·rounds of the
       // corpus — a deliberately tiny fraction — so graph ANN's
       // budget-bounded recall sits below the scan-everything compressed
@@ -675,6 +684,46 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     best0.foreach { case (qid, cs0) =>
       assert(best2(qid) >= cs0 - 1e-9,
         s"beam rounds made query $qid WORSE: ${best2(qid)} < $cs0")
+    }
+    // hnsw with no expansion anywhere degrades to exact kNN over the
+    // entry set (whole top layer ∪ per-cell minimum for coverage)
+    val entCells = {
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val asg = e.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().map { case (id, v) =>
+          val best = cents.map { case (cid, ce) =>
+            (cid, Similarity.cosineKernel(v, ce)) }
+            .maxBy { case (cid, cs) => (cs, -cid) }._1
+          (id, best)
+        }
+      val top = asg.filter(_._1 % 16 == 0).map(_._1)
+      val all = asg.groupBy(_._2).map(_._2.map(_._1).min)
+      (top ++ all).toSet
+    }
+    val flat = Similarity.hnswKnn(q, e, 3, m = 6, beam = 4,
+      roundsPerLayer = 0, baseRounds = 0, levelBase = 4, maxLevel = 2)
+    assert(rows(flat) === rows(Similarity.knnKernel(
+        q, e.filter(col("vec_id").isInCollection(entCells)), 3)),
+      "hnsw with no rounds diverged from exact kNN over the entry minima")
+    // determinism under repartitioning, layered
+    val h1 = Similarity.hnswKnn(q, e, 3, m = 6, beam = 4,
+      roundsPerLayer = 2, baseRounds = 3, levelBase = 4, maxLevel = 2)
+    val h2 = Similarity.hnswKnn(q, e.repartition(7), 3, m = 6, beam = 4,
+      roundsPerLayer = 2, baseRounds = 3, levelBase = 4, maxLevel = 2)
+    assert(rows(h1) === rows(h2), "hnsw result depends on partitioning")
+    // rounds only widen the explored region: per-query best score is
+    // monotone in the visited set, and the layered descent's visited set
+    // contains the no-rounds seed's (same entries, extra rounds)
+    val topOnly = flat
+    val b0 = topOnly.filter(col("rank") === 1)
+      .select(col("query_id"), col("cs")).as[(Long, Double)].collect().toMap
+    val bL = h1.filter(col("rank") === 1)
+      .select(col("query_id"), col("cs")).as[(Long, Double)].collect().toMap
+    b0.foreach { case (qid, cs0) =>
+      assert(bL(qid) >= cs0 - 1e-9,
+        s"layered descent made query $qid WORSE: ${bL(qid)} < $cs0")
     }
     // hard degree bound: reverse edges are added for navigability, then
     // every node keeps only its 2m nearest (in-degree is unbounded on

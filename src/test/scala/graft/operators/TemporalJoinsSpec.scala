@@ -73,4 +73,28 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TemporalJoins.sessionize(over, "user_id", "ts", 600L)
       .select(col("session_id")).distinct().count() == 2)
   }
+
+  test("salted equi-join returns exactly the plain equi-join's rows") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // hot key: 40 of 45 fact rows share key "hot"; dim has an extra key
+    // with no fact rows (must not leak in) and the fact an unmatched key
+    val fact = ((1 to 40).map(i => ("hot", i.toLong)) ++
+      (41 to 44).map(i => ("cold", i.toLong)) :+ ("orphan", 45L))
+      .toDF("k", "id")
+    val dim = Seq(("hot", 10L), ("cold", 20L), ("unused", 30L)).toDF("k", "payload")
+    val salted = SkewJoins.saltedEquiJoin(fact, dim, "k", saltBuckets = 4,
+      saltSource = $"id")
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.count() == 44)
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+    // shared non-key columns are rejected, not silently duplicated
+    val ex = intercept[IllegalArgumentException] {
+      SkewJoins.saltedEquiJoin(fact, dim.withColumnRenamed("payload", "id"),
+        "k", 4, $"id")
+    }
+    assert(ex.getMessage.contains("id"))
+  }
 }

@@ -513,4 +513,73 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keywords vary across docs (not one global winner — graphs are per doc)
     assert(a.filter(_._2 == 1).map(_._3).distinct.length > 1)
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster on its representative's side") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // fixture chosen so the naive per-doc splits DIFFER inside each
+    // cluster (md5 buckets: 5→train, 8→test, 16→val; 30→test, 42→val)
+    val clusters = Seq((5L, 5L), (8L, 5L), (16L, 5L), (30L, 30L), (42L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val out = TextAnalysis
+      .leakageSafeSplit(docs.select(col("doc_id")), "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def naive(id: Long): String = docs.filter(col("doc_id") === id)
+      .select(TextAnalysis.splitAssign(col("doc_id"))).head.getString(0)
+    // the guard is non-vacuous: members' naive splits straddle
+    assert(Set(naive(5L), naive(8L), naive(16L)).size > 1,
+      "fixture vacuous: cluster members' naive splits all agree")
+    // every member takes the REPRESENTATIVE's split
+    assert(out(5L) === naive(5L) && out(8L) === out(5L) && out(16L) === out(5L))
+    assert(out(30L) === naive(30L) && out(42L) === out(30L))
+    // unclustered docs are untouched — identical to plain splitAssign
+    val clustered = Set(5L, 8L, 16L, 30L, 42L)
+    docs.filter(!col("doc_id").isin(clustered.toSeq: _*))
+      .select(col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("s"))
+      .collect().foreach(r =>
+        assert(out(r.getLong(0)) === r.getString(1)))
+    // all three splits appear
+    assert(out.values.toSet === Set("train", "val", "test"))
+  }
+
+  test("packSequences fills every non-final window exactly and reassembles each doc") {
+    val sp = spark; import sp.implicits._
+    // two sources; doc lengths chosen so windows split mid-doc, hit the
+    // boundary exactly, and span multiple windows (len 11 incl. EOS > L=8)
+    val docs = Seq(
+      (1L, "a", ("w " * 5).trim),   // len 6
+      (2L, "a", ("w " * 1).trim),   // len 2  -> off 6, fills w0 to the cut
+      (3L, "a", ("w " * 10).trim),  // len 11 -> spans windows 1..2
+      (4L, "a", ""),                // len 1 (EOS only)
+      (5L, "b", ("w " * 7).trim),   // len 8 -> exactly one full window
+      (6L, "b", ("w " * 2).trim)    // len 3
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, windowLen = 8L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // per-doc slices reassemble the doc: contiguous offsets, sum = len
+    val lens = Map(1L -> 6L, 2L -> 2L, 3L -> 11L, 4L -> 1L, 5L -> 8L, 6L -> 3L)
+    out.groupBy(_._2).foreach { case (doc, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.map(_._5).sum === lens(doc), s"doc $doc token count")
+      var expectStart = 0L
+      sorted.foreach { s =>
+        assert(s._4 === expectStart, s"doc $doc slice gap at ${s._4}")
+        expectStart += s._5
+      }
+    }
+    // every window except each source's last holds exactly windowLen tokens
+    val bySrcWin = out.groupBy(t => (t._1, t._3))
+      .view.mapValues(_.map(_._5).sum).toMap
+    val lastWin = out.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    bySrcWin.foreach { case ((src, win), total) =>
+      if (win != lastWin(src))
+        assert(total === 8L, s"window ($src, $win) not full: $total")
+      else assert(total <= 8L, s"window ($src, $win) overfull: $total")
+    }
+    // doc 3 (len 11) spans two windows; sources never share a stream
+    assert(out.count(_._2 == 3L) === 2)
+    assert(out.filter(_._1 == "b").map(_._3).min === 0L)
+  }
 }

@@ -184,6 +184,44 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"support count lost map-side partial aggregation:\n${p.take(2000)}")
   }
 
+  test("q101 salted join runs on (key, salt) as a shuffled hash join, never broadcast") {
+    val p = plan("q101_salted_join")
+    // the salt must be IN the join key (both sides), and the dim side must
+    // not be broadcast — broadcast would collapse the salt fan-out back
+    // into one task per hot key downstream
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("_salt"), s"salt column missing from the plan:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q102 louvain round is equi joins + partial aggs, never a cartesian") {
+    val sp = spark; import sp.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val und = e.unionAll(e.selectExpr("b as a", "a as b"))
+    val deg = und.groupBy("a").count().selectExpr("a as node", "count as dg")
+    val lab = deg.selectExpr("node", "node as lbl")
+    val p = graft.operators.Graph.louvainBest(und, deg, lab, 3L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"louvain round planned a cartesian:\n${p.take(3000)}")
+    assert(p.contains("Join"), "louvain round lost its equi joins")
+    assert(p.contains("partial"),
+      s"louvain aggregations lost map-side partials:\n${p.take(3000)}")
+  }
+
+  test("t44 packing is prefix sums + a map-side explode — no sort-merge join anywhere") {
+    val p = plan("t44_pack_sequences")
+    // the only join is withPrefixSumBy's tiny broadcast offset frame;
+    // the doc->window fan-out must be a Generate (explode), not a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"packing grew a heavy join:\n${p.take(3000)}")
+    assert(p.contains("Generate"),
+      s"doc->window fan-out lost its explode:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets lost their broadcast:\n${p.take(3000)}")
+  }
+
   test("t43 mixture stages the per-source bucket offsets behind a broadcast join") {
     val p = plan("t43_mixture_budget")
     // the grouped prefix scan joins tiny (source, bucket) offsets by
