@@ -719,6 +719,61 @@ object Graph {
     out
   }
 
+  /** Community CONDUCTANCE (the separation gauge complementing
+    * [[modularity]]'s cohesion): for community c over an undirected
+    * graph with m canonical edges,
+    *
+    *   φ(c) = cut_c / min(vol_c, 2m − vol_c)
+    *
+    * where cut_c counts edges with exactly ONE endpoint in c and vol_c
+    * sums member degrees. Low φ = well-separated; NULL when the
+    * denominator is 0 (the whole graph in one community). COMPOSES with
+    * any `(node, label)` frame, like [[modularity]].
+    *
+    * Determinism: cut, vol, m are exact integers; φ is one fixed IEEE
+    * division rounded to `roundTo` (the [[modularity]] convention).
+    * Shape: two label equi-joins on the symmetrized edge list, hash
+    * aggregates, and the edge total as a one-row broadcast — no
+    * collect; a hot community costs its edge count.
+    * Output: (community, n_nodes, volume, cut_edges, conductance). */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node", labelCol: String = "label",
+      roundTo: Int = 9): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the cut join, degrees, and the total
+    val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("lbl"))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+    // per-side counting on the symmetrized frame charges each cut edge
+    // to BOTH of its communities exactly once
+    val cut = und
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("cut_edges"))
+    val comm = lab.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("volume"))
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    val den = least(col("volume"), lit(2L) * col("m") - col("volume"))
+    val out = comm.join(cut, Seq("community"), "left_outer")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"), col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("cut_edges"), lit(0L)).cast("double") /
+              den.cast("double"), roundTo)).as("conductance"))
+      .localCheckpoint(true)
+    canon.unpersist()
+    out
+  }
+
   /** One [[kTruss]] support round on a canonical `(a, b)` edge frame:
     * oriented triangle enumeration + per-edge count. `private[graft]`
     * so the plan-quality spec can pin the round's physical shape
@@ -1330,6 +1385,94 @@ object Graph {
     val out = slices.reduce(_ unionAll _).localCheckpoint(true)
     ckpts.foreach(_.unpersist())
     adj.unpersist()
+    out
+  }
+
+  /** node2vec-biased deterministic walks (Grover & Leskovec 2016): the
+    * second-order upgrade of [[randomWalks]] — at node `cur` with
+    * previous node `prev`, each neighbor x weighs
+    * `wReturn` if x = prev (the 1/p return term), `wCommon` if edge
+    * (prev, x) exists (distance-1 term), else `wFar` (the 1/q
+    * exploration term) — integer weights so the cumulative ranges are
+    * exact in any engine. The walker picks the neighbor whose
+    * cumulative-weight range (neighbors ranked by id) contains
+    * `mix(...) mod totalWeight`; with all three weights 1 the ranges
+    * collapse to ranks and the walk equals [[randomWalks]] bit-for-bit
+    * (spec-pinned). The first step initializes prev = start, making it
+    * uniform at `wCommon` by construction (every neighbor of the start
+    * is trivially adjacent to it).
+    *
+    * Shape: per step ONE equi-join of the walker frontier against the
+    * ranked adjacency on the current node plus ONE left equi-join
+    * probing edge (prev, nbr) existence; the cumulative weights are a
+    * per-walker window over deg(cur) rows (the [[randomWalks]] hub
+    * caveat applies — pre-cap 10^8-degree hubs upstream). Output:
+    * `(start, walk, step, node)`, steps 0..length. */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int = 1, length: Int = 4, seed: Long = 42L,
+      wReturn: Int = 1, wCommon: Int = 4, wFar: Int = 2): DataFrame = {
+    require(walksPerNode >= 1, "need at least one walk per node")
+    require(length >= 1, "need at least one step")
+    require(seed >= 0, "seed must be non-negative")
+    require(wReturn >= 1 && wCommon >= 1 && wFar >= 1,
+      "bias weights must be positive integers")
+    val dir = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val adj = dir
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
+      .select(col("a").as("node"), col("b").as("nbr"),
+        col("rnk").cast("long").as("rnk"))
+      .localCheckpoint(true)
+    val eset = adj.select(col("node").as("pa"), col("nbr").as("pb"))
+    def mix(cur: Column, step: Int, start: Column, wk: Column): Column =
+      pmod(lit(1000003L) * pmod(cur, lit(1048573L)) +
+        lit(10007L) * lit(step.toLong) +
+        lit(100003L) * pmod(pmod(start, lit(1048573L)) * lit(31L) + wk,
+          lit(1048573L)) +
+        lit(seed % 2147483647L), lit(2147483647L))
+    var state = adj.select(col("node")).distinct()
+      .withColumn("wk",
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))))
+      .select(col("node").as("start"), col("wk"),
+        col("node").as("prev"), col("node").as("cur"))
+      .localCheckpoint(true)
+    val slices = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("wk"), lit(0L).as("step"),
+        col("cur").as("node")))
+    val ckpts = scala.collection.mutable.ArrayBuffer(state)
+    for (t <- 1 to length) {
+      val wWalker = Window.partitionBy(col("start"), col("wk"))
+      val cand = flat(state)
+        .join(adj, col("cur") === col("node"))
+        .join(eset, col("prev") === col("pa") && col("nbr") === col("pb"),
+          "left_outer")
+        .withColumn("w",
+          when(col("nbr") === col("prev"), lit(wReturn.toLong))
+            .when(col("pa").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wFar.toLong)))
+        .withColumn("cum",
+          coalesce(sum(col("w")).over(wWalker.orderBy(col("rnk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tot", sum(col("w")).over(wWalker))
+      val r = pmod(mix(col("cur"), t, col("start"), col("wk")), col("tot"))
+      val next = cand
+        .filter(r >= col("cum") && r < col("cum") + col("w"))
+        .select(col("start"), col("wk"), col("cur").as("prev"),
+          col("nbr").as("cur"))
+        .localCheckpoint(true)
+      ckpts += next
+      slices += next.select(col("start"), col("wk"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+      state = next
+    }
+    val out = slices.reduce(_ unionAll _).localCheckpoint(true)
+    ckpts.foreach(_.unpersist())
+    adj.unpersist()
+    dir.unpersist()
     out
   }
 }

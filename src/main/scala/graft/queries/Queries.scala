@@ -3551,6 +3551,48 @@ object Queries {
         FROM comm c LEFT JOIN intra i ON c.community = i.community
         CROSS JOIN mm ORDER BY community""")),
 
+    // ---- Community conductance over q82's LPA labeling (shared CTE
+    //      chain): cut / min(vol, 2m - vol) from exact integer counts —
+    //      the separation gauge complementing q100's modularity ----
+    QueryDef(
+      "q106_conductance",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        val labels = graft.operators.Graph
+          .labelPropagation(edges, "src", "dst", rounds = 4)
+        graft.operators.Graph.conductance(edges, "src", "dst", labels)
+          .orderBy($"community")
+      },
+      Some(s"""${lpaOracleCtes(4)},
+        deg AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+               SELECT a AS node FROM cand UNION ALL SELECT b FROM cand)
+             GROUP BY node),
+        mm AS (SELECT count(*) AS m FROM cand),
+        lab AS (SELECT node, lbl FROM l4),
+        cut AS (SELECT la.lbl AS community, count(*) AS cut_edges
+               FROM e c JOIN lab la ON c.a = la.node
+                        JOIN lab lb ON c.b = lb.node
+               WHERE la.lbl <> lb.lbl GROUP BY la.lbl),
+        comm AS (SELECT l.lbl AS community, count(*) AS n_nodes,
+                 SUM(d.dg) AS volume
+               FROM lab l JOIN deg d ON l.node = d.node GROUP BY l.lbl)
+        SELECT CAST(c.community AS BIGINT) AS community,
+          CAST(c.n_nodes AS BIGINT) AS n_nodes,
+          CAST(c.volume AS BIGINT) AS volume,
+          CAST(COALESCE(u.cut_edges, 0) AS BIGINT) AS cut_edges,
+          CASE WHEN LEAST(c.volume, 2 * mm.m - c.volume) = 0 THEN NULL
+               ELSE round(CAST(COALESCE(u.cut_edges, 0) AS DOUBLE)
+                 / LEAST(c.volume, 2 * mm.m - c.volume), 9) END AS conductance
+        FROM comm c LEFT JOIN cut u ON c.community = u.community
+        CROSS JOIN mm ORDER BY community""")),
+
     // ---- Salted skew join: events hot-spot on a handful of event_type
     //      values — the salt rides the JOIN KEY so one hot key spreads
     //      over 16 tasks; integer micro-unit compare keeps the
@@ -3669,6 +3711,69 @@ object Queries {
                  AND a.rnk = ((1000003 * (s.cur % 1048573) + 10007 * $i
                    + 100003 * (((s.start % 1048573) * 31 + s.wk) % 1048573)
                    + 7) % 2147483647) % a.dg)""")
+        sb.append(s"""
+          SELECT start, wk AS walk, step, node FROM (
+            SELECT start, wk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0""")
+        for (i <- 1 to steps) sb.append(s"""
+            UNION ALL SELECT start, wk, CAST($i AS BIGINT), cur FROM s$i""")
+        sb.append("""
+          ) ORDER BY start, walk, step, node""")
+        sb.toString
+      }),
+
+    // ---- node2vec-biased walks: second-order deterministic walks —
+    //      per neighbor an integer bias weight (return 1 / common 4 /
+    //      far 2 by edge(prev, nbr) existence), chosen by the seeded
+    //      mix landing in the neighbor's exact cumulative-weight
+    //      range; both engines replay ranges and mix in lockstep ----
+    QueryDef(
+      "q105_node2vec_walks",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val cand = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        val edges = cand.unionAll(cand.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.Graph
+          .node2vecWalks(edges, "src", "dst", walksPerNode = 2, length = 4,
+            seed = 11L, wReturn = 1, wCommon = 4, wFar = 2)
+          .select($"start", $"wk".as("walk"), $"step", $"node")
+          .orderBy($"start", $"walk", $"step", $"node")
+      },
+      Some {
+        val steps = 4
+        val sb = new StringBuilder(
+          """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+          cand AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+          e AS MATERIALIZED (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+          adj AS MATERIALIZED (SELECT a AS node, b AS nbr,
+                 CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS rnk
+                 FROM e),
+          s0 AS MATERIALIZED (SELECT n.node AS start, w.wk, n.node AS prev, n.node AS cur
+                 FROM (SELECT DISTINCT node FROM adj) n
+                 CROSS JOIN (SELECT range AS wk FROM range(0, 2)) w)""")
+        for (i <- 1 to steps) sb.append(s""",
+          c$i AS (SELECT s.start, s.wk, s.cur, a.nbr, a.rnk,
+              CASE WHEN a.nbr = s.prev THEN 1
+                   WHEN ep.a IS NOT NULL THEN 4 ELSE 2 END AS w
+            FROM s${i - 1} s JOIN adj a ON a.node = s.cur
+            LEFT JOIN e ep ON ep.a = s.prev AND ep.b = a.nbr),
+          w$i AS (SELECT start, wk, cur, nbr, w,
+              COALESCE(SUM(w) OVER (PARTITION BY start, wk ORDER BY rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+              SUM(w) OVER (PARTITION BY start, wk) AS tot,
+              ((1000003 * (cur % 1048573) + 10007 * $i
+                + 100003 * (((start % 1048573) * 31 + wk) % 1048573)
+                + 11) % 2147483647) AS h
+            FROM c$i),
+          s$i AS MATERIALIZED (SELECT start, wk, cur AS prev, nbr AS cur
+            FROM w$i WHERE h % tot >= cum AND h % tot < cum + w)""")
         sb.append(s"""
           SELECT start, wk AS walk, step, node FROM (
             SELECT start, wk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0""")

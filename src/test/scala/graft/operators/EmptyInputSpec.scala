@@ -316,8 +316,12 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graph.louvainMove(loops, "src", "dst", rounds = 2).count() == 0)
     assert(Graph.louvainTwoPass(emptyEdges, "src", "dst").count() == 0)
     assert(Graph.louvainTwoPass(loops, "src", "dst").count() == 0)
-    // random walks: no edges, no walkers
+    // conductance: no edges -> no communities to gauge
+    val emptyLab = Seq.empty[(Long, Long)].toDF("node", "label")
+    assert(Graph.conductance(emptyEdges, "src", "dst", emptyLab).count() == 0)
+    // random walks: no edges, no walkers (first- and second-order)
     assert(Graph.randomWalks(emptyEdges, "src", "dst").count() == 0)
+    assert(Graph.node2vecWalks(emptyEdges, "src", "dst").count() == 0)
     // hnsw: a corpus with no centroid-divisible id fails LOUDLY (the
     // nswGraph contract), and an empty query set returns no rows
     val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

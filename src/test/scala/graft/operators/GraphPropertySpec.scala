@@ -353,6 +353,68 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toSet
   }
 
+  /** Local reference: node2vec's weighted choice — exact cumulative
+    * integer ranges over neighbors ranked by id, seeded mix mod total. */
+  private def refN2vWalks(edges: Set[(Long, Long)], walks: Int, len: Int,
+      seed: Long, wr: Long, wc: Long, wf: Long): Set[(Long, Long, Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for (start <- adj.keys; wk <- 0L until walks.toLong) {
+      var prev = start
+      var cur = start
+      out += ((start, wk, 0L, cur))
+      var t = 1
+      var alive = true
+      while (t <= len && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val ws = nbrs.map { x =>
+              if (x == prev) wr
+              else if (edges.contains((prev, x))) wc else wf
+            }
+            val tot = ws.sum
+            val h = (1000003L * (cur % 1048573L) + 10007L * t +
+              100003L * (((start % 1048573L) * 31L + wk) % 1048573L) +
+              seed % 2147483647L) % 2147483647L
+            val r = h % tot
+            var idx = 0
+            var cum = 0L
+            while (cum + ws(idx) <= r) { cum += ws(idx); idx += 1 }
+            prev = cur
+            cur = nbrs(idx)
+            out += ((start, wk, t.toLong, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("node2vecWalks equals the local weighted-range replay on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      w <- Gen.choose(1, 2)
+      l <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 1000L)
+      wr <- Gen.choose(1, 5)
+      wc <- Gen.choose(1, 5)
+      wf <- Gen.choose(1, 5)
+    } yield (es, w, l, seed, wr, wc, wf)
+    val prop = Prop.forAll(gen) { case (es, w, l, seed, wr, wc, wf) =>
+      val expect = refN2vWalks(es.toSet, w, l, seed, wr, wc, wf)
+      val got = Graph.node2vecWalks(es.toDF("src", "dst"), "src", "dst",
+          w, l, seed, wr, wc, wf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("randomWalks equals the local seeded-mix replay on random directed graphs") {
     val sp = spark; import sp.implicits._
     val gen = for {

@@ -345,6 +345,63 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.exceptAll(walked).count() == 0)
   }
 
+  test("conductance: hand-computed bridge cut, NULL for the whole-graph community") {
+    val sp = spark; import sp.implicits._
+    // two triangles bridged by one edge; m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val out = Graph.conductance(edges, "src", "dst", labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // community 1: vol = 2+2+3 = 7, cut = 1, min(7, 14-7) = 7 -> 1/7
+    assert(out(1L) === ((3L, 7L, 1L, Some(0.142857143))))
+    assert(out(4L) === ((3L, 7L, 1L, Some(0.142857143))))
+    // one community spanning everything: denominator 0 -> NULL
+    val one = (1L to 6L).map(n => (n, 0L)).toDF("node", "label")
+    val whole = Graph.conductance(edges, "src", "dst", one).collect()
+    assert(whole.length == 1 && whole.head.isNullAt(4))
+    // perfectly separated communities (bridge dropped): cut 0, phi 0
+    val sep = Graph.conductance(
+      edges.filter(!($"src" === 3L && $"dst" === 4L)), "src", "dst", labels)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sep(1L) === 0.0 && sep(4L) === 0.0)
+  }
+
+  test("node2vecWalks: unit weights collapse to randomWalks; bias changes the path") {
+    val sp = spark; import sp.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (2L, 3L), (3L, 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // all-ones weights: cumulative ranges collapse to ranks and the
+    // second-order walk IS the first-order walk, bit for bit
+    val unit = Graph.node2vecWalks(star.toDF("src", "dst"), "src", "dst",
+      walksPerNode = 3, length = 5, seed = 11L,
+      wReturn = 1, wCommon = 1, wFar = 1)
+    val first = Graph.randomWalks(star.toDF("src", "dst"), "src", "dst",
+      walksPerNode = 3, length = 5, seed = 11L)
+    assert(rows(unit) === rows(first),
+      "unit-weight node2vec diverged from the first-order walk")
+    // real bias weights produce a DIFFERENT (but still edge-valid) path
+    val biased = Graph.node2vecWalks(star.toDF("src", "dst"), "src", "dst",
+      walksPerNode = 3, length = 5, seed = 11L,
+      wReturn = 1, wCommon = 4, wFar = 2)
+    assert(rows(biased) !== rows(first), "bias weights changed nothing")
+    val bad = biased.as("x").join(biased.as("y"),
+        col("x.start") === col("y.start") && col("x.wk") === col("y.wk") &&
+          col("x.step") + 1 === col("y.step"))
+      .join(star.toDF("a", "b"),
+        col("x.node") === col("a") && col("y.node") === col("b"), "left_anti")
+    assert(bad.count() == 0, "a biased walk used a non-edge transition")
+    // deterministic under repartitioning
+    val again = Graph.node2vecWalks(star.toDF("src", "dst").repartition(5),
+      "src", "dst", 3, 5, 11L, 1, 4, 2)
+    assert(rows(biased) === rows(again))
+  }
+
   test("kTruss peels support cascades; one round is not the fixpoint") {
     val sp = spark; import sp.implicits._
     // K5 on {1..5}: every edge closes 3 triangles. Bowtie {20,21,22} +

@@ -211,6 +211,40 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming leakage-safe split equals the batch split (stream-static cluster map)") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = (1L to 120L).map(i => (i, s"doc $i"))
+    // clusters {5,8,16} (members' naive splits straddle) and {30,42}
+    // (members arrive in DIFFERENT micro-batches)
+    val clusters = Seq((5L, 5L), (8L, 5L), (16L, 5L), (30L, 30L), (42L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.leakageSafeSplit(
+        input.toDF().toDF("doc_id", "text"), "doc_id", clusters)
+      .writeStream.format("memory").queryName("lsplit")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(40)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = sp.table("lsplit").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+      val batch = graft.operators.TextAnalysis.leakageSafeSplit(
+          docs.toDF("doc_id", "text"), "doc_id", clusters)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+      assert(streamed === batch, "streamed split diverged from the batch split")
+      val m = streamed.toMap
+      // the cluster straddling micro-batches still lands on ONE side —
+      // the stateless guarantee a doc-keyed stream cannot give
+      assert(m(30L) === m(42L) && m(5L) === m(8L) && m(8L) === m(16L))
+      assert(streamed.map(_._2) === Set("train", "val", "test"),
+        "vacuous: not all three splits appeared")
+    } finally { q.stop(); () }
+  }
+
   test("streaming quality screen equals the batch Gopher gate over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext
