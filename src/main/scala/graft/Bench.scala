@@ -57,6 +57,15 @@ object Bench {
     // conservative leaf stats (ColumnBridge.scala) cost nothing
     // measurable at sf0.1, and they are what keeps deep iterative
     // rounds from hanging the planner. No code change warranted.
+    // Round-11 third-session additions, isolated sf0.1 measurement
+    // (SPARK_GRAFT_ONLY over the nine new queries, 27.8s total):
+    // q104 7.75s (the 8-round two-pass Louvain cost contract — phase 1
+    // alone is q102's 5.04s; each parity round is 4 equi joins + 2
+    // bounded aggs + argmax, the per-round job overhead dominating at
+    // sf0.1 exactly like the PageRank family), q105 4.52s (4 biased
+    // steps x 2 joins + 2 windows), s20 3.15s (3 layer-graph builds +
+    // 5 expansion rounds at oracle params), q106 2.78s, q103 2.18s,
+    // t45 1.21s, q101 0.64s, t44 0.53s. hnsw bench recall@3 0.767.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY

@@ -1428,12 +1428,6 @@ object Graph {
         col("rnk").cast("long").as("rnk"))
       .localCheckpoint(true)
     val eset = adj.select(col("node").as("pa"), col("nbr").as("pb"))
-    def mix(cur: Column, step: Int, start: Column, wk: Column): Column =
-      pmod(lit(1000003L) * pmod(cur, lit(1048573L)) +
-        lit(10007L) * lit(step.toLong) +
-        lit(100003L) * pmod(pmod(start, lit(1048573L)) * lit(31L) + wk,
-          lit(1048573L)) +
-        lit(seed % 2147483647L), lit(2147483647L))
     var state = adj.select(col("node")).distinct()
       .withColumn("wk",
         explode(sequence(lit(0L), lit(walksPerNode - 1L))))
@@ -1445,25 +1439,8 @@ object Graph {
         col("cur").as("node")))
     val ckpts = scala.collection.mutable.ArrayBuffer(state)
     for (t <- 1 to length) {
-      val wWalker = Window.partitionBy(col("start"), col("wk"))
-      val cand = flat(state)
-        .join(adj, col("cur") === col("node"))
-        .join(eset, col("prev") === col("pa") && col("nbr") === col("pb"),
-          "left_outer")
-        .withColumn("w",
-          when(col("nbr") === col("prev"), lit(wReturn.toLong))
-            .when(col("pa").isNotNull, lit(wCommon.toLong))
-            .otherwise(lit(wFar.toLong)))
-        .withColumn("cum",
-          coalesce(sum(col("w")).over(wWalker.orderBy(col("rnk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("tot", sum(col("w")).over(wWalker))
-      val r = pmod(mix(col("cur"), t, col("start"), col("wk")), col("tot"))
-      val next = cand
-        .filter(r >= col("cum") && r < col("cum") + col("w"))
-        .select(col("start"), col("wk"), col("cur").as("prev"),
-          col("nbr").as("cur"))
-        .localCheckpoint(true)
+      val next = node2vecStep(flat(state), adj, eset, t, seed,
+        wReturn, wCommon, wFar).localCheckpoint(true)
       ckpts += next
       slices += next.select(col("start"), col("wk"), lit(t.toLong).as("step"),
         col("cur").as("node"))
@@ -1474,5 +1451,262 @@ object Graph {
     adj.unpersist()
     dir.unpersist()
     out
+  }
+
+  /** One [[node2vecWalks]] step on a walker frame
+    * `state (start, wk, prev, cur)`, a ranked adjacency
+    * `adj (node, nbr, rnk)` and an edge-probe frame `eset (pa, pb)`:
+    * returns the next `(start, wk, prev, cur)`. `private[graft]` so the
+    * plan-quality spec can pin the step's physical shape — the loop's
+    * checkpoints hide it (the [[louvainBest]] rationale). */
+  private[graft] def node2vecStep(state: DataFrame, adj: DataFrame,
+      eset: DataFrame, t: Int, seed: Long,
+      wReturn: Int, wCommon: Int, wFar: Int): DataFrame = {
+    val wWalker = Window.partitionBy(col("start"), col("wk"))
+    val mixed =
+      pmod(lit(1000003L) * pmod(col("cur"), lit(1048573L)) +
+        lit(10007L) * lit(t.toLong) +
+        lit(100003L) * pmod(pmod(col("start"), lit(1048573L)) * lit(31L) +
+          col("wk"), lit(1048573L)) +
+        lit(seed % 2147483647L), lit(2147483647L))
+    val cand = state
+      .join(adj, col("cur") === col("node"))
+      .join(eset, col("prev") === col("pa") && col("nbr") === col("pb"),
+        "left_outer")
+      .withColumn("w",
+        when(col("nbr") === col("prev"), lit(wReturn.toLong))
+          .when(col("pa").isNotNull, lit(wCommon.toLong))
+          .otherwise(lit(wFar.toLong)))
+      .withColumn("cum",
+        coalesce(sum(col("w")).over(wWalker.orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("w")).over(wWalker))
+    val r = pmod(mixed, col("tot"))
+    cand
+      .filter(r >= col("cum") && r < col("cum") + col("w"))
+      .select(col("start"), col("wk"), col("cur").as("prev"),
+        col("nbr").as("cur"))
+  }
+
+  /** Betweenness centrality by Brandes' two-pass algorithm (Brandes
+    * 2001) from a SAMPLED source set — the Brandes–Pich 2007 subset
+    * estimator: exact dependency accumulation from each listed source,
+    * summed over sources — over a DIRECTED unweighted edge list,
+    * truncated at `rounds` BFS levels (the fixed-round lockstep
+    * contract shared with [[ssspBellmanFord]]; paths longer than
+    * `rounds` hops contribute nothing, which IS the "k-bounded
+    * betweenness" variant used at scale).
+    *
+    * Forward pass: `rounds` synchronous BFS levels carrying EXACT
+    * integer shortest-path counts σ — per level one frontier⋈edges
+    * equi-join + a (source, node) partial-aggregating σ-sum (path
+    * counts combine map-side; a hub receives one row per map partition,
+    * not one per in-edge) + one anti-join against the visited set.
+    * σ rides DECIMAL(38,0): path counts grow combinatorially and must
+    * not wrap silently.
+    *
+    * Backward pass: one depth per round from `rounds` down to 1,
+    * accumulating δ(v) += σ(v)/σ(w) · (1 + δ(w)) over BFS successors w
+    * (depth(w) = depth(v) + 1 — exactly the rows the depth-keyed
+    * equi-join selects). Each addend is ONE IEEE expression over exact
+    * inputs cast to DECIMAL(28,12) before the sum, so group totals are
+    * partition-merge-order independent (the [[adamicAdar]] /
+    * [[pageRank]] oracle discipline). Rows at depth ≥ d are final when
+    * depth d is processed, so reading δ(w) from the running frame is
+    * Brandes' invariant, not an approximation.
+    *
+    * Output: `(node, btw)` for every node REACHED from a source within
+    * `rounds` hops, btw = Σ_sources δ_s(node) rounded to 6 decimals
+    * (source self-rows excluded per Brandes). Scale: state is one row
+    * per (source, reached node) — the [[multiSourceSssp]] landmark
+    * sharding — and every stage is an equi-join or a key-partial agg;
+    * nothing is quadratic in degree or corpus. */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one BFS round")
+    val e = edges.select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+      .localCheckpoint(true)
+    val dec0 = DecimalType(38, 0)
+    val src0 = sources
+      .select(col(sources.columns.head).cast("long").as("source"))
+      .filter(col("source").isNotNull).distinct()
+      .select(col("source"), col("source").as("node"),
+        lit(0).as("depth"), lit(1L).cast(dec0).as("sigma"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(src0)
+    var frontier = src0
+    var visited = src0
+    for (t <- 1 to rounds) {
+      val nf = brandesFrontierStep(frontier, e, visited, t)
+        .localCheckpoint(true)
+      levels += nf
+      // union of checkpoint leaves: estimated sizes ADD (never multiply),
+      // so no statsFlatLeaf needed on the visited set
+      visited = visited.unionAll(nf)
+      frontier = nf
+    }
+    var delta = levels.map(_.withColumn("delta",
+        lit(0).cast(DecimalType(38, 12))))
+      .reduce(_ unionAll _)
+    for (d <- rounds to 1 by -1) {
+      val next = brandesDependencyStep(delta, e, d).localCheckpoint(true)
+      levels += next // unpersisted with the rest after the final checkpoint
+      delta = flat(next)
+    }
+    val res = delta.filter(col("node") =!= col("source"))
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("dsum"))
+      .select(col("node"), round(col("dsum").cast("double"), 6).as("btw"))
+      .localCheckpoint(true)
+    (levels += e).foreach(_.unpersist())
+    res
+  }
+
+  /** One [[betweenness]] forward BFS level: candidates =
+    * frontier ⋈ edges with map-side-combining σ-sums, minus anyone
+    * already visited. `private[graft]` so the plan-quality spec can pin
+    * the level's physical shape — the loop's checkpoints hide it (the
+    * [[louvainBest]] rationale). */
+  private[graft] def brandesFrontierStep(frontier: DataFrame, e: DataFrame,
+      visited: DataFrame, t: Int): DataFrame =
+    frontier.join(e, col("node") === col("esrc"))
+      .groupBy(col("source"), col("edst"))
+      .agg(sum(col("sigma")).cast(DecimalType(38, 0)).as("sigma"))
+      .select(col("source"), col("edst").as("node"),
+        lit(t).as("depth"), col("sigma"))
+      .join(visited.select(col("source"), col("node")),
+        Seq("source", "node"), "left_anti")
+
+  /** Neighborhood-function estimation by HyperBall (Boldi & Vigna 2013:
+    * HyperLogLog registers max-merged along edges — Flajolet et al.
+    * 2007's estimator): after `rounds` merges, each node carries a
+    * 16-register sketch of its OUT-ball `{u : dist(node → u) ≤ rounds}`
+    * and the output is the per-node estimated ball size — the
+    * reach/effective-diameter primitive exact truncated BFS cannot give
+    * at scale (it is O(n²) state; this is O(n·16)).
+    *
+    * Determinism contract: registers derive from md5(node) hex — bucket
+    * = first hex char, rho = 1 + leading zero BITS of the next 15 hex
+    * chars (string ops + CASE, no floating point, engine-portable).
+    * Each round's merge is an exact integer MAX. The estimate is
+    * assembled from the EXACT integer Σ 2^(61−rho) (DECIMAL(38,0)
+    * addends — order-free), so the only floating point anywhere is the
+    * final one-division estimator (or 16·ln(16/V) linear counting when
+    * V registers are empty — the [[adamicAdar]] ln precedent), applied
+    * once per node and replayed identically by the oracle.
+    *
+    * Scale shape: one row per (node, hit bucket) — never per reached
+    * node; each round is one edges ⋈ sketch equi-join + a
+    * (node, bucket) partial-aggregating MAX, so a hub's registers
+    * combine map-side. This is why HyperBall beats exact BFS or KMV
+    * top-k sketches at 100 TB: max-merge is fully aggregatable with no
+    * per-node sort or bounded-heap anywhere. */
+  def hyperBallReach(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("esrc").as("node"))
+      .unionAll(e.select(col("edst").as("node"))).distinct()
+    // md5-derived register: bucket from the first hex char, rho from
+    // the leading zero BITS of the next 15 (60 payload bits, rho ∈ 1..61)
+    val h = md5(col("node").cast("string"))
+    val payload = substring(h, 2, 15)
+    val zerosHex = length(regexp_extract(payload, "^0*", 0))
+    val firstNz = substring(payload, zerosHex + 1, lit(1))
+    val extraBits = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0) // '' (all-zero payload) included: zerosHex already 60
+    var sketch = nodes
+      .select(col("node"),
+        conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
+        (zerosHex * 4 + extraBits + 1).cast("int").as("rho"))
+      .localCheckpoint(true)
+    var lastCkpt: Option[DataFrame] = Some(sketch)
+    var i = 0
+    while (i < rounds) {
+      var next = hyperBallMergeStep(sketch, e)
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val ck = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(ck)
+        next = flat(ck)
+      }
+      sketch = next
+    }
+    // exact integer denominator Σ 2^(61−rho) + 2^61 per never-hit bucket,
+    // then ONE IEEE expression per node: raw HLL (alpha_16 = 0.673) or
+    // 16·ln(16/V) linear counting while V buckets are empty
+    val twoTo61 = lit(2305843009213693952L) // 2^61
+    val agg = sketch.groupBy(col("node"))
+      .agg(sum(expr("shiftleft(1L, 61 - rho)")
+          .cast(DecimalType(38, 0))).as("psum"),
+        count(lit(1)).as("present"))
+    val denom = (col("psum") +
+      (lit(16L) - col("present")).cast(DecimalType(38, 0)) *
+        twoTo61.cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+    val zeros = (lit(16L) - col("present")).cast("double")
+    val res = agg.select(col("node"),
+        round(when(col("present") < 16,
+            lit(16.0) * log(lit(16.0) / zeros))
+          .otherwise(lit(0.673) * lit(256.0) * twoTo61.cast("double") /
+            denom.cast("double")), 6).as("reach_est"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    res
+  }
+
+  /** One [[hyperBallReach]] merge round on a register frame
+    * `sketch (node, bucket, rho)` and an edge frame `e (esrc, edst)`:
+    * each node max-merges its out-neighbors' registers with its own —
+    * one equi-join + one (node, bucket) partial-aggregating MAX.
+    * `private[graft]` so the plan-quality spec can pin the round's
+    * physical shape — the loop's checkpoints hide it. */
+  private[graft] def hyperBallMergeStep(sketch: DataFrame,
+      e: DataFrame): DataFrame = {
+    val prop = e.join(sketch, col("edst") === col("node"))
+      .select(col("esrc").as("node"), col("bucket"), col("rho"))
+    sketch.unionAll(prop)
+      .groupBy(col("node"), col("bucket")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** One [[betweenness]] backward dependency round at depth `d`: the
+    * depth-d rows (successors w, δ final) reach their depth-(d−1)
+    * predecessors through the edge list, each contributing the single
+    * IEEE addend σ(p)·(1+δ(w))/σ(w) cast to DECIMAL(28,12); the summed
+    * update lands back on the frame via one left equi-join. */
+  private[graft] def brandesDependencyStep(delta: DataFrame, e: DataFrame,
+      d: Int): DataFrame = {
+    val w = delta.filter(col("depth") === d)
+      .select(col("source").as("wsrc"), col("node").as("wnode"),
+        col("sigma").as("wsig"), col("delta").as("wdelta"))
+    val preds = delta.filter(col("depth") === d - 1)
+      .select(col("source").as("psrc"), col("node").as("pnode"),
+        col("sigma").as("psig"))
+    val upd = w.join(e, col("wnode") === col("edst"))
+      .join(preds, col("wsrc") === col("psrc") && col("esrc") === col("pnode"))
+      .select(col("wsrc").as("source"), col("pnode").as("node"),
+        (col("psig").cast("double") *
+          (lit(1.0) + col("wdelta").cast("double")) /
+          col("wsig").cast("double")).cast(DecimalType(28, 12)).as("add"))
+      .groupBy(col("source"), col("node"))
+      .agg(sum(col("add")).cast(DecimalType(38, 12)).as("add"))
+    delta.join(upd, Seq("source", "node"), "left_outer")
+      .withColumn("delta",
+        (col("delta") + coalesce(col("add"),
+          lit(0).cast(DecimalType(38, 12)))).cast(DecimalType(38, 12)))
+      .drop("add")
   }
 }

@@ -1785,6 +1785,91 @@ object Similarity {
     res
   }
 
+  /** Persist a [[hnswKnn]] layered index: each layer's neighbor graph
+    * goes range-partitioned + sorted by `node_id` with a min/max
+    * manifest under `path/layer-<l>` (the [[writeNswGraph]] layout per
+    * layer — upper layers get proportionally fewer files), and the
+    * entry set (whole top layer ∪ per-cell minimum) lands as a tiny
+    * `path/entries` parquet so serving never recomputes the
+    * assignment. Search parameters (m, levelBase, maxLevel, centEvery)
+    * are FROZEN at write time — the [[updateIvfSq8Index]] convention;
+    * pass the same `maxLevel` to [[hnswKnnStored]]. */
+  def writeHnswIndex(corpus: DataFrame, path: String, numFiles: Int,
+      m: Int = 16, levelBase: Int = 4, maxLevel: Int = 2,
+      centEvery: Int = 50, maxCents: Int = 65536): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    require(levelBase >= 2, "levelBase must be at least 2")
+    require(maxLevel >= 0, "maxLevel must be non-negative")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxCents)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroids: no corpus vec_id divisible by $centEvery — lower centEvery")
+    val asg = nswAssign(corpus, cents).localCheckpoint(true)
+    val strides: IndexedSeq[Long] =
+      (0 to maxLevel).map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
+    var files = numFiles
+    for (l <- 0 to maxLevel) {
+      val members =
+        if (l == 0) asg
+        else asg.filter(pmod(col("vec_id"), lit(strides(l))) === 0)
+      writeCellIndex(nswGraphFromAssign(members, m), s"$path/layer-$l",
+        files, cellCol = "node_id")
+      files = math.max(1, files / levelBase)
+    }
+    val topLayer = asg
+      .filter(pmod(col("vec_id"), lit(strides(maxLevel))) === 0)
+      .select(col("vec_id").as("node_id"))
+      .orderBy(col("node_id")).limit(maxCents)
+    val cellMin = asg.groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
+    topLayer.union(cellMin).distinct()
+      .repartition(1).write.mode("overwrite").parquet(s"$path/entries")
+    asg.unpersist()
+  }
+
+  /** Layered beam search over a STORED [[writeHnswIndex]] layout — the
+    * serving path: entries come from the persisted `path/entries`, and
+    * each round of layer `l` collects the frontier's node ids (at most
+    * queries × beam longs, queries already bounded by the
+    * [[MaxBroadcastQueries]] contract) and manifest-prunes
+    * `path/layer-<l>` to those ids before the expansion join
+    * ([[nswKnnStored]]'s discipline per layer). Results are
+    * byte-identical to [[hnswKnn]] at the same frozen parameters
+    * (spec-pinned); the I/O per round is the frontier's file span of
+    * ONE layer, never the whole index. */
+  def hnswKnnStored(queries: DataFrame, corpus: DataFrame, path: String,
+      k: Int, beam: Int = 48, roundsPerLayer: Int = 2, baseRounds: Int = 4,
+      maxLevel: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(beam >= 1, "beam must be positive")
+    require(roundsPerLayer >= 0, "roundsPerLayer must be non-negative")
+    require(baseRounds >= 0, "baseRounds must be non-negative")
+    require(maxLevel >= 0, "maxLevel must be non-negative")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
+    val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val entryIds = sp.read.parquet(s"$path/entries")
+    var visited = nswScoreEntries(qb, corpusVecs, entryIds)
+      .localCheckpoint(true)
+    for (l <- maxLevel to 0 by -1) {
+      val rounds = if (l == 0) baseRounds else roundsPerLayer
+      visited = nswExpand(qb, corpusVecs, visited, beam, rounds, { frontier =>
+        val ids = frontier.select(col("node")).distinct()
+          .as[Long].collect().toIndexedSeq
+        if (ids.isEmpty)
+          readCellIndex(sp, s"$path/layer-$l", Seq(Long.MinValue), "node_id")
+        else readCellIndex(sp, s"$path/layer-$l", ids, "node_id")
+      })
+    }
+    nswRank(visited, k)
+  }
+
   /** The PRIMARY graph-ANN path at scale: [[kmeansCodebook]]-trained
     * cells (real clusters, not arbitrary id-sampled rows) under the
     * bidirectional top-`m` graph, searched from the DIVERSE sampled

@@ -153,6 +153,26 @@ object TextAnalysis {
       .drop("cluster_id")
   }
 
+  /** Leakage-safe GROUP k-fold (t46): the cross-validation twin of
+    * [[leakageSafeSplit]] — each document folds by its duplicate-cluster
+    * REPRESENTATIVE (unclustered docs by their own id), so near-dup
+    * twins can never land in different folds and inflate every
+    * cross-validation score. Same md5 bucket as [[splitAssign]]
+    * (engine-portable, reshuffle-proof), same single left equi-join
+    * against the cluster map; `fold` ∈ [0, k). */
+  def leakageSafeKFold(docs: DataFrame, idCol: String, clusters: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    require(!docs.columns.contains("fold"),
+      "input already has a fold column")
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(cl, Seq(idCol), "left_outer")
+      .withColumn("fold",
+        (conv(substring(md5(coalesce(col("cluster_id"), col(idCol))
+          .cast("string")), 1, 8), 16, 10) % k).cast("int"))
+      .drop("cluster_id")
+  }
+
   /** Duplicate n-gram fraction (Gopher-style repetition signal): the
     * share of bigrams that are repeats — 0 for clean prose, → 1 for
     * degenerate repetition. Null under 2 tokens. Takes a STAGED token

@@ -329,6 +329,106 @@ object Queries {
     sb.toString
   }
 
+  /** Unrolled two-pass Brandes CTE chain for the q107 oracle: `rounds`
+    * forward BFS levels with exact DECIMAL(38,0) path counts, then
+    * `rounds` backward dependency rounds whose addends are the SAME
+    * single IEEE expression cast to DECIMAL(28,12) as the Spark side
+    * ([[graft.operators.Graph.brandesDependencyStep]]) — partition- and
+    * engine-order-proof by construction. */
+  private def betweennessOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH li AS MATERIALIZED (SELECT * FROM lineitem WHERE l_orderkey % 8 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT esrc, edst FROM (
+           SELECT l_partkey % 211 AS esrc, l_suppkey % 211 + 300 AS edst FROM li
+           UNION ALL
+           SELECT l_suppkey % 211 + 300 AS esrc, (l_partkey + 97) % 211 AS edst
+           FROM li) WHERE esrc <> edst),
+    v0 AS MATERIALIZED (SELECT CAST(source AS BIGINT) AS source,
+             CAST(source AS BIGINT) AS node, 0 AS depth,
+             CAST(1 AS DECIMAL(38,0)) AS sigma
+           FROM (VALUES (0), (17), (42), (301)) AS s(source)),
+    f0 AS MATERIALIZED (SELECT * FROM v0)""")
+    for (i <- 1 to rounds) sb.append(s""",
+    f$i AS MATERIALIZED (SELECT c.source, c.node, $i AS depth, c.sigma FROM (
+           SELECT f.source, e.edst AS node,
+             CAST(SUM(f.sigma) AS DECIMAL(38,0)) AS sigma
+           FROM f${i - 1} f JOIN e ON f.node = e.esrc GROUP BY 1, 2) c
+         LEFT JOIN v${i - 1} v ON v.source = c.source AND v.node = c.node
+         WHERE v.node IS NULL),
+    v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)""")
+    sb.append(s""",
+    dl${rounds + 1} AS MATERIALIZED (SELECT source, node, depth, sigma,
+             CAST(0 AS DECIMAL(38,12)) AS delta FROM v$rounds)""")
+    for (d <- rounds to 1 by -1) sb.append(s""",
+    u$d AS MATERIALIZED (SELECT w.source, p.node AS node,
+             CAST(SUM(CAST(CAST(p.sigma AS DOUBLE)
+               * (1.0 + CAST(w.delta AS DOUBLE))
+               / CAST(w.sigma AS DOUBLE) AS DECIMAL(28,12)))
+               AS DECIMAL(38,12)) AS ad
+           FROM dl${d + 1} w JOIN e ON w.node = e.edst
+           JOIN dl${d + 1} p ON p.source = w.source AND p.node = e.esrc
+             AND p.depth = ${d - 1}
+           WHERE w.depth = $d GROUP BY 1, 2),
+    dl$d AS MATERIALIZED (SELECT t.source, t.node, t.depth, t.sigma,
+             CAST(t.delta + COALESCE(u.ad, 0) AS DECIMAL(38,12)) AS delta
+           FROM dl${d + 1} t
+           LEFT JOIN u$d u ON u.source = t.source AND u.node = t.node)""")
+    sb.append("""
+    SELECT node, round(CAST(SUM(delta) AS DOUBLE), 6) AS btw
+    FROM dl1 WHERE node <> source GROUP BY node ORDER BY node""")
+    sb.toString
+  }
+
+  /** Unrolled HyperBall CTE chain for the q108 oracle: md5-derived
+    * (bucket, rho) registers — string ops + CASE only — max-merged
+    * along edges for `rounds` rounds, then the estimator from the EXACT
+    * integer Σ 2^(61−rho): the only floating point is the final
+    * one-division (or linear-counting ln) expression, written in the
+    * SAME operand order as [[graft.operators.Graph.hyperBallReach]]. */
+  private def hyperBallOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH li AS MATERIALIZED (SELECT * FROM lineitem WHERE l_orderkey % 8 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT esrc, edst FROM (
+           SELECT l_partkey % 211 AS esrc, l_suppkey % 211 + 300 AS edst FROM li
+           UNION ALL
+           SELECT l_suppkey % 211 + 300 AS esrc, (l_partkey + 97) % 211 AS edst
+           FROM li) WHERE esrc <> edst),
+    nodes AS (SELECT esrc AS node FROM e UNION SELECT edst FROM e),
+    reg AS MATERIALIZED (SELECT node,
+             CAST(CAST(('0x' || substr(h, 1, 1)) AS UBIGINT) AS INT) AS bucket,
+             CAST(zh * 4 + CASE WHEN fnz = '1' THEN 3
+               WHEN fnz IN ('2', '3') THEN 2
+               WHEN fnz IN ('4', '5', '6', '7') THEN 1
+               ELSE 0 END + 1 AS INT) AS rho
+           FROM (SELECT node, h, zh, substr(pay, zh + 1, 1) AS fnz FROM (
+             SELECT node, h, substr(h, 2, 15) AS pay,
+               length(regexp_extract(substr(h, 2, 15), '^0*', 0)) AS zh
+             FROM (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM nodes)))),
+    s0 AS MATERIALIZED (SELECT * FROM reg)""")
+    for (i <- 1 to rounds) sb.append(s""",
+    s$i AS MATERIALIZED (SELECT node, bucket, MAX(rho) AS rho FROM (
+           SELECT node, bucket, rho FROM s${i - 1}
+           UNION ALL
+           SELECT e.esrc AS node, s.bucket, s.rho
+           FROM e JOIN s${i - 1} s ON s.node = e.edst)
+         GROUP BY 1, 2)""")
+    sb.append(s"""
+    SELECT node,
+      round(CASE WHEN present < 16
+          THEN 16.0 * ln(16.0 / CAST(16 - present AS DOUBLE))
+          ELSE 0.673 * 256.0 * 2305843009213693952.0 / CAST(denom AS DOUBLE)
+        END, 6) AS reach_est
+    FROM (SELECT node, present,
+        CAST(psum + CAST(16 - present AS DECIMAL(38,0))
+          * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS denom
+      FROM (SELECT node,
+          SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS DECIMAL(38,0))) AS psum,
+          COUNT(*) AS present
+        FROM s$rounds GROUP BY node))
+    ORDER BY node""")
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Aggregate (TPC-H Q1 shape: filter + group + multi-agg + sort) ----
@@ -3593,6 +3693,50 @@ object Queries {
         FROM comm c LEFT JOIN cut u ON c.community = u.community
         CROSS JOIN mm ORDER BY community""")),
 
+    // ---- Betweenness centrality: Brandes' two-pass algorithm from 4
+    //      sampled sources (the Brandes-Pich subset estimator), 4 BFS
+    //      levels over the supplier->part lattice — exact DECIMAL(38,0)
+    //      path counts forward, DECIMAL(28,12) dependency addends
+    //      backward, so the unrolled two-pass CTE oracle replays the
+    //      whole computation bit-for-bit ----
+    QueryDef(
+      "q107_betweenness",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").filter($"l_orderkey" % 8 === 0)
+        val edges = li
+          .select(($"l_partkey" % 211).as("src"),
+            ($"l_suppkey" % 211 + 300L).as("dst"))
+          .unionAll(li
+            .select(($"l_suppkey" % 211 + 300L).as("src"),
+              (($"l_partkey" + 97) % 211).as("dst")))
+        graft.operators.Graph.betweenness(edges, "src", "dst",
+            Seq(0L, 17L, 42L, 301L).toDF("source"), rounds = 4)
+          .orderBy($"node")
+      },
+      Some(betweennessOracleSql(rounds = 4))),
+
+    // ---- HyperBall neighborhood function: HLL registers max-merged
+    //      along edges for 4 rounds — per-node estimated 4-hop OUT-ball
+    //      size; registers are md5 string ops, the denominator is an
+    //      exact integer sum, and the only floating point is the final
+    //      per-node estimator expression ----
+    QueryDef(
+      "q108_hll_reach",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").filter($"l_orderkey" % 8 === 0)
+        val edges = li
+          .select(($"l_partkey" % 211).as("src"),
+            ($"l_suppkey" % 211 + 300L).as("dst"))
+          .unionAll(li
+            .select(($"l_suppkey" % 211 + 300L).as("src"),
+              (($"l_partkey" + 97) % 211).as("dst")))
+        graft.operators.Graph.hyperBallReach(edges, "src", "dst", rounds = 4)
+          .orderBy($"node")
+      },
+      Some(hyperBallOracleSql(rounds = 4))),
+
     // ---- Salted skew join: events hot-spot on a handful of event_type
     //      values — the salt rides the JOIN KEY so one hot key spreads
     //      over 16 tasks; integer micro-unit compare keeps the
@@ -4994,6 +5138,26 @@ object Queries {
       Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
         m = 8, levelBase = 4, maxLevel = 2))),
 
+    // ---- Stored HNSW serving: the s20 layered search over a persisted
+    //      per-layer manifest layout — each round reads only the
+    //      frontier's files of ONE layer; storage cannot change the
+    //      answer, so s20's oracle pins this too ----
+    QueryDef(
+      "s21_knn_hnsw_stored",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val S = graft.operators.Similarity
+        val out = sinkDir("hnsw_index")
+        S.writeHnswIndex(e, out, numFiles = 8, m = 8, levelBase = 4,
+          maxLevel = 2)
+        S.hnswKnnStored(e.filter($"vec_id" < 10), e, out, 3, beam = 8,
+            roundsPerLayer = 1, baseRounds = 3, maxLevel = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
+        m = 8, levelBase = 4, maxLevel = 2))),
+
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),
     //      trained by 3 full-batch GD rounds with the RATIONAL sigmoid
@@ -5743,6 +5907,44 @@ object Queries {
           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
                ELSE 'test' END AS split
         FROM keyed ORDER BY doc_id""")),
+
+    // ---- Leakage-safe GROUP k-fold: t45's cross-validation twin —
+    //      each doc folds by its near-dup cluster representative, so
+    //      twins can never straddle folds; same md5 bucket, mod k ----
+    QueryDef(
+      "t46_group_kfold",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = graft.operators.Dedup
+          .minhashCandidates(docs, "doc_id", "text", bucketCap = Int.MaxValue)
+        val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+        graft.operators.TextAnalysis
+          .leakageSafeKFold(docs.select($"doc_id"), "doc_id", clusters, 5)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        SELECT d.doc_id,
+          CAST(CAST(('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id)
+            AS VARCHAR)), 1, 8)) AS UBIGINT) % 5 AS INT) AS fold
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id""")),
 
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the

@@ -334,4 +334,38 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.hnswKnn(withZero.filter($"vec_id" < 0), withZero, 1,
       m = 2, beam = 2, roundsPerLayer = 1, maxLevel = 1).count() == 0)
   }
+
+  test("round-11 fourth-session operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    // betweenness: no edges -> nothing reached beyond the sources
+    // themselves (self rows are excluded per Brandes); no sources ->
+    // no traversal at all; self-loops are filtered like empty edges
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val srcs = Seq(0L).toDF("source")
+    assert(Graph.betweenness(emptyEdges, "src", "dst", srcs, 2).count() == 0)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val emptySrcs = Seq.empty[Long].toDF("source")
+    assert(Graph.betweenness(edges, "src", "dst", emptySrcs, 2).count() == 0)
+    val loops = Seq((1L, 1L)).toDF("src", "dst")
+    assert(Graph.betweenness(loops, "src", "dst", srcs, 2).count() == 0)
+    // hyperball: no edges (or only self-loops) -> no nodes, no sketches
+    assert(Graph.hyperBallReach(emptyEdges, "src", "dst", 2).count() == 0)
+    assert(Graph.hyperBallReach(loops, "src", "dst", 2).count() == 0)
+    // stored HNSW: an empty corpus has no centroid-divisible id — the
+    // write fails LOUDLY (the nswGraph contract) and leaves no layout
+    val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-hnsw").toString
+    assert(intercept[IllegalArgumentException] {
+      Similarity.writeHnswIndex(emptyV, s"$tmp/idx", numFiles = 2)
+    }.getMessage.contains("centroid"))
+    // a real stored index with zero queries serves zero rows cleanly
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    Similarity.writeHnswIndex(vecs, s"$tmp/ok", numFiles = 2, m = 2,
+      levelBase = 4, maxLevel = 1)
+    assert(Similarity.hnswKnnStored(vecs.filter($"vec_id" < 0), vecs,
+      s"$tmp/ok", 1, beam = 2, roundsPerLayer = 1, baseRounds = 1,
+      maxLevel = 1).count() == 0)
+  }
 }

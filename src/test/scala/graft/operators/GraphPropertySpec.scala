@@ -435,4 +435,136 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** Local Brandes reference, truncated at `rounds` BFS levels, with
+    * the operator's exact decimal-addend arithmetic: each dependency
+    * addend is one IEEE expression rounded to 12 decimals HALF_UP
+    * before summation (partition-order-free by construction). */
+  private def refBetweenness(edges: Set[(Long, Long)], sources: Seq[Long],
+      rounds: Int): Map[Long, Double] = {
+    val e = edges.filter { case (a, b) => a != b }
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val radj = e.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val totals = scala.collection.mutable.Map[Long, BigDecimal]()
+    for (s <- sources.distinct) {
+      val depth = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> BigInt(1))
+      var frontier = Set(s)
+      for (t <- 1 to rounds) {
+        val cand = scala.collection.mutable.Map[Long, BigInt]()
+          .withDefaultValue(BigInt(0))
+        for (u <- frontier; v <- adj.getOrElse(u, Nil)) cand(v) += sigma(u)
+        val nf = cand.keySet.filterNot(depth.contains).toSet
+        for (v <- nf) { depth(v) = t; sigma(v) = cand(v) }
+        frontier = nf
+      }
+      val delta = scala.collection.mutable.Map[Long, BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      for (d <- rounds to 1 by -1) {
+        val upd = scala.collection.mutable.Map[Long, BigDecimal]()
+          .withDefaultValue(BigDecimal(0))
+        for (w <- depth.collect { case (n, dd) if dd == d => n };
+             p <- radj.getOrElse(w, Nil) if depth.get(p).contains(d - 1)) {
+          val add = sigma(p).toDouble * (1.0 + delta(w).toDouble) /
+            sigma(w).toDouble
+          upd(p) += BigDecimal(add)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        for ((p, a) <- upd) delta(p) += a
+      }
+      for ((n, _) <- depth if n != s)
+        totals(n) = totals.getOrElse(n, BigDecimal(0)) + delta(n)
+    }
+    // mirror the operator's final expression exactly: the DECIMAL total
+    // is cast to DOUBLE first, then round(·, 6) (Spark's double round =
+    // BigDecimal.valueOf(d).setScale(6, HALF_UP))
+    totals.map { case (n, v) =>
+      n -> java.math.BigDecimal.valueOf(v.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }.toMap
+  }
+
+  /** Local HyperBall reference replaying the operator's register
+    * derivation and estimator arithmetic exactly (md5 hex string ops,
+    * integer max-merge, exact-integer denominator, the same final IEEE
+    * expression). */
+  private def refHyperBall(edges: Set[(Long, Long)],
+      rounds: Int): Map[Long, Double] = {
+    val e = edges.filter { case (a, b) => a != b }
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val reg = nodes.map { n =>
+      val h = md5hex(n.toString)
+      val bucket = Integer.parseInt(h.substring(0, 1), 16)
+      val pay = h.substring(1, 16)
+      val zh = pay.takeWhile(_ == '0').length
+      val extra =
+        if (zh >= pay.length) 0
+        else pay.charAt(zh) match {
+          case '1' => 3
+          case '2' | '3' => 2
+          case '4' | '5' | '6' | '7' => 1
+          case _ => 0
+        }
+      n -> (bucket, zh * 4 + extra + 1)
+    }.toMap
+    val outAdj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var sk: Map[Long, Map[Int, Int]] =
+      nodes.map(n => n -> Map(reg(n)._1 -> reg(n)._2)).toMap
+    for (_ <- 1 to rounds) {
+      sk = sk.map { case (n, own) =>
+        val merged = (own.toSeq ++
+          outAdj.getOrElse(n, Nil).flatMap(d => sk(d).toSeq))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        n -> merged
+      }
+    }
+    sk.map { case (n, m) =>
+      val present = m.size
+      val psum = m.values.map(r => BigInt(1) << (61 - r)).sum
+      val denom = psum + BigInt(16 - present) * (BigInt(1) << 61)
+      val est =
+        if (present < 16) 16.0 * math.log(16.0 / (16 - present).toDouble)
+        else 0.673 * 256.0 * 2305843009213693952.0 / denom.toDouble
+      n -> java.math.BigDecimal.valueOf(est)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
+
+  test("hyperBallReach equals the local register replay on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      r <- Gen.choose(1, 4)
+    } yield (es, r)
+    val prop = Prop.forAll(gen) { case (es, r) =>
+      val expect = refHyperBall(es.toSet, r)
+      val got = Graph.hyperBallReach(es.toDF("src", "dst"), "src", "dst", r)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("betweenness equals the local truncated-Brandes reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      r <- Gen.choose(1, 4)
+      nSrc <- Gen.choose(1, 3)
+      srcs <- Gen.listOfN(nSrc, Gen.choose(0L, 13L))
+    } yield (es, r, srcs)
+    val prop = Prop.forAll(gen) { case (es, r, srcs) =>
+      val expect = refBetweenness(es.toSet, srcs, r)
+      val got = Graph.betweenness(es.toDF("src", "dst"), "src", "dst",
+          srcs.toDF("source"), r)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -795,4 +795,60 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
+
+  test("hyperBallReach tracks true ball sizes within sketch error and grows with rounds") {
+    val sp = spark; import sp.implicits._
+    // complete digraph K8: every out-ball is all 8 nodes after 1 round
+    val k8 = (for (a <- 0L to 7L; b <- 0L to 7L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val est8 = Graph.hyperBallReach(k8, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est8.size === 8)
+    // one shared 16-register estimate for the identical ball; 16-bucket
+    // sketches put the 8-element estimate in a wide-but-sane band
+    assert(est8.values.toSet.size === 1)
+    est8.values.foreach(v => assert(v > 4.0 && v < 16.0, s"K8 estimate $v"))
+    // directed ring of 12: the r-ball is exactly r+1 nodes — estimates
+    // must be strictly monotone in rounds (more reach, more registers)
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    def meanAt(r: Int): Double = {
+      val v = Graph.hyperBallReach(ring, "src", "dst", rounds = r)
+        .collect().map(_.getDouble(1))
+      v.sum / v.length
+    }
+    val m1 = meanAt(1); val m3 = meanAt(3); val m6 = meanAt(6)
+    assert(m1 < m3 && m3 < m6, s"means not monotone: $m1, $m3, $m6")
+    assert(m1 > 1.0 && m6 < 14.0)
+  }
+
+  test("betweenness: path accumulates Brandes dependencies; diamond splits them") {
+    val sp = spark; import sp.implicits._
+    // path 0->1->2->3 from source 0: delta(1) = 1 + delta(2) = 2,
+    // delta(2) = 1, endpoints 0 (source, excluded) and 3 (no successors)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.betweenness(path, "src", "dst",
+        Seq(0L).toDF("source"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p === Map(1L -> 2.0, 2L -> 1.0, 3L -> 0.0))
+    // diamond 0->{1,2}->3: two shortest paths, each middle carries
+    // sigma(mid)/sigma(3) = 1/2
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val d = Graph.betweenness(diamond, "src", "dst",
+        Seq(0L).toDF("source"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0))
+    // the rounds horizon truncates: 1 BFS level sees no 2-hop paths,
+    // so nothing routes THROUGH node 1
+    val p1 = Graph.betweenness(path, "src", "dst",
+        Seq(0L).toDF("source"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1 === Map(1L -> 0.0))
+    // sampled sources sum per-source dependencies: adding source 1 on
+    // the path contributes delta_1(2) = 1 on top of delta_0(2) = 1
+    val p2 = Graph.betweenness(path, "src", "dst",
+        Seq(0L, 1L).toDF("source"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p2 === Map(1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
+  }
 }

@@ -656,6 +656,45 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "stored-graph beam search diverged from the in-memory path")
   }
 
+  test("stored HNSW index serves byte-identical results reading per-layer file subsets") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hnsw-stored").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    Similarity.writeHnswIndex(e, s"$tmp/idx", numFiles = 8, m = 6,
+      levelBase = 4, maxLevel = 2)
+    // every layer landed, upper layers with proportionally fewer files
+    val l0Files = spark.read.parquet(s"$tmp/idx/layer-0").inputFiles.toSet
+    assert(l0Files.size >= 6, s"layer-0 has too few files: ${l0Files.size}")
+    assert(spark.read.parquet(s"$tmp/idx/layer-2").count() >= 0) // exists
+    // a beam-sized probe prunes layer-0 to a strict file subset with
+    // rows identical to a full scan + membership filter
+    val someNodes = spark.read.parquet(s"$tmp/idx/layer-0")
+      .select(col("node_id")).distinct().orderBy(col("node_id"))
+      .limit(4).as[Long].collect().toIndexedSeq
+    val pruned = Similarity.readCellIndex(spark, s"$tmp/idx/layer-0",
+      someNodes, "node_id")
+    val touched = pruned.inputFiles.toSet
+    assert(touched.nonEmpty && touched.subsetOf(l0Files) &&
+      touched.size < l0Files.size,
+      s"probe did not prune layer-0 files: ${touched.size} of ${l0Files.size}")
+    def edges(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(pruned) === edges(spark.read.parquet(s"$tmp/idx/layer-0")
+        .filter(col("node_id").isInCollection(someNodes))),
+      "manifest-pruned layer edges diverged from a full scan + filter")
+    // served search is byte-identical to the in-memory layered path at
+    // the same frozen parameters
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val stored = Similarity.hnswKnnStored(q, e, s"$tmp/idx", 3, beam = 8,
+      roundsPerLayer = 1, baseRounds = 3, maxLevel = 2)
+    val inMem = Similarity.hnswKnn(q, e, 3, m = 6, beam = 8,
+      roundsPerLayer = 1, baseRounds = 3, levelBase = 4, maxLevel = 2)
+    assert(rows(stored) === rows(inMem),
+      "stored-index layered search diverged from the in-memory path")
+  }
+
   test("nswKnn: rounds=0 is exact kNN over the entry layer; rounds only add visited nodes") {
     val sp = spark; import sp.implicits._
     val e = emb

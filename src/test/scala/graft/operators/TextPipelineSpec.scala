@@ -542,6 +542,36 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.toSet === Set("train", "val", "test"))
   }
 
+  test("leakageSafeKFold folds every near-dup cluster with its representative") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((5L, 5L), (8L, 5L), (16L, 5L), (30L, 30L), (42L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val k = 5
+    val out = TextAnalysis
+      .leakageSafeKFold(docs.select(col("doc_id")), "doc_id", clusters, k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def naive(id: Long): Int = docs.filter(col("doc_id") === id)
+      .select((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10) % k).cast("int")).head.getInt(0)
+    // non-vacuous: members' own-id folds straddle
+    assert(Set(naive(5L), naive(8L), naive(16L)).size > 1,
+      "fixture vacuous: cluster members' naive folds all agree")
+    // every member takes the REPRESENTATIVE's fold
+    assert(out(5L) === naive(5L) && out(8L) === out(5L) && out(16L) === out(5L))
+    assert(out(30L) === naive(30L) && out(42L) === out(30L))
+    // unclustered docs fold by their own id; every fold is in [0, k)
+    val clustered = Set(5L, 8L, 16L, 30L, 42L)
+    docs.filter(!col("doc_id").isin(clustered.toSeq: _*)).collect()
+      .foreach(r => assert(out(r.getLong(0)) === naive(r.getLong(0))))
+    assert(out.values.forall(f => f >= 0 && f < k))
+    assert(out.values.toSet.size === k, "some fold never appears over 200 ids")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.leakageSafeKFold(docs.select(col("doc_id")), "doc_id",
+        clusters, 1)
+    }
+  }
+
   test("packSequences fills every non-final window exactly and reassembles each doc") {
     val sp = spark; import sp.implicits._
     // two sources; doc lengths chosen so windows split mid-doc, hit the

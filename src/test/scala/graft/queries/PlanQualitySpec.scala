@@ -195,6 +195,77 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q105 node2vec step is equi joins only — bias probe included, no cartesian") {
+    val sp = spark; import sp.implicits._
+    // per step: frontier ⋈ adjacency on the current node plus the
+    // (prev, nbr) edge-existence LEFT probe — both equi; a cartesian
+    // or nested-loop here would be the all-pairs failure mode (the
+    // loop's checkpoints hide the step, so pin the step directly)
+    val adj = Seq((1L, 2L, 0L), (2L, 1L, 0L), (2L, 3L, 1L), (3L, 2L, 0L))
+      .toDF("node", "nbr", "rnk")
+    val eset = adj.selectExpr("node as pa", "nbr as pb")
+    val state = Seq((1L, 0L, 1L, 1L)).toDF("start", "wk", "prev", "cur")
+    val p = graft.operators.Graph
+      .node2vecStep(state, adj, eset, 1, 7L, 1, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"node2vec step planned a cartesian:\n${p.take(3000)}")
+    assert(p.contains("Join"), "node2vec step lost its equi joins")
+  }
+
+  test("q107 brandes steps are equi joins + partial sigma/delta aggs, never a cartesian") {
+    val sp = spark; import sp.implicits._
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("esrc", "edst")
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    import org.apache.spark.sql.functions.{col, lit}
+    val lvl0 = Seq(0L).toDF("source")
+      .select(col("source"), col("source").as("node"),
+        lit(0).as("depth"), lit(1L).cast(dec0).as("sigma"))
+    // forward: frontier ⋈ edges equi-join + (source, node) partial agg
+    // + the visited anti-join — a cartesian here is the all-pairs
+    // failure mode (loop checkpoints hide the step, so pin it directly)
+    val fwd = graft.operators.Graph
+      .brandesFrontierStep(lvl0, e, lvl0, 1)
+      .queryExecution.executedPlan.toString
+    assert(!fwd.contains("CartesianProduct") && !fwd.contains("BroadcastNestedLoop"),
+      s"brandes forward step planned a cartesian:\n${fwd.take(3000)}")
+    assert(fwd.contains("Join") && fwd.contains("partial"),
+      s"brandes forward step lost its equi join or map-side sigma partials:\n${fwd.take(3000)}")
+    // backward: depth-d rows reach depth-(d-1) predecessors through TWO
+    // equi joins; the delta update is one left equi-join. The frame must
+    // carry rows at BOTH depths or empty-relation propagation folds the
+    // whole step to a LocalTableScan and there is no plan to pin.
+    val delta = lvl0
+      .unionAll(Seq(0L).toDF("source")
+        .select(col("source"), lit(1L).as("node"),
+          lit(1).as("depth"), lit(1L).cast(dec0).as("sigma")))
+      .withColumn("delta", lit(0).cast(dec12))
+    val back = graft.operators.Graph
+      .brandesDependencyStep(delta, e, 1)
+      .queryExecution.executedPlan.toString
+    assert(!back.contains("CartesianProduct") && !back.contains("BroadcastNestedLoop"),
+      s"brandes backward step planned a cartesian:\n${back.take(3000)}")
+    assert(back.contains("Join") && back.contains("partial"),
+      s"brandes backward step lost its equi joins or delta partials:\n${back.take(3000)}")
+  }
+
+  test("q108 hyperball merge round is one equi join + a partial MAX agg") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("esrc", "edst")
+    val sk = Seq((0L, 3, 2), (1L, 7, 1), (2L, 3, 4))
+      .toDF("node", "bucket", "rho")
+      .select(col("node"), col("bucket"), col("rho"))
+    val p = graft.operators.Graph.hyperBallMergeStep(sk, e)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"hyperball merge planned a cartesian:\n${p.take(3000)}")
+    assert(p.contains("Join"), "hyperball merge lost its equi join")
+    assert(p.contains("partial"),
+      s"hyperball MAX merge lost its map-side partial agg:\n${p.take(3000)}")
+  }
+
   test("q102 louvain round is equi joins + partial aggs, never a cartesian") {
     val sp = spark; import sp.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
