@@ -66,6 +66,18 @@ object Bench {
     // steps x 2 joins + 2 windows), s20 3.15s (3 layer-graph builds +
     // 5 expansion rounds at oracle params), q106 2.78s, q103 2.18s,
     // t45 1.21s, q101 0.64s, t44 0.53s. hnsw bench recall@3 0.767.
+    // Round-11 fourth-session adjudication of the full-bench upticks
+    // (isolated RUNS=8 PASSES=1 warm floors at sf0.1): q95 4.510s,
+    // q96 1.688s, q98 2.434s — each at its round-10-close in-suite
+    // number (4.46/1.65/2.38), so the 187-query full-bench readings
+    // (5.82/2.52/4.11) were suite interference from the nine added
+    // queries, not code. Fourth-session additions, isolated RUNS=4:
+    // s21 6.02s (the build+serve contract: 3 layer-graph builds + 3
+    // sorted manifest writes + the layered file-pruned search),
+    // q107 3.93s (4 BFS levels + 4 backward dependency rounds x 4
+    // sources), t46 1.35s (the d06 cluster chain dominates, as in t45),
+    // q108 1.31s (4 max-merge rounds — the cheapest iterative graph op
+    // in the suite, as the register shape predicts).
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY

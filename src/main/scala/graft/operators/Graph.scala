@@ -1668,6 +1668,31 @@ object Graph {
     res
   }
 
+  /** Harmonic centrality from a SAMPLED source set (Boldi & Vigna's
+    * recommended centrality under disconnection — unreachable pairs
+    * contribute 0, no infinite-distance special case):
+    *
+    *   H(v) = Σ_{s ∈ sources, d(s,v) > 0} 1 / d(s,v)
+    *
+    * over unweighted hop distances truncated at `rounds` BFS levels —
+    * ONE [[multiSourceSssp]] traversal (unit weights) carries all
+    * sources, then one node-keyed aggregation. Each 1/d addend is a
+    * single IEEE division cast to DECIMAL(28,12) before the sum (the
+    * [[adamicAdar]] discipline), so totals are partition- and
+    * engine-order-proof. Output: `(node, harmonic)` for every node
+    * reached from at least one source, rounded to 6 decimals. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, rounds: Int): DataFrame = {
+    val unit = edges.select(col(srcCol), col(dstCol))
+      .withColumn("_graft_w", lit(1L))
+    multiSourceSssp(unit, srcCol, dstCol, "_graft_w", sources, rounds)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum((lit(1.0) / col("dist").cast("double"))
+        .cast(DecimalType(28, 12))).as("hsum"))
+      .select(col("node"), round(col("hsum").cast("double"), 6).as("harmonic"))
+  }
+
   /** One [[hyperBallReach]] merge round on a register frame
     * `sketch (node, bucket, rho)` and an edge frame `e (esrc, edst)`:
     * each node max-merges its out-neighbors' registers with its own —

@@ -3737,6 +3737,50 @@ object Queries {
       },
       Some(hyperBallOracleSql(rounds = 4))),
 
+    // ---- Harmonic centrality from 3 sampled sources over unweighted
+    //      hop distances (4 BFS levels, one multi-source traversal) —
+    //      each 1/d addend is one IEEE division cast to DECIMAL(28,12),
+    //      so the sum is order-free and the unrolled-CTE oracle replays
+    //      it exactly ----
+    QueryDef(
+      "q109_harmonic",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").filter($"l_orderkey" % 2 === 0)
+        val edges = li
+          .select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"))
+          .unionAll(li
+            .select(($"l_suppkey" % 100 + 100L).as("src"),
+              (($"l_partkey" + 37) % 100).as("dst")))
+        graft.operators.Graph.harmonicCentrality(edges, "src", "dst",
+            Seq(0L, 50L, 150L).toDF("source"), rounds = 4)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 4).map(i =>
+          s"""d$i AS (SELECT source, node, min(d) AS d FROM (
+               SELECT source, node, d FROM d${i - 1}
+               UNION ALL
+               SELECT d${i - 1}.source, e.dst AS node, d${i - 1}.d + 1 AS d
+               FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             GROUP BY 1, 2)""").mkString(",\n")
+        s"""WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+        e AS (
+          SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst FROM li
+          UNION ALL
+          SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst
+          FROM li),
+        d0 AS (SELECT source, source AS node, CAST(0 AS BIGINT) AS d
+               FROM (VALUES (CAST(0 AS BIGINT)), (CAST(50 AS BIGINT)),
+                 (CAST(150 AS BIGINT))) AS s(source)),
+        $rounds
+        SELECT node,
+          round(CAST(SUM(CAST(1.0 / CAST(d AS DOUBLE) AS DECIMAL(28,12)))
+            AS DOUBLE), 6) AS harmonic
+        FROM d4 WHERE d > 0 GROUP BY node ORDER BY node"""
+      }),
+
     // ---- Salted skew join: events hot-spot on a handful of event_type
     //      values — the salt rides the JOIN KEY so one hot key spreads
     //      over 16 tasks; integer micro-unit compare keeps the

@@ -352,6 +352,11 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hyperball: no edges (or only self-loops) -> no nodes, no sketches
     assert(Graph.hyperBallReach(emptyEdges, "src", "dst", 2).count() == 0)
     assert(Graph.hyperBallReach(loops, "src", "dst", 2).count() == 0)
+    // harmonic centrality: empty edges or empty sources -> empty
+    assert(Graph.harmonicCentrality(emptyEdges, "src", "dst", srcs, 2)
+      .count() == 0)
+    assert(Graph.harmonicCentrality(edges, "src", "dst", emptySrcs, 2)
+      .count() == 0)
     // stored HNSW: an empty corpus has no centroid-divisible id — the
     // write fails LOUDLY (the nswGraph contract) and leaves no layout
     val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

@@ -821,6 +821,30 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1 > 1.0 && m6 < 14.0)
   }
 
+  test("harmonicCentrality sums reciprocal hop distances from the sampled sources") {
+    val sp = spark; import sp.implicits._
+    // path 0->1->2->3, sources {0, 1}:
+    //   H(1) = 1/d(0,1) = 1;  H(2) = 1/2 + 1/1 = 1.5
+    //   H(3) = 1/3 + 1/2 = 0.833333;  0 is reached by nobody
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val h = Graph.harmonicCentrality(path, "src", "dst",
+        Seq(0L, 1L).toDF("source"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h === Map(1L -> 1.0, 2L -> 1.5, 3L -> 0.833333))
+    // the rounds horizon truncates distance-3 contributions
+    val h1 = Graph.harmonicCentrality(path, "src", "dst",
+        Seq(0L).toDF("source"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h1 === Map(1L -> 1.0, 2L -> 0.5))
+    // disconnection is the harmonic selling point: an unreachable node
+    // contributes nothing (no infinity), and isolated sources see nothing
+    val twoIslands = Seq((0L, 1L), (5L, 6L)).toDF("src", "dst")
+    val hi = Graph.harmonicCentrality(twoIslands, "src", "dst",
+        Seq(0L).toDF("source"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hi === Map(1L -> 1.0))
+  }
+
   test("betweenness: path accumulates Brandes dependencies; diamond splits them") {
     val sp = spark; import sp.implicits._
     // path 0->1->2->3 from source 0: delta(1) = 1 + delta(2) = 2,

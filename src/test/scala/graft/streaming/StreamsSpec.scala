@@ -211,6 +211,36 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming group k-fold equals the batch folds (stream-static cluster map)") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = (1L to 120L).map(i => (i, s"doc $i"))
+    val clusters = Seq((5L, 5L), (8L, 5L), (16L, 5L), (30L, 30L), (42L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.leakageSafeKFold(
+        input.toDF().toDF("doc_id", "text"), "doc_id", clusters, 5)
+      .writeStream.format("memory").queryName("lkfold")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(40)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = sp.table("lkfold").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("fold"))).toSet
+      val batch = graft.operators.TextAnalysis.leakageSafeKFold(
+          docs.toDF("doc_id", "text"), "doc_id", clusters, 5)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("fold"))).toSet
+      assert(streamed === batch, "streamed folds diverged from batch folds")
+      val m = streamed.toMap
+      // cluster {30, 42} straddles micro-batches yet folds together
+      assert(m(30L) === m(42L) && m(5L) === m(8L) && m(8L) === m(16L))
+      assert(streamed.map(_._2).size === 5, "vacuous: not all 5 folds appeared")
+    } finally { q.stop(); () }
+  }
+
   test("streaming leakage-safe split equals the batch split (stream-static cluster map)") {
     val sp = spark
     implicit val sql = sp.sqlContext
