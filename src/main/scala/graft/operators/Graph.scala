@@ -1609,29 +1609,8 @@ object Graph {
       rounds: Int, checkpointEvery: Int = 4): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    val e = edges.select(col(srcCol).cast("long").as("esrc"),
-        col(dstCol).cast("long").as("edst"))
-      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
-        col("esrc") =!= col("edst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("esrc").as("node"))
-      .unionAll(e.select(col("edst").as("node"))).distinct()
-    // md5-derived register: bucket from the first hex char, rho from
-    // the leading zero BITS of the next 15 (60 payload bits, rho ∈ 1..61)
-    val h = md5(col("node").cast("string"))
-    val payload = substring(h, 2, 15)
-    val zerosHex = length(regexp_extract(payload, "^0*", 0))
-    val firstNz = substring(payload, zerosHex + 1, lit(1))
-    val extraBits = when(firstNz === "1", 3)
-      .when(firstNz.isin("2", "3"), 2)
-      .when(firstNz.isin("4", "5", "6", "7"), 1)
-      .otherwise(0) // '' (all-zero payload) included: zerosHex already 60
-    var sketch = nodes
-      .select(col("node"),
-        conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
-        (zerosHex * 4 + extraBits + 1).cast("int").as("rho"))
-      .localCheckpoint(true)
+    val e = hllEdges(edges, srcCol, dstCol)
+    var sketch = hllInitSketch(e)
     var lastCkpt: Option[DataFrame] = Some(sketch)
     var i = 0
     while (i < rounds) {
@@ -1645,11 +1624,84 @@ object Graph {
       }
       sketch = next
     }
-    // exact integer denominator Σ 2^(61−rho) + 2^61 per never-hit bucket,
-    // then ONE IEEE expression per node: raw HLL (alpha_16 = 0.673) or
-    // 16·ln(16/V) linear counting while V buckets are empty
+    val res = hllEstimate(sketch)
+      .select(col("node"), col("est").as("reach_est"))
+      .localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    res
+  }
+
+  /** The full neighborhood function by HyperBall: N(r) = Σ_v |ball(v, r)|
+    * estimated at EVERY radius r = 0..rounds in one run — the global
+    * distance-distribution summary behind average-distance and
+    * effective-diameter readings (Boldi & Vigna's HyperANF deliverable;
+    * N(r)/N(rounds) is the CDF of pairwise distances up to the horizon).
+    * Same register/merge machinery as [[hyperBallReach]] (each radius's
+    * sketch is one more max-merge round, checkpointed and reused), then
+    * ONE union computes every radius's per-node estimate and the global
+    * sum rides DECIMAL(28,6) addends — the per-node estimates are
+    * already rounded to 6 decimals, so the cast is exact and the sum is
+    * partition-order free. Output: `(r, nf_est)`, one row per radius. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val e = hllEdges(edges, srcCol, dstCol)
+    val perRound = scala.collection.mutable.ArrayBuffer(hllInitSketch(e))
+    for (_ <- 1 to rounds)
+      perRound += hyperBallMergeStep(flat(perRound.last), e)
+        .localCheckpoint(true)
+    val all = perRound.zipWithIndex
+      .map { case (sk, r) => hllEstimate(sk.withColumn("r", lit(r))) }
+      .reduce(_ unionAll _)
+    val res = all.groupBy(col("r"))
+      .agg(sum(col("est").cast(DecimalType(28, 6))).as("nf"))
+      .select(col("r"), col("nf").cast("double").as("nf_est"))
+      .localCheckpoint(true)
+    (perRound += e).foreach(_.unpersist())
+    res
+  }
+
+  /** Canonicalized edge frame shared by the HyperBall family. */
+  private def hllEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull &&
+        col("esrc") =!= col("edst"))
+      .distinct()
+      .localCheckpoint(true)
+
+  /** Initial one-register-per-node sketch: bucket from the first md5
+    * hex char, rho = 1 + leading zero BITS of the next 15 hex chars
+    * (60 payload bits, rho ∈ 1..61) — string ops + CASE only. */
+  private def hllInitSketch(e: DataFrame): DataFrame = {
+    val nodes = e.select(col("esrc").as("node"))
+      .unionAll(e.select(col("edst").as("node"))).distinct()
+    val h = md5(col("node").cast("string"))
+    val payload = substring(h, 2, 15)
+    val zerosHex = length(regexp_extract(payload, "^0*", 0))
+    val firstNz = substring(payload, zerosHex + 1, lit(1))
+    val extraBits = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0) // '' (all-zero payload) included: zerosHex already 60
+    nodes.select(col("node"),
+        conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
+        (zerosHex * 4 + extraBits + 1).cast("int").as("rho"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-group HLL estimate from a register frame: groups by every
+    * non-(bucket, rho) column, assembles the EXACT integer denominator
+    * Σ 2^(61−rho) + 2^61 per never-hit bucket (DECIMAL(38,0) addends),
+    * then ONE IEEE expression per group — raw HLL (alpha_16 = 0.673) or
+    * 16·ln(16/V) linear counting while V buckets are empty — rounded to
+    * 6 decimals as `est`. */
+  private def hllEstimate(sketch: DataFrame): DataFrame = {
+    val keys = sketch.columns.filterNot(Set("bucket", "rho")).map(col)
     val twoTo61 = lit(2305843009213693952L) // 2^61
-    val agg = sketch.groupBy(col("node"))
+    val agg = sketch.groupBy(keys: _*)
       .agg(sum(expr("shiftleft(1L, 61 - rho)")
           .cast(DecimalType(38, 0))).as("psum"),
         count(lit(1)).as("present"))
@@ -1657,15 +1709,11 @@ object Graph {
       (lit(16L) - col("present")).cast(DecimalType(38, 0)) *
         twoTo61.cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
     val zeros = (lit(16L) - col("present")).cast("double")
-    val res = agg.select(col("node"),
-        round(when(col("present") < 16,
-            lit(16.0) * log(lit(16.0) / zeros))
-          .otherwise(lit(0.673) * lit(256.0) * twoTo61.cast("double") /
-            denom.cast("double")), 6).as("reach_est"))
-      .localCheckpoint(true)
-    lastCkpt.foreach(_.unpersist())
-    e.unpersist()
-    res
+    agg.select(keys :+
+      round(when(col("present") < 16,
+          lit(16.0) * log(lit(16.0) / zeros))
+        .otherwise(lit(0.673) * lit(256.0) * twoTo61.cast("double") /
+          denom.cast("double")), 6).as("est"): _*)
   }
 
   /** Harmonic centrality from a SAMPLED source set (Boldi & Vigna's

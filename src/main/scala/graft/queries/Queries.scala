@@ -385,7 +385,9 @@ object Queries {
     * integer Σ 2^(61−rho): the only floating point is the final
     * one-division (or linear-counting ln) expression, written in the
     * SAME operand order as [[graft.operators.Graph.hyperBallReach]]. */
-  private def hyperBallOracleSql(rounds: Int): String = {
+  /** Shared register-derivation + merge-round CTE prefix for the
+    * HyperBall oracles (q108/q110). */
+  private def hllRegisterCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       """WITH li AS MATERIALIZED (SELECT * FROM lineitem WHERE l_orderkey % 8 = 0),
     e AS MATERIALIZED (SELECT DISTINCT esrc, edst FROM (
@@ -412,21 +414,41 @@ object Queries {
            SELECT e.esrc AS node, s.bucket, s.rho
            FROM e JOIN s${i - 1} s ON s.node = e.edst)
          GROUP BY 1, 2)""")
-    sb.append(s"""
-    SELECT node,
+    sb.toString
+  }
+
+  /** Per-node HLL estimate over the round-`r` register CTE, replaying
+    * [[graft.operators.Graph.hyperBallReach]]'s estimator operand for
+    * operand. */
+  private def hllEstimateSql(r: Int): String =
+    s"""SELECT node,
       round(CASE WHEN present < 16
           THEN 16.0 * ln(16.0 / CAST(16 - present AS DOUBLE))
           ELSE 0.673 * 256.0 * 2305843009213693952.0 / CAST(denom AS DOUBLE)
-        END, 6) AS reach_est
+        END, 6) AS est
     FROM (SELECT node, present,
         CAST(psum + CAST(16 - present AS DECIMAL(38,0))
           * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS denom
       FROM (SELECT node,
           SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS DECIMAL(38,0))) AS psum,
           COUNT(*) AS present
-        FROM s$rounds GROUP BY node))
-    ORDER BY node""")
-    sb.toString
+        FROM s$r GROUP BY node))"""
+
+  private def hyperBallOracleSql(rounds: Int): String =
+    s"""${hllRegisterCtes(rounds)}
+    SELECT node, est AS reach_est FROM (${hllEstimateSql(rounds)})
+    ORDER BY node"""
+
+  /** q110 oracle: every radius's per-node estimate, globally summed
+    * through exact DECIMAL(28,6) addends. */
+  private def neighborhoodFnOracleSql(rounds: Int): String = {
+    val unions = (0 to rounds)
+      .map(r => s"SELECT $r AS r, est FROM (${hllEstimateSql(r)})")
+      .mkString("\n    UNION ALL\n    ")
+    s"""${hllRegisterCtes(rounds)}
+    SELECT r, CAST(SUM(CAST(est AS DECIMAL(28,6))) AS DOUBLE) AS nf_est
+    FROM ($unions)
+    GROUP BY r ORDER BY r"""
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -3736,6 +3758,27 @@ object Queries {
           .orderBy($"node")
       },
       Some(hyperBallOracleSql(rounds = 4))),
+
+    // ---- Neighborhood function N(r) for r = 0..4 in one HyperBall
+    //      run — the global distance-distribution summary (HyperANF);
+    //      per-node estimates are exact-decimal-summed so the global
+    //      row is order-free ----
+    QueryDef(
+      "q110_neighborhood_fn",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").filter($"l_orderkey" % 8 === 0)
+        val edges = li
+          .select(($"l_partkey" % 211).as("src"),
+            ($"l_suppkey" % 211 + 300L).as("dst"))
+          .unionAll(li
+            .select(($"l_suppkey" % 211 + 300L).as("src"),
+              (($"l_partkey" + 97) % 211).as("dst")))
+        graft.operators.Graph
+          .neighborhoodFunction(edges, "src", "dst", rounds = 4)
+          .orderBy($"r")
+      },
+      Some(neighborhoodFnOracleSql(rounds = 4))),
 
     // ---- Harmonic centrality from 3 sampled sources over unweighted
     //      hop distances (4 BFS levels, one multi-source traversal) —

@@ -357,6 +357,9 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
     assert(Graph.harmonicCentrality(edges, "src", "dst", emptySrcs, 2)
       .count() == 0)
+    // neighborhood function: no nodes -> no radii rows at all
+    assert(Graph.neighborhoodFunction(emptyEdges, "src", "dst", 2)
+      .count() == 0)
     // stored HNSW: an empty corpus has no centroid-divisible id — the
     // write fails LOUDLY (the nswGraph contract) and leaves no layout
     val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

@@ -821,6 +821,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1 > 1.0 && m6 < 14.0)
   }
 
+  test("neighborhoodFunction is monotone in radius and sums the per-node reach estimates") {
+    val sp = spark; import sp.implicits._
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val nf = Graph.neighborhoodFunction(ring, "src", "dst", rounds = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(nf.keySet === (0 to 5).toSet)
+    // balls only grow: N(r) is nondecreasing, and strictly grows on a
+    // ring where every round reaches one genuinely new node
+    (1 to 5).foreach(r => assert(nf(r) > nf(r - 1),
+      s"N($r)=${nf(r)} did not grow over N(${r - 1})=${nf(r - 1)}"))
+    // radius 0 is 12 one-element balls: each is the same 16-register
+    // linear-counting estimate of a single element
+    assert(math.abs(nf(0) - 12 * 16.0 * math.log(16.0 / 15.0)) < 1e-4)
+    // the final radius agrees with summing hyperBallReach's per-node
+    // estimates (same registers, same estimator, exact-decimal sum)
+    val perNode = Graph.hyperBallReach(ring, "src", "dst", rounds = 5)
+      .collect().map(r => BigDecimal(r.getDouble(1)))
+    assert(BigDecimal(nf(5)) === perNode.sum,
+      s"N(5)=${nf(5)} != sum of per-node estimates ${perNode.sum}")
+  }
+
   test("harmonicCentrality sums reciprocal hop distances from the sampled sources") {
     val sp = spark; import sp.implicits._
     // path 0->1->2->3, sources {0, 1}:
