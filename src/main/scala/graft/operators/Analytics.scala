@@ -250,6 +250,45 @@ object Analytics {
       .drop("_graft_plo", "_graft_phi")
   }
 
+  /** Robust (median/MAD) outlier scores per group (t47): the
+    * quality-filtering signal mean/stddev z-scores get wrong on
+    * heavy-tailed data — one extreme document drags the mean, while the
+    * median and the median absolute deviation barely move. Emits
+    * `<value>_med`, `<value>_mad` and the robust z-score
+    * `<value>_rz = (x − med) / (1.4826 · MAD)` (1.4826 normalizes MAD
+    * to σ under normality), NULL when MAD = 0 (degenerate group —
+    * every score would be ±∞).
+    *
+    * Shape: two grouped EXACT percentile aggregations (median, then
+    * median of |x − med|) + two broadcast joins of the tiny per-group
+    * stats — never a window over the whole group, so a billion-row
+    * group costs two aggregations, not a sort. Median/MAD are rounded
+    * to 4 decimals (the q38 engine-parity convention) so the one
+    * IEEE score division runs on parity-proven operands. `approx`
+    * switches to the fixed-size `approx_percentile` sketch when a
+    * single group's value cardinality is itself huge (the [[winsorize]]
+    * escape hatch; exact stays the oracle path). */
+  def robustScores(df: DataFrame, groupCol: String, valueCol: String,
+      approx: Boolean = false): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def med(c: org.apache.spark.sql.Column) =
+      if (approx) approx_percentile(c, lit(0.5), lit(10000)).cast("double")
+      else percentile(c, lit(0.5))
+    val meds = df.groupBy(col(groupCol).as("_graft_g"))
+      .agg(round(med(v), 4).as(s"${valueCol}_med"))
+    val dev = df.join(broadcast(meds), col(groupCol) <=> col("_graft_g"))
+      .drop("_graft_g")
+    val mads = dev.groupBy(col(groupCol).as("_graft_g"))
+      .agg(round(med(abs(v - col(s"${valueCol}_med"))), 4)
+        .as(s"${valueCol}_mad"))
+    dev.join(broadcast(mads), col(groupCol) <=> col("_graft_g"))
+      .drop("_graft_g")
+      .withColumn(s"${valueCol}_rz",
+        when(col(s"${valueCol}_mad") > 0,
+          round((v - col(s"${valueCol}_med")) /
+            (lit(1.4826) * col(s"${valueCol}_mad")), 6)))
+  }
+
   /** SCD-2 history intervals: turn a change log `(key, version/event
     * time, attrs…)` into validity ranges — `valid_from` = the change's
     * version, `valid_to` = the NEXT change's version for that key (null

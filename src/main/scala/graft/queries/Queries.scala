@@ -6033,6 +6033,39 @@ object Queries {
         FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- Robust median/MAD outlier scores per group: the z-score
+    //      heavy tails can't drag — two exact grouped medians +
+    //      broadcast joins; med/mad rounded to 4 (the q38 parity
+    //      convention) so the one score division is engine-proof ----
+    QueryDef(
+      "t47_robust_scores",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .robustScores(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+          .filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+            $"o_totalprice_med", $"o_totalprice_mad", $"o_totalprice_rz")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH med AS (SELECT o_orderpriority AS g,
+            round(quantile_cont(o_totalprice, 0.5), 4) AS o_totalprice_med
+          FROM orders GROUP BY 1),
+        dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+            m.o_totalprice_med
+          FROM orders o JOIN med m ON o.o_orderpriority = m.g),
+        mad AS (SELECT o_orderpriority AS g,
+            round(quantile_cont(abs(o_totalprice - o_totalprice_med), 0.5), 4)
+              AS o_totalprice_mad
+          FROM dev GROUP BY 1)
+        SELECT o_orderkey, o_orderpriority, o_totalprice, o_totalprice_med,
+          o_totalprice_mad,
+          CASE WHEN o_totalprice_mad > 0
+            THEN round((o_totalprice - o_totalprice_med)
+              / (1.4826 * o_totalprice_mad), 6) END AS o_totalprice_rz
+        FROM dev JOIN mad ON dev.o_orderpriority = mad.g
+        WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""")),
+
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the
     //      LM-quality signal add-one smoothing distorts; every

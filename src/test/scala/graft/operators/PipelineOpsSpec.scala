@@ -269,6 +269,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(r => assert(r.getAs[Double]("x_scaled") === 0.5))
   }
 
+  test("robustScores: hand-computed median/MAD z-scores; MAD=0 group yields NULL") {
+    val sp = spark; import sp.implicits._
+    // g1 = {1..9, 100}: med = 5.5, |x-med| = {4.5,3.5,...,0.5,0.5,...,94.5}
+    //   -> MAD = 2.5; the outlier 100 scores (100-5.5)/(1.4826*2.5)
+    val df = ((1 to 9).map(i => ("g1", i.toDouble)) :+ ("g1", 100.0))
+      .++(Seq(("flat", 7.0), ("flat", 7.0), ("flat", 7.0)))
+      .toDF("grp", "x")
+    val out = Analytics.robustScores(df, "grp", "x")
+    assert(out.count() === 13L)
+    val g1 = out.filter($"grp" === "g1").collect()
+    g1.foreach { r =>
+      assert(r.getAs[Double]("x_med") === 5.5)
+      assert(r.getAs[Double]("x_mad") === 2.5)
+    }
+    val outlier = g1.find(_.getAs[Double]("x") == 100.0).get
+    assert(outlier.getAs[Double]("x_rz") ===
+      BigDecimal(94.5 / (1.4826 * 2.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // robustness: the outlier barely moves the center (mean would be 13.9)
+    assert(math.abs(g1.find(_.getAs[Double]("x") == 5.0).get
+      .getAs[Double]("x_rz")) < 0.2)
+    // constant group: MAD = 0 -> score NULL, rows survive
+    val flat = out.filter($"grp" === "flat").collect()
+    assert(flat.length === 3 && flat.forall(_.isNullAt(flat.head.fieldIndex("x_rz"))))
+    // approx path returns the same shape on well-separated data
+    val approx = Analytics.robustScores(df, "grp", "x", approx = true)
+    assert(approx.count() === 13L)
+  }
+
   // ---- stratifiedSample ----
 
   test("stratifiedSample is deterministic and monotone in the rate") {
