@@ -197,6 +197,37 @@ object Multimodal {
     }).toDF("media_id", "frame_no", "n_samples", "sum_sq", "peak", "zero_crossings")
   }
 
+  /** Energy-based activity segmentation (m12 — the silence-trim /
+    * voice-activity preprocessing step of every audio-training
+    * pipeline): frames from [[pcm16FrameFeatures]] are ACTIVE when
+    * mean energy reaches `minEnergy` — the exact integer compare
+    * `sum_sq ≥ minEnergy · n_samples`, no division — and consecutive
+    * active frames merge into segments by gaps-and-islands
+    * (`frame_no − row_number()` per asset). Output one row per segment:
+    * `(media_id, seg_start, seg_end, n_frames, total_energy, peak)`,
+    * all exact integers.
+    *
+    * Scale shape: the kernel stays the map-only frame pass; the window
+    * partitions by media_id (one asset's frames — bounded by asset
+    * length, never corpus-wide) and the final agg is key-partial. */
+  def pcm16EnergySegments(ds: Dataset[MediaRecord], frameSize: Int,
+      stride: Int, minEnergy: Long,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(minEnergy >= 0, "minEnergy must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_no"))
+    pcm16FrameFeatures(ds, frameSize, stride, codec)
+      .filter(col("sum_sq") >= lit(minEnergy) * col("n_samples"))
+      .withColumn("_graft_grp", col("frame_no") - row_number().over(w))
+      .groupBy(col("media_id"), col("_graft_grp"))
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("sum_sq")).cast("long").as("total_energy"),
+        max(col("peak")).as("peak"))
+      .drop("_graft_grp")
+  }
+
   /** 64-bit difference hash (dHash — the standard perceptual-hash
     * recipe for image near-dup detection): greyscale, nearest-resize to
     * 9×8, then bit `y·8 + x` is set iff pixel (x, y) is darker than its

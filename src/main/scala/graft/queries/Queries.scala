@@ -6402,6 +6402,58 @@ object Queries {
             THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
         FROM z GROUP BY doc_id, f ORDER BY media_id, frame_no""")),
 
+    // ---- Energy-based activity segmentation: the silence-trim step —
+    //      active frames (exact integer energy compare) merge into
+    //      segments by gaps-and-islands; every output column is an
+    //      exact integer ----
+    QueryDef(
+      "m12_energy_segments",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val b = text.getBytes("US-ASCII")
+              .map(x => (((x & 0xFF) * 2) % 256).toByte)
+            graft.operators.MediaRecord(id, "audio/pcm", b)
+          })
+        graft.operators.Multimodal
+          .pcm16EnergySegments(media, frameSize = 8, stride = 6,
+            minEnergy = 150000000L)
+          .orderBy($"media_id", $"seg_start")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, text FROM b),
+        fr AS (SELECT doc_id, ns, text,
+                unnest(range(0, CAST(ceil(ns / 6.0) AS BIGINT))) AS f FROM sm
+               WHERE ns >= 1),
+        idx AS (SELECT doc_id, f, text,
+                unnest(range(f * 6, least(f * 6 + 8, ns))) AS i
+               FROM fr WHERE f * 6 < ns),
+        v AS (SELECT doc_id, f, i,
+                ((ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 2) % 256) * 256
+                  + ((ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) * 2) % 256) AS v
+              FROM idx),
+        sgn AS (SELECT doc_id, f, i,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v),
+        feat AS (SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+          CAST(count(*) AS INTEGER) AS n_samples,
+          CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+          CAST(max(abs(s)) AS INTEGER) AS peak
+         FROM sgn GROUP BY doc_id, f),
+        act AS (SELECT media_id, frame_no, sum_sq, peak,
+          row_number() OVER (PARTITION BY media_id ORDER BY frame_no) AS rn
+         FROM feat WHERE sum_sq >= 150000000 * n_samples)
+        SELECT media_id, min(frame_no) AS seg_start, max(frame_no) AS seg_end,
+          CAST(count(*) AS INTEGER) AS n_frames,
+          CAST(sum(sum_sq) AS BIGINT) AS total_energy, max(peak) AS peak
+        FROM act GROUP BY media_id, frame_no - rn
+        ORDER BY media_id, seg_start""")),
+
     // ---- Zipf rank-frequency fit over the top-500 terms: least-squares
     //      slope of ln(freq) vs ln(rank) from DECIMAL-exact sums — the
     //      corpus-health diagnostic (prose ≈ −1) ----

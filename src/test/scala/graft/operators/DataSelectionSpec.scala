@@ -212,6 +212,30 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2, 1, 25L, 5, 0)))           // single sample: no crossing
   }
 
+  test("pcm16EnergySegments merges consecutive loud frames; silence splits segments") {
+    val sp = spark; import sp.implicits._
+    def be(s: Short): Array[Byte] =
+      Array(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)
+    // frameSize=2, stride=2, non-overlapping frames of:
+    //   loud(100,100) loud(100,-100) quiet(1,1) loud(100,100) quiet(0,0)
+    // minEnergy=5000: frame active iff sum_sq >= 5000*n (loud: 20000 >= 10000)
+    val payload = Seq[Short](100, 100, 100, -100, 1, 1, 100, 100, 0, 0)
+      .flatMap(be).toArray
+    val ds = sp.createDataset(Seq(MediaRecord(3L, "audio/pcm", payload)))
+    val segs = Multimodal
+      .pcm16EnergySegments(ds, frameSize = 2, stride = 2, minEnergy = 5000L)
+      .orderBy(col("seg_start")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+    assert(segs.toSeq === Seq(
+      (3L, 0, 1, 2, 40000L, 100), // frames 0-1 merge across the boundary
+      (3L, 3, 3, 1, 20000L, 100))) // frame 3 is its own island
+    // an all-quiet asset yields zero segments, not a zero-width one
+    val quiet = sp.createDataset(Seq(MediaRecord(4L, "audio/pcm",
+      Seq[Short](1, 1, 1, 1).flatMap(be).toArray)))
+    assert(Multimodal.pcm16EnergySegments(quiet, 2, 2, 5000L).count() === 0)
+  }
+
   test("pcm16FrameFeatures zero-crossings: zeros never cross (strict product < 0)") {
     val sp = spark; import sp.implicits._
     def be(s: Short): Array[Byte] =
