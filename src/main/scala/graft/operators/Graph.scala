@@ -1662,6 +1662,69 @@ object Graph {
     res
   }
 
+  /** Maximal independent set by Luby's algorithm (Luby 1986) over an
+    * UNDIRECTED edge list: `rounds` synchronous rounds in which every
+    * undecided node whose priority strictly beats ALL undecided
+    * neighbors joins the set and knocks its neighbors out. Priorities
+    * are md5(node) hex strings — deterministic, engine-portable, and
+    * (at 128 bits) collision-free in practice, so both engines run the
+    * same tournament in lockstep. Luby terminates in O(log n) rounds
+    * w.h.p.; nodes still undecided after `rounds` are simply absent
+    * (the fixed-round truncation contract — the output is always
+    * INDEPENDENT, and maximal once the undecided set drains).
+    *
+    * The data-pipeline reading: over a near-dup candidate-pair graph
+    * this picks a maximal set of mutually non-duplicate documents —
+    * the diversity-max survivor rule, vs. [[Dedup]]'s one-per-cluster
+    * representative rule.
+    *
+    * Scale shape per round: one adjacency ⋈ undecided equi-join + a
+    * node-keyed partial MAX (the hub's neighbor priorities combine
+    * map-side), one left join for the strict compare, one equi-join +
+    * distinct for the knockout set, two anti-joins to shrink the
+    * undecided frame — every stage key-partitioned, nothing quadratic.
+    * Output: `(node)`, one row per MIS member. */
+  def lubyMis(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var undec = adj.select(col("node")).distinct()
+      .withColumn("prio", md5(col("node").cast("string")))
+      .localCheckpoint(true)
+    val ckpts = scala.collection.mutable.ArrayBuffer(adj, undec)
+    val misParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val nbrBest = adj
+        .join(undec.select(col("node").as("nbr"), col("prio").as("nprio")),
+          Seq("nbr"))
+        .groupBy(col("node")).agg(max(col("nprio")).as("best"))
+      val winners = undec.join(nbrBest, Seq("node"), "left_outer")
+        .filter(col("best").isNull || col("prio") > col("best"))
+        .select(col("node"))
+        .localCheckpoint(true)
+      val knocked = adj
+        .join(winners.select(col("node")), Seq("node"))
+        .select(col("nbr").as("node")).distinct()
+      undec = undec
+        .join(winners, Seq("node"), "left_anti")
+        .join(knocked, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      ckpts += winners
+      ckpts += undec
+      misParts += winners
+    }
+    val res = misParts.reduce(_ unionAll _).localCheckpoint(true)
+    ckpts.foreach(_.unpersist())
+    res
+  }
+
   /** Canonicalized edge frame shared by the HyperBall family. */
   private def hllEdges(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =

@@ -451,6 +451,38 @@ object Queries {
     GROUP BY r ORDER BY r"""
   }
 
+  /** Unrolled Luby-MIS tournament for the q111 oracle: md5-string
+    * priorities, one strict-beats-all-undecided-neighbors round per
+    * CTE block, replaying [[graft.operators.Graph.lubyMis]] exactly. */
+  private def lubyOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 20 = 0),
+    und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+    adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+           UNION ALL SELECT b, a FROM und),
+    u0 AS MATERIALIZED (SELECT DISTINCT node,
+           md5(CAST(node AS VARCHAR)) AS prio FROM adj)""")
+    for (r <- 1 to rounds) sb.append(s""",
+    w$r AS MATERIALIZED (SELECT u.node FROM u${r - 1} u LEFT JOIN (
+           SELECT a.node, max(x.prio) AS best
+           FROM adj a JOIN u${r - 1} x ON a.nbr = x.node GROUP BY a.node) nb
+         ON u.node = nb.node
+         WHERE nb.best IS NULL OR u.prio > nb.best),
+    k$r AS (SELECT DISTINCT a.nbr AS node
+           FROM adj a JOIN w$r w ON a.node = w.node),
+    u$r AS MATERIALIZED (SELECT u.node, u.prio FROM u${r - 1} u
+           LEFT JOIN w$r w ON u.node = w.node
+           LEFT JOIN k$r k ON u.node = k.node
+           WHERE w.node IS NULL AND k.node IS NULL)""")
+    val unions = (1 to rounds).map(r => s"SELECT node FROM w$r")
+      .mkString("\n    UNION ALL\n    ")
+    sb.append(s"""
+    SELECT node FROM ($unions) ORDER BY node""")
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Aggregate (TPC-H Q1 shape: filter + group + multi-agg + sort) ----
@@ -3779,6 +3811,26 @@ object Queries {
           .orderBy($"r")
       },
       Some(neighborhoodFnOracleSql(rounds = 4))),
+
+    // ---- Luby's maximal independent set over the co-order parts
+    //      graph: md5-string priorities run the same tournament in both
+    //      engines; the MIS is the diversity-max survivor rule over a
+    //      conflict (near-dup) graph ----
+    QueryDef(
+      "q111_luby_mis",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.lubyMis(edges, "src", "dst", rounds = 6)
+          .orderBy($"node")
+      },
+      Some(lubyOracleSql(rounds = 6))),
 
     // ---- Harmonic centrality from 3 sampled sources over unweighted
     //      hop distances (4 BFS levels, one multi-source traversal) —

@@ -360,6 +360,9 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     // neighborhood function: no nodes -> no radii rows at all
     assert(Graph.neighborhoodFunction(emptyEdges, "src", "dst", 2)
       .count() == 0)
+    // luby MIS: no edges (or only self-loops) -> empty set
+    assert(Graph.lubyMis(emptyEdges, "src", "dst", 2).count() == 0)
+    assert(Graph.lubyMis(loops, "src", "dst", 2).count() == 0)
     // stored HNSW: an empty corpus has no centroid-divisible id — the
     // write fails LOUDLY (the nswGraph contract) and leaves no layout
     val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

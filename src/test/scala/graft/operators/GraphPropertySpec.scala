@@ -436,6 +436,53 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  /** Local Luby replay: same md5-string priorities, same
+    * strict-beats-all-undecided-neighbors rounds. */
+  private def refLubyMis(edges: Set[(Long, Long)], rounds: Int): Set[Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    val adj = (und ++ und.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val prio = adj.keySet.map(n => n -> md5hex(n.toString)).toMap
+    var undec = adj.keySet
+    val mis = scala.collection.mutable.Set.empty[Long]
+    for (_ <- 1 to rounds) {
+      val winners = undec.filter { n =>
+        val nbrs = adj(n).filter(undec)
+        nbrs.isEmpty || nbrs.forall(m => prio(n) > prio(m))
+      }
+      val knocked = winners.flatMap(adj(_))
+      mis ++= winners
+      undec = undec -- winners -- knocked
+    }
+    mis.toSet
+  }
+
+  test("lubyMis equals the local tournament replay, is independent, and drains to maximality") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, _) =>
+      val clean: Set[(Long, Long)] = es.toSet.filter(p => p._1 != p._2)
+      val got = Graph.lubyMis(es.toDF("src", "dst"), "src", "dst", rounds = 10)
+        .collect().map(_.getLong(0)).toSet
+      val expect = refLubyMis(es.toSet, 10)
+      val und = clean.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val adjacentInside = und.exists { case (a, b) => got(a) && got(b) }
+      // maximality: every non-member node with an edge has a member nbr
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }
+      val maximal = nodes.forall { n =>
+        got(n) || und.exists { case (a, b) =>
+          (a == n && got(b)) || (b == n && got(a))
+        }
+      }
+      got == expect && !adjacentInside && maximal
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** Local Brandes reference, truncated at `rounds` BFS levels, with
     * the operator's exact decimal-addend arithmetic: each dependency
     * addend is one IEEE expression rounded to 12 decimals HALF_UP
