@@ -454,16 +454,11 @@ object Queries {
   /** Unrolled Luby-MIS tournament for the q111 oracle: md5-string
     * priorities, one strict-beats-all-undecided-neighbors round per
     * CTE block, replaying [[graft.operators.Graph.lubyMis]] exactly. */
-  private def lubyOracleSql(rounds: Int): String = {
-    val sb = new StringBuilder(
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-             FROM lineitem WHERE l_orderkey % 20 = 0),
-    und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-    adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
-           UNION ALL SELECT b, a FROM und),
-    u0 AS MATERIALIZED (SELECT DISTINCT node,
-           md5(CAST(node AS VARCHAR)) AS prio FROM adj)""")
+  /** The per-round w/k/u CTE blocks of the Luby tournament (expects
+    * `adj (node, nbr)` and `u0 (node, prio)` already defined), plus the
+    * winner-union subquery text. */
+  private def lubyRoundCtes(rounds: Int): (String, String) = {
+    val sb = new StringBuilder
     for (r <- 1 to rounds) sb.append(s""",
     w$r AS MATERIALIZED (SELECT u.node FROM u${r - 1} u LEFT JOIN (
            SELECT a.node, max(x.prio) AS best
@@ -478,9 +473,47 @@ object Queries {
            WHERE w.node IS NULL AND k.node IS NULL)""")
     val unions = (1 to rounds).map(r => s"SELECT node FROM w$r")
       .mkString("\n    UNION ALL\n    ")
-    sb.append(s"""
-    SELECT node FROM ($unions) ORDER BY node""")
-    sb.toString
+    (sb.toString, unions)
+  }
+
+  private def lubyOracleSql(rounds: Int): String = {
+    val (roundCtes, unions) = lubyRoundCtes(rounds)
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_orderkey % 20 = 0),
+    und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+    adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+           UNION ALL SELECT b, a FROM und),
+    u0 AS MATERIALIZED (SELECT DISTINCT node,
+           md5(CAST(node AS VARCHAR)) AS prio FROM adj)$roundCtes
+    SELECT node FROM ($unions) ORDER BY node"""
+  }
+
+  /** d15 oracle: the t45/t46 minhash candidate chain feeds the Luby
+    * tournament; keepers = MIS winners ∪ docs in no candidate pair. */
+  private def misKeepersOracleSql(rounds: Int): String = {
+    val (roundCtes, unions) = lubyRoundCtes(rounds)
+    s"""WITH
+    tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+           FROM tok WHERE len(tk) >= 3),
+    mh AS (SELECT doc_id, list_transform(range(0,16),
+            j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+    bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+              FROM mh, (SELECT unnest(range(0,4)) AS b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    adj AS MATERIALIZED (SELECT id1 AS node, id2 AS nbr FROM cand
+           UNION ALL SELECT id2, id1 FROM cand),
+    u0 AS MATERIALIZED (SELECT DISTINCT node,
+           md5(CAST(node AS VARCHAR)) AS prio FROM adj)$roundCtes
+    SELECT doc_id FROM (
+      SELECT node AS doc_id FROM ($unions)
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM adj))
+    ORDER BY doc_id"""
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -3831,6 +3864,28 @@ object Queries {
           .orderBy($"node")
       },
       Some(lubyOracleSql(rounds = 6))),
+
+    // ---- Diversity-max dedup survivors: Luby MIS over the real
+    //      minhash candidate-pair graph — keep a MAXIMAL set of
+    //      mutually non-duplicate docs (vs d10/d11's one-per-cluster
+    //      representative rule); docs in no candidate pair pass
+    //      through untouched ----
+    QueryDef(
+      "d15_mis_keepers",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = graft.operators.Dedup
+          .minhashCandidates(docs, "doc_id", "text", bucketCap = Int.MaxValue)
+        val inGraph = pairs.select($"id1".as("doc_id"))
+          .unionAll(pairs.select($"id2".as("doc_id"))).distinct()
+        graft.operators.Graph.lubyMis(pairs, "id1", "id2", rounds = 8)
+          .select($"node".as("doc_id"))
+          .unionAll(docs.select($"doc_id")
+            .join(inGraph, Seq("doc_id"), "left_anti"))
+          .orderBy($"doc_id")
+      },
+      Some(misKeepersOracleSql(rounds = 8))),
 
     // ---- Harmonic centrality from 3 sampled sources over unweighted
     //      hop distances (4 BFS levels, one multi-source traversal) —
