@@ -289,6 +289,52 @@ object Analytics {
             (lit(1.4826) * col(s"${valueCol}_mad")), 6)))
   }
 
+  /** Item–item co-occurrence cosine similarity (q112 — the classic
+    * item-based collaborative-filtering / basket-affinity primitive):
+    * cos(i, j) = c_ij / √(c_i · c_j) over exact integer co-basket
+    * counts, one IEEE expression per surviving pair (√ is
+    * correctly-rounded by IEEE 754, so both engines agree bit-for-bit).
+    *
+    * Scale shape — the [[graft.operators.Graph.adamicAdar]] capped-wedge
+    * discipline: the pair self-join is per BASKET, so a B-item basket
+    * forms B² candidates; baskets larger than `basketCap` are dropped
+    * WHOLE before the join (a 10-million-line order would otherwise
+    * square), as are singleton baskets (no pairs). Counts c_i are taken
+    * over the SAME capped frame so the math is self-consistent. Output:
+    * top-`topN` pairs by similarity, ties broken by (i, j). */
+  def cooccurrenceCosine(baskets: DataFrame, basketCol: String,
+      itemCol: String, topN: Int = 50, basketCap: Int = 64): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    require(basketCap >= 2, "basketCap must be at least 2")
+    val bi = baskets
+      .select(col(basketCol).cast("long").as("bk"),
+        col(itemCol).cast("long").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+    val ok = bi.join(
+        bi.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz").between(2, basketCap)).select(col("bk")),
+        Seq("bk"))
+      .localCheckpoint(true) // feeds counts and both self-join sides
+    val cnt = ok.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = ok.as("x").join(ok.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("i"), col("y.it").as("j"))
+      .agg(count(lit(1)).as("cij"))
+    val res = pairs
+      .join(cnt.select(col("it").as("i"), col("c").as("ci")), Seq("i"))
+      .join(cnt.select(col("it").as("j"), col("c").as("cj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("cij").cast("double") /
+          sqrt(col("ci").cast("double") * col("cj").cast("double")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("i"), col("j"))
+      .limit(topN)
+      .localCheckpoint(true)
+    ok.unpersist()
+    res
+  }
+
   /** SCD-2 history intervals: turn a change log `(key, version/event
     * time, attrs…)` into validity ranges — `valid_from` = the change's
     * version, `valid_to` = the NEXT change's version for that key (null

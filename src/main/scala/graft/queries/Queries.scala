@@ -3887,6 +3887,33 @@ object Queries {
       },
       Some(misKeepersOracleSql(rounds = 8))),
 
+    // ---- Item-item co-occurrence cosine (basket affinity): exact
+    //      integer co-basket counts, one IEEE sqrt expression per pair,
+    //      hot baskets dropped whole before the per-basket self-join ----
+    QueryDef(
+      "q112_cooccur_cosine",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.cooccurrenceCosine(
+            t(s, dir, "lineitem").filter($"l_orderkey" % 10 === 0)
+              .select($"l_orderkey".as("bk"), $"l_partkey".as("it")),
+            "bk", "it", topN = 50, basketCap = 64)
+          .orderBy($"cos".desc, $"i", $"j")
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem WHERE l_orderkey % 10 = 0),
+        sz AS (SELECT bk, count(*) AS bsz FROM bi GROUP BY bk),
+        ok AS (SELECT bi.bk, bi.it FROM bi JOIN sz ON bi.bk = sz.bk
+               WHERE bsz BETWEEN 2 AND 64),
+        ci AS (SELECT it, count(*) AS c FROM ok GROUP BY it),
+        pr AS (SELECT x.it AS i, y.it AS j, count(*) AS cij
+               FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+               GROUP BY 1, 2)
+        SELECT i, j, round(CAST(cij AS DOUBLE)
+            / sqrt(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6) AS cos
+        FROM pr JOIN ci a ON pr.i = a.it JOIN ci b ON pr.j = b.it
+        ORDER BY cos DESC, i, j LIMIT 50""")),
+
     // ---- Harmonic centrality from 3 sampled sources over unweighted
     //      hop distances (4 BFS levels, one multi-source traversal) —
     //      each 1/d addend is one IEEE division cast to DECIMAL(28,12),

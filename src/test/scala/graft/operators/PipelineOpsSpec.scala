@@ -298,6 +298,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.count() === 13L)
   }
 
+  test("cooccurrenceCosine: hand-computed basket affinities; hot baskets dropped whole") {
+    val sp = spark; import sp.implicits._
+    // baskets: {1,2} x3, {1,3} x1, singleton {4}, and one hot basket
+    // {1,2,3,4,5} that must be dropped whole under basketCap = 4
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 4L),
+      (15L, 1L), (15L, 2L), (15L, 3L), (15L, 4L), (15L, 5L)
+    ).toDF("bk", "it")
+    val out = Analytics.cooccurrenceCosine(rows, "bk", "it",
+        topN = 10, basketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // capped frame: c_1 = 4, c_2 = 3, c_3 = 1; pairs (1,2) x3, (1,3) x1
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (1L, 2L, r6(3.0 / math.sqrt(4.0 * 3.0))),
+      (1L, 3L, r6(1.0 / math.sqrt(4.0 * 1.0)))))
+    // item 5 appears ONLY in the hot basket: it must not reach any pair
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   // ---- stratifiedSample ----
 
   test("stratifiedSample is deterministic and monotone in the rate") {
