@@ -326,6 +326,45 @@ object Dedup {
     spansFromMatches(pairs, k, minLen)
   }
 
+  /** Cross-corpus EXACT contamination spans (t48 — the audit trail
+    * behind [[TextAnalysis.contaminationPairs]]'s verdicts): every
+    * maximal character span of length ≥ `minLen` shared verbatim
+    * between a TEST document and a TRAIN document, located by position
+    * on both sides — "benchmark item X appears at train doc Y offset Z",
+    * the evidence a decontam pipeline needs before dropping data.
+    * Same diagonal-run recovery as [[duplicateSpans]], but the gram
+    * join is test ⋈ train (never test², never train²): the test side is
+    * a benchmark suite — thousands of documents against a 100 TB crawl
+    * — so gram rows are O(test chars) + O(train chars) and the join
+    * output is bounded by true matches plus hot-gram noise, which
+    * `maxDf` removes by dropping TRAIN-side grams present in more than
+    * that many TRAIN documents (the [[TextAnalysis.contaminationPairs]]
+    * stop-shingle cap; capped grams can only split a long span, never
+    * invent one). Output: `(test_id, train_id, start_test, start_train,
+    * span_len)`, 1-based positions. */
+  def contaminationSpans(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 20, minLen: Int = 40, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minLen >= k, "minLen below k would emit sub-gram spans")
+    val testG = positionedGrams(test, idCol, textCol, k, Int.MaxValue)
+    val trainG =
+      if (maxDf == Int.MaxValue) positionedGrams(train, idCol, textCol, k, Int.MaxValue)
+      else positionedGrams(train, idCol, textCol, k, Int.MaxValue)
+        .join(hotGramSet(train, idCol, textCol, k, maxDf), Seq("gram"), "left_anti")
+    val pairs = testG.as("a").join(
+        trainG.select(col("doc_id").as("_t_id"), col("pos").as("_t_pos"),
+          col("gram").as("_t_gram")),
+        col("a.gram") === col("_t_gram"))
+      .select(col("a.doc_id").as("id1"), col("_t_id").as("id2"),
+        col("a.pos").as("pos1"), col("_t_pos").as("pos2"),
+        (col("a.pos") - col("_t_pos")).as("diag"))
+    spansFromMatches(pairs, k, minLen)
+      .select(col("id1").as("test_id"), col("id2").as("train_id"),
+        col("start1").as("start_test"), col("start2").as("start_train"),
+        col("span_len"))
+  }
+
   /** The corpus-scale composition of [[TextAnalysis.winnowFingerprints]]
     * and [[duplicateSpans]]: winnow both sides, self-join fingerprints
     * into candidate doc pairs, and run the exact positioned-gram span

@@ -6200,6 +6200,58 @@ object Queries {
         FROM dev JOIN mad ON dev.o_orderpriority = mad.g
         WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""")),
 
+    // ---- Cross-corpus contamination SPANS: the audit trail behind
+    //      t09's verdicts — exact positioned shared substrings between
+    //      test and train docs (test x train gram join, never a self
+    //      join; train-side hot grams capped) ----
+    QueryDef(
+      "t48_contamination_spans",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+        graft.operators.Dedup.contaminationSpans(
+            docs.filter($"split" === "train"), docs.filter($"split" === "test"),
+            "doc_id", "text", k = 8, minLen = 16, maxDf = 64)
+          .orderBy($"test_id", $"train_id", $"start_test", $"start_train")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 100 AS b
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            AND length(text) >= 8),
+        gtr AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+              substr(t, CAST(i AS INTEGER), 8) AS gram
+            FROM d, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)
+            WHERE b < 80),
+        gte AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+              substr(t, CAST(i AS INTEGER), 8) AS gram
+            FROM d, LATERAL (SELECT unnest(range(1, length(t) - 8 + 2)) AS i)
+            WHERE b >= 90),
+        hot AS (SELECT gram FROM
+              (SELECT gram, count(DISTINCT doc_id) AS n FROM gtr GROUP BY gram)
+            WHERE n > 64),
+        gtr2 AS (SELECT * FROM gtr WHERE gram NOT IN (SELECT gram FROM hot)),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
+              b.pos AS pos2, a.pos - b.pos AS diag
+            FROM gte a JOIN gtr2 b USING (gram)),
+        r AS (SELECT id1, id2, diag, pos1, pos2,
+              CASE WHEN pos1 - lag(pos1) OVER (PARTITION BY id1, id2, diag
+                  ORDER BY pos1) = 1 THEN 0 ELSE 1 END AS brk
+            FROM p),
+        runs AS (SELECT id1, id2, diag, pos1, pos2,
+              sum(brk) OVER (PARTITION BY id1, id2, diag
+                ORDER BY pos1) AS run FROM r),
+        spans AS (SELECT id1, id2,
+              CAST(min(pos1) AS INTEGER) AS start1,
+              CAST(min(pos2) AS INTEGER) AS start2,
+              CAST(max(pos1) - min(pos1) + 8 AS INTEGER) AS span_len
+            FROM runs GROUP BY id1, id2, diag, run)
+        SELECT id1 AS test_id, id2 AS train_id, start1 AS start_test,
+          start2 AS start_train, span_len
+        FROM spans WHERE span_len >= 16
+        ORDER BY test_id, train_id, start_test, start_train""")),
+
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the
     //      LM-quality signal add-one smoothing distorts; every

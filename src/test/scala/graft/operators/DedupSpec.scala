@@ -269,6 +269,44 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("contaminationSpans locates test-in-train leaks; corpus sides never self-pair") {
+    val sp = spark; import sp.implicits._
+    // the benchmark item's text appears verbatim inside a train doc;
+    // two TRAIN docs also share a span with each other (must NOT appear:
+    // the join is test x train, never train²), as do two TEST docs
+    val train = Seq(
+      (1L, "prefix THE BENCHMARK QUESTION TEXT suffix"),
+      (2L, "train twins share this long sentence one"),
+      (3L, "train twins share this long sentence two"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the benchmark question text"),
+      (11L, "test twins also share phrasing entirely"),
+      (12L, "test twins also share phrasing as well"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, test, "doc_id", "text",
+        k = 8, minLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    // test doc 10 found at train doc 1 position 8 (after "prefix "),
+    // full 27-char item; train-train and test-test leaks are invisible
+    assert(got === Set((10L, 1L, 1, 8, 27)), s"span mismatch: $got")
+    // maxDf drops train-side stop-grams: 81 noisy train docs make every
+    // 8-gram inside "the benchmark " (trailing space included — noisy
+    // docs continue "benchmark padding") hot, which SPLITS the evidence
+    // span down to the "chmark question text" tail (20 chars from test
+    // position 8) — capped grams shorten spans, never invent them
+    val noisy = train.unionAll(
+      (100L to 180L).map(i => (i, s"prefix THE BENCHMARK padding $i"))
+        .toDF("doc_id", "text"))
+    val capped = Dedup.contaminationSpans(noisy, test, "doc_id", "text",
+        k = 8, minLen = 16, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(capped === Set((10L, 1L, 8, 15, 20)),
+      s"hot-gram cap did not shorten the span as expected: $capped")
+  }
+
   test("duplicateSpansWithin examines ONLY the given candidate pairs") {
     val sp = spark; import sp.implicits._
     // two independent duplicated pairs; the candidate set names only one
