@@ -1725,6 +1725,42 @@ object Graph {
     res
   }
 
+  /** Discrete power-law exponent of the degree distribution by the
+    * Clauset–Shalizi–Newman 2009 MLE (their eq. 3.7 discrete
+    * approximation): over tail nodes with degree ≥ `dmin`,
+    *
+    *   α = 1 + n / Σ_i ln(d_i / (dmin − 0.5))
+    *
+    * — the corpus-graph health diagnostic (web/co-occurrence graphs sit
+    * near α ≈ 2–3; α drifting low means hub blowup, the thing degree
+    * caps and salting exist for). Degrees are exact integer counts;
+    * each ln addend is one IEEE expression cast to DECIMAL(28,12)
+    * before the sum (order-free, the [[adamicAdar]] discipline); α is
+    * one final IEEE expression. Output: one row
+    * `(n_tail, dmin, alpha)`. NULL α when the tail is empty or all at
+    * exactly dmin=1-equivalent mass (zero denominator). */
+  def powerLawAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+      dmin: Int = 2): DataFrame = {
+    require(dmin >= 1, "dmin must be positive")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= dmin)
+    deg.agg(count(lit(1)).as("n_tail"),
+        sum(log(col("dg").cast("double") / lit(dmin - 0.5))
+          .cast(DecimalType(28, 12))).as("lsum"))
+      .select(col("n_tail"), lit(dmin).as("dmin"),
+        when(col("lsum") > 0,
+          round(lit(1.0) +
+            col("n_tail").cast("double") / col("lsum").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** Canonicalized edge frame shared by the HyperBall family. */
   private def hllEdges(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =

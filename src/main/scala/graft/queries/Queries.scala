@@ -1862,6 +1862,31 @@ object Queries {
         SELECT query_id, rank, neighbor_id, cs FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- Filtered vector search: top-k among rows satisfying a
+    //      metadata predicate — FILTER-then-SEARCH (exact), not
+    //      search-then-filter (the classic recall trap where the top-k
+    //      drains before enough survivors appear); the predicate rides
+    //      the corpus scan ahead of the scoring kernel ----
+    QueryDef(
+      "s22_knn_filtered",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        graft.operators.Similarity.knnKernel(
+            e.filter($"vec_id" < 10), e.filter($"label" % 2 === 0), 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label % 2 = 0),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+          FROM cs)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- Similarity: exact max-inner-product top-k (MIPS — magnitude
     //      matters; the recommendation-scoring semantic cosine can't
     //      express). The unit-sphere reduction (spec-proven) lets every
@@ -3886,6 +3911,37 @@ object Queries {
           .orderBy($"doc_id")
       },
       Some(misKeepersOracleSql(rounds = 8))),
+
+    // ---- Power-law degree exponent (Clauset-Shalizi-Newman MLE):
+    //      exact integer degrees, DECIMAL ln addends, one final IEEE
+    //      expression — the corpus-graph health diagnostic ----
+    QueryDef(
+      "q113_powerlaw_alpha",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.powerLawAlpha(edges, "src", "dst", dmin = 2)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                 (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+               GROUP BY node),
+        tl AS (SELECT dg FROM deg WHERE dg >= 2)
+        SELECT count(*) AS n_tail, 2 AS dmin,
+          CASE WHEN SUM(CAST(ln(CAST(dg AS DOUBLE) / 1.5) AS DECIMAL(28,12))) > 0
+            THEN round(1.0 + CAST(count(*) AS DOUBLE)
+              / CAST(SUM(CAST(ln(CAST(dg AS DOUBLE) / 1.5) AS DECIMAL(28,12)))
+                AS DOUBLE), 6) END AS alpha
+        FROM tl""")),
 
     // ---- Item-item co-occurrence cosine (basket affinity): exact
     //      integer co-basket counts, one IEEE sqrt expression per pair,

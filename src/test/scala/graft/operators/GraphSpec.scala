@@ -821,6 +821,22 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1 > 1.0 && m6 < 14.0)
   }
 
+  test("powerLawAlpha: star-graph MLE hand value; empty tail yields NULL alpha") {
+    val sp = spark; import sp.implicits._
+    // star 0 <-> 1..10: center degree 10, leaves degree 1 -> the dmin=2
+    // tail is {center}: alpha = 1 + 1/ln(10/1.5)
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graph.powerLawAlpha(star, "src", "dst", dmin = 2).collect().head
+    assert(r.getLong(0) === 1L && r.getInt(1) === 2)
+    assert(r.getDouble(2) ===
+      BigDecimal(1.0 + 1.0 / math.log(10.0 / 1.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single edge: both endpoints degree 1, tail empty -> NULL alpha
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val e = Graph.powerLawAlpha(one, "src", "dst", dmin = 2).collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(2))
+  }
+
   test("neighborhoodFunction is monotone in radius and sums the per-node reach estimates") {
     val sp = spark; import sp.implicits._
     val ring = (0L to 11L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
