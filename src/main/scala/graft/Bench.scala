@@ -78,6 +78,15 @@ object Bench {
     // sources), t46 1.35s (the d06 cluster chain dominates, as in t45),
     // q108 1.31s (4 max-merge rounds — the cheapest iterative graph op
     // in the suite, as the register shape predicts).
+    // Round-11 closing full bench (RUNS=3 PASSES=2, sf0.1 local[32]):
+    // 231.9s over 210 queries (1.10 s/q), zero failures. The 14
+    // fourth-session additions in-suite: s21 5.85s (build+serve
+    // contract), t48 3.79s (cross-corpus positioned-gram join — the
+    // honest exact-span cost, same family as t23/t25), q111 3.06s
+    // (6 Luby rounds), q107 2.85s, d15 1.93s, q109 1.79s, q110 1.77s,
+    // q108 1.52s, t46/t47 ~1.05s, q112 1.00s, q113 0.53s, m12 0.40s,
+    // s22 0.24s. No new query regressed a shared one by >1.3x beyond
+    // the adjudicated suite-interference class above.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
