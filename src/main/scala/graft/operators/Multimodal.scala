@@ -228,6 +228,66 @@ object Multimodal {
       .drop("_graft_grp")
   }
 
+  /** [[pcm16EnergySegments]] as a pure per-record kernel — segments of
+    * one asset depend only on that asset's own frames, so the whole
+    * gaps-and-islands merge runs inside the map over each record: no
+    * window, no shuffle, no state. That makes it STREAM-CAPABLE (the
+    * batch twin's window is unsupported in append-mode streaming) and
+    * the batch spec pins kernel ≡ relational row-for-row. */
+  def pcm16EnergySegmentsKernel(ds: Dataset[MediaRecord], frameSize: Int,
+      stride: Int, minEnergy: Long,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(frameSize >= 1 && stride >= 1, "frameSize and stride must be positive")
+    require(minEnergy >= 0, "minEnergy must be non-negative")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toInt
+        i += 1
+      }
+      val nFrames = if (n == 0) 0 else ((n - 1) / stride) + 1
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Int, Int, Long, Int)]
+      var segStart = -1; var segFrames = 0; var segEnergy = 0L; var segPeak = 0
+      var prevActive = -2 // last ACTIVE frame index; -2 = none
+      var f = 0
+      while (f < nFrames) {
+        val from = f * stride
+        val until = math.min(from + frameSize, n)
+        var sumSq = 0L; var peak = 0
+        var j = from
+        while (j < until) {
+          val s = samples(j)
+          sumSq += s.toLong * s.toLong
+          val a = math.abs(s); if (a > peak) peak = a
+          j += 1
+        }
+        if (sumSq >= minEnergy * (until - from)) {
+          if (prevActive != f - 1) { // gap: flush the open segment
+            if (segStart >= 0)
+              segs += ((rec.media_id, segStart, prevActive, segFrames,
+                segEnergy, segPeak))
+            segStart = f; segFrames = 0; segEnergy = 0L; segPeak = 0
+          }
+          segFrames += 1; segEnergy += sumSq
+          if (peak > segPeak) segPeak = peak
+          prevActive = f
+        }
+        f += 1
+      }
+      if (segStart >= 0)
+        segs += ((rec.media_id, segStart, prevActive, segFrames,
+          segEnergy, segPeak))
+      segs.iterator
+    }).toDF("media_id", "seg_start", "seg_end", "n_frames",
+      "total_energy", "peak")
+  }
+
   /** 64-bit difference hash (dHash — the standard perceptual-hash
     * recipe for image near-dup detection): greyscale, nearest-resize to
     * 9×8, then bit `y·8 + x` is set iff pixel (x, y) is darker than its

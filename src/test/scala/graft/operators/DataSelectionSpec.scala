@@ -236,6 +236,34 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.pcm16EnergySegments(quiet, 2, 2, 5000L).count() === 0)
   }
 
+  test("pcm16EnergySegmentsKernel equals the relational gaps-and-islands path") {
+    val sp = spark; import sp.implicits._
+    // pseudo-random 16-bit payloads with loud and quiet stretches
+    val rnd = new scala.util.Random(41)
+    val assets = (1L to 20L).map { id =>
+      val n = 40 + rnd.nextInt(200)
+      val bytes = new Array[Byte](2 * n)
+      var i = 0
+      while (i < n) {
+        val loud = (i / 16) % 2 == 0
+        val s = (if (loud) 2000 + rnd.nextInt(20000) else rnd.nextInt(300)) *
+          (if (rnd.nextBoolean()) 1 else -1)
+        bytes(2 * i) = ((s >> 8) & 0xFF).toByte
+        bytes(2 * i + 1) = (s & 0xFF).toByte
+        i += 1
+      }
+      MediaRecord(id, "audio/pcm", bytes)
+    }
+    val ds = sp.createDataset(assets)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5))).toSet
+    val rel = rows(Multimodal.pcm16EnergySegments(ds, 8, 6, 1000000L))
+    val ker = rows(Multimodal.pcm16EnergySegmentsKernel(ds, 8, 6, 1000000L))
+    assert(rel.nonEmpty && ker === rel,
+      s"kernel segmentation diverged: ${ker.size} vs ${rel.size} segments")
+  }
+
   test("pcm16FrameFeatures zero-crossings: zeros never cross (strict product < 0)") {
     val sp = spark; import sp.implicits._
     def be(s: Short): Array[Byte] =

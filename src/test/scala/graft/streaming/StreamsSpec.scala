@@ -211,6 +211,42 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming energy segmentation equals the batch kernel (map-only, no state)") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def be(s: Short): Array[Byte] =
+      Array(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)
+    val rnd = new scala.util.Random(17)
+    val assets = (1L to 12L).map { id =>
+      val samples = (0 until 60 + rnd.nextInt(60)).map { i =>
+        val loud = (i / 10) % 2 == 0
+        ((if (loud) 3000 + rnd.nextInt(9000) else rnd.nextInt(200)) *
+          (if (rnd.nextBoolean()) 1 else -1)).toShort
+      }
+      graft.operators.MediaRecord(id, "audio/pcm", samples.flatMap(be).toArray)
+    }
+    val input = MemoryStream[graft.operators.MediaRecord]
+    val q = graft.operators.Multimodal
+      .pcm16EnergySegmentsKernel(input.toDS(), frameSize = 8, stride = 6,
+        minEnergy = 1000000L)
+      .writeStream.format("memory").queryName("esegs")
+      .outputMode("append").start()
+    try {
+      val (a, b) = assets.splitAt(5)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getInt(5))).toSet
+      val streamed = rows(sp.table("esegs"))
+      val batch = rows(graft.operators.Multimodal
+        .pcm16EnergySegmentsKernel(sp.createDataset(assets), 8, 6, 1000000L))
+      assert(streamed === batch && streamed.nonEmpty,
+        s"streamed segments diverged: ${streamed.size} vs ${batch.size}")
+    } finally { q.stop(); () }
+  }
+
   test("streaming group k-fold equals the batch folds (stream-static cluster map)") {
     val sp = spark
     implicit val sql = sp.sqlContext
