@@ -1761,6 +1761,52 @@ object Graph {
           .as("alpha"))
   }
 
+  /** Degree assortativity (Newman 2002, eq. 4) over an UNDIRECTED edge
+    * list: the Pearson correlation of endpoint degrees across edges.
+    * Clearing denominators turns the whole statistic into
+    *
+    *   r = (4·m·Σjk − (Σ(j+k))²) / (2·m·Σ(j²+k²) − (Σ(j+k))²)
+    *
+    * — EXACT integer numerator and denominator (DECIMAL(38,0) sums so
+    * a trillion-edge graph cannot wrap) and ONE final IEEE division:
+    * no decimal-addend rounding needed at all. Positive r = hubs link
+    * to hubs (social), negative = hubs link to leaves (web/biology) —
+    * with [[powerLawAlpha]], the second corpus-graph shape diagnostic.
+    * NULL on a degree-regular graph (zero denominator). Output: one
+    * row `(m_edges, assortativity)`. Shape: one degree agg + two
+    * broadcast-sized joins + one global agg. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the degree agg and the edge join
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val dec = DecimalType(38, 0)
+    val ee = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+    val agg = ee.agg(count(lit(1)).as("m"),
+      sum((col("da") * col("db")).cast(dec)).as("sjk"),
+      sum((col("da") + col("db")).cast(dec)).as("sj"),
+      sum((col("da") * col("da") + col("db") * col("db")).cast(dec)).as("sq"))
+    val num = (lit(4L).cast(dec) * col("m").cast(dec) * col("sjk") -
+      col("sj") * col("sj")).cast(dec)
+    val den = (lit(2L).cast(dec) * col("m").cast(dec) * col("sq") -
+      col("sj") * col("sj")).cast(dec)
+    val res = agg.select(col("m").as("m_edges"),
+      when(den =!= 0,
+        round(num.cast("double") / den.cast("double"), 6))
+        .as("assortativity"))
+      .localCheckpoint(true) // materialize before releasing the edge frame
+    und.unpersist()
+    res
+  }
+
   /** Canonicalized edge frame shared by the HyperBall family. */
   private def hllEdges(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =

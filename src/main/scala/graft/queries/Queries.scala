@@ -3943,6 +3943,43 @@ object Queries {
                 AS DOUBLE), 6) END AS alpha
         FROM tl""")),
 
+    // ---- Degree assortativity (Newman 2002): denominators cleared so
+    //      the statistic is ONE IEEE division over exact integer sums —
+    //      the hubs-link-to-hubs diagnostic paired with q113 ----
+    QueryDef(
+      "q114_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                 (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+               GROUP BY node),
+        ee AS (SELECT da.dg AS da, db.dg AS db
+               FROM und JOIN deg da ON und.a = da.node
+                        JOIN deg db ON und.b = db.node),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                SUM(CAST(da AS HUGEINT) * db) AS sjk,
+                SUM(CAST(da AS HUGEINT) + db) AS sj,
+                SUM(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) AS sq
+              FROM ee)
+        SELECT CAST(m AS BIGINT) AS m_edges,
+          CASE WHEN 2 * m * sq - sj * sj <> 0
+            THEN round(CAST(4 * m * sjk - sj * sj AS DOUBLE)
+              / CAST(2 * m * sq - sj * sj AS DOUBLE), 6) END AS assortativity
+        FROM s""")),
+
     // ---- Item-item co-occurrence cosine (basket affinity): exact
     //      integer co-basket counts, one IEEE sqrt expression per pair,
     //      hot baskets dropped whole before the per-basket self-join ----

@@ -363,6 +363,12 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     // luby MIS: no edges (or only self-loops) -> empty set
     assert(Graph.lubyMis(emptyEdges, "src", "dst", 2).count() == 0)
     assert(Graph.lubyMis(loops, "src", "dst", 2).count() == 0)
+    // global graph stats degrade to ONE row with NULL statistic —
+    // a report query downstream still gets its row
+    val pl = Graph.powerLawAlpha(emptyEdges, "src", "dst").collect()
+    assert(pl.length == 1 && pl.head.getLong(0) == 0L && pl.head.isNullAt(2))
+    val as = Graph.degreeAssortativity(emptyEdges, "src", "dst").collect()
+    assert(as.length == 1 && as.head.getLong(0) == 0L && as.head.isNullAt(1))
     // stored HNSW: an empty corpus has no centroid-divisible id — the
     // write fails LOUDLY (the nswGraph contract) and leaves no layout
     val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

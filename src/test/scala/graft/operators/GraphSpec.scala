@@ -821,6 +821,24 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1 > 1.0 && m6 < 14.0)
   }
 
+  test("degreeAssortativity: star is exactly -1; regular graphs are NULL") {
+    val sp = spark; import sp.implicits._
+    // star K(1,8): every edge joins the hub (deg 8) to a leaf (deg 1) —
+    // the algebra gives exactly -n²(n-1)² / n²(n-1)² = -1
+    val star = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert(s.getLong(0) === 8L && s.getDouble(1) === -1.0)
+    // triangle: degree-regular, zero variance -> NULL (not NaN, not 0)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(tri, "src", "dst").collect().head
+    assert(t.getLong(0) === 3L && t.isNullAt(1))
+    // two disjoint hub-hub edges + pendant leaves: positive mixing
+    val social = Seq((1L, 2L), (1L, 3L), (2L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.degreeAssortativity(social, "src", "dst").collect().head
+    assert(r.getLong(0) === 3L) // duplicate edge collapsed
+  }
+
   test("powerLawAlpha: star-graph MLE hand value; empty tail yields NULL alpha") {
     val sp = spark; import sp.implicits._
     // star 0 <-> 1..10: center degree 10, leaves degree 1 -> the dmin=2
