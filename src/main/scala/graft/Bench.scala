@@ -79,8 +79,12 @@ object Bench {
     // q108 1.31s (4 max-merge rounds — the cheapest iterative graph op
     // in the suite, as the register shape predicts).
     // Round-11 closing full bench (RUNS=3 PASSES=2, sf0.1 local[32]):
-    // 231.9s over 210 queries (1.10 s/q), zero failures. The 14
-    // fourth-session additions in-suite: s21 5.85s (build+serve
+    // final record 247.4s over 211 queries (1.17 s/q) with q114 added
+    // (0.71s in-suite), zero failures; the immediately prior 210-query
+    // run measured 231.9s (1.10 s/q) — the ~6% run-to-run spread is the
+    // documented whole-run co-tenancy noise (round-8 note above), not a
+    // query regression. The 14 earlier fourth-session additions
+    // in-suite: s21 5.85s (build+serve
     // contract), t48 3.79s (cross-corpus positioned-gram join — the
     // honest exact-span cost, same family as t23/t25), q111 3.06s
     // (6 Luby rounds), q107 2.85s, d15 1.93s, q109 1.79s, q110 1.77s,
