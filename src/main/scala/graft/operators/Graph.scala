@@ -1807,6 +1807,62 @@ object Graph {
     res
   }
 
+  /** Global and average-local clustering coefficients (Watts–Strogatz
+    * 1998 local; Newman's transitivity global) over an UNDIRECTED edge
+    * list — the third corpus-graph shape diagnostic with
+    * [[powerLawAlpha]] and [[degreeAssortativity]]:
+    *
+    *   C_global = Σ_v t_v / Σ_v d_v(d_v−1)/2   (= 3·triangles/wedges)
+    *   C_local  = mean over d_v ≥ 2 of t_v / (d_v(d_v−1)/2)
+    *
+    * Triangle counts ride the existing degree-oriented wedge join
+    * ([[triangleCounts]] — hub-safe by orientation); degrees and wedge
+    * counts are exact integers, so C_global is ONE IEEE division, and
+    * each local ratio is one IEEE division cast to DECIMAL(28,12)
+    * before the mean (the [[adamicAdar]] discipline). NULLs when no
+    * wedges exist. Output: one row
+    * `(n_nodes, m_edges, triangle_hits, wedges, global_cc, avg_local_cc)`
+    * where triangle_hits = Σ t_v = 3·triangles. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val tri = triangleCounts(und, "a", "b")
+    val per = deg.join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("dg"),
+        coalesce(col("triangles"), lit(0L)).as("t"),
+        // integer div: a double-division wedge count would round past 2^53
+        expr("dg * (dg - 1) div 2").as("w"))
+    val agg = per.agg(count(lit(1)).as("n_nodes"),
+      sum(col("t")).cast(DecimalType(38, 0)).as("tsum"),
+      sum(col("w")).cast(DecimalType(38, 0)).as("wsum"),
+      sum(when(col("w") > 0,
+          (col("t").cast("double") / col("w").cast("double"))
+            .cast(DecimalType(28, 12))))
+        .as("lsum"),
+      sum(when(col("w") > 0, 1L).otherwise(0L)).as("n2"))
+    val m = und.count()
+    val res = agg.select(col("n_nodes"), lit(m).as("m_edges"),
+        col("tsum").cast("long").as("triangle_hits"),
+        col("wsum").cast("long").as("wedges"),
+        when(col("wsum") > 0,
+          round(col("tsum").cast("double") / col("wsum").cast("double"), 6))
+          .as("global_cc"),
+        when(col("n2") > 0,
+          round(col("lsum").cast("double") / col("n2").cast("double"), 6))
+          .as("avg_local_cc"))
+      .localCheckpoint(true)
+    und.unpersist()
+    res
+  }
+
   /** Canonicalized edge frame shared by the HyperBall family. */
   private def hllEdges(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =

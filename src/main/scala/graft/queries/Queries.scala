@@ -3943,6 +3943,62 @@ object Queries {
                 AS DOUBLE), 6) END AS alpha
         FROM tl""")),
 
+    // ---- Clustering coefficients (global transitivity + Watts-
+    //      Strogatz average local) over the co-order parts graph:
+    //      exact triangle/wedge integers, one IEEE division for the
+    //      global ratio, DECIMAL addends for the local mean ----
+    QueryDef(
+      "q115_clustering_coeff",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.clusteringCoefficients(edges, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        o AS (SELECT
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN a ELSE b END AS u,
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN b ELSE a END AS v,
+            CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN db.dg ELSE da.dg END AS dv
+          FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        w AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+              FROM o o1 JOIN o o2 ON o1.u = o2.u
+              WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        tr AS (SELECT x, y, z FROM w WHERE EXISTS
+                (SELECT 1 FROM o WHERE o.u = w.y AND o.v = w.z)),
+        part AS (SELECT x AS node FROM tr
+                 UNION ALL SELECT y FROM tr
+                 UNION ALL SELECT z FROM tr),
+        tc AS (SELECT node, count(*) AS t FROM part GROUP BY node),
+        per AS (SELECT d.node, d.dg, COALESCE(tc.t, 0) AS t,
+                  d.dg * (d.dg - 1) // 2 AS wd
+                FROM deg d LEFT JOIN tc ON d.node = tc.node),
+        mm AS (SELECT count(*) AS m FROM und)
+        SELECT count(*) AS n_nodes, mm.m AS m_edges,
+          CAST(SUM(t) AS BIGINT) AS triangle_hits,
+          CAST(SUM(wd) AS BIGINT) AS wedges,
+          CASE WHEN SUM(wd) > 0 THEN round(CAST(CAST(SUM(t) AS DECIMAL(38,0))
+              AS DOUBLE) / CAST(CAST(SUM(wd) AS DECIMAL(38,0)) AS DOUBLE), 6)
+            END AS global_cc,
+          CASE WHEN SUM(CASE WHEN wd > 0 THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(SUM(CASE WHEN wd > 0 THEN
+                CAST(CAST(t AS DOUBLE) / CAST(wd AS DOUBLE) AS DECIMAL(28,12))
+              END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN wd > 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+            END AS avg_local_cc
+        FROM per CROSS JOIN mm GROUP BY mm.m""")),
+
     // ---- Degree assortativity (Newman 2002): denominators cleared so
     //      the statistic is ONE IEEE division over exact integer sums —
     //      the hubs-link-to-hubs diagnostic paired with q113 ----

@@ -821,6 +821,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m1 > 1.0 && m6 < 14.0)
   }
 
+  test("clusteringCoefficients: triangle, path, and star+chord hand values") {
+    val sp = spark; import sp.implicits._
+    def run(es: Seq[(Long, Long)]) =
+      Graph.clusteringCoefficients(es.toDF("src", "dst"), "src", "dst")
+        .collect().head
+    // K3: every node closes its one wedge -> both coefficients 1
+    val k3 = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert((k3.getLong(0), k3.getLong(1), k3.getLong(2), k3.getLong(3)) ===
+      ((3L, 3L, 3L, 3L)))
+    assert(k3.getDouble(4) === 1.0 && k3.getDouble(5) === 1.0)
+    // path 1-2-3: one open wedge, no triangles -> 0.0 (not NULL)
+    val path = run(Seq((1L, 2L), (2L, 3L)))
+    assert(path.getLong(2) === 0L && path.getLong(3) === 1L)
+    assert(path.getDouble(4) === 0.0 && path.getDouble(5) === 0.0)
+    // star 0-{1,2,3} plus chord 1-2: triangle (0,1,2);
+    // global = 3/5, avg local = (1/3 + 1 + 1)/3
+    val chord = run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)))
+    assert(chord.getLong(2) === 3L && chord.getLong(3) === 5L)
+    assert(chord.getDouble(4) === 0.6)
+    val third = BigDecimal(1.0 / 3.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(chord.getDouble(5) ===
+      BigDecimal((third + 2).toDouble / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // no edges at all: single row, NULL coefficients
+    val empty = Graph.clusteringCoefficients(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(4) && empty.isNullAt(5))
+  }
+
   test("degreeAssortativity: star is exactly -1; regular graphs are NULL") {
     val sp = spark; import sp.implicits._
     // star K(1,8): every edge joins the hub (deg 8) to a leaf (deg 1) —
