@@ -326,6 +326,26 @@ object Dedup {
     spansFromMatches(pairs, k, minLen)
   }
 
+  /** Dedup impact report (t49 — the number every dedup run publishes):
+    * per duplicate cluster, how many members it has, how many chars
+    * the cluster holds, how many the representative keeps, and how many
+    * dedup drops. `clusters` is any `(doc_id, cluster_id)` frame
+    * ([[duplicateClusters]] — cluster_id is the minimum member id,
+    * which IS the kept representative, the d10/d11 convention). Exact
+    * integer sums throughout; one equi-join + one key-partial agg —
+    * report cost is O(clustered docs), not corpus. */
+  def dedupImpact(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame =
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("members"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_chars"))
+          .otherwise(0L)).cast("long").as("chars_kept"))
+      .withColumn("chars_dropped", col("chars_total") - col("chars_kept"))
+
   /** Cross-corpus EXACT contamination spans (t48 — the audit trail
     * behind [[TextAnalysis.contaminationPairs]]'s verdicts): every
     * maximal character span of length ≥ `minLen` shared verbatim

@@ -6401,6 +6401,47 @@ object Queries {
         FROM spans WHERE span_len >= 16
         ORDER BY test_id, train_id, start_test, start_train""")),
 
+    // ---- Dedup impact report: per near-dup cluster, members and the
+    //      exact chars kept by the representative vs dropped — the
+    //      number every dedup run publishes ----
+    QueryDef(
+      "t49_dedup_impact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val pairs = graft.operators.Dedup
+          .minhashCandidates(docs, "doc_id", "text", bucketCap = Int.MaxValue)
+        val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+        graft.operators.Dedup.dedupImpact(docs, "doc_id", "text", clusters)
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        sized AS (SELECT l.doc_id, l.cluster_id, length(d.text) AS n_chars
+                  FROM lbl l JOIN documents d ON l.doc_id = d.doc_id)
+        SELECT cluster_id, count(*) AS members,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+          CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept,
+          CAST(SUM(n_chars) - SUM(CASE WHEN doc_id = cluster_id
+            THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+        FROM sized GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ---- Interpolated Kneser-Ney bigram scoring: absolute discount
     //      D = 0.75 (binary-exact) + continuation-count backoff — the
     //      LM-quality signal add-one smoothing distorts; every

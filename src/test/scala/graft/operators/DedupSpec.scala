@@ -269,6 +269,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("dedupImpact counts representative-kept vs dropped chars exactly") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "bbbbbb"), (5L, "cc"), (9L, "unclustered"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.dedupImpact(docs, "doc_id", "text", clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cluster 1: reps keep doc 1's 4 chars, doc 2's 6 drop
+    assert(out(1L) === ((2L, 10L, 4L, 6L)))
+    // singleton cluster: nothing drops
+    assert(out(5L) === ((1L, 2L, 2L, 0L)))
+    // docs outside every cluster don't appear (they are not dedup work)
+    assert(!out.contains(9L) && out.size === 2)
+  }
+
   test("contaminationSpans locates test-in-train leaks; corpus sides never self-pair") {
     val sp = spark; import sp.implicits._
     // the benchmark item's text appears verbatim inside a train doc;
