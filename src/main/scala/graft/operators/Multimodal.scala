@@ -403,6 +403,51 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_sq", "peak")
   }
 
+  /** PCM16 PEAK NORMALIZATION (m13 — audio-training loudness
+    * alignment): every sample rescales so the asset's peak lands on
+    * `target` — out(i) = (s(i) · target) div peak, pure INTEGER
+    * truncating division so both engines reproduce every sample
+    * bit-for-bit (the [[pcm16Resample]] convention; no float gain
+    * anywhere). Silent assets (peak 0) pass through unscaled rather
+    * than dividing by zero. Map-only, one pass per asset. Output is
+    * the post-normalization stats row per asset
+    * `(media_id, n_samples, old_peak, new_peak, sum_sq)` — the shape
+    * the oracle can replay sample-for-sample. */
+  def pcm16Normalize(ds: Dataset[MediaRecord], target: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(target >= 1 && target <= 32767, "target must be in [1, 32767]")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toInt
+        val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      var sumSq = 0L; var newPeak = 0
+      i = 0
+      while (i < n) {
+        val s = (((decoded(2 * i) & 0xFF) << 8) | (decoded(2 * i + 1) & 0xFF)).toShort.toInt
+        // divide MAGNITUDES: JVM / truncates toward zero while SQL //
+        // floors, and they disagree on negatives — sign · (|s|·t div p)
+        // is the one convention both engines state identically
+        val out =
+          if (peak == 0) s
+          else {
+            val mag = ((math.abs(s).toLong * target) / peak).toInt
+            if (s < 0) -mag else mag
+          }
+        sumSq += out.toLong * out.toLong
+        val a = math.abs(out); if (a > newPeak) newPeak = a
+        i += 1
+      }
+      (rec.media_id, n, peak, newPeak, sumSq)
+    }).toDF("media_id", "n_samples", "old_peak", "new_peak", "sum_sq")
+  }
+
   /** PCM16 LINEAR-INTERPOLATION resampling at an arbitrary rational
     * rate `num/den` (output rate = input rate × num/den) — the
     * fractional-rate complement to [[pcm16Decimate]]'s integer-factor

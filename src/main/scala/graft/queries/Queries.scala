@@ -6830,6 +6830,49 @@ object Queries {
         FROM act GROUP BY media_id, frame_no - rn
         ORDER BY media_id, seg_start""")),
 
+    // ---- PCM peak normalization: every sample rescales by the exact
+    //      integer sign·(|s|·target div peak) convention (toward-zero
+    //      vs floor division disagree on negatives — magnitudes make
+    //      the one convention both engines state identically) ----
+    QueryDef(
+      "m13_pcm_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val b = text.getBytes("US-ASCII")
+              .map(x => (((x & 0xFF) * 2) % 256).toByte)
+            graft.operators.MediaRecord(id, "audio/pcm", b)
+          })
+        graft.operators.Multimodal.pcm16Normalize(media, target = 30000)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, unnest(range(0, n // 2)) AS i, text FROM b),
+        v AS (SELECT doc_id, ns,
+                ((ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 2) % 256) * 256
+                  + ((ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) * 2) % 256) AS v
+              FROM sm),
+        sgn AS (SELECT doc_id, ns,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v),
+        pk AS (SELECT doc_id, max(abs(s)) AS peak FROM sgn GROUP BY doc_id),
+        o AS (SELECT sgn.doc_id, sgn.ns,
+                CASE WHEN pk.peak = 0 THEN s
+                     WHEN s < 0 THEN -((CAST(-s AS BIGINT) * 30000) // pk.peak)
+                     ELSE (CAST(s AS BIGINT) * 30000) // pk.peak END AS o,
+                pk.peak
+              FROM sgn JOIN pk ON sgn.doc_id = pk.doc_id)
+        SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+          CAST(max(peak) AS INTEGER) AS old_peak,
+          CAST(max(abs(o)) AS INTEGER) AS new_peak,
+          CAST(sum(o * o) AS BIGINT) AS sum_sq
+        FROM o GROUP BY doc_id, ns ORDER BY media_id""")),
+
     // ---- Zipf rank-frequency fit over the top-500 terms: least-squares
     //      slope of ln(freq) vs ln(rank) from DECIMAL-exact sums — the
     //      corpus-health diagnostic (prose ≈ −1) ----

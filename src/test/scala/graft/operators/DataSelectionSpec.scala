@@ -264,6 +264,29 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kernel segmentation diverged: ${ker.size} vs ${rel.size} segments")
   }
 
+  test("pcm16Normalize scales by magnitude division; silent assets pass through") {
+    val sp = spark; import sp.implicits._
+    def be(s: Short): Array[Byte] =
+      Array(((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)
+    // samples 100, -50, 25 with target 30000: peak 100 -> gain 300 exact,
+    // except -50 checks the SIGN convention: -(50*30000 div 100) = -15000
+    val ds = sp.createDataset(Seq(
+      MediaRecord(1L, "audio/pcm", Seq[Short](100, -50, 25).flatMap(be).toArray),
+      MediaRecord(2L, "audio/pcm", Seq[Short](0, 0).flatMap(be).toArray)))
+    val rows = Multimodal.pcm16Normalize(ds, target = 30000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    val expSq = 30000L * 30000 + 15000L * 15000 + 7500L * 7500
+    assert(rows(1L) === ((3, 100, 30000, expSq)))
+    // silent asset: peak 0 passes through unscaled, no division by zero
+    assert(rows(2L) === ((2, 0, 0, 0L)))
+    // truncation goes toward zero on BOTH signs: 33 -> 9900, -33 -> -9900
+    val odd = sp.createDataset(Seq(
+      MediaRecord(3L, "audio/pcm", Seq[Short](33, -33, 100).flatMap(be).toArray)))
+    val r3 = Multimodal.pcm16Normalize(odd, target = 30000).collect().head
+    assert(r3.getLong(4) === 30000L * 30000 + 2 * 9900L * 9900)
+  }
+
   test("pcm16FrameFeatures zero-crossings: zeros never cross (strict product < 0)") {
     val sp = spark; import sp.implicits._
     def be(s: Short): Array[Byte] =
