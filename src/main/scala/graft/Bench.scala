@@ -79,11 +79,12 @@ object Bench {
     // q108 1.31s (4 max-merge rounds — the cheapest iterative graph op
     // in the suite, as the register shape predicts).
     // Round-11 closing full bench (RUNS=3 PASSES=2, sf0.1 local[32]):
-    // final record 247.4s over 211 queries (1.17 s/q) with q114 added
-    // (0.71s in-suite), zero failures; the immediately prior 210-query
-    // run measured 231.9s (1.10 s/q) — the ~6% run-to-run spread is the
-    // documented whole-run co-tenancy noise (round-8 note above), not a
-    // query regression. The 14 earlier fourth-session additions
+    // FINAL record 244.5s over 214 queries (1.14 s/q), zero failures —
+    // q115 1.43s, t49 1.13s, m13 0.28s in-suite. The three same-code
+    // full-suite readings this session (231.9s/210, 247.4s/211,
+    // 244.5s/214) bound the whole-run co-tenancy spread at ~6%
+    // (round-8 note above); per-query regressions were separately
+    // adjudicated below. The 14 earlier fourth-session additions
     // in-suite: s21 5.85s (build+serve
     // contract), t48 3.79s (cross-corpus positioned-gram join — the
     // honest exact-span cost, same family as t23/t25), q111 3.06s
