@@ -483,6 +483,139 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  /** Brute clustering-coefficient reference: enumerate triangles and
+    * wedges directly, mirror the operator's decimal-addend local mean. */
+  private def refClustering(edges: Set[(Long, Long)]): Option[(Long, Long, Double, Double)] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    if (und.isEmpty) return None
+    val adj = (und ++ und.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val t = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x)(y) }.toLong
+    }.toMap
+    val w = nodes.map(v => v -> adj(v).size.toLong * (adj(v).size - 1) / 2).toMap
+    val tsum = t.values.sum; val wsum = w.values.sum
+    val global =
+      if (wsum > 0)
+        java.math.BigDecimal.valueOf(tsum.toDouble / wsum.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      else Double.NaN
+    val withW = nodes.filter(w(_) > 0)
+    val local =
+      if (withW.isEmpty) Double.NaN
+      else {
+        val lsum = withW.toSeq.map(v => BigDecimal(t(v).toDouble / w(v).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        java.math.BigDecimal.valueOf(lsum.toDouble / withW.size.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    Some((tsum, wsum, global, local))
+  }
+
+  test("clusteringCoefficients equals the brute triangle/wedge reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, _) =>
+      val clean = es.filter(p => p._1 != p._2)
+      val r = Graph.clusteringCoefficients(es.toDF("src", "dst"), "src", "dst")
+        .collect().head
+      refClustering(es.toSet) match {
+        case None => clean.isEmpty || (r.getLong(2) == 0L)
+        case Some((tsum, wsum, g, l)) =>
+          r.getLong(2) == tsum && r.getLong(3) == wsum &&
+            (if (wsum > 0) r.getDouble(4) == g else r.isNullAt(4)) &&
+            (if (!l.isNaN) r.getDouble(5) == l else r.isNullAt(5))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Exact-rational assortativity reference: r = (4mA − B²)/(2mC − B²)
+    * over BigInt sums, then the operator's double division. */
+  private def refAssortativity(edges: Set[(Long, Long)]): Option[(Long, Option[Double])] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    if (und.isEmpty) return None
+    val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(und.size)
+    val A = und.toSeq.map { case (a, b) => BigInt(deg(a)) * deg(b) }.sum
+    val B = und.toSeq.map { case (a, b) => BigInt(deg(a) + deg(b)) }.sum
+    val C = und.toSeq.map { case (a, b) =>
+      BigInt(deg(a)) * deg(a) + BigInt(deg(b)) * deg(b) }.sum
+    val num = 4 * m * A - B * B
+    val den = 2 * m * C - B * B
+    val r =
+      if (den == 0) None
+      else Some(java.math.BigDecimal
+        .valueOf(num.toDouble / den.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    Some((und.size.toLong, r))
+  }
+
+  test("degreeAssortativity equals the exact-rational reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, _) =>
+      val row = Graph.degreeAssortativity(es.toDF("src", "dst"), "src", "dst")
+        .collect().head
+      refAssortativity(es.toSet) match {
+        case None => row.getLong(0) == 0L && row.isNullAt(1)
+        case Some((m, None)) => row.getLong(0) == m && row.isNullAt(1)
+        case Some((m, Some(r))) => row.getLong(0) == m && row.getDouble(1) == r
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Truncated-BFS harmonic reference mirroring the operator's decimal
+    * 1/d addends. */
+  private def refHarmonic(edges: Set[(Long, Long)], sources: Seq[Long],
+      rounds: Int): Map[Long, Double] = {
+    val e = edges.filter { case (a, b) => a != b }
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val totals = scala.collection.mutable.Map[Long, BigDecimal]()
+    for (s <- sources.distinct) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      for (t <- 1 to rounds) {
+        val nf = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        nf.foreach(v => dist(v) = t)
+        frontier = nf
+      }
+      for ((v, d) <- dist if d > 0)
+        totals(v) = totals.getOrElse(v, BigDecimal(0)) +
+          BigDecimal(1.0 / d.toDouble)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    totals.map { case (v, x) =>
+      v -> java.math.BigDecimal.valueOf(x.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }.toMap
+  }
+
+  test("harmonicCentrality equals the truncated-BFS reference on random graphs") {
+    val sp = spark; import sp.implicits._
+    val gen = for {
+      (es, _) <- genGraph
+      r <- Gen.choose(1, 5)
+      nSrc <- Gen.choose(1, 3)
+      srcs <- Gen.listOfN(nSrc, Gen.choose(0L, 13L))
+    } yield (es, r, srcs)
+    val prop = Prop.forAll(gen) { case (es, r, srcs) =>
+      val got = Graph.harmonicCentrality(es.toDF("src", "dst"), "src", "dst",
+          srcs.toDF("source"), r)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      got == refHarmonic(es.toSet, srcs, r)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** Local Brandes reference, truncated at `rounds` BFS levels, with
     * the operator's exact decimal-addend arithmetic: each dependency
     * addend is one IEEE expression rounded to 12 decimals HALF_UP
