@@ -369,6 +369,33 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pl.length == 1 && pl.head.getLong(0) == 0L && pl.head.isNullAt(2))
     val as = Graph.degreeAssortativity(emptyEdges, "src", "dst").collect()
     assert(as.length == 1 && as.head.getLong(0) == 0L && as.head.isNullAt(1))
+    val cc = Graph.clusteringCoefficients(emptyEdges, "src", "dst").collect()
+    assert(cc.length == 1 && cc.head.getLong(0) == 0L && cc.head.isNullAt(4))
+    // co-occurrence: empty baskets and all-singleton baskets yield no pairs
+    val emptyBaskets = Seq.empty[(Long, Long)].toDF("bk", "it")
+    assert(Analytics.cooccurrenceCosine(emptyBaskets, "bk", "it").count() == 0)
+    val singletons = Seq((1L, 10L), (2L, 20L)).toDF("bk", "it")
+    assert(Analytics.cooccurrenceCosine(singletons, "bk", "it").count() == 0)
+    // robust scores: empty frame stays empty (no phantom stats row)
+    val emptyVals = Seq.empty[(String, Double)].toDF("grp", "x")
+    assert(Analytics.robustScores(emptyVals, "grp", "x").count() == 0)
+    // dedup impact: no clusters -> no report rows
+    val someDocs = Seq((1L, "text")).toDF("doc_id", "text")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(Dedup.dedupImpact(someDocs, "doc_id", "text", noClusters)
+      .count() == 0)
+    // contamination spans: an empty corpus on either side finds nothing
+    assert(Dedup.contaminationSpans(emptyDocs, someDocs, "doc_id", "text",
+      k = 2, minLen = 2).count() == 0)
+    assert(Dedup.contaminationSpans(someDocs, emptyDocs, "doc_id", "text",
+      k = 2, minLen = 2).count() == 0)
+    // PCM normalize: zero assets, and a zero-sample asset
+    val emptyMedia2 = sp.createDataset(Seq.empty[MediaRecord])
+    assert(Multimodal.pcm16Normalize(emptyMedia2, 30000).count() == 0)
+    val noSamples = sp.createDataset(Seq(
+      MediaRecord(1L, "audio/pcm", Array.emptyByteArray)))
+    val z = Multimodal.pcm16Normalize(noSamples, 30000).collect().head
+    assert(z.getInt(1) == 0 && z.getLong(4) == 0L)
     // stored HNSW: an empty corpus has no centroid-divisible id — the
     // write fails LOUDLY (the nswGraph contract) and leaves no layout
     val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
