@@ -200,25 +200,65 @@ object Bench {
           .zipWithIndex.map { case (c, i) => (i.toLong, c) }
         val index = S.ivfSq8Index(e, cents, bounds)
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-cell-idx").toString
-        S.writeCellIndex(index, s"$tmp/index", numFiles = 16)
-        val totalFiles = spark.read.parquet(s"$tmp/index").inputFiles.length
-        def probesFor(q: org.apache.spark.sql.DataFrame): IndexedSeq[Long] =
-          q.select(col("vec_id").cast("long"), col("embedding")).collect()
-            .flatMap { r =>
-              val qv = r.getSeq[Float](1).toArray
-              cents.map { case (cid, ce) => (cid, S.cosineKernel(qv, ce)) }
-                .sortBy { case (cid, cs) => (-cs, cid) }.take(2).map(_._1)
-            }.distinct.toIndexedSeq
-        val one = S.readCellIndex(spark, s"$tmp/index",
-          probesFor(e.filter(col("vec_id") === 1))).inputFiles.length
-        val batch = S.readCellIndex(spark, s"$tmp/index",
-          probesFor(e.filter(col("vec_id") < 10))).inputFiles.length
-        s""","index_files":{"one_query":$one,"batch_10":$batch,"total":$totalFiles,"probes":2}"""
+        try {
+          S.writeCellIndex(index, s"$tmp/index", numFiles = 16)
+          val totalFiles = spark.read.parquet(s"$tmp/index").inputFiles.length
+          def probesFor(q: org.apache.spark.sql.DataFrame): IndexedSeq[Long] =
+            q.select(col("vec_id").cast("long"), col("embedding")).collect()
+              .flatMap { r =>
+                val qv = r.getSeq[Float](1).toArray
+                cents.map { case (cid, ce) => (cid, S.cosineKernel(qv, ce)) }
+                  .sortBy { case (cid, cs) => (-cs, cid) }.take(2).map(_._1)
+              }.distinct.toIndexedSeq
+          val one = S.readCellIndex(spark, s"$tmp/index",
+            probesFor(e.filter(col("vec_id") === 1))).inputFiles.length
+          val batch = S.readCellIndex(spark, s"$tmp/index",
+            probesFor(e.filter(col("vec_id") < 10))).inputFiles.length
+          s""","index_files":{"one_query":$one,"batch_10":$batch,"total":$totalFiles,"probes":2}"""
+        } finally { // don't leak the 16-file index on every bench run
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(tmp))
+        }
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] cell-index files-read failed: ${ex.getMessage}"); ""
       }
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc$filesRead,"sf":"$sfDir"}"""
+    // Scale-trend record for the iterative graph family (the ANN-recall
+    // discipline applied to runtime): the same five queries timed at
+    // sf0.01 next to their sf0.1 suite numbers, so a superlinear
+    // round cost shows up in the round record as a ratio far above the
+    // ~10x data growth, not as a surprise at the next SF. Two attempts,
+    // min, measured after the suite (same harness, swept session).
+    val trendNames = Seq("q102_louvain", "q104_louvain_coarse",
+      "q107_betweenness", "q108_hll_reach", "q110_neighborhood_fn")
+    val smallSf = "/root/testdata/sf0.01"
+    val scaleTrend =
+      if (!new java.io.File(smallSf).isDirectory) ""
+      else {
+        val entries = trendNames.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, smallSf).write.mode("overwrite")
+                      .format("noop").save()
+                    (System.nanoTime() - t0) / 1e9 }
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] trend $name: ${e.getMessage}")
+                -1.0 }
+            }
+            sweep()
+            val small = if (times.contains(-1.0)) -1.0 else times.min
+            best.get(name).map(big =>
+              s""""$name":{"sf001":$small,"suite":$big}""")
+          }
+        }
+        if (entries.isEmpty) ""
+        else s""","scale_trend":${entries.mkString("{", ",", "}")}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc$filesRead$scaleTrend,"sf":"$sfDir"}"""
     // Full JSON both on stdout and in a file, then the headline total on its
     // own LAST line: a tail-truncated capture still recovers the total, and
     // the file recovers everything.

@@ -56,15 +56,24 @@ object Analytics {
     *
     * Exact — bit-identical to `sum(v) OVER (ORDER BY o)` minus the row's
     * own value. Requires `orderCol` to be a unique non-negative integral
-    * key (ties would make "preceding" ambiguous). Appends `outCol`.
+    * key. Appends `outCol`.
+    *
+    * Determinism pin: the within-bucket frame is a RANGE frame over the
+    * bigint order key — "sum of all rows with a STRICTLY SMALLER key" —
+    * not a ROWS frame. For unique keys the two are identical, but RANGE
+    * leaves the physical window NO tie-ordering freedom at all: even if
+    * a caller violates the uniqueness contract, equal keys get equal
+    * (all-strictly-smaller) prefixes on every run, every partitioning,
+    * every engine, instead of an arbitrary-order running sum.
     */
   def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, bucketSize: Long = 1024L): DataFrame = {
     require(bucketSize >= 1, "bucketSize must be positive")
     require(!df.columns.exists(_.startsWith("_graft_ps")),
       "input already has _graft_ps staging columns")
-    val staged = df.withColumn("_graft_ps_b",
-      expr(s"CAST($orderCol AS BIGINT) div $bucketSize"))
+    val staged = df.withColumn("_graft_ps_k",
+        expr(s"CAST($orderCol AS BIGINT)"))
+      .withColumn("_graft_ps_b", expr(s"_graft_ps_k div $bucketSize"))
     val offsets = staged.groupBy(col("_graft_ps_b"))
       .agg(sum(col(valueCol)).as("_graft_ps_tot"))
       .withColumn("_graft_ps_off",
@@ -72,12 +81,14 @@ object Analytics {
           Window.orderBy(col("_graft_ps_b"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_graft_ps_tot")
-    val within = Window.partitionBy(col("_graft_ps_b")).orderBy(col(orderCol))
+    val within = Window.partitionBy(col("_graft_ps_b"))
+      .orderBy(col("_graft_ps_k"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     staged.join(broadcast(offsets), Seq("_graft_ps_b"))
       .withColumn(outCol,
-        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(
-          within.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_graft_ps_b", "_graft_ps_off")
+        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(within),
+          lit(0L)))
+      .drop("_graft_ps_b", "_graft_ps_k", "_graft_ps_off")
   }
 
   /** [[withPrefixSum]] PER GROUP: exact exclusive prefix sum of
@@ -90,14 +101,18 @@ object Analytics {
     * bucket-bounded partitions plus a broadcastable offset frame —
     * the scale shape a per-source cumulative scan needs (a naive
     * `Window.partitionBy(group).orderBy(id)` serializes each group
-    * onto one task). */
+    * onto one task). Same RANGE-frame determinism pin as
+    * [[withPrefixSum]]: the within-bucket prefix is "sum over strictly
+    * smaller order keys", so duplicate keys (a contract violation) still
+    * yield one deterministic answer instead of a run-dependent one. */
   def withPrefixSumBy(df: DataFrame, partitionCol: String, orderCol: String,
       valueCol: String, outCol: String, bucketSize: Long = 1024L): DataFrame = {
     require(bucketSize >= 1, "bucketSize must be positive")
     require(!df.columns.exists(_.startsWith("_graft_ps")),
       "input already has _graft_ps staging columns")
-    val staged = df.withColumn("_graft_ps_b",
-      expr(s"CAST($orderCol AS BIGINT) div $bucketSize"))
+    val staged = df.withColumn("_graft_ps_k",
+        expr(s"CAST($orderCol AS BIGINT)"))
+      .withColumn("_graft_ps_b", expr(s"_graft_ps_k div $bucketSize"))
     val offsets = staged.groupBy(col(partitionCol), col("_graft_ps_b"))
       .agg(sum(col(valueCol)).as("_graft_ps_tot"))
       .withColumn("_graft_ps_off",
@@ -106,12 +121,13 @@ object Analytics {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_graft_ps_tot")
     val within = Window.partitionBy(col(partitionCol), col("_graft_ps_b"))
-      .orderBy(col(orderCol))
+      .orderBy(col("_graft_ps_k"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     staged.join(broadcast(offsets), Seq(partitionCol, "_graft_ps_b"))
       .withColumn(outCol,
-        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(
-          within.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_graft_ps_b", "_graft_ps_off")
+        col("_graft_ps_off") + coalesce(sum(col(valueCol)).over(within),
+          lit(0L)))
+      .drop("_graft_ps_b", "_graft_ps_k", "_graft_ps_off")
   }
 
   /** Latest-wins CDC merge (the MERGE INTO / SCD-1 pattern): apply an

@@ -93,11 +93,15 @@ object Classifier {
       val margins = feats.join(broadcast(w), Seq("bucket"))
         .groupBy(col("doc_id"))
         .agg(sum(col("w").cast(DecimalType(28, 12))).as("_graft_ms"))
+      // errs feeds TWO consumers (bucket gradients + the bias gradient):
+      // left lazy, the margins join + aggregation above would execute
+      // twice per round — materialize the per-doc residuals once
       val errs = labels.join(margins, Seq("doc_id"), "left_outer")
         .withColumn("_graft_m",
           lit(bias) + coalesce(col("_graft_ms").cast(DoubleType), lit(0.0)))
         .select(col("doc_id"),
           (fastSigmoid(col("_graft_m")) - col("y")).as("_graft_err"))
+        .localCheckpoint(true)
       val grads = feats.join(errs, Seq("doc_id"))
         .groupBy(col("bucket"))
         .agg(sum(col("_graft_err").cast(DecimalType(28, 12))).as("_graft_g"))
@@ -112,6 +116,7 @@ object Classifier {
             coalesce(col("_graft_g").cast(DoubleType), lit(0.0)) /
             lit(nDocs.toDouble), 12).as("w"))
         .localCheckpoint(true)
+      errs.unpersist()
       w.unpersist()
       w = next
       i += 1

@@ -1204,19 +1204,36 @@ object Graph {
 
   def louvainMove(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 4): DataFrame = {
+    val canon = louvainCanon(edges, srcCol, dstCol)
+    val res = louvainMoveOnCanon(canon, rounds)
+    canon.unpersist()
+    res
+  }
+
+  /** Canonicalize an edge list for the Louvain family: undirected
+    * (min, max) pairs, nulls and self-loops dropped, deduplicated,
+    * eagerly checkpointed. Shared by [[louvainMove]] and
+    * [[louvainTwoPass]] so the two-pass path pays the corpus-wide
+    * distinct ONCE (it used to run it twice — once inside the phase-1
+    * call and once for coarsening). Caller unpersists. */
+  private[graft] def louvainCanon(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = edges
+    .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+      greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+    .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** [[louvainMove]] over an already-[[louvainCanon]]icalized edge
+    * frame (checkpointed `(a, b)`, a < b, distinct). */
+  private[graft] def louvainMoveOnCanon(canon: DataFrame,
+      rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
     // the edge total is one scalar in every score — a driver literal,
     // not a cross-join; reuses the job that materialized canon
     val m = canon.count()
     val und = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    canon.unpersist()
+      .localCheckpoint(true) // canon stays persisted — the CALLER owns it
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
       .localCheckpoint(true)
     var labels = deg.select(col("node"), col("node").as("lbl"))
@@ -1255,16 +1272,18 @@ object Graph {
     * Shape: the coarse graph is communities², orders of magnitude
     * smaller than the input, so pass 2 costs a fraction of pass 1; the
     * projection is one equi-join against the n-row phase-1 labeling.
+    * The canonicalized edge list is computed ONCE and shared between
+    * phase 1 and coarsening. Callers that already ran [[louvainMove]]
+    * at `rounds1` on the same graph can pass its `(node, label)` output
+    * as `phase1` to skip recomputing it — the result is identical by
+    * construction (both paths are the same deterministic rounds).
     * Output `(node, label)` for every node with an edge. */
   def louvainTwoPass(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds1: Int = 4, rounds2: Int = 4): DataFrame = {
+      rounds1: Int = 4, rounds2: Int = 4,
+      phase1: Option[DataFrame] = None): DataFrame = {
     require(rounds2 >= 1, "need at least one coarse round")
-    val l1 = louvainMove(edges, srcCol, dstCol, rounds1)
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
+    val canon = louvainCanon(edges, srcCol, dstCol)
+    val l1 = phase1.getOrElse(louvainMoveOnCanon(canon, rounds1))
     val ce = canon
       .join(l1.select(col("node").as("a"), col("label").as("ca")), Seq("a"))
       .join(l1.select(col("node").as("b"), col("label").as("cb")), Seq("b"))
@@ -1273,7 +1292,9 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
     val mRow = ce.agg(sum(col("w"))).head()
-    if (mRow.isNullAt(0)) { ce.unpersist(); return l1 } // no edges at all
+    if (mRow.isNullAt(0)) { // no edges at all
+      ce.unpersist(); canon.unpersist(); return l1
+    }
     val m = mRow.getLong(0)
     val inter = ce.filter(col("a") =!= col("b"))
     val und2 = inter
@@ -1310,7 +1331,8 @@ object Graph {
       .select(col("node"), col("lbl").as("label"))
       .localCheckpoint(true)
     lastCkpt.foreach(_.unpersist())
-    und2.unpersist(); deg2.unpersist(); ce.unpersist(); l1.unpersist()
+    und2.unpersist(); deg2.unpersist(); ce.unpersist(); canon.unpersist()
+    if (phase1.isEmpty) l1.unpersist() // a supplied phase-1 is the caller's
     result
   }
 

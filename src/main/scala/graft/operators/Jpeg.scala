@@ -546,6 +546,14 @@ object Jpeg {
             Component(jpeg(o) & 0xFF, h, v, tq)
           }
           require(comps.map(_.id).distinct.length == nf, "duplicate component ids")
+          // T.81 A.2.2: a single-component scan is NON-interleaved (one
+          // 8x8 block per MCU in raster order) regardless of declared
+          // sampling factors; this decoder only implements the
+          // interleaved ordering, so accepting h/v > 1 here would
+          // silently scramble pixels — reject loudly instead.
+          require(nf > 1 || (comps(0).h == 1 && comps(0).v == 1),
+            s"grayscale with ${comps(0).h}x${comps(0).v} sampling " +
+              "unsupported (single-component scans are non-interleaved)")
           hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
           // every component's padded plane, Long math BEFORE allocation
           planeW = new Array[Int](nf); planeH = new Array[Int](nf)
@@ -573,6 +581,9 @@ object Jpeg {
           pos += 4
         case 0xDA => // SOS
           require(comps != null, "SOS before SOF")
+          // a second sequential scan would reset predictors and
+          // re-decode over the same planes — wrong pixels, silently
+          require(!sawScan, "multi-scan JPEG unsupported")
           val len = u16(pos); val end = pos + len
           require(len >= 6 && end <= jpeg.length, "bad SOS length")
           val ns = jpeg(pos + 2) & 0xFF

@@ -1589,13 +1589,62 @@ object Similarity {
   def nswKnnStored(queries: DataFrame, corpus: DataFrame, graphPath: String,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
     val sp = corpus.sparkSession
+    val reader = new StoredGraphReader(sp, graphPath)
+    try nswSearch(queries, corpus, entryNodes, k, beam, rounds,
+      reader.edgesFor) // result is eagerly checkpointed before close
+    finally reader.close()
+  }
+
+  /** Round-to-round reader cache for a stored [[writeCellIndex]] graph
+    * layout: the min/max manifest is collected ONCE (not per expansion
+    * round), and each round reads only the frontier's file span MINUS
+    * files already loaded this descent, serving the accumulated edge
+    * union. Serving a SUPERSET of the frontier's own edges is sound —
+    * [[nswExpand]] inner-joins the supplied edges on the frontier's
+    * node ids, so edges of non-frontier nodes never add a candidate —
+    * and it collapses the naive per-round readCellIndex cost
+    * ((layers × rounds) manifest reads + file listings, round 11's s21
+    * read-amplification finding) into one manifest read plus at most
+    * one read per file per descent. Each file-delta is checkpointed
+    * once; old rows are never re-checkpointed. */
+  private final class StoredGraphReader(sp: SparkSession, path: String) {
     import sp.implicits._
-    nswSearch(queries, corpus, entryNodes, k, beam, rounds, { frontier =>
-      val ids = frontier.select(col("node")).distinct()
-        .as[Long].collect().toIndexedSeq
-      if (ids.isEmpty) readCellIndex(sp, graphPath, Seq(Long.MinValue), "node_id")
-      else readCellIndex(sp, graphPath, ids, "node_id")
-    })
+    private val manifest: Array[(String, Long, Long)] = sp.read
+      .parquet(s"$path/${graft.operators.Layout.ManifestDir}")
+      .select(col("file"), col("min_node_id").cast("long"),
+        col("max_node_id").cast("long"))
+      .collect().collect {
+        case r if !r.isNullAt(1) && !r.isNullAt(2) =>
+          (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    private var loaded = Set.empty[String]
+    private var parts = List.empty[DataFrame]
+    def edgesFor(frontier: DataFrame): DataFrame = {
+      val ids = frontier.select(col("node")).distinct().as[Long].collect()
+      val needed =
+        if (ids.isEmpty) Array.empty[String]
+        else {
+          val sorted = ids.sorted
+          manifest.collect { case (f, lo, hi)
+              if sorted.exists(c => c >= lo && c <= hi) => f }
+        }
+      val fresh = needed.filterNot(loaded)
+      if (fresh.nonEmpty) {
+        loaded ++= fresh
+        parts ::= sp.read.parquet(fresh.toIndexedSeq: _*)
+          .select(col("node_id"), col("nbr_id")).localCheckpoint(true)
+      }
+      if (parts.isEmpty)
+        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("nbr_id",
+              org.apache.spark.sql.types.LongType))))
+      else org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(
+        parts.reduce(_ unionAll _))
+    }
+    def close(): Unit = { parts.foreach(_.unpersist()); parts = Nil }
   }
 
   /** Shared fixed-round beam-search loop: `edgesFor(frontier)` supplies
@@ -1739,13 +1788,15 @@ object Similarity {
   def hnswKnn(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 16, beam: Int = 48, roundsPerLayer: Int = 2,
       baseRounds: Int = 4, levelBase: Int = 4, maxLevel: Int = 2,
-      centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
+      centEvery: Int = 50, maxCents: Int = 65536,
+      entryQuota: Int = 1): DataFrame = {
     require(levelBase >= 2, "levelBase must be at least 2")
     require(maxLevel >= 0, "maxLevel must be non-negative")
     require(roundsPerLayer >= 0, "roundsPerLayer must be non-negative")
     require(baseRounds >= 0, "baseRounds must be non-negative")
     require(k >= 1, "k must be positive")
     require(beam >= 1, "beam must be positive")
+    require(entryQuota >= 1, "entryQuota must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
@@ -1765,9 +1816,16 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(strides(maxLevel))) === 0)
       .select(col("vec_id").as("node_id"))
       .orderBy(col("node_id")).limit(maxCents)
-    val cellMin = asg.groupBy(col("cid"))
-      .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
-    val entryIds = topLayer.union(cellMin).distinct()
+    // entryQuota lowest ids PER CELL (quota 1 = the per-cell minimum):
+    // cells have no inter-cell edges, so per-cell entry COVERAGE is the
+    // recall lever — more seeds per cell means the beam can hold several
+    // plausible in-cell regions instead of one
+    val cellEntries = asg
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("vec_id"))))
+      .filter(col("_rk") <= entryQuota)
+      .select(col("vec_id").as("node_id"))
+    val entryIds = topLayer.union(cellEntries).distinct()
     var visited = nswScoreEntries(qb, corpusVecs, entryIds)
       .localCheckpoint(true)
     for (l <- maxLevel to 0 by -1) {
@@ -1796,10 +1854,12 @@ object Similarity {
     * pass the same `maxLevel` to [[hnswKnnStored]]. */
   def writeHnswIndex(corpus: DataFrame, path: String, numFiles: Int,
       m: Int = 16, levelBase: Int = 4, maxLevel: Int = 2,
-      centEvery: Int = 50, maxCents: Int = 65536): Unit = {
+      centEvery: Int = 50, maxCents: Int = 65536,
+      entryQuota: Int = 1): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
     require(levelBase >= 2, "levelBase must be at least 2")
     require(maxLevel >= 0, "maxLevel must be non-negative")
+    require(entryQuota >= 1, "entryQuota must be positive")
     val sp = corpus.sparkSession
     import sp.implicits._
     val cents = corpus.filter(col("vec_id") % centEvery === 0)
@@ -1824,9 +1884,12 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(strides(maxLevel))) === 0)
       .select(col("vec_id").as("node_id"))
       .orderBy(col("node_id")).limit(maxCents)
-    val cellMin = asg.groupBy(col("cid"))
-      .agg(min(col("vec_id")).as("node_id")).select(col("node_id"))
-    topLayer.union(cellMin).distinct()
+    val cellEntries = asg
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("vec_id"))))
+      .filter(col("_rk") <= entryQuota)
+      .select(col("vec_id").as("node_id"))
+    topLayer.union(cellEntries).distinct()
       .repartition(1).write.mode("overwrite").parquet(s"$path/entries")
     asg.unpersist()
   }
@@ -1859,13 +1922,13 @@ object Similarity {
       .localCheckpoint(true)
     for (l <- maxLevel to 0 by -1) {
       val rounds = if (l == 0) baseRounds else roundsPerLayer
-      visited = nswExpand(qb, corpusVecs, visited, beam, rounds, { frontier =>
-        val ids = frontier.select(col("node")).distinct()
-          .as[Long].collect().toIndexedSeq
-        if (ids.isEmpty)
-          readCellIndex(sp, s"$path/layer-$l", Seq(Long.MinValue), "node_id")
-        else readCellIndex(sp, s"$path/layer-$l", ids, "node_id")
-      })
+      // one manifest read + at-most-once file reads per layer descent
+      // (round-11 s21 finding: the naive per-round readCellIndex paid
+      // (maxLevel+1) × rounds planning+listing cycles)
+      val reader = new StoredGraphReader(sp, s"$path/layer-$l")
+      try visited = nswExpand(qb, corpusVecs, visited, beam, rounds,
+        reader.edgesFor) // per-round states checkpoint eagerly
+      finally reader.close()
     }
     nswRank(visited, k)
   }
@@ -1935,12 +1998,32 @@ object Similarity {
     * matches the rebuilt graph's floor. `cents` must be the FROZEN
     * centroid set the graph was built with (the [[updateIvfSq8Index]]
     * convention — re-deriving centroids from a grown corpus would
-    * silently re-cell the old nodes). */
+    * silently re-cell the old nodes).
+    *
+    * `corpus` must be the FULL GROWN corpus (old vectors + appended
+    * ones), not the appended delta alone: new nodes find their
+    * neighbors in the corpus assignment, so a delta-only corpus would
+    * link new nodes only among themselves and recall would silently
+    * degrade. Guarded by a cheap sampled check — a handful of existing
+    * graph node ids must resolve in the corpus, or this throws. */
   def updateNswGraph(graph: DataFrame, corpus: DataFrame,
       cents: Array[(Long, Array[Float])], m: Int): DataFrame = {
     require(m >= 1, "m must be positive")
     require(cents.nonEmpty, "need at least one centroid")
     val asg = nswAssign(corpus, cents)
+    // loud grown-corpus guard: sample a few graph nodes, require they
+    // resolve in the corpus (a delta-only corpus fails here instead of
+    // silently producing an island of new nodes)
+    val sampleIds = graph.select(col("node_id").cast("long"))
+      .limit(8).collect().map(_.getLong(0)).distinct
+    if (sampleIds.nonEmpty) {
+      val resolved = asg.filter(col("vec_id").isin(sampleIds: _*))
+        .select(col("vec_id")).distinct().count()
+      require(resolved == sampleIds.length,
+        s"updateNswGraph: only $resolved of ${sampleIds.length} sampled " +
+          "graph node ids resolve in `corpus` — pass the full grown " +
+          "corpus (old + appended vectors), not the appended delta")
+    }
     val known = graph.select(col("node_id")).distinct()
     val newAsg = asg.join(known, asg("vec_id") === known("node_id"), "left_anti")
     val w = Window.partitionBy(col("node_id"))

@@ -690,6 +690,162 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
+  /** Unigram-LM (SentencePiece-style) vocabulary training, Kudo 2018
+    * §3.2 in its hard-EM (Viterbi-EM) form, fully relational:
+    *
+    *   1. SEED — every substring of the distinct-word inventory up to
+    *      `maxPieceLen` chars is a candidate piece; all single chars
+    *      are kept unconditionally (segmentation coverage), plus the
+    *      top `vocabMulti` multi-char pieces by corpus frequency
+    *      (weighted by word count; ties to the lexicographically
+    *      smaller piece).
+    *   2. E-STEP — each distinct word gets its max-likelihood
+    *      segmentation by an unrolled forward Viterbi DP over piece
+    *      log-probs, then a backward traversal extracts the pieces
+    *      used. Scores are DECIMAL(28,6) sums of DECIMAL(18,6)
+    *      addends (`round(ln((freq+1)/(T+V)), 6)`, add-one smoothed),
+    *      so DP comparisons and the backward equality test are EXACT
+    *      in any engine — the t37 relational-GD discipline; the only
+    *      float op is the per-piece `ln`, absorbed by round-6 exactly
+    *      as the t11/t15 log-prob operators do. Backward tie-break:
+    *      smallest start position (which determines the piece).
+    *   3. M-STEP / PRUNE — piece frequency becomes its Viterbi use
+    *      count (weighted by word count); multi-char pieces with zero
+    *      count are dropped, single chars always survive.
+    *
+    * `emRounds` E/M iterations, then one final re-normalization.
+    * Output: `(piece, piece_len, freq, logp)` — freq the last
+    * iteration's Viterbi use count, logp the smoothed round-6
+    * log-prob as DOUBLE.
+    *
+    * Scale shape: every frame is keyed on the DISTINCT-WORD inventory
+    * (vocabulary-sized, not corpus-sized — the BPE discipline); all
+    * joins are equi-joins on (word) or (piece); the DP is
+    * `maxWordLen` bounded rounds per EM iteration with per-round
+    * eager checkpoints and flattened stats (the iterative-loop
+    * discipline); driver traffic is one (total, count) scalar pair
+    * per round. Words longer than `maxWordLen` are excluded from
+    * training (the dfCap convention: a documented coverage cap, loud
+    * in the scaladoc rather than a silent wrong answer). */
+  def unigramLmVocab(df: DataFrame, textCol: String, vocabMulti: Int = 64,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      emRounds: Int = 2): DataFrame = {
+    require(vocabMulti >= 0, "vocabMulti must be non-negative")
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    require(maxWordLen >= 1, "maxWordLen must be positive")
+    require(emRounds >= 1, "need at least one EM round")
+    import org.apache.spark.sql.types.DecimalType
+    def flat(d: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val occAll = words
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("start"))
+      .select(col("w"), col("cnt"), col("start"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("plen"))
+      .filter(col("start") + col("plen") <= length(col("w")))
+      .select(col("w"), col("cnt"), col("start"),
+        (col("start") + col("plen")).as("end"),
+        expr("substring(w, start + 1, plen)").as("piece"))
+      .localCheckpoint(true)
+    val f0 = occAll.groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+    // TakeOrdered top-k (q18 discipline) — never a global window
+    var vocab = f0.filter(length(col("piece")) === 1)
+      .unionAll(f0.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece")).limit(vocabMulti))
+      .localCheckpoint(true)
+    var finalTot = 0L; var finalV = 0L
+    for (_ <- 1 to emRounds) {
+      val tv = vocab.agg(coalesce(sum(col("freq")), lit(0L)),
+        count(lit(1))).head()
+      val total = tv.getLong(0); val vsz = tv.getLong(1)
+      finalTot = total; finalV = vsz
+      val scored = vocab.withColumn("logp",
+        round(log((col("freq") + 1).cast("double") /
+          lit((total + vsz).toDouble)), 6).cast(DecimalType(18, 6)))
+      val occ = occAll
+        .join(scored.select(col("piece"), col("logp")), Seq("piece"))
+        .select(col("w"), col("cnt"), col("start"), col("end"),
+          col("piece"), col("logp"))
+        .localCheckpoint(true)
+      // forward Viterbi: byPos(r) = best score reaching char offset r
+      val b0 = words.select(col("w"), lit(0).as("pos"),
+        lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
+      var byPos = IndexedSeq(b0)
+      for (r <- 1 to maxWordLen) {
+        val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
+          .map(flat).reduce(_ unionAll _)
+          .select(col("w").as("pw"), col("pos"), col("score"))
+        val bR = occ.filter(col("end") === r)
+          .join(prev, col("w") === col("pw") && col("start") === col("pos"))
+          .groupBy(col("w"))
+          .agg(max(col("score") + col("logp"))
+            .cast(DecimalType(28, 6)).as("score"))
+          .select(col("w"), lit(r).as("pos"), col("score"))
+          .localCheckpoint(true)
+        byPos = byPos :+ bR
+      }
+      val bestAll = byPos.map(flat).reduce(_ unionAll _)
+      // backward traversal: peel the chosen piece off each word until
+      // pos 0; the DECIMAL equality test is exact, tie-break start asc
+      var state = words
+        .join(bestAll, words("w") === bestAll("w") &&
+          bestAll("pos") === length(words("w")))
+        .select(words("w"), col("cnt"), col("pos"), col("score"))
+        .localCheckpoint(true)
+      var stepCkpts = List.empty[DataFrame]
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sw"))
+        .orderBy(col("start").asc, col("piece").asc)
+      for (_ <- 1 to maxWordLen) {
+        val active = flat(state).filter(col("pos") > 0)
+          .select(col("w").as("sw"), col("cnt").as("scnt"),
+            col("pos").as("spos"), col("score").as("sscore"))
+        val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
+          col("score").as("bscore"))
+        val step = active
+          .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
+          .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
+          .filter(col("bscore") + col("logp") === col("sscore"))
+          .withColumn("_rk", row_number().over(wPick))
+          .filter(col("_rk") === 1)
+          .select(col("sw"), col("scnt"), col("piece"), col("start"),
+            col("bscore"))
+          .localCheckpoint(true)
+        stepCkpts ::= step
+        val prevState = state
+        state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
+          col("start").as("pos"), col("bscore").as("score"))
+        prevState.unpersist()
+      }
+      val counts = stepCkpts
+        .map(s => flat(s).select(col("piece"), col("scnt")))
+        .reduce(_ unionAll _)
+        .groupBy(col("piece")).agg(sum(col("scnt")).as("nfreq"))
+      val prevVocab = vocab
+      vocab = vocab.select(col("piece"))
+        .join(counts, Seq("piece"), "left_outer")
+        .select(col("piece"), coalesce(col("nfreq"), lit(0L)).as("freq"))
+        .filter(length(col("piece")) === 1 || col("freq") > 0)
+        .localCheckpoint(true)
+      stepCkpts.foreach(_.unpersist())
+      byPos.foreach(_.unpersist()); occ.unpersist(); prevVocab.unpersist()
+    }
+    val tv = vocab.agg(coalesce(sum(col("freq")), lit(0L)),
+      count(lit(1))).head()
+    val total = tv.getLong(0); val vsz = tv.getLong(1)
+    val result = vocab.select(col("piece"),
+        length(col("piece")).as("piece_len"), col("freq"),
+        round(log((col("freq") + 1).cast("double") /
+          lit((total + vsz).toDouble)), 6).as("logp"))
+      .localCheckpoint(true)
+    vocab.unpersist(); occAll.unpersist(); words.unpersist()
+    result
+  }
+
   /** Kernel body for [[bpeEncodeCounts]]: segment `word` into
     * single-code-point symbols, apply `merges` IN RANK ORDER — one
     * left-to-right non-overlapping pass over the symbol array per merge,

@@ -412,4 +412,14 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$tmp/ok", 1, beam = 2, roundsPerLayer = 1, baseRounds = 1,
       maxLevel = 1).count() == 0)
   }
+
+  test("round-12 operators on empty input") {
+    // unigram-LM training: no documents -> empty vocabulary, no
+    // division-by-zero from the empty normalizer
+    assert(TextAnalysis.unigramLmVocab(emptyDocs, "text").count() == 0)
+    // all-null / token-free text degrades the same way
+    val sp = spark; import sp.implicits._
+    val blank = Seq((1L, ""), (2L, "!!! ???")).toDF("doc_id", "text")
+    assert(TextAnalysis.unigramLmVocab(blank, "text").count() == 0)
+  }
 }

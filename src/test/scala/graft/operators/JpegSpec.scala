@@ -241,6 +241,43 @@ class JpegSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(e.getMessage.contains("progressive"))
   }
 
+  test("grayscale with sampling factors >1x1 is rejected (non-interleaved scans unimplemented)") {
+    val px = Array.fill[Byte](8 * 8)(7)
+    val ok = Jpeg.encodeGray(8, 8, px)
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < ok.length) {
+      if ((ok(i) & 0xFF) == 0xFF && (ok(i + 1) & 0xFF) == 0xC0) sof = i
+      i += 1
+    }
+    // after the 2-byte marker: len(2) precision(1) h(2) w(2) nf(1)
+    // then per-comp id(1) hv(1) tq(1) — the single component's h|v
+    // byte sits at sof+11
+    val bad = ok.clone()
+    bad(sof + 11) = 0x22.toByte // declare 2x2 sampling
+    val e = intercept[IllegalArgumentException] { Jpeg.decode(bad) }
+    assert(e.getMessage.contains("non-interleaved"))
+  }
+
+  test("a second SOS is rejected loudly (multi-scan sequential unsupported)") {
+    val px = Array.fill[Byte](8 * 8)(7)
+    val ok = Jpeg.encodeGray(8, 8, px, quant = Jpeg.UnitQuant)
+    var sos = -1
+    var i = 2
+    while (sos < 0 && i + 1 < ok.length) {
+      if ((ok(i) & 0xFF) == 0xFF && (ok(i + 1) & 0xFF) == 0xDA) sos = i
+      i += 1
+    }
+    assert(sos > 0 && (ok(ok.length - 2) & 0xFF) == 0xFF &&
+      (ok(ok.length - 1) & 0xFF) == 0xD9)
+    // duplicate [SOS .. entropy data] before the EOI
+    val scan = java.util.Arrays.copyOfRange(ok, sos, ok.length - 2)
+    val multi = java.util.Arrays.copyOf(ok, sos) ++ scan ++ scan ++
+      Array(0xFF.toByte, 0xD9.toByte)
+    val e = intercept[IllegalArgumentException] { Jpeg.decode(multi) }
+    assert(e.getMessage.contains("multi-scan"))
+  }
+
   test("truncation anywhere fails loudly, never hangs") {
     val px = grayPixels(24, 16)
     val ok = Jpeg.encodeGray(24, 16, px)

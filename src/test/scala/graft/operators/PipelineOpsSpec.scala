@@ -65,6 +65,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("prefix sums are tie-deterministic: duplicate order keys get the strictly-smaller-key sum") {
+    val sp = spark; import sp.implicits._
+    // keys with duplicates — a CONTRACT VIOLATION, but the RANGE-frame
+    // pin must still produce one deterministic answer on every
+    // partitioning: cum(k) = sum of v over all rows with key < k
+    val rows = Seq((1L, 10L), (2L, 1L), (2L, 2L), (2L, 4L), (5L, 3L),
+      (5L, 5L), (9L, 7L))
+    val brute: Map[Long, Long] = rows.map(_._1).distinct
+      .map(k => k -> rows.filter(_._1 < k).map(_._2).sum).toMap
+    for (parts <- Seq(1, 3, 8); bs <- Seq(1L, 4L, 1000L)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = Analytics.withPrefixSum(df, "id", "v", "cum", bs)
+        .select($"id", $"v", $"cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got === rows.map { case (k, v) => (k, v, brute(k)) }.sorted,
+        s"parts=$parts bs=$bs")
+      val gotBy = Analytics.withPrefixSumBy(
+          rows.map { case (k, v) => (k, "g", v) }.toDF("id", "src", "v")
+            .repartition(parts), "src", "id", "v", "cum", bs)
+        .select($"id", $"v", $"cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(gotBy === rows.map { case (k, v) => (k, v, brute(k)) }.sorted,
+        s"grouped parts=$parts bs=$bs")
+    }
+  }
+
   // ---- mixtureByTokenBudget ----
 
   test("mixtureByTokenBudget selects the maximal whole-doc prefix per source under quota") {

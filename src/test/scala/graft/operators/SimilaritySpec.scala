@@ -823,6 +823,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       f"appended graph recall $recAppended%.3f fell >0.15 below rebuilt $recRebuilt%.3f")
   }
 
+  test("updateNswGraph rejects a delta-only corpus loudly (grown-corpus contract)") {
+    val e = emb
+    val cents = Similarity.kmeansCodebook(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val part1 = e.filter(col("vec_id") % 2 === 0)
+    val g1 = Similarity.nswGraphOn(part1, cents, 8)
+    // passing only the appended half would link new nodes solely among
+    // themselves — the guard must throw, not silently degrade recall
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.updateNswGraph(g1, e.filter(col("vec_id") % 2 === 1), cents, 8)
+    }
+    assert(ex.getMessage.contains("grown"))
+  }
+
   test("cascadeKnn degrades to exact kNN under full budgets; recall floor holds at tight ones") {
     val sp = spark; import sp.implicits._
     val e = emb

@@ -612,4 +612,109 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._2 == 3L) === 2)
     assert(out.filter(_._1 == "b").map(_._3).min === 0L)
   }
+
+  /** Scala brute-force reference for [[TextAnalysis.unigramLmVocab]]:
+    * same seed / Viterbi-EM / prune rules with BigDecimal DP scores
+    * (exact, like the operator's DECIMAL columns) and the start-asc
+    * backward tie-break. */
+  private def refUnigram(wordsCnt: Map[String, Long], vocabMulti: Int,
+      maxPieceLen: Int, emRounds: Int): Map[String, (Long, Double)] = {
+    import scala.math.BigDecimal.RoundingMode
+    def logp6(f: Long, tv: Long): BigDecimal =
+      BigDecimal.valueOf(math.log((f + 1).toDouble / tv.toDouble))
+        .setScale(6, RoundingMode.HALF_UP)
+    val occ = for {
+      (w, c) <- wordsCnt.toSeq
+      s <- 0 until w.length
+      l <- 1 to maxPieceLen if s + l <= w.length
+    } yield (w.substring(s, s + l), c)
+    val f0 = occ.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    var vocab: Map[String, Long] = f0.filter(_._1.length == 1) ++
+      f0.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, f) => (-f, p) }.take(vocabMulti)
+    for (_ <- 1 to emRounds) {
+      val tv = vocab.values.sum + vocab.size
+      val lp = vocab.map { case (p, f) => p -> logp6(f, tv) }
+      def segment(w: String): Seq[String] = {
+        val L = w.length
+        val best = Array.fill[Option[BigDecimal]](L + 1)(None)
+        best(0) = Some(BigDecimal(0))
+        for (pos <- 1 to L) {
+          var b: Option[BigDecimal] = None
+          for (s <- math.max(0, pos - maxPieceLen) until pos) {
+            val p = w.substring(s, pos)
+            (best(s), lp.get(p)) match {
+              case (Some(bs), Some(l)) =>
+                val cand = bs + l
+                if (b.forall(cand > _)) b = Some(cand)
+              case _ =>
+            }
+          }
+          best(pos) = b
+        }
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var pos = L
+        while (pos > 0) {
+          val s = (math.max(0, pos - maxPieceLen) until pos).find { s =>
+            val p = w.substring(s, pos)
+            best(s).isDefined && lp.contains(p) &&
+              best(s).get + lp(p) == best(pos).get
+          }.get
+          out += w.substring(s, pos)
+          pos = s
+        }
+        out.toSeq
+      }
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- wordsCnt; p <- segment(w)) counts(p) += c
+      vocab = vocab.keysIterator.collect {
+        case p if p.length == 1 => p -> counts(p)
+        case p if counts(p) > 0 => p -> counts(p)
+      }.toMap
+    }
+    val tv = vocab.values.sum + vocab.size
+    vocab.map { case (p, f) => p -> (f, logp6(f, tv).toDouble) }
+  }
+
+  test("unigramLmVocab matches the brute-force Viterbi-EM reference and covers every char") {
+    val sp = spark; import sp.implicits._
+    val texts = Seq(
+      "the cat sat on the mat the cat ran",
+      "banana bandana banana cabana",
+      "running runner run runs running",
+      "aaa aaaa aa aaa abab ababab",
+      "internationalization is a very long word", // >12 chars: excluded
+      "the the the cat cat mat")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wordsCnt = texts.flatMap(_.toLowerCase.split("[^a-z0-9]+"))
+      .filter(w => w.nonEmpty && w.length <= 12)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (em <- Seq(1, 2)) {
+      val expected = refUnigram(wordsCnt, vocabMulti = 16,
+        maxPieceLen = 4, emRounds = em)
+      val got = TextAnalysis.unigramLmVocab(docs, "text", vocabMulti = 16,
+          maxPieceLen = 4, maxWordLen = 12, emRounds = em)
+        .collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet === expected.keySet, s"emRounds=$em vocab diverged")
+      got.foreach { case (p, (plen, f, l)) =>
+        assert(plen === p.length)
+        assert((f, l) === expected(p), s"emRounds=$em piece '$p'")
+      }
+      // every char of every kept word is covered exactly once:
+      // sum(freq x piece_len) == sum(cnt x word_len)
+      val charTotal = wordsCnt.map { case (w, c) => c * w.length }.sum
+      assert(got.map { case (p, (_, f, _)) => f * p.length }.sum === charTotal,
+        s"emRounds=$em char coverage broke")
+    }
+    // deterministic under partitioning
+    val a = TextAnalysis.unigramLmVocab(docs.repartition(1), "text", 16, 4, 12, 2)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val b = TextAnalysis.unigramLmVocab(docs.repartition(8), "text", 16, 4, 12, 2)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(a === b)
+  }
 }

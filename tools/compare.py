@@ -56,8 +56,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
         elif grows != erows:
-            diff = [(a, b) for a, b in zip(grows, erows) if a != b][:3]
-            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows; first diffs: {diff}")
+            # symmetric difference, not zip: one inserted/dropped row would
+            # misalign every subsequent pair and bury the real culprit
+            gset, eset = set(grows), set(erows)
+            only_g = sorted(gset - eset)[:5]
+            only_e = sorted(eset - gset)[:5]
+            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows; "
+                  f"spark-only rows: {only_g}; oracle-only rows: {only_e}")
+            if not only_g and not only_e:
+                # same multiset membership but different multiplicities
+                from collections import Counter
+                cg, ce = Counter(grows), Counter(erows)
+                mult = [(r, cg[r], ce[r]) for r in cg if cg[r] != ce[r]][:5]
+                print(f"     multiplicity diffs (row, spark_n, oracle_n): {mult}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(grows)} rows)")
