@@ -1535,9 +1535,16 @@ object Similarity {
     * visited state is per-query-bounded (entries + beam·m·rounds).
     * Per-round frames ride the statsFlatLeaf discipline like every
     * iterative loop. Queries are bounded by the broadcast contract
-    * ([[MaxBroadcastQueries]], loud). */
+    * ([[MaxBroadcastQueries]], loud).
+    *
+    * Default `beam = 48` is the s20 ef >> k lesson applied to the flat
+    * path (round 12, measured recall@3 vs beam=12: 0.933→1.000 at
+    * sf0.01, 0.633→0.833 at sf0.1, no wall-time cost — the wider beam
+    * keeps one frontier slot per plausible cell instead of flooding
+    * the few best-scoring ones). The s18/s19 oracle queries pin their
+    * own beam explicitly. */
   def nswKnn(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
-      k: Int, beam: Int = 12, rounds: Int = 4, centEvery: Int = 50,
+      k: Int, beam: Int = 48, rounds: Int = 4, centEvery: Int = 50,
       maxCents: Int = 65536): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
@@ -1774,22 +1781,24 @@ object Similarity {
     * Upper layers run `roundsPerLayer` navigation rounds each; the
     * base layer runs `baseRounds` — HNSW's greedy-upper / wide-base
     * split. The default `beam` is HNSW's ef, NOT k: measured at
-    * beam=12 (flat nsw's default) the narrowed frontier expands only
-    * the few best-scoring cells and recall drops to 0.633/0.500
-    * (sf0.01/sf0.1); at ef=48 it measures 1.000/0.767 — above flat
-    * nsw's 0.933/0.633 at the same graph — because the wide beam keeps
-    * one frontier slot per plausible region while the layers keep the
-    * per-round join bounded.
+    * beam=12 (flat nsw's old default) the narrowed frontier expands
+    * only the few best-scoring cells and recall drops to 0.633/0.500
+    * (sf0.01/sf0.1); ef=48 measured 1.000/0.767, and the round-12
+    * defaults (ef=64 + entryQuota=4 — four lowest-id entries per cell
+    * instead of one) measure 1.000/0.933 at the same cost, because
+    * entry COVERAGE seeds several plausible in-cell regions and the
+    * wide beam keeps one frontier slot per region while the layers
+    * keep the per-round join bounded.
     *
     * Scale shape: per-round joins identical to [[nswKnnOn]]; the extra
     * cost is `maxLevel` sparse graph builds off the one assignment scan
     * (layer l's self-join touches corpus/levelBase^l rows); the entry
     * set is ≤ 2·cells rows. */
   def hnswKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 16, beam: Int = 48, roundsPerLayer: Int = 2,
+      m: Int = 16, beam: Int = 64, roundsPerLayer: Int = 2,
       baseRounds: Int = 4, levelBase: Int = 4, maxLevel: Int = 2,
       centEvery: Int = 50, maxCents: Int = 65536,
-      entryQuota: Int = 1): DataFrame = {
+      entryQuota: Int = 4): DataFrame = {
     require(levelBase >= 2, "levelBase must be at least 2")
     require(maxLevel >= 0, "maxLevel must be non-negative")
     require(roundsPerLayer >= 0, "roundsPerLayer must be non-negative")
@@ -1855,7 +1864,7 @@ object Similarity {
   def writeHnswIndex(corpus: DataFrame, path: String, numFiles: Int,
       m: Int = 16, levelBase: Int = 4, maxLevel: Int = 2,
       centEvery: Int = 50, maxCents: Int = 65536,
-      entryQuota: Int = 1): Unit = {
+      entryQuota: Int = 4): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
     require(levelBase >= 2, "levelBase must be at least 2")
     require(maxLevel >= 0, "maxLevel must be non-negative")
@@ -1960,7 +1969,7 @@ object Similarity {
     * therefore the scattered sample UNION one guaranteed member per
     * cell (its min vec_id) — nCells extra rows for full reachability. */
   def nswKnnTrained(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, m: Int = 16, beam: Int = 12, rounds: Int = 4,
+      nCells: Int = 16, m: Int = 16, beam: Int = 48, rounds: Int = 4,
       iters: Int = 5, centEvery: Int = 50, maxCents: Int = 65536): DataFrame = {
     val cb = kmeansCodebook(corpus, "vec_id", "embedding", nCells, iters)
       .zipWithIndex.map { case (c, i) => (i.toLong, c) }

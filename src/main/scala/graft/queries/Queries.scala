@@ -5502,7 +5502,8 @@ object Queries {
         val e = t(s, dir, "embeddings")
         graft.operators.Similarity
           .hnswKnn(e.filter($"vec_id" < 10), e, 3, m = 8, beam = 8,
-            roundsPerLayer = 1, baseRounds = 3, levelBase = 4, maxLevel = 2)
+            roundsPerLayer = 1, baseRounds = 3, levelBase = 4, maxLevel = 2,
+            entryQuota = 1) // oracle replays the per-cell-minimum entry rule
           .orderBy($"query_id", $"rank")
       },
       Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
@@ -5520,7 +5521,7 @@ object Queries {
         val S = graft.operators.Similarity
         val out = sinkDir("hnsw_index")
         S.writeHnswIndex(e, out, numFiles = 8, m = 8, levelBase = 4,
-          maxLevel = 2)
+          maxLevel = 2, entryQuota = 1) // the oracle's entry rule
         S.hnswKnnStored(e.filter($"vec_id" < 10), e, out, 3, beam = 8,
             roundsPerLayer = 1, baseRounds = 3, maxLevel = 2)
           .orderBy($"query_id", $"rank")

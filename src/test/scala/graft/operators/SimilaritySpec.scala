@@ -98,24 +98,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         f"ivf_adc=$ivfAdc%.3f binary=$bin%.3f rp=$rp%.3f " +
         f"nsw=$nsw%.3f nsw_trained=$nswT%.3f hnsw=$hnsw%.3f")
       // HNSW floors sit ABOVE flat nsw's: the descent seeds the base
-      // layer from the whole scored top layer, and the default beam is
-      // ef=48 (HNSW's ef >> k rule — measured: at nsw's beam=12 the
-      // narrowed frontier only expands the few best-scoring cells and
-      // recall drops to 0.633/0.500 on this weakly-clustered data;
-      // ef=48 measures 1.000/0.767 vs flat nsw's 0.933/0.633).
-      assert(hnsw >= (if (sf == "sf0.01") 0.9 else 0.65),
+      // layer from the whole scored top layer. Round-12 defaults
+      // (ef=64, entryQuota=4 — entry COVERAGE is the lever on this
+      // weakly-clustered data) measure 1.000/0.933 on sf0.01/sf0.1,
+      // up from 1.000/0.767 at ef=48 + one entry per cell; floors
+      // move up with the measurements, never down.
+      assert(hnsw >= (if (sf == "sf0.01") 0.95 else 0.85),
         s"hnsw recall@3 regressed: $hnsw")
       // NSW floors: beam search visits entries + beam·2m·rounds of the
       // corpus — a deliberately tiny fraction — so graph ANN's
       // budget-bounded recall sits below the scan-everything compressed
-      // indexes by construction. Measured at defaults (m=16, beam=12,
-      // rounds=4): sampled 0.933/0.633, trained 0.933/0.933 on
-      // sf0.01/sf0.1 — the trained (kmeans-cell) path is the recall
-      // path; the sampled path's 40 sf0.1 cells spread true neighbors
-      // across more cells than the beam explores.
-      assert(nsw >= (if (sf == "sf0.01") 0.85 else 0.55),
+      // indexes by construction. Round-12 default beam=48 (the ef >> k
+      // lesson applied to the flat path) measures sampled 1.000/0.833
+      // on sf0.01/sf0.1, up from 0.933/0.633 at beam=12, at no
+      // wall-time cost.
+      assert(nsw >= (if (sf == "sf0.01") 0.9 else 0.75),
         s"nsw recall@3 regressed: $nsw")
-      assert(nswT >= 0.85, s"nsw_trained recall@3 regressed: $nswT")
+      // trained path at beam=48 measures 1.000/0.967 (round 12)
+      assert(nswT >= 0.9, s"nsw_trained recall@3 regressed: $nswT")
       assert(bin >= 0.6, s"binary-quantization recall@3 regressed: $bin")
       // rp floors are the ISOTROPIC-NOISE worst case (every pairwise
       // cosine ~0, top-k margins O(1/sqrt(d)) — the hardest input any
@@ -738,14 +738,16 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
           (id, best)
         }
       val top = asg.filter(_._1 % 16 == 0).map(_._1)
-      val all = asg.groupBy(_._2).map(_._2.map(_._1).min)
+      // default entryQuota = 4: the four lowest ids per cell
+      val all = asg.groupBy(_._2)
+        .flatMap(_._2.map(_._1).toSeq.sorted.take(4))
       (top ++ all).toSet
     }
     val flat = Similarity.hnswKnn(q, e, 3, m = 6, beam = 4,
       roundsPerLayer = 0, baseRounds = 0, levelBase = 4, maxLevel = 2)
     assert(rows(flat) === rows(Similarity.knnKernel(
         q, e.filter(col("vec_id").isInCollection(entCells)), 3)),
-      "hnsw with no rounds diverged from exact kNN over the entry minima")
+      "hnsw with no rounds diverged from exact kNN over the entry quota set")
     // determinism under repartitioning, layered
     val h1 = Similarity.hnswKnn(q, e, 3, m = 6, beam = 4,
       roundsPerLayer = 2, baseRounds = 3, levelBase = 4, maxLevel = 2)
