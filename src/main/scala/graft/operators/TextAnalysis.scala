@@ -735,22 +735,11 @@ object TextAnalysis {
     require(maxWordLen >= 1, "maxWordLen must be positive")
     require(emRounds >= 1, "need at least one EM round")
     import org.apache.spark.sql.types.DecimalType
-    def flat(d: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
     val words = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val occAll = words
-      .select(col("w"), col("cnt"),
-        explode(sequence(lit(0), length(col("w")) - 1)).as("start"))
-      .select(col("w"), col("cnt"), col("start"),
-        explode(sequence(lit(1), lit(maxPieceLen))).as("plen"))
-      .filter(col("start") + col("plen") <= length(col("w")))
-      .select(col("w"), col("cnt"), col("start"),
-        (col("start") + col("plen")).as("end"),
-        expr("substring(w, start + 1, plen)").as("piece"))
-      .localCheckpoint(true)
+    val occAll = unigramOccAll(words, maxPieceLen).localCheckpoint(true)
     val f0 = occAll.groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
     // TakeOrdered top-k (q18 discipline) — never a global window
     var vocab = f0.filter(length(col("piece")) === 1)
@@ -771,68 +760,15 @@ object TextAnalysis {
         .select(col("w"), col("cnt"), col("start"), col("end"),
           col("piece"), col("logp"))
         .localCheckpoint(true)
-      // forward Viterbi: byPos(r) = best score reaching char offset r
-      val b0 = words.select(col("w"), lit(0).as("pos"),
-        lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
-      var byPos = IndexedSeq(b0)
-      for (r <- 1 to maxWordLen) {
-        val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
-          .map(flat).reduce(_ unionAll _)
-          .select(col("w").as("pw"), col("pos"), col("score"))
-        val bR = occ.filter(col("end") === r)
-          .join(prev, col("w") === col("pw") && col("start") === col("pos"))
-          .groupBy(col("w"))
-          .agg(max(col("score") + col("logp"))
-            .cast(DecimalType(28, 6)).as("score"))
-          .select(col("w"), lit(r).as("pos"), col("score"))
-          .localCheckpoint(true)
-        byPos = byPos :+ bR
-      }
-      val bestAll = byPos.map(flat).reduce(_ unionAll _)
-      // backward traversal: peel the chosen piece off each word until
-      // pos 0; the DECIMAL equality test is exact, tie-break start asc
-      var state = words
-        .join(bestAll, words("w") === bestAll("w") &&
-          bestAll("pos") === length(words("w")))
-        .select(words("w"), col("cnt"), col("pos"), col("score"))
-        .localCheckpoint(true)
-      var stepCkpts = List.empty[DataFrame]
-      val wPick = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("sw"))
-        .orderBy(col("start").asc, col("piece").asc)
-      for (_ <- 1 to maxWordLen) {
-        val active = flat(state).filter(col("pos") > 0)
-          .select(col("w").as("sw"), col("cnt").as("scnt"),
-            col("pos").as("spos"), col("score").as("sscore"))
-        val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
-          col("score").as("bscore"))
-        val step = active
-          .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
-          .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
-          .filter(col("bscore") + col("logp") === col("sscore"))
-          .withColumn("_rk", row_number().over(wPick))
-          .filter(col("_rk") === 1)
-          .select(col("sw"), col("scnt"), col("piece"), col("start"),
-            col("bscore"))
-          .localCheckpoint(true)
-        stepCkpts ::= step
-        val prevState = state
-        state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
-          col("start").as("pos"), col("bscore").as("score"))
-        prevState.unpersist()
-      }
-      val counts = stepCkpts
-        .map(s => flat(s).select(col("piece"), col("scnt")))
-        .reduce(_ unionAll _)
-        .groupBy(col("piece")).agg(sum(col("scnt")).as("nfreq"))
+      val uses = viterbiUses(words, occ, maxPieceLen, maxWordLen)
+      val counts = uses.groupBy(col("piece")).agg(sum(col("cnt")).as("nfreq"))
       val prevVocab = vocab
       vocab = vocab.select(col("piece"))
         .join(counts, Seq("piece"), "left_outer")
         .select(col("piece"), coalesce(col("nfreq"), lit(0L)).as("freq"))
         .filter(length(col("piece")) === 1 || col("freq") > 0)
         .localCheckpoint(true)
-      stepCkpts.foreach(_.unpersist())
-      byPos.foreach(_.unpersist()); occ.unpersist(); prevVocab.unpersist()
+      uses.unpersist(); occ.unpersist(); prevVocab.unpersist()
     }
     val tv = vocab.agg(coalesce(sum(col("freq")), lit(0L)),
       count(lit(1))).head()
@@ -843,6 +779,146 @@ object TextAnalysis {
           lit((total + vsz).toDouble)), 6).as("logp"))
       .localCheckpoint(true)
     vocab.unpersist(); occAll.unpersist(); words.unpersist()
+    result
+  }
+
+  /** All piece occurrences of a `(w, cnt)` distinct-word frame:
+    * `(w, cnt, start, end, piece)` for every substring up to
+    * `maxPieceLen` chars — the candidate/lattice frame both
+    * [[unigramLmVocab]] and [[unigramEncodeCounts]] build on. */
+  private def unigramOccAll(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("start"))
+      .select(col("w"), col("cnt"), col("start"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("plen"))
+      .filter(col("start") + col("plen") <= length(col("w")))
+      .select(col("w"), col("cnt"), col("start"),
+        (col("start") + col("plen")).as("end"),
+        expr("substring(w, start + 1, plen)").as("piece"))
+
+  /** The shared Viterbi E-step: forward DP over the scored occurrence
+    * lattice `occ` (`(w, cnt, start, end, piece, logp)`, logp
+    * DECIMAL(18,6), checkpointed by the caller), then the backward
+    * traversal with the exact-DECIMAL equality test and start-asc
+    * tie-break. Returns a CHECKPOINTED `(w, cnt, piece)` frame with one
+    * row per piece USE in each word's best segmentation (the caller
+    * unpersists). Words whose end position is unreachable under `occ`
+    * (a char missing from the vocabulary) simply emit no rows. */
+  private def viterbiUses(words: DataFrame, occ: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def flat(d: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
+    // forward Viterbi: byPos(r) = best score reaching char offset r
+    val b0 = words.select(col("w"), lit(0).as("pos"),
+      lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
+    var byPos = IndexedSeq(b0)
+    for (r <- 1 to maxWordLen) {
+      val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
+        .map(flat).reduce(_ unionAll _)
+        .select(col("w").as("pw"), col("pos"), col("score"))
+      val bR = occ.filter(col("end") === r)
+        .join(prev, col("w") === col("pw") && col("start") === col("pos"))
+        .groupBy(col("w"))
+        .agg(max(col("score") + col("logp"))
+          .cast(DecimalType(28, 6)).as("score"))
+        .select(col("w"), lit(r).as("pos"), col("score"))
+        .localCheckpoint(true)
+      byPos = byPos :+ bR
+    }
+    val bestAll = byPos.map(flat).reduce(_ unionAll _)
+    // backward traversal: peel the chosen piece off each word until
+    // pos 0; the DECIMAL equality test is exact, tie-break start asc
+    var state = words
+      .join(bestAll, words("w") === bestAll("w") &&
+        bestAll("pos") === length(words("w")))
+      .select(words("w"), col("cnt"), col("pos"), col("score"))
+      .localCheckpoint(true)
+    var stepCkpts = List.empty[DataFrame]
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sw"))
+      .orderBy(col("start").asc, col("piece").asc)
+    for (_ <- 1 to maxWordLen) {
+      val active = flat(state).filter(col("pos") > 0)
+        .select(col("w").as("sw"), col("cnt").as("scnt"),
+          col("pos").as("spos"), col("score").as("sscore"))
+      val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
+        col("score").as("bscore"))
+      val step = active
+        .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
+        .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
+        .filter(col("bscore") + col("logp") === col("sscore"))
+        .withColumn("_rk", row_number().over(wPick))
+        .filter(col("_rk") === 1)
+        .select(col("sw"), col("scnt"), col("piece"), col("start"),
+          col("bscore"))
+        .localCheckpoint(true)
+      stepCkpts ::= step
+      val prevState = state
+      state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
+        col("start").as("pos"), col("bscore").as("score"))
+      prevState.unpersist()
+    }
+    val uses = stepCkpts
+      .map(s => flat(s).select(col("sw").as("w"), col("scnt").as("cnt"),
+        col("piece")))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    stepCkpts.foreach(_.unpersist())
+    byPos.foreach(_.unpersist())
+    uses
+  }
+
+  /** Tokenize documents with a TRAINED unigram-LM vocabulary (the
+    * [[unigramLmVocab]] output, or any `(piece, logp)` frame whose logp
+    * has at most 6 decimals): each distinct word gets its Viterbi
+    * segmentation under the vocabulary's log-probs — the same
+    * DECIMAL-exact DP and tie-break as training, so encode agrees with
+    * the segmentations training counted — and each doc aggregates its
+    * words' piece counts. The t22 BPE-encode analog for the unigram
+    * tokenizer family.
+    *
+    * Fallback contract (documented, loud in schema not in failure):
+    * words longer than `maxWordLen` (excluded from the DP) and words
+    * containing a character absent from the vocabulary (unreachable
+    * lattice) count `length(word)` pieces — the per-char segmentation,
+    * which is exact whenever those chars are in the vocab and the
+    * honest "unk = one piece per char" convention when not.
+    *
+    * Output: `(doc_id, n_words, n_pieces)` for docs with ≥1 token.
+    * Scale shape: the DP runs on the DISTINCT word inventory and joins
+    * back — corpus-sized work is one tokenize + one equi-join. */
+  def unigramEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    require(maxWordLen >= 1, "maxWordLen must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    val docWords = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+    val words = docWords.select(col("word").as("w")).distinct()
+      .filter(length(col("w")) <= maxWordLen)
+      .withColumn("cnt", lit(1L))
+      .localCheckpoint(true)
+    val occ = unigramOccAll(words, maxPieceLen)
+      .join(vocab.select(col("piece"),
+        col("logp").cast(DecimalType(18, 6)).as("logp")), Seq("piece"))
+      .select(col("w"), col("cnt"), col("start"), col("end"),
+        col("piece"), col("logp"))
+      .localCheckpoint(true)
+    val uses = viterbiUses(words, occ, maxPieceLen, maxWordLen)
+    val np = uses.groupBy(col("w")).agg(count(lit(1)).as("np"))
+    val result = docWords
+      .join(np, docWords("word") === np("w"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("np"), length(col("word")).cast("long")).as("np"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .localCheckpoint(true)
+    uses.unpersist(); occ.unpersist(); words.unpersist()
     result
   }
 

@@ -214,6 +214,102 @@ object Queries {
     sb.toString
   }
 
+  /** One unigram-LM Viterbi E-step as CTEs over vocab `v<e>`:
+    * normalizer `t<e>`, scored pieces `sc<e>`, lattice `oc<e>`, the
+    * unrolled forward DP `b<e>_0..b<e>_<maxWordLen>` + `ba<e>`, and the
+    * backward traversal `s<e>_r`/`u<e>_r` (chosen piece per step,
+    * exact-DECIMAL score equality, start-asc tie-break) — the shared
+    * block of the t50 training and t51 encode oracles. */
+  private def unigramEStepCtes(e: Int, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val sb = new StringBuilder(s""",
+      t$e AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT)
+          + CAST(count(*) AS BIGINT) AS tv FROM v$e),
+      sc$e AS MATERIALIZED (SELECT piece,
+          CAST(round(ln(CAST(freq + 1 AS DOUBLE) / CAST(tv AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS logp
+        FROM v$e CROSS JOIN t$e),
+      oc$e AS MATERIALIZED (SELECT o.w, o.cnt, o.st, o.ed, o.piece, s.logp
+        FROM occall o JOIN sc$e s USING (piece)),
+      b${e}_0 AS (SELECT w, 0 AS pos, CAST(0 AS DECIMAL(28,6)) AS score
+        FROM words)""")
+    for (r <- 1 to maxWordLen) {
+      val prev = (math.max(0, r - maxPieceLen) until r)
+        .map(p => s"SELECT * FROM b${e}_$p").mkString(" UNION ALL ")
+      sb.append(s""",
+      b${e}_$r AS MATERIALIZED (SELECT o.w, $r AS pos,
+          CAST(max(p.score + o.logp) AS DECIMAL(28,6)) AS score
+        FROM oc$e o JOIN ($prev) p ON p.w = o.w AND p.pos = o.st
+        WHERE o.ed = $r GROUP BY o.w)""")
+    }
+    sb.append((0 to maxWordLen).map(r => s"SELECT * FROM b${e}_$r")
+      .mkString(s""",
+      ba$e AS MATERIALIZED (""", " UNION ALL ", ")"))
+    sb.append(s""",
+      s${e}_0 AS MATERIALIZED (SELECT wd.w, wd.cnt,
+          CAST(length(wd.w) AS INTEGER) AS pos, b.score
+        FROM words wd JOIN ba$e b
+          ON b.w = wd.w AND b.pos = length(wd.w))""")
+    for (r <- 1 to maxWordLen) {
+      sb.append(s""",
+      u${e}_$r AS MATERIALIZED (SELECT * FROM (
+          SELECT sx.w, sx.cnt, o.piece, o.st AS nst, p.score AS pscore,
+            row_number() OVER (PARTITION BY sx.w
+              ORDER BY o.st, o.piece) AS rk
+          FROM s${e}_${r - 1} sx
+            JOIN oc$e o ON o.w = sx.w AND o.ed = sx.pos
+            JOIN ba$e p ON p.w = sx.w AND p.pos = o.st
+          WHERE sx.pos > 0 AND p.score + o.logp = sx.score)
+        WHERE rk = 1),
+      s${e}_$r AS MATERIALIZED (SELECT w, cnt, CAST(nst AS INTEGER) AS pos,
+          pscore AS score FROM u${e}_$r)""")
+    }
+    sb.toString
+  }
+
+  /** The unigram-LM training prefix as a WITH body: distinct-word
+    * inventory, substring lattice, seed vocab `v1`, then `emRounds`
+    * E-steps + M-steps ending at `v<emRounds + 1>` — shared by the t50
+    * and t51 oracles (t51 appends one more E-step over the final vocab
+    * as its encode pass). */
+  private def unigramCtes(emRounds: Int, vocabMulti: Int,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+          (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           FROM documents)
+        WHERE length(w) <= $maxWordLen GROUP BY w),
+      occall AS MATERIALIZED (
+        SELECT w, cnt, CAST(s AS INTEGER) AS st, CAST(s + l AS INTEGER) AS ed,
+          substr(w, CAST(s + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
+        FROM words,
+          LATERAL (SELECT unnest(range(0, length(w))) AS s),
+          LATERAL (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l)
+        WHERE s + l <= length(w)),
+      f0 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+             FROM occall GROUP BY piece),
+      v1 AS MATERIALIZED (
+        SELECT piece, freq FROM f0 WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, freq FROM
+          (SELECT piece, freq FROM f0 WHERE length(piece) > 1
+           ORDER BY freq DESC, piece LIMIT $vocabMulti))""")
+    for (e <- 1 to emRounds) {
+      sb.append(unigramEStepCtes(e, maxPieceLen, maxWordLen))
+      sb.append((1 to maxWordLen).map(r =>
+        s"SELECT piece, cnt FROM u${e}_$r").mkString(s""",
+      c$e AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM
+        (""", " UNION ALL ", s") GROUP BY piece)"))
+      sb.append(s""",
+      v${e + 1} AS MATERIALIZED (SELECT vv.piece,
+          CAST(coalesce(c.freq, 0) AS BIGINT) AS freq
+        FROM v$e vv LEFT JOIN c$e c USING (piece)
+        WHERE length(vv.piece) = 1 OR coalesce(c.freq, 0) > 0)""")
+    }
+    sb.toString
+  }
+
   /** q102's Louvain phase-1 chain as a WITH body ending at `l<rounds>`:
     * the co-order parts graph, unit weights, EXACT integer modularity
     * scores (2m·k − deg·tot', DECIMAL), parity half-schedule — shared
@@ -7143,92 +7239,48 @@ object Queries {
             maxPieceLen = 4, maxWordLen = 12, emRounds = 2)
           .orderBy($"freq".desc, $"piece")
       },
-      Some {
-        val maxPieceLen = 4; val maxWordLen = 12; val emRounds = 2
-        val vocabMulti = 64
-        val sb = new StringBuilder(
-          s"""WITH words AS MATERIALIZED (
-            SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
-              (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-               FROM documents)
-            WHERE length(w) <= $maxWordLen GROUP BY w),
-          occall AS MATERIALIZED (
-            SELECT w, cnt, CAST(s AS INTEGER) AS st, CAST(s + l AS INTEGER) AS ed,
-              substr(w, CAST(s + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece
-            FROM words,
-              LATERAL (SELECT unnest(range(0, length(w))) AS s),
-              LATERAL (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l)
-            WHERE s + l <= length(w)),
-          f0 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
-                 FROM occall GROUP BY piece),
-          v1 AS MATERIALIZED (
-            SELECT piece, freq FROM f0 WHERE length(piece) = 1
-            UNION ALL
-            SELECT piece, freq FROM
-              (SELECT piece, freq FROM f0 WHERE length(piece) > 1
-               ORDER BY freq DESC, piece LIMIT $vocabMulti))""")
-        for (e <- 1 to emRounds) {
-          sb.append(s""",
-          t$e AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT)
-              + CAST(count(*) AS BIGINT) AS tv FROM v$e),
-          sc$e AS MATERIALIZED (SELECT piece,
-              CAST(round(ln(CAST(freq + 1 AS DOUBLE) / CAST(tv AS DOUBLE)), 6)
-                AS DECIMAL(18,6)) AS logp
-            FROM v$e CROSS JOIN t$e),
-          oc$e AS MATERIALIZED (SELECT o.w, o.cnt, o.st, o.ed, o.piece, s.logp
-            FROM occall o JOIN sc$e s USING (piece)),
-          b${e}_0 AS (SELECT w, 0 AS pos, CAST(0 AS DECIMAL(28,6)) AS score
-            FROM words)""")
-          for (r <- 1 to maxWordLen) {
-            val prev = (math.max(0, r - maxPieceLen) until r)
-              .map(p => s"SELECT * FROM b${e}_$p").mkString(" UNION ALL ")
-            sb.append(s""",
-          b${e}_$r AS MATERIALIZED (SELECT o.w, $r AS pos,
-              CAST(max(p.score + o.logp) AS DECIMAL(28,6)) AS score
-            FROM oc$e o JOIN ($prev) p ON p.w = o.w AND p.pos = o.st
-            WHERE o.ed = $r GROUP BY o.w)""")
-          }
-          sb.append((0 to maxWordLen).map(r => s"SELECT * FROM b${e}_$r")
-            .mkString(s""",
-          ba$e AS MATERIALIZED (""", " UNION ALL ", ")"))
-          sb.append(s""",
-          s${e}_0 AS MATERIALIZED (SELECT wd.w, wd.cnt,
-              CAST(length(wd.w) AS INTEGER) AS pos, b.score
-            FROM words wd JOIN ba$e b
-              ON b.w = wd.w AND b.pos = length(wd.w))""")
-          for (r <- 1 to maxWordLen) {
-            sb.append(s""",
-          u${e}_$r AS MATERIALIZED (SELECT * FROM (
-              SELECT sx.w, sx.cnt, o.piece, o.st AS nst, p.score AS pscore,
-                row_number() OVER (PARTITION BY sx.w
-                  ORDER BY o.st, o.piece) AS rk
-              FROM s${e}_${r - 1} sx
-                JOIN oc$e o ON o.w = sx.w AND o.ed = sx.pos
-                JOIN ba$e p ON p.w = sx.w AND p.pos = o.st
-              WHERE sx.pos > 0 AND p.score + o.logp = sx.score)
-            WHERE rk = 1),
-          s${e}_$r AS MATERIALIZED (SELECT w, cnt, CAST(nst AS INTEGER) AS pos,
-              pscore AS score FROM u${e}_$r)""")
-          }
-          sb.append((1 to maxWordLen).map(r =>
-            s"SELECT piece, cnt FROM u${e}_$r").mkString(s""",
-          c$e AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM
-            (""", " UNION ALL ", s") GROUP BY piece)"))
-          sb.append(s""",
-          v${e + 1} AS MATERIALIZED (SELECT vv.piece,
-              CAST(coalesce(c.freq, 0) AS BIGINT) AS freq
-            FROM v$e vv LEFT JOIN c$e c USING (piece)
-            WHERE length(vv.piece) = 1 OR coalesce(c.freq, 0) > 0)""")
-        }
-        sb.append(s""",
-          tf AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT)
-              + CAST(count(*) AS BIGINT) AS tv FROM v${emRounds + 1})
-          SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, freq,
-            round(ln(CAST(freq + 1 AS DOUBLE) / CAST(tv AS DOUBLE)), 6) AS logp
-          FROM v${emRounds + 1} CROSS JOIN tf
-          ORDER BY freq DESC, piece""")
-        sb.toString
-      })
+      Some(unigramCtes(emRounds = 2, vocabMulti = 64, maxPieceLen = 4,
+          maxWordLen = 12) + s""",
+        tf AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT)
+            + CAST(count(*) AS BIGINT) AS tv FROM v3)
+        SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, freq,
+          round(ln(CAST(freq + 1 AS DOUBLE) / CAST(tv AS DOUBLE)), 6) AS logp
+        FROM v3 CROSS JOIN tf
+        ORDER BY freq DESC, piece""")),
+
+    // ---- Unigram-LM ENCODE (the t22 analog for the unigram family):
+    //      train a 1-EM-round vocab, then tokenize every doc by the
+    //      same DECIMAL-exact Viterbi DP; words over the length cap or
+    //      with out-of-vocab chars count one piece per char. Oracle =
+    //      the t50 training CTEs + one more E-step chain over the
+    //      final vocab as the encode pass ----
+    QueryDef(
+      "t51_unigram_encode",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val vocab = graft.operators.TextAnalysis
+          .unigramLmVocab(docs, "text", vocabMulti = 64, maxPieceLen = 4,
+            maxWordLen = 12, emRounds = 1)
+        graft.operators.TextAnalysis
+          .unigramEncodeCounts(docs, "doc_id", "text",
+            vocab.select($"piece", $"logp"), maxPieceLen = 4,
+            maxWordLen = 12)
+          .orderBy($"doc_id")
+      },
+      Some(unigramCtes(emRounds = 1, vocabMulti = 64, maxPieceLen = 4,
+          maxWordLen = 12) +
+        unigramEStepCtes(e = 2, maxPieceLen = 4, maxWordLen = 12) +
+        (1 to 12).map(r => s"SELECT w, cnt FROM u2_$r").mkString(s""",
+        np2 AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM
+          (""", " UNION ALL ", ") GROUP BY w)") + s""",
+        dw AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(coalesce(np, length(w))) AS BIGINT) AS n_pieces
+        FROM dw LEFT JOIN np2 USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -421,5 +421,18 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val blank = Seq((1L, ""), (2L, "!!! ???")).toDF("doc_id", "text")
     assert(TextAnalysis.unigramLmVocab(blank, "text").count() == 0)
+    // encode: empty docs -> empty; a real vocab over empty docs -> empty;
+    // an EMPTY vocab still encodes via the per-char fallback
+    val vocab = Seq(("a", -1.0), ("b", -2.0)).toDF("piece", "logp")
+    assert(TextAnalysis.unigramEncodeCounts(emptyDocs, "doc_id", "text",
+      vocab).count() == 0)
+    assert(TextAnalysis.unigramEncodeCounts(blank, "doc_id", "text",
+      vocab).count() == 0)
+    val emptyVocab = Seq.empty[(String, Double)].toDF("piece", "logp")
+    val one = TextAnalysis.unigramEncodeCounts(
+      Seq((1L, "ab cd")).toDF("doc_id", "text"), "doc_id", "text",
+      emptyVocab).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 2L &&
+      one.head.getLong(2) == 4L)
   }
 }

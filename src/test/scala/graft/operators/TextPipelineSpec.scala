@@ -613,6 +613,42 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 == "b").map(_._3).min === 0L)
   }
 
+  /** Brute-force Viterbi segmentation under exact BigDecimal log-probs
+    * with the operator's start-asc backward tie-break; empty when the
+    * word end is unreachable (an out-of-vocab char). */
+  private def refSegment(w: String, lp: Map[String, BigDecimal],
+      maxPieceLen: Int): Seq[String] = {
+    val L = w.length
+    val best = Array.fill[Option[BigDecimal]](L + 1)(None)
+    best(0) = Some(BigDecimal(0))
+    for (pos <- 1 to L) {
+      var b: Option[BigDecimal] = None
+      for (s <- math.max(0, pos - maxPieceLen) until pos) {
+        val p = w.substring(s, pos)
+        (best(s), lp.get(p)) match {
+          case (Some(bs), Some(l)) =>
+            val cand = bs + l
+            if (b.forall(cand > _)) b = Some(cand)
+          case _ =>
+        }
+      }
+      best(pos) = b
+    }
+    if (best(L).isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var pos = L
+    while (pos > 0) {
+      val s = (math.max(0, pos - maxPieceLen) until pos).find { s =>
+        val p = w.substring(s, pos)
+        best(s).isDefined && lp.contains(p) &&
+          best(s).get + lp(p) == best(pos).get
+      }.get
+      out += w.substring(s, pos)
+      pos = s
+    }
+    out.toSeq
+  }
+
   /** Scala brute-force reference for [[TextAnalysis.unigramLmVocab]]:
     * same seed / Viterbi-EM / prune rules with BigDecimal DP scores
     * (exact, like the operator's DECIMAL columns) and the start-asc
@@ -635,39 +671,10 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (_ <- 1 to emRounds) {
       val tv = vocab.values.sum + vocab.size
       val lp = vocab.map { case (p, f) => p -> logp6(f, tv) }
-      def segment(w: String): Seq[String] = {
-        val L = w.length
-        val best = Array.fill[Option[BigDecimal]](L + 1)(None)
-        best(0) = Some(BigDecimal(0))
-        for (pos <- 1 to L) {
-          var b: Option[BigDecimal] = None
-          for (s <- math.max(0, pos - maxPieceLen) until pos) {
-            val p = w.substring(s, pos)
-            (best(s), lp.get(p)) match {
-              case (Some(bs), Some(l)) =>
-                val cand = bs + l
-                if (b.forall(cand > _)) b = Some(cand)
-              case _ =>
-            }
-          }
-          best(pos) = b
-        }
-        val out = scala.collection.mutable.ListBuffer[String]()
-        var pos = L
-        while (pos > 0) {
-          val s = (math.max(0, pos - maxPieceLen) until pos).find { s =>
-            val p = w.substring(s, pos)
-            best(s).isDefined && lp.contains(p) &&
-              best(s).get + lp(p) == best(pos).get
-          }.get
-          out += w.substring(s, pos)
-          pos = s
-        }
-        out.toSeq
-      }
       val counts = scala.collection.mutable.Map.empty[String, Long]
         .withDefaultValue(0L)
-      for ((w, c) <- wordsCnt; p <- segment(w)) counts(p) += c
+      for ((w, c) <- wordsCnt; p <- refSegment(w, lp, maxPieceLen))
+        counts(p) += c
       vocab = vocab.keysIterator.collect {
         case p if p.length == 1 => p -> counts(p)
         case p if counts(p) > 0 => p -> counts(p)
@@ -716,5 +723,42 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = TextAnalysis.unigramLmVocab(docs.repartition(8), "text", 16, 4, 12, 2)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
     assert(a === b)
+  }
+
+  test("unigramEncodeCounts tokenizes with the trained vocab; long/unseen words fall back per-char") {
+    val sp = spark; import sp.implicits._
+    val trainTexts = Seq(
+      "the cat sat on the mat the cat ran",
+      "banana bandana banana cabana",
+      "running runner run runs running")
+    val trainDocs = trainTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramLmVocab(trainDocs, "text",
+      vocabMulti = 16, maxPieceLen = 4, maxWordLen = 12, emRounds = 1)
+    val lp = vocab.collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDouble(3))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)).toMap
+    // encode a DIFFERENT corpus: seen words, a word with an unseen
+    // char (z/7 never occur in training), and a >12-char word
+    val encTexts = Seq(
+      (10L, "the cat ran"),
+      (11L, "banana zebra77"),          // zebra77 has unseen chars
+      (12L, "internationalization cat")) // 20 chars: over the DP cap
+    val encDocs = encTexts.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncodeCounts(encDocs, "doc_id", "text",
+        vocab.select(col("piece"), col("logp")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def np(w: String): Long = {
+      val seg = refSegment(w, lp, 4)
+      if (w.length > 12 || seg.isEmpty) w.length.toLong else seg.length.toLong
+    }
+    val expected = encTexts.map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      id -> (ws.length.toLong, ws.map(np).sum)
+    }.toMap
+    assert(got === expected)
+    // sanity on the fallbacks: zebra77 counted 7 (unseen chars),
+    // the 20-char word counted 20
+    assert(np("zebra77") === 7L && np("internationalization") === 20L)
   }
 }
