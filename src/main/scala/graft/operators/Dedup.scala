@@ -116,6 +116,43 @@ object Dedup {
     pairs
   }
 
+  /** Near-duplicate pairs by n-gram CONTAINMENT (overlap coefficient):
+    * `common / min(|a|, |b|) >= tau` — the asymmetric companion to
+    * [[jaccardPairs]]. Jaccard dilutes when sizes differ (a document
+    * quoted whole inside one 10× longer scores J ≈ 0.1 and slips
+    * through any usable τ), while containment scores that pair 1.0 —
+    * the right metric for quote-expansion, boilerplate-wrapping, and
+    * version-extension duplicates in a crawl corpus.
+    *
+    * Same inverted-index equi-join shape, candidate caps, and eager
+    * materialization contract as [[jaccardPairs]]; `maxDf` carries the
+    * identical trade (capped shingles can only LOWER a score). Output
+    * `(id1, id2, containment)` with id1 < id2. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val inv = shinglePostings(df, idCol, textCol).localCheckpoint(true)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val kept =
+      if (maxDf == Int.MaxValue) inv
+      else {
+        val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        inv.join(hot, Seq("s"), "left_anti")
+      }
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+      .withColumn("containment", col("common") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= tau)
+      .select(col("id1"), col("id2"), col("containment"))
+      .localCheckpoint(true)
+    inv.unpersist()
+    pairs
+  }
+
   /** EXACT Jaccard pairs by PREFIX FILTERING (the SSJoin/PPJoin candidate
     * principle, Chaudhuri et al. 2006 / Xiao et al. 2008): identical
     * output to [[jaccardPairs]] (uncapped), but the self-join runs over

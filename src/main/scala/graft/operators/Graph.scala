@@ -978,6 +978,60 @@ object Graph {
     (scored, und, adj)
   }
 
+  /** Common-neighbor JACCARD link prediction over an UNDIRECTED edge
+    * list — [[adamicAdar]]'s normalized companion:
+    *
+    *   J(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    *           = common / (deg(u) + deg(v) − common)
+    *
+    * for every non-adjacent pair sharing ≥ 1 neighbor; `topN` best
+    * pairs win. Unlike Adamic–Adar there is NO transcendental anywhere:
+    * the score is one exact IEEE division of integers, so the oracle is
+    * in lockstep with no rounding at all.
+    *
+    * Scale shape: identical to [[adamicAdar]] — wedge equi-join on the
+    * shared neighbor, `degCap` drops hub CENTERS whole before the
+    * self-join (common counts may then undercount pairs whose only
+    * shared neighbors are hubs — the [[Dedup.jaccardPairs]] maxDf
+    * trade, deliberate and mirrored by the oracle); denominators use
+    * FULL degrees. TakeOrdered topN, never a global sort. */
+  def nodeJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int = 50, degCap: Int = 256): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    require(degCap >= 2, "degCap must be at least 2")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true) // feeds the center cap AND both denominators
+    val adj = und.select(col("a").as("w"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("nb")))
+      .join(deg.filter(col("dg") >= 2 && col("dg") <= degCap)
+        .select(col("node").as("w")), Seq("w"))
+      .localCheckpoint(true)
+    val common = adj.as("x").join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
+      .agg(count(lit(1)).as("common"))
+    val scored = common
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"),
+        (col("common") / (col("du") + col("dv") - col("common"))).as("jac"))
+      .orderBy(col("jac").desc, col("u"), col("v"))
+      .limit(topN)
+    val result = scored.localCheckpoint(true)
+    und.unpersist(); deg.unpersist(); adj.unpersist()
+    result
+  }
+
   /** Single-source shortest paths by synchronous Bellman–Ford over a
     * DIRECTED edge list with non-negative integer weights: `rounds`
     * relaxation rounds of

@@ -922,6 +922,60 @@ object TextAnalysis {
     result
   }
 
+  /** Per-word Viterbi piece-count kernel — the single-record form of
+    * [[viterbiUses]], used by the STREAMING encode twin
+    * ([[graft.streaming.Streams.unigramEncodeScreen]]): same DP over
+    * the same scale-6 BigDecimal log-probs (sums of scale-6 decimals
+    * are exact, so the kernel's comparisons agree bit-for-bit with the
+    * relational DECIMAL columns; the spec pins stream ≡ batch), same
+    * start-asc backward tie-break, same fallback — words over
+    * `maxWordLen` or with an out-of-vocab char count `length` pieces.
+    * The backward walk is count-only (piece identities fall out of the
+    * same path but the screen needs only the count). */
+  private[graft] def unigramNpKernel(w: String,
+      lp: java.util.HashMap[String, java.math.BigDecimal],
+      maxPieceLen: Int, maxWordLen: Int): Long = {
+    val L = w.length
+    if (L == 0) return 0L
+    if (L > maxWordLen) return L.toLong
+    val best = new Array[java.math.BigDecimal](L + 1)
+    best(0) = java.math.BigDecimal.ZERO.setScale(6)
+    var pos = 1
+    while (pos <= L) {
+      var b: java.math.BigDecimal = null
+      var s = math.max(0, pos - maxPieceLen)
+      while (s < pos) {
+        if (best(s) != null) {
+          val p = lp.get(w.substring(s, pos))
+          if (p != null) {
+            val cand = best(s).add(p)
+            if (b == null || cand.compareTo(b) > 0) b = cand
+          }
+        }
+        s += 1
+      }
+      best(pos) = b
+      pos += 1
+    }
+    if (best(L) == null) return L.toLong // out-of-vocab char: per-char
+    var n = 0L
+    pos = L
+    while (pos > 0) {
+      var s = math.max(0, pos - maxPieceLen)
+      var chosen = -1
+      while (chosen < 0 && s < pos) {
+        if (best(s) != null) {
+          val p = lp.get(w.substring(s, pos))
+          if (p != null && best(s).add(p).compareTo(best(pos)) == 0) chosen = s
+        }
+        s += 1
+      }
+      n += 1
+      pos = chosen
+    }
+    n
+  }
+
   /** Kernel body for [[bpeEncodeCounts]]: segment `word` into
     * single-code-point symbols, apply `merges` IN RANK ORDER — one
     * left-to-right non-overlapping pass over the symbol array per merge,

@@ -1568,6 +1568,32 @@ object Queries {
         WHERE common / (s1.n + s2.n - common) >= 0.5
         ORDER BY id1, id2""")),
 
+    // ---- Dedup: asymmetric CONTAINMENT pairs (overlap coefficient
+    //      common/min(|a|,|b|)) — catches a doc quoted whole inside a
+    //      much longer one, which Jaccard dilutes below any usable tau;
+    //      same inverted-index equi-join as d02 ----
+    QueryDef(
+      "d16_containment_pairs",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .containmentPairs(t(s, dir, "documents"), "doc_id", "text", 0.6,
+            maxDf = Int.MaxValue)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        com AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+        siz AS (SELECT doc_id, len(sh) AS n FROM sh)
+        SELECT id1, id2, common / least(s1.n, s2.n) AS containment
+        FROM com JOIN siz s1 ON com.id1 = s1.doc_id JOIN siz s2 ON com.id2 = s2.doc_id
+        WHERE common / least(s1.n, s2.n) >= 0.6
+        ORDER BY id1, id2""")),
+
     // ---- Dedup: EXACT Jaccard pairs by PREFIX FILTERING — same result
     //      as d02 (the oracle below is d02's brute inverted join), but
     //      the self-join runs only over each doc's rarest
@@ -3636,6 +3662,47 @@ object Queries {
                                  WHERE und.a = pr.u AND und.b = pr.v))
         SELECT u, v, score FROM sc
         ORDER BY score DESC, u, v LIMIT 50""")),
+
+    // ---- Common-neighbor Jaccard link prediction over the q93 graph:
+    //      same wedge equi-join + hub degCap, but the score is ONE
+    //      exact integer division — no transcendental, no rounding ----
+    QueryDef(
+      "q116_node_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+          .select($"x.pk".as("src"), $"y.pk".as("dst"))
+        graft.operators.Graph.nodeJaccard(edges, "src", "dst",
+            topN = 50, degCap = 256)
+          .orderBy($"jac".desc, $"u", $"v")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 20 = 0),
+        und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT node, count(*) AS dg FROM
+                  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        adj AS (SELECT w, nb FROM
+                  (SELECT a AS w, b AS nb FROM und
+                   UNION ALL SELECT b AS w, a AS nb FROM und)
+                JOIN deg ON node = w WHERE dg BETWEEN 2 AND 256),
+        com AS (SELECT x.nb AS u, y.nb AS v, count(*) AS common
+               FROM adj x JOIN adj y ON x.w = y.w AND x.nb < y.nb
+               GROUP BY 1, 2),
+        sc AS (SELECT u, v,
+                 common / (du.dg + dv.dg - common) AS jac
+               FROM com JOIN deg du ON du.node = com.u
+                        JOIN deg dv ON dv.node = com.v
+               WHERE NOT EXISTS (SELECT 1 FROM und
+                                 WHERE und.a = com.u AND und.b = com.v))
+        SELECT u, v, jac FROM sc
+        ORDER BY jac DESC, u, v LIMIT 50""")),
 
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice

@@ -256,6 +256,72 @@ object Streams {
     train.filter(keep(col(textCol)))
   }
 
+  /** Ingest-time unigram TOKENIZE screen — the streaming twin of
+    * [[graft.operators.TextAnalysis.unigramEncodeCounts]], completing
+    * the tokenizer family's train → encode → stream progression. The
+    * trained vocabulary is vocabulary-bounded by construction
+    * (singles + vocabMulti pieces), so it is collected once (bounded
+    * LOUDLY like every broadcast here) and each arriving document is
+    * tokenized MAP-ONLY: the per-word Viterbi runs as a per-record
+    * kernel over the broadcast scale-6 BigDecimal log-probs —
+    * arithmetic exact and identical to the batch DECIMAL columns, so
+    * stream ≡ batch bit-for-bit (the spec pins it, fallbacks
+    * included). No state, no watermark, no shuffle before the sink.
+    * Output: `(doc_id, n_words, n_pieces)` per arriving doc with ≥ 1
+    * token. */
+  def unigramEncodeScreen(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1,
+      "maxPieceLen and maxWordLen must be positive")
+    val sp = vocab.sparkSession
+    import sp.implicits._
+    val maxVocab = 1 << 21
+    val rows = vocab
+      .select(col("piece").cast("string"),
+        col("logp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .limit(maxVocab + 1)
+      .as[(String, java.math.BigDecimal)].collect()
+    require(rows.length <= maxVocab,
+      s"unigramEncodeScreen vocab exceeds $maxVocab pieces; the screen " +
+        "broadcasts the vocabulary — use the batch distributed path " +
+        "(TextAnalysis.unigramEncodeCounts) for corpus-sized vocabularies.")
+    val lp = new java.util.HashMap[String, java.math.BigDecimal](rows.length * 2)
+    rows.foreach { case (p, l) => if (p != null && l != null) lp.put(p, l) }
+    val bLp = sp.sparkContext.broadcast(lp)
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val dict = bLp.value
+        it.flatMap { case (id, text) =>
+          val ws = graft.operators.Dedup.Kernel.tokens(text)
+          if (ws.isEmpty) Iterator.empty
+          else {
+            // memoize per record: crawl docs repeat words heavily
+            val memo = new java.util.HashMap[String, java.lang.Long]()
+            var np = 0L
+            var i = 0
+            while (i < ws.length) {
+              val w = ws(i)
+              var n = memo.get(w)
+              if (n == null) {
+                n = java.lang.Long.valueOf(
+                  graft.operators.TextAnalysis.unigramNpKernel(
+                    w, dict, maxPieceLen, maxWordLen))
+                memo.put(w, n)
+              }
+              np += n.longValue()
+              i += 1
+            }
+            Iterator.single((id, ws.length.toLong, np))
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_pieces")
+  }
+
   /** Streaming ANN SERVING over a STORED [[graft.operators.Similarity
     * .writeNswGraph]] layout — the query-stream twin of
     * [[graft.operators.Similarity.nswKnnStored]]: each micro-batch of

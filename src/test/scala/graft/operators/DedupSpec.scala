@@ -167,6 +167,42 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(large == exact)
   }
 
+  test("containmentPairs catches a doc contained in a longer one that Jaccard misses") {
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, quoted),                      // the short original
+      (2L, s"$filler $quoted"),          // quotes doc 1 whole inside 60 pad tokens
+      (3L, "totally unrelated words about completely different topics here")
+    )).toDF("doc_id", "text")
+    // doc 1's shingles are ALL in doc 2 → containment 1.0
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.keySet === Set((1L, 2L)) && cont((1L, 2L)) === 1.0)
+    // Jaccard dilutes the same pair far below any usable tau
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).collect()
+    assert(jac.isEmpty)
+    // brute-force equality on a varied corpus, any tau
+    val varied = spark.createDataFrame((1L to 20L).map { i =>
+      (i, ((0 until 10).map(j => s"w${(i + j) % 13}") :+ s"u$i").mkString(" "))
+    }).toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val tk = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toIndexedSeq
+      (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+    }
+    val texts = varied.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      common = (sa intersect sb).size
+      c = common.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.3
+    } yield (a, b) -> c).toMap
+    val got = Dedup.containmentPairs(varied, "doc_id", "text", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === brute)
+  }
+
   test("df cap bounds the jaccard join; bucket cap bounds the LSH join") {
     val boiler = "the quick brown fox jumps over"
     // 22 docs sharing only boilerplate shingles + one true near-dup pair

@@ -184,6 +184,29 @@ class GraphPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.passed, res.status.toString)
   }
 
+  test("nodeJaccard equals the local brute reference on random graphs (uncapped)") {
+    val sp = spark; import sp.implicits._
+    val prop = Prop.forAll(genGraph) { case (es, _) =>
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = (for {
+        (u, nu) <- nbrs.toSeq
+        (v, nv) <- nbrs.toSeq
+        if u < v && !und((u, v))
+        common = (nu & nv).size
+        if common > 0
+      } yield (u, v) -> common.toDouble / (nu.size + nv.size - common)).toMap
+      val got = Graph.nodeJaccard(es.toDF("src", "dst"),
+          "src", "dst", topN = 10000, degCap = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val genResize = for {
     w <- Gen.choose(1, 12)
     h <- Gen.choose(1, 12)

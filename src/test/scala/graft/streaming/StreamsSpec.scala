@@ -118,6 +118,40 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming unigram encode equals the batch Viterbi encode over sf0.001 docs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val vocab = graft.operators.TextAnalysis
+      .unigramLmVocab(docs, "text", vocabMulti = 32, maxPieceLen = 4,
+        maxWordLen = 12, emRounds = 1)
+      .select($"piece", $"logp")
+    // rows exercising both fallbacks ride along with real docs: a word
+    // with chars unlikely in training, and one over the DP length cap
+    val rows = docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (900001L, "zzzqqq internationalizations ok"),
+      (900002L, "plain words again"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.unigramEncodeScreen(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .writeStream.format("memory").queryName("uscreen").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("uscreen")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.operators.TextAnalysis
+        .unigramEncodeCounts(rows.toDF("doc_id", "text"), "doc_id", "text", vocab)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed === batch, "streamed encode diverged from batch")
+      assert(streamed.nonEmpty && streamed.values.exists(v => v._2 > v._1),
+        "vacuous: no doc with more pieces than words")
+    } finally { q.stop(); () }
+  }
+
   test("decontamination screen bounds the test-side collect by the ANN broadcast contract") {
     val sp = spark
     import sp.implicits._
