@@ -1372,12 +1372,133 @@ object Similarity {
     * Same layout loop as the Hilbert data path (q91): cluster → manifest
     * → pruned read. */
   def writeCellIndex(index: DataFrame, path: String, numFiles: Int,
-      cellCol: String = "cid"): Unit = {
+      cellCol: String = "cid", zoneCols: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
     index.repartitionByRange(numFiles, col(cellCol))
       .sortWithinPartitions(cellCol)
       .write.mode("overwrite").parquet(path)
-    graft.operators.Layout.writeManifest(index.sparkSession, path, Seq(cellCol))
+    // zoneCols add SECONDARY min/max zone maps (columns the layout is
+    // NOT sorted by — e.g. the row id): ranges are wide but still prune
+    // when values cluster per file, which is what makes
+    // [[compactCellIndex]] selective instead of a full rewrite
+    graft.operators.Layout.writeManifest(index.sparkSession, path,
+      cellCol +: zoneCols)
+  }
+
+  /** Sidecar directory holding tombstoned row ids of a
+    * [[writeCellIndex]] layout. */
+  val TombstoneDir = "_graft_tombstones"
+
+  /** Max tombstones a serve/compact call will collect to the driver —
+    * deletes between compactions are batch-bounded by operations, not
+    * corpus-sized; the cap is checked LOUDLY. */
+  val MaxTombstones: Int = 1 << 22
+
+  /** Record row DELETES against a stored [[writeCellIndex]] layout as
+    * an APPEND-ONLY tombstone sidecar — no data file is touched. The
+    * lakehouse delete shape: serving anti-joins the sidecar
+    * ([[readCellTombstoneIds]] callers), [[compactCellIndex]] folds it
+    * into the files and clears it. Idempotent under re-delete
+    * (duplicates are deduplicated at read). */
+  def writeCellTombstones(spark: SparkSession, path: String,
+      ids: Seq[Long], idCol: String = "vec_id"): Unit = {
+    require(ids.nonEmpty, "no ids to tombstone")
+    import spark.implicits._
+    ids.toDF(idCol).write.mode("append")
+      .parquet(s"$path/$TombstoneDir")
+  }
+
+  /** The layout's tombstoned ids (deduplicated), empty when the sidecar
+    * does not exist; loud above [[MaxTombstones]]. */
+  def readCellTombstoneIds(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$path/$TombstoneDir")
+      .select(col(idCol).cast("long")).distinct()
+      .limit(MaxTombstones + 1).as[Long].collect()
+    require(ids.length <= MaxTombstones,
+      s"tombstone sidecar exceeds $MaxTombstones ids — compact the " +
+        "layout (compactCellIndex) before deleting further")
+    ids.toSet
+  }
+
+  /** Fold a layout's tombstones into its data files SELECTIVELY: only
+    * files whose `idCol` zone map ([min, max] recorded at write via
+    * `zoneCols`) can contain a tombstoned id are rewritten in place;
+    * every other file — at scale, almost all of them — is untouched.
+    * Files left empty are removed. Affected manifest rows are
+    * recomputed (bounds of survivors ⊆ old bounds, so readers racing
+    * the compaction still prune correctly); the sidecar is cleared
+    * last. Returns the number of files rewritten. Layouts written
+    * without the `idCol` zone map fall back to treating every file as
+    * affected (correct, not selective). */
+  def compactCellIndex(spark: SparkSession, path: String,
+      cellCol: String = "cid", idCol: String = "vec_id"): Int = {
+    val dels = readCellTombstoneIds(spark, path, idCol)
+    if (dels.isEmpty) return 0
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val manifestPath = s"$path/${graft.operators.Layout.ManifestDir}"
+    val manifest = spark.read.parquet(manifestPath)
+    val hasZone = manifest.columns.contains(s"min_$idCol")
+    val affected: Array[String] =
+      if (!hasZone) manifest.select(col("file")).collect().map(_.getString(0))
+      else manifest
+        .select(col("file"), col(s"min_$idCol").cast("long"),
+          col(s"max_$idCol").cast("long"))
+        .collect()
+        .collect {
+          case r if r.isNullAt(1) || r.isNullAt(2) => r.getString(0)
+          case r if dels.exists(d => d >= r.getLong(1) && d <= r.getLong(2)) =>
+            r.getString(0)
+        }
+    val delSeq = dels.toSeq.sorted
+    var rewritten = 0
+    affected.foreach { f =>
+      val survivors = spark.read.parquet(f)
+        .filter(!col(idCol).isInCollection(delSeq))
+      val tmp = s"$path/.graft-compact-tmp"
+      survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"compaction wrote no parquet part for $f"))
+      val target = new org.apache.hadoop.fs.Path(f)
+      val empty = spark.read.parquet(part.toString).isEmpty
+      fs.delete(target, false)
+      if (!empty) {
+        require(fs.rename(part, target), s"compaction rename failed for $f")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rewritten += 1
+    }
+    if (rewritten > 0) {
+      // recompute manifest rows for the rewritten (or removed) files
+      val keep = manifest.filter(!col("file").isInCollection(
+        affected.toIndexedSeq))
+      val live = affected.filter(f =>
+        fs.exists(new org.apache.hadoop.fs.Path(f)))
+      val cols = manifest.columns.filter(c =>
+        c.startsWith("min_") || c.startsWith("max_")).map { c =>
+        val base = c.stripPrefix("min_").stripPrefix("max_")
+        if (c.startsWith("min_")) min(col(base)).as(c) else max(col(base)).as(c)
+      }
+      val fresh =
+        if (live.isEmpty) None
+        else Some(spark.read.parquet(live.toIndexedSeq: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), cols.toIndexedSeq: _*))
+      val updated = fresh.fold(keep)(fr =>
+        keep.unionByName(fr.select(keep.columns.map(col).toIndexedSeq: _*)))
+        .localCheckpoint(true) // manifest is read back below from its own path
+      updated.coalesce(1).write.mode("overwrite").parquet(manifestPath)
+      updated.unpersist()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir"), true)
+    rewritten
   }
 
   /** Manifest-pruned read of a [[writeCellIndex]] layout for a probe
@@ -1412,7 +1533,11 @@ object Similarity {
     * [[ivfSq8KnnFromIndex]] does, the layout is file-pruned to those
     * cells via the manifest, and the pruned frame feeds the unchanged
     * FromIndex kernel — results byte-identical to scanning the whole
-    * index, I/O proportional to the probed cells' files. */
+    * index, I/O proportional to the probed cells' files. TOMBSTONE
+    * AWARE: ids recorded by [[writeCellTombstones]] are excluded from
+    * the candidate set before scoring, so serving over (layout +
+    * sidecar) equals serving over the compacted layout — deletes take
+    * effect immediately, compaction is pure I/O hygiene. */
   def ivfSq8KnnFromStoredIndex(queries: DataFrame, indexPath: String,
       corpus: DataFrame, k: Int, probes: Int,
       cents: Array[(Long, Array[Float])],
@@ -1423,7 +1548,11 @@ object Similarity {
         .sortBy { case (cid, cs) => (-cs, cid) }.take(probes).map(_._1)
     }.distinct.toIndexedSeq
     val pruned = readCellIndex(sp, indexPath, probedCells)
-    ivfSq8KnnFromIndex(queries, pruned, corpus, k, probes, cents, bounds, candMult)
+    val dels = readCellTombstoneIds(sp, indexPath)
+    val served =
+      if (dels.isEmpty) pruned
+      else pruned.filter(!col("vec_id").isInCollection(dels.toSeq.sorted))
+    ivfSq8KnnFromIndex(queries, served, corpus, k, probes, cents, bounds, candMult)
   }
 
   /** Build a NAVIGABLE-SMALL-WORLD-style neighbor graph over the corpus

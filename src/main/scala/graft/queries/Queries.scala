@@ -5692,6 +5692,81 @@ object Queries {
       Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
         m = 8, levelBase = 4, maxLevel = 2))),
 
+    // ---- Tombstone-aware stored-ANN serving (the lakehouse DELETE
+    //      shape): the s06 IVF-SQ8 index is persisted with writeCellIndex,
+    //      a deterministic id set is deleted via the append-only tombstone
+    //      sidecar, and serving excludes them WITHOUT touching a data
+    //      file — the oracle is s06's composed CTE chain with the deleted
+    //      ids removed from the candidate corpus (bounds and centroid
+    //      assignment stay index-build-time, i.e. full-corpus) ----
+    QueryDef(
+      "s23_knn_delete_serve",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val S = graft.operators.Similarity
+        val cents = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".cast("long"), $"embedding")
+          .orderBy($"vec_id").as[(Long, Array[Float])].collect()
+        val bounds = S.sq8Bounds(e, "embedding")
+        val out = sinkDir("ivf_sq8_del")
+        S.writeCellIndex(S.ivfSq8Index(e, cents, bounds), out,
+          numFiles = 8, zoneCols = Seq("vec_id"))
+        val dels = e.filter($"vec_id" % 7 === 3 && $"vec_id" >= 10)
+          .select($"vec_id".cast("long")).as[Long].collect().sorted
+        S.writeCellTombstones(s, out, dels.toIndexedSeq)
+        val probes = math.max(4,
+          math.ceil(S.IvfAutoProbeFraction * cents.length).toInt)
+        S.ivfSq8KnnFromStoredIndex(e.filter($"vec_id" < 10), out, e, 3,
+            probes, cents, bounds)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+        asg AS (SELECT e.vec_id, cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC, cid) AS rn
+          FROM embeddings e, cent c),
+        corpus_asg AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, cid FROM asg
+                  WHERE rn <= greatest(4, CAST(ceil(0.4 * (SELECT count(*) FROM cent)) AS BIGINT))
+                    AND vec_id < 10),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+            SELECT unnest(embedding::DOUBLE[]) AS x,
+              unnest(range(len(embedding))) AS dim FROM embeddings)
+          GROUP BY dim),
+        cb AS (SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+               FROM st),
+        rec AS (SELECT vec_id, list_transform(range(len(embedding)), i ->
+            CASE WHEN mxl[i+1] - mnl[i+1] = 0 THEN mnl[i+1]
+              ELSE mnl[i+1] + (least(255.0, greatest(0.0,
+                floor((embedding[i+1]::DOUBLE - mnl[i+1])
+                  / (mxl[i+1] - mnl[i+1]) * 256.0))) + 0.5)
+                * (mxl[i+1] - mnl[i+1]) / 256.0 END) AS re
+          FROM embeddings CROSS JOIN cb),
+        approx AS (SELECT p.query_id, ca.vec_id AS neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], r.re), 6) AS acs
+          FROM probe p JOIN corpus_asg ca USING (cid)
+               JOIN rec r ON ca.vec_id = r.vec_id
+               JOIN embeddings q ON p.query_id = q.vec_id
+          WHERE ca.vec_id <> p.query_id
+            AND NOT (ca.vec_id % 7 = 3 AND ca.vec_id >= 10)),
+        cand AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY acs DESC, neighbor_id) AS crank
+          FROM approx),
+        exact AS (SELECT c.query_id, c.neighbor_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+              n.embedding::DOUBLE[]), 6) AS cs
+          FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+                      JOIN embeddings n ON c.neighbor_id = n.vec_id
+          WHERE c.crank <= 12),
+        ranked AS (SELECT query_id, neighbor_id, cs,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, neighbor_id) AS rank
+          FROM exact)
+        SELECT query_id, rank, neighbor_id, cs FROM ranked
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ---- Trainable quality classifier: fastText-style hashed
     //      bag-of-words linear model ("is this doc target-language?"),
     //      trained by 3 full-batch GD rounds with the RATIONAL sigmoid

@@ -324,6 +324,84 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "file-pruned stored index diverged from the full-index path")
   }
 
+  test("tombstone deletes serve immediately; compaction rewrites only the affected files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cell-del").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val bounds = Similarity.sq8Bounds(e, "embedding")
+    val cents = Similarity.kmeansCodebook(e, "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val index = Similarity.ivfSq8Index(e, cents, bounds)
+    val path = s"$tmp/index"
+    Similarity.writeCellIndex(index, path, numFiles = 4,
+      zoneCols = Seq("vec_id"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = rows(Similarity.ivfSq8KnnFromStoredIndex(
+      q, path, e, 3, 2, cents, bounds))
+    // delete the current top-1 neighbors of the queries: serving MUST
+    // change, and equals the in-memory path over the index minus them
+    val dels = before.filter(_._2 == 1).map(_._3).toSeq.distinct.sorted
+    assert(dels.nonEmpty)
+    Similarity.writeCellTombstones(spark, path, dels)
+    val served = rows(Similarity.ivfSq8KnnFromStoredIndex(
+      q, path, e, 3, 2, cents, bounds))
+    val expect = rows(Similarity.ivfSq8KnnFromIndex(q,
+      index.filter(!col("vec_id").isInCollection(dels)), e, 3, 2,
+      cents, bounds))
+    assert(served === expect, "tombstoned serving diverged from index-minus-deletes")
+    assert(served !== before, "deletes had no effect — vacuous")
+    assert(served.forall(r => !dels.contains(r._3)), "a deleted id was served")
+    // selective compaction: only files whose vec_id zone map intersects
+    // the deleted ids are rewritten; untouched files keep their bytes
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileSizes: Map[String, Long] = spark.read.parquet(path).inputFiles
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        f -> fs.getFileStatus(p).getLen
+      }.toMap
+    val sizesBefore = fileSizes
+    val manifest = spark.read.parquet(
+      s"$path/${graft.operators.Layout.ManifestDir}")
+    val affectedExpected = manifest
+      .select(col("file"), col("min_vec_id").cast("long"),
+        col("max_vec_id").cast("long"))
+      .collect()
+      .filter(r => dels.exists(d => d >= r.getLong(1) && d <= r.getLong(2)))
+      .map(_.getString(0)).toSet
+    val rewritten = Similarity.compactCellIndex(spark, path)
+    assert(rewritten === affectedExpected.size,
+      s"rewrote $rewritten files, zone maps said ${affectedExpected.size}")
+    assert(rewritten < sizesBefore.size || affectedExpected.size == sizesBefore.size,
+      "compaction was not selective")
+    val sizesAfter = fileSizes
+    sizesBefore.filterNot { case (f, _) => affectedExpected(f) }
+      .foreach { case (f, len) =>
+        assert(sizesAfter.get(f).contains(len), s"untouched file $f changed")
+      }
+    // tombstones cleared; post-compaction serving identical; no deleted
+    // id remains anywhere in the layout
+    assert(Similarity.readCellTombstoneIds(spark, path).isEmpty)
+    assert(rows(Similarity.ivfSq8KnnFromStoredIndex(
+      q, path, e, 3, 2, cents, bounds)) === served,
+      "compaction changed the served answer")
+    assert(spark.read.parquet(path)
+      .filter(col("vec_id").isInCollection(dels)).count() === 0)
+    // manifest stats stay exact for the rewritten files: a pruned read
+    // over any probe set still equals full scan + filter
+    val someCells = cents.map(_._1).take(3).toIndexedSeq
+    def idxRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idxRows(Similarity.readCellIndex(spark, path, someCells)
+        .select(col("vec_id"), col("cid"))) ===
+      idxRows(spark.read.parquet(path)
+        .filter(col("cid").isInCollection(someCells))
+        .select(col("vec_id"), col("cid"))))
+    // compacting with no tombstones is a no-op
+    assert(Similarity.compactCellIndex(spark, path) === 0)
+  }
+
   test("updateIvfSq8Index appends only absent vectors; two appends equal a full rebuild") {
     val e = emb
     val bounds = Similarity.sq8Bounds(e, "embedding")
