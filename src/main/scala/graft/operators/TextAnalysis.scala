@@ -690,6 +690,160 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
+  /** WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's trainer): structurally [[bpeMerges]] — vocab-table
+    * rounds, one argmax, one map-only rewrite — but the merge choice
+    * maximizes the LIKELIHOOD score `count(l,r) / (count(l)·count(r))`
+    * instead of raw pair frequency, preferring pairs that co-occur far
+    * more than their parts' popularity predicts (the "ing" merge beats
+    * the "e t" merge even when the latter is more frequent). Completes
+    * the trained-tokenizer triad next to BPE ([[bpeMerges]]) and
+    * unigram-LM ([[unigramVocab]]).
+    *
+    * Determinism cross-engine: the score is the fixed IEEE expression
+    * `double(pc) / (double(cl) · double(cr))` over exact integer
+    * statistics — identical inputs give bit-identical doubles in any
+    * IEEE-754 engine (the [[knBigramScores]] discipline), so the argmax
+    * ordering `(score desc, l, r)` replays exactly; the emitted score
+    * is round-6 for display only, never used for ordering. Symbol
+    * counts are per-round occurrence totals over the vocab (count ×
+    * occurrences in the word's segmentation), recomputed each round
+    * from the segmentations like the pair counts.
+    *
+    * Pieces here are prefix-agnostic: the "##" continuation marker of
+    * the BERT surface form is an ENCODING convention (see
+    * [[wordpieceEncodeCounts]]), not a training statistic — HF's
+    * trainer strips it before counting pairs the same way.
+    *
+    * Scale shape = [[bpeMerges]]: corpus collapses to the (word, cnt)
+    * vocab once, each round is two hash aggs over vocab rows (pairs +
+    * symbols), two broadcast-sized equi-joins onto the pair counts, a
+    * 1-row collect, and a map-only rewrite; `maxVocab` caps the
+    * working set by (cnt desc, word). Output one row per merge:
+    * `(rank, lhs, rhs, cnt, score)`. */
+  def wordpieceMerges(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    require(maxVocab >= 1, "maxVocab must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val initSeg = concat_ws("  ",
+      transform(sequence(lit(1), length(col("word"))),
+        i => substring(col("word"), i, lit(1))))
+    val counted = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val capped =
+      if (maxVocab == Int.MaxValue) counted
+      else counted.orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+    var vocab = capped
+      .select(col("cnt"), initSeg.as("seg"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val syms = split(col("seg"), "  ")
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val symCounts = vocab
+        .select(col("cnt"), explode(syms).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+      val top = vocab
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .join(symCounts.select(col("s").as("l"), col("sc").as("cl")), Seq("l"))
+        .join(symCounts.select(col("s").as("r"), col("sc").as("cr")), Seq("r"))
+        .select(col("l"), col("r"), col("pc"),
+          (col("pc").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc, sc) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2), top.head.getDouble(3))
+        merges += ((rank, l, r, pc, sc))
+        val next = vocab.select(col("cnt"),
+          trim(replace(concat(lit(" "), col("seg"), lit(" ")),
+            lit(s" $l  $r "), lit(s" $l$r "))).as("seg"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt", "raw_score")
+      .select(col("rank"), col("lhs"), col("rhs"), col("cnt"),
+        round(col("raw_score"), 6).as("score"))
+  }
+
+  /** Greedy longest-match-first subword count per word against a piece
+    * inventory — the per-partition kernel behind
+    * [[wordpieceEncodeCounts]]. Returns -1 when some position has no
+    * matching piece (the word becomes ONE `[UNK]` token, HF WordPiece
+    * semantics). Pieces are prefix-agnostic (see [[wordpieceMerges]]). */
+  private[operators] def wordpieceTokenCount(word: String,
+      pieces: Set[String], maxLen: Int): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < word.length) {
+      var len = math.min(maxLen, word.length - pos)
+      var hit = 0
+      while (hit == 0 && len >= 1) {
+        if (pieces.contains(word.substring(pos, pos + len))) hit = len
+        else len -= 1
+      }
+      if (hit == 0) return -1 // whole word -> [UNK]
+      pos += hit
+      n += 1
+    }
+    n
+  }
+
+  /** Apply a trained WordPiece inventory (alphabet ∪ merged pieces from
+    * [[wordpieceMerges]]) and count subword tokens per document —
+    * greedy longest-match-first, the WordPiece ENCODER (vs BPE's
+    * rank-ordered merge replay: same vocabulary-table shape, different
+    * decode rule). A word with any position no piece covers counts as
+    * ONE `[UNK]` token (HF WordPiece: unknown chars sink the whole
+    * word). Encoding runs on the DISTINCT word set and joins back, the
+    * [[bpeEncodeCounts]] cost shape: vocab-sized kernel + one
+    * equi-join, regardless of word repetition. Output
+    * `(doc_id, n_words, n_wp_tokens, n_unk_words)`. */
+  def wordpieceEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[String]): DataFrame = {
+    require(pieces.nonEmpty, "empty piece inventory")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val pieceSet = pieces.toSet
+    val maxLen = pieces.iterator.map(_.length).max
+    val words = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+    val bc = sp.sparkContext.broadcast((pieceSet, maxLen))
+    val vocabCounts = words.select(col("word")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val (ps, ml) = bc.value
+        it.map { w =>
+          val n = wordpieceTokenCount(w, ps, ml)
+          (w, if (n < 0) 1 else n, if (n < 0) 1 else 0)
+        }
+      }
+      .toDF("word", "n_sub", "unk")
+    words.join(vocabCounts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_wp_tokens"),
+        sum(col("unk")).as("n_unk_words"))
+  }
+
   /** Unigram-LM (SentencePiece-style) vocabulary training, Kudo 2018
     * §3.2 in its hard-EM (Viterbi-EM) form, fully relational:
     *

@@ -761,4 +761,53 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 20-char word counted 20
     assert(np("zebra77") === 7L && np("internationalization") === 20L)
   }
+
+  test("wordpieceMerges picks the likelihood argmax, not the raw-frequency one") {
+    val sp = spark; import sp.implicits._
+    // xy x5, qz x2. Pair counts: (x,y)=5, (q,z)=2 — BPE would merge
+    // (x,y) first. Scores: (x,y) 5/(5*5)=0.2, (q,z) 2/(2*2)=0.5 —
+    // WordPiece merges (q,z) first.
+    val docs = Seq((1L, "xy xy xy xy xy"), (2L, "qz qz")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceMerges(docs, "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((1, "q", "z", 2L, 0.5), (2, "x", "y", 5L, 0.2)),
+      s"merge order mismatch: ${got.toSeq}")
+    // and BPE on the same corpus indeed starts with the frequency argmax
+    val bpe = TextAnalysis.bpeMerges(docs, "text", nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(bpe.head === ("x", "y"))
+    // deterministic under repartitioning (IEEE score over exact ints)
+    val again = TextAnalysis.wordpieceMerges(docs.repartition(7), "text", 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("wordpiece greedy kernel: longest-match-first, UNK on uncovered positions") {
+    val pieces = Set("un", "aff", "able", "u", "n", "a", "f", "b", "l", "e")
+    // greedy: un | aff | able
+    assert(TextAnalysis.wordpieceTokenCount("unaffable", pieces, 4) === 3)
+    // longest-first beats left-to-right shortest: abc -> ab|c not a|bc
+    assert(TextAnalysis.wordpieceTokenCount("abcd",
+      Set("a", "ab", "abc", "d", "c", "b"), 3) === 2) // abc|d
+    // uncovered char anywhere sinks the word to UNK (-1)
+    assert(TextAnalysis.wordpieceTokenCount("az", Set("a"), 1) === -1)
+    assert(TextAnalysis.wordpieceTokenCount("", Set("a"), 1) === 0)
+  }
+
+  test("wordpieceEncodeCounts: trained pieces shrink token counts; UNK words count 1") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "unaffable unaffable"), (2L, "zzz unaffable")).toDF("doc_id", "text")
+    val pieces = Seq("un", "aff", "able", "u", "n", "a", "f", "b", "l", "e")
+    val got = TextAnalysis.wordpieceEncodeCounts(docs, "doc_id", "text", pieces)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc1: 2 words x 3 pieces; doc2: zzz is UNK (1 token, 1 unk word) + 3
+    assert(got === Set((1L, 2L, 6L, 0L), (2L, 2L, 4L, 1L)), s"got $got")
+    // alphabet-only inventory degrades to character count
+    val alpha = Seq("u", "n", "a", "f", "b", "l", "e", "z")
+    val chars = TextAnalysis.wordpieceEncodeCounts(docs, "doc_id", "text", alpha)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(chars === Set((1L, 18L), (2L, 12L)))
+  }
 }
