@@ -174,6 +174,82 @@ object Analytics {
     * bounded for typical skew profiles, but at billions of DISTINCT
     * count values `approx_percentile` (fixed-size sketch state) is the
     * scale-safe route. Exact stays the default (and the oracle path). */
+  /** Per-group HyperLogLog REGISTER table — the mergeable distinct-count
+    * sketch (Flajolet 2007; the `approx_count_distinct` internals made
+    * an explicit, storable, engine-replayable table). One row per
+    * (group, bucket): bucket = low `p` bits of a 60-bit md5-derived
+    * hash, register = max over the bucket's values of the leading-zero
+    * rank rho of the remaining 60-p bits. DETERMINISTIC cross-engine by
+    * construction — the hash is md5 text prefix (not JVM hashCode), rho
+    * is a binary-string length (no platform clz), so DuckDB reproduces
+    * every register bit-for-bit. Two hash aggs, map-side combining,
+    * state = m=2^p registers per group regardless of input size: the
+    * 100 TB cardinality profile. Registers UNION-MERGE across shards /
+    * days / streams via [[hllMergeRegisters]] — the property that makes
+    * the sketch a storable incremental aggregate, unlike an exact
+    * count-distinct. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "p must be in [4, 14]")
+    val m = 1 << p
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long") // 60 bits: sign-safe in both engines
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(61 - p))
+      .otherwise(lit(60 - p) - length(bin(w)) + 1)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), h.bitwiseAND(lit((m - 1).toLong)).as("b"),
+        rho.as("rho"))
+      .groupBy(col(groupCol), col("b")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Merge two HLL register tables (same `p`): union + per-bucket max.
+    * merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY (register
+    * equality, spec-pinned) — the algebra that lets per-shard /
+    * per-day sketches roll up without touching raw data. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("b"))
+      .agg(max(col("r")).as("r"))
+
+  /** HLL estimate from a register table: the standard raw estimator
+    * `alpha_m · m² / Σ 2^(-r_j)` with linear-counting small-range
+    * correction (`m · ln(m / zeros)` when the raw estimate ≤ 2.5m and
+    * empty buckets remain). The harmonic sum is computed EXACTLY — an
+    * integer sum of `2^(rmax - r_j)` through DECIMAL(38,0), scaled back
+    * by `2^rmax` — so both engines feed identical doubles into the one
+    * fixed IEEE expression; output round-4. */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gm = regs.groupBy(col(groupCol))
+      .agg(max(col("r")).as("rmax"), count(lit(1)).as("ne"))
+    val num = regs.join(gm, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), col("rmax") - col("r")).cast(dec38)).as("nn"))
+    val numt = (col("nn") +
+      (lit(m.toLong) - col("ne")).cast(dec38) *
+        pow(lit(2.0), col("rmax")).cast(dec38)).cast("double")
+    val eraw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      pow(lit(2.0), col("rmax")) / col("numt")
+    gm.join(num, Seq(groupCol))
+      .withColumn("numt", numt)
+      .withColumn("eraw", eraw)
+      .withColumn("zeros", lit(m.toLong) - col("ne"))
+      .select(col(groupCol),
+        round(when(col("zeros") > 0 && col("eraw") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("eraw")), 4).as("hll_distinct"))
+  }
+
+  /** [[hllRegisters]] → [[hllEstimate]] composed: per-group approximate
+    * distinct count with ~1.04/√m relative error, two shuffles of
+    * register-sized frames. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, p), groupCol, p)
+
   def keySkewProfile(df: DataFrame, keyCol: String, approx: Boolean = false): DataFrame = {
     def pct(c: org.apache.spark.sql.Column, p: Double) =
       if (approx) approx_percentile(c, lit(p), lit(10000))

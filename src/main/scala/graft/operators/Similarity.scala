@@ -1721,15 +1721,35 @@ object Similarity {
     * files' edges. Results are byte-identical to [[nswKnnOn]] over the
     * same graph (the spec pins it); the I/O is proportional to the
     * frontier's file span instead of the whole graph — the same
-    * file-level win [[ivfSq8KnnFromStoredIndex]] buys the cell index. */
+    * file-level win [[ivfSq8KnnFromStoredIndex]] buys the cell index.
+    * TOMBSTONE AWARE: node ids recorded by [[writeGraphTombstones]]
+    * still navigate (graph connectivity survives the delete) but are
+    * excluded from every result ranking — soft delete, effective
+    * immediately, no file rewritten. */
   def nswKnnStored(queries: DataFrame, corpus: DataFrame, graphPath: String,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
     val sp = corpus.sparkSession
+    val dels = readCellTombstoneIds(sp, graphPath, "node_id")
     val reader = new StoredGraphReader(sp, graphPath)
     try nswSearch(queries, corpus, entryNodes, k, beam, rounds,
-      reader.edgesFor) // result is eagerly checkpointed before close
+      reader.edgesFor, dels.toSeq.sorted) // eagerly checkpointed pre-close
     finally reader.close()
   }
+
+  /** Record node DELETES against a stored graph layout
+    * ([[writeNswGraph]] / [[writeHnswIndex]]) as the append-only
+    * tombstone sidecar — the graph-index counterpart of
+    * [[writeCellTombstones]]. Semantics are SOFT delete: serving
+    * ([[nswKnnStored]]/[[hnswKnnStored]]) keeps tombstoned nodes as
+    * navigation waypoints (removing them would fragment the small-world
+    * graph) and filters them from every ranking, so a deleted vector is
+    * never returned while recall for live vectors is preserved.
+    * Periodic graph REBUILD (not in-place compaction — edge repair
+    * without the dropped nodes is a rebuild by definition) is the
+    * reclamation path, as in every production HNSW deployment. */
+  def writeGraphTombstones(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit =
+    writeCellTombstones(spark, path, ids, "node_id")
 
   /** Round-to-round reader cache for a stored [[writeCellIndex]] graph
     * layout: the min/max manifest is collected ONCE (not per expansion
@@ -1789,7 +1809,8 @@ object Similarity {
     * stored path. */
   private def nswSearch(queries: DataFrame, corpus: DataFrame,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int,
-      edgesFor: DataFrame => DataFrame): DataFrame = {
+      edgesFor: DataFrame => DataFrame,
+      exclude: Seq[Long] = Nil): DataFrame = {
     require(k >= 1, "k must be positive")
     require(beam >= 1, "beam must be positive")
     require(rounds >= 0, "rounds must be non-negative")
@@ -1798,7 +1819,7 @@ object Similarity {
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
     val v0 = nswScoreEntries(qb, corpusVecs, entryNodes).localCheckpoint(true)
-    nswRank(nswExpand(qb, corpusVecs, v0, beam, rounds, edgesFor), k)
+    nswRank(nswExpand(qb, corpusVecs, v0, beam, rounds, edgesFor), k, exclude)
   }
 
   /** Score an entry-node id set against every broadcast query exactly
@@ -1875,11 +1896,19 @@ object Similarity {
 
   /** Per-query top-`k` of a visited checkpoint (self excluded — it only
     * ever navigates): materializes the result eagerly and unpersists the
-    * input checkpoint. */
-  private def nswRank(visitedCkpt: DataFrame, k: Int): DataFrame = {
+    * input checkpoint. `exclude` ids are SOFT-DELETED nodes: they stay
+    * in the search state (routing through them keeps the graph
+    * connected — the FAISS/Vespa soft-delete convention) but never
+    * surface in a result, and the next-best visited node fills their
+    * rank. */
+  private def nswRank(visitedCkpt: DataFrame, k: Int,
+      exclude: Seq[Long] = Nil): DataFrame = {
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("node"))
-    val result = visitedCkpt
+    val live =
+      if (exclude.isEmpty) visitedCkpt
+      else visitedCkpt.filter(!col("node").isInCollection(exclude))
+    val result = live
       .filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
@@ -2041,7 +2070,9 @@ object Similarity {
     * ([[nswKnnStored]]'s discipline per layer). Results are
     * byte-identical to [[hnswKnn]] at the same frozen parameters
     * (spec-pinned); the I/O per round is the frontier's file span of
-    * ONE layer, never the whole index. */
+    * ONE layer, never the whole index. TOMBSTONE AWARE (sidecar at the
+    * index root, see [[writeGraphTombstones]]): deleted nodes navigate
+    * but never surface in a ranking. */
   def hnswKnnStored(queries: DataFrame, corpus: DataFrame, path: String,
       k: Int, beam: Int = 48, roundsPerLayer: Int = 2, baseRounds: Int = 4,
       maxLevel: Int = 2): DataFrame = {
@@ -2052,6 +2083,7 @@ object Similarity {
     require(maxLevel >= 0, "maxLevel must be non-negative")
     val sp = corpus.sparkSession
     import sp.implicits._
+    val dels = readCellTombstoneIds(sp, path, "node_id")
     val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
@@ -2068,7 +2100,7 @@ object Similarity {
         reader.edgesFor) // per-round states checkpoint eagerly
       finally reader.close()
     }
-    nswRank(visited, k)
+    nswRank(visited, k, dels.toSeq.sorted)
   }
 
   /** The PRIMARY graph-ANN path at scale: [[kmeansCodebook]]-trained

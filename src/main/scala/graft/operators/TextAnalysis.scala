@@ -788,7 +788,7 @@ object TextAnalysis {
     * [[wordpieceEncodeCounts]]. Returns -1 when some position has no
     * matching piece (the word becomes ONE `[UNK]` token, HF WordPiece
     * semantics). Pieces are prefix-agnostic (see [[wordpieceMerges]]). */
-  private[operators] def wordpieceTokenCount(word: String,
+  private[graft] def wordpieceTokenCount(word: String,
       pieces: Set[String], maxLen: Int): Int = {
     var pos = 0
     var n = 0

@@ -215,7 +215,8 @@ object Queries {
     * descent in which each layer's unrolled rounds start from the
     * previous layer's accumulated visited state. */
   private def hnswOracleSql(roundsPerLayer: Int, baseRounds: Int, beam: Int,
-      m: Int, levelBase: Int, maxLevel: Int): String = {
+      m: Int, levelBase: Int, maxLevel: Int,
+      rankExclude: String = ""): String = {
     val strides = (0 to maxLevel)
       .map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
     val sb = new StringBuilder(
@@ -278,7 +279,7 @@ object Queries {
       ranked AS (SELECT query_id, node AS neighbor_id, cs,
           row_number() OVER (PARTITION BY query_id
             ORDER BY cs DESC, node) AS rank
-        FROM v$i WHERE node <> query_id)
+        FROM v$i WHERE node <> query_id$rankExclude)
       SELECT query_id, rank, neighbor_id, cs FROM ranked
       WHERE rank <= 3 ORDER BY query_id, rank""")
     sb.toString
@@ -3774,6 +3775,50 @@ object Queries {
         SELECT u, v, jac FROM sc
         ORDER BY jac DESC, u, v LIMIT 50""")),
 
+    // ---- HyperLogLog distinct-count sketch (Flajolet 2007), made
+    //      engine-replayable: md5-prefix 60-bit hash, p=8 registers as
+    //      an explicit table, EXACT integer harmonic sum through
+    //      DECIMAL(38,0), linear-counting small-range correction — the
+    //      oracle rebuilds every register bit-for-bit and lands on the
+    //      identical round-4 estimate, shown next to the exact count ----
+    QueryDef(
+      "q117_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val est = graft.operators.Analytics
+          .hllDistinct(ev, "event_type", "event_id", p = 8)
+        val exact = ev.filter($"event_id".isNotNull)
+          .groupBy($"event_type")
+          .agg(countDistinct($"event_id").as("exact_distinct"))
+        est.join(exact, Seq("event_type")).orderBy($"event_type")
+      },
+      Some("""WITH h AS (SELECT event_type,
+            CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+          FROM events WHERE event_id IS NOT NULL),
+        hb AS (SELECT event_type, hv & 255 AS b, hv >> 8 AS w FROM h),
+        rho AS (SELECT event_type, b,
+            CASE WHEN w = 0 THEN 53 ELSE 52 - length(printf('%b', w)) + 1 END AS rho
+          FROM hb),
+        regs AS (SELECT event_type, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+        gm AS (SELECT event_type, max(r) AS rmax, count(*) AS ne FROM regs GROUP BY 1),
+        num AS (SELECT r.event_type,
+            CAST(sum(CAST(pow(2.0, g.rmax - r.r) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nn
+          FROM regs r JOIN gm g USING (event_type) GROUP BY 1),
+        est AS (SELECT g.event_type, g.rmax, g.ne,
+            CAST(n.nn + CAST((256 - g.ne) AS DECIMAL(38,0)) * CAST(pow(2.0, g.rmax) AS DECIMAL(38,0)) AS DOUBLE) AS numt
+          FROM gm g JOIN num n USING (event_type)),
+        fin AS (SELECT event_type,
+            (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * pow(2.0, rmax) / numt AS eraw,
+            256 - ne AS zeros FROM est)
+        SELECT f.event_type,
+          round(CASE WHEN zeros > 0 AND eraw <= 2.5 * 256.0
+            THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE eraw END, 4) AS hll_distinct,
+          x.exact_distinct
+        FROM fin f JOIN (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+          FROM events WHERE event_id IS NOT NULL GROUP BY 1) x USING (event_type)
+        ORDER BY event_type""")),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so
@@ -5748,6 +5793,32 @@ object Queries {
       },
       Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
         m = 8, levelBase = 4, maxLevel = 2))),
+
+    // ---- Graph-index SOFT deletes: the s21 stored HNSW with a
+    //      deterministic node set tombstoned — deleted nodes still
+    //      NAVIGATE (beam search unchanged: removing waypoints would
+    //      fragment the small-world graph) but never surface in a
+    //      ranking, so the oracle is s20's layered CTE chain with the
+    //      deleted ids excluded at the final ranking only ----
+    QueryDef(
+      "s24_knn_hnsw_delete_serve",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val S = graft.operators.Similarity
+        val out = sinkDir("hnsw_del_index")
+        S.writeHnswIndex(e, out, numFiles = 8, m = 8, levelBase = 4,
+          maxLevel = 2, entryQuota = 1)
+        val dels = e.filter($"vec_id" % 9 === 4 && $"vec_id" >= 10)
+          .select($"vec_id".cast("long")).as[Long].collect().sorted
+        S.writeGraphTombstones(s, out, dels.toIndexedSeq)
+        S.hnswKnnStored(e.filter($"vec_id" < 10), e, out, 3, beam = 8,
+            roundsPerLayer = 1, baseRounds = 3, maxLevel = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(hnswOracleSql(roundsPerLayer = 1, baseRounds = 3, beam = 8,
+        m = 8, levelBase = 4, maxLevel = 2,
+        rankExclude = " AND NOT (node % 9 = 4 AND node >= 10)"))),
 
     // ---- Tombstone-aware stored-ANN serving (the lakehouse DELETE
     //      shape): the s06 IVF-SQ8 index is persisted with writeCellIndex,

@@ -322,6 +322,130 @@ object Streams {
       }.toDF("doc_id", "n_words", "n_pieces")
   }
 
+  /** Streaming HyperLogLog sink: each micro-batch's values fold into a
+    * persistent per-group register table
+    * ([[graft.operators.Analytics.hllRegisters]] ∪ max-merge), so the
+    * stored state answers "distinct ids seen EVER, per group" in
+    * O(groups · 2^p) bytes no matter how long the stream runs — the
+    * streaming cardinality profile exact distinct-count state cannot
+    * give. Register max-merge is IDEMPOTENT and commutative, so a
+    * replayed micro-batch (crash between write and checkpoint commit)
+    * re-merges harmlessly — the sink needs no dedup bookkeeping, just
+    * versioned writes: state lands at `statePath/v-<batchId>` (parquet
+    * `_SUCCESS` is the commit marker), readers take the highest
+    * committed version, and older versions are pruned to a depth of 2.
+    * Read with [[hllState]] / estimate with [[hllStateEstimate]]. */
+  def hllRegisterSink(stream: DataFrame, statePath: String,
+      checkpointPath: String, groupCol: String, valueCol: String,
+      p: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val fresh = graft.operators.Analytics
+          .hllRegisters(batch, groupCol, valueCol, p)
+        val merged = hllState(sp, statePath).fold(fresh)(cur =>
+          graft.operators.Analytics.hllMergeRegisters(cur, fresh, groupCol))
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+        // register tables are (groups × 2^p)-sized: one file is right
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$statePath/v-$batchId")
+        hllVersions(fs, root).dropRight(2).foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v-$old"), true); ()
+        }
+        ()
+      }
+      .start()
+
+  private def hllVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("v-").toLong).toOption)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"v-$v/_SUCCESS")))
+      .sorted
+
+  /** Latest committed register table of a [[hllRegisterSink]], if any. */
+  def hllState(sp: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+    hllVersions(fs, root).lastOption.map(v =>
+      sp.read.parquet(s"$statePath/v-$v"))
+  }
+
+  /** Per-group distinct-count estimate over a [[hllRegisterSink]]'s
+    * stored registers ([[graft.operators.Analytics.hllEstimate]]);
+    * empty result when the sink has not committed yet. */
+  def hllStateEstimate(sp: org.apache.spark.sql.SparkSession,
+      statePath: String, groupCol: String, p: Int = 8): DataFrame =
+    hllState(sp, statePath) match {
+      case Some(regs) => graft.operators.Analytics.hllEstimate(regs, groupCol, p)
+      case None => sp.emptyDataFrame
+    }
+
+  /** Map-only streaming twin of
+    * [[graft.operators.TextAnalysis.wordpieceEncodeCounts]]: the trained
+    * piece inventory broadcasts (bounded LOUDLY — a tokenizer vocabulary
+    * is tens of thousands of pieces, never corpus-sized) and each
+    * record runs the same greedy longest-match kernel
+    * ([[graft.operators.TextAnalysis.wordpieceTokenCount]]), so
+    * stream ≡ batch bit-for-bit (spec-pinned) and the screen attaches
+    * to any readStream without state. Per-record word memoization keeps
+    * repeated words O(1) like the unigram screen. */
+  def wordpieceEncodeScreen(docs: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame): DataFrame = {
+    val sp = pieces.sparkSession
+    import sp.implicits._
+    val maxPieces = 1 << 21
+    val rows = pieces.select(col("piece").cast("string"))
+      .limit(maxPieces + 1).as[String].collect()
+    require(rows.length <= maxPieces,
+      s"wordpieceEncodeScreen inventory exceeds $maxPieces pieces; the " +
+        "screen broadcasts it — use the batch distributed path " +
+        "(TextAnalysis.wordpieceEncodeCounts) for larger inventories.")
+    val ps = rows.iterator.filter(_ != null).toSet
+    require(ps.nonEmpty, "empty piece inventory")
+    val maxLen = ps.iterator.map(_.length).max
+    val bc = sp.sparkContext.broadcast((ps, maxLen))
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (pieceSet, ml) = bc.value
+        it.flatMap { case (id, text) =>
+          val ws = graft.operators.Dedup.Kernel.tokens(text)
+          if (ws.isEmpty) Iterator.empty
+          else {
+            val memo = new java.util.HashMap[String, (Long, Long)]()
+            var ntok = 0L
+            var nunk = 0L
+            var i = 0
+            while (i < ws.length) {
+              val w = ws(i)
+              var e = memo.get(w)
+              if (e == null) {
+                val n = graft.operators.TextAnalysis
+                  .wordpieceTokenCount(w, pieceSet, ml)
+                e = if (n < 0) (1L, 1L) else (n.toLong, 0L)
+                memo.put(w, e)
+              }
+              ntok += e._1
+              nunk += e._2
+              i += 1
+            }
+            Iterator.single((id, ws.length.toLong, ntok, nunk))
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_wp_tokens", "n_unk_words")
+  }
+
   /** Streaming ANN SERVING over a STORED [[graft.operators.Similarity
     * .writeNswGraph]] layout — the query-stream twin of
     * [[graft.operators.Similarity.nswKnnStored]]: each micro-batch of

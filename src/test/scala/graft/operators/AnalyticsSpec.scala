@@ -115,4 +115,47 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emptyDocs = spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
     assert(TextAnalysis.unigramLogProb(emptyDocs, "doc_id", "text").count() == 0)
   }
+
+  test("hllDistinct: raw-estimator regime within sketch error; linear counting small sets") {
+    val sp = spark; import sp.implicits._
+    // 5000 distinct ids in one group, each duplicated 3x (estimate must
+    // ignore multiplicity): p=8 -> ~1.04/16 = 6.5% typical error
+    val big = sp.range(5000L).select(lit("g").as("g"), $"id")
+      .unionAll(sp.range(5000L).select(lit("g").as("g"), $"id"))
+      .unionAll(sp.range(5000L).select(lit("g").as("g"), $"id"))
+    val est = Analytics.hllDistinct(big, "g", "id", p = 8)
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15,
+      s"raw estimate $est too far from 5000")
+    // 30 distinct -> far below 2.5m: the linear-counting branch, which
+    // is near-exact when buckets are mostly empty
+    val small = sp.range(30L).select(lit("s").as("g"), $"id")
+    val estS = Analytics.hllDistinct(small, "g", "id", p = 8)
+      .collect().head.getDouble(1)
+    assert(math.abs(estS - 30.0) < 5.0, s"linear-counting estimate $estS")
+    // deterministic under repartitioning (registers are exact maxima)
+    val again = Analytics.hllDistinct(big.repartition(13), "g", "id", p = 8)
+      .collect().head.getDouble(1)
+    assert(again === est)
+  }
+
+  test("hll registers merge: merge(sketch(A), sketch(B)) == sketch(A union B) exactly") {
+    val sp = spark; import sp.implicits._
+    val a = sp.range(0L, 2000L).select(lit("g").as("g"), $"id")
+    val b = sp.range(1500L, 3500L).select(lit("g").as("g"), $"id") // overlap
+    val merged = Analytics.hllMergeRegisters(
+        Analytics.hllRegisters(a, "g", "id"),
+        Analytics.hllRegisters(b, "g", "id"), "g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = Analytics.hllRegisters(a.unionAll(b), "g", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged === whole, "register merge diverged from whole-set sketch")
+    // and the merged estimate is the union estimate
+    val estM = Analytics.hllEstimate(
+      Analytics.hllMergeRegisters(
+        Analytics.hllRegisters(a, "g", "id"),
+        Analytics.hllRegisters(b, "g", "id"), "g"), "g")
+      .collect().head.getDouble(1)
+    assert(math.abs(estM - 3500.0) / 3500.0 < 0.15, s"union estimate $estM")
+  }
 }

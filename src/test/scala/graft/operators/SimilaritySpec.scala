@@ -402,6 +402,53 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.compactCellIndex(spark, path) === 0)
   }
 
+  test("stored-graph soft deletes: tombstoned nodes never surface, next-best fills the rank") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hnsw-del").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val path = s"$tmp/hnsw"
+    Similarity.writeHnswIndex(e, path, numFiles = 4, m = 8, levelBase = 4,
+      maxLevel = 1, entryQuota = 1)
+    def serve(k: Int) = Similarity.hnswKnnStored(q, e, path, k, beam = 8,
+        roundsPerLayer = 1, baseRounds = 3, maxLevel = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // wide pre-delete serve: the expected post-delete answer is its
+    // per-query re-ranked prefix with the deleted ids dropped (ranking
+    // is (cs desc, id) — exclusion shifts ranks, never reorders)
+    val wide = serve(10)
+    val dels = wide.filter(_._2 == 1).map(_._3).distinct.sorted.toSeq
+    assert(dels.nonEmpty)
+    Similarity.writeGraphTombstones(spark, path, dels)
+    val got = serve(3).toSeq
+    val expected = wide.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(r => (-r._4, r._3)).filterNot(r => dels.contains(r._3))
+        .take(3).zipWithIndex.map { case (r, i) => (qid, i + 1, r._3, r._4) }
+    }
+    assert(got.toSet === expected.toSet,
+      "soft-delete serving diverged from re-ranked exclusion")
+    assert(got.forall(r => !dels.contains(r._3)), "a deleted node was served")
+    assert(got.toSet !== wide.filter(_._2 <= 3).toSet, "deletes had no effect")
+    // flat stored NSW honors the same sidecar convention
+    val gpath = s"$tmp/nsw"
+    val graph = Similarity.nswGraph(e, m = 8)
+    Similarity.writeNswGraph(graph, gpath, numFiles = 4)
+    val entries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("node_id"))
+    def nserve(k: Int) = Similarity.nswKnnStored(q, e, gpath, entries, k,
+        beam = 8, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val nwide = nserve(10)
+    val ndels = nwide.filter(_._2 == 1).map(_._3).distinct.sorted.toSeq
+    Similarity.writeGraphTombstones(spark, gpath, ndels)
+    val ngot = nserve(3)
+    assert(ngot.forall(r => !ndels.contains(r._3)), "NSW served a deleted node")
+    val nexpected = nwide.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(r => (-r._4, r._3)).filterNot(r => ndels.contains(r._3))
+        .take(3).zipWithIndex.map { case (r, i) => (qid, i + 1, r._3, r._4) }
+    }
+    assert(ngot.toSet === nexpected.toSet)
+  }
+
   test("updateIvfSq8Index appends only absent vectors; two appends equal a full rebuild") {
     val e = emb
     val bounds = Similarity.sq8Bounds(e, "embedding")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, explode, length, lit, sequence, substring, transform}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -149,6 +149,85 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed === batch, "streamed encode diverged from batch")
       assert(streamed.nonEmpty && streamed.values.exists(v => v._2 > v._1),
         "vacuous: no doc with more pieces than words")
+    } finally { q.stop(); () }
+  }
+
+  test("streaming wordpiece encode equals the batch greedy encode over sf0.001 docs") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val T = graft.operators.TextAnalysis
+    val mergedPieces = T.wordpieceMerges(docs, "text", nMerges = 8)
+      .select($"lhs", $"rhs").collect().map(r => r.getString(0) + r.getString(1))
+    val alphabet = docs.filter($"text".isNotNull)
+      .select(explode(T.tokens($"text")).as("w"))
+      .select(explode(transform(sequence(lit(1), length($"w")),
+        i => substring($"w", i, lit(1)))).as("c"))
+      .distinct().as[String].collect()
+    val pieces = (alphabet ++ mergedPieces).toIndexedSeq
+    // a doc with an out-of-alphabet word exercises the UNK path in both
+    val rows = docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (900001L, "zebra⊕glyph normal words")) // non-alnum splits; all-alnum words stay
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.wordpieceEncodeScreen(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        pieces.toDF("piece"))
+      .writeStream.format("memory").queryName("wpscreen").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("wpscreen")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = T.wordpieceEncodeCounts(rows.toDF("doc_id", "text"),
+          "doc_id", "text", pieces)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch, "streamed wordpiece encode diverged from batch")
+      assert(streamed.nonEmpty && streamed.values.exists(v => v._2 < v._1 * 10),
+        "vacuous output")
+    } finally { q.stop(); () }
+  }
+
+  test("streaming HLL sink: stored registers equal the batch sketch; versions prune; merge is idempotent") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-sink").toString
+    val statePath = s"$tmp/state"
+    val rows = (0L until 3000L).map(i => (s"g${i % 2}", i))
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.hllRegisterSink(input.toDF().toDF("g", "id"),
+      statePath, s"$tmp/ckpt", "g", "id")
+    try {
+      val (a, b) = rows.splitAt(1000)
+      input.addData(a: _*); q.processAllAvailable()
+      val afterA = Streams.hllState(sp, statePath).get
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      input.addData(b: _*); q.processAllAvailable()
+      val stored = Streams.hllState(sp, statePath).get
+      val got = stored.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.Analytics
+        .hllRegisters(rows.toDF("g", "id"), "g", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === batch, "stream-accumulated registers diverged from batch sketch")
+      assert(got !== afterA, "second batch changed nothing — vacuous")
+      // re-merging an already-folded batch is a no-op (idempotent max)
+      val again = graft.operators.Analytics.hllMergeRegisters(stored,
+          graft.operators.Analytics.hllRegisters(b.toDF("g", "id"), "g", "id"), "g")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(again === got, "replay merge changed registers")
+      // estimate over state ~ true distinct per group (1500 each)
+      val est = Streams.hllStateEstimate(sp, statePath, "g")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est.keySet === Set("g0", "g1"))
+      est.values.foreach(v => assert(math.abs(v - 1500.0) / 1500.0 < 0.2, s"estimate $v"))
+      // version pruning: at most 2 committed versions remain
+      val root = new org.apache.hadoop.fs.Path(statePath)
+      val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+      assert(fs.listStatus(root).count(_.getPath.getName.startsWith("v-")) <= 2)
     } finally { q.stop(); () }
   }
 
