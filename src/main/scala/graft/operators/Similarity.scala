@@ -2047,8 +2047,27 @@ object Similarity {
         files, cellCol = "node_id")
       files = math.max(1, files / levelBase)
     }
+    writeHnswEntries(asg, path, strides(maxLevel), maxCents, entryQuota)
+    // persist the FROZEN build inputs (centroids + parameters) so
+    // append maintenance cannot drift from the build-time cells — the
+    // stored-index metadata every FAISS index file carries
+    import sp.implicits._
+    cents.toIndexedSeq.toDF("cid", "ce")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/cents")
+    Seq((m, levelBase, maxLevel, entryQuota))
+      .toDF("m", "level_base", "max_level", "entry_quota")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/conf")
+    asg.unpersist()
+  }
+
+  /** The [[writeHnswIndex]] entries file: whole (capped) top layer ∪
+    * `entryQuota` minimum-id members per cell — recomputed whole on
+    * append (it is a tiny file; entry coverage must see new cells'
+    * members immediately). */
+  private def writeHnswEntries(asg: DataFrame, path: String,
+      topStride: Long, maxCents: Int, entryQuota: Int): Unit = {
     val topLayer = asg
-      .filter(pmod(col("vec_id"), lit(strides(maxLevel))) === 0)
+      .filter(pmod(col("vec_id"), lit(topStride)) === 0)
       .select(col("vec_id").as("node_id"))
       .orderBy(col("node_id")).limit(maxCents)
     val cellEntries = asg
@@ -2058,7 +2077,47 @@ object Similarity {
       .select(col("vec_id").as("node_id"))
     topLayer.union(cellEntries).distinct()
       .repartition(1).write.mode("overwrite").parquet(s"$path/entries")
-    asg.unpersist()
+  }
+
+  /** APPEND maintenance for a STORED [[writeHnswIndex]] layout: each
+    * layer the new vectors belong to (the deterministic
+    * `vec_id % levelBase^l == 0` membership rule) gets an
+    * [[appendToStoredNswGraph]]-style file-append of the new nodes'
+    * edges against the FROZEN build-time centroids and parameters (both
+    * read back from the index's own `cents`/`conf` metadata — nothing
+    * to misremember at call time), and the tiny `entries` file is
+    * recomputed whole so new cells and top-layer members are reachable
+    * immediately. Existing layer files and manifest rows are untouched
+    * (the per-layer append guarantee); degree creep and the rebuild
+    * reclamation contract are [[appendToStoredNswGraph]]'s. `corpus`
+    * must be the GROWN corpus (guarded per layer). Returns appended
+    * node count at the base layer (every new vector). */
+  def appendToStoredHnswIndex(corpus: DataFrame, path: String,
+      maxCents: Int = 65536): Long = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val confRow = sp.read.parquet(s"$path/conf").head()
+    val (m, levelBase, maxLevel, entryQuota) = (confRow.getInt(0),
+      confRow.getInt(1), confRow.getInt(2), confRow.getInt(3))
+    val cents = sp.read.parquet(s"$path/cents")
+      .select(col("cid").cast("long"), col("ce"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val strides: IndexedSeq[Long] =
+      (0 to maxLevel).map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
+    var appendedBase = 0L
+    for (l <- 0 to maxLevel) {
+      val members =
+        if (l == 0) corpus
+        else corpus.filter(pmod(col("vec_id"), lit(strides(l))) === 0)
+      val n = appendToStoredNswGraph(members, s"$path/layer-$l", cents, m)
+      if (l == 0) appendedBase = n
+    }
+    if (appendedBase > 0) {
+      val asg = nswAssign(corpus, cents).localCheckpoint(true)
+      writeHnswEntries(asg, path, strides(maxLevel), maxCents, entryQuota)
+      asg.unpersist()
+    }
+    appendedBase
   }
 
   /** Layered beam search over a STORED [[writeHnswIndex]] layout — the
@@ -2224,6 +2283,74 @@ object Similarity {
     graph.join(touched, Seq("node_id"), "left_anti")
       .select(col("node_id"), col("nbr_id"))
       .union(recapped)
+  }
+
+  /** APPEND maintenance for a STORED [[writeNswGraph]] layout,
+    * append-ONLY at the file level: edges for corpus vectors absent
+    * from the stored graph — their top-`m` same-cell forward edges plus
+    * the symmetric reverse edges — land in NEW range-partitioned files,
+    * and the min/max manifest grows rows for just those files
+    * ([[graft.operators.Layout.updateManifest]]); no existing data file
+    * or manifest row is touched (spec pins bytes), so a daily ingest
+    * pays new-node work with zero rewrite — the
+    * [[updateIvfSq8Index]] discipline applied to the graph index.
+    *
+    * Contract vs [[updateNswGraph]] (the in-memory twin): the stored
+    * form SKIPS the touched-node re-cap — re-capping an old node
+    * rewrites its file, which is a partial rebuild — so an old node's
+    * degree can exceed `2m` by up to `m` reverse edges per append
+    * batch. Bounded degree creep between rebuilds is the accepted
+    * lakehouse append/compact split (the graph analog of tombstones +
+    * [[compactCellIndex]]); serving correctness is unaffected (extra
+    * edges only widen expansion), and the periodic REBUILD is the
+    * reclamation path. `cents` stays FROZEN and `corpus` must be the
+    * GROWN corpus, both guarded as in [[updateNswGraph]]. Returns the
+    * number of appended nodes (0 = no-op, nothing written). */
+  def appendToStoredNswGraph(corpus: DataFrame, graphPath: String,
+      cents: Array[(Long, Array[Float])], m: Int,
+      numFiles: Int = 4): Long = {
+    require(m >= 1, "m must be positive")
+    require(numFiles >= 1, "numFiles must be positive")
+    require(cents.nonEmpty, "need at least one centroid")
+    val sp = corpus.sparkSession
+    val asg = nswAssign(corpus, cents).localCheckpoint(true)
+    try {
+      val stored = sp.read.parquet(graphPath).select(col("node_id"))
+      val sampleIds = stored.limit(8).collect().map(_.getLong(0)).distinct
+      if (sampleIds.nonEmpty) {
+        val resolved = asg.filter(col("vec_id").isin(sampleIds.toIndexedSeq: _*))
+          .select(col("vec_id")).distinct().count()
+        require(resolved == sampleIds.length,
+          s"appendToStoredNswGraph: only $resolved of ${sampleIds.length} " +
+            "sampled graph node ids resolve in `corpus` — pass the full " +
+            "grown corpus (old + appended vectors), not the appended delta")
+      }
+      val known = stored.distinct()
+      val newAsg = asg
+        .join(known, asg("vec_id") === known("node_id"), "left_anti")
+        .localCheckpoint(true)
+      val appended = newAsg.count()
+      if (appended > 0) {
+        val w = Window.partitionBy(col("node_id"))
+          .orderBy(col("ncs").desc, col("nbr_id"))
+        val fwd = newAsg.as("a").join(asg.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("node_id"), col("b.vec_id").as("nbr_id"),
+            cosineF(col("a.e"), col("b.e")).as("ncs"))
+          .withColumn("_r", row_number().over(w))
+          .filter(col("_r") <= m)
+          .select(col("node_id"), col("nbr_id"))
+        fwd.unionAll(fwd.select(col("nbr_id").as("node_id"),
+            col("node_id").as("nbr_id")))
+          .distinct()
+          .repartitionByRange(numFiles, col("node_id"))
+          .sortWithinPartitions("node_id")
+          .write.mode("append").parquet(graphPath)
+        graft.operators.Layout.updateManifest(sp, graphPath, Seq("node_id"))
+      }
+      newAsg.unpersist()
+      appended
+    } finally asg.unpersist()
   }
 
   /** Per-group embedding centroids, fully relational: posexplode each

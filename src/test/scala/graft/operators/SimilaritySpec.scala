@@ -449,6 +449,122 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ngot.toSet === nexpected.toSet)
   }
 
+  test("appendToStoredNswGraph: file-append-only, manifest grows, appended vectors searchable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nsw-append").toString
+    val sp = spark
+    import sp.implicits._
+    val e = emb
+    // frozen centroids from the FULL corpus (the updateNswGraph contract)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(col("vec_id")).as[(Long, Array[Float])].collect()
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val path = s"$tmp/g"
+    Similarity.writeNswGraph(Similarity.nswGraphOn(old, cents, 8), path, 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def dataSizes: Map[String, Long] = sp.read.parquet(path).inputFiles
+      .map(f => f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      .toMap
+    val before = dataSizes
+    val expectedNew = e.filter(col("vec_id") % 2 === 1).count()
+    val n = Similarity.appendToStoredNswGraph(e, path, cents, 8)
+    assert(n === expectedNew, s"appended $n, expected $expectedNew")
+    // append-only: every pre-existing file byte-identical, new files exist
+    val after = dataSizes
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"pre-existing file $f changed") }
+    assert(after.size > before.size, "no new files written")
+    // every appended node entered the graph
+    val back = sp.read.parquet(path)
+    assert(back.filter(col("node_id") % 2 === 1)
+      .select(col("node_id")).distinct().count() === n)
+    // manifest covers the new files: a pruned read over a span of new
+    // ids equals full scan + filter
+    val someNew = back.filter(col("node_id") % 2 === 1)
+      .select(col("node_id").cast("long")).distinct()
+      .orderBy(col("node_id")).limit(5).as[Long].collect().toIndexedSeq
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("node_id").cast("long"), col("nbr_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(Similarity.readCellIndex(sp, path, someNew, cellCol = "node_id")
+        .filter(col("node_id").isInCollection(someNew))) ===
+      edges(back.filter(col("node_id").isInCollection(someNew))),
+      "manifest-pruned read of appended nodes diverged from full scan")
+    // appended vectors are served: for most odd-id queries the exact
+    // nearest neighbor surfaces in stored top-3
+    val q = e.filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+    val entries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("node_id"))
+    val served = Similarity.nswKnnStored(q, e, path, entries, 3,
+        beam = 16, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val brute = Similarity.knn(q, e, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = brute.count { case (qid, nn) => served.get(qid).exists(_(nn)) }
+    assert(hits >= 3, s"only $hits/5 appended queries found their exact NN")
+    // re-appending the same corpus is a no-op: zero nodes, zero writes
+    val sizesBeforeNoop = dataSizes
+    assert(Similarity.appendToStoredNswGraph(e, path, cents, 8) === 0L)
+    assert(dataSizes === sizesBeforeNoop, "no-op append wrote files")
+    // delta-only corpus rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToStoredNswGraph(
+        e.filter(col("vec_id") >= 400), path, cents, 8)
+    }
+    assert(err.getMessage.contains("grown corpus"))
+  }
+
+  test("appendToStoredHnswIndex: frozen metadata drives per-layer appends; appended vectors searchable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hnsw-append").toString
+    val sp = spark
+    import sp.implicits._
+    val e = emb
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val path = s"$tmp/h"
+    // build on the OLD corpus; cents/conf metadata freeze at build time
+    Similarity.writeHnswIndex(old, path, numFiles = 4, m = 8, levelBase = 4,
+      maxLevel = 1, entryQuota = 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def layerSizes(l: Int): Map[String, Long] =
+      sp.read.parquet(s"$path/layer-$l").inputFiles
+        .map(f => f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+        .toMap
+    val sizes0 = layerSizes(0); val sizes1 = layerSizes(1)
+    val expectedNew = e.filter(col("vec_id") % 2 === 1).count()
+    val n = Similarity.appendToStoredHnswIndex(e, path)
+    assert(n === expectedNew, s"appended $n, expected $expectedNew")
+    // per-layer append-only: pre-existing files byte-identical
+    layerSizes(0).foreach { case (f, len) => sizes0.get(f).foreach(l0 =>
+      assert(l0 === len, s"layer-0 file $f changed")) }
+    layerSizes(1).foreach { case (f, len) => sizes1.get(f).foreach(l0 =>
+      assert(l0 === len, s"layer-1 file $f changed")) }
+    // layer membership rule holds for appended nodes: odd ids never
+    // satisfy vec_id % 4 == 0, so layer-1 gains nothing
+    assert(layerSizes(1).keySet === sizes1.keySet, "layer-1 grew for odd ids")
+    assert(sp.read.parquet(s"$path/layer-0")
+      .filter(col("node_id") % 2 === 1).select(col("node_id"))
+      .distinct().count() === n)
+    // entries refreshed: odd-id entries appear (new per-cell minima)
+    val entries = sp.read.parquet(s"$path/entries")
+    assert(entries.filter(col("node_id") % 2 === 1).count() > 0,
+      "entries file not refreshed with appended members")
+    // appended vectors served from the stored index
+    val q = e.filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+    val served = Similarity.hnswKnnStored(q, e, path, 3, beam = 16,
+        roundsPerLayer = 1, baseRounds = 3, maxLevel = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val brute = Similarity.knn(q, e, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = brute.count { case (qid, nn) => served.get(qid).exists(_(nn)) }
+    assert(hits >= 3, s"only $hits/5 appended queries found their exact NN")
+    // idempotent: same grown corpus again appends nothing
+    assert(Similarity.appendToStoredHnswIndex(e, path) === 0L)
+  }
+
   test("updateIvfSq8Index appends only absent vectors; two appends equal a full rebuild") {
     val e = emb
     val bounds = Similarity.sq8Bounds(e, "embedding")
