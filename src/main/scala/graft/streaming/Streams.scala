@@ -446,6 +446,49 @@ object Streams {
       }.toDF("doc_id", "n_words", "n_wp_tokens", "n_unk_words")
   }
 
+  /** Streaming ANN INGEST into a STORED
+    * [[graft.operators.Similarity.writeNswGraph]] layout — the
+    * index-maintenance twin of [[annServeSink]]: each micro-batch of
+    * new vectors (1) anti-joins the corpus store on `vec_id` and
+    * appends only genuinely new rows (so a replayed batch cannot
+    * duplicate corpus rows), then (2) folds the new vectors into the
+    * stored graph via
+    * [[graft.operators.Similarity.appendToStoredNswGraph]] against the
+    * FROZEN build-time centroids — file-append-only, manifest rows
+    * added for new files only, and idempotent under replay (an
+    * already-indexed node is `known` and appends nothing). Together
+    * with [[annServeSink]] this is the full streaming vector-database
+    * loop: one stream grows corpus + index, another serves queries,
+    * and deletes ride the [[graft.operators.Similarity
+    * .writeGraphTombstones]] sidecar between them. Per-batch work is
+    * O(new × cell) plus one column-pruned id scan of the corpus store —
+    * never a rebuild. */
+  def annAppendSink(newVectors: DataFrame, corpusPath: String,
+      graphPath: String, checkpointPath: String,
+      cents: Array[(Long, Array[Float])], m: Int, numFiles: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cents.nonEmpty, "need the frozen build-time centroids")
+    require(m >= 1, "m must be positive")
+    newVectors.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val existing = sp.read.parquet(corpusPath)
+          .select(col("vec_id").cast("long").as("vec_id"))
+        val fresh = batch
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .join(existing, Seq("vec_id"), "left_anti")
+        fresh.write.mode("append").parquet(corpusPath)
+        val grown = sp.read.parquet(corpusPath)
+        graft.operators.Similarity
+          .appendToStoredNswGraph(grown, graphPath, cents, m, numFiles)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ANN SERVING over a STORED [[graft.operators.Similarity
     * .writeNswGraph]] layout — the query-stream twin of
     * [[graft.operators.Similarity.nswKnnStored]]: each micro-batch of

@@ -231,6 +231,60 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming ANN ingest: corpus store dedups, graph appends per batch, replay is a no-op") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ingest").toString
+    val e = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cents = base.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).as[(Long, Array[Float])].collect()
+    val corpusPath = s"$tmp/corpus"; val graphPath = s"$tmp/graph"
+    base.write.parquet(corpusPath)
+    graft.operators.Similarity.writeNswGraph(
+      graft.operators.Similarity.nswGraphOn(base, cents, 8), graphPath, 4)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annAppendSink(input.toDF().toDF("vec_id", "embedding"),
+      corpusPath, graphPath, s"$tmp/ckpt", cents, m = 8)
+    try {
+      val (b1, b2) = odds.splitAt(odds.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val store = sp.read.parquet(corpusPath)
+      assert(store.count() === e.count(), "corpus store size wrong")
+      assert(store.select(col("vec_id")).distinct().count() === e.count(),
+        "corpus store has duplicate ids")
+      val graph = sp.read.parquet(graphPath)
+      assert(graph.filter(col("node_id") % 2 === 1)
+        .select(col("node_id")).distinct().count() === odds.length.toLong,
+        "not every streamed vector entered the graph")
+      // crash-replay shape: the same rows delivered again change nothing
+      val graphFiles = graph.inputFiles.toSet
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(sp.read.parquet(corpusPath).count() === e.count(),
+        "replayed batch duplicated corpus rows")
+      assert(sp.read.parquet(graphPath).inputFiles.toSet === graphFiles,
+        "replayed batch wrote graph files")
+      // the grown index serves: streamed vectors find their exact NN
+      val qs = e.filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+      val entries = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("node_id"))
+      val served = graft.operators.Similarity
+        .nswKnnStored(qs, sp.read.parquet(corpusPath), graphPath, entries,
+          3, beam = 16, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      val brute = graft.operators.Similarity.knn(qs, e, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val hits = brute.count { case (qid, nn) => served.get(qid).exists(_(nn)) }
+      assert(hits >= 3, s"only $hits/5 streamed queries found their exact NN")
+    } finally { q.stop(); () }
+  }
+
   test("decontamination screen bounds the test-side collect by the ANN broadcast contract") {
     val sp = spark
     import sp.implicits._
