@@ -250,6 +250,32 @@ object Analytics {
       p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, groupCol, valueCol, p), groupCol, p)
 
+  /** Distinct-INTERSECTION estimate from two register tables via
+    * inclusion–exclusion: `|A∩B| ≈ est(A) + est(B) − est(A ∪ B)`, with
+    * the union sketch one [[hllMergeRegisters]] max-merge away — the
+    * audience-overlap / cross-split-contamination shape ("how many ids
+    * appear on both sides") answered from two stored sketches without
+    * touching raw data. Clamped at 0 (inclusion–exclusion can go
+    * negative within sketch error; the relative error grows as the true
+    * overlap shrinks — the documented HLL trade KMV's direct estimator
+    * (q86) avoids at the cost of keeping hash samples). Computed from
+    * the round-4 estimates so both engines land on identical doubles.
+    * Output per group: `(est_a, est_b, est_union, est_intersect)`. */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, groupCol: String,
+      p: Int = 8): DataFrame = {
+    val ea = hllEstimate(a, groupCol, p)
+      .withColumnRenamed("hll_distinct", "est_a")
+    val eb = hllEstimate(b, groupCol, p)
+      .withColumnRenamed("hll_distinct", "est_b")
+    val eu = hllEstimate(hllMergeRegisters(a, b, groupCol), groupCol, p)
+      .withColumnRenamed("hll_distinct", "est_union")
+    ea.join(eb, Seq(groupCol)).join(eu, Seq(groupCol))
+      .select(col(groupCol), col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")), 4)
+          .as("est_intersect"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, approx: Boolean = false): DataFrame = {
     def pct(c: org.apache.spark.sql.Column, p: Double) =
       if (approx) approx_percentile(c, lit(p), lit(10000))

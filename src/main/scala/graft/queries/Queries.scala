@@ -3819,6 +3819,69 @@ object Queries {
           FROM events WHERE event_id IS NOT NULL GROUP BY 1) x USING (event_type)
         ORDER BY event_type""")),
 
+    // ---- HLL set-intersection via inclusion-exclusion: audience
+    //      overlap ("users who both click AND purchase") from two
+    //      sketches plus their max-merge union, no raw-data join —
+    //      every register and all three round-4 estimates replayed
+    //      bit-for-bit, with the exact overlap alongside ----
+    QueryDef(
+      "q118_hll_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val A = graft.operators.Analytics.hllRegisters(
+          ev.filter($"event_type" === "click")
+            .withColumn("pair", lit("click_purchase")), "pair", "user_id")
+        val B = graft.operators.Analytics.hllRegisters(
+          ev.filter($"event_type" === "purchase")
+            .withColumn("pair", lit("click_purchase")), "pair", "user_id")
+        val est = graft.operators.Analytics.hllIntersectEstimate(A, B, "pair")
+        val exact = ev.filter($"event_type" === "click" && $"user_id".isNotNull)
+          .select($"user_id").distinct()
+          .join(ev.filter($"event_type" === "purchase" && $"user_id".isNotNull)
+            .select($"user_id").distinct(), Seq("user_id"))
+          .agg(count(lit(1)).as("exact_intersect"))
+          .withColumn("pair", lit("click_purchase"))
+        est.join(exact, Seq("pair"))
+      },
+      Some {
+        def regChain(tag: String, pred: String) = s"""
+        h$tag AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL AND $pred),
+        g$tag AS (SELECT hv & 255 AS b,
+            max(CASE WHEN hv >> 8 = 0 THEN 53
+              ELSE 52 - length(printf('%b', hv >> 8)) + 1 END) AS r
+          FROM h$tag GROUP BY 1)"""
+        def estChain(tag: String) = s"""
+        m$tag AS (SELECT max(r) AS rmax, count(*) AS ne FROM g$tag),
+        n$tag AS (SELECT CAST(sum(CAST(pow(2.0, m.rmax - g.r) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nn
+          FROM g$tag g CROSS JOIN m$tag m),
+        x$tag AS (SELECT round(CASE WHEN (256 - ne) > 0 AND eraw <= 2.5 * 256.0
+            THEN 256.0 * ln(256.0 / CAST(256 - ne AS DOUBLE)) ELSE eraw END, 4) AS est
+          FROM (SELECT m.ne AS ne,
+              (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * pow(2.0, m.rmax)
+                / CAST(n.nn + CAST((256 - m.ne) AS DECIMAL(38,0)) * CAST(pow(2.0, m.rmax) AS DECIMAL(38,0)) AS DOUBLE) AS eraw
+            FROM m$tag m CROSS JOIN n$tag n))"""
+        s"""WITH ${regChain("a", "event_type = 'click'").drop(1)},
+        ${regChain("b", "event_type = 'purchase'").trim.stripPrefix(",")}
+        , gu AS (SELECT b, max(r) AS r FROM
+            (SELECT * FROM ga UNION ALL SELECT * FROM gb) GROUP BY 1),
+        ${estChain("a").trim},
+        ${estChain("b").trim},
+        ${estChain("u").trim},
+        exact AS (SELECT count(*) AS exact_intersect FROM
+          (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL) c
+          JOIN (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+          USING (user_id))
+        SELECT 'click_purchase' AS pair, xa.est AS est_a, xb.est AS est_b,
+          xu.est AS est_union,
+          round(greatest(0.0, xa.est + xb.est - xu.est), 4) AS est_intersect,
+          exact.exact_intersect
+        FROM xa CROSS JOIN xb CROSS JOIN xu CROSS JOIN exact"""
+      }),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so

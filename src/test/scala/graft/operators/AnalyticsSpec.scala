@@ -139,6 +139,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === est)
   }
 
+  test("hllIntersectEstimate: inclusion-exclusion tracks true overlap; clamped at 0 when disjoint") {
+    val sp = spark; import sp.implicits._
+    def regs(lo: Long, hi: Long) = Analytics.hllRegisters(
+      sp.range(lo, hi).select(lit("g").as("g"), $"id"), "g", "id")
+    // |A|=3000, |B|=3000, overlap 2000
+    val r = Analytics.hllIntersectEstimate(regs(0, 3000), regs(1000, 4000), "g")
+      .collect().head
+    val (ea, ebb, eu, ei) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.abs(ea - 3000.0) / 3000.0 < 0.15 && math.abs(ebb - 3000.0) / 3000.0 < 0.15)
+    assert(math.abs(eu - 4000.0) / 4000.0 < 0.15, s"union $eu")
+    // intersection error compounds three sketches: generous 40% band
+    assert(math.abs(ei - 2000.0) / 2000.0 < 0.4, s"intersect $ei")
+    // disjoint sets: clamp keeps the estimate non-negative
+    val d = Analytics.hllIntersectEstimate(regs(0, 2000), regs(10000, 12000), "g")
+      .collect().head.getDouble(4)
+    assert(d >= 0.0 && d < 500.0, s"disjoint estimate $d")
+  }
+
   test("hll registers merge: merge(sketch(A), sketch(B)) == sketch(A union B) exactly") {
     val sp = spark; import sp.implicits._
     val a = sp.range(0L, 2000L).select(lit("g").as("g"), $"id")
