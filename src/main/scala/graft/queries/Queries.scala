@@ -4100,7 +4100,7 @@ object Queries {
           CAST(c.degree_sum AS BIGINT) AS degree_sum,
           round(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / mm.m
             - (CAST(c.degree_sum AS DOUBLE) / (2.0 * mm.m))
-              * (CAST(c.degree_sum AS DOUBLE) / (2.0 * mm.m)), 9) AS q_contrib
+              * (CAST(c.degree_sum AS DOUBLE) / (2.0 * mm.m)), 9) + 0.0 AS q_contrib
         FROM comm c LEFT JOIN intra i ON c.community = i.community
         CROSS JOIN mm ORDER BY community""")),
 
