@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-sequence analytics: ordered funnels and cohort retention — the
   * two workhorse product-analytics operators over an events table. Both
@@ -621,5 +622,139 @@ object Analytics {
       .filter(col("gap_sec") <= windowSec)
       .select(col(userCol), col("conv_id"), col("conv_ts"),
         col("touch_id"), col("gap_sec"))
+  }
+
+  /** Time-series GAP-FILL with forward-fill interpolation: aggregate an
+    * event stream to one row per (key, day), densify each key's span to
+    * a contiguous daily grid (`sequence` + explode — no driver loop, no
+    * cross join against a global calendar), and carry the last observed
+    * value forward across the gaps. The standard regularization step
+    * before any window/trend analytics on irregular event data.
+    *
+    * Output: `(key, day, v_filled, observed)` — `observed` marks real
+    * daily aggregates vs carried-forward fills; days before a key's
+    * first observation cannot occur (the grid starts at the key's own
+    * min day). Determinism: the daily value is an exact
+    * DECIMAL(18,4)-summed aggregate rounded to 4 decimals, and
+    * forward-fill is `last(ignoreNulls)` over a per-key
+    * rows-unbounded-preceding window — order is total because the grid
+    * has exactly one row per (key, day).
+    *
+    * Scale shape: one hash aggregation on (key, day), one tiny per-key
+    * span aggregate whose exploded grid is ≤ span-days per key, one
+    * equi-join back, and a PER-KEY window — nothing global, no skew
+    * beyond a key's own history length. */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(round(sum(col(valueCol).cast(DecimalType(18, 4)))
+        .cast("double"), 4).as("v"))
+    val grid = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(keyCol), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left_outer")
+      .select(col(keyCol), col("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v").isNotNull.as("observed"))
+  }
+
+  /** Exponentially-weighted moving average, final value per key:
+    *
+    *   y_0 = x_0;   y_i = α·x_i + (1−α)·y_{i−1}
+    *
+    * folded LEFT over each key's series in (ts, id) order — the
+    * smoothed "current level" per entity (user engagement, host crawl
+    * rate) that a monitoring pipeline keeps per key. The fold runs as
+    * a codegen'd `aggregate` higher-order function over the key's
+    * collected series — one hash aggregation + one map stage, no
+    * window, no shuffle beyond the groupBy.
+    *
+    * Determinism: deliberately NO per-step decimal rounding — the fold
+    * order is total (unique (ts, id) sort key), so each step is two
+    * IEEE multiplies + one add in fixed operand order, which is
+    * bit-exact across engines; per-step `round(x, 9)` would actually
+    * BREAK parity here, because BigDecimal-based and multiply-by-1e9
+    * rounding disagree by 1 ulp when a compounded value lands on a
+    * 10th-digit tie (observed 2/150 keys at sf0.01). The DECIMAL-addend
+    * convention exists for order-FREE sums; an ordered fold doesn't
+    * need it.
+    *
+    * Per-key series are collected into one array, so the operator
+    * assumes bounded per-key history (the same contract as any
+    * sessionization); at 100 TB the key count scales out while each
+    * key's history stays memory-sized. Rows with a NULL ts/id/value
+    * are dropped (engines disagree on NULL placement in sorts).
+    *
+    * Output: `(key, n_points, ewma)`. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val pts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v")))).as("pts"))
+    val oneMinus = 1.0 - alpha // exact IEEE repr, mirrored in the oracle
+    pts.select(col(keyCol), size(col("pts")).as("n_points"),
+      expr(s"""aggregate(slice(pts, 2, size(pts) - 1),
+        element_at(pts, 1).v,
+        (acc, p) -> $alpha * p.v + $oneMinus * acc)""")
+        .as("ewma"))
+  }
+
+  /** Holt's linear-trend double exponential smoothing, final state per
+    * key (Holt 1957):
+    *
+    *   l_0 = x_0, b_0 = 0
+    *   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = γ·(l_i − l_{i−1}) + (1−γ)·b_{i−1}
+    *
+    * folded LEFT in (ts, id) order; emits the smoothed level, trend,
+    * and one-step-ahead forecast (level + trend) per key — [[ewma]]'s
+    * trend-aware sibling for drifting series. Same raw-IEEE fixed-order
+    * determinism contract as [[ewma]] (no rounding anywhere).
+    *
+    * The fold state is a 2-element DOUBLE ARRAY, not a struct, quite
+    * deliberately: DuckDB 1.0's `list_reduce` evaluates `struct_pack`
+    * accumulator fields SEQUENTIALLY — field k's expression already
+    * sees fields < k updated (probed: `(acc,x) -> struct_pack(a :=
+    * acc.a + x.a, b := acc.a * 1000 + acc.b)` folds b against the NEW
+    * a) — so a struct-state oracle would replay a different recurrence;
+    * array constructors evaluate every slot against the stable
+    * pre-step accumulator in both engines. l_i appears twice in the
+    * update (its own slot and inside the trend delta); both
+    * occurrences are the same fixed-order IEEE expression, so
+    * recomputing it is bit-free. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alpha: Double = 0.3,
+      gamma: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    val pts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v")))).as("pts"))
+    val (oneA, oneG) = (1.0 - alpha, 1.0 - gamma) // exact IEEE reprs
+    val lNew = s"$alpha * element_at(x, 1) + " +
+      s"$oneA * (element_at(acc, 1) + element_at(acc, 2))"
+    pts.select(col(keyCol), size(col("pts")).as("n_points"),
+      expr(s"""aggregate(
+        transform(slice(pts, 2, size(pts) - 1),
+          p -> array(p.v, CAST(0 AS DOUBLE))),
+        array(element_at(pts, 1).v, CAST(0 AS DOUBLE)),
+        (acc, x) -> array($lNew,
+          $gamma * (($lNew) - element_at(acc, 1))
+            + $oneG * element_at(acc, 2)))""").as("st"))
+      .select(col(keyCol), col("n_points"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
   }
 }

@@ -2059,4 +2059,94 @@ object Graph {
           lit(0).cast(DecimalType(38, 12)))).cast(DecimalType(38, 12)))
       .drop("add")
   }
+
+  /** Katz centrality by synchronous power iteration:
+    *
+    *   x(v) ← round(β + α · Σ_{u→v} x(u), roundTo)
+    *
+    * over the DISTINCT directed edge list, starting from x ≡ β — the
+    * attenuation-weighted count of walks arriving at each node (Katz
+    * 1953): the centrality of choice when influence flows along
+    * directed links and PageRank's out-degree normalization is
+    * unwanted. The series converges for α < 1/λ_max; the fixed-round
+    * form here is exact lockstep for ANY α (each round is replayed
+    * bit-for-bit by the unrolled-CTE oracle, diverging inputs
+    * included).
+    *
+    * Determinism contract: the per-edge contribution is the previous
+    * score VERBATIM — a DOUBLE already rounded to `roundTo` ≤ 12
+    * decimals, hence exactly representable as DECIMAL(28,12), so the
+    * cast is value-preserving and the per-node sum is
+    * partition-order free; the update is `round(β + α·sum, roundTo)` —
+    * two IEEE ops in fixed operand order.
+    *
+    * Scale shape per round (same as [[pageRank]] minus the degree
+    * join): one edges ⋈ scores equi-join + one dst-keyed
+    * partial-aggregating sum + one left join onto the node set;
+    * lineage truncated via [[flat]] every `checkpointEvery` rounds. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 6, alpha: Double = 0.1, beta: Double = 1.0,
+      roundTo: Int = 9, checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var scores = nodes.withColumn("x", lit(beta))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < iterations) {
+      val inflow = e.join(scores, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("x").cast(DecimalType(28, 12))).as("xsum"))
+      var next = nodes.join(inflow, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          round(lit(beta) + lit(alpha) *
+            coalesce(col("xsum").cast("double"), lit(0.0)), roundTo).as("x"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val ck = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(ck)
+        next = flat(ck)
+      }
+      scores = next
+    }
+    val result = scores.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    nodes.unpersist()
+    result.select(col("node"), col("x").as("katz"))
+  }
+
+  /** EFFECTIVE DIAMETER read off the HyperANF curve: the smallest
+    * radius r at which the neighborhood function reaches `fraction`
+    * (canonically 0.9) of its horizon value N(rounds) — the
+    * "practically everything is within r hops" summary statistic
+    * (Boldi & Vigna 2011 report exactly this off the same curve).
+    * Integer-radius form (no interpolation), so the answer is an exact
+    * radius and the only floating point beyond [[neighborhoodFunction]]
+    * itself is the single `fraction · N(horizon)` multiply in the
+    * threshold compare — both replayed verbatim by the oracle.
+    *
+    * `rounds` is the horizon, which must comfortably exceed the true
+    * effective diameter for the reading to mean anything; the output
+    * carries N(horizon) alongside so callers can sanity-check curve
+    * saturation. One row: `(eff_diameter, nf_horizon)`. */
+  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, fraction: Double = 0.9): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val nf = neighborhoodFunction(edges, srcCol, dstCol, rounds)
+    val horizon = nf.filter(col("r") === rounds)
+      .select(col("nf_est").as("nf_horizon"))
+    nf.crossJoin(broadcast(horizon))
+      .filter(col("nf_est") >= lit(fraction) * col("nf_horizon"))
+      .agg(min(col("r")).as("eff_diameter"),
+        max(col("nf_horizon")).as("nf_horizon"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline: tokenization,
@@ -1975,5 +1976,46 @@ object TextAnalysis {
         (greatest(winStart, col("off")) - col("off")).as("start_in_doc"),
         (least(winStart + windowLen, col("off") + col("len")) -
           greatest(winStart, col("off"))).as("n_tokens"))
+  }
+
+  /** CONTENT-DEFINED CHUNKING at token granularity: cut AFTER every
+    * token whose md5 starts with a hex digit in `cutPrefixes`, so a
+    * chunk boundary is a function of the CONTENT at the boundary, not
+    * of position — insert or delete a token and only the chunk it sits
+    * in reflows, while every later chunk (and its fingerprint) is
+    * byte-identical. That boundary-shift resistance is what makes
+    * chunk-level dedup work across near-identical documents, where
+    * fixed-size windows misalign after the first edit (the rsync/LBFS
+    * rolling-cut idea, at token rather than byte granularity so it
+    * rides the pipeline's one shared tokenizer). Expected chunk length
+    * = 16/|cutPrefixes| tokens. Deliberately NO min/max clamp: a clamp
+    * makes each cut depend on the previous cut (sequential state), and
+    * boundary-shift resistance is lost at every clamped point.
+    *
+    * Output: one row per (doc, chunk) — `(id, chunk_id, n_tokens,
+    * first_pos, chunk_hash)`, chunk_hash = md5 of the space-joined
+    * tokens. Scale shape: positioned explode, one PER-DOC cumulative
+    * window (bounded by the doc's own token count, never global), one
+    * hash agg; the ordered fingerprint rides array_sort over the
+    * chunk's own rows. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      cutPrefixes: Seq[String] = Seq("0", "1")): DataFrame = {
+    require(cutPrefixes.nonEmpty, "need at least one cut prefix")
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val isCut = substring(md5(col("tok")), 1, 1).isin(cutPrefixes: _*)
+    // chunk id = number of cuts at STRICTLY EARLIER positions: the cut
+    // token is the last of its chunk, the next token opens a new one
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("chunk_id",
+        coalesce(sum(isCut.cast("long")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).as("first_pos"),
+        md5(array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("tok")))), p => p.getField("tok")), " "))
+          .as("chunk_hash"))
   }
 }

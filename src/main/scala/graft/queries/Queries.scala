@@ -618,6 +618,43 @@ object Queries {
     GROUP BY r ORDER BY r"""
   }
 
+  /** Shared content-defined-chunking CTE chain for the t54/d17 oracles:
+    * positioned tokens, md5-prefix cut flags, exclusive-prefix-count
+    * chunk ids, per-chunk ordered fingerprints — replays
+    * [[graft.operators.TextAnalysis.cdcChunks]] with default prefixes. */
+  private val cdcChunkCtes: String =
+    """tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         FROM documents),
+    tok AS (SELECT doc_id, tk[i] AS tok, i - 1 AS pos
+         FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)),
+    chp AS (SELECT doc_id, pos, tok,
+         COALESCE(CAST(sum(CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1')
+             THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS chunk_id
+         FROM tok),
+    chunks AS (SELECT doc_id, chunk_id, count(*) AS n_tokens,
+         CAST(min(pos) AS INT) AS first_pos,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       FROM chp GROUP BY 1, 2)"""
+
+  /** q120 oracle: the q110 curve plus the smallest radius whose
+    * neighborhood-function value reaches `fraction` of the horizon
+    * N(rounds) — replays [[graft.operators.Graph.effectiveDiameter]]
+    * including the single threshold multiply. */
+  private def effectiveDiameterOracleSql(rounds: Int,
+      fraction: String): String = {
+    val unions = (0 to rounds)
+      .map(r => s"SELECT $r AS r, est FROM (${hllEstimateSql(r)})")
+      .mkString("\n    UNION ALL\n    ")
+    s"""${hllRegisterCtes(rounds)},
+    nf AS (SELECT r, CAST(SUM(CAST(est AS DECIMAL(28,6))) AS DOUBLE) AS nf_est
+      FROM ($unions) GROUP BY r),
+    hor AS (SELECT nf_est AS nf_horizon FROM nf WHERE r = $rounds)
+    SELECT min(r) AS eff_diameter, max(nf_horizon) AS nf_horizon
+    FROM nf CROSS JOIN hor WHERE nf_est >= $fraction * nf_horizon"""
+  }
+
   /** Unrolled Luby-MIS tournament for the q111 oracle: md5-string
     * priorities, one strict-beats-all-undecided-neighbors round per
     * CTE block, replaying [[graft.operators.Graph.lubyMis]] exactly. */
@@ -3881,6 +3918,209 @@ object Queries {
           exact.exact_intersect
         FROM xa CROSS JOIN xb CROSS JOIN xu CROSS JOIN exact"""
       }),
+
+    // ---- Katz centrality: attenuation-weighted walk counts by 6
+    //      synchronous power-iteration rounds over the symmetrized
+    //      supplier–part bipartite graph — no degree normalization
+    //      (vs q64), so the per-edge contribution is the previous
+    //      score verbatim and the unrolled oracle replays every round
+    //      through DECIMAL(28,12) addends bit-for-bit ----
+    QueryDef(
+      "q119_katz",
+      (s, dir) => {
+        import s.implicits._
+        val lp = t(s, dir, "lineitem")
+          .filter($"l_partkey" % 10 === 0)
+          .select($"l_suppkey".as("sk"), ($"l_partkey" + 1000000L).as("pk"))
+          .distinct()
+        val edges = lp.select($"sk".as("src"), $"pk".as("dst"))
+          .unionAll(lp.select($"pk".as("src"), $"sk".as("dst")))
+        graft.operators.Graph.katzCentrality(edges, "src", "dst",
+            iterations = 6)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 6).map(i =>
+          s"""x$i AS (SELECT n.node,
+            round(1.0 + 0.1 * COALESCE(CAST(c.xsum AS DOUBLE), 0.0), 9) AS x
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node,
+              sum(CAST(x${i - 1}.x AS DECIMAL(28,12))) AS xsum
+            FROM x${i - 1} JOIN e ON x${i - 1}.node = e.src
+            GROUP BY e.dst) c ON n.node = c.node)""").mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e AS (SELECT sk AS src, pk AS dst FROM lp
+              UNION ALL SELECT pk AS src, sk AS dst FROM lp),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM n),
+        $rounds
+        SELECT node, x AS katz FROM x6 ORDER BY node"""
+      }),
+
+    // ---- Effective diameter off the q110 HyperANF curve: smallest
+    //      radius reaching 90% of the horizon neighborhood function —
+    //      integer-radius form, so beyond the (already-oracled) curve
+    //      the only new floating point is the one threshold multiply ----
+    QueryDef(
+      "q120_eff_diameter",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").filter($"l_orderkey" % 8 === 0)
+        val edges = li
+          .select(($"l_partkey" % 211).as("src"),
+            ($"l_suppkey" % 211 + 300L).as("dst"))
+          .unionAll(li
+            .select(($"l_suppkey" % 211 + 300L).as("src"),
+              (($"l_partkey" + 97) % 211).as("dst")))
+        graft.operators.Graph.effectiveDiameter(edges, "src", "dst",
+          rounds = 4)
+      },
+      Some(effectiveDiameterOracleSql(rounds = 4, fraction = "0.9"))),
+
+    // ---- Time-series gap-fill: densify each user's daily activity to
+    //      a contiguous grid and forward-fill the last observed daily
+    //      value across gaps — the regularization step before any
+    //      trend/window analytics on irregular event data ----
+    QueryDef(
+      "q121_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").filter($"user_id" % 37 === 0)
+        graft.operators.Analytics.gapFillDaily(ev, "user_id", "ts", "value")
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+          FROM events
+          WHERE user_id % 37 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+        daily AS (SELECT user_id, day,
+            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v
+          FROM ev GROUP BY 1, 2),
+        grid AS (SELECT user_id,
+            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM daily GROUP BY 1))
+        SELECT g.user_id, g.day,
+          last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+            ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+          d.v IS NOT NULL AS observed
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+        ORDER BY user_id, day""")),
+
+    // ---- Per-user EWMA level: left-fold y = 0.3x + 0.7y over each
+    //      user's (ts, event_id)-ordered series via the codegen
+    //      aggregate HOF; DuckDB's list_reduce folds the same list in
+    //      the same fixed IEEE operand order with the same
+    //      first-element init — bit-exact with NO rounding at all ----
+    QueryDef(
+      "q122_ewma",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        graft.operators.Analytics.ewma(ev, "user_id", "ts", "event_id",
+            "value")
+          .orderBy($"user_id")
+      },
+      Some("""WITH pts AS (SELECT user_id,
+            list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1)
+        SELECT user_id, CAST(len(vals) AS INT) AS n_points,
+          list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+        FROM pts ORDER BY user_id""")),
+
+    // ---- Holt linear trend per user: (level, trend) array-state fold
+    //      in (ts, event_id) order, raw fixed-order IEEE like q122;
+    //      array (not struct) state because DuckDB list_reduce updates
+    //      struct_pack accumulator fields sequentially (see
+    //      Analytics.holtLinear) ----
+    QueryDef(
+      "q123_holt",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.holtLinear(t(s, dir, "events"),
+            "user_id", "ts", "event_id", "value")
+          .orderBy($"user_id")
+      },
+      Some("""WITH pts AS (SELECT user_id,
+            list([CAST(value AS DOUBLE), CAST(0 AS DOUBLE)]
+              ORDER BY ts, event_id) AS pts
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        st AS (SELECT user_id, CAST(len(pts) AS INT) AS n_points,
+          list_reduce(pts, (acc, x) ->
+            [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+             0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+               + 0.9 * acc[2]]) AS s
+          FROM pts)
+        SELECT user_id, n_points, s[1] AS level, s[2] AS trend,
+          s[1] + s[2] AS forecast
+        FROM st ORDER BY user_id""")),
+
+    // ---- Content-defined chunking: md5-prefix token cuts give
+    //      boundary-shift-resistant chunks whose fingerprints survive
+    //      edits elsewhere in the document — the chunk inventory that
+    //      d17 deduplicates across documents ----
+    QueryDef(
+      "t54_cdc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""WITH $cdcChunkCtes
+        SELECT doc_id, chunk_id, n_tokens, first_pos, chunk_hash
+        FROM chunks ORDER BY doc_id, chunk_id""")),
+
+    // ---- Chunk-level cross-document dedup report: per doc, how many
+    //      of its content-defined chunks (and how much of its token
+    //      mass) also appear verbatim in at least one OTHER document —
+    //      sub-document duplication that whole-doc dedup cannot see ----
+    QueryDef(
+      "d17_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ch = graft.operators.TextAnalysis
+          .cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+        val shared = ch.groupBy($"chunk_hash")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2)
+          .select($"chunk_hash")
+        val dup = ch.join(shared, Seq("chunk_hash"), "left_semi")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("dup_chunks"),
+            sum($"n_tokens").as("dup_tokens"))
+        ch.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"n_tokens").as("total_tokens"))
+          .join(dup, Seq("doc_id"), "left_outer")
+          .select($"doc_id", $"n_chunks", $"total_tokens",
+            coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
+            coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $cdcChunkCtes,
+        shared AS (SELECT chunk_hash FROM chunks
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT doc_id, count(*) AS dup_chunks,
+            CAST(sum(n_tokens) AS BIGINT) AS dup_tokens
+          FROM chunks
+          WHERE chunk_hash IN (SELECT chunk_hash FROM shared)
+          GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM chunks GROUP BY 1)
+        SELECT t.doc_id, t.n_chunks, t.total_tokens,
+          COALESCE(d.dup_chunks, 0) AS dup_chunks,
+          COALESCE(d.dup_tokens, 0) AS dup_tokens
+        FROM tot t LEFT JOIN dup d USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice

@@ -22,6 +22,16 @@ final case class OpenSessions(sessions: Seq[SessionState])
 final case class SessionOut(
     user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, sum_value: Double)
 
+/** One identified stream event for order-sensitive folds ([[Streams.ewmaLevels]]):
+  * `(ts, event_id)` must totally order a key's points. */
+final case class EwmaEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+/** A key's carried EWMA state: points seen + current level. */
+final case class EwmaState(n: Int, y: Double)
+
+/** The per-key level emitted each micro-batch (Update mode). */
+final case class EwmaLevel(user_id: Long, n_points: Int, ewma: Double)
+
 /** Structured Streaming operators: the batch engine's aggregation /
   * sessionization semantics re-expressed as readStream → transform →
   * writeStream pipelines. State is bounded by watermarks (windowed aggs)
@@ -1068,6 +1078,52 @@ object Streams {
             state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L + gapSec * 1000L + 1L)
           }
           closed.map(close(userId, _)).iterator
+      }
+  }
+
+  /** Streaming EWMA twin of [[graft.operators.Analytics.ewma]]: one
+    * (count, level) pair of state per key, each micro-batch's rows
+    * folded in (ts, event_id) order onto the carried level with the
+    * SAME recurrence (y ← α·x + (1−α)·y, first-ever point as init, no
+    * rounding — two IEEE multiplies + one add per point, bit-exact
+    * across engines and across the stream/batch split).
+    *
+    * Equivalence contract (spec-pinned): with batches delivered in
+    * event-time order — the kappa replay contract every stateful twin
+    * here assumes — the level emitted for a key after batch k is
+    * BIT-IDENTICAL to the batch operator over the union of batches
+    * 1..k, because a left fold splits over concatenation:
+    * fold(xs ++ ys) = fold(fold(xs), ys). Out-of-order delivery
+    * ACROSS batches changes the fold order and therefore the result
+    * (the batch operator re-sorts; carried state cannot) — callers
+    * needing cross-batch reorder tolerance must replay.
+    *
+    * Scale shape: state is two scalars per key (no per-event buffer —
+    * contrast [[sessionize]], which must buffer open intervals), the
+    * per-batch sort is per-key in-memory over that key's batch rows
+    * only, and output rides Update mode (one row per touched key per
+    * batch). */
+  def ewmaLevels(events: Dataset[EwmaEvent],
+      alpha: Double = 0.3): Dataset[EwmaLevel] = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    import events.sparkSession.implicits._
+    val oneMinus = 1.0 - alpha
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaLevel](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val pts = batch.toArray.sortBy(e =>
+            (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var (n, y) = state.getOption
+            .map(s => (s.n, s.y)).getOrElse((0, 0.0))
+          pts.foreach { e =>
+            if (n == 0) y = e.value
+            else y = alpha * e.value + oneMinus * y
+            n += 1
+          }
+          state.update(EwmaState(n, y))
+          EwmaLevel(userId, n, y)
       }
   }
 

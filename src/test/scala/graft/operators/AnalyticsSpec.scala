@@ -176,4 +176,81 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getDouble(1)
     assert(math.abs(estM - 3500.0) / 3500.0 < 0.15, s"union estimate $estM")
   }
+
+  test("gapFillDaily densifies each key's span and forward-fills gaps") {
+    val events = spark.createDataFrame(Seq(
+      // user 1: two obs on day 1 (sum 4.0), a gap, then day 4
+      (1L, ts(1), 1.5), (1L, ts(1, 6), 2.5), (1L, ts(4), 3.0),
+      // user 2: a single day — no gap rows at all
+      (2L, ts(2), 7.0)
+    )).toDF("user_id", "ts", "value")
+    val out = Analytics.gapFillDaily(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01", 4.0, true),
+      (1L, "2024-01-02", 4.0, false), // carried forward
+      (1L, "2024-01-03", 4.0, false),
+      (1L, "2024-01-04", 3.0, true),
+      (2L, "2024-01-02", 7.0, true)))
+    // all-null values on a key's only day: row exists, nothing to carry
+    val nulls = spark.createDataFrame(Seq((3L, ts(1), Option.empty[Double])))
+      .toDF("user_id", "ts", "value")
+    val n = Analytics.gapFillDaily(nulls, "user_id", "ts", "value").collect()
+    assert(n.length === 1 && n.head.isNullAt(2) && !n.head.getBoolean(3))
+  }
+
+  test("ewma folds left in (ts, id) order with the first value as init") {
+    val events = spark.createDataFrame(Seq(
+      // user 1 in scrambled row order; fold order is ts then id
+      (1L, 3L, ts(3), 3.0), (1L, 1L, ts(1), 1.0), (1L, 2L, ts(2), 2.0),
+      // user 2: single point -> ewma == the point
+      (2L, 4L, ts(1), 5.0),
+      // user 3: same-ts tie broken by event_id (4.0 then 8.0)
+      (3L, 5L, ts(2), 4.0), (3L, 6L, ts(2), 8.0)
+    )).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.ewma(events, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // user 1: y = 1; 0.3*2 + 0.7*1 = 1.3; 0.3*3 + 0.7*1.3 = 1.81
+    assert(out(1L)._1 === 3)
+    assert(math.abs(out(1L)._2 - 1.81) < 1e-12)
+    assert(out(2L) === ((1, 5.0)))
+    // user 3: y = 4; 0.3*8 + 0.7*4 = 5.2
+    assert(out(3L)._1 === 2)
+    assert(math.abs(out(3L)._2 - 5.2) < 1e-12)
+    // null values drop before the fold
+    val withNull = spark.createDataFrame(Seq(
+      (7L, 1L, ts(1), Option(2.0)), (7L, 2L, ts(2), Option.empty[Double])
+    )).toDF("user_id", "event_id", "ts", "value")
+    val n = Analytics.ewma(withNull, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(n.getInt(1) === 1 && n.getDouble(2) === 2.0)
+  }
+
+  test("holtLinear tracks level and trend; single point has zero trend") {
+    val events = spark.createDataFrame(Seq(
+      (1L, 1L, ts(1), 1.0), (1L, 2L, ts(2), 2.0), (1L, 3L, ts(3), 3.0),
+      (2L, 4L, ts(1), 5.0)
+    )).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics
+      .holtLinear(events, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // hand fold (alpha 0.3, gamma 0.1) from (l, b) = (1, 0):
+    //   x=2: l = 0.6 + 0.7*1 = 1.3,    b = 0.1*0.3 = 0.03
+    //   x=3: l = 0.9 + 0.7*1.33 = 1.831, b = 0.1*0.531 + 0.9*0.03 = 0.0801
+    val (n1, l1, b1, f1) = out(1L)
+    assert(n1 === 3)
+    assert(math.abs(l1 - 1.831) < 1e-12, s"level $l1")
+    assert(math.abs(b1 - 0.0801) < 1e-12, s"trend $b1")
+    assert(f1 === l1 + b1)
+    // an increasing series must carry a positive trend
+    assert(b1 > 0)
+    assert(out(2L) === ((1, 5.0, 0.0, 5.0)))
+  }
 }

@@ -435,4 +435,32 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.length == 1 && one.head.getLong(1) == 2L &&
       one.head.getLong(2) == 4L)
   }
+
+  test("round-12 time-series, chunking, and graph additions on empty input") {
+    val sp = spark; import sp.implicits._
+    val emptyEdges = spark.createDataFrame(Seq.empty[(Long, Long)])
+      .toDF("src", "dst")
+    assert(Graph.katzCentrality(emptyEdges, "src", "dst",
+      iterations = 3).count() == 0)
+    // no nodes -> no radius ever reaches the (null) horizon; the single
+    // agg row carries nulls rather than inventing a diameter
+    val ed = Graph.effectiveDiameter(emptyEdges, "src", "dst", rounds = 2)
+      .collect()
+    assert(ed.length == 1 && ed.head.isNullAt(0))
+    assert(Analytics.gapFillDaily(emptyEvents, "user_id", "ts", "value")
+      .count() == 0)
+    val emptyIdEvents = spark
+      .createDataFrame(Seq.empty[(Long, Long, java.sql.Timestamp, Double)])
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Analytics.ewma(emptyIdEvents, "user_id", "ts", "event_id",
+      "value").count() == 0)
+    assert(Analytics.holtLinear(emptyIdEvents, "user_id", "ts", "event_id",
+      "value").count() == 0)
+    assert(TextAnalysis.cdcChunks(emptyDocs, "doc_id", "text").count() == 0)
+    // token-free text produces no chunks (not a zero-token chunk)
+    val blank = Seq((1L, "!!!"), (2L, "real words here"))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(blank, "doc_id", "text").collect()
+    assert(ch.nonEmpty && ch.forall(_.getLong(0) == 2L))
+  }
 }

@@ -960,4 +960,65 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(p2 === Map(1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
   }
+
+  test("katzCentrality: directed path converges to the hand-computed fix") {
+    val sp = spark; import sp.implicits._
+    // 0 -> 1 -> 2 with alpha = 0.5, beta = 1:
+    //   x(0) = 1 always (no in-edges)
+    //   x(1) = 1 + 0.5 * x(0) = 1.5 from round 1 on
+    //   x(2) = 1 + 0.5 * x(1) -> 1.5, 1.75, then stationary
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = Graph.katzCentrality(path, "src", "dst",
+        iterations = 3, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(0L -> 1.0, 1L -> 1.5, 2L -> 1.75))
+    // duplicate edges collapse: doubling 0->1 must not double the flow
+    val dup = Seq((0L, 1L), (0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out2 = Graph.katzCentrality(dup, "src", "dst",
+        iterations = 3, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2 === out)
+  }
+
+  test("katzCentrality: hub in-degree dominates; deterministic under " +
+      "repartitioning") {
+    val sp = spark; import sp.implicits._
+    // all leaves point at the hub: x(hub) = 1 + alpha * 9 after round 1
+    val star = (1L to 9L).map(l => (l, 0L)).toDF("src", "dst")
+    val out = Graph.katzCentrality(star, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) === 1.9)
+    assert((1L to 9L).forall(out(_) === 1.0))
+    val rnd = new scala.util.Random(11)
+    val edges = sym((1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, 40L + rnd.nextInt(40).toLong)).distinct)
+    val r1 = Graph.katzCentrality(edges.toDF("src", "dst").repartition(1),
+        "src", "dst", iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val r7 = Graph.katzCentrality(edges.toDF("src", "dst").repartition(7),
+        "src", "dst", iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(r1 === r7)
+  }
+
+  test("effectiveDiameter: complete graph saturates at radius 1; " +
+      "fraction is monotone") {
+    val sp = spark; import sp.implicits._
+    val k5 = (for (a <- 0L to 4L; b <- 0L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val d1 = Graph.effectiveDiameter(k5, "src", "dst", rounds = 3)
+      .collect().head
+    // every 1-ball is the whole graph -> the curve is flat from r = 1,
+    // so 90% of the horizon is reached at exactly 1
+    assert(d1.getInt(0) === 1)
+    // a lower fraction can only give an equal-or-smaller radius; 8-node
+    // directed path stresses a slowly-growing curve
+    val path8 = (0L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val eff = (f: Double) =>
+      Graph.effectiveDiameter(path8, "src", "dst", rounds = 7, fraction = f)
+        .collect().head.getInt(0)
+    val (e5, e9, e10) = (eff(0.5), eff(0.9), eff(1.0))
+    assert(e5 <= e9 && e9 <= e10, s"monotone: $e5 $e9 $e10")
+    assert(e10 <= 7 && e5 >= 0)
+  }
 }

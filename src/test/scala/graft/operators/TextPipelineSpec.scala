@@ -810,4 +810,35 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(chars === Set((1L, 18L), (2L, 12L)))
   }
+
+  test("cdcChunks: chunks partition the token stream; boundaries are " +
+      "content-defined (prefix edits cannot shift later chunks)") {
+    val sp = spark; import sp.implicits._
+    val words = (1 to 60).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val docs = Seq((1L, base), (2L, "extraword " + base))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4)))
+    // chunks tile each doc exactly: token counts sum to the doc total,
+    // the first chunk starts at 0, and first_pos values chain
+    for ((id, total) <- Seq((1L, 60L), (2L, 61L))) {
+      val mine = ch.filter(_._1 == id).sortBy(_._2)
+      assert(mine.map(_._3).sum === total)
+      assert(mine.head._4 === 0)
+      assert(mine.map(c => c._4.toLong + c._3).toSeq ===
+        (mine.drop(1).map(_._4.toLong) :+ total).toSeq,
+        s"chunks of doc $id must chain")
+    }
+    // content-defined resistance: doc 2 is doc 1 with one PREPENDED
+    // token, so every doc-1 chunk after the first cut must reappear in
+    // doc 2 byte-identically (only the chunk containing the edit moves)
+    val h1 = ch.filter(c => c._1 == 1L && c._2 >= 1L).map(_._5).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.nonEmpty, "need at least two chunks for the shift test")
+    assert(h1.subsetOf(h2),
+      s"later chunks shifted under a prefix edit: ${h1 -- h2}")
+  }
 }

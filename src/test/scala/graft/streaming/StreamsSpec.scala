@@ -1205,4 +1205,46 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pruned stream scan not materially narrower: $prunedBytes vs $fullBytes")
     } finally spark.conf.unset("spark.sql.optimizer.nestedSchemaPruning.enabled")
   }
+
+  test("ewmaLevels: streamed level is bit-identical to the batch ewma " +
+      "after every in-order batch") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val b1 = Seq(EwmaEvent(1, 1, ts(1), 1.0), EwmaEvent(1, 2, ts(2), 2.0),
+      EwmaEvent(2, 3, ts(1), 5.0))
+    val b2 = Seq(EwmaEvent(1, 4, ts(3), 3.0), EwmaEvent(2, 5, ts(4), 7.0),
+      EwmaEvent(3, 6, ts(5), 9.0))
+    def batchTwin(evs: Seq[EwmaEvent]): Map[Long, (Int, Double)] =
+      graft.operators.Analytics.ewma(evs.toDF(), "user_id", "ts",
+          "event_id", "value")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+    val input = MemoryStream[EwmaEvent]
+    val q = Streams.ewmaLevels(input.toDS())
+      .writeStream.format("memory").queryName("ewma_lv")
+      .outputMode("update").start()
+    try {
+      // update mode appends one row per touched key per batch; the
+      // latest state per key is the row with the highest n_points
+      // (strictly monotone for touched keys)
+      def latest(): Map[Long, (Int, Double)] = spark.table("ewma_lv")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (k, rs) =>
+          val top = rs.maxBy(_._2); k -> ((top._2, top._3)) }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchTwin(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // fold splits over concatenation: carried state ≡ re-running the
+      // batch operator over everything seen so far, bit for bit
+      assert(latest() === batchTwin(b1 ++ b2))
+      val l = latest()
+      // hand check user 1: y = 1; .3*2+.7*1 = 1.3; .3*3+.7*1.3 = 1.81
+      assert(l(1L)._1 === 3 && math.abs(l(1L)._2 - 1.81) < 1e-12)
+      assert(l(3L) === ((1, 9.0)))
+    } finally q.stop()
+  }
 }
