@@ -147,6 +147,52 @@ object TemporalJoins {
         sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_prev_ts", "_new_session")
   }
+
+  /** INTERVAL-OVERLAP join: every pair (l, r) whose CLOSED integer
+    * intervals [lStart, lEnd] and [rStart, rEnd] intersect — the
+    * sessions×campaigns / genomics shape Spark plans as a
+    * broadcast-nested-loop theta join if written naively. Both sides
+    * explode their interval into covering grid cells of `cellSize`;
+    * the join becomes an EQUI-join on the cell (plus any `keys`), and
+    * each overlapping pair is emitted EXACTLY ONCE with NO distinct:
+    * only the canonical cell — the one containing the overlap's start,
+    * max(lStart, rStart) — passes the final filter, so a pair sharing
+    * many cells still surfaces from exactly one of them (the dedup-free
+    * grid-join trick; a distinct here would be a second full shuffle of
+    * the output).
+    *
+    * Scale shape: shuffle volume is each input × (span/cellSize + 1);
+    * pick `cellSize` near the median interval span so the explode is a
+    * small constant factor, and pass `keys` whenever a natural equi-key
+    * exists — the cell only has to subdivide WITHIN a key. Bounds must
+    * be NON-NEGATIVE integral columns (`div` truncates toward zero, so
+    * negative starts would land in the wrong cell); both inputs must
+    * not share column names beyond `keys` (same contract as [[range]]).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      cellSize: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(cellSize >= 1, "cellSize must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"left and right share non-key columns $shared; rename one side")
+    require(!left.columns.contains("_cell") && !right.columns.contains("_cell"),
+      "inputs must not carry a _cell column")
+    def cells(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_cell", explode(sequence(
+        expr(s"CAST($s AS BIGINT) div $cellSize"),
+        expr(s"CAST($e AS BIGINT) div $cellSize"))))
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), keys :+ "_cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_cell") ===
+        expr(s"CAST(greatest($lStart, $rStart) AS BIGINT) div $cellSize"))
+      .drop("_cell")
+  }
 }
 
 /** Skew-resistant join shapes. AQE's skew-join split handles moderate skew

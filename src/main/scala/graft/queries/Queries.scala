@@ -4122,6 +4122,46 @@ object Queries {
         FROM tot t LEFT JOIN dup d USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ---- Interval-overlap join via the dedup-free grid trick: both
+    //      interval sets explode into day cells, the join is an
+    //      equi-join on the cell, and each overlapping pair surfaces
+    //      from exactly ONE cell (the one holding max(starts)) — no
+    //      broadcast-nested-loop, no output distinct; oracle is the
+    //      naive overlap predicate ----
+    QueryDef(
+      "q124_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val dayUs = 86400000000L
+        val a = t(s, dir, "orders").filter($"o_orderkey" % 97 === 0)
+          .select($"o_orderkey",
+            expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $dayUs").as("a_start"),
+            (expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $dayUs")
+              + $"o_orderkey" % 5 + 1).as("a_end"))
+        val b = t(s, dir, "lineitem").filter($"l_orderkey" % 199 === 0)
+          .select($"l_orderkey", $"l_linenumber".cast("long").as("l_line"),
+            expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $dayUs").as("b_start"),
+            (expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $dayUs")
+              + $"l_linenumber").as("b_end"))
+        graft.operators.TemporalJoins.intervalOverlap(a, b,
+            "a_start", "a_end", "b_start", "b_end", cellSize = 8L)
+          .orderBy($"o_orderkey", $"l_orderkey", $"l_line")
+      },
+      Some("""WITH a AS (SELECT o_orderkey,
+            CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS a_start,
+            CAST(epoch_us(o_orderdate) // 86400000000
+              + o_orderkey % 5 + 1 AS BIGINT) AS a_end
+          FROM orders WHERE o_orderkey % 97 = 0),
+        b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_line,
+            CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS b_start,
+            CAST(epoch_us(l_shipdate) // 86400000000
+              + l_linenumber AS BIGINT) AS b_end
+          FROM lineitem WHERE l_orderkey % 199 = 0)
+        SELECT a.o_orderkey, a.a_start, a.a_end,
+          b.l_orderkey, b.l_line, b.b_start, b.b_end
+        FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+        ORDER BY o_orderkey, l_orderkey, l_line""")),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so

@@ -97,4 +97,52 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("id"))
   }
+
+  test("intervalOverlap equals the naive theta join, emits each pair " +
+      "once, and plans as an equi-join") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val left = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong; (i.toLong, s, s + rnd.nextInt(40))
+    }.toDF("lid", "a_start", "a_end")
+    val right = (1 to 150).map { i =>
+      val s = rnd.nextInt(500).toLong; (i.toLong, s, s + rnd.nextInt(40))
+    }.toDF("rid", "b_start", "b_end")
+    val naive = left.crossJoin(right)
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select($"lid", $"rid")
+    // cell far smaller, comparable to, and far larger than the spans:
+    // identical pairs every time, and no duplicates from shared cells
+    for (cell <- Seq(3L, 32L, 10000L)) {
+      val grid = TemporalJoins.intervalOverlap(left, right,
+        "a_start", "a_end", "b_start", "b_end", cellSize = cell)
+      val pairs = grid.select($"lid", $"rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length === pairs.distinct.length,
+        s"cell=$cell emitted duplicate pairs")
+      assert(pairs.toSet === naive.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, s"cell=$cell diverged")
+    }
+    // with an equi-key, only same-key pairs survive
+    val lk = left.withColumn("k", $"lid" % 3)
+    val rk = right.withColumn("k", $"rid" % 3)
+    val keyed = TemporalJoins.intervalOverlap(lk, rk,
+        "a_start", "a_end", "b_start", "b_end", cellSize = 16L,
+        keys = Seq("k"))
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val naiveKeyed = lk.as("l").join(rk.as("r"),
+        $"l.k" === $"r.k" && $"l.a_start" <= $"r.b_end" &&
+          $"r.b_start" <= $"l.a_end")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(keyed === naiveKeyed)
+    // the scale claim: the physical plan must be a shuffle/broadcast
+    // EQUI join on the cell, never a nested loop over the inputs
+    val plan = TemporalJoins.intervalOverlap(left, right,
+        "a_start", "a_end", "b_start", "b_end", cellSize = 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop plan:\n$plan")
+  }
 }
