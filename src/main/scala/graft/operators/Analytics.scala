@@ -757,4 +757,104 @@ object Analytics {
         element_at(col("st"), 2).as("trend"),
         (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast"))
   }
+
+  /** Rolling-window ROBUST anomaly detection over each key's daily
+    * event-count series: a day is anomalous when its count deviates
+    * from the rolling median by more than `threshold` × the rolling
+    * MAD (median absolute deviation) — the Hampel filter, the standard
+    * outlier screen for telemetry series because one spike cannot drag
+    * its own baseline the way a rolling mean/stddev lets it.
+    *
+    * Determinism (the engine-portability discipline of [[ewma]]): both
+    * medians are computed EXPLICITLY — sort the bounded window list,
+    * take the middle element (odd) or the average of the two middles
+    * (even) — not via an engine `median()` whose interpolation rule may
+    * differ; counts are exact BIGINTs, so the only floats are the
+    * even-median halving and the threshold multiply, each a single
+    * fixed-order IEEE op replayed verbatim by the oracle.
+    *
+    * Scale shape: daily pre-aggregation is one partial hash agg; the
+    * rolling frame is a BOUNDED ±`halfWindow` ROWS window per key (7
+    * values of state, never a whole-partition list), and a key's
+    * partition is its daily series — years of history is still only
+    * hundreds of rows per key, so no single task ever owns more than
+    * one key's bounded series. Output one row per (key, day):
+    * `(key, day, n_events, med, mad, is_anomaly)`.
+    *
+    * `centered = false` switches to the TRAILING frame (the current
+    * day plus the 2·halfWindow observed days before it) — the causal
+    * variant a live monitor can actually run, and the exact batch twin
+    * of [[graft.streaming.Streams.hampelAnomalies]]. */
+  def rollingMadAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      halfWindow: Int = 3, threshold: Double = 3.5,
+      centered: Boolean = true): DataFrame = {
+    require(halfWindow >= 1, "halfWindow must be positive")
+    require(threshold > 0, "threshold must be positive")
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(if (centered) -halfWindow else -2L * halfWindow,
+        if (centered) halfWindow else 0L)
+    // explicit middle-element median over the sorted bounded window
+    def arrMedian(arr: String): String =
+      s"""CASE WHEN size($arr) % 2 = 1
+            THEN CAST(element_at($arr,
+              CAST((size($arr) + 1) div 2 AS INT)) AS DOUBLE)
+            ELSE (CAST(element_at($arr,
+                CAST(size($arr) div 2 AS INT)) AS DOUBLE)
+              + CAST(element_at($arr,
+                CAST(size($arr) div 2 + 1 AS INT)) AS DOUBLE))
+              / 2.0 END"""
+    daily
+      .withColumn("_w", array_sort(collect_list(col("n_events")).over(frame)))
+      .withColumn("med", expr(arrMedian("_w")))
+      .withColumn("_d",
+        expr("array_sort(transform(_w, x -> abs(CAST(x AS DOUBLE) - med)))"))
+      .withColumn("mad", expr(arrMedian("_d")))
+      .select(col(keyCol), col("day"), col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events").cast("double") - col("med")) >
+          lit(threshold) * col("mad")).as("is_anomaly"))
+  }
+
+  /** SYMBOLIC MOTIF mining over each key's daily event-count series
+    * (the rank-quantized cousin of SAX symbolization): each day gets a
+    * per-key quantile symbol via `ntile(nSymbols)` in (count, day)
+    * order, the symbol sequence is re-read in day order, and every
+    * `motifLen`-gram of consecutive symbols becomes one motif
+    * occurrence — "which short shapes (spike, ramp, dip) recur across
+    * the fleet" without any floating-point normalization at all.
+    * Rank quantization (not gaussian breakpoints on a z-score) keeps
+    * every step exact integer logic: ntile is the SQL-standard
+    * deterministic bucketing given the total (count, day) order, and
+    * the n-gram assembly is `lead` + string concat.
+    *
+    * Scale shape: one partial hash agg to daily counts, then two
+    * windows over per-key daily series (bounded partitions, as in
+    * [[rollingMadAnomalies]]), then one motif hash agg with map-side
+    * combine. Output: `(motif, n_windows, n_keys)` per distinct motif. */
+  def symbolicMotifs(events: DataFrame, keyCol: String, tsCol: String,
+      nSymbols: Int = 4, motifLen: Int = 3): DataFrame = {
+    require(nSymbols >= 2, "need at least two symbols")
+    require(motifLen >= 2, "motifs need at least two symbols")
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val rankW = Window.partitionBy(col(keyCol))
+      .orderBy(col("n_events"), col("day"))
+    val dayW = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val symbols = daily.withColumn("sym", ntile(nSymbols).over(rankW))
+    val grams = (1 until motifLen).foldLeft(symbols) { (df, i) =>
+      df.withColumn(s"_s$i", lead(col("sym"), i).over(dayW))
+    }
+    val parts = col("sym") +: (1 until motifLen).map(i => col(s"_s$i"))
+    grams
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col(keyCol), concat_ws("", parts: _*).as("motif"))
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col(keyCol)).as("n_keys"))
+  }
 }

@@ -2149,4 +2149,43 @@ object Graph {
       .agg(min(col("r")).as("eff_diameter"),
         max(col("nf_horizon")).as("nf_horizon"))
   }
+
+  /** Edge RECIPROCITY of a DIRECTED graph (Newman 2002's r = fraction
+    * of directed edges whose reverse edge also exists) — the first-order
+    * directedness diagnostic next to [[degreeAssortativity]] /
+    * [[powerLawAlpha]] on the undirected side: r ≈ 1 means the digraph
+    * is effectively symmetric (running the undirected analytics on it
+    * is sound), r ≈ 0 means direction carries real signal (use the
+    * directed operators: [[pageRank]], [[hits]], [[katzCentrality]]).
+    *
+    * Shape: canonicalize (distinct, self-loop-free), then ONE
+    * self-equi-join on the reversed key — the same bounded join every
+    * dedup candidate generator here uses; counts are exact integers and
+    * the single ratio is one IEEE division (the [[clusteringCoefficients]]
+    * discipline), so the oracle replays it bit-exactly. One row:
+    * `(m_edges, mutual_edges, mutual_pairs, reciprocity)` where
+    * `mutual_edges` counts each direction of a mutual pair. */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // feeds both sides of the reverse join
+    val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("mutual_edges"))
+    val res = e.agg(count(lit(1)).as("m_edges"))
+      .crossJoin(broadcast(mutual))
+      .select(col("m_edges"), col("mutual_edges"),
+        (col("mutual_edges") / 2).cast("long").as("mutual_pairs"),
+        when(col("m_edges") =!= 0,
+          round(col("mutual_edges").cast("double") /
+            col("m_edges").cast("double"), 6)).as("reciprocity"))
+      .localCheckpoint(true) // materialize before releasing the edge frame
+    e.unpersist()
+    res
+  }
 }

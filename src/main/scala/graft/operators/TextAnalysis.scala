@@ -1473,6 +1473,91 @@ object TextAnalysis {
     result
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[knBigramLogProb]]'s
+    * higher-order sibling (Chen & Goodman 1999's interpolated form,
+    * three levels deep):
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃) − D, 0)/c(w₁w₂·)
+    *                + D · N₁₊(w₁w₂·)/c(w₁w₂·) · P_kn(w₃|w₂)
+    *   P_kn(w₃|w₂) = max(N₁₊(·w₂w₃) − D, 0)/N₁₊(·w₂·)
+    *                + D · N₁₊d(w₂·)/N₁₊(·w₂·) · N₁₊(·w₃)/T
+    *
+    * with D = 0.75 (exactly binary-representable) and EVERY statistic
+    * read off the corpus's trigram TYPE inventory: N₁₊(·w₂w₃) = distinct
+    * w₁ preceding (w₂,w₃); N₁₊(·w₂·) = trigram types with middle w₂;
+    * N₁₊d(w₂·) = distinct w₃ after middle w₂; N₁₊(·w₃) = distinct
+    * middles preceding w₃; T = distinct (w₂,w₃) tail pairs. Scored on
+    * the corpus's own statistics, so every denominator is ≥ 1. Docs
+    * with < 3 tokens are dropped. Output:
+    * `(doc_id, n_trigrams, mean_logprob)`, nats, round 6.
+    *
+    * Scale shape — [[knBigramLogProb]]'s, one level up: the trigram
+    * type table is built once ([[localCheckpoint]]) and feeds five
+    * partial-aggregating hash aggs (history, tail-continuation, middle,
+    * unigram-continuation, T) that join back by hash on the trigram's
+    * substring keys; T is a one-row broadcast. Every probability is a
+    * fixed IEEE expression over integer counts (the oracle replays it
+    * bit-for-bit) and DECIMAL addends keep the per-doc mean independent
+    * of partition merge order. */
+  def knTrigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val tg = toks.select(col("doc_id"), explode(zip_with(
+      zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 2),
+        slice(col("tk"), lit(2), size(col("tk")) - 2),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(col("tk"), lit(3), size(col("tk")) - 2),
+      (ab, c) => concat_ws(" ", ab, c))).as("tg"))
+    val perDoc = tg.groupBy(col("doc_id"), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+    // trigram TYPE inventory: every statistic below derives from it
+    val corpus = perDoc.groupBy(col("tg")).agg(sum(col("cnt")).as("tf"))
+      .localCheckpoint(true)
+    val hist = substring_index(col("tg"), " ", 2)   // w1 w2
+    val tail = substring_index(col("tg"), " ", -2)  // w2 w3
+    val mid = substring_index(tail, " ", 1)         // w2
+    val last = substring_index(col("tg"), " ", -1)  // w3
+    val hists = corpus.groupBy(hist.as("h12"))
+      .agg(sum(col("tf")).as("c12f"), count(lit(1)).as("n1r12"))
+    val tails = corpus.groupBy(tail.as("t23"))
+      .agg(count(lit(1)).as("n1l23"))
+    val mids = corpus.groupBy(mid.as("m2"))
+      .agg(count(lit(1)).as("nMid"),
+        countDistinct(last).as("n1rMid"))
+    val unis = corpus.select(mid.as("m"), last.as("u")).distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("n1lUni"))
+    val tPairs = corpus.select(tail.as("t")).distinct()
+      .agg(count(lit(1)).as("tt"))
+    val d = lit(discount)
+    val pBi = greatest(col("n1l23").cast("double") - d, lit(0.0)) /
+      col("nMid").cast("double") +
+      d * col("n1rMid").cast("double") / col("nMid").cast("double") *
+      (col("n1lUni").cast("double") / col("tt").cast("double"))
+    val p = greatest(col("tf").cast("double") - d, lit(0.0)) /
+      col("c12f").cast("double") +
+      d * col("n1r12").cast("double") / col("c12f").cast("double") * pBi
+    val out = perDoc.join(corpus, Seq("tg"))
+      .join(hists, hist === col("h12"))
+      .join(tails, tail === col("t23"))
+      .join(mids, mid === col("m2"))
+      .join(unis, last === col("u"))
+      .crossJoin(broadcast(tPairs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_trigrams"),
+        round(
+          sum((col("cnt").cast("double") * log(p))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
+    val result = out.localCheckpoint(true)
+    corpus.unpersist()
+    result
+  }
+
   /** Bigram language-model quality signal: per document, the mean
     * add-one-smoothed log-probability of its bigrams under the corpus's
     * own bigram statistics —

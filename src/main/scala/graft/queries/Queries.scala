@@ -4162,6 +4162,116 @@ object Queries {
         FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
         ORDER BY o_orderkey, l_orderkey, l_line""")),
 
+    // ---- Directed-edge reciprocity of the corpus word-adjacency
+    //      digraph (word -> next word): one reverse-key self-equi-join
+    //      over the distinct adjacency set; words ride a 48-bit md5
+    //      prefix id so the long-typed graph op applies, and the oracle
+    //      hashes identically so even a collision is mirrored ----
+    QueryDef(
+      "q125_reciprocity",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .filter($"doc_id".isNotNull && $"text".isNotNull)
+          .select($"doc_id",
+            posexplode(graft.operators.TextAnalysis.tokens($"text")))
+          .select($"doc_id", $"pos",
+            conv(substring(md5($"col"), 1, 12), 16, 10)
+              .cast("long").as("wid"))
+        val dayW = Window.partitionBy($"doc_id").orderBy($"pos")
+        val adj = tok
+          .withColumn("nxt", lead($"wid", 1).over(dayW))
+          .filter($"nxt".isNotNull)
+          .select($"wid".as("src"), $"nxt".as("dst"))
+        graft.operators.Graph.reciprocity(adj, "src", "dst")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+          FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        w AS (SELECT doc_id, unnest(tk) AS wd,
+            unnest(range(1, len(tk) + 1)) AS pos FROM tok),
+        ids AS (SELECT doc_id, pos,
+            CAST(CAST(('0x' || substr(md5(wd), 1, 12)) AS UBIGINT) AS BIGINT)
+              AS wid FROM w),
+        adj AS (SELECT wid AS src,
+            lead(wid) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+          FROM ids),
+        e AS (SELECT DISTINCT src, dst FROM adj
+              WHERE dst IS NOT NULL AND src <> dst),
+        mu AS (SELECT count(*) AS mutual_edges
+               FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+        SELECT (SELECT count(*) FROM e) AS m_edges, mutual_edges,
+          CAST(mutual_edges // 2 AS BIGINT) AS mutual_pairs,
+          CASE WHEN (SELECT count(*) FROM e) <> 0 THEN
+            round(CAST(mutual_edges AS DOUBLE) /
+              CAST((SELECT count(*) FROM e) AS DOUBLE), 6) END AS reciprocity
+        FROM mu""")),
+
+    // ---- Hampel-filter anomalies: rolling +/-3-day median + MAD per
+    //      user's daily count series, both medians taken EXPLICITLY
+    //      from the sorted bounded window list (no engine median()
+    //      interpolation rule in play) — counts are exact BIGINTs, the
+    //      only floats are the even-median halving and one threshold
+    //      multiply, replayed verbatim by the oracle ----
+    QueryDef(
+      "q126_anomaly_hampel",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .rollingMadAnomalies(t(s, dir, "events"), "user_id", "ts")
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            count(*) AS n_events
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        w AS (SELECT user_id, day, n_events,
+            list_sort(list(n_events) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+          FROM daily),
+        m AS (SELECT *, CASE WHEN len(win) % 2 = 1
+            THEN CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+            ELSE (CAST(win[len(win) // 2] AS DOUBLE)
+                + CAST(win[len(win) // 2 + 1] AS DOUBLE)) / 2.0 END AS med
+          FROM w),
+        d AS (SELECT *, list_sort(list_transform(win,
+            x -> abs(CAST(x AS DOUBLE) - med))) AS dv FROM m),
+        md AS (SELECT *, CASE WHEN len(dv) % 2 = 1
+            THEN dv[(len(dv) + 1) // 2]
+            ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) / 2.0 END AS mad
+          FROM d)
+        SELECT user_id, day, n_events, med, mad,
+          abs(CAST(n_events AS DOUBLE) - med) > 3.5 * mad AS is_anomaly
+        FROM md ORDER BY user_id, day""")),
+
+    // ---- Symbolic motif mining (rank-quantized SAX cousin): per-user
+    //      daily counts -> ntile(4) quantile symbols in (count, day)
+    //      order -> 3-gram motifs in day order -> global motif counts;
+    //      every step is exact integer/rank logic in both engines ----
+    QueryDef(
+      "q127_symbolic_motifs",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .symbolicMotifs(t(s, dir, "events"), "user_id", "ts")
+          .orderBy($"motif")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            count(*) AS n_events
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        sym AS (SELECT user_id, day,
+            ntile(4) OVER (PARTITION BY user_id ORDER BY n_events, day) AS s0
+          FROM daily),
+        g AS (SELECT user_id, s0,
+            lead(s0, 1) OVER (PARTITION BY user_id ORDER BY day) AS s1,
+            lead(s0, 2) OVER (PARTITION BY user_id ORDER BY day) AS s2
+          FROM sym)
+        SELECT concat(s0, s1, s2) AS motif, count(*) AS n_windows,
+          count(DISTINCT user_id) AS n_keys
+        FROM g WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        GROUP BY 1 ORDER BY motif""")),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so
@@ -7260,6 +7370,61 @@ object Queries {
         FROM pd JOIN bf USING (bg)
           JOIN w1 ON split_part(bg, ' ', 1) = w1.w1
           JOIN w2 ON split_part(bg, ' ', 2) = w2.w2
+          CROSS JOIN tt
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Interpolated Kneser-Ney TRIGRAM scoring: t42 one order up,
+    //      every statistic (history mass, tail/middle/unigram
+    //      continuation type counts, T) a hash agg off the one
+    //      checkpointed trigram type inventory; the three-level
+    //      probability is a fixed IEEE expression over integer counts
+    //      replayed bit-exactly by the oracle ----
+    QueryDef(
+      "t55_kn_trigram",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .knTrigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        tg AS (SELECT doc_id,
+            unnest(tk[1:len(tk)-2]) || ' ' || unnest(tk[2:len(tk)-1])
+              || ' ' || unnest(tk[3:len(tk)]) AS tg
+          FROM tok WHERE len(tk) >= 3),
+        pd AS (SELECT doc_id, tg, count(*) AS cnt FROM tg GROUP BY 1, 2),
+        tf AS (SELECT tg, sum(cnt) AS tf FROM pd GROUP BY 1),
+        h AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+                AS h12, sum(tf) AS c12f, count(*) AS n1r12 FROM tf GROUP BY 1),
+        t23 AS (SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+                AS t23, count(*) AS n1l23 FROM tf GROUP BY 1),
+        m AS (SELECT split_part(tg, ' ', 2) AS m2, count(*) AS nmid,
+                count(DISTINCT split_part(tg, ' ', 3)) AS n1rmid
+              FROM tf GROUP BY 1),
+        u AS (SELECT u, count(*) AS n1luni FROM
+                (SELECT DISTINCT split_part(tg, ' ', 2) AS m,
+                   split_part(tg, ' ', 3) AS u FROM tf) GROUP BY 1),
+        tt AS (SELECT count(*) AS tt FROM (SELECT DISTINCT
+                split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+               FROM tf))
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_trigrams,
+          round(CAST(sum(CAST(cnt * ln(
+              greatest(CAST(tf AS DOUBLE) - 0.75, 0.0) / CAST(c12f AS DOUBLE)
+              + 0.75 * CAST(n1r12 AS DOUBLE) / CAST(c12f AS DOUBLE)
+                * (greatest(CAST(n1l23 AS DOUBLE) - 0.75, 0.0)
+                     / CAST(nmid AS DOUBLE)
+                   + 0.75 * CAST(n1rmid AS DOUBLE) / CAST(nmid AS DOUBLE)
+                     * (CAST(n1luni AS DOUBLE) / CAST(tt AS DOUBLE))))
+            AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+            AS mean_logprob
+        FROM pd JOIN tf USING (tg)
+          JOIN h ON split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+            = h.h12
+          JOIN t23 ON split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+            = t23.t23
+          JOIN m ON split_part(tg, ' ', 2) = m.m2
+          JOIN u ON split_part(tg, ' ', 3) = u.u
           CROSS JOIN tt
         GROUP BY doc_id ORDER BY doc_id""")),
 

@@ -32,6 +32,18 @@ final case class EwmaState(n: Int, y: Double)
 /** The per-key level emitted each micro-batch (Update mode). */
 final case class EwmaLevel(user_id: Long, n_points: Int, ewma: Double)
 
+/** One closed daily count for [[Streams.hampelAnomalies]] — the shape an
+  * upstream watermarked daily aggregation emits in Append mode. */
+final case class DailyCount(user_id: Long, day: java.sql.Date, n_events: Long)
+
+/** A key's carried Hampel state: the trailing window of daily counts
+  * (most recent last), never longer than 2·halfWindow + 1. */
+final case class HampelState(counts: Seq[Long])
+
+/** One scored day: the trailing-window robust stats and the flag. */
+final case class HampelOut(user_id: Long, day: java.sql.Date, n_events: Long,
+    med: Double, mad: Double, is_anomaly: Boolean)
+
 /** Structured Streaming operators: the batch engine's aggregation /
   * sessionization semantics re-expressed as readStream → transform →
   * writeStream pipelines. State is bounded by watermarks (windowed aggs)
@@ -1124,6 +1136,60 @@ object Streams {
           }
           state.update(EwmaState(n, y))
           EwmaLevel(userId, n, y)
+      }
+  }
+
+  /** Streaming Hampel-filter twin of
+    * [[graft.operators.Analytics.rollingMadAnomalies]] with
+    * `centered = false`: consumes CLOSED daily counts (the Append-mode
+    * output of a watermarked daily aggregation) and scores each day
+    * against the trailing window of its key's 2·halfWindow + 1 most
+    * recent counts — median and MAD both taken EXPLICITLY from the
+    * sorted window (middle element, or the average of the two middles)
+    * with the SAME fixed IEEE ops as the batch operator, so stream and
+    * batch agree bit-for-bit.
+    *
+    * Equivalence contract (spec-pinned, the [[ewmaLevels]] kappa
+    * shape): with daily records delivered in day order, the rows
+    * emitted across batches 1..k are IDENTICAL to the trailing batch
+    * operator over the union — a trailing window only ever looks
+    * backward, so splitting the series across micro-batches cannot
+    * change any day's window. Out-of-order delivery across batches
+    * breaks the window contents (the batch operator re-sorts; carried
+    * state cannot) — replay to repair, as with every stateful twin.
+    *
+    * Scale shape: state is a BOUNDED window of counts per key (seven
+    * longs at the default — no per-event buffer, no unbounded growth),
+    * one row emitted per closed day (flatMap, Append-friendly). */
+  def hampelAnomalies(daily: Dataset[DailyCount], halfWindow: Int = 3,
+      threshold: Double = 3.5): Dataset[HampelOut] = {
+    require(halfWindow >= 1, "halfWindow must be positive")
+    require(threshold > 0, "threshold must be positive")
+    import daily.sparkSession.implicits._
+    val win = 2 * halfWindow + 1
+    def medOf(sorted: IndexedSeq[Double]): Double = {
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
+    daily
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HampelState, HampelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[DailyCount], state: GroupState[HampelState]) =>
+          val days = batch.toArray.sortBy(_.day.getTime)
+          var counts = state.getOption.map(_.counts.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = days.map { d =>
+            counts = (counts :+ d.n_events).takeRight(win)
+            val sorted = counts.map(_.toDouble).sorted
+            val med = medOf(sorted)
+            val mad = medOf(counts.map(c => math.abs(c.toDouble - med)).sorted)
+            HampelOut(userId, d.day, d.n_events, med, mad,
+              math.abs(d.n_events.toDouble - med) > threshold * mad)
+          }
+          state.update(HampelState(counts))
+          out.iterator
       }
   }
 

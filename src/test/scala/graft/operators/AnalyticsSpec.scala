@@ -253,4 +253,57 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b1 > 0)
     assert(out(2L) === ((1, 5.0, 0.0, 5.0)))
   }
+
+  test("rollingMadAnomalies flags the spike day and only it") {
+    val sp = spark; import sp.implicits._
+    // user 1: 9 steady days of 2 events, day 5 carries 10 (the spike);
+    // events expand to that many rows per day
+    val rows = (1 to 9).flatMap { d =>
+      val n = if (d == 5) 10 else 2
+      (1 to n).map(i => (1L, ts(d, i % 24)))
+    }
+    val out = Analytics
+      .rollingMadAnomalies(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getDate(1).toString.takeRight(2).toInt,
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(out.length === 9)
+    // day 5's window is {2,2,2,2,10,2,2}: med 2, deviations
+    // {0,0,0,0,0,0,8} -> mad 0 -> |10-2| > 3.5*0 flags it
+    val spike = out.find(_._1 == 5).get
+    assert(spike._2 === 10L && spike._3 === 2.0 && spike._4 === 0.0 &&
+      spike._5)
+    // every steady day sits exactly on its median -> dev 0 -> never flagged
+    assert(out.filter(_._1 != 5).forall(!_._5))
+  }
+
+  test("rollingMadAnomalies: even window takes the middle-pair average") {
+    val sp = spark; import sp.implicits._
+    // 4 days of counts 1,2,3,4 -> day 1's frame is rows 1..4 (ROWS
+    // -3..+3 clipped): sorted {1,2,3,4}, med (2+3)/2 = 2.5
+    val rows = (1 to 4).flatMap(d => (1 to d).map(i => (7L, ts(d, i % 24))))
+    val out = Analytics
+      .rollingMadAnomalies(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    assert(out("2024-01-01") === 2.5)
+  }
+
+  test("symbolicMotifs: a strict ramp yields one motif per window") {
+    val sp = spark; import sp.implicits._
+    // user 1 ramps 1,2,3,4,5,6,7,8 over 8 days: ntile(4) in count order
+    // gives symbols 1,1,2,2,3,3,4,4 in day order -> 3-grams
+    // 112,122,223,233,334,344 each exactly once
+    val rows = (1 to 8).flatMap(d => (1 to d).map(i => (1L, ts(d, i % 24))))
+    val out = Analytics
+      .symbolicMotifs(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq ===
+      Seq("112", "122", "223", "233", "334", "344"))
+    assert(out.forall(m => m._2 === 1L && m._3 === 1L))
+    // fewer days than the motif length -> no windows at all
+    val short = (1 to 2).map(d => (2L, ts(d)))
+    assert(Analytics.symbolicMotifs(short.toDF("user_id", "ts"),
+      "user_id", "ts").count() === 0L)
+  }
 }

@@ -1021,4 +1021,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e5 <= e9 && e9 <= e10, s"monotone: $e5 $e9 $e10")
     assert(e10 <= 7 && e5 >= 0)
   }
+
+  test("reciprocity: symmetric graph is 1, DAG is 0, mixed is exact") {
+    val sp = spark; import sp.implicits._
+    // fully mutual: 1 <-> 2, 2 <-> 3
+    val full = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val f = Graph.reciprocity(full, "src", "dst").collect().head
+    assert(f.getLong(0) === 4L && f.getLong(1) === 4L &&
+      f.getLong(2) === 2L && f.getDouble(3) === 1.0)
+    // pure DAG: no edge has a reverse
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graph.reciprocity(dag, "src", "dst").collect().head
+    assert(d.getLong(0) === 3L && d.getLong(1) === 0L && d.getDouble(3) === 0.0)
+    // one mutual pair among 4 edges (dups + self-loops dropped first)
+    val mixed = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val m = Graph.reciprocity(mixed, "src", "dst").collect().head
+    assert(m.getLong(0) === 4L && m.getLong(1) === 2L && m.getLong(2) === 1L)
+    assert(m.getDouble(3) === 0.5)
+    // empty graph: zero edges, NULL ratio (not NaN, not 0)
+    val e = Graph.reciprocity(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst").collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(3))
+  }
 }

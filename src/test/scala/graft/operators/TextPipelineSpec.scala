@@ -467,6 +467,68 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "high-count bigram must outscore a low-count one")
   }
 
+  test("knTrigramLogProb matches a local three-level Kneser-Ney reference") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "a dog ran and a dog sat and a dog barked"),
+      (3L, "the cat ran on a mat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knTrigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val toks = Seq(
+      1L -> "the cat sat on the mat the cat sat again".split(" ").toSeq,
+      2L -> "a dog ran and a dog sat and a dog barked".split(" ").toSeq,
+      3L -> "the cat ran on a mat".split(" ").toSeq)
+    // corpus trigram type inventory and the five derived stats
+    val allTg = toks.flatMap { case (id, tk) =>
+      tk.sliding(3).map(p => (id, p.mkString(" "))).toSeq }
+    val tf = allTg.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    def w(g: String, i: Int) = g.split(" ")(i)
+    val c12f = tf.groupBy { case (g, _) => w(g, 0) + " " + w(g, 1) }
+      .map { case (h, xs) => h -> xs.values.sum }
+    val n1r12 = tf.groupBy { case (g, _) => w(g, 0) + " " + w(g, 1) }
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val n1l23 = tf.groupBy { case (g, _) => w(g, 1) + " " + w(g, 2) }
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val nMid = tf.groupBy { case (g, _) => w(g, 1) }
+      .map { case (m, xs) => m -> xs.size.toLong }
+    val n1rMid = tf.groupBy { case (g, _) => w(g, 1) }
+      .map { case (m, xs) => m -> xs.keys.map(w(_, 2)).toSet.size.toLong }
+    val n1lUni = tf.keys.map(g => (w(g, 1), w(g, 2))).toSet
+      .groupBy((mu: (String, String)) => mu._2)
+      .map { case (u, xs) => u -> xs.size.toLong }
+    val tt = tf.keys.map(g => w(g, 1) + " " + w(g, 2)).toSet.size.toDouble
+    def p(g: String): Double = {
+      val (h, t, m, u) = (w(g, 0) + " " + w(g, 1), w(g, 1) + " " + w(g, 2),
+        w(g, 1), w(g, 2))
+      val pBi = math.max(n1l23(t) - 0.75, 0.0) / nMid(m) +
+        0.75 * n1rMid(m) / nMid(m) * (n1lUni(u) / tt)
+      math.max(tf(g) - 0.75, 0.0) / c12f(h) +
+        0.75 * n1r12(h) / c12f(h) * pBi
+    }
+    toks.foreach { case (id, tk) =>
+      val perDoc = tk.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val sl = perDoc.map { case (g, cnt) =>
+        java.math.BigDecimal.valueOf(cnt * math.log(p(g)))
+          .setScale(12, java.math.RoundingMode.HALF_UP) }
+        .reduce(_ add _)
+      val n = perDoc.values.sum
+      val expect = java.math.BigDecimal
+        .valueOf(sl.doubleValue() / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(got(id)._1 === n, s"doc $id trigram count")
+      assert(got(id)._2 === expect, s"doc $id mean logprob")
+    }
+    // a twice-seen trigram with a fixed history must outscore a
+    // once-seen one under the same middle mass
+    assert(p("the cat sat") > p("the cat ran"))
+    // sub-trigram docs are dropped
+    val short = Seq((9L, "just two")).toDF("doc_id", "text")
+    assert(TextAnalysis.knTrigramLogProb(short, "doc_id", "text").count() === 0)
+  }
+
   test("knBigramLogProb is repartition-deterministic on real docs") {
     val sp = spark; import sp.implicits._
     val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")

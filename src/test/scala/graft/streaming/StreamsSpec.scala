@@ -1247,4 +1247,54 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(l(3L) === ((1, 9.0)))
     } finally q.stop()
   }
+
+  test("hampelAnomalies: streamed rows are identical to the trailing " +
+      "batch operator over the union, batch split notwithstanding") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    // user 1: steady 2s with a day-5 spike; user 2: short ramp.
+    // Split mid-series so day 6's trailing window straddles batches.
+    val b1 = Seq(DailyCount(1, day(1), 2), DailyCount(1, day(2), 2),
+      DailyCount(1, day(3), 2), DailyCount(1, day(4), 2),
+      DailyCount(1, day(5), 10), DailyCount(2, day(1), 1))
+    val b2 = Seq(DailyCount(1, day(6), 2), DailyCount(1, day(7), 2),
+      DailyCount(2, day(2), 3), DailyCount(2, day(3), 5))
+    // the batch twin consumes raw events; expand each daily count into
+    // that many same-day rows
+    def batchTwin(ds: Seq[DailyCount]): Set[(Long, String, Long, Double, Double, Boolean)] = {
+      val events = ds.flatMap(d => (1L to d.n_events).map(_ =>
+        (d.user_id, new java.sql.Timestamp(d.day.getTime))))
+      graft.operators.Analytics.rollingMadAnomalies(
+          events.toDF("user_id", "ts"), "user_id", "ts", centered = false)
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .toSet
+    }
+    val input = MemoryStream[DailyCount]
+    val q = Streams.hampelAnomalies(input.toDS())
+      .writeStream.format("memory").queryName("hampel_out")
+      .outputMode("append").start()
+    try {
+      def emitted(): Set[(Long, String, Long, Double, Double, Boolean)] =
+        spark.table("hampel_out").collect()
+          .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(emitted() === batchTwin(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // a trailing window only looks backward: carried state ≡ the
+      // batch operator re-run over everything seen so far
+      val all = emitted()
+      assert(all === batchTwin(b1 ++ b2))
+      // the spike day is flagged (window {2,2,2,2,10}: med 2, mad 0)
+      assert(all.contains((1L, "2024-01-05", 10L, 2.0, 0.0, true)))
+      // the day after is not (10 is in-window but off-median)
+      val d6 = all.find(r => r._1 == 1L && r._2 == "2024-01-06").get
+      assert(!d6._6)
+    } finally q.stop()
+  }
 }
