@@ -818,6 +818,69 @@ object Analytics {
           lit(threshold) * col("mad")).as("is_anomaly"))
   }
 
+  /** Two-sided CUSUM changepoint screen (Page 1954) over each key's
+    * daily event-count series — the LEVEL-SHIFT detector next to
+    * [[rollingMadAnomalies]]'s spike detector: a sustained drift the
+    * Hampel filter's bounded window forgets accumulates here until the
+    * alarm fires.
+    *
+    *   s⁺_i = max(0, s⁺_{i−1} + (x_i − μ − κ))
+    *   s⁻_i = max(0, s⁻_{i−1} + (μ − x_i − κ))     alarm when either > h
+    *
+    * with μ the key's exact daily mean (one IEEE division of two
+    * BIGINTs), slack κ = `kFrac`·μ and threshold h = `hFrac`·μ (one
+    * multiply each). The fold runs LEFT over the day-ordered series in
+    * the [[ewma]]/[[holtLinear]] fixed-IEEE discipline — array state
+    * (NOT struct: see [[holtLinear]] on DuckDB's sequential struct_pack
+    * fold), raw doubles, no rounding — so the oracle replays every op
+    * bit-for-bit. Emits one row per key:
+    * `(key, n_days, mean_daily, max_cusum_pos, max_cusum_neg, n_alarms)`.
+    *
+    * Scale shape: one partial hash agg to daily counts, one hash agg
+    * to the per-key day-ordered array (bounded by the key's own series
+    * length — the [[ewma]] contract), then a map-only fold.
+    *
+    * `refMean` pins μ to an externally trained baseline instead of the
+    * series' own mean — the deployment a live monitor runs (and the
+    * anchor [[graft.streaming.Streams.cusumLevels]] is spec-pinned
+    * bit-identical to). */
+  def cusumChangepoints(events: DataFrame, keyCol: String, tsCol: String,
+      kFrac: Double = 0.25, hFrac: Double = 4.0,
+      refMean: Option[Double] = None): DataFrame = {
+    require(kFrac >= 0, "kFrac must be non-negative")
+    require(hFrac > 0, "hFrac must be positive")
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"),
+        sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      .withColumn("mu", refMean.map(lit(_)).getOrElse(
+        col("tot").cast("double") / col("nd").cast("double")))
+      .withColumn("kap", lit(kFrac) * col("mu"))
+      .withColumn("h", lit(hFrac) * col("mu"))
+    // state: [s_pos, s_neg, max_pos, max_neg, alarms] — each alarm-day
+    // contributes 1.0 exactly (integers are exact in doubles)
+    val sPos = "greatest(CAST(0 AS DOUBLE), element_at(acc, 1) + (CAST(x.n AS DOUBLE) - mu - kap))"
+    val sNeg = "greatest(CAST(0 AS DOUBLE), element_at(acc, 2) + (mu - CAST(x.n AS DOUBLE) - kap))"
+    series
+      .withColumn("st", expr(s"""aggregate(xs,
+        array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+        (acc, x) -> array($sPos, $sNeg,
+          greatest(element_at(acc, 3), $sPos),
+          greatest(element_at(acc, 4), $sNeg),
+          element_at(acc, 5) +
+            CASE WHEN ($sPos) > h OR ($sNeg) > h
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))"""))
+      .select(col(keyCol), col("nd").cast("int").as("n_days"),
+        col("mu").as("mean_daily"),
+        element_at(col("st"), 3).as("max_cusum_pos"),
+        element_at(col("st"), 4).as("max_cusum_neg"),
+        element_at(col("st"), 5).cast("long").as("n_alarms"))
+  }
+
   /** SYMBOLIC MOTIF mining over each key's daily event-count series
     * (the rank-quantized cousin of SAX symbolization): each day gets a
     * per-key quantile symbol via `ntile(nSymbols)` in (count, day)

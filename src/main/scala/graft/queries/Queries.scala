@@ -4272,6 +4272,52 @@ object Queries {
         FROM g WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         GROUP BY 1 ORDER BY motif""")),
 
+    // ---- Two-sided CUSUM changepoint screen: level-shift detection
+    //      per user via the q122/q123 array-state left fold (raw fixed
+    //      IEEE, array not struct); the oracle's list_reduce has no
+    //      init parameter, so the zero state is a prepended sentinel
+    //      and per-day counts ride the same 5-slot array shape ----
+    QueryDef(
+      "q128_cusum",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .cusumChangepoints(t(s, dir, "events"), "user_id", "ts")
+          .orderBy($"user_id")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            count(*) AS n
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        ser AS (SELECT user_id, list(n ORDER BY day) AS xs,
+            sum(n) AS tot, count(*) AS nd FROM daily GROUP BY 1),
+        p AS (SELECT user_id, xs, nd,
+            CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE) AS mu FROM ser),
+        q AS (SELECT user_id, xs, nd, mu, 0.25 * mu AS kap, 4.0 * mu AS h
+          FROM p),
+        st AS (SELECT user_id, nd, mu,
+          list_reduce(
+            [[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]] ||
+            list_transform(xs, x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+            (acc, x) -> [
+              greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mu - kap)),
+              greatest(CAST(0 AS DOUBLE), acc[2] + (mu - x[1] - kap)),
+              greatest(acc[3],
+                greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mu - kap))),
+              greatest(acc[4],
+                greatest(CAST(0 AS DOUBLE), acc[2] + (mu - x[1] - kap))),
+              acc[5] + CASE WHEN
+                greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - mu - kap)) > h OR
+                greatest(CAST(0 AS DOUBLE), acc[2] + (mu - x[1] - kap)) > h
+                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END]) AS s
+          FROM q)
+        SELECT user_id, CAST(nd AS INTEGER) AS n_days, mu AS mean_daily,
+          s[3] AS max_cusum_pos, s[4] AS max_cusum_neg,
+          CAST(s[5] AS BIGINT) AS n_alarms
+        FROM st ORDER BY user_id""")),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so

@@ -44,6 +44,15 @@ final case class HampelState(counts: Seq[Long])
 final case class HampelOut(user_id: Long, day: java.sql.Date, n_events: Long,
     med: Double, mad: Double, is_anomaly: Boolean)
 
+/** A key's carried CUSUM state ([[Streams.cusumLevels]]). */
+final case class CusumState(n: Int, sPos: Double, sNeg: Double,
+    maxPos: Double, maxNeg: Double, alarms: Long)
+
+/** The per-key CUSUM summary emitted each micro-batch (Update mode) —
+  * the same shape [[graft.operators.Analytics.cusumChangepoints]] emits. */
+final case class CusumLevel(user_id: Long, n_days: Int, mean_daily: Double,
+    max_cusum_pos: Double, max_cusum_neg: Double, n_alarms: Long)
+
 /** Structured Streaming operators: the batch engine's aggregation /
   * sessionization semantics re-expressed as readStream → transform →
   * writeStream pipelines. State is bounded by watermarks (windowed aggs)
@@ -1190,6 +1199,54 @@ object Streams {
           }
           state.update(HampelState(counts))
           out.iterator
+      }
+  }
+
+  /** Streaming two-sided CUSUM twin of
+    * [[graft.operators.Analytics.cusumChangepoints]] with a PINNED
+    * baseline: μ comes from `refMean` (a trained reference level — a
+    * stream cannot know its own series mean), κ = kFrac·μ and
+    * h = hFrac·μ fixed at start, and each closed daily count folds
+    * onto four carried scalars with the SAME fixed IEEE update as the
+    * batch operator's array fold:
+    *
+    *   s⁺ ← max(0, s⁺ + (x − μ − κ)),  s⁻ ← max(0, s⁻ + (μ − x − κ))
+    *
+    * Equivalence contract (spec-pinned, the [[ewmaLevels]] kappa
+    * shape): with daily records in day order, the latest row per key
+    * after batch k is BIT-IDENTICAL to
+    * `cusumChangepoints(refMean = Some(μ))` over the union of batches
+    * 1..k — a left fold splits over concatenation, and pinning μ is
+    * exactly what makes the fold prefix-stable (the batch default
+    * re-estimates μ from the whole series, which a prefix cannot know).
+    *
+    * Scale shape: five scalars + a count of state per key, Update-mode
+    * one row per touched key per batch. */
+  def cusumLevels(daily: Dataset[DailyCount], refMean: Double,
+      kFrac: Double = 0.25, hFrac: Double = 4.0): Dataset[CusumLevel] = {
+    require(kFrac >= 0, "kFrac must be non-negative")
+    require(hFrac > 0, "hFrac must be positive")
+    import daily.sparkSession.implicits._
+    val mu = refMean
+    val kap = kFrac * mu
+    val h = hFrac * mu
+    daily
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, CusumLevel](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[DailyCount], state: GroupState[CusumState]) =>
+          val days = batch.toArray.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(CusumState(0, 0.0, 0.0, 0.0, 0.0, 0L))
+          days.foreach { d =>
+            val x = d.n_events.toDouble
+            val sPos = math.max(0.0, st.sPos + (x - mu - kap))
+            val sNeg = math.max(0.0, st.sNeg + (mu - x - kap))
+            st = CusumState(st.n + 1, sPos, sNeg,
+              math.max(st.maxPos, sPos), math.max(st.maxNeg, sNeg),
+              st.alarms + (if (sPos > h || sNeg > h) 1L else 0L))
+          }
+          state.update(st)
+          CusumLevel(userId, st.n, mu, st.maxPos, st.maxNeg, st.alarms)
       }
   }
 

@@ -288,6 +288,39 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("2024-01-01") === 2.5)
   }
 
+  test("cusumChangepoints: a level shift alarms, steady noise does not") {
+    val sp = spark; import sp.implicits._
+    // user 1: 6 days at 2, then 6 days at 6 — a level shift. mu = 4,
+    // kap = 1, h = 16. Low phase: s+ stays 0 (2-4-1 < 0), s- climbs
+    // (4-2-1 = 1/day, max 6). High phase: s+ climbs 1/day (6-4-1),
+    // max 6; s- decays to 0. No alarm at h = 16.
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d <= 6) 2 else 6
+      (1 to n).map(i => (1L, ts(d, i % 24)))
+    }
+    val out = Analytics.cusumChangepoints(rows.toDF("user_id", "ts"),
+      "user_id", "ts").collect().head
+    assert(out.getInt(1) === 12 && out.getDouble(2) === 4.0)
+    assert(out.getDouble(3) === 6.0 && out.getDouble(4) === 6.0)
+    assert(out.getLong(5) === 0L)
+    // same series with a tight threshold (h = 1·mu = 4): the s- run
+    // crosses 4 on low-phase day 5 (s- = 5) and day 6; the s+ run on
+    // high-phase days 11..12 — 4 alarm days
+    val tight = Analytics.cusumChangepoints(rows.toDF("user_id", "ts"),
+      "user_id", "ts", hFrac = 1.0).collect().head
+    assert(tight.getLong(5) === 4L)
+    // pinned baseline overrides the series mean
+    val pinned = Analytics.cusumChangepoints(rows.toDF("user_id", "ts"),
+      "user_id", "ts", refMean = Some(2.0)).collect().head
+    assert(pinned.getDouble(2) === 2.0)
+    // a perfectly flat series accumulates nothing anywhere
+    val flat = (1 to 8).flatMap(d => (1 to 3).map(i => (2L, ts(d, i % 24))))
+    val f = Analytics.cusumChangepoints(flat.toDF("user_id", "ts"),
+      "user_id", "ts").collect().head
+    assert(f.getDouble(3) === 0.0 && f.getDouble(4) === 0.0 &&
+      f.getLong(5) === 0L)
+  }
+
   test("symbolicMotifs: a strict ramp yields one motif per window") {
     val sp = spark; import sp.implicits._
     // user 1 ramps 1,2,3,4,5,6,7,8 over 8 days: ntile(4) in count order

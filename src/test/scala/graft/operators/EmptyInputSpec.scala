@@ -249,6 +249,7 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.knTrigramLogProb(emptyDocs, "doc_id", "text").count() == 0)
     assert(Analytics.rollingMadAnomalies(emptyEvents, "user_id", "ts").count() == 0)
     assert(Analytics.symbolicMotifs(emptyEvents, "user_id", "ts").count() == 0)
+    assert(Analytics.cusumChangepoints(emptyEvents, "user_id", "ts").count() == 0)
     // empty edge set: the three landmarks still report themselves at 0
     val ms = Graph.multiSourceSssp(emptyWeighted, "src", "dst", "w",
       Seq(1L, 2L).toDF("source"), rounds = 2).collect()

@@ -1297,4 +1297,56 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!d6._6)
     } finally q.stop()
   }
+
+  test("cusumLevels: streamed state is bit-identical to the pinned-" +
+      "baseline batch operator after every in-order batch") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    val mu = 3.0
+    // user 1 drifts up mid-series; user 2 stays flat
+    val b1 = Seq(DailyCount(1, day(1), 3), DailyCount(1, day(2), 5),
+      DailyCount(1, day(3), 6), DailyCount(2, day(1), 3))
+    val b2 = Seq(DailyCount(1, day(4), 7), DailyCount(1, day(5), 8),
+      DailyCount(2, day(2), 3), DailyCount(2, day(3), 3))
+    def batchTwin(ds: Seq[DailyCount]): Map[Long, (Int, Double, Double, Double, Long)] = {
+      val events = ds.flatMap(d => (1L to d.n_events).map(_ =>
+        (d.user_id, new java.sql.Timestamp(d.day.getTime))))
+      graft.operators.Analytics.cusumChangepoints(
+          events.toDF("user_id", "ts"), "user_id", "ts",
+          refMean = Some(mu))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+    }
+    val input = MemoryStream[DailyCount]
+    val q = Streams.cusumLevels(input.toDS(), refMean = mu)
+      .writeStream.format("memory").queryName("cusum_lv")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[Long, (Int, Double, Double, Double, Long)] =
+        spark.table("cusum_lv").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5)))
+          .groupBy(_._1)
+          .map { case (k, rs) =>
+            val top = rs.maxBy(_._2)
+            k -> ((top._2, top._3, top._4, top._5, top._6)) }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchTwin(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // pinning mu makes the fold prefix-stable: carried state ≡ the
+      // batch operator re-run over everything seen so far
+      assert(latest() === batchTwin(b1 ++ b2))
+      // hand check user 1 (mu 3, kap .75): s+ after 3,5,6,7,8 =
+      // 0, 1.25, 3.5, 6.75, 11.0; alarms (h = 12) = 0
+      val l = latest()(1L)
+      assert(l._1 === 5 && l._3 === 11.0 && l._5 === 0L)
+      // user 2 never leaves baseline
+      assert(latest()(2L)._3 === 0.0)
+    } finally q.stop()
+  }
 }
