@@ -335,6 +335,72 @@ object Analytics {
           .cast("double") / count(lit(1)).cast("double"), 6).as("bin_avg"))
   }
 
+  /** POPULATION STABILITY INDEX drift monitor between two snapshots of
+    * a numeric column — the standard "has this feature's distribution
+    * moved since the reference period" check a 100 TB pipeline runs
+    * before trusting new data:
+    *
+    *   PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i)
+    *
+    * with p/q the reference/current bin shares over the REFERENCE's
+    * equi-depth bins ([[quantileBins]]' boundary discipline: one exact
+    * `percentile` agg, broadcast cuts, strict `>` assignment — no
+    * global sort). Shares are Laplace-smoothed ((n_i + 1)/(N + nBins))
+    * so empty bins stay finite and the whole expression is fixed IEEE
+    * over integer counts — replayed bit-for-bit by the oracle. Rule of
+    * thumb: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 act.
+    *
+    * Output: one row per bin `(bin, ref_n, cur_n, ref_pct, cur_pct,
+    * psi_term, psi_total)` — every bin 1..nBins present even when
+    * empty, `psi_total` repeated per row (DECIMAL addends, so the
+    * 10-term sum is partition-order independent). An EMPTY reference
+    * has no quantiles: current rows become unbinnable and the result
+    * degrades to all-zero counts (PSI 0) rather than a throw.
+    *
+    * Scale shape: one bounded-state percentile agg + two map-side bin
+    * counts + a broadcast join against the literal bin frame; `approx`
+    * swaps boundary placement to `approx_percentile` for
+    * extreme-cardinality columns, assignment unchanged. */
+  def psiDrift(reference: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int = 10, approx: Boolean = false): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val cuts = reference.filter(v.isNotNull).agg(
+      (if (approx) approx_percentile(v, ps, lit(10000)) else percentile(v, ps))
+        .as("cuts"))
+    def binCounts(df: DataFrame, out: String) =
+      df.filter(v.isNotNull).crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          (lit(1) + size(filter(col("cuts"), c => v > c))).cast("int"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val sp = reference.sparkSession
+    val bins = sp.range(1, nBins + 1).select(col("id").cast("int").as("bin"))
+    val refB = binCounts(reference, "ref_n")
+    val curB = binCounts(current, "cur_n")
+    val refTot = reference.filter(v.isNotNull).agg(count(lit(1)).as("ref_tot"))
+    val curTot = current.filter(v.isNotNull).agg(count(lit(1)).as("cur_tot"))
+    val joined = bins
+      .join(broadcast(refB), Seq("bin"), "left_outer")
+      .join(broadcast(curB), Seq("bin"), "left_outer")
+      .crossJoin(broadcast(refTot)).crossJoin(broadcast(curTot))
+      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+      .withColumn("ref_pct", (col("ref_n") + 1).cast("double") /
+        (col("ref_tot") + nBins).cast("double"))
+      .withColumn("cur_pct", (col("cur_n") + 1).cast("double") /
+        (col("cur_tot") + nBins).cast("double"))
+      .withColumn("psi_term",
+        (col("cur_pct") - col("ref_pct")) *
+          log(col("cur_pct") / col("ref_pct")))
+    joined
+      .withColumn("psi_total",
+        sum(col("psi_term").cast(DecimalType(28, 12)))
+          .over(Window.partitionBy(lit(1))).cast("double"))
+      .select(col("bin"), col("ref_n"), col("cur_n"), col("ref_pct"),
+        col("cur_pct"), col("psi_term"), col("psi_total"))
+  }
+
   /** Per-group winsorization + min-max scaling of a numeric feature —
     * the outlier-robust normalization step of a training-data pipeline.
     * Exact group percentiles (one bounded-state agg per group, broadcast

@@ -4318,6 +4318,50 @@ object Queries {
           CAST(s[5] AS BIGINT) AS n_alarms
         FROM st ORDER BY user_id""")),
 
+    // ---- PSI distribution-drift monitor between two event snapshots:
+    //      reference-quantile bins (q62's boundary discipline),
+    //      Laplace-smoothed shares so empty bins stay finite, DECIMAL
+    //      addends for the 10-term total ----
+    QueryDef(
+      "q129_psi_drift",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        graft.operators.Analytics.psiDrift(
+            ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1),
+            "value")
+          .orderBy($"bin")
+      },
+      Some("""WITH ref AS (SELECT value FROM events
+            WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        cur AS (SELECT value FROM events
+            WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        cuts AS (SELECT quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM ref),
+        rb AS (SELECT CAST(1 + len(list_filter(qs, q -> value > q))
+              AS INTEGER) AS bin, count(*) AS ref_n
+            FROM ref CROSS JOIN cuts GROUP BY 1),
+        cb AS (SELECT CAST(1 + len(list_filter(qs, q -> value > q))
+              AS INTEGER) AS bin, count(*) AS cur_n
+            FROM cur CROSS JOIN cuts GROUP BY 1),
+        tots AS (SELECT (SELECT count(*) FROM ref) AS ref_tot,
+                        (SELECT count(*) FROM cur) AS cur_tot),
+        bins AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS bin),
+        j AS (SELECT bin, COALESCE(ref_n, 0) AS ref_n,
+            COALESCE(cur_n, 0) AS cur_n, ref_tot, cur_tot
+          FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+            CROSS JOIN tots),
+        k AS (SELECT bin, ref_n, cur_n,
+            CAST(ref_n + 1 AS DOUBLE) / CAST(ref_tot + 10 AS DOUBLE) AS ref_pct,
+            CAST(cur_n + 1 AS DOUBLE) / CAST(cur_tot + 10 AS DOUBLE) AS cur_pct
+          FROM j),
+        t AS (SELECT *, (cur_pct - ref_pct) * ln(cur_pct / ref_pct)
+            AS psi_term FROM k)
+        SELECT bin, ref_n, cur_n, ref_pct, cur_pct, psi_term,
+          CAST(sum(CAST(psi_term AS DECIMAL(28,12))) OVER ()
+            AS DOUBLE) AS psi_total
+        FROM t ORDER BY bin""")),
+
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice
     //      with integer hop costs — exact Long min-plus arithmetic, so

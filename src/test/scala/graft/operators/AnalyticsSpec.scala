@@ -321,6 +321,26 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.getLong(5) === 0L)
   }
 
+  test("psiDrift: identical snapshots score 0; a shifted one scores big") {
+    val sp = spark; import sp.implicits._
+    val ref = (1 to 100).map(i => i.toDouble).toDF("value")
+    // same distribution: every term's shares match -> ln(1) * 0 = 0
+    val same = Analytics.psiDrift(ref, ref, "value", nBins = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(same.length === 4)
+    assert(same.forall(r => r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0))
+    assert(same.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 25L), (2, 25L), (3, 25L), (4, 25L)))
+    // hard shift: all current mass above the reference's top quartile
+    val shifted = (1 to 100).map(i => 200.0 + i).toDF("value")
+    val drift = Analytics.psiDrift(ref, shifted, "value", nBins = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(drift.head.getLong(2) === 0L && drift.last.getLong(2) === 100L)
+    assert(drift.head.getDouble(6) > 0.25, "hard shift must cross the act threshold")
+    // empty bins stay finite under the Laplace smoothing
+    assert(drift.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
+
   test("symbolicMotifs: a strict ramp yields one motif per window") {
     val sp = spark; import sp.implicits._
     // user 1 ramps 1,2,3,4,5,6,7,8 over 8 days: ntile(4) in count order

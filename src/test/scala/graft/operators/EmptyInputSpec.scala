@@ -250,6 +250,12 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Analytics.rollingMadAnomalies(emptyEvents, "user_id", "ts").count() == 0)
     assert(Analytics.symbolicMotifs(emptyEvents, "user_id", "ts").count() == 0)
     assert(Analytics.cusumChangepoints(emptyEvents, "user_id", "ts").count() == 0)
+    // empty reference: current rows are unbinnable; PSI degrades to the
+    // all-zero-count bins, never a throw
+    val psiEmpty = Analytics.psiDrift(emptyEvents, emptyEvents, "value")
+      .collect()
+    assert(psiEmpty.length == 10 &&
+      psiEmpty.forall(r => r.getLong(1) == 0L && r.getDouble(5) == 0.0))
     // empty edge set: the three landmarks still report themselves at 0
     val ms = Graph.multiSourceSssp(emptyWeighted, "src", "dst", "w",
       Seq(1L, 2L).toDF("source"), rounds = 2).collect()
