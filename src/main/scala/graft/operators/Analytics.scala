@@ -401,6 +401,56 @@ object Analytics {
         col("cur_pct"), col("psi_term"), col("psi_total"))
   }
 
+  /** CHI-SQUARE drift monitor for a CATEGORICAL column — [[psiDrift]]'s
+    * sibling for discrete features (event types, sources, languages):
+    * per category, expected current count under the reference share,
+    *
+    *   E_c = ref_n_c / ref_total · cur_total,   χ² = Σ (cur_n_c − E_c)²/E_c
+    *
+    * over the union of categories seen in either snapshot, with
+    * Laplace-smoothed reference counts ((n+1)/(N+K)) so categories new
+    * to the current snapshot contribute a finite, loud term instead of
+    * a division by zero. All inputs are exact integer counts; the
+    * per-category term is a fixed IEEE expression and the total sums
+    * DECIMAL addends — the oracle replays it bit-for-bit. Output: one
+    * row per category `(category, ref_n, cur_n, expected, chi2_term,
+    * chi2_total, df)` with df = K − 1 repeated for the caller's p-value
+    * lookup.
+    *
+    * Scale shape: two partial hash aggs on the category key, one
+    * broadcast join of the (small) category frames, one tiny window for
+    * the total — no sort, no global shuffle beyond the category agg. */
+  def chiSquareDrift(reference: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    val refC = reference.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("ref_n"))
+    val curC = current.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("cur_n"))
+    val joined = refC.join(curC, Seq("category"), "full_outer")
+      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+    val all = Window.partitionBy(lit(1))
+    joined
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("ref_tot", sum(col("ref_n")).over(all))
+      .withColumn("cur_tot", sum(col("cur_n")).over(all))
+      .withColumn("expected",
+        (col("ref_n") + 1).cast("double") /
+          (col("ref_tot") + col("k")).cast("double") *
+          col("cur_tot").cast("double"))
+      .withColumn("chi2_term",
+        (col("cur_n").cast("double") - col("expected")) *
+          (col("cur_n").cast("double") - col("expected")) / col("expected"))
+      .withColumn("chi2_total",
+        sum(col("chi2_term").cast(DecimalType(28, 12))).over(all)
+          .cast("double"))
+      .select(col("category"), col("ref_n"), col("cur_n"), col("expected"),
+        col("chi2_term"), col("chi2_total"),
+        (col("k") - 1).cast("int").as("df"))
+  }
+
   /** Per-group winsorization + min-max scaling of a numeric feature —
     * the outlier-robust normalization step of a training-data pipeline.
     * Exact group percentiles (one bounded-state agg per group, broadcast

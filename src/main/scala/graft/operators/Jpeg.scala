@@ -870,11 +870,13 @@ object JpegCodec extends MediaCodec {
 }
 
 /** Magic-byte dispatching codec over every real decoder in the repo:
-  * PNG → [[Png]], JPEG → [[Jpeg]], anything else passes through —
-  * the production shape where one corpus column carries mixed media. */
+  * PNG → [[Png]], JPEG → [[Jpeg]], RIFF/WAVE → [[Wav]] (big-endian
+  * PCM16 sample buffer), anything else passes through — the production
+  * shape where one corpus column carries mixed media. */
 object SniffCodec extends MediaCodec {
   override def decode(mediaType: String, payload: Array[Byte]): Array[Byte] =
     if (Png.isPng(payload)) Png.decode(payload).pixels
     else if (Jpeg.isJpeg(payload)) Jpeg.decode(payload).pixels
+    else if (Wav.isWav(payload)) Wav.decode(payload).samplesBE
     else payload
 }

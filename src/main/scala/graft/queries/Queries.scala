@@ -2629,6 +2629,45 @@ object Queries {
           CAST(max(abs(s)) AS INTEGER) AS peak
         FROM s GROUP BY doc_id, ns ORDER BY media_id""")),
 
+    // ---- Multimodal: the same PCM16 features through a REAL RIFF/WAVE
+    //      container — each payload is a canonical 16-bit PCM WAV built
+    //      around the text bytes, decoded (LE->BE byte swap, header
+    //      walk, chunk skip) by the Wav codec; the oracle is m04's
+    //      byte arithmetic verbatim, so container handling must be
+    //      exactly transparent ----
+    QueryDef(
+      "m14_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            val pcm = java.util.Arrays.copyOf(bytes, bytes.length & ~1)
+            graft.operators.MediaRecord(id, "audio/wav",
+              graft.operators.Wav.encode(16000, 1, pcm))
+          })
+        graft.operators.Multimodal
+          .pcm16Features(media, graft.operators.WavCodec)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, unnest(range(0, n // 2)) AS i, text FROM b),
+        v AS (SELECT doc_id, ns,
+                ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 256
+                  + ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS v
+              FROM sm),
+        s AS (SELECT doc_id, ns,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM v)
+        SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+          CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+          CAST(max(abs(s)) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id, ns ORDER BY media_id""")),
+
     // ---- Multimodal: image near-duplicate pairs via 64-bit dHash —
     //      each doc's bytes reshape into a REAL 16×(n/16) greyscale PNG,
     //      decode, greyscale-resize to 9×8, difference-hash, then the
@@ -4361,6 +4400,46 @@ object Queries {
           CAST(sum(CAST(psi_term AS DECIMAL(28,12))) OVER ()
             AS DOUBLE) AS psi_total
         FROM t ORDER BY bin""")),
+
+    // ---- Chi-square categorical drift: q129's sibling for discrete
+    //      features, Laplace-smoothed expected counts over the union of
+    //      categories, DECIMAL addends for the total ----
+    QueryDef(
+      "q130_chisq_drift",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        graft.operators.Analytics.chiSquareDrift(
+            ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1),
+            "event_type")
+          .orderBy($"category")
+      },
+      Some("""WITH ref AS (SELECT event_type FROM events
+            WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+        cur AS (SELECT event_type FROM events
+            WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+        rc AS (SELECT event_type AS category, count(*) AS ref_n
+               FROM ref GROUP BY 1),
+        cc AS (SELECT event_type AS category, count(*) AS cur_n
+               FROM cur GROUP BY 1),
+        j AS (SELECT category, COALESCE(ref_n, 0) AS ref_n,
+            COALESCE(cur_n, 0) AS cur_n
+          FROM rc FULL OUTER JOIN cc USING (category)),
+        t AS (SELECT category, ref_n, cur_n, count(*) OVER () AS k,
+            sum(ref_n) OVER () AS ref_tot, sum(cur_n) OVER () AS cur_tot
+          FROM j),
+        e AS (SELECT category, ref_n, cur_n, k,
+            CAST(ref_n + 1 AS DOUBLE) / CAST(ref_tot + k AS DOUBLE)
+              * CAST(cur_tot AS DOUBLE) AS expected
+          FROM t),
+        f AS (SELECT *, (CAST(cur_n AS DOUBLE) - expected)
+            * (CAST(cur_n AS DOUBLE) - expected) / expected AS chi2_term
+          FROM e)
+        SELECT category, ref_n, cur_n, expected, chi2_term,
+          CAST(sum(CAST(chi2_term AS DECIMAL(28,12))) OVER ()
+            AS DOUBLE) AS chi2_total,
+          CAST(k - 1 AS INTEGER) AS df
+        FROM f ORDER BY category""")),
 
     // ---- Single-source shortest paths (Bellman-Ford, 6 synchronous
     //      relaxation rounds) over a supplier->part shipping lattice

@@ -341,6 +341,33 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drift.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
   }
 
+  test("chiSquareDrift: matched shares stay near 0, a vanished category " +
+      "contributes its full expected mass") {
+    val sp = spark; import sp.implicits._
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("cat")
+    // identical current: smoothing keeps terms tiny but the shape flat
+    val same = Analytics.chiSquareDrift(ref, ref, "cat")
+      .collect().sortBy(_.getString(0))
+    assert(same.length === 2 && same.head.getInt(6) === 1)
+    assert(same.forall(_.getDouble(5) < 0.01))
+    // category b vanishes: expected ~50 observed 0 and a doubled,
+    // hand-check the smoothed arithmetic — E_a = 51/102*100 = 50,
+    // E_b = 51/102*100 = 50; chi2 = (100-50)^2/50 + (0-50)^2/50 = 100
+    val cur = Seq.fill(100)("a").toDF("cat")
+    val drift = Analytics.chiSquareDrift(ref, cur, "cat")
+      .collect().sortBy(_.getString(0))
+    assert(drift.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(drift.head.getDouble(3) === 50.0 && drift.last.getDouble(3) === 50.0)
+    assert(drift.head.getDouble(5) === 100.0)
+    // a category NEW to current gets a finite loud term (smoothed ref 0)
+    val novel = (Seq.fill(50)("a") ++ Seq.fill(50)("z")).toDF("cat")
+    val nd = Analytics.chiSquareDrift(ref, novel, "cat")
+      .collect().sortBy(_.getString(0))
+    assert(nd.length === 3)
+    assert(nd.forall(r => !r.getDouble(4).isNaN && !r.getDouble(4).isInfinite))
+    assert(nd.find(_.getString(0) == "z").get.getDouble(4) > 10.0)
+  }
+
   test("symbolicMotifs: a strict ramp yields one motif per window") {
     val sp = spark; import sp.implicits._
     // user 1 ramps 1,2,3,4,5,6,7,8 over 8 days: ntile(4) in count order
