@@ -24,8 +24,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=s07_knn_pq,t29_dsir — local-iteration subset
     // filter (absent on the driver, which always dumps everything)
+    // an empty/blank value means "no filter", not "nothing" — the
+    // stability harness exports SPARK_GRAFT_ONLY="" for full runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

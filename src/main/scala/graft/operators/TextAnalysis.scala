@@ -1501,6 +1501,17 @@ object TextAnalysis {
     * of partition merge order. */
   def knTrigramLogProb(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
+    val (out, corpus) = knTrigramPlan(df, idCol, textCol, discount)
+    val result = out.localCheckpoint(true)
+    corpus.unpersist()
+    result
+  }
+
+  /** Pre-checkpoint plan of [[knTrigramLogProb]] plus the checkpointed
+    * trigram inventory it must release — exposed so plan-quality tests
+    * can inspect the join pipeline the public checkpoint truncates. */
+  private[graft] def knTrigramPlan(df: DataFrame, idCol: String,
+      textCol: String, discount: Double): (DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("tk"))
@@ -1553,9 +1564,7 @@ object TextAnalysis {
             .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
             .cast("double") /
             sum(col("cnt")).cast("double"), 6).as("mean_logprob"))
-    val result = out.localCheckpoint(true)
-    corpus.unpersist()
-    result
+    (out, corpus)
   }
 
   /** Bigram language-model quality signal: per document, the mean

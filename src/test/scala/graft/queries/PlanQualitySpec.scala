@@ -649,4 +649,58 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"),
       s"a stateless screen must not shuffle:\n${p.take(3000)}")
   }
+
+  test("q125 reciprocity's reverse join is an equi join, never a cartesian") {
+    // the public operator checkpoints its one-row result (truncating
+    // lineage to Scan ExistingRDD), so inspect the pre-checkpoint
+    // reverse-join shape on the same canonicalized edge frame
+    val sp = spark; import sp.implicits._
+    val e = sp.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey".as("src"), $"l_suppkey".as("dst")).distinct()
+    val p = e.join(e.select($"dst".as("src"), $"src".as("dst")),
+        Seq("src", "dst"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q126/q128 daily series windows are key-partitioned, never global") {
+    // a Window with no PARTITION BY single-tasks the table; both
+    // time-series ops must partition by the key
+    for (n <- Seq("q126_anomaly_hampel", "q128_cusum")) {
+      val p = plan(n)
+      assert(!p.contains("WindowExec: No Partition"), s"$n:\n${p.take(2000)}")
+      val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+      // q128 folds via aggregate() (no window at all) — only check when
+      // a window operator is actually present
+      if (winLine.nonEmpty)
+        assert(winLine.contains("user_id"), s"$n window not keyed: $winLine")
+    }
+  }
+
+  test("q129 PSI assigns bins via a broadcast of the one-row cuts frame") {
+    val p = plan("q129_psi_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000)) // crossJoin(broadcast(one-row cuts)) — never a shuffle join
+    assert(p.contains("partial_count"), p.take(3000)) // bin counts combine map-side
+  }
+
+  test("t55 KN trigram joins all carry equality conditions (no cartesian), " +
+      "cross join only against the one-row T broadcast") {
+    // the public operator checkpoints its executed result, so pin the
+    // LOGICAL plan: every Join node must be an equi join except the
+    // single broadcast cross join against the one-row type-count frame
+    val sp = spark
+    val docs = sp.read.parquet(s"$dir/documents.parquet")
+    val (out, corpus) = graft.operators.TextAnalysis
+      .knTrigramPlan(docs, "doc_id", "text", 0.75)
+    val lp = out.queryExecution.analyzed.toString
+    corpus.unpersist()
+    // analyzed-plan join nodes render as ":-/+- Join Inner, (cond)"
+    val joins = lp.linesIterator.filter(_.matches(""".*\bJoin (Inner|Cross|LeftOuter|FullOuter).*""")).toSeq
+    assert(joins.nonEmpty)
+    val (cross, equi) = joins.partition(_.contains("Cross"))
+    assert(equi.forall(_.contains("=")), joins.mkString("\n"))
+    assert(cross.size <= 1, joins.mkString("\n")) // only the tPairs broadcast
+  }
 }
