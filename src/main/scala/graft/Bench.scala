@@ -126,6 +126,21 @@ object Bench {
     // the node-sized parquet — the honest serving shape of a
     // materialized view. Shared-query aggregate is flat vs r11 after
     // the new-query and memo deltas (227.1 - 7.2 + ~31.5 + noise).
+    // Round-12 t43 adjudication (the r11 driver's one red row,
+    // hash-only, rows/schema matched): 10 fresh Verify->DuckDB runs at
+    // sf0.01 across cpus {2,4,8,16,32} with AQE both off and forced on
+    // — ALL 10 PASS the oracle AND all 10 outputs are byte-identical
+    // to each other (tools/stability.py), on top of round-11's 3 green
+    // reruns. 13 consecutive green runs; the operator is integer-only
+    // (BIGINT/VARCHAR), doc_id is unique, and the prefix sum is the
+    // RANGE-frame strictly-smaller-keys form, so no tie freedom exists.
+    // The r11 red row remains unreproduced against current code+data.
+    // Round-12 third-session additions, isolated sf0.1 measurement
+    // (SPARK_GRAFT_ONLY, RUNS=3): q133 5.10s (ColorSCC: 2 peels x
+    // (4 trims + 12 fwd + 12 bwd lockstep rounds), after empty-residue
+    // early exit cut the no-op second peel - 8.71s before), q131 1.09s,
+    // q132 1.20s, t56 1.26s, t57 0.48s, t58 0.38s. All six oracle-green
+    // at sf0.01 on first compare.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
@@ -267,7 +282,8 @@ object Bench {
     // ~10x data growth, not as a surprise at the next SF. Two attempts,
     // min, measured after the suite (same harness, swept session).
     val trendNames = Seq("q102_louvain", "q104_louvain_coarse",
-      "q107_betweenness", "q108_hll_reach", "q110_neighborhood_fn")
+      "q107_betweenness", "q108_hll_reach", "q110_neighborhood_fn",
+      "q133_scc")
     val smallSf = "/root/testdata/sf0.01"
     val scaleTrend =
       if (!new java.io.File(smallSf).isDirectory) ""

@@ -1036,4 +1036,118 @@ object Analytics {
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col(keyCol)).as("n_keys"))
   }
+
+  /** Sample AUTOCORRELATION function per key at lags 1..`maxLag` over
+    * the (ts, id)-ordered value series — the standard seasonality /
+    * memory diagnostic (a weekly cycle shows as a peak at lag 7, white
+    * noise hugs 0):
+    *
+    *   r_L = Σ_{i=1..n−L} (x_i − x̄)(x_{i+L} − x̄) / Σ_{i=1..n} (x_i − x̄)²
+    *
+    * Determinism: the [[ewma]] raw-IEEE discipline — every sum is a
+    * LEFT fold in a total order (the series order for the mean, index
+    * order for both quadratic sums), each fold inits from its FIRST
+    * term (not 0.0: `0.0 + (−0.0)` would flip a negative-zero first
+    * term, and DuckDB's `list_reduce` has no init operand), so every
+    * addition replays in identical operand order on both engines.
+    * A constant series (zero denominator) emits NULL, not NaN (engines
+    * disagree on NaN formatting).
+    *
+    * Scale shape: per-key series collected once (the bounded-history
+    * contract of this family), lags exploded map-side — one hash agg
+    * plus map-only arithmetic. Output: `(key, lag, n_points, acf)` for
+    * every lag < n. */
+  def acf(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val series = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v")))).as("pts"))
+      .withColumn("vs", expr("transform(pts, p -> p.v)"))
+      .withColumn("n", size(col("vs")))
+      .withColumn("m", expr("""aggregate(slice(vs, 2, n - 1),
+        element_at(vs, 1), (a, x) -> a + x)""") / col("n").cast("double"))
+      .withColumn("dterms",
+        expr("transform(vs, x -> (x - m) * (x - m))"))
+      .withColumn("den", expr("""aggregate(slice(dterms, 2, n - 1),
+        element_at(dterms, 1), (a, x) -> a + x)"""))
+    series
+      .select(col(keyCol), col("vs"), col("n"), col("m"), col("den"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .filter(col("lag") < col("n"))
+      .withColumn("nterms", expr("""transform(sequence(1, n - lag),
+        i -> (element_at(vs, i) - m) * (element_at(vs, i + lag) - m))"""))
+      .withColumn("num", expr("""aggregate(slice(nterms, 2, n - lag - 1),
+        element_at(nterms, 1), (a, x) -> a + x)"""))
+      .select(col(keyCol), col("lag"), col("n").as("n_points"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("num") / col("den")).as("acf"))
+  }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (Winters 1960), final
+    * state per key over the day-ordered DAILY event-count series —
+    * [[holtLinear]] plus a rotating seasonal register of `period`
+    * slots:
+    *
+    *   l_i = α·(x_i − s_{i−m}) + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = γ·(l_i − l_{i−1}) + (1−γ)·b_{i−1}
+    *   s_i = δ·(x_i − l_i) + (1−δ)·s_{i−m}
+    *
+    * with l_0 = x_0, b_0 = 0, all seasonal slots 0 — the deterministic
+    * cold-start convention (no season-long init pass). The fold state
+    * is one (2+m)-slot DOUBLE ARRAY `[level, trend, s_next..s_last]`
+    * that ROTATES each step (head consumed, fresh estimate appended),
+    * so the update is pure list arithmetic both engines replay in
+    * identical IEEE operand order — the [[holtLinear]] array-state
+    * contract (struct states fold sequentially in DuckDB), inits from
+    * the first element's padded state because `list_reduce` has no
+    * init operand. Emits the one-step forecast
+    * `level + trend + s_next`. Output:
+    * `(key, n_days, level, trend, season_next, forecast)`.
+    *
+    * Scale shape: one partial hash agg to daily counts, one hash agg
+    * to the bounded per-key series, then a map-only fold. */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      period: Int = 7, alpha: Double = 0.3, gamma: Double = 0.1,
+      delta: Double = 0.2): DataFrame = {
+    require(period >= 2, "period must be at least 2")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(delta > 0 && delta <= 1, "delta must be in (0, 1]")
+    val (oneA, oneG, oneD) = (1.0 - alpha, 1.0 - gamma, 1.0 - delta)
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lNew = s"$alpha * (element_at(x, 1) - element_at(acc, 3)) + " +
+      s"$oneA * (element_at(acc, 1) + element_at(acc, 2))"
+    daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"),
+        count(lit(1)).as("nd"))
+      // each step's value rides a (2+m)-slot padded state so the FIRST
+      // element doubles as the init state [x_1, 0, 0...] — the q123
+      // list_reduce-has-no-init convention
+      .withColumn("padded", expr(s"""transform(xs,
+        p -> concat(array(CAST(p.n AS DOUBLE), CAST(0 AS DOUBLE)),
+                    array_repeat(CAST(0 AS DOUBLE), $period)))"""))
+      .withColumn("st", expr(s"""aggregate(
+        slice(padded, 2, size(padded) - 1),
+        element_at(padded, 1),
+        (acc, x) -> concat(
+          array($lNew,
+            $gamma * (($lNew) - element_at(acc, 1))
+              + $oneG * element_at(acc, 2)),
+          slice(acc, 4, ${period - 1}),
+          array($delta * (element_at(x, 1) - ($lNew))
+              + $oneD * element_at(acc, 3))))"""))
+      .select(col(keyCol), col("nd").cast("int").as("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        element_at(col("st"), 3).as("season_next"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2) +
+          element_at(col("st"), 3)).as("forecast"))
+  }
 }

@@ -2188,4 +2188,200 @@ object Graph {
     e.unpersist()
     res
   }
+
+  /** STRONGLY connected components over a DIRECTED edge list — the
+    * coloring algorithm (Orzan 2004, the published distributed-SCC
+    * recipe; FW-BW's scalable cousin), with O(1) state per node and no
+    * all-pairs/transitive-closure materialization anywhere:
+    *
+    * per outer round, on the still-unassigned subgraph:
+    *   1. forward MIN-LABEL propagation (`propRounds` lockstep
+    *      iterations of edges ⋈ colors + a dst-keyed min): color(v) =
+    *      min id that reaches v. Every node with color(v) = v is a
+    *      PIVOT — no smaller id reaches it.
+    *   2. backward reach of each pivot RESTRICTED to its color class
+    *      (flag propagation over the intra-color edge subset): the
+    *      flagged nodes of class c are EXACTLY SCC(c). Proof shape: a
+    *      member's min reacher is the pivot itself, and every node on
+    *      a member→pivot path has the pivot's color (a smaller-id
+    *      reacher of any path node would reach the pivot too,
+    *      contradicting pivothood) — so the intra-color restriction
+    *      loses nothing and lets ALL pivots extract in parallel.
+    *   3. assign + peel: flagged nodes take `component = color`
+    *      (the SCC's min member id — stable, engine-portable), and the
+    *      next outer round runs on the rest.
+    *
+    * Each outer round opens with `trimRounds` TRIM iterations (Orzan's
+    * step 0): any active node with no non-self in-edge or no non-self
+    * out-edge in the active subgraph cannot sit in a ≥2 cycle, so it is
+    * assigned `component = node` immediately — DAG fringes peel off in
+    * O(depth) cheap degree semi-joins instead of consuming whole
+    * color/flag phases (measured: a 194-node test graph with 125
+    * DAG singletons needs 5+ un-trimmed peels but 2 trimmed ones).
+    *
+    * Nodes still unassigned after `outerRounds` peels emit a NULL
+    * component — a FIXED iteration budget on both engines, so the
+    * output is deterministic regardless of convergence (the oracle
+    * unrolls the identical rounds). The budget contract is
+    * [[ssspBellmanFord]]'s: SCCs whose internal label/reach distances
+    * fit `propRounds` extract exactly (label = min member id); an
+    * under-budgeted run may extract a mutually-reachable SUBSET of a
+    * larger SCC under a non-minimal pivot — size the budget to the
+    * graph's cyclic-core diameter. Scale shape: every step is an
+    * equi-join + hash agg / distinct on node-or-edge-sized frames;
+    * per-round lineage is truncated ([[Dedup.duplicateClusters]]
+    * checkpoint + flattened-stats discipline), and peeling only
+    * SHRINKS the subgraph. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, outerRounds: Int = 3, propRounds: Int = 8,
+      trimRounds: Int = 4): DataFrame = {
+    require(outerRounds >= 1, "need at least one peel round")
+    require(propRounds >= 1, "need at least one propagation round")
+    require(trimRounds >= 0, "trimRounds must be non-negative")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes0 = e0.select(col("esrc").as("node"))
+      .unionAll(e0.select(col("edst").as("node")))
+      .distinct().localCheckpoint(true)
+    var remaining = nodes0
+    var ea = e0
+    var assigned: Option[DataFrame] = None
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (outer < outerRounds) {
+      // 0. trim: no non-self in-edge or out-edge => singleton SCC.
+      // Early exits below are OUTPUT-IDENTICAL to running the full
+      // budget: an empty dead set is a trim fixpoint (same inputs
+      // reproduce it), and an empty remaining set makes every later
+      // round a no-op — the cheap emptiness probes ride frames the
+      // loop just materialized.
+      var t = 0
+      var trimFixpoint = false
+      while (t < trimRounds && !trimFixpoint) {
+        val nonself = ea.filter(col("esrc") =!= col("edst"))
+        val alive = remaining
+          .join(nonself.select(col("esrc").as("node")), Seq("node"),
+            "left_semi")
+          .join(nonself.select(col("edst").as("node")), Seq("node"),
+            "left_semi")
+          .localCheckpoint(true)
+        val dead = remaining.join(alive, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component"))
+          .localCheckpoint(true)
+        if (dead.isEmpty) {
+          retired += alive; retired += dead
+          trimFixpoint = true
+        } else {
+          val prevAssigned0 = assigned
+          assigned = Some(prevAssigned0
+            .map(_.unionAll(dead).localCheckpoint(true)).getOrElse(dead))
+          prevAssigned0.foreach(retired += _)
+          retired += dead
+          if (remaining ne nodes0) retired += remaining
+          remaining = alive
+          val prevEa0 = ea
+          ea = ea.join(remaining.select(col("node").as("esrc")), Seq("esrc"),
+              "left_semi")
+            .join(remaining.select(col("node").as("edst")), Seq("edst"),
+              "left_semi")
+            .select(col("esrc"), col("edst"))
+            .localCheckpoint(true)
+          if (prevEa0 ne e0) retired += prevEa0
+        }
+        t += 1
+      }
+      // an empty residue makes every remaining phase and peel a no-op
+      if (remaining.isEmpty) {
+        outer = outerRounds
+      } else {
+      // 1. forward min-label propagation — lazy chained rounds with the
+      //    temporalEarliestArrival lineage-truncation cadence
+      var colors = remaining.withColumn("color", col("node"))
+      var lastCk: Option[DataFrame] = None
+      var p = 0
+      while (p < propRounds) {
+        val relaxed = ea.join(colors, col("esrc") === col("node"))
+          .select(col("edst").as("node"), col("color"))
+        var next = colors.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("color")).as("color"))
+        p += 1
+        if (p % 4 == 0 && p < propRounds) {
+          val ck = next.localCheckpoint(true)
+          lastCk.foreach(_.unpersist())
+          lastCk = Some(ck)
+          next = flat(ck)
+        }
+        colors = next
+      }
+      colors = colors.localCheckpoint(true)
+      lastCk.foreach(_.unpersist()); lastCk = None
+      // 2. backward flag propagation over intra-color edges only
+      val intra = ea
+        .join(colors.select(col("node").as("esrc"), col("color").as("csrc")),
+          Seq("esrc"))
+        .join(colors.select(col("node").as("edst"), col("color").as("cdst")),
+          Seq("edst"))
+        .filter(col("csrc") === col("cdst"))
+        .select(col("esrc"), col("edst"))
+        .localCheckpoint(true)
+      var flags: DataFrame = colors.filter(col("color") === col("node"))
+        .select(col("node"))
+      p = 0
+      while (p < propRounds) {
+        val reached = intra.join(flags, col("edst") === col("node"))
+          .select(col("esrc").as("node"))
+        var next = flags.unionAll(reached).distinct()
+        p += 1
+        if (p % 4 == 0 && p < propRounds) {
+          val ck = next.localCheckpoint(true)
+          lastCk.foreach(_.unpersist())
+          lastCk = Some(ck)
+          next = flat(ck)
+        }
+        flags = next
+      }
+      flags = flags.localCheckpoint(true)
+      lastCk.foreach(_.unpersist())
+      retired += colors; retired += flags
+      // 3. assign the flagged SCCs, peel the subgraph
+      val newly = colors.join(flags, Seq("node"))
+        .select(col("node"), col("color").as("component"))
+        .localCheckpoint(true)
+      val prevAssigned = assigned
+      assigned = Some(prevAssigned.map(_.unionAll(newly).localCheckpoint(true))
+        .getOrElse(newly))
+      val (prevRemaining, prevEa) = (remaining, ea)
+      remaining = remaining.join(newly.select(col("node")), Seq("node"),
+          "left_anti")
+        .localCheckpoint(true)
+      ea = ea.join(remaining.select(col("node").as("esrc")), Seq("esrc"),
+          "left_semi")
+        .join(remaining.select(col("node").as("edst")), Seq("edst"),
+          "left_semi")
+        .select(col("esrc"), col("edst"))
+        .localCheckpoint(true)
+      retired += intra; retired += newly
+      prevAssigned.foreach(retired += _)
+      if (prevRemaining ne nodes0) retired += prevRemaining
+      if (prevEa ne e0) retired += prevEa
+      outer += 1
+      }
+    }
+    val out = assigned
+      .getOrElse(nodes0.select(col("node"),
+        lit(null).cast("long").as("component")).filter(lit(false)))
+      .unionAll(remaining.withColumn("component",
+        lit(null).cast("long")))
+      .localCheckpoint(true)
+    assigned.foreach(retired += _)
+    if (remaining ne nodes0) retired += remaining
+    if (ea ne e0) retired += ea
+    retired.foreach(_.unpersist())
+    e0.unpersist(); nodes0.unpersist()
+    out
+  }
 }

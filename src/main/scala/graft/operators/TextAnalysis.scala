@@ -2112,4 +2112,114 @@ object TextAnalysis {
             struct(col("pos"), col("tok")))), p => p.getField("tok")), " "))
           .as("chunk_hash"))
   }
+
+  /** TOKEN-BALANCED shard assignment — the "write the training corpus
+    * as N shards" step after mixture assembly: documents in doc-id
+    * order are packed whole into `nShards` contiguous shards of
+    * capacity `ceil(totalTokens / nShards)` tokens each, so every
+    * shard's token mass is within one document of the target and a
+    * dataloader can stripe shards across workers without a size
+    * manifest. `shard_id = cum_before div cap` — a pure per-row
+    * predicate on the exclusive prefix sum, deterministic,
+    * reshuffle-proof, engine-portable. Documents are taken whole: a doc
+    * straddling a capacity boundary lands in the shard its FIRST token
+    * falls in — the one convention that needs no lookahead. Zero-token
+    * documents occupy no mass and are dropped.
+    *
+    * Scale shape: token counts are one map pass; the global cumulative
+    * count is [[Analytics.withPrefixSum]]'s two-level scan (bucketed
+    * windows, never one task); `totalTokens` is ONE scalar aggregate
+    * collected to the driver (metadata-sized, the [[mixtureByTokenBudget]]
+    * class of bounded action). Output:
+    * `(doc_id, n_tokens, cum_before, shard_id)`. */
+  def shardByTokens(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, bucketSize: Long = 1024L): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val total = perDoc.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    val cap = (total + nShards - 1) / nShards
+    Analytics.withPrefixSum(perDoc, "doc_id", "n_tokens", "cum_before",
+        bucketSize)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $cap").as("shard_id"))
+  }
+
+  /** Deterministic PROPORTIONAL-INTERLEAVE ordering key — the mixture
+    * dataloader schedule that pairs with [[mixtureByTokenBudget]]'s
+    * selection: each source's documents get ranks 1,2,3,… in doc-id
+    * order, and `interleave_key = round(rank / weight, 9)` — ordering
+    * the corpus by (key, source, doc_id) consumes sources in exact
+    * proportion to their weights at every prefix of the stream (source
+    * s's r-th doc appears when r/wₛ units of "virtual time" have
+    * passed — the classic weighted round-robin / stride-scheduling
+    * key). The operator emits the KEY, not a global position: a global
+    * row_number would serialize the corpus onto one task, while the
+    * key is per-row arithmetic any consumer can sort or range-partition
+    * by — the scale-honest contract.
+    *
+    * Per-source ranks come from [[Analytics.withPrefixSumBy]] with a
+    * constant 1 (bucketed two-level scan — a source with billions of
+    * docs is never one window task). The division rounds to 9 decimals
+    * (the suite-wide float-repr convention) with (source, doc_id) as
+    * the documented tie-break. Sources absent from `weights` are
+    * excluded. Output: `(doc_id, source, src_rank, interleave_key)`. */
+  def mixtureOrderKey(df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Double], bucketSize: Long = 1024L): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(w => w > 0.0 && !w.isNaN && !w.isInfinite),
+      "weights must be finite and strictly positive")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).cast("string").as("source"))
+      .filter(col("source").isin(weights.keys.toSeq.sorted: _*))
+      .withColumn("_graft_one", lit(1L))
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) {
+      case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    Analytics.withPrefixSumBy(base, "source", "doc_id", "_graft_one",
+        "_graft_rank0", bucketSize)
+      .withColumn("src_rank", col("_graft_rank0") + 1L)
+      .withColumn("interleave_key",
+        round(col("src_rank").cast("double") / wExpr, 9))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("interleave_key"))
+  }
+
+  /** Sequence-PACKING EFFICIENCY report — the dataset-card statistic
+    * that justifies concat-packing: per source, how many fixed-length
+    * training sequences the corpus costs (a) PADDED, one-doc-per-
+    * sequence-block (each doc rounds up to `ceil(tokens/seqLen)`
+    * sequences, its last one padded), vs (b) PACKED, docs concatenated
+    * back-to-back ([[packSequences]] semantics, `ceil(total/seqLen)`),
+    * and what fraction of slots each wastes. All counts are exact
+    * BIGINT arithmetic; the two ratios are single IEEE divisions
+    * rounded to 6 (the suite convention). Zero-token docs are dropped
+    * (they occupy no sequence under either layout). One partial hash
+    * agg over per-doc token counts — map-only before it. Output:
+    * `(source, n_docs, total_tokens, padded_seqs, padded_waste,
+    * packed_seqs, packed_waste, padded_waste_frac, packed_waste_frac)`. */
+  def packingEfficiency(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val perDoc = df.select(col(srcCol).cast("string").as("source"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0 && col("source").isNotNull)
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(expr(s"(n_tokens + ${seqLen - 1}) div $seqLen")).as("padded_seqs"))
+      .withColumn("padded_waste",
+        col("padded_seqs") * seqLen - col("total_tokens"))
+      .withColumn("packed_seqs",
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("packed_waste",
+        col("packed_seqs") * seqLen - col("total_tokens"))
+      .withColumn("padded_waste_frac",
+        round(col("padded_waste").cast("double") /
+          (col("padded_seqs") * seqLen).cast("double"), 6))
+      .withColumn("packed_waste_frac",
+        round(col("packed_waste").cast("double") /
+          (col("packed_seqs") * seqLen).cast("double"), 6))
+  }
 }

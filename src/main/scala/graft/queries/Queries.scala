@@ -638,6 +638,82 @@ object Queries {
          md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
        FROM chp GROUP BY 1, 2)"""
 
+  /** q133 oracle: unrolls [[graft.operators.Graph.stronglyConnectedComponents]]
+    * round-for-round — per outer peel: `trim` degree-trim rounds
+    * (no non-self in/out edge → singleton), `prop` forward min-label
+    * rounds, the intra-color edge subset, `prop` backward flag rounds,
+    * then assignment + peel. Fixed budgets on both engines. */
+  private def sccOracleSql(outer: Int, trim: Int, prop: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst
+        FROM lineitem WHERE l_orderkey % 197 = 0
+      UNION ALL
+      SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst
+        FROM lineitem WHERE l_orderkey % 197 = 3)),
+    r0 AS MATERIALIZED (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"""
+    var rem = "r0"
+    val assigned = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (o <- 1 to outer) {
+      for (t <- 1 to trim) {
+        val (ea, alive, dead) = (s"et_${o}_$t", s"alv_${o}_$t", s"ded_${o}_$t")
+        sb ++= s""",
+    $ea AS MATERIALIZED (SELECT e.src, e.dst FROM e
+      JOIN $rem s ON e.src = s.node JOIN $rem d ON e.dst = d.node),
+    $alive AS MATERIALIZED (SELECT node FROM $rem WHERE
+      node IN (SELECT src FROM $ea WHERE src <> dst)
+      AND node IN (SELECT dst FROM $ea WHERE src <> dst)),
+    $dead AS MATERIALIZED (SELECT node, node AS component FROM $rem
+      WHERE node NOT IN (SELECT node FROM $alive))"""
+        assigned += dead
+        rem = alive
+      }
+      val ea = s"ea_$o"
+      sb ++= s""",
+    $ea AS MATERIALIZED (SELECT e.src, e.dst FROM e
+      JOIN $rem s ON e.src = s.node JOIN $rem d ON e.dst = d.node),
+    c_${o}_0 AS MATERIALIZED (SELECT node, node AS color FROM $rem)"""
+      for (p <- 1 to prop) {
+        sb ++= s""",
+    c_${o}_$p AS MATERIALIZED (SELECT node, min(color) AS color FROM (
+      SELECT node, color FROM c_${o}_${p - 1}
+      UNION ALL
+      SELECT $ea.dst AS node, c.color FROM $ea
+        JOIN c_${o}_${p - 1} c ON c.node = $ea.src) GROUP BY node)"""
+      }
+      val cFin = s"c_${o}_$prop"
+      sb ++= s""",
+    x_$o AS MATERIALIZED (SELECT $ea.src, $ea.dst FROM $ea
+      JOIN $cFin cs ON cs.node = $ea.src
+      JOIN $cFin cd ON cd.node = $ea.dst
+      WHERE cs.color = cd.color),
+    f_${o}_0 AS MATERIALIZED (SELECT node FROM $cFin WHERE color = node)"""
+      for (p <- 1 to prop) {
+        sb ++= s""",
+    f_${o}_$p AS MATERIALIZED (SELECT DISTINCT node FROM (
+      SELECT node FROM f_${o}_${p - 1}
+      UNION ALL
+      SELECT x_$o.src AS node FROM x_$o
+        JOIN f_${o}_${p - 1} f ON f.node = x_$o.dst))"""
+      }
+      sb ++= s""",
+    a_$o AS MATERIALIZED (SELECT c.node, c.color AS component FROM $cFin c
+      JOIN f_${o}_$prop f ON f.node = c.node),
+    rr_$o AS MATERIALIZED (SELECT node FROM $rem
+      WHERE node NOT IN (SELECT node FROM a_$o))"""
+      assigned += s"a_$o"
+      rem = s"rr_$o"
+    }
+    sb ++= s"""
+    SELECT node, component FROM (
+      ${assigned.map(a => s"SELECT node, component FROM $a")
+        .mkString("\n      UNION ALL ")}
+      UNION ALL SELECT node, CAST(NULL AS BIGINT) AS component FROM $rem)
+    ORDER BY node"""
+    sb.toString
+  }
+
   /** q120 oracle: the q110 curve plus the smallest radius whose
     * neighborhood-function value reaches `fraction` of the horizon
     * N(rounds) — replays [[graft.operators.Graph.effectiveDiameter]]
@@ -8300,7 +8376,184 @@ object Queries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
           CAST(sum(coalesce(np, length(w))) AS BIGINT) AS n_pieces
         FROM dw LEFT JOIN np2 USING (w)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Token-balanced shard assignment: docs packed whole, in
+    //      doc-id order, into 8 contiguous shards of capacity
+    //      ceil(total/8) tokens — shard_id is a pure predicate on the
+    //      two-level exclusive prefix sum (never one window task) ----
+    QueryDef(
+      "t56_shard_assign",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .shardByTokens(t(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        FROM documents),
+        nz AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+        cap AS (SELECT (sum(n_tokens) + 7) // 8 AS cap FROM nz),
+        c AS (SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum_before
+        FROM nz)
+        SELECT doc_id, n_tokens, cum_before,
+          CAST(cum_before // cap AS BIGINT) AS shard_id
+        FROM c CROSS JOIN cap ORDER BY doc_id""")),
+
+    // ---- Proportional-interleave mixture schedule key: per-source
+    //      doc-id-order ranks (two-level grouped prefix scan, not a
+    //      one-task-per-source window), key = round(rank/weight, 9) —
+    //      sorting by (key, source, doc_id) IS the weighted
+    //      round-robin dataloader order ----
+    QueryDef(
+      "t57_mixture_order",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .mixtureOrderKey(t(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15))
+          .orderBy($"interleave_key", $"source", $"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang AS source FROM documents
+          WHERE lang IN ('de','en','fr')),
+        r AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS src_rank
+        FROM d)
+        SELECT doc_id, source, src_rank,
+          round(CAST(src_rank AS DOUBLE) /
+            (CASE source WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.25
+              ELSE 0.15 END), 9) AS interleave_key
+        FROM r ORDER BY interleave_key, source, doc_id""")),
+
+    // ---- Packing-efficiency dataset card: per source, sequences and
+    //      wasted slots under padded one-doc-per-block layout vs
+    //      concat-packing at seqLen=256 — exact BIGINT counts, two
+    //      rounded ratio divisions ----
+    QueryDef(
+      "t58_packing_efficiency",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.TextAnalysis
+          .packingEfficiency(t(s, dir, "documents"), "doc_id", "source",
+            "text", 256)
+          .orderBy($"source")
+      },
+      Some("""WITH tk AS (SELECT source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE source IS NOT NULL),
+        nz AS (SELECT source, n_tokens FROM tk WHERE n_tokens > 0),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(sum((n_tokens + 255) // 256) AS BIGINT) AS padded_seqs
+        FROM nz GROUP BY 1),
+        b AS (SELECT source, n_docs, total_tokens, padded_seqs,
+          padded_seqs * 256 - total_tokens AS padded_waste,
+          (total_tokens + 255) // 256 AS packed_seqs
+        FROM a)
+        SELECT source, n_docs, total_tokens, padded_seqs, padded_waste,
+          packed_seqs, packed_seqs * 256 - total_tokens AS packed_waste,
+          round(CAST(padded_waste AS DOUBLE)
+            / CAST(padded_seqs * 256 AS DOUBLE), 6) AS padded_waste_frac,
+          round(CAST(packed_seqs * 256 - total_tokens AS DOUBLE)
+            / CAST(packed_seqs * 256 AS DOUBLE), 6) AS packed_waste_frac
+        FROM b ORDER BY source""")),
+
+    // ---- Sample autocorrelation at lags 1..3 per user over the
+    //      (ts, event_id)-ordered value series: every sum a LEFT fold
+    //      inited from its first term (q122's list_reduce parity
+    //      discipline — raw fixed-order IEEE, no rounding) ----
+    QueryDef(
+      "q131_acf",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.acf(t(s, dir, "events"), "user_id",
+            "ts", "event_id", "value", maxLag = 3)
+          .orderBy($"user_id", $"lag")
+      },
+      Some("""WITH pts AS (SELECT user_id,
+            list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        base AS (SELECT user_id, vs, len(vs) AS n,
+            list_reduce(vs, (a, x) -> a + x) / CAST(len(vs) AS DOUBLE) AS m
+          FROM pts),
+        dd AS (SELECT user_id, vs, n, m,
+            list_reduce(list_transform(vs, x -> (x - m) * (x - m)),
+              (a, x) -> a + x) AS den
+          FROM base),
+        lg AS (SELECT user_id, vs, n, m, den,
+            unnest(range(1, 4)) AS lag FROM dd),
+        r AS (SELECT user_id, lag, n, den,
+            list_reduce(list_transform(
+              range(1, CAST(n - lag + 1 AS INTEGER)),
+              i -> (vs[i] - m) * (vs[i + lag] - m)), (a, x) -> a + x) AS num
+          FROM lg WHERE lag < n)
+        SELECT user_id, CAST(lag AS INT) AS lag, CAST(n AS INT) AS n_points,
+          CASE WHEN den = 0 THEN NULL ELSE num / den END AS acf
+        FROM r ORDER BY user_id, lag""")),
+
+    // ---- Holt-Winters additive seasonal (period 7) over per-user
+    //      daily counts: rotating (2+m)-slot array-state fold, first
+    //      padded element as init (q123's no-init list_reduce
+    //      convention), raw fixed-order IEEE throughout ----
+    QueryDef(
+      "q132_holt_winters",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.holtWinters(t(s, dir, "events"),
+            "user_id", "ts", period = 7)
+          .orderBy($"user_id")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            count(*) AS n
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        pts AS (SELECT user_id, CAST(count(*) AS INT) AS n_days,
+            list([CAST(n AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+              ORDER BY day) AS padded
+          FROM daily GROUP BY 1),
+        st AS (SELECT user_id, n_days,
+          list_reduce(padded, (acc, x) ->
+            [0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+             0.1 * ((0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
+                 - acc[1]) + 0.9 * acc[2]]
+            || list_slice(acc, 4, 9)
+            || [0.2 * (x[1] - (0.3 * (x[1] - acc[3])
+                 + 0.7 * (acc[1] + acc[2]))) + 0.8 * acc[3]]) AS s
+          FROM pts)
+        SELECT user_id, n_days, s[1] AS level, s[2] AS trend,
+          s[3] AS season_next, s[1] + s[2] + s[3] AS forecast
+        FROM st ORDER BY user_id""")),
+
+    // ---- Strongly connected components (directed) via ColorSCC
+    //      (Orzan): trim DAG fringes, forward min-label coloring,
+    //      backward pivot reach within each color class — O(1) state
+    //      per node, no transitive closure; fixed lockstep budgets
+    //      unrolled by the oracle ----
+    QueryDef(
+      "q133_scc",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val edges = li.filter($"l_orderkey" % 197 === 0)
+          .select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"))
+          .unionAll(li.filter($"l_orderkey" % 197 === 3)
+            .select(($"l_suppkey" % 100 + 100L).as("src"),
+              (($"l_partkey" + 37) % 100).as("dst")))
+        graft.operators.Graph.stronglyConnectedComponents(edges, "src",
+            "dst", outerRounds = 2, propRounds = 12, trimRounds = 4)
+          .orderBy($"node")
+      },
+      Some(sccOracleSql(outer = 2, trim = 4, prop = 12)))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -386,4 +386,51 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Analytics.symbolicMotifs(short.toDF("user_id", "ts"),
       "user_id", "ts").count() === 0L)
   }
+
+  test("acf matches the hand formula; constant series yields NULL") {
+    val events = spark.createDataFrame(Seq(
+      (1L, 1L, ts(1), 1.0), (1L, 2L, ts(2), 2.0),
+      (1L, 3L, ts(3), 3.0), (1L, 4L, ts(4), 4.0),
+      // constant two-point series: zero denominator
+      (2L, 5L, ts(1), 5.0), (2L, 6L, ts(2), 5.0)
+    )).toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.acf(events, "user_id", "ts", "event_id", "value",
+        maxLag = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // series 1,2,3,4: mean 2.5, den 5; num(1)=1.25, num(2)=-1.5,
+    // num(3)=-2.25
+    assert(out((1L, 1)) === ((4, Some(0.25))))
+    assert(out((1L, 2)) === ((4, Some(-0.3))))
+    assert(out((1L, 3)) === ((4, Some(-0.45))))
+    // constant series: lag 1 only (lag < n), acf NULL not NaN
+    assert(out((2L, 1)) === ((2, None)))
+    assert(!out.contains((2L, 2)))
+  }
+
+  test("holtWinters rotates the seasonal register and folds in day order") {
+    val sp = spark; import sp.implicits._
+    // user 1: day d carries d events -> daily series 1, 2, 3
+    val rows = (1 to 3).flatMap(d => (1 to d).map(i => (1L, ts(d, i % 24)))) ++
+      Seq((2L, ts(1))) // single-day user: state stays at init
+    val out = Analytics.holtWinters(rows.toDF("user_id", "ts"),
+        "user_id", "ts", period = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // hand fold (alpha .3, gamma .1, delta .2) from l=1, b=0, s=[0,0]:
+    //   x=2: l=0.3*2+0.7*1=1.3, b=0.03, sNew=0.2*0.7=0.14 -> s=[0,0.14]
+    //   x=3: l=0.3*3+0.7*1.33=1.831, b=0.1*0.531+0.9*0.03=0.0801,
+    //        sNew=0.2*1.169=0.2338 -> s=[0.14, 0.2338]
+    val (n1, l1, b1, s1, f1) = out(1L)
+    assert(n1 === 3)
+    assert(math.abs(l1 - 1.831) < 1e-12, s"level $l1")
+    assert(math.abs(b1 - 0.0801) < 1e-12, s"trend $b1")
+    assert(math.abs(s1 - 0.14) < 1e-12, s"season $s1")
+    assert(f1 === l1 + b1 + s1)
+    assert(out(2L) === ((1, 1.0, 0.0, 0.0, 1.0)))
+  }
 }

@@ -1044,4 +1044,49 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "src", "dst").collect().head
     assert(e.getLong(0) === 0L && e.isNullAt(3))
   }
+
+  test("stronglyConnectedComponents: cycles, bridges, chains, self-loops") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),   // 3-cycle -> SCC {1,2,3}
+      (10L, 11L), (11L, 10L),         // 2-cycle -> SCC {10,11}
+      (3L, 10L),                      // DAG bridge between the SCCs
+      (20L, 21L), (21L, 22L),         // chain: three singletons
+      (30L, 30L),                     // self-loop: singleton SCC {30}
+      (40L, 41L)                      // one-way pair: two singletons
+    ).toDF("src", "dst")
+    val out = Graph.stronglyConnectedComponents(edges, "src", "dst",
+        outerRounds = 2, propRounds = 4, trimRounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 21L, 22L -> 22L, 30L -> 30L,
+      40L -> 40L, 41L -> 41L))
+    // with trimming off, the color/flag peels alone converge too
+    val noTrim = Graph.stronglyConnectedComponents(edges, "src", "dst",
+        outerRounds = 3, propRounds = 4, trimRounds = 0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(noTrim === out)
+    // component labels are the min member id; members mutually reachable
+    assert(out.filter(_._2 >= 0).groupBy(_._2).forall {
+      case (c, ms) => ms.keys.min === c
+    })
+  }
+
+  test("stronglyConnectedComponents: under-budgeted peel emits NULL, " +
+      "never a wrong merge") {
+    val sp = spark; import sp.implicits._
+    // chain of singletons: one un-trimmed peel assigns only the pivot
+    // (20); the rest must come out NULL, not mislabeled
+    val chain = Seq((20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val out = Graph.stronglyConnectedComponents(chain, "src", "dst",
+        outerRounds = 1, propRounds = 4, trimRounds = 0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(20L -> 20L, 21L -> -1L, 22L -> -1L))
+    // empty edge list -> empty output
+    assert(Graph.stronglyConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").count() === 0L)
+  }
 }

@@ -123,6 +123,78 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text", Map("a" -> 1.0), 0L).isEmpty)
   }
 
+  // ---- shardByTokens ----
+
+  test("shardByTokens packs whole docs into contiguous capped shards") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"),
+      (5L, "a b c"), (6L, "")).toDF("doc_id", "text") // 15 tokens total
+    // cap = ceil(15/3) = 5: cums 0,3,6,9,12 -> shards 0,0,1,1,2
+    val out = TextAnalysis.shardByTokens(docs, "doc_id", "text", nShards = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 0L, 0L), (2L, 3L, 3L, 0L), (3L, 3L, 6L, 1L),
+      (4L, 3L, 9L, 1L), (5L, 3L, 12L, 2L)))
+    // a straddling doc lands in the shard its FIRST token falls in
+    val straddle = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text") // 12 tokens, 3 shards, cap 4
+    val s2 = TextAnalysis.shardByTokens(straddle, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().map(_.getLong(3))
+    assert(s2.toSeq === Seq(0L, 1L, 2L))
+    // every shard's token mass is within one doc of the cap
+    val byShard = out.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    assert(byShard.values.forall(_ <= 5L + 3L))
+  }
+
+  // ---- mixtureOrderKey ----
+
+  test("mixtureOrderKey is the weighted round-robin stride key") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, "de"), (6L, "de"), (7L, "xx")).toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureOrderKey(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25))
+      .orderBy($"interleave_key", $"source", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // en ranks 1..4 -> keys 2,4,6,8; de ranks 1,2 -> keys 4,8;
+    // ties (4.0, 8.0) break to the 'de' source first
+    assert(out.toSeq === Seq(
+      (1L, "en", 1L, 2.0), (5L, "de", 1L, 4.0), (2L, "en", 2L, 4.0),
+      (3L, "en", 3L, 6.0), (6L, "de", 2L, 8.0), (4L, "en", 4L, 8.0)))
+    // a weight-w source holds a ~w share of every stream prefix:
+    // the first 3 keys carry 2 en (w .5/.75) and 1 de (w .25/.75)
+    assert(out.take(3).count(_._2 == "en") === 2)
+    // source absent from weights is excluded
+    assert(!out.exists(_._2 == "xx"))
+  }
+
+  // ---- packingEfficiency ----
+
+  test("packingEfficiency counts padded vs packed sequence waste exactly") {
+    val sp = spark; import sp.implicits._
+    val w100 = Seq.fill(100)("w").mkString(" ")
+    val w300 = Seq.fill(300)("w").mkString(" ")
+    val docs = Seq((1L, "a", w100), (2L, "a", w300), (3L, "b", w100),
+      (4L, "b", "")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packingEfficiency(docs, "doc_id", "source",
+        "text", seqLen = 256)
+      .orderBy($"source").collect()
+    // source a: padded ceil(100/256)+ceil(300/256) = 1+2 = 3 seqs,
+    // waste 768-400 = 368; packed ceil(400/256) = 2, waste 112
+    val a = out(0)
+    assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3),
+      a.getLong(4), a.getLong(5), a.getLong(6)) ===
+      (("a", 2L, 400L, 3L, 368L, 2L, 112L)))
+    assert(a.getDouble(7) === 0.479167) // round(368/768, 6)
+    assert(a.getDouble(8) === 0.21875)  // 112/512 exact
+    // source b: the zero-token doc is dropped from both layouts
+    val b = out(1)
+    assert((b.getString(0), b.getLong(1), b.getLong(2)) === (("b", 1L, 100L)))
+  }
+
   // ---- packSequences ----
 
   test("packSequences spans are contiguous and cover the token stream") {

@@ -703,4 +703,57 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(equi.forall(_.contains("=")), joins.mkString("\n"))
     assert(cross.size <= 1, joins.mkString("\n")) // only the tPairs broadcast
   }
+
+  test("t56/t57 prefix-sum stages broadcast the bucket offsets; " +
+      "per-row windows stay bucket-keyed") {
+    // the t12 two-level-scan contract: the only global window runs over
+    // the TINY per-bucket offsets frame; per-row work joins it by
+    // broadcast and windows by bucket
+    for (n <- Seq("t56_shard_assign", "t57_mixture_order")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(3000)}")
+    }
+  }
+
+  test("t58 packing efficiency is one partial-combining hash agg, no joins") {
+    val p = plan("t58_packing_efficiency")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q131/q132 series folds aggregate partially and never window globally") {
+    for (n <- Seq("q131_acf", "q132_holt_winters")) {
+      val p = plan(n)
+      // per-key series collection combines map-side (object hash agg)
+      assert(p.contains("partial_"), s"$n:\n${p.take(3000)}")
+      assert(!p.contains("WindowExec: No Partition") &&
+        !p.contains("CartesianProduct"), s"$n:\n${p.take(3000)}")
+    }
+  }
+
+  test("q133 SCC rounds are equi joins on node-keyed frames, no cartesian") {
+    // the public operator checkpoints every round (lineage truncates to
+    // Scan ExistingRDD), so pin the round shapes on equivalent frames:
+    // one forward relax round + one trim semi-join pair
+    val sp = spark; import sp.implicits._
+    val e = sp.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_partkey".as("esrc"), ($"l_suppkey" + 100L).as("edst"))
+      .distinct()
+    val colors = e.select($"esrc".as("node")).distinct()
+      .withColumn("color", $"node")
+    val relax = e.join(colors, $"esrc" === $"node")
+      .select($"edst".as("node"), $"color")
+      .unionAll(colors)
+      .groupBy($"node").agg(org.apache.spark.sql.functions.min($"color"))
+    val p1 = relax.queryExecution.executedPlan.toString
+    assert((p1.contains("HashJoin") || p1.contains("SortMergeJoin")) &&
+      !p1.contains("CartesianProduct"), p1.take(3000))
+    assert(p1.contains("partial_min"), p1.take(3000))
+    val alive = colors.select($"node")
+      .join(e.select($"esrc".as("node")), Seq("node"), "left_semi")
+      .join(e.select($"edst".as("node")), Seq("node"), "left_semi")
+    val p2 = alive.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+  }
 }
