@@ -1087,6 +1087,71 @@ object Analytics {
           .otherwise(col("num") / col("den")).as("acf"))
   }
 
+  /** Classical ADDITIVE seasonal decomposition of each key's daily
+    * event-count series (the moving-average STL-lite every monitoring
+    * stack runs before alerting on "trend" or "seasonality"):
+    *
+    *   trend_t    = centered `period`-day moving average (full windows
+    *                only — edge days emit NULL trend/resid)
+    *   seasonal_s = per-(key, weekday-slot) mean of (x − trend),
+    *                centered so the indices sum to ~0 per key
+    *   resid_t    = x − trend − seasonal
+    *
+    * Determinism: daily counts are exact BIGINTs; the trend is one IEEE
+    * division of an exact window sum by the period; the two means go
+    * through order-free DECIMAL(28,12) addend sums rounded to 9 (the
+    * suite convention); the residual is two fixed-order subtractions
+    * rounded to 9 — every float op replayed verbatim by the oracle.
+    * The slot is `epochDay mod period` — calendar-free, engine-exact.
+    *
+    * Scale shape: one partial hash agg to daily counts; a BOUNDED
+    * ±half-period ROWS window per key (the [[rollingMadAnomalies]]
+    * partition contract — no global window anywhere); one slot-keyed
+    * hash agg and one per-key agg for the centering, joined back by
+    * key — (nKeys × period)-sized frames, so the planner broadcasts
+    * them when small and shuffle-joins at fleet scale (no forced
+    * hint). Output: `(key, day, n_events, slot, trend, seasonal,
+    * resid)`, one row per observed (key, day). */
+  def seasonalDecompose(events: DataFrame, keyCol: String, tsCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      "period must be an odd integer >= 3 (centered window)")
+    val half = period / 2
+    val daily = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-half, half)
+    val dt = DecimalType(28, 12)
+    val withTrend = daily
+      .withColumn("slot",
+        pmod(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))),
+          lit(period)))
+      .withColumn("trend",
+        when(count(lit(1)).over(frame) === period,
+          sum(col("n_events")).over(frame).cast("double") /
+            lit(period.toDouble)))
+      .withColumn("detr", col("n_events").cast("double") - col("trend"))
+    val seasonal = withTrend.filter(col("detr").isNotNull)
+      .groupBy(col(keyCol), col("slot"))
+      .agg(round(sum(col("detr").cast(dt)).cast("double") /
+        count(lit(1)).cast("double"), 9).as("s_raw"))
+    val centers = seasonal.groupBy(col(keyCol))
+      .agg(round(sum(col("s_raw").cast(dt)).cast("double") /
+        count(lit(1)).cast("double"), 9).as("s_mean"))
+    withTrend
+      .join(seasonal, Seq(keyCol, "slot"), "left_outer")
+      .join(centers, Seq(keyCol), "left_outer")
+      .withColumn("seasonal",
+        round(col("s_raw") - col("s_mean"), 9))
+      .withColumn("resid",
+        round(col("n_events").cast("double") - col("trend") -
+          col("seasonal"), 9))
+      .select(col(keyCol), col("day"), col("n_events"), col("slot"),
+        col("trend"), col("seasonal"), col("resid"))
+  }
+
   /** Holt–Winters ADDITIVE seasonal smoothing (Winters 1960), final
     * state per key over the day-ordered DAILY event-count series —
     * [[holtLinear]] plus a rotating seasonal register of `period`

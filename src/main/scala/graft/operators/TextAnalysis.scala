@@ -246,6 +246,39 @@ object TextAnalysis {
     train.join(flagged, col(idCol) === col("_graft_drop"), "left_anti")
   }
 
+  /** Per-document N-GRAM NOVELTY against a reference corpus — the
+    * eval-set-freshness / memorization-risk score (how much of a
+    * benchmark item's n-gram mass already exists verbatim in the
+    * training crawl): for each doc, the fraction of its DISTINCT
+    * `ngram`-shingles absent from the reference's shingle set.
+    * [[contaminationPairs]] answers "WHICH train doc leaked"; this
+    * answers "how novel is each doc overall" — the score eval curators
+    * threshold before trusting a benchmark number.
+    *
+    * Shape: two shingle-postings scans (per-doc distinct shingles, the
+    * [[Dedup.shinglePostings]] kernel), one distinct over the reference
+    * grams, one left-semi equi-join on the gram + two hash aggs —
+    * shuffle ∝ postings, never |docs|×|ref|; at 100 TB the doc side is
+    * a benchmark suite and the reference-gram set is the big side of a
+    * standard semi-join. Docs with fewer than `ngram` tokens have no
+    * shingles and emit no row. Output:
+    * `(doc_id, n_grams, seen_grams, novel_grams, novelty)`. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, ngram: Int = 3): DataFrame = {
+    val docInv = Dedup.shinglePostings(docs, idCol, textCol, ngram)
+    val refSet = Dedup.shinglePostings(reference, idCol, textCol, ngram)
+      .select(col("s")).distinct()
+    val totals = docInv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = docInv.join(refSet, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("seen_grams"))
+    totals.join(seen, Seq("doc_id"), "left_outer")
+      .withColumn("seen_grams", coalesce(col("seen_grams"), lit(0L)))
+      .withColumn("novel_grams", col("n_grams") - col("seen_grams"))
+      .withColumn("novelty", round(col("novel_grams").cast("double") /
+        col("n_grams").cast("double"), 6))
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = term count / doc length,
     * idf = ln(N / df) over the corpus, score rounded to 6 decimals
     * (cross-engine reproducible), rank ties broken alphabetically. The

@@ -8553,7 +8553,81 @@ object Queries {
             "dst", outerRounds = 2, propRounds = 12, trimRounds = 4)
           .orderBy($"node")
       },
-      Some(sccOracleSql(outer = 2, trim = 4, prop = 12)))
+      Some(sccOracleSql(outer = 2, trim = 4, prop = 12))),
+
+    // ---- Per-doc n-gram novelty of the test split against the train
+    //      split's shingle set: the eval-freshness score (inverse of
+    //      contamination) via one left-semi postings join ----
+    QueryDef(
+      "t59_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .withColumn("split", graft.operators.TextAnalysis.splitAssign($"doc_id"))
+        graft.operators.TextAnalysis.ngramNovelty(
+            docs.filter($"split" === "test"), docs.filter($"split" === "train"),
+            "doc_id", "text", ngram = 3)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+                FROM tok WHERE len(tk) >= 3),
+        sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+               FROM (SELECT doc_id,
+                 CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) % 100 AS b
+                 FROM documents)),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        tst AS (SELECT inv.doc_id, s FROM inv JOIN sp USING (doc_id) WHERE split = 'test'),
+        ref AS (SELECT DISTINCT s FROM inv JOIN sp USING (doc_id) WHERE split = 'train'),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tst GROUP BY 1),
+        sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS seen_grams
+               FROM tst WHERE s IN (SELECT s FROM ref) GROUP BY 1)
+        SELECT t.doc_id, n_grams,
+          COALESCE(seen_grams, CAST(0 AS BIGINT)) AS seen_grams,
+          n_grams - COALESCE(seen_grams, CAST(0 AS BIGINT)) AS novel_grams,
+          round(CAST(n_grams - COALESCE(seen_grams, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(n_grams AS DOUBLE), 6) AS novelty
+        FROM tot t LEFT JOIN sn USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- Additive seasonal decomposition (STL-lite) of per-user daily
+    //      counts: centered 7-day MA trend (full windows only),
+    //      centered weekday seasonal indices, residuals — bounded
+    //      per-key windows, DECIMAL order-free means, round-9 floats ----
+    QueryDef(
+      "q134_seasonal_decompose",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.seasonalDecompose(t(s, dir, "events"),
+            "user_id", "ts", period = 7)
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        wt AS (SELECT user_id, day, n,
+            CAST((day - DATE '1970-01-01') % 7 AS INT) AS slot,
+            CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(n) OVER w AS DOUBLE) / 7.0 END AS trend
+          FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        dt AS (SELECT *, CAST(n AS DOUBLE) - trend AS detr FROM wt),
+        sea AS (SELECT user_id, slot,
+            round(CAST(sum(CAST(detr AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 9) AS s_raw
+          FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2),
+        cen AS (SELECT user_id,
+            round(CAST(sum(CAST(s_raw AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 9) AS s_mean
+          FROM sea GROUP BY 1),
+        fin AS (SELECT d.user_id, d.day, d.n, d.slot, d.trend,
+            round(s_raw - s_mean, 9) + 0.0 AS seasonal
+          FROM dt d LEFT JOIN sea USING (user_id, slot)
+            LEFT JOIN cen USING (user_id))
+        SELECT user_id, day, n AS n_events, slot, trend, seasonal,
+          round(CAST(n AS DOUBLE) - trend - seasonal, 9) + 0.0 AS resid
+        FROM fin ORDER BY user_id, day"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -53,6 +53,17 @@ final case class CusumState(n: Int, sPos: Double, sNeg: Double,
 final case class CusumLevel(user_id: Long, n_days: Int, mean_daily: Double,
     max_cusum_pos: Double, max_cusum_neg: Double, n_alarms: Long)
 
+/** A key's carried Holt–Winters state ([[Streams.holtWintersLevels]]):
+  * level, trend, and the `period`-slot rotating seasonal register
+  * (next slot to consume first). */
+final case class HwState(n: Int, level: Double, trend: Double,
+    seasons: Seq[Double])
+
+/** The per-key Holt–Winters summary emitted each micro-batch (Update
+  * mode) — the [[graft.operators.Analytics.holtWinters]] output shape. */
+final case class HwLevel(user_id: Long, n_days: Int, level: Double,
+    trend: Double, season_next: Double, forecast: Double)
+
 /** Structured Streaming operators: the batch engine's aggregation /
   * sessionization semantics re-expressed as readStream → transform →
   * writeStream pipelines. State is bounded by watermarks (windowed aggs)
@@ -1247,6 +1258,64 @@ object Streams {
           }
           state.update(st)
           CusumLevel(userId, st.n, mu, st.maxPos, st.maxNeg, st.alarms)
+      }
+  }
+
+  /** Streaming Holt–Winters twin of
+    * [[graft.operators.Analytics.holtWinters]]: per key, the carried
+    * state is (level, trend, `period` rotating seasonal slots), and
+    * each closed daily count folds on with the SAME fixed IEEE update
+    * as the batch operator's array fold —
+    *
+    *   l ← α·(x − s_head) + (1−α)·(l + b)
+    *   b ← γ·(l_new − l) + (1−γ)·b
+    *   s ← rotate(s) :+ δ·(x − l_new) + (1−δ)·s_head
+    *
+    * from the batch cold-start convention (first point becomes the
+    * level, zero trend, zero seasonals).
+    *
+    * Equivalence contract (spec-pinned, the [[ewmaLevels]] kappa
+    * shape): with daily records delivered in day order, the latest row
+    * per key after batch k is BIT-IDENTICAL to `holtWinters` over the
+    * union of batches 1..k — a left fold splits over concatenation,
+    * and every arithmetic expression here replays the batch HOF's
+    * operand order exactly (recomputing l_new in the batch fold equals
+    * reusing it here: identical expression, identical bits).
+    *
+    * Scale shape: 2 + `period` doubles of state per key, Update-mode
+    * one row per touched key per batch. */
+  def holtWintersLevels(daily: Dataset[DailyCount], period: Int = 7,
+      alpha: Double = 0.3, gamma: Double = 0.1,
+      delta: Double = 0.2): Dataset[HwLevel] = {
+    require(period >= 2, "period must be at least 2")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(delta > 0 && delta <= 1, "delta must be in (0, 1]")
+    import daily.sparkSession.implicits._
+    val (oneA, oneG, oneD) = (1.0 - alpha, 1.0 - gamma, 1.0 - delta)
+    daily
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[HwState, HwLevel](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[DailyCount], state: GroupState[HwState]) =>
+          val days = batch.toArray.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(
+            HwState(0, 0.0, 0.0, Vector.fill(period)(0.0)))
+          days.foreach { d =>
+            val x = d.n_events.toDouble
+            if (st.n == 0) st = HwState(1, x, 0.0, st.seasons)
+            else {
+              val sHead = st.seasons.head
+              val lNew = alpha * (x - sHead) + oneA * (st.level + st.trend)
+              val bNew = gamma * (lNew - st.level) + oneG * st.trend
+              val sNew = delta * (x - lNew) + oneD * sHead
+              st = HwState(st.n + 1, lNew, bNew,
+                st.seasons.tail :+ sNew)
+            }
+          }
+          state.update(st)
+          HwLevel(userId, st.n, st.level, st.trend, st.seasons.head,
+            st.level + st.trend + st.seasons.head)
       }
   }
 

@@ -410,6 +410,43 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains((2L, 2)))
   }
 
+  test("seasonalDecompose: centered MA trend, centered weekday indices, " +
+      "edge days get NULL trend/resid") {
+    // user 1, days 1..5 of 2024-01 carrying 1,4,1,4,1 events; period 3
+    val counts = Seq(1, 4, 1, 4, 1)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(j => (1L, ts(i + 1, j % 24)))
+    }
+    val sp = spark; import sp.implicits._
+    val out = Analytics.seasonalDecompose(rows.toDF("user_id", "ts"),
+        "user_id", "ts", period = 3)
+      .collect()
+      .map(r => r.getDate(1).toString.takeRight(2).toInt ->
+        ((r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+      .toMap
+    // epoch day of 2024-01-01 is 19723 -> slot 1; slots cycle 1,2,0,1,2
+    // trend: day2 (1+4+1)/3 = 2, day3 = 3, day4 = 2; edges NULL
+    // detr: 2, -2, 2 -> s_raw slot2 = 2, slot0 = -2, slot1 = 2
+    // mean = round(2/3, 9) = .666666667; seasonal: slot0 -2.666666667,
+    // slot1/slot2 1.333333333; resid (all interior) .666666667
+    assert(out(1) === ((1L, 1, None, Some(1.333333333), None)))
+    assert(out(2) === ((4L, 2, Some(2.0), Some(1.333333333),
+      Some(0.666666667))))
+    assert(out(3) === ((1L, 0, Some(3.0), Some(-2.666666667),
+      Some(0.666666667))))
+    assert(out(4) === ((4L, 1, Some(2.0), Some(1.333333333),
+      Some(0.666666667))))
+    assert(out(5) === ((1L, 2, None, Some(1.333333333), None)))
+    // a key shorter than the period has no full window anywhere
+    val short = Seq((2L, ts(1)), (2L, ts(2))).toDF("user_id", "ts")
+    val s2 = Analytics.seasonalDecompose(short, "user_id", "ts", period = 3)
+      .collect()
+    assert(s2.length === 2 && s2.forall(r => r.isNullAt(4) && r.isNullAt(6)))
+  }
+
   test("holtWinters rotates the seasonal register and folds in day order") {
     val sp = spark; import sp.implicits._
     // user 1: day d carries d events -> daily series 1, 2, 3

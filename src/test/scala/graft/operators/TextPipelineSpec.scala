@@ -903,4 +903,28 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h1.subsetOf(h2),
       s"later chunks shifted under a prefix edit: ${h1 -- h2}")
   }
+
+  test("ngramNovelty scores the unseen-shingle fraction per doc") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // shingles: "a b c", "b c d"
+      (2L, "x y z"),        // "x y z" — fully novel
+      (3L, "a b")           // < 3 tokens: no shingles, no row
+    ).toDF("doc_id", "text")
+    val ref = Seq((10L, "a b c x")).toDF("doc_id", "text") // {"a b c","b c x"}
+    val out = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 1L, 0.5)),   // "a b c" seen, "b c d" novel
+      2L -> ((1L, 0L, 1L, 1.0))))  // nothing shared with the reference
+    // duplicate shingles inside a doc count once (per-doc distinct set)
+    val dup = Seq((4L, "a b c a b c")).toDF("doc_id", "text")
+    val d = TextAnalysis.ngramNovelty(dup, ref, "doc_id", "text")
+      .collect().head
+    // distinct shingles: "a b c", "b c a", "c a b" — one seen
+    assert(d.getLong(1) === 3L && d.getLong(2) === 1L)
+  }
 }

@@ -732,6 +732,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t59 novelty joins the reference gram set by equi semi-join") {
+    val p = plan("t59_ngram_novelty")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q134 decomposition windows are key-partitioned, joins are equi") {
+    val p = plan("q134_seasonal_decompose")
+    assert(!p.contains("WindowExec: No Partition"), p.take(3000))
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    if (winLine.nonEmpty)
+      assert(winLine.contains("user_id"), s"window not keyed: $winLine")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q133 SCC rounds are equi joins on node-keyed frames, no cartesian") {
     // the public operator checkpoints every round (lineage truncates to
     // Scan ExistingRDD), so pin the round shapes on equivalent frames:

@@ -1349,4 +1349,49 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(latest()(2L)._3 === 0.0)
     } finally q.stop()
   }
+
+  test("holtWintersLevels: streamed state is bit-identical to the batch " +
+      "operator after every in-order batch") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    // user 1 ramps with a period-2 wiggle; user 2 is a single day
+    val b1 = Seq(DailyCount(1, day(1), 1), DailyCount(1, day(2), 4),
+      DailyCount(1, day(3), 2), DailyCount(2, day(1), 5))
+    val b2 = Seq(DailyCount(1, day(4), 6), DailyCount(1, day(5), 3))
+    def batchTwin(ds: Seq[DailyCount]): Map[Long, (Int, Double, Double, Double, Double)] = {
+      val events = ds.flatMap(d => (1L to d.n_events).map(_ =>
+        (d.user_id, new java.sql.Timestamp(d.day.getTime))))
+      graft.operators.Analytics.holtWinters(
+          events.toDF("user_id", "ts"), "user_id", "ts", period = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    }
+    val input = MemoryStream[DailyCount]
+    val q = Streams.holtWintersLevels(input.toDS(), period = 2)
+      .writeStream.format("memory").queryName("hw_lv")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[Long, (Int, Double, Double, Double, Double)] =
+        spark.table("hw_lv").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+          .groupBy(_._1)
+          .map { case (k, rs) =>
+            val top = rs.maxBy(_._2)
+            k -> ((top._2, top._3, top._4, top._5, top._6)) }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchTwin(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // a left fold splits over concatenation: carried state ≡ the
+      // batch operator re-run over everything seen so far
+      assert(latest() === batchTwin(b1 ++ b2))
+      // single-day key sits at the cold-start state
+      assert(latest()(2L) === ((1, 5.0, 0.0, 0.0, 5.0)))
+    } finally q.stop()
+  }
 }
