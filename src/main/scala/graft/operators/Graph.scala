@@ -2384,4 +2384,42 @@ object Graph {
     e0.unpersist(); nodes0.unpersist()
     out
   }
+
+  /** CONDENSATION of a directed graph: the quotient DAG over
+    * [[stronglyConnectedComponents]] — one node per SCC, one edge
+    * (c1, c2) per pair of distinct components joined by at least one
+    * original edge, with the edge multiplicity (how many original
+    * edges cross). THE standard follow-up to SCC: cycles collapse
+    * away, so dataflow/dependency analyses that need a topological
+    * order run on the condensation. Nodes the SCC pass left
+    * unresolved (NULL component, under-budgeted peels) are excluded —
+    * an edge at an unresolved endpoint has no component to land on.
+    *
+    * Shape: the labeling (node-sized) joins the edge list twice on its
+    * endpoints, one hash agg — all equi-joins; the condensation is at
+    * most edge-sized and usually far smaller. Output:
+    * `(src_comp, dst_comp, n_edges)`. */
+  def sccCondensation(edges: DataFrame, srcCol: String, dstCol: String,
+      outerRounds: Int = 3, propRounds: Int = 8,
+      trimRounds: Int = 4): DataFrame = {
+    val labels = stronglyConnectedComponents(edges, srcCol, dstCol,
+      outerRounds, propRounds, trimRounds)
+      .filter(col("component").isNotNull)
+    val e = edges
+      .select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull)
+      .distinct()
+    val out = e
+      .join(labels.select(col("node").as("esrc"),
+        col("component").as("src_comp")), Seq("esrc"))
+      .join(labels.select(col("node").as("edst"),
+        col("component").as("dst_comp")), Seq("edst"))
+      .filter(col("src_comp") =!= col("dst_comp"))
+      .groupBy(col("src_comp"), col("dst_comp"))
+      .agg(count(lit(1)).as("n_edges"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
 }

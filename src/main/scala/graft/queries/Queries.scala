@@ -638,19 +638,18 @@ object Queries {
          md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
        FROM chp GROUP BY 1, 2)"""
 
-  /** q133 oracle: unrolls [[graft.operators.Graph.stronglyConnectedComponents]]
-    * round-for-round — per outer peel: `trim` degree-trim rounds
-    * (no non-self in/out edge → singleton), `prop` forward min-label
-    * rounds, the intra-color edge subset, `prop` backward flag rounds,
-    * then assignment + peel. Fixed budgets on both engines. */
-  private def sccOracleSql(outer: Int, trim: Int, prop: Int): String = {
+  /** q133/q135 oracle chain: unrolls
+    * [[graft.operators.Graph.stronglyConnectedComponents]]
+    * round-for-round over `edgesSql` — per outer peel: `trim`
+    * degree-trim rounds (no non-self in/out edge → singleton), `prop`
+    * forward min-label rounds, the intra-color edge subset, `prop`
+    * backward flag rounds, then assignment + peel. Fixed budgets on
+    * both engines. Returns (WITH body, assigned CTE names, final
+    * remaining CTE name) so callers pick their own final select. */
+  private def sccCtes(edgesSql: String, outer: Int, trim: Int,
+      prop: Int): (String, Seq[String], String) = {
     val sb = new StringBuilder
-    sb ++= """WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-      SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst
-        FROM lineitem WHERE l_orderkey % 197 = 0
-      UNION ALL
-      SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst
-        FROM lineitem WHERE l_orderkey % 197 = 3)),
+    sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
     r0 AS MATERIALIZED (SELECT DISTINCT node FROM
       (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"""
     var rem = "r0"
@@ -705,13 +704,63 @@ object Queries {
       assigned += s"a_$o"
       rem = s"rr_$o"
     }
-    sb ++= s"""
+    (sb.toString, assigned.toSeq, rem)
+  }
+
+  /** The q133 edge derivation (shared verbatim by the Spark side). */
+  private val sccEdgesSql: String =
+    """SELECT DISTINCT src, dst FROM (
+      SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst
+        FROM lineitem WHERE l_orderkey % 197 = 0
+      UNION ALL
+      SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst
+        FROM lineitem WHERE l_orderkey % 197 = 3)"""
+
+  /** The q135 edge derivation: two cyclic 100-node blocks plus one-way
+    * bridge arms and a sink fringe — a graph whose condensation is a
+    * real DAG at BOTH SFs (two big SCCs + ~50 singletons). */
+  private val condEdgesSql: String =
+    """SELECT DISTINCT src, dst FROM (
+      SELECT l_partkey % 50 AS src, l_suppkey % 50 + 50 AS dst
+        FROM lineitem WHERE l_orderkey % 53 = 0
+      UNION ALL
+      SELECT l_suppkey % 50 + 50 AS src, (l_partkey + 7) % 50 AS dst
+        FROM lineitem WHERE l_orderkey % 53 = 0
+      UNION ALL
+      SELECT l_partkey % 50 AS src, l_suppkey % 50 + 200 AS dst
+        FROM lineitem WHERE l_orderkey % 211 = 0
+      UNION ALL
+      SELECT l_suppkey % 50 + 200 AS src, (l_partkey + 7) % 50 + 250 AS dst
+        FROM lineitem WHERE l_orderkey % 211 = 0
+      UNION ALL
+      SELECT (l_partkey + 7) % 50 + 250 AS src, l_suppkey % 50 + 200 AS dst
+        FROM lineitem WHERE l_orderkey % 211 = 3
+      UNION ALL
+      SELECT l_suppkey % 50 + 200 AS src, l_partkey % 50 + 400 AS dst
+        FROM lineitem WHERE l_orderkey % 499 = 0)"""
+
+  private def sccOracleSql(outer: Int, trim: Int, prop: Int): String = {
+    val (ctes, assigned, rem) = sccCtes(sccEdgesSql, outer, trim, prop)
+    s"""$ctes
     SELECT node, component FROM (
       ${assigned.map(a => s"SELECT node, component FROM $a")
         .mkString("\n      UNION ALL ")}
       UNION ALL SELECT node, CAST(NULL AS BIGINT) AS component FROM $rem)
     ORDER BY node"""
-    sb.toString
+  }
+
+  private def sccCondensationOracleSql(outer: Int, trim: Int,
+      prop: Int): String = {
+    val (ctes, assigned, _) = sccCtes(condEdgesSql, outer, trim, prop)
+    s"""$ctes,
+    lab AS MATERIALIZED (SELECT node, component FROM (
+      ${assigned.map(a => s"SELECT node, component FROM $a")
+        .mkString("\n      UNION ALL ")}))
+    SELECT ls.component AS src_comp, ld.component AS dst_comp,
+      CAST(count(*) AS BIGINT) AS n_edges
+    FROM e JOIN lab ls ON e.src = ls.node JOIN lab ld ON e.dst = ld.node
+    WHERE ls.component <> ld.component
+    GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** q120 oracle: the q110 curve plus the smallest radius whose
@@ -8627,7 +8676,40 @@ object Queries {
             LEFT JOIN cen USING (user_id))
         SELECT user_id, day, n AS n_events, slot, trend, seasonal,
           round(CAST(n AS DOUBLE) - trend - seasonal, 9) + 0.0 AS resid
-        FROM fin ORDER BY user_id, day"""))
+        FROM fin ORDER BY user_id, day""")),
+
+    // ---- SCC condensation: the quotient DAG over q133's ColorSCC
+    //      labeling on a two-block + sink-fringe graph whose
+    //      condensation is a real DAG at both SFs; per-pair original
+    //      edge multiplicities ----
+    QueryDef(
+      "q135_scc_condensation",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val edges = li.filter($"l_orderkey" % 53 === 0)
+          .select(($"l_partkey" % 50).as("src"),
+            ($"l_suppkey" % 50 + 50L).as("dst"))
+          .unionAll(li.filter($"l_orderkey" % 53 === 0)
+            .select(($"l_suppkey" % 50 + 50L).as("src"),
+              (($"l_partkey" + 7) % 50).as("dst")))
+          .unionAll(li.filter($"l_orderkey" % 211 === 0)
+            .select(($"l_partkey" % 50).as("src"),
+              ($"l_suppkey" % 50 + 200L).as("dst")))
+          .unionAll(li.filter($"l_orderkey" % 211 === 0)
+            .select(($"l_suppkey" % 50 + 200L).as("src"),
+              (($"l_partkey" + 7) % 50 + 250L).as("dst")))
+          .unionAll(li.filter($"l_orderkey" % 211 === 3)
+            .select((($"l_partkey" + 7) % 50 + 250L).as("src"),
+              ($"l_suppkey" % 50 + 200L).as("dst")))
+          .unionAll(li.filter($"l_orderkey" % 499 === 0)
+            .select(($"l_suppkey" % 50 + 200L).as("src"),
+              ($"l_partkey" % 50 + 400L).as("dst")))
+        graft.operators.Graph.sccCondensation(edges, "src", "dst",
+            outerRounds = 3, propRounds = 8, trimRounds = 4)
+          .orderBy($"src_comp", $"dst_comp")
+      },
+      Some(sccCondensationOracleSql(outer = 3, trim = 4, prop = 8)))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1089,4 +1089,20 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graph.stronglyConnectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").count() === 0L)
   }
+
+  test("sccCondensation: quotient DAG edges with original multiplicities") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),   // SCC A = {1,2,3}
+      (10L, 11L), (11L, 10L),         // SCC B = {10,11}
+      (3L, 10L), (2L, 10L),           // two A->B bridges
+      (3L, 20L)                       // A -> singleton sink 20
+    ).toDF("src", "dst")
+    val out = Graph.sccCondensation(edges, "src", "dst",
+        outerRounds = 2, propRounds = 4, trimRounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // intra-SCC edges collapse; cross edges keep multiplicity
+    assert(out === Map((1L, 10L) -> 2L, (1L, 20L) -> 1L))
+  }
 }
