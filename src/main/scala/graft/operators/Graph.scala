@@ -2422,4 +2422,53 @@ object Graph {
     labels.unpersist()
     out
   }
+
+  /** LONGEST-PATH LEVELIZATION of a DAG — the topological layering
+    * that schedules a dependency graph (level = the earliest parallel
+    * wave a node can run in when every edge is a happens-before):
+    *
+    *   level(v) ← max(level(v), max_{u→v} level(u) + 1),  from 0
+    *
+    * `rounds` fixed lockstep iterations of one equi-join + one
+    * dst-keyed map-combining MAX — [[ssspBellmanFord]] with MAX/+1
+    * relaxation, the same budget contract (exact once `rounds` covers
+    * the longest path; the oracle unrolls identical rounds). On input
+    * with a cycle the levels simply saturate at the budget — feed it
+    * [[sccCondensation]] output, which is cycle-free by construction.
+    * Output: `(node, level)` for every node in the edge list. */
+  def dagLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one relaxation round")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("esrc"),
+        col(dstCol).cast("long").as("edst"))
+      .filter(col("esrc").isNotNull && col("edst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var levels = e.select(col("esrc").as("node"))
+      .unionAll(e.select(col("edst").as("node")))
+      .distinct()
+      .withColumn("level", lit(0L))
+    var lastCkpt: Option[DataFrame] = None
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e.join(levels, col("esrc") === col("node"))
+        .select(col("edst").as("node"), (col("level") + 1L).as("level"))
+      var next = levels.unionAll(relaxed)
+        .groupBy(col("node")).agg(max(col("level")).as("level"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val ck = next.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(ck)
+        next = flat(ck)
+      }
+      levels = next
+    }
+    val out = levels.localCheckpoint(true)
+    lastCkpt.foreach(_.unpersist())
+    e.unpersist()
+    out
+  }
 }

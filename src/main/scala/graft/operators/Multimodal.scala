@@ -538,6 +538,61 @@ object Multimodal {
     }).toDF("media_id", "tile_x", "tile_y", "n_px", "sum_gray")
   }
 
+  /** Sobel EDGE-ENERGY statistics per image — the classic blur/detail
+    * screen (a crawl image that is all flat color or all noise scores
+    * unlike a photograph, and edge energy is the cheap first-pass
+    * signal): the integer 3×3 Sobel convolution over the grayscale
+    * plane (channels averaged exactly as [[tileStats]]),
+    *
+    *   gx = (p₊₁,₋₁ + 2p₊₁,₀ + p₊₁,₊₁) − (p₋₁,₋₁ + 2p₋₁,₀ + p₋₁,₊₁)
+    *   gy = (p₋₁,₊₁ + 2p₀,₊₁ + p₊₁,₊₁) − (p₋₁,₋₁ + 2p₀,₋₁ + p₊₁,₋₁)
+    *
+    * summed as |gx| + |gy| over every INTERIOR pixel (all 8 neighbors
+    * present). Pure integer arithmetic end to end — bit-exact on every
+    * engine, so the oracle replays the convolution off the source
+    * bytes. Images narrower than 3×3 emit no row. Per-record kernel,
+    * map-only. Output: `(media_id, width, height, n_interior,
+    * edge_energy, max_grad)`. */
+  def imageEdgeStats(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      if (!Png.isPng(rec.payload)) Iterator.empty
+      else {
+        val img = Png.decode(rec.payload)
+        if (img.width < 3 || img.height < 3) Iterator.empty
+        else {
+          val ch = img.channels; val gch = math.min(ch, 3)
+          val w = img.width; val h = img.height
+          def g(x: Int, y: Int): Int = {
+            val base = (y * w + x) * ch
+            var s = 0; var c = 0
+            while (c < gch) { s += img.pixels(base + c) & 0xFF; c += 1 }
+            s / gch
+          }
+          var energy = 0L; var maxG = 0L; var n = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+                (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+              val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+                (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+              val e = math.abs(gx).toLong + math.abs(gy).toLong
+              energy += e
+              if (e > maxG) maxG = e
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          Iterator.single((rec.media_id, w, h, n, energy, maxG))
+        }
+      }
+    }).toDF("media_id", "width", "height", "n_interior", "edge_energy",
+      "max_grad")
+  }
+
   /** Per-partition batched feature extraction: md5 checksum + 4-bucket
     * byte histogram (byte >> 6) over the decoded payload. `batchSize`
     * bounds peak memory per partition — the same knob a real decoder

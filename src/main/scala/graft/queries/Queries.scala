@@ -110,6 +110,48 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** Process-scoped materialization of the q135/q136 shared SCC
+    * condensation (the [[louvainPartsPhase1]] materialized-view
+    * pattern): both queries need the SAME ColorSCC labeling +
+    * quotient-DAG aggregation over the SAME two-block graph, so a
+    * full-battery run pays the iterative SCC cost once; q136 layers
+    * its level relaxation on the memoized DAG, identical by
+    * construction to recomputing it. */
+  private val condMemoPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def condGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    li.filter($"l_orderkey" % 53 === 0)
+      .select(($"l_partkey" % 50).as("src"),
+        ($"l_suppkey" % 50 + 50L).as("dst"))
+      .unionAll(li.filter($"l_orderkey" % 53 === 0)
+        .select(($"l_suppkey" % 50 + 50L).as("src"),
+          (($"l_partkey" + 7) % 50).as("dst")))
+      .unionAll(li.filter($"l_orderkey" % 211 === 0)
+        .select(($"l_partkey" % 50).as("src"),
+          ($"l_suppkey" % 50 + 200L).as("dst")))
+      .unionAll(li.filter($"l_orderkey" % 211 === 0)
+        .select(($"l_suppkey" % 50 + 200L).as("src"),
+          (($"l_partkey" + 7) % 50 + 250L).as("dst")))
+      .unionAll(li.filter($"l_orderkey" % 211 === 3)
+        .select((($"l_partkey" + 7) % 50 + 250L).as("src"),
+          ($"l_suppkey" % 50 + 200L).as("dst")))
+      .unionAll(li.filter($"l_orderkey" % 499 === 0)
+        .select(($"l_suppkey" % 50 + 200L).as("src"),
+          ($"l_partkey" % 50 + 400L).as("dst")))
+  }
+  private def sccCondensationMemo(s: SparkSession, dir: String): DataFrame = {
+    val path = condMemoPaths.computeIfAbsent(dir, { d =>
+      val p = sinkDir(s"scc_cond_${math.abs(d.hashCode.toLong)}")
+      graft.operators.Graph.sccCondensation(condGraphEdges(s, d), "src",
+          "dst", outerRounds = 3, propRounds = 8, trimRounds = 4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** WordPiece training rounds as CTEs (shared by t52 and t53's encode
     * chain): v$i = segmentations entering round i, s$i = per-symbol
     * occurrence counts, p$i = pair counts, m$i = the round's argmax by
@@ -749,18 +791,43 @@ object Queries {
     ORDER BY node"""
   }
 
-  private def sccCondensationOracleSql(outer: Int, trim: Int,
-      prop: Int): String = {
+  /** The q135/q136 shared chain: SCC rounds + labeling + condensation,
+    * ending with a `cond(src_comp, dst_comp, n_edges)` CTE. */
+  private def sccCondCtes(outer: Int, trim: Int, prop: Int): String = {
     val (ctes, assigned, _) = sccCtes(condEdgesSql, outer, trim, prop)
     s"""$ctes,
     lab AS MATERIALIZED (SELECT node, component FROM (
       ${assigned.map(a => s"SELECT node, component FROM $a")
-        .mkString("\n      UNION ALL ")}))
-    SELECT ls.component AS src_comp, ld.component AS dst_comp,
-      CAST(count(*) AS BIGINT) AS n_edges
+        .mkString("\n      UNION ALL ")})),
+    cond AS MATERIALIZED (SELECT ls.component AS src_comp,
+      ld.component AS dst_comp, CAST(count(*) AS BIGINT) AS n_edges
     FROM e JOIN lab ls ON e.src = ls.node JOIN lab ld ON e.dst = ld.node
     WHERE ls.component <> ld.component
-    GROUP BY 1, 2 ORDER BY 1, 2"""
+    GROUP BY 1, 2)"""
+  }
+
+  private def sccCondensationOracleSql(outer: Int, trim: Int,
+      prop: Int): String =
+    s"""${sccCondCtes(outer, trim, prop)}
+    SELECT src_comp, dst_comp, n_edges FROM cond ORDER BY 1, 2"""
+
+  /** q136 oracle: the condensation chain + `rounds` unrolled MAX/+1
+    * level relaxations — [[graft.operators.Graph.dagLevels]] in
+    * lockstep. */
+  private def dagLevelsOracleSql(outer: Int, trim: Int, prop: Int,
+      rounds: Int): String = {
+    val relax = (1 to rounds).map(i => s""",
+    l_$i AS MATERIALIZED (SELECT node, max(level) AS level FROM (
+      SELECT node, level FROM l_${i - 1}
+      UNION ALL
+      SELECT cond.dst_comp AS node, l.level + 1 AS level
+        FROM cond JOIN l_${i - 1} l ON l.node = cond.src_comp)
+      GROUP BY node)""").mkString
+    s"""${sccCondCtes(outer, trim, prop)},
+    l_0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS level
+      FROM (SELECT src_comp AS node FROM cond
+            UNION ALL SELECT dst_comp FROM cond))$relax
+    SELECT node, level FROM l_$rounds ORDER BY node"""
   }
 
   /** q120 oracle: the q110 curve plus the smallest radius whose
@@ -8686,30 +8753,71 @@ object Queries {
       "q135_scc_condensation",
       (s, dir) => {
         import s.implicits._
-        val li = t(s, dir, "lineitem")
-        val edges = li.filter($"l_orderkey" % 53 === 0)
-          .select(($"l_partkey" % 50).as("src"),
-            ($"l_suppkey" % 50 + 50L).as("dst"))
-          .unionAll(li.filter($"l_orderkey" % 53 === 0)
-            .select(($"l_suppkey" % 50 + 50L).as("src"),
-              (($"l_partkey" + 7) % 50).as("dst")))
-          .unionAll(li.filter($"l_orderkey" % 211 === 0)
-            .select(($"l_partkey" % 50).as("src"),
-              ($"l_suppkey" % 50 + 200L).as("dst")))
-          .unionAll(li.filter($"l_orderkey" % 211 === 0)
-            .select(($"l_suppkey" % 50 + 200L).as("src"),
-              (($"l_partkey" + 7) % 50 + 250L).as("dst")))
-          .unionAll(li.filter($"l_orderkey" % 211 === 3)
-            .select((($"l_partkey" + 7) % 50 + 250L).as("src"),
-              ($"l_suppkey" % 50 + 200L).as("dst")))
-          .unionAll(li.filter($"l_orderkey" % 499 === 0)
-            .select(($"l_suppkey" % 50 + 200L).as("src"),
-              ($"l_partkey" % 50 + 400L).as("dst")))
-        graft.operators.Graph.sccCondensation(edges, "src", "dst",
-            outerRounds = 3, propRounds = 8, trimRounds = 4)
-          .orderBy($"src_comp", $"dst_comp")
+        sccCondensationMemo(s, dir).orderBy($"src_comp", $"dst_comp")
       },
-      Some(sccCondensationOracleSql(outer = 3, trim = 4, prop = 8)))
+      Some(sccCondensationOracleSql(outer = 3, trim = 4, prop = 8))),
+
+    // ---- Topological layering of the q135 condensation: longest-path
+    //      levels via fixed MAX/+1 relaxation rounds — the parallel-
+    //      wave schedule of the dependency DAG ----
+    QueryDef(
+      "q136_dag_levels",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Graph.dagLevels(sccCondensationMemo(s, dir),
+            "src_comp", "dst_comp", rounds = 4)
+          .orderBy($"node")
+      },
+      Some(dagLevelsOracleSql(outer = 3, trim = 4, prop = 8, rounds = 4))),
+
+    // ---- Multimodal: Sobel edge-energy statistics — an integer 3x3
+    //      convolution over real decoded PNG pixels (the m05 16-wide
+    //      grayscale construction); the oracle replays the convolution
+    //      off the source bytes with inline substr arithmetic ----
+    QueryDef(
+      "m15_image_edges",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 48)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val bytes = text.getBytes("US-ASCII")
+            val h0 = bytes.length / 16
+            val px = java.util.Arrays.copyOf(bytes, 16 * h0)
+            graft.operators.MediaRecord(id, "image/png",
+              graft.operators.Png.encodeGray(16, h0, px, filter = 3))
+          })
+        graft.operators.Multimodal.imageEdgeStats(media)
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 48 AND octet_length(encode(text)) = length(text)),
+        d AS (SELECT doc_id, text, n // 16 AS h0 FROM b),
+        yy AS (SELECT doc_id, text, h0, unnest(range(1, h0 - 1)) AS y FROM d),
+        xx AS (SELECT doc_id, text, h0, y, unnest(range(1, 15)) AS x FROM yy),
+        e AS (SELECT doc_id, h0,
+           (ord(substr(text, CAST((y-1)*16 + x + 2 AS INTEGER), 1))
+            + 2 * ord(substr(text, CAST(y*16 + x + 2 AS INTEGER), 1))
+            + ord(substr(text, CAST((y+1)*16 + x + 2 AS INTEGER), 1))
+            - ord(substr(text, CAST((y-1)*16 + x AS INTEGER), 1))
+            - 2 * ord(substr(text, CAST(y*16 + x AS INTEGER), 1))
+            - ord(substr(text, CAST((y+1)*16 + x AS INTEGER), 1))) AS gx,
+           (ord(substr(text, CAST((y+1)*16 + x AS INTEGER), 1))
+            + 2 * ord(substr(text, CAST((y+1)*16 + x + 1 AS INTEGER), 1))
+            + ord(substr(text, CAST((y+1)*16 + x + 2 AS INTEGER), 1))
+            - ord(substr(text, CAST((y-1)*16 + x AS INTEGER), 1))
+            - 2 * ord(substr(text, CAST((y-1)*16 + x + 1 AS INTEGER), 1))
+            - ord(substr(text, CAST((y-1)*16 + x + 2 AS INTEGER), 1))) AS gy
+         FROM xx)
+        SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+          CAST(h0 AS INT) AS height,
+          CAST(count(*) AS BIGINT) AS n_interior,
+          CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS edge_energy,
+          CAST(max(abs(gx) + abs(gy)) AS BIGINT) AS max_grad
+        FROM e GROUP BY doc_id, h0 ORDER BY media_id"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1105,4 +1105,18 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // intra-SCC edges collapse; cross edges keep multiplicity
     assert(out === Map((1L, 10L) -> 2L, (1L, 20L) -> 1L))
   }
+
+  test("dagLevels: longest-path layering; diamond takes the longer arm") {
+    val sp = spark; import sp.implicits._
+    // diamond with a long arm: 1->2->3->5, 1->4->5; 5 sits at level 3
+    val dag = Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.dagLevels(dag, "src", "dst", rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
+    // under-budget rounds are deterministic (just shallower levels)
+    val shallow = Graph.dagLevels(dag, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }

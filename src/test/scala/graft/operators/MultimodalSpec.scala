@@ -294,4 +294,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ents = a.map(_._4).distinct
     assert(ents.size > 1 && ents.forall(h => h >= 0.0 && h <= 8.0))
   }
+
+  test("imageEdgeStats: hand Sobel on a step edge; flat image is zero") {
+    val sp = spark; import sp.implicits._
+    // 4x3 vertical step: columns 0,1 = 0; columns 2,3 = 255 (each row)
+    val step = Array.tabulate(12)(i => if (i % 4 >= 2) 255.toByte else 0.toByte)
+    val flat = Array.fill(12)(9.toByte)
+    val tiny = Array.fill(4)(1.toByte) // 2x2: no interior, no row
+    val ds = Seq(
+      MediaRecord(1L, "image/png", Png.encodeGray(4, 3, step, filter = 3)),
+      MediaRecord(2L, "image/png", Png.encodeGray(4, 3, flat, filter = 0)),
+      MediaRecord(3L, "image/png", Png.encodeGray(2, 2, tiny, filter = 1)),
+      MediaRecord(4L, "text/plain", "nope".getBytes("US-ASCII"))).toDS()
+    val out = Multimodal.imageEdgeStats(ds).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // interior = (x,y) in {1,2}x{1}: both pixels see gx = 4*255 = 1020,
+    // gy = 0 (rows identical) -> energy 2040, max 1020
+    assert(out(1L) === ((4, 3, 2L, 2040L, 1020L)))
+    assert(out(2L) === ((4, 3, 2L, 0L, 0L)))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }
