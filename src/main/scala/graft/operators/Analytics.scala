@@ -1087,6 +1087,134 @@ object Analytics {
           .otherwise(col("num") / col("den")).as("acf"))
   }
 
+  /** Two-sample PROPORTION z-test over a deterministic 50/50 user
+    * split — the experimentation readout (is arm B's conversion rate
+    * different from arm A's?):
+    *
+    *   z = (p_A − p_B) / sqrt(p̂(1−p̂)(1/n_A + 1/n_B)),  p̂ pooled
+    *
+    * Arms come from the md5 bucket of the unit id (the
+    * [[graft.operators.TextAnalysis.splitAssign]] construction — no
+    * RNG, reshuffle-proof, the same unit lands in the same arm on
+    * every engine); a unit converts when it has ≥1 `successValue`
+    * event. All counts are exact BIGINTs; the rates, the pooled rate,
+    * and z are a short fixed chain of IEEE ops rounded to 9 — the
+    * oracle replays them verbatim. Two hash aggs (per-unit flags, per-
+    * arm counts), no window, no join beyond the one-row combine.
+    * Output: one row `(n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    * z_score)`. */
+  def abTestZ(events: DataFrame, unitCol: String, typeCol: String,
+      successValue: String): DataFrame = {
+    val units = events
+      .filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      .agg(max(when(col(typeCol) === successValue, 1L).otherwise(0L))
+        .as("_graft_conv"))
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
+    val arms = units.groupBy(col("_graft_arm"))
+      .agg(count(lit(1)).as("n"), sum(col("_graft_conv")).as("c"))
+    val a = arms.filter(col("_graft_arm") === "a")
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = arms.filter(col("_graft_arm") === "b")
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a", round(col("conv_a").cast("double") /
+        col("n_a").cast("double"), 9))
+      .withColumn("rate_b", round(col("conv_b").cast("double") /
+        col("n_b").cast("double"), 9))
+      .withColumn("_graft_p",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      // degenerate pooled rate (nobody / everybody converted) has zero
+      // pooled variance: z is undefined — NULL, never a division by
+      // zero (ANSI mode throws) or an engine-dependent NaN/Inf repr
+      .withColumn("z_score",
+        when(col("_graft_p") === 0.0 || col("_graft_p") === 1.0,
+          lit(null).cast("double"))
+        .otherwise(round(
+          (col("rate_a") - col("rate_b")) /
+            sqrt(col("_graft_p") * (lit(1.0) - col("_graft_p")) *
+              (lit(1.0) / col("n_a").cast("double") +
+               lit(1.0) / col("n_b").cast("double"))), 9)))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("z_score"))
+  }
+
+  /** POISSON-BOOTSTRAP confidence interval for a metric mean — the
+    * distributed bootstrap (each row independently contributes
+    * Poisson(1) copies to each replicate instead of the multinomial
+    * resample a single machine would draw; Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): B replicate
+    * means, the CI read off their order statistics. THE way big
+    * pipelines attach error bars to a metric without collecting it.
+    *
+    * Determinism: the replicate weight is not random — u derives from
+    * md5(id, replicate) (28-bit prefix, +0.5, /2^28 — the
+    * [[graft.operators.TextAnalysis.weightedSample]] construction) and
+    * inverts the Poisson(1) CDF through fixed double literals, so every
+    * engine draws the same weights. Replicate means are order-free
+    * DECIMAL(28,12) sums over weighted values with one IEEE division
+    * rounded to 9; CI bounds are EXACT order statistics (1-based ranks
+    * ceil(lo·B) and ceil(hi·B)) of the sorted replicate means — no
+    * interpolation rule to disagree on.
+    *
+    * Scale shape: one map-side explode to B weighted copies (bounded
+    * B× blowup — the honest bootstrap cost), one partial-aggregating
+    * hash agg per replicate (B rows out), one tiny sort. Output: one
+    * row `(n_rows, n_replicates, mean, ci_lo, ci_hi)`. */
+  def bootstrapMeanCi(events: DataFrame, idCol: String, valueCol: String,
+      replicates: Int = 64, lo: Double = 0.025,
+      hi: Double = 0.975): DataFrame = {
+    require(replicates >= 2, "need at least two replicates")
+    require(lo > 0 && hi < 1 && lo < hi, "need 0 < lo < hi < 1")
+    val loRank = math.max(1, math.ceil(lo * replicates).toInt)
+    val hiRank = math.min(replicates, math.ceil(hi * replicates).toInt)
+    val dt = DecimalType(28, 12)
+    val base = events
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_graft_id"),
+        col(valueCol).cast("double").as("_graft_x"))
+    val overall = base.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("_graft_x").cast(dt)).cast("double") /
+        count(lit(1)).cast("double"), 9).as("mean"))
+    val u = (conv(substring(md5(concat(col("_graft_id"), lit("_"),
+      col("b").cast("string"))), 1, 7), 16, 10).cast("double") + 0.5) /
+      lit((1L << 28).toDouble)
+    // Poisson(1) inverse CDF; tail mass above 5 (~6e-4) folds into 5
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val reps = base
+      .select(col("_graft_id"), col("_graft_x"),
+        explode(expr(s"sequence(0, ${replicates - 1})")).as("b"))
+      .withColumn("_graft_w", w)
+      .groupBy(col("b"))
+      .agg(sum((col("_graft_w").cast("double") * col("_graft_x"))
+          .cast(dt)).cast("double").as("_graft_s"),
+        sum(col("_graft_w")).as("_graft_n"))
+      // a replicate that drew zero total weight (P ≈ e^-n, real only
+      // for near-empty inputs) has no mean — NULL, never an ANSI
+      // division-by-zero
+      .select(col("b"),
+        when(col("_graft_n") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_graft_s") /
+            col("_graft_n").cast("double"), 9)).as("m"))
+    val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(
+        lit(replicates).as("n_replicates"),
+        element_at(col("ms"), loRank).as("ci_lo"),
+        element_at(col("ms"), hiRank).as("ci_hi"))
+    overall.crossJoin(ci)
+      .select(col("n_rows"), col("n_replicates"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Classical ADDITIVE seasonal decomposition of each key's daily
     * event-count series (the moving-average STL-lite every monitoring
     * stack runs before alerting on "trend" or "seasonality"):

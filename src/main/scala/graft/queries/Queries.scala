@@ -8817,7 +8817,81 @@ object Queries {
           CAST(count(*) AS BIGINT) AS n_interior,
           CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS edge_energy,
           CAST(max(abs(gx) + abs(gy)) AS BIGINT) AS max_grad
-        FROM e GROUP BY doc_id, h0 ORDER BY media_id"""))
+        FROM e GROUP BY doc_id, h0 ORDER BY media_id""")),
+
+    // ---- Poisson-bootstrap CI for the mean event value: 64 replicate
+    //      means from md5-derived Poisson(1) weights, CI = exact order
+    //      statistics of the sorted replicate means ----
+    QueryDef(
+      "q137_bootstrap_ci",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics.bootstrapMeanCi(t(s, dir, "events"),
+          "event_id", "value", replicates = 64)
+      },
+      Some("""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+            CAST(value AS DOUBLE) AS x
+          FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        ov AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 9) AS mean
+          FROM base),
+        wts AS (SELECT x, b,
+            CASE WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238463 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 ELSE 5 END AS w
+          FROM (SELECT x, b,
+              (CAST(('0x' || substr(md5(id || '_' || CAST(b AS VARCHAR)), 1, 7))
+                AS UBIGINT) + 0.5) / 268435456.0 AS u
+            FROM base, LATERAL (SELECT unnest(range(0, 64)) AS b))),
+        reps AS (SELECT b,
+            round(CAST(sum(CAST(CAST(w AS DOUBLE) * x AS DECIMAL(28,12)))
+              AS DOUBLE) / CAST(sum(w) AS DOUBLE), 9) AS m
+          FROM wts GROUP BY b),
+        ms AS (SELECT list_sort(list(m)) AS ms FROM reps)
+        SELECT n_rows, CAST(64 AS INT) AS n_replicates, mean,
+          ms[2] AS ci_lo, ms[63] AS ci_hi
+        FROM ov CROSS JOIN ms""")),
+
+    // ---- A/B experiment readout: md5 50/50 unit split, conversion =
+    //      any 'purchase' event, pooled two-proportion z — exact
+    //      counts, a short fixed IEEE chain, round 9 ----
+    QueryDef(
+      "q138_ab_ztest",
+      (s, dir) => {
+        import s.implicits._
+        // conversion = a high-value purchase (a saturating success
+        // definition pools to p = 1 and has no variance to test)
+        val ev = t(s, dir, "events").withColumn("hit",
+          when($"event_type" === "purchase" && $"value" > 90, "hit")
+            .otherwise($"event_type"))
+        graft.operators.Analytics.abTestZ(ev, "user_id", "hit", "hit")
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' AND value > 90
+              THEN 1 ELSE 0 END) AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        arm AS (SELECT CASE WHEN CAST(('0x' ||
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 100 < 50 THEN 'a' ELSE 'b' END AS arm, conv FROM u),
+        g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(conv) AS BIGINT) AS c FROM arm GROUP BY 1),
+        a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE arm = 'a'),
+        b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE arm = 'b'),
+        j AS (SELECT *,
+            round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS rate_a,
+            round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS rate_b,
+            CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE) AS p
+          FROM a CROSS JOIN b)
+        SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+          round((rate_a - rate_b) / sqrt(p * (1.0 - p)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 9)
+            + 0.0 AS z_score
+        FROM j"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -410,6 +410,61 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains((2L, 2)))
   }
 
+  test("abTestZ: exact arm counts; equal rates give z = 0") {
+    val sp = spark; import sp.implicits._
+    // every unit converts -> rates 1.0 in both arms, z = 0/0-guard free
+    // (denominator sqrt(p(1-p)...) = 0 when p = 1 -> use mixed data)
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "purchase" else "view"))
+    val out = Analytics.abTestZ(rows.toDF("user_id", "event_type"),
+      "user_id", "event_type", "purchase").collect().head
+    val (na, nb, ca, cb) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3))
+    assert(na + nb === 400L && ca + cb === 200L)
+    assert(math.abs(out.getDouble(4) - ca.toDouble / na) < 1e-9)
+    // deterministic under reshuffle (md5 arms, exact counts)
+    val again = Analytics.abTestZ(
+      rows.toDF("user_id", "event_type").repartition(7),
+      "user_id", "event_type", "purchase").collect().head
+    assert(again.getDouble(6) === out.getDouble(6))
+    // a unit with several events converts once (max, not sum)
+    val multi = Seq((1L, "purchase"), (1L, "purchase"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val m = Analytics.abTestZ(multi, "user_id", "event_type", "purchase")
+      .collect().head
+    assert(m.getLong(2) + m.getLong(3) === 1L)
+    // degenerate pooled rate (everyone converts): z is NULL, no
+    // division-by-zero (ANSI) and no engine-dependent NaN
+    val all = (1L to 50L).map(i => (i, "purchase"))
+      .toDF("user_id", "event_type")
+    val d = Analytics.abTestZ(all, "user_id", "event_type", "purchase")
+      .collect().head
+    assert(d.isNullAt(6))
+  }
+
+  test("bootstrapMeanCi: CI brackets the mean; constant metric collapses it") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 200L).map(i => (i, (i % 7).toDouble))
+    val df = rows.toDF("event_id", "value").repartition(4)
+    val out = Analytics.bootstrapMeanCi(df, "event_id", "value",
+      replicates = 64).collect().head
+    val (n, b, mean, lo, hi) = (out.getLong(0), out.getInt(1),
+      out.getDouble(2), out.getDouble(3), out.getDouble(4))
+    assert(n === 200L && b === 64)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(lo < hi, "200 varying rows cannot collapse the CI")
+    // md5-derived weights: reshuffle-proof, same CI on every run
+    val again = Analytics.bootstrapMeanCi(df.repartition(7), "event_id",
+      "value", replicates = 64).collect().head
+    assert((again.getDouble(3), again.getDouble(4)) === ((lo, hi)))
+    // constant metric: every replicate mean equals the constant
+    val const = (1L to 100L).map(i => (i, 2.0)).toDF("event_id", "value")
+    val c = Analytics.bootstrapMeanCi(const, "event_id", "value",
+      replicates = 32).collect().head
+    assert(c.getDouble(2) === 2.0 && c.getDouble(3) === 2.0 &&
+      c.getDouble(4) === 2.0)
+  }
+
   test("seasonalDecompose: centered MA trend, centered weekday indices, " +
       "edge days get NULL trend/resid") {
     // user 1, days 1..5 of 2024-01 carrying 1,4,1,4,1 events; period 3
