@@ -141,6 +141,24 @@ object Bench {
     // early exit cut the no-op second peel - 8.71s before), q131 1.09s,
     // q132 1.20s, t56 1.26s, t57 0.48s, t58 0.38s. All six oracle-green
     // at sf0.01 on first compare.
+    // Fourth-session later additions (isolated RUNS=3 at sf0.1):
+    // q137 6.04s (the honest Poisson-bootstrap cost: B=64 md5 draws
+    // PER ROW, a bounded 64x map-side blowup into a 64-group partial
+    // agg), q136 11.08s standalone -> 0.73s and q135 8.78s -> 0.16s
+    // after the shared condensation parquet memo (q102/q104 pattern),
+    // t59 1.23s, q134 0.99s, m15 0.84s, q138 0.56s. Stability gate:
+    // all 13 fourth-session queries byte-stable across cpus 4/8/32
+    // with AQE on/off.
+    // Round-12 fourth-session closing full bench (RUNS=3 PASSES=2,
+    // sf0.1 local[32], quiet machine): 289.6s over 253 queries
+    // (1.14 s/q — flat vs r11's closing 1.14 s/q at 214). Final gates:
+    // sbt test 822/822 green (37 suites), Verify->DuckDB 253/253 at
+    // sf0.01. scale_trend sf0.01 vs sf0.1-suite: q133 4.53 vs 4.26s
+    // (flat — fixed lockstep rounds dominate, data is a passenger),
+    // q104 3.40/3.55, q107 2.59/3.03, q108 0.91/1.73, q110 1.03/1.68,
+    // q102 0.12/0.20 (memo-warm) — all far under the 10x data growth.
+    // New-query in-suite: q137 8.06s, q133 4.26s, q136 0.75s,
+    // q135 0.17s, t59/q134/m15/q138 ~0.3-1.2s.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
