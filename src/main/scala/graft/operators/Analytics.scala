@@ -1142,6 +1142,110 @@ object Analytics {
         col("rate_a"), col("rate_b"), col("z_score"))
   }
 
+  /** The [[bootstrapMeanCi]] replicate stage, exposed for the streaming
+    * twin's equivalence spec: per replicate b, the md5-derived
+    * Poisson(1)-weighted mean over `(id, x)` rows. Output:
+    * `(b, w_sum, m)` — total drawn weight and the round-9 mean (NULL
+    * when the replicate drew zero weight). */
+  private[graft] def bootstrapReplicateMeans(rows: DataFrame,
+      replicates: Int): DataFrame = {
+    val dt = DecimalType(28, 12)
+    val u = (conv(substring(md5(concat(col("id").cast("string"), lit("_"),
+      col("b").cast("string"))), 1, 7), 16, 10).cast("double") + 0.5) /
+      lit((1L << 28).toDouble)
+    // Poisson(1) inverse CDF; tail mass above 5 (~6e-4) folds into 5
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    rows
+      .select(col("id"), col("x").cast("double").as("x"),
+        explode(expr(s"sequence(0, ${replicates - 1})")).as("b"))
+      .withColumn("_graft_w", w)
+      .groupBy(col("b"))
+      .agg(sum((col("_graft_w").cast("double") * col("x"))
+          .cast(dt)).cast("double").as("_graft_s"),
+        sum(col("_graft_w")).as("w_sum"))
+      // a replicate that drew zero total weight (P ≈ e^-n, real only
+      // for near-empty inputs) has no mean — NULL, never an ANSI
+      // division-by-zero
+      .select(col("b"), col("w_sum"),
+        when(col("w_sum") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_graft_s") /
+            col("w_sum").cast("double"), 9)).as("m"))
+  }
+
+  /** MANN–WHITNEY U rank-sum test over the same deterministic md5
+    * 50/50 unit split as [[abTestZ]] — the NONPARAMETRIC experiment
+    * readout (no normality assumption; robust to the heavy-tailed
+    * metrics real revenue/latency columns are): with midranks over the
+    * pooled sample,
+    *
+    *   U_A = R_A − n_A(n_A+1)/2,
+    *   z = (U_A − n_A·n_B/2) / sqrt(n_A·n_B/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+    *
+    * (the tie-corrected normal approximation, no continuity
+    * correction). `keyCol` must be an INTEGRAL metric key (scale your
+    * decimals first — integer keys are what keep ranking exact):
+    * midranks are computed DOUBLED (`2·cum_before + t + 1`, integer
+    * exact, no halves), and the rank sums run as DECIMAL(19,0)×BIGINT
+    * addends into DECIMAL(38,0) accumulators — exact and
+    * overflow-safe past a billion units (DuckDB caps decimal-multiply
+    * width at 38, so the addend stays width-37; the tie cubic keeps
+    * `t²` in BIGINT, loud-on-overflow past ~3e9 ties on ONE value).
+    * The only floats are the final fixed z chain, rounded to 9; a
+    * tie-degenerate sample (every value equal) emits NULL.
+    *
+    * Scale shape: one per-unit hash agg, one per-(key) hash agg, the
+    * [[withPrefixSum]] two-level scan for pooled cumulative counts
+    * (never one global window task), and register-sized combines.
+    * Output: one row `(n_a, n_b, u_a, mean_u, z_score)`. */
+  def mannWhitneyU(events: DataFrame, unitCol: String,
+      keyCol: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val units = events
+      .filter(col(unitCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      // one observation per unit: the unit's total metric key (exact
+      // integer sum — the standard per-unit aggregation step)
+      .agg(sum(col(keyCol).cast("long")).as("k"))
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
+    val perKey = units.groupBy(col("k"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)).as("ta"))
+    val ranked = withPrefixSum(perKey, "k", "t", "cum_before")
+      .withColumn("mr2", lit(2L) * col("cum_before") + col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("ta")).as("n_a"),
+      sum(col("t") - col("ta")).as("n_b"),
+      sum(col("ta").cast(d19) * col("mr2")).as("r2a"),
+      sum(col("t").cast(d19) * (col("t") * col("t")) - col("t")).as("ties"))
+    agg
+      .withColumn("n", col("n_a") + col("n_b"))
+      // U_A = R_A − n_A(n_A+1)/2, computed doubled then halved by an
+      // exact binary division
+      .withColumn("u_a",
+        (col("r2a") - col("n_a").cast(d19) * (col("n_a") + 1L))
+          .cast("double") / 2.0)
+      .withColumn("mean_u",
+        (col("n_a").cast(d19) * col("n_b")).cast("double") / 2.0)
+      .withColumn("_graft_var",
+        (col("n_a").cast(d19) * col("n_b")).cast("double") / 12.0 *
+          ((col("n").cast("double") + 1.0) -
+            col("ties").cast("double") /
+              (col("n").cast(d19) * (col("n") - 1L)).cast("double")))
+      .withColumn("z_score",
+        when(col("_graft_var") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((col("u_a") - col("mean_u")) /
+            sqrt(col("_graft_var")), 9)))
+      .select(col("n_a"), col("n_b"), col("u_a"), col("mean_u"),
+        col("z_score"))
+  }
+
   /** POISSON-BOOTSTRAP confidence interval for a metric mean — the
     * distributed bootstrap (each row independently contributes
     * Poisson(1) copies to each replicate instead of the multinomial
@@ -1180,31 +1284,9 @@ object Analytics {
       count(lit(1)).as("n_rows"),
       round(sum(col("_graft_x").cast(dt)).cast("double") /
         count(lit(1)).cast("double"), 9).as("mean"))
-    val u = (conv(substring(md5(concat(col("_graft_id"), lit("_"),
-      col("b").cast("string"))), 1, 7), 16, 10).cast("double") + 0.5) /
-      lit((1L << 28).toDouble)
-    // Poisson(1) inverse CDF; tail mass above 5 (~6e-4) folds into 5
-    val w = when(u < 0.36787944117144233, 0L)
-      .when(u < 0.7357588823428847, 1L)
-      .when(u < 0.9196986029286058, 2L)
-      .when(u < 0.9810118431238463, 3L)
-      .when(u < 0.9963401531726563, 4L)
-      .otherwise(5L)
-    val reps = base
-      .select(col("_graft_id"), col("_graft_x"),
-        explode(expr(s"sequence(0, ${replicates - 1})")).as("b"))
-      .withColumn("_graft_w", w)
-      .groupBy(col("b"))
-      .agg(sum((col("_graft_w").cast("double") * col("_graft_x"))
-          .cast(dt)).cast("double").as("_graft_s"),
-        sum(col("_graft_w")).as("_graft_n"))
-      // a replicate that drew zero total weight (P ≈ e^-n, real only
-      // for near-empty inputs) has no mean — NULL, never an ANSI
-      // division-by-zero
-      .select(col("b"),
-        when(col("_graft_n") === 0L, lit(null).cast("double"))
-          .otherwise(round(col("_graft_s") /
-            col("_graft_n").cast("double"), 9)).as("m"))
+    val reps = bootstrapReplicateMeans(base.select(
+      col("_graft_id").as("id"), col("_graft_x").as("x")), replicates)
+      .select(col("b"), col("m"))
     val ci = reps.agg(sort_array(collect_list(col("m"))).as("ms"))
       .select(
         lit(replicates).as("n_replicates"),

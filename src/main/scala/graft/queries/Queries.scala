@@ -8891,7 +8891,53 @@ object Queries {
           round((rate_a - rate_b) / sqrt(p * (1.0 - p)
             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 9)
             + 0.0 AS z_score
-        FROM j"""))
+        FROM j""")),
+
+    // ---- Mann-Whitney U over per-user value-cents totals: doubled
+    //      midranks (integer exact), DECIMAL(19,0)x BIGINT rank sums,
+    //      tie-corrected z — q138's nonparametric sibling ----
+    QueryDef(
+      "q139_mann_whitney",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .withColumn("cents", round($"value" * 100, 0).cast("long"))
+        graft.operators.Analytics.mannWhitneyU(ev, "user_id", "cents")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+            CAST(round(value * 100, 0) AS BIGINT) AS ck
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        u AS (SELECT user_id, CAST(sum(ck) AS BIGINT) AS k
+          FROM ev GROUP BY 1),
+        arm AS (SELECT k, CASE WHEN CAST(('0x' ||
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 100 < 50 THEN 'a' ELSE 'b' END AS arm FROM u),
+        pk AS (SELECT k, CAST(count(*) AS BIGINT) AS t,
+            CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+          FROM arm GROUP BY 1),
+        r AS (SELECT k, t, ta,
+            COALESCE(SUM(t) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS BIGINT)) AS cb
+          FROM pk),
+        m AS (SELECT ta, t, 2 * cb + t + 1 AS mr2 FROM r),
+        agg AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+            CAST(sum(t - ta) AS BIGINT) AS n_b,
+            sum(CAST(ta AS DECIMAL(19,0)) * mr2) AS r2a,
+            sum(CAST(t AS DECIMAL(19,0)) * (t * t) - t) AS ties
+          FROM m),
+        f AS (SELECT n_a, n_b, n_a + n_b AS n,
+            CAST(r2a - CAST(n_a AS DECIMAL(19,0)) * (n_a + 1) AS DOUBLE)
+              / 2.0 AS u_a,
+            CAST(CAST(n_a AS DECIMAL(19,0)) * n_b AS DOUBLE) / 2.0 AS mean_u,
+            CAST(CAST(n_a AS DECIMAL(19,0)) * n_b AS DOUBLE) / 12.0 *
+              ((CAST(n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * (n - 1) AS DOUBLE)) AS v
+          FROM agg)
+        SELECT n_a, n_b, u_a, mean_u,
+          CASE WHEN v <= 0.0 THEN NULL
+            ELSE round((u_a - mean_u) / sqrt(v), 9) + 0.0 END AS z_score
+        FROM f"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -53,6 +53,19 @@ final case class CusumState(n: Int, sPos: Double, sNeg: Double,
 final case class CusumLevel(user_id: Long, n_days: Int, mean_daily: Double,
     max_cusum_pos: Double, max_cusum_neg: Double, n_alarms: Long)
 
+/** One metric observation for the streaming bootstrap
+  * ([[Streams.bootstrapReplicateMeans]]). */
+final case class MetricEvent(event_id: Long, value: Double)
+
+/** A replicate's carried bootstrap state: the exact DECIMAL weighted
+  * sum (scale 12, the batch addend quantization) and the drawn
+  * weight total. */
+final case class BootState(sum: java.math.BigDecimal, wsum: Long)
+
+/** The per-replicate bootstrap mean emitted each micro-batch (Update
+  * mode): the [[graft.operators.Analytics]] replicate-stage shape. */
+final case class BootRep(b: Int, w_sum: Long, m: Option[Double])
+
 /** A key's carried Holt–Winters state ([[Streams.holtWintersLevels]]):
   * level, trend, and the `period`-slot rotating seasonal register
   * (next slot to consume first). */
@@ -1316,6 +1329,70 @@ object Streams {
           state.update(st)
           HwLevel(userId, st.n, st.level, st.trend, st.seasons.head,
             st.level + st.trend + st.seasons.head)
+      }
+  }
+
+  /** Streaming POISSON-BOOTSTRAP twin of
+    * [[graft.operators.Analytics.bootstrapMeanCi]]'s replicate stage —
+    * live error bars on a streamed metric: each arriving row folds its
+    * md5-derived Poisson(1) weight into every replicate's carried
+    * (exact DECIMAL weighted sum, weight total), and each micro-batch
+    * emits all current replicate means; the consumer reads the CI off
+    * their order statistics exactly as the batch operator does.
+    *
+    * Equivalence contract (spec-pinned): the rows emitted after batch
+    * k are IDENTICAL to `Analytics.bootstrapReplicateMeans` over the
+    * union of batches 1..k — in ANY arrival order, not just in-order
+    * (stronger than the fold twins): the weight depends only on
+    * (id, replicate), and decimal addition is exact and commutative,
+    * so the carried sums cannot drift from the batch DECIMAL sums. The
+    * per-addend quantization replays the batch path bit-for-bit
+    * (`BigDecimal.valueOf` = Spark's shortest-repr double→DECIMAL
+    * cast, scale 12 HALF_UP).
+    *
+    * Scale shape: `replicates` rows of state TOTAL (not per key), a
+    * bounded B× flatMap per event, Update-mode B rows per batch. */
+  def bootstrapReplicateMeans(events: Dataset[MetricEvent],
+      replicates: Int = 64): Dataset[BootRep] = {
+    require(replicates >= 2, "need at least two replicates")
+    import events.sparkSession.implicits._
+    def poissonW(id: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 7), 16) + 0.5) /
+        268435456.0
+      if (u < 0.36787944117144233) 0L
+      else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L
+      else if (u < 0.9810118431238463) 3L
+      else if (u < 0.9963401531726563) 4L
+      else 5L
+    }
+    events
+      .flatMap(e => (0 until replicates).map(b => (b, e.event_id, e.value)))
+      .groupByKey(_._1)
+      .mapGroupsWithState[BootState, BootRep](
+        GroupStateTimeout.NoTimeout) {
+        (b: Int, batch: Iterator[(Int, Long, Double)],
+            state: GroupState[BootState]) =>
+          var st = state.getOption.getOrElse(
+            BootState(java.math.BigDecimal.ZERO, 0L))
+          batch.foreach { case (_, id, x) =>
+            val w = poissonW(id, b)
+            if (w > 0L) {
+              val addend = java.math.BigDecimal.valueOf(w.toDouble * x)
+                .setScale(12, java.math.RoundingMode.HALF_UP)
+              st = BootState(st.sum.add(addend), st.wsum + w)
+            }
+          }
+          state.update(st)
+          val m =
+            if (st.wsum == 0L) None
+            else Some(java.math.BigDecimal
+              .valueOf(st.sum.doubleValue() / st.wsum.toDouble)
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+          BootRep(b, st.wsum, m)
       }
   }
 

@@ -410,6 +410,45 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains((2L, 2)))
   }
 
+  test("mannWhitneyU matches a midrank brute force over the same arms") {
+    val sp = spark; import sp.implicits._
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < 50) "a"
+      else "b"
+    }
+    val ks = (1L to 40L).map(u => u -> (u % 5)) // heavy ties
+    val out = Analytics.mannWhitneyU(
+      ks.map { case (u, k) => (u, k) }.toDF("user_id", "cents"),
+      "user_id", "cents").collect().head
+    // brute force: midranks over the pooled sorted sample
+    val sorted = ks.map(_._2).sorted
+    val midrank = sorted.distinct.map { v =>
+      val lo = sorted.indexOf(v) + 1
+      val hi = sorted.lastIndexOf(v) + 1
+      v -> (lo + hi) / 2.0
+    }.toMap
+    val aUnits = ks.filter { case (u, _) => arm(u) == "a" }
+    val nA = aUnits.size.toLong
+    val nB = ks.size - nA
+    val rA = aUnits.map { case (_, k) => midrank(k) }.sum
+    val uA = rA - nA * (nA + 1) / 2.0
+    assert(out.getLong(0) === nA && out.getLong(1) === nB)
+    assert(out.getDouble(2) === uA, s"U_A ${out.getDouble(2)} vs $uA")
+    assert(out.getDouble(3) === nA * nB / 2.0)
+    // z deterministic under reshuffle
+    val again = Analytics.mannWhitneyU(
+      ks.toDF("user_id", "cents").repartition(7), "user_id", "cents")
+      .collect().head
+    assert(again.getDouble(4) === out.getDouble(4))
+    // tie-degenerate sample: zero variance -> NULL z
+    val const = (1L to 30L).map(u => (u, 7L)).toDF("user_id", "cents")
+    assert(Analytics.mannWhitneyU(const, "user_id", "cents")
+      .collect().head.isNullAt(4))
+  }
+
   test("abTestZ: exact arm counts; equal rates give z = 0") {
     val sp = spark; import sp.implicits._
     // every unit converts -> rates 1.0 in both arms, z = 0/0-guard free

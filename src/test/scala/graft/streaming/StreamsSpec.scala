@@ -1394,4 +1394,43 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(latest()(2L) === ((1, 5.0, 0.0, 0.0, 5.0)))
     } finally q.stop()
   }
+
+  test("bootstrapReplicateMeans: streamed replicate state equals the " +
+      "batch stage in ANY arrival order") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    val b1 = (1L to 60L).map(i => MetricEvent(i, (i % 9).toDouble + 0.25))
+    // second batch arrives OUT of id order: weights depend only on
+    // (id, replicate), so order cannot matter (stronger than the
+    // fold twins' in-order contract)
+    val b2 = (120L to 61L by -1).map(i => MetricEvent(i, (i % 7).toDouble))
+    def batchStage(ds: Seq[MetricEvent]): Map[Int, (Long, Option[Double])] =
+      graft.operators.Analytics.bootstrapReplicateMeans(
+          ds.toDF("id", "x"), replicates = 16)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val input = MemoryStream[MetricEvent]
+    val q = Streams.bootstrapReplicateMeans(input.toDS(), replicates = 16)
+      .writeStream.format("memory").queryName("boot_reps")
+      .outputMode("update").start()
+    try {
+      def latest(): Map[Int, (Long, Option[Double])] =
+        spark.table("boot_reps").collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          .groupBy(_._1)
+          .map { case (k, rs) =>
+            val top = rs.maxBy(_._2)
+            k -> ((top._2, top._3)) }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() === batchStage(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() === batchStage(b1 ++ b2))
+      assert(latest().size === 16)
+    } finally q.stop()
+  }
 }
