@@ -158,7 +158,10 @@ object Bench {
     // q104 3.40/3.55, q107 2.59/3.03, q108 0.91/1.73, q110 1.03/1.68,
     // q102 0.12/0.20 (memo-warm) — all far under the 10x data growth.
     // New-query in-suite: q137 8.06s, q133 4.26s, q136 0.75s,
-    // q135 0.17s, t59/q134/m15/q138 ~0.3-1.2s.
+    // q135 0.17s, t59/q134/m15/q138 ~0.3-1.2s. Post-close additions
+    // (isolated RUNS=3): q139 0.88s (rank sums via the two-level
+    // scan), q140 sub-second; both + q137 byte-stable across cpus
+    // 4/8/32 with AQE on/off (stability gate).
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY

@@ -1142,6 +1142,106 @@ object Analytics {
         col("rate_a"), col("rate_b"), col("z_score"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
+    * Sensitivity of Online Controlled Experiments") over the
+    * [[abTestZ]] md5 arm split: the industry-standard experiment
+    * sensitivity boost. Per unit, a PRE-period covariate x and an
+    * experiment-period metric y (both exact integral sums of
+    * `keyCol`, split at `cutoff` on `tsCol`);
+    *
+    *   θ = cov(x, y) / var(x),   y′ = y − θ·(x − x̄),
+    *
+    * and each arm reports its adjusted mean. The variance-reduction
+    * factor is ρ² = cov²/(var(x)·var(y)) — the fraction of metric
+    * variance the covariate explains.
+    *
+    * Determinism: every SUM (Σx, Σy, Σx², Σxy, …) is EXACT —
+    * DECIMAL accumulators with DECIMAL(19,0) addend casts (the
+    * [[mannWhitneyU]] width discipline; per-unit x·y must fit the
+    * width-37 addend — scale your metric accordingly); the
+    * N·Σxy − Σx·Σy combinations then run as fixed-order DOUBLE chains
+    * (a 38-wide decimal cannot multiply again under DuckDB's width
+    * cap), so θ, the adjusted means, and ρ² are short deterministic
+    * IEEE chains rounded to 9. Zero covariate variance (constant
+    * pre-period) emits NULL θ/adjusted means (CUPED undefined — fall
+    * back to the raw test). Units with no pre or no post rows count
+    * zero for that side (the standard missing-covariate convention).
+    *
+    * Scale shape: one per-unit hash agg, register-sized combines.
+    * Output: one row `(n_a, n_b, theta, mean_a, mean_b, adj_mean_a,
+    * adj_mean_b, var_reduction)`. */
+  def cupedAdjustedMeans(events: DataFrame, unitCol: String,
+      tsCol: String, keyCol: String,
+      cutoff: java.sql.Timestamp): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val units = events
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      .agg(
+        coalesce(sum(when(col(tsCol) < lit(cutoff),
+          col(keyCol).cast("long"))), lit(0L)).as("x"),
+        coalesce(sum(when(col(tsCol) >= lit(cutoff),
+          col(keyCol).cast("long"))), lit(0L)).as("y"))
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
+    val moments = units.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d19)).as("sx"),
+      sum(col("y").cast(d19)).as("sy"),
+      sum(col("x").cast(d19) * col("x")).as("sxx"),
+      sum(col("y").cast(d19) * col("y")).as("syy"),
+      sum(col("x").cast(d19) * col("y")).as("sxy"))
+    val arms = units.groupBy(col("_graft_arm"))
+      .agg(count(lit(1)).as("na"), sum(col("x").cast(d19)).as("ax"),
+        sum(col("y").cast(d19)).as("ay"))
+    val a = arms.filter(col("_graft_arm") === "a")
+      .select(col("na").as("n_a"), col("ax").as("sx_a"),
+        col("ay").as("sy_a"))
+    val b = arms.filter(col("_graft_arm") === "b")
+      .select(col("na").as("n_b"), col("ax").as("sx_b"),
+        col("ay").as("sy_b"))
+    moments.crossJoin(a).crossJoin(b)
+      // second moments combine in DOUBLE over the exact DECIMAL sums —
+      // a fixed-order chain both engines replay (a 38-wide decimal
+      // cannot multiply again under DuckDB's width-38 cap)
+      .withColumn("_cnum",
+        col("sxy").cast("double") * col("n").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("_vx",
+        col("sxx").cast("double") * col("n").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("_vy",
+        col("syy").cast("double") * col("n").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
+      .withColumn("theta",
+        when(col("_vx") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("_cnum") / col("_vx"), 9)))
+      .withColumn("_xbar",
+        col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("mean_a", round(col("sy_a").cast("double") /
+        col("n_a").cast("double"), 9))
+      .withColumn("mean_b", round(col("sy_b").cast("double") /
+        col("n_b").cast("double"), 9))
+      .withColumn("adj_mean_a",
+        round(col("sy_a").cast("double") / col("n_a").cast("double") -
+          col("theta") * (col("sx_a").cast("double") /
+            col("n_a").cast("double") - col("_xbar")), 9))
+      .withColumn("adj_mean_b",
+        round(col("sy_b").cast("double") / col("n_b").cast("double") -
+          col("theta") * (col("sx_b").cast("double") /
+            col("n_b").cast("double") - col("_xbar")), 9))
+      .withColumn("var_reduction",
+        when(col("_vx") === 0.0 || col("_vy") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(col("_cnum") * col("_cnum") /
+            (col("_vx") * col("_vy")), 9)))
+      .select(col("n_a"), col("n_b"), col("theta"), col("mean_a"),
+        col("mean_b"), col("adj_mean_a"), col("adj_mean_b"),
+        col("var_reduction"))
+  }
+
   /** The [[bootstrapMeanCi]] replicate stage, exposed for the streaming
     * twin's equivalence spec: per replicate b, the md5-derived
     * Poisson(1)-weighted mean over `(id, x)` rows. Output:

@@ -8937,7 +8937,73 @@ object Queries {
         SELECT n_a, n_b, u_a, mean_u,
           CASE WHEN v <= 0.0 THEN NULL
             ELSE round((u_a - mean_u) / sqrt(v), 9) + 0.0 END AS z_score
-        FROM f"""))
+        FROM f""")),
+
+    // ---- CUPED variance reduction (Deng et al. 2013): pre-period
+    //      cents covariate (before Jan 16) vs experiment-period metric,
+    //      md5 arms, exact DECIMAL sums + fixed-order double moment
+    //      combination ----
+    QueryDef(
+      "q140_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .withColumn("cents", round($"value" * 100, 0).cast("long"))
+        graft.operators.Analytics.cupedAdjustedMeans(ev, "user_id",
+          "ts", "cents",
+          java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      },
+      Some("""WITH ev AS (SELECT user_id, ts,
+            CAST(round(value * 100, 0) AS BIGINT) AS ck
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        u AS (SELECT user_id,
+            CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN ck END), 0) AS BIGINT) AS x,
+            CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN ck END), 0) AS BIGINT) AS y
+          FROM ev GROUP BY 1),
+        arm AS (SELECT x, y, CASE WHEN CAST(('0x' ||
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 100 < 50 THEN 'a' ELSE 'b' END AS arm FROM u),
+        mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x AS DECIMAL(19,0))) AS sx,
+            sum(CAST(y AS DECIMAL(19,0))) AS sy,
+            sum(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+            sum(CAST(y AS DECIMAL(19,0)) * y) AS syy,
+            sum(CAST(x AS DECIMAL(19,0)) * y) AS sxy
+          FROM arm),
+        g AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+            sum(CAST(x AS DECIMAL(19,0))) AS ax,
+            sum(CAST(y AS DECIMAL(19,0))) AS ay
+          FROM arm GROUP BY 1),
+        aa AS (SELECT na AS n_a, ax AS sx_a, ay AS sy_a FROM g WHERE arm = 'a'),
+        bb AS (SELECT na AS n_b, ax AS sx_b, ay AS sy_b FROM g WHERE arm = 'b'),
+        j AS (SELECT *,
+            CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cnum,
+            CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+            CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+          FROM mo CROSS JOIN aa CROSS JOIN bb),
+        k AS (SELECT *,
+            CASE WHEN vx = 0.0 THEN NULL
+              ELSE round(cnum / vx, 9) END AS theta
+          FROM j)
+        SELECT n_a, n_b, theta,
+          round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS mean_a,
+          round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS mean_b,
+          round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - theta *
+            (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - xbar), 9)
+            + 0.0 AS adj_mean_a,
+          round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) - theta *
+            (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) - xbar), 9)
+            + 0.0 AS adj_mean_b,
+          CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
+            ELSE round(cnum * cnum / (vx * vy), 9) END AS var_reduction
+        FROM k"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

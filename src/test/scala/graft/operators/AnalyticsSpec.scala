@@ -410,6 +410,37 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains((2L, 2)))
   }
 
+  test("cupedAdjustedMeans: exactly-linear metric gives theta, rho2 = 1, " +
+      "and arm-identical adjusted means") {
+    val sp = spark; import sp.implicits._
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    // y = 3x + 5 exactly: the covariate explains ALL metric variance
+    val rows = (1L to 60L).flatMap { u =>
+      val x = (u % 10) + 1
+      Seq((u, pre, x), (u, post, 3 * x + 5))
+    }
+    val out = Analytics.cupedAdjustedMeans(
+      rows.toDF("user_id", "ts", "cents"), "user_id", "ts", "cents", cut)
+      .collect().head
+    assert(out.getLong(0) + out.getLong(1) === 60L)
+    assert(out.getDouble(2) === 3.0)                  // theta
+    assert(out.getDouble(7) === 1.0)                  // var_reduction
+    // adjusted means collapse to 3*xbar + 5 in BOTH arms
+    assert(math.abs(out.getDouble(5) - out.getDouble(6)) < 1e-8,
+      s"adj means ${out.getDouble(5)} vs ${out.getDouble(6)}")
+    // raw means generally differ across arms (the noise CUPED removes)
+    assert(out.getDouble(3) !== out.getDouble(4))
+    // constant covariate: theta undefined -> NULL
+    val const = (1L to 30L).flatMap(u =>
+      Seq((u, pre, 5L), (u, post, u % 3)))
+    val c = Analytics.cupedAdjustedMeans(
+      const.toDF("user_id", "ts", "cents"), "user_id", "ts", "cents", cut)
+      .collect().head
+    assert(c.isNullAt(2) && c.isNullAt(5))
+  }
+
   test("mannWhitneyU matches a midrank brute force over the same arms") {
     val sp = spark; import sp.implicits._
     def arm(u: Long): String = {
