@@ -642,6 +642,55 @@ object Dedup {
       }.toDF("doc_id", "mh")
   }
 
+  /** MinHash CALIBRATION report — the sketch-accuracy audit every LSH
+    * deployment owes its operators: for every LSH candidate pair, the
+    * MinHash similarity ESTIMATE (matching signature slots / k — the
+    * unbiased Jaccard estimator) next to the EXACT shingle Jaccard,
+    * with the absolute error. Reading this table tells you whether k
+    * is sized right for your dedup threshold BEFORE you trust the
+    * candidates at 100 TB (estimator std dev = sqrt(J(1−J)/k)).
+    *
+    * Shape: the banded candidate join bounds WHICH pairs are audited
+    * (never all-pairs); exact Jaccard comes from the postings
+    * equi-join restricted to those candidates; the slot-match count is
+    * a codegen zip_with over the two signatures. Every number is a
+    * deterministic single IEEE op (matches/k, the d02 jac division,
+    * one rounded abs). Output:
+    * `(id1, id2, matches, est, jac, abs_err)`. */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cands = minhashCandidates(df, idCol, textCol,
+      bucketCap = Int.MaxValue)
+    val sigs = minhashSignatures(df, idCol, textCol, k)
+      .localCheckpoint(true)
+    val inv = shinglePostings(df, idCol, textCol).localCheckpoint(true)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    val out = cands
+      .join(common, Seq("id1", "id2"), "left_outer")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(sizes.toDF("id1", "n1"), "id1")
+      .join(sizes.toDF("id2", "n2"), "id2")
+      .join(sigs.toDF("id1", "mh1"), "id1")
+      .join(sigs.toDF("id2", "mh2"), "id2")
+      .withColumn("matches",
+        expr("size(filter(zip_with(mh1, mh2, (x, y) -> x = y), b -> b))")
+          .cast("long"))
+      .withColumn("est", col("matches").cast("double") / k)
+      .withColumn("jac",
+        col("common") / (col("n1") + col("n2") - col("common")))
+      .withColumn("abs_err", round(abs(col("est") - col("jac")), 9))
+      .select(col("id1"), col("id2"), col("matches"), col("est"),
+        col("jac"), col("abs_err"))
+      .localCheckpoint(true)
+    inv.unpersist(); sigs.unpersist()
+    out
+  }
+
   /** Kernel SimHash (same math as [[simhash32]]): tokenize → distinct →
     * md5-derived 32-bit hash → per-bit majority vote. Pure map — no
     * shuffle. Emits (doc_id, simhash). */

@@ -9003,7 +9003,52 @@ object Queries {
             + 0.0 AS adj_mean_b,
           CASE WHEN vx = 0.0 OR vy = 0.0 THEN NULL
             ELSE round(cnum * cnum / (vx * vy), 9) END AS var_reduction
-        FROM k"""))
+        FROM k""")),
+
+    // ---- MinHash calibration: per LSH candidate pair, the k=16
+    //      signature estimate next to the exact shingle Jaccard — the
+    //      sketch-accuracy audit before trusting candidates at scale ----
+    QueryDef(
+      "d18_minhash_calibration",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .minhashCalibration(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+               FROM tok WHERE len(tk) >= 3),
+        mh AS (SELECT doc_id, list_transform(range(0,16),
+                j -> list_min(list_transform(sh, t -> md5(concat(j, ':', t))))) AS mh FROM sh),
+        bands AS (SELECT doc_id, b, array_to_string(mh[4*b+1:4*b+4], '|') AS key
+                  FROM mh, (SELECT unnest(range(0,4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        com AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(count(*) AS BIGINT) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        siz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        mm AS (SELECT c.id1, c.id2,
+                 CAST(len(list_filter(range(1, 17),
+                   j -> ma.mh[CAST(j AS INTEGER)] = mb.mh[CAST(j AS INTEGER)]))
+                   AS BIGINT) AS matches,
+                 COALESCE(com.common, CAST(0 AS BIGINT)) AS common
+               FROM cand c
+                 JOIN mh ma ON ma.doc_id = c.id1
+                 JOIN mh mb ON mb.doc_id = c.id2
+                 LEFT JOIN com ON com.id1 = c.id1 AND com.id2 = c.id2)
+        SELECT m.id1, m.id2, matches,
+          CAST(matches AS DOUBLE) / 16.0 AS est,
+          common / (s1.n + s2.n - common) AS jac,
+          round(abs(CAST(matches AS DOUBLE) / 16.0
+            - common / (s1.n + s2.n - common)), 9) AS abs_err
+        FROM mm m JOIN siz s1 ON m.id1 = s1.doc_id
+          JOIN siz s2 ON m.id2 = s2.doc_id
+        ORDER BY m.id1, m.id2"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

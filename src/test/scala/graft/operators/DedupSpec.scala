@@ -639,4 +639,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     prefix.unpersist(); inv.unpersist()
     assert(Dedup.prefixJaccardPairs(boiler, "doc_id", "text", 0.5).count() === 0L)
   }
+
+  test("minhashCalibration: identical docs estimate 1.0 exactly; " +
+      "estimates track exact Jaccard") {
+    val sp = spark; import sp.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // byte-identical pair
+      (3L, base + " lambda mu nu xi"),              // near-dup of 1/2
+      (4L, "one two three four five six seven")     // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // identical docs: every slot matches, est = jac = 1.0, error 0
+    val (m12, e12, j12, err12) = out((1L, 2L))
+    assert(m12 === 16L && e12 === 1.0 && j12 === 1.0 && err12 === 0.0)
+    // every audited pair: est = matches/16 exactly, err = |est - jac|
+    out.foreach { case (_, (m, e, j, err)) =>
+      assert(e === m.toDouble / 16.0)
+      assert(math.abs(err - math.abs(e - j)) < 1e-9)
+    }
+    // the unrelated doc shares no band with anyone
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
