@@ -161,7 +161,11 @@ object Bench {
     // q135 0.17s, t59/q134/m15/q138 ~0.3-1.2s. Post-close additions
     // (isolated RUNS=3): q139 0.88s (rank sums via the two-level
     // scan), q140 sub-second; both + q137 byte-stable across cpus
-    // 4/8/32 with AQE on/off (stability gate).
+    // 4/8/32 with AQE on/off (stability gate). FULL-BATTERY
+    // determinism gate (the t43-class preemption): all 256 queries
+    // byte-identical across Verify runs at cpus 4/8/32 with AQE off
+    // and forced on — zero unstable rows (d18, compiled mid-gate,
+    // confirmed separately across all four configurations).
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
