@@ -166,6 +166,13 @@ object Bench {
     // byte-identical across Verify runs at cpus 4/8/32 with AQE off
     // and forced on — zero unstable rows (d18, compiled mid-gate,
     // confirmed separately across all four configurations).
+    // Post-gate additions: d18 sub-second; q141 8.77s isolated (the
+    // honest 6-colors x 5-round-Luby cost contract — 6 full md5
+    // tournaments, each internally checkpointed per round, so per-job
+    // scheduling overhead dominates at sf0.1 exactly like the
+    // PageRank/Louvain family; (6,5) verified full-coverage at both
+    // SFs with one MIS round of margin). Both byte-stable across
+    // cpus 4/8/32 with AQE on/off.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY

@@ -2423,6 +2423,82 @@ object Graph {
     out
   }
 
+  /** Greedy DISTRIBUTED GRAPH COLORING (Jones–Plassmann via iterated
+    * Luby MIS): color c goes to a maximal independent set of the
+    * still-uncolored subgraph, then ONLY that set is removed (unlike
+    * [[lubyMis]]'s single-shot peel, knocked neighbors stay for later
+    * colors); uncolored-subgraph-isolated nodes take the current color
+    * too. PROPERNESS is unconditional — every color class is an
+    * independent set by construction, whatever the budgets — while the
+    * budgets bound COVERAGE: nodes uncolored after `colors` outer
+    * rounds emit NULL (the [[stronglyConnectedComponents]] fixed-budget
+    * contract, oracle in lockstep). The operator behind conflict-free
+    * parallel scheduling: same-color items can be updated/written in
+    * one wave with no lock.
+    *
+    * Scale shape: `colors` × [[lubyMis]] (each an md5-priority
+    * tournament of equi-joins + hash aggs), subgraph semi-join peels,
+    * empty-residue early exit — node/edge-sized frames throughout,
+    * checkpoint discipline as in the SCC loop. Output:
+    * `(node, color)`. */
+  def jpColoring(edges: DataFrame, srcCol: String, dstCol: String,
+      colors: Int = 6, misRounds: Int = 8): DataFrame = {
+    require(colors >= 1, "need at least one color")
+    require(misRounds >= 1, "need at least one MIS round")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes0 = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    var remaining = nodes0
+    var assigned: Option[DataFrame] = None
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var c = 0
+    while (c < colors) {
+      val subE = und
+        .join(remaining.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(remaining.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val graphNodes = subE.select(col("a").as("node"))
+        .unionAll(subE.select(col("b").as("node")))
+        .distinct().localCheckpoint(true)
+      val isolated = remaining.join(graphNodes, Seq("node"), "left_anti")
+      val mis = lubyMis(subE, "a", "b", misRounds)
+      val colored = mis.select(col("node")).unionAll(isolated)
+        .withColumn("color", lit(c.toLong))
+        .localCheckpoint(true)
+      val prevAssigned = assigned
+      assigned = Some(prevAssigned
+        .map(_.unionAll(colored).localCheckpoint(true)).getOrElse(colored))
+      prevAssigned.foreach(retired += _)
+      val prevRemaining = remaining
+      remaining = remaining
+        .join(colored.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (prevRemaining ne nodes0) retired += prevRemaining
+      retired += subE; retired += graphNodes; retired += mis
+      retired += colored
+      c += 1
+      if (remaining.isEmpty) c = colors
+    }
+    val out = assigned
+      .getOrElse(nodes0.select(col("node"),
+        lit(null).cast("long").as("color")).filter(lit(false)))
+      .unionAll(remaining.withColumn("color", lit(null).cast("long")))
+      .localCheckpoint(true)
+    assigned.foreach(retired += _)
+    if (remaining ne nodes0) retired += remaining
+    retired.foreach(_.unpersist())
+    und.unpersist(); nodes0.unpersist()
+    out
+  }
+
   /** LONGEST-PATH LEVELIZATION of a DAG — the topological layering
     * that schedules a dependency graph (level = the earliest parallel
     * wave a node can run in when every edge is a happens-before):

@@ -853,23 +853,80 @@ object Queries {
   /** The per-round w/k/u CTE blocks of the Luby tournament (expects
     * `adj (node, nbr)` and `u0 (node, prio)` already defined), plus the
     * winner-union subquery text. */
-  private def lubyRoundCtes(rounds: Int): (String, String) = {
+  private def lubyRoundCtes(rounds: Int,
+      pfx: String = ""): (String, String) = {
     val sb = new StringBuilder
     for (r <- 1 to rounds) sb.append(s""",
-    w$r AS MATERIALIZED (SELECT u.node FROM u${r - 1} u LEFT JOIN (
+    ${pfx}w$r AS MATERIALIZED (SELECT u.node FROM ${pfx}u${r - 1} u LEFT JOIN (
            SELECT a.node, max(x.prio) AS best
-           FROM adj a JOIN u${r - 1} x ON a.nbr = x.node GROUP BY a.node) nb
+           FROM ${pfx}adj a JOIN ${pfx}u${r - 1} x ON a.nbr = x.node
+           GROUP BY a.node) nb
          ON u.node = nb.node
          WHERE nb.best IS NULL OR u.prio > nb.best),
-    k$r AS (SELECT DISTINCT a.nbr AS node
-           FROM adj a JOIN w$r w ON a.node = w.node),
-    u$r AS MATERIALIZED (SELECT u.node, u.prio FROM u${r - 1} u
-           LEFT JOIN w$r w ON u.node = w.node
-           LEFT JOIN k$r k ON u.node = k.node
+    ${pfx}k$r AS (SELECT DISTINCT a.nbr AS node
+           FROM ${pfx}adj a JOIN ${pfx}w$r w ON a.node = w.node),
+    ${pfx}u$r AS MATERIALIZED (SELECT u.node, u.prio FROM ${pfx}u${r - 1} u
+           LEFT JOIN ${pfx}w$r w ON u.node = w.node
+           LEFT JOIN ${pfx}k$r k ON u.node = k.node
            WHERE w.node IS NULL AND k.node IS NULL)""")
-    val unions = (1 to rounds).map(r => s"SELECT node FROM w$r")
+    val unions = (1 to rounds).map(r => s"SELECT node FROM ${pfx}w$r")
       .mkString("\n    UNION ALL\n    ")
     (sb.toString, unions)
+  }
+
+  /** q141 oracle: Jones–Plassmann coloring in lockstep — per color, a
+    * full Luby tournament (prefixed CTEs) on the uncolored subgraph of
+    * the q133 graph, winners ∪ subgraph-isolated nodes take the color,
+    * ONLY they peel; uncolored residue after the budget emits NULL. */
+  /** The q141 edge derivation: the sparser mod-397 variant of the
+    * q133 graph (the dense mod-197 graph needs far more than 6 colors
+    * at sf0.1; this one fully colors at both SFs with (6, 5) —
+    * verified against the simulation harness, one MIS round of
+    * margin over the measured need). */
+  private val coloringEdgesSql: String =
+    """SELECT DISTINCT src, dst FROM (
+      SELECT l_partkey % 100 AS src, l_suppkey % 100 + 100 AS dst
+        FROM lineitem WHERE l_orderkey % 397 = 0
+      UNION ALL
+      SELECT l_suppkey % 100 + 100 AS src, (l_partkey + 37) % 100 AS dst
+        FROM lineitem WHERE l_orderkey % 397 = 3)"""
+
+  private def jpColoringOracleSql(colors: Int, misRounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED ($coloringEdgesSql),
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+      greatest(src, dst) AS b FROM e WHERE src <> dst),
+    cr0 AS MATERIALIZED (SELECT DISTINCT node FROM
+      (SELECT a AS node FROM und UNION ALL SELECT b FROM und))"""
+    val assigned = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rem = "cr0"
+    for (o <- 1 to colors) {
+      val p = s"c${o}_"
+      val (roundCtes, unions) = lubyRoundCtes(misRounds, p)
+      sb ++= s""",
+    ${p}s AS MATERIALIZED (SELECT und.a, und.b FROM und
+      JOIN $rem x ON und.a = x.node JOIN $rem y ON und.b = y.node),
+    ${p}adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM ${p}s
+      UNION ALL SELECT b, a FROM ${p}s),
+    ${p}u0 AS MATERIALIZED (SELECT DISTINCT node,
+      md5(CAST(node AS VARCHAR)) AS prio FROM ${p}adj)$roundCtes,
+    ${p}a AS MATERIALIZED (SELECT node, CAST(${o - 1} AS BIGINT) AS color
+      FROM ($unions
+      UNION ALL
+      SELECT node FROM $rem
+      WHERE node NOT IN (SELECT node FROM ${p}adj))),
+    ${p}r AS MATERIALIZED (SELECT node FROM $rem
+      WHERE node NOT IN (SELECT node FROM ${p}a))"""
+      assigned += s"${p}a"
+      rem = s"${p}r"
+    }
+    sb ++= s"""
+    SELECT node, color FROM (
+      ${assigned.map(a => s"SELECT node, color FROM $a")
+        .mkString("\n      UNION ALL ")}
+      UNION ALL SELECT node, CAST(NULL AS BIGINT) AS color FROM $rem)
+    ORDER BY node"""
+    sb.toString
   }
 
   private def lubyOracleSql(rounds: Int): String = {
@@ -9048,7 +9105,28 @@ object Queries {
             - common / (s1.n + s2.n - common)), 9) AS abs_err
         FROM mm m JOIN siz s1 ON m.id1 = s1.doc_id
           JOIN siz s2 ON m.id2 = s2.doc_id
-        ORDER BY m.id1, m.id2"""))
+        ORDER BY m.id1, m.id2""")),
+
+    // ---- Jones-Plassmann graph coloring: 6 colors x 5-round Luby
+    //      MIS waves on the sparse two-arm graph — conflict-free
+    //      parallel-update scheduling; properness unconditional,
+    //      coverage bounded by the lockstep budget ----
+    QueryDef(
+      "q141_jp_coloring",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val edges = li.filter($"l_orderkey" % 397 === 0)
+          .select(($"l_partkey" % 100).as("src"),
+            ($"l_suppkey" % 100 + 100L).as("dst"))
+          .unionAll(li.filter($"l_orderkey" % 397 === 3)
+            .select(($"l_suppkey" % 100 + 100L).as("src"),
+              (($"l_partkey" + 37) % 100).as("dst")))
+        graft.operators.Graph.jpColoring(edges, "src", "dst",
+            colors = 6, misRounds = 5)
+          .orderBy($"node")
+      },
+      Some(jpColoringOracleSql(colors = 6, misRounds = 5)))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1106,6 +1106,44 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map((1L, 10L) -> 2L, (1L, 20L) -> 1L))
   }
 
+  test("jpColoring: proper coloring, isolated nodes colored, " +
+      "budget residue is NULL never improper") {
+    val sp = spark; import sp.implicits._
+    // K4 (needs 4 colors) + a path + an isolated pair via self-dup edge
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    val out = Graph.jpColoring(edges.toDF("src", "dst"), "src", "dst",
+        colors = 5, misRounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // every node colored within budget
+    assert(out.values.forall(_ >= 0L), out.toString)
+    // properness: no edge joins equal colors
+    edges.foreach { case (a, b) =>
+      assert(out(a) !== out(b), s"edge ($a,$b) monochrome: $out")
+    }
+    // K4 consumes 4 distinct colors
+    assert((1L to 4L).map(out).toSet.size === 4)
+    // under-budget: 2 colors cannot finish K4; leftovers NULL, and the
+    // colored subset is STILL proper
+    val tight = Graph.jpColoring(edges.toDF("src", "dst"), "src", "dst",
+        colors = 2, misRounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tight.values.exists(_ == -1L))
+    edges.foreach { case (a, b) =>
+      if (tight(a) >= 0 && tight(b) >= 0)
+        assert(tight(a) !== tight(b))
+    }
+    // determinism under reshuffle
+    val again = Graph.jpColoring(
+      edges.toDF("src", "dst").repartition(7), "src", "dst",
+      colors = 5, misRounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(again === out)
+  }
+
   test("dagLevels: longest-path layering; diamond takes the longer arm") {
     val sp = spark; import sp.implicits._
     // diamond with a long arm: 1->2->3->5, 1->4->5; 5 sits at level 3
