@@ -173,6 +173,11 @@ object Bench {
     // PageRank/Louvain family; (6,5) verified full-coverage at both
     // SFs with one MIS round of margin). Both byte-stable across
     // cpus 4/8/32 with AQE on/off.
+    // Round-12 FINAL gates (fourth session close): sbt test 831/831
+    // green (37 suites, 27:14), Verify->DuckDB 257/257 at sf0.01
+    // (9:52 on a quiet machine at cpus=16). Battery grew 214 -> 257
+    // this round (43 new oracle queries), every one green on first or
+    // second compare and byte-stable across cpus/AQE.
     // Round-11 s18 tuning (isolated RUNS=8 warm floors at sf0.1):
     // 10.41s as first landed -> 4.99s after nswKnnOn checkpoints the
     // graph once (it was lazy and its whole build re-executed in EVERY
