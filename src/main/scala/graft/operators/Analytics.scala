@@ -1113,17 +1113,28 @@ object Analytics {
       .withColumn("_graft_arm",
         when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
           16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
-    val arms = units.groupBy(col("_graft_arm"))
-      .agg(count(lit(1)).as("n"), sum(col("_graft_conv")).as("c"))
-    val a = arms.filter(col("_graft_arm") === "a")
-      .select(col("n").as("n_a"), col("c").as("conv_a"))
-    val b = arms.filter(col("_graft_arm") === "b")
-      .select(col("n").as("n_b"), col("c").as("conv_b"))
-    a.crossJoin(b)
-      .withColumn("rate_a", round(col("conv_a").cast("double") /
-        col("n_a").cast("double"), 9))
-      .withColumn("rate_b", round(col("conv_b").cast("double") /
-        col("n_b").cast("double"), 9))
+    // ONE conditional aggregate, not per-arm filters cross-joined: a
+    // global agg emits exactly one row even when an arm (or the whole
+    // input) is empty — the documented one-row contract — and costs one
+    // shuffle less than the filter+crossJoin shape
+    units.agg(
+        coalesce(sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)),
+          lit(0L)).as("n_b"),
+        coalesce(sum(when(col("_graft_arm") === "a", col("_graft_conv"))
+          .otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("_graft_arm") === "b", col("_graft_conv"))
+          .otherwise(0L)), lit(0L)).as("conv_b"))
+      // empty-arm rates are NULL (0/0 would be an engine-repr'd NaN)
+      .withColumn("rate_a", when(col("n_a") === 0L,
+        lit(null).cast("double")).otherwise(
+        round(col("conv_a").cast("double") /
+          col("n_a").cast("double"), 9)))
+      .withColumn("rate_b", when(col("n_b") === 0L,
+        lit(null).cast("double")).otherwise(
+        round(col("conv_b").cast("double") /
+          col("n_b").cast("double"), 9)))
       .withColumn("_graft_p",
         (col("conv_a") + col("conv_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double"))
@@ -1186,23 +1197,30 @@ object Analytics {
       .withColumn("_graft_arm",
         when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
           16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
-    val moments = units.agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(d19)).as("sx"),
-      sum(col("y").cast(d19)).as("sy"),
-      sum(col("x").cast(d19) * col("x")).as("sxx"),
-      sum(col("y").cast(d19) * col("y")).as("syy"),
-      sum(col("x").cast(d19) * col("y")).as("sxy"))
-    val arms = units.groupBy(col("_graft_arm"))
-      .agg(count(lit(1)).as("na"), sum(col("x").cast(d19)).as("ax"),
-        sum(col("y").cast(d19)).as("ay"))
-    val a = arms.filter(col("_graft_arm") === "a")
-      .select(col("na").as("n_a"), col("ax").as("sx_a"),
-        col("ay").as("sy_a"))
-    val b = arms.filter(col("_graft_arm") === "b")
-      .select(col("na").as("n_b"), col("ax").as("sx_b"),
-        col("ay").as("sy_b"))
-    moments.crossJoin(a).crossJoin(b)
+    // ONE conditional aggregate (global moments + per-arm sums in the
+    // same pass), not per-arm filters cross-joined: a global agg emits
+    // exactly one row even when an arm (or the whole input) is empty —
+    // the documented one-row contract — and folds three shuffles into
+    // one partial-combining agg
+    units.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d19)).as("sx"),
+        sum(col("y").cast(d19)).as("sy"),
+        sum(col("x").cast(d19) * col("x")).as("sxx"),
+        sum(col("y").cast(d19) * col("y")).as("syy"),
+        sum(col("x").cast(d19) * col("y")).as("sxy"),
+        coalesce(sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        sum(when(col("_graft_arm") === "a", col("x")).otherwise(0L)
+          .cast(d19)).as("sx_a"),
+        sum(when(col("_graft_arm") === "a", col("y")).otherwise(0L)
+          .cast(d19)).as("sy_a"),
+        coalesce(sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)),
+          lit(0L)).as("n_b"),
+        sum(when(col("_graft_arm") === "b", col("x")).otherwise(0L)
+          .cast(d19)).as("sx_b"),
+        sum(when(col("_graft_arm") === "b", col("y")).otherwise(0L)
+          .cast(d19)).as("sy_b"))
       // second moments combine in DOUBLE over the exact DECIMAL sums —
       // a fixed-order chain both engines replay (a 38-wide decimal
       // cannot multiply again under DuckDB's width-38 cap)
@@ -1220,18 +1238,25 @@ object Analytics {
           .otherwise(round(col("_cnum") / col("_vx"), 9)))
       .withColumn("_xbar",
         col("sx").cast("double") / col("n").cast("double"))
-      .withColumn("mean_a", round(col("sy_a").cast("double") /
-        col("n_a").cast("double"), 9))
-      .withColumn("mean_b", round(col("sy_b").cast("double") /
-        col("n_b").cast("double"), 9))
-      .withColumn("adj_mean_a",
+      // empty-arm means are NULL (0/0 would be an engine-repr'd NaN)
+      .withColumn("mean_a", when(col("n_a") === 0L,
+        lit(null).cast("double")).otherwise(
+        round(col("sy_a").cast("double") /
+          col("n_a").cast("double"), 9)))
+      .withColumn("mean_b", when(col("n_b") === 0L,
+        lit(null).cast("double")).otherwise(
+        round(col("sy_b").cast("double") /
+          col("n_b").cast("double"), 9)))
+      .withColumn("adj_mean_a", when(col("n_a") === 0L,
+        lit(null).cast("double")).otherwise(
         round(col("sy_a").cast("double") / col("n_a").cast("double") -
           col("theta") * (col("sx_a").cast("double") /
-            col("n_a").cast("double") - col("_xbar")), 9))
-      .withColumn("adj_mean_b",
+            col("n_a").cast("double") - col("_xbar")), 9)))
+      .withColumn("adj_mean_b", when(col("n_b") === 0L,
+        lit(null).cast("double")).otherwise(
         round(col("sy_b").cast("double") / col("n_b").cast("double") -
           col("theta") * (col("sx_b").cast("double") /
-            col("n_b").cast("double") - col("_xbar")), 9))
+            col("n_b").cast("double") - col("_xbar")), 9)))
       .withColumn("var_reduction",
         when(col("_vx") === 0.0 || col("_vy") === 0.0,
           lit(null).cast("double"))
@@ -1401,8 +1426,16 @@ object Analytics {
     * event-count series (the moving-average STL-lite every monitoring
     * stack runs before alerting on "trend" or "seasonality"):
     *
-    *   trend_t    = centered `period`-day moving average (full windows
-    *                only — edge days emit NULL trend/resid)
+    *   trend_t    = centered `period`-row moving average over the
+    *                key's OBSERVED days in date order (full windows
+    *                only — edge days emit NULL trend/resid). NOTE:
+    *                this is a ROWS window, not a calendar window — a
+    *                key with gap days averages its non-contiguous
+    *                observed rows, and the weekday slot below indexes
+    *                the calendar day, not the row. For strict
+    *                calendar-period semantics densify each key first
+    *                with [[gapFillDaily]] (zero-filled days then make
+    *                ROWS ≡ calendar) and decompose the result.
     *   seasonal_s = per-(key, weekday-slot) mean of (x − trend),
     *                centered so the indices sum to ~0 per key
     *   resid_t    = x − trend − seasonal

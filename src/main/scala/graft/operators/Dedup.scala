@@ -658,9 +658,13 @@ object Dedup {
     * one rounded abs). Output:
     * `(id1, id2, matches, est, jac, abs_err)`. */
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val cands = minhashCandidates(df, idCol, textCol,
+      k: Int = 16, r: Int = 4): DataFrame = {
+    require(k >= 1 && r >= 1 && k % r == 0,
+      "k must be a positive multiple of the band width r")
+    // the audited candidate set comes from the SAME (k, r) sketch as the
+    // signatures being calibrated — auditing k=32 signatures against
+    // k=16 candidates would score one sketch with another's pairs
+    val cands = minhashCandidates(df, idCol, textCol, k, r,
       bucketCap = Int.MaxValue)
     val sigs = minhashSignatures(df, idCol, textCol, k)
       .localCheckpoint(true)

@@ -2440,11 +2440,20 @@ object Graph {
     * tournament of equi-joins + hash aggs), subgraph semi-join peels,
     * empty-residue early exit — node/edge-sized frames throughout,
     * checkpoint discipline as in the SCC loop. Output:
-    * `(node, color)`. */
+    * `(node, color)` — TOTAL over the edge list's nodes: a node whose
+    * only incident edges are self-loops is adjacent to itself and so
+    * inherently uncolorable; it is emitted with NULL color (the same
+    * NULL-coverage contract as budget-uncolored residue), never
+    * silently dropped. */
   def jpColoring(edges: DataFrame, srcCol: String, dstCol: String,
       colors: Int = 6, misRounds: Int = 8): DataFrame = {
     require(colors >= 1, "need at least one color")
     require(misRounds >= 1, "need at least one MIS round")
+    val rawNodes = edges
+      .select(explode(array(col(srcCol).cast("long"),
+        col(dstCol).cast("long"))).as("node"))
+      .filter(col("node").isNotNull)
+      .distinct().localCheckpoint(true)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
@@ -2487,15 +2496,19 @@ object Graph {
       c += 1
       if (remaining.isEmpty) c = colors
     }
+    // self-loop-only nodes: in the edge list but not in the self-loop-
+    // free undirected graph — inherently uncolorable, emitted NULL
+    val selfLoopOnly = rawNodes.join(nodes0, Seq("node"), "left_anti")
     val out = assigned
       .getOrElse(nodes0.select(col("node"),
         lit(null).cast("long").as("color")).filter(lit(false)))
       .unionAll(remaining.withColumn("color", lit(null).cast("long")))
+      .unionAll(selfLoopOnly.withColumn("color", lit(null).cast("long")))
       .localCheckpoint(true)
     assigned.foreach(retired += _)
     if (remaining ne nodes0) retired += remaining
     retired.foreach(_.unpersist())
-    und.unpersist(); nodes0.unpersist()
+    und.unpersist(); nodes0.unpersist(); rawNodes.unpersist()
     out
   }
 

@@ -2171,8 +2171,11 @@ object TextAnalysis {
     val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val total = perDoc.agg(sum(col("n_tokens"))).collect().head.getLong(0)
-    val cap = (total + nShards - 1) / nShards
+    // sum() over zero rows is NULL: an empty (or all-zero-token) corpus
+    // must yield an empty shard table, not an NPE / div-by-zero cap
+    val totalRow = perDoc.agg(sum(col("n_tokens"))).collect().head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val cap = math.max(1L, (total + nShards - 1) / nShards)
     Analytics.withPrefixSum(perDoc, "doc_id", "n_tokens", "cum_before",
         bucketSize)
       .select(col("doc_id"), col("n_tokens"), col("cum_before"),

@@ -894,6 +894,9 @@ object Queries {
   private def jpColoringOracleSql(colors: Int, misRounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS MATERIALIZED ($coloringEdgesSql),
+    rawn AS MATERIALIZED (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      WHERE node IS NOT NULL),
     und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
       greatest(src, dst) AS b FROM e WHERE src <> dst),
     cr0 AS MATERIALIZED (SELECT DISTINCT node FROM
@@ -924,7 +927,9 @@ object Queries {
     SELECT node, color FROM (
       ${assigned.map(a => s"SELECT node, color FROM $a")
         .mkString("\n      UNION ALL ")}
-      UNION ALL SELECT node, CAST(NULL AS BIGINT) AS color FROM $rem)
+      UNION ALL SELECT node, CAST(NULL AS BIGINT) AS color FROM $rem
+      UNION ALL SELECT node, CAST(NULL AS BIGINT) AS color FROM rawn
+      WHERE node NOT IN (SELECT node FROM cr0))
     ORDER BY node"""
     sb.toString
   }
