@@ -188,6 +188,37 @@ object Bench {
     // all s/d oracles re-verified hash-equal). Stage profile at sf0.1:
     // graph build 3.9s -> 1.25s warm, search rounds=3 ~1.8s (job
     // scheduling on 3 eager per-round checkpoints dominates).
+    // Round-13 adjudication of the round-12 +9% shared-suite drift
+    // (r12 verdict item 2; isolated RUNS=8 PASSES=1 warm floors at
+    // sf0.1, quiet machine for the flagged four): q103 2.38s (r11
+    // isolated 2.18 — +9%, inside the co-tenancy spread; its r12
+    // in-suite 2.89 was interference), q106 2.71s (BELOW its r11
+    // isolated 2.78), q100 2.93s (at its r11 in-suite 2.85),
+    // d10 1.35s (at its r11 in-suite 1.27). The six others flagged
+    // >=1.33x: t08 0.63s, t18 1.79s, t32 2.22s, q111 2.99s (below its
+    // r11 in-suite 3.06), q107 3.78s (below its r11 isolated 3.93),
+    // t25 4.50s quiet-isolated (its r12 in-suite 4.94 is within 10%
+    // of this floor — no interference signal; the floor itself moved
+    // up from r10's 3.56 with corpus regeneration, the documented
+    // data-growth class, code untouched since r10). Verdict: zero
+    // code regressions; the r12 drift was suite interference from the
+    // 43 added queries, consistent with every prior round's pattern.
+    // MEMO ORDER-COUPLING (read before comparing per-query numbers
+    // across rounds): three query pairs share a process-scoped parquet
+    // memo — q102/q104 (Louvain phase-1), q135/q136 (SCC condensation),
+    // and from round 13 t50/t51 (unigram-LM round-1 vocab). Whichever
+    // of a pair runs FIRST in a session pays the one-time
+    // materialization during its warm-up attempt; the other reads the
+    // memo. Their per-query numbers are therefore order-dependent BY
+    // DESIGN: a q104-before-q102 (or t51-before-t50) run would shift
+    // cost between the pair without any code change. Compare the
+    // PAIR SUM across rounds, not the members.
+    // Round-13 t50/t51 memo result (isolated RUNS=8 PASSES=1 warm
+    // floors at sf0.1): t50 4.87s + t51 4.67s = 9.54s combined — from
+    // 9.7s + 10.9s = 20.5s in-suite r12 (the r12 verdict item 3 target
+    // was <12s combined); oracle hashes and canon fingerprints
+    // unchanged (t50 resumes round 2 from the memoized round-1 state,
+    // byte-identical by construction).
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -312,16 +343,97 @@ object Bench {
         System.err.println(s"[bench] cell-index files-read failed: ${ex.getMessage}"); ""
       }
     }
+    val smallSf = "/root/testdata/sf0.01"
+    // Stored-index BUILD vs SERVE phase split for the delete+serve
+    // queries (r12 verdict item 4): s23/s24's suite numbers time
+    // build + tombstone write + serve as ONE query, so a serving-path
+    // regression hides inside the dominant build cost. Here each phase
+    // is timed separately at this SF — and again at sf0.01 for the
+    // scale trend — with serve the min of two attempts (the file-pruned
+    // read path is what a deployment exercises per query; the build is
+    // a once-per-index cost). Parameters mirror the s23/s24 QueryDefs.
+    val storedPhases = {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val S = graft.operators.Similarity
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def serveMin(f: => org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map(_ => timed(
+          f.write.mode("overwrite").format("noop").save())).min
+      def phases(dir: String): Seq[(String, Double)] = {
+        val e = graft.queries.Queries.t(spark, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-bench-stored").toString
+        try {
+          val cents = e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").cast("long"), col("embedding"))
+            .orderBy(col("vec_id")).as[(Long, Array[Float])].collect()
+          val bounds = S.sq8Bounds(e, "embedding")
+          val out23 = s"$tmp/ivf_sq8_del"
+          val b23 = timed(S.writeCellIndex(S.ivfSq8Index(e, cents, bounds),
+            out23, numFiles = 8, zoneCols = Seq("vec_id")))
+          val dels23 = e.filter(col("vec_id") % 7 === 3 &&
+              col("vec_id") >= 10)
+            .select(col("vec_id").cast("long")).as[Long].collect().sorted
+          val d23 = timed(
+            S.writeCellTombstones(spark, out23, dels23.toIndexedSeq))
+          val probes = math.max(4,
+            math.ceil(S.IvfAutoProbeFraction * cents.length).toInt)
+          val v23 = serveMin(S.ivfSq8KnnFromStoredIndex(
+            e.filter(col("vec_id") < 10), out23, e, 3, probes, cents,
+            bounds))
+          val out24 = s"$tmp/hnsw_del"
+          val b24 = timed(S.writeHnswIndex(e, out24, numFiles = 8, m = 8,
+            levelBase = 4, maxLevel = 2, entryQuota = 1))
+          val dels24 = e.filter(col("vec_id") % 9 === 4 &&
+              col("vec_id") >= 10)
+            .select(col("vec_id").cast("long")).as[Long].collect().sorted
+          val d24 = timed(
+            S.writeGraphTombstones(spark, out24, dels24.toIndexedSeq))
+          val v24 = serveMin(S.hnswKnnStored(e.filter(col("vec_id") < 10),
+            e, out24, 3, beam = 8, roundsPerLayer = 1, baseRounds = 3,
+            maxLevel = 2))
+          Seq("s23_build" -> b23, "s23_delete" -> d23, "s23_serve" -> v23,
+            "s24_build" -> b24, "s24_delete" -> d24, "s24_serve" -> v24)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+      try {
+        val big = phases(sfDir)
+        sweep()
+        val small = if (new java.io.File(smallSf).isDirectory)
+          phases(smallSf).map { case (k, v) => (k + "_sf001", v) }
+          else Nil
+        sweep()
+        val entries = (big ++ small).map { case (k, v) => s""""$k":$v""" }
+        s""","stored_index":${entries.mkString("{", ",", "}")}"""
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(
+          s"[bench] stored-index phases failed: ${ex.getMessage}"); ""
+      }
+    }
     // Scale-trend record for the iterative graph family (the ANN-recall
-    // discipline applied to runtime): the same five queries timed at
+    // discipline applied to runtime): the same queries timed at
     // sf0.01 next to their sf0.1 suite numbers, so a superlinear
     // round cost shows up in the round record as a ratio far above the
     // ~10x data growth, not as a surprise at the next SF. Two attempts,
     // min, measured after the suite (same harness, swept session).
+    // Round-13 extension (r12 verdict item 5): the non-graph heavy
+    // queries join the record — t50/t51 (unigram EM + encode; their
+    // shared-memo coupling is documented above), q137 (64-replicate
+    // bootstrap), q141 (colors x misRounds coloring). s24's serve phase
+    // is in the stored_index block above, which times it at both SFs.
     val trendNames = Seq("q102_louvain", "q104_louvain_coarse",
       "q107_betweenness", "q108_hll_reach", "q110_neighborhood_fn",
-      "q133_scc")
-    val smallSf = "/root/testdata/sf0.01"
+      "q133_scc", "t50_unigram_lm", "t51_unigram_encode",
+      "q137_bootstrap_ci", "q141_jp_coloring")
     val scaleTrend =
       if (!new java.io.File(smallSf).isDirectory) ""
       else {
@@ -345,7 +457,7 @@ object Bench {
         if (entries.isEmpty) ""
         else s""","scale_trend":${entries.mkString("{", ",", "}")}"""
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc$filesRead$scaleTrend,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rc$filesRead$storedPhases$scaleTrend,"sf":"$sfDir"}"""
     // Full JSON both on stdout and in a file, then the headline total on its
     // own LAST line: a tail-truncated capture still recovers the total, and
     // the file recovers everything.

@@ -2560,4 +2560,115 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** BORŮVKA MINIMUM SPANNING FOREST over a weighted undirected edge
+    * list — the distributed MST algorithm (Borůvka 1926; the shape
+    * every parallel-graph library ships because each round is pure
+    * equi-joins + hash aggs, no priority queue): each round, every
+    * component selects its minimum outgoing edge under the TOTAL order
+    * `(weight, a, b)` (lexicographic — refines the weight order, so
+    * the result is THE unique spanning forest Kruskal would emit under
+    * the same order, deterministic even with duplicate weights), the
+    * selected edges join the forest, and touched components merge.
+    *
+    * Correctness under the round budget: every emitted edge is a true
+    * MSF edge by the cut property (it is the minimum edge leaving its
+    * component), unconditionally — the budget bounds COMPLETENESS
+    * only. Components at least halve each round (every live component
+    * selects an edge), so `rounds` ≥ log2(initial components) yields
+    * the complete forest; an under-budget run emits a correct partial
+    * forest (the [[stronglyConnectedComponents]] fixed-budget
+    * contract). The loop exits early when no cross-component edge
+    * remains.
+    *
+    * Shape per round: two label equi-joins + one min-struct hash agg
+    * (map-side combining) to pick bids, then contraction as
+    * connected components over the COMPONENT-level selected edges —
+    * a frame with one row per merging component, never the data —
+    * via the pointer-jumping [[Dedup.duplicateClusters]] loop. Edge
+    * dedup keeps the MIN weight per (a, b) pair. Output:
+    * `(src, dst, weight, added_round)`, src < dst. */
+  def minimumSpanningForest(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, rounds: Int = 8,
+      ccIter: Int = 20): DataFrame = {
+    require(rounds >= 1, "need at least one Borůvka round")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("w").isNotNull && col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val sp = e.sparkSession
+    var comp = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct().withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var forest: Option[DataFrame] = None
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val withComps = e
+        .join(comp.select(col("node").as("a"),
+          col("component").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"),
+          col("component").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .localCheckpoint(true)
+      val bids = withComps
+        .select(col("ca").as("c"), col("w"), col("a"), col("b"))
+        .unionAll(withComps
+          .select(col("cb").as("c"), col("w"), col("a"), col("b")))
+      val sel = bids.groupBy(col("c"))
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"),
+          col("m.w").as("w"))
+        .distinct()
+        .withColumn("added_round", lit(r.toLong))
+        .localCheckpoint(true)
+      retired += withComps
+      if (sel.isEmpty) { done = true; retired += sel }
+      else {
+        val prevForest = forest
+        forest = Some(prevForest
+          .map(_.unionAll(sel).localCheckpoint(true)).getOrElse(sel))
+        prevForest.foreach(retired += _)
+        if (prevForest.isDefined) retired += sel
+        // contraction on the COMPONENT graph: one row per merge edge
+        val compEdges = sel
+          .join(comp.select(col("node").as("a"),
+            col("component").as("ca")), Seq("a"))
+          .join(comp.select(col("node").as("b"),
+            col("component").as("cb")), Seq("b"))
+          .select(col("ca").as("id1"), col("cb").as("id2"))
+        val merged = Dedup.duplicateClusters(compEdges, "id1", "id2",
+            ccIter)
+          .select(col("doc_id").as("component"),
+            col("cluster_id").as("_graft_new"))
+        val prevComp = comp
+        comp = comp.join(merged, Seq("component"), "left_outer")
+          .select(col("node"),
+            coalesce(col("_graft_new"), col("component"))
+              .as("component"))
+          .localCheckpoint(true)
+        retired += prevComp; retired += merged
+      }
+      r += 1
+    }
+    val out = forest
+      .getOrElse {
+        import sp.implicits._
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("a", "b", "w", "added_round")
+      }
+      .select(col("a").as("src"), col("b").as("dst"),
+        col("w").as("weight"), col("added_round"))
+      .localCheckpoint(true)
+    forest.foreach(f => if (!retired.exists(_ eq f)) retired += f)
+    retired.foreach(_.unpersist())
+    comp.unpersist(); e.unpersist()
+    out
+  }
 }

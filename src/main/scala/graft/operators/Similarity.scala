@@ -1408,6 +1408,32 @@ object Similarity {
       .parquet(s"$path/$TombstoneDir")
   }
 
+  /** [[writeCellTombstones]] with a DISTRIBUTED delete feed: the single
+    * id column of `ids` is appended to the sidecar directly, so the
+    * delete set never round-trips the driver — a CDC stream's deletes
+    * ingest at cluster width instead of through a `Seq[Long]`. Sidecar
+    * format is identical to the Seq path (one nullable-stripped LONG
+    * column named `idCol`; spec-pinned read-equivalent), duplicates
+    * are still deduplicated at read, and [[MaxTombstones]] still
+    * bounds SERVING — only the ingest is unbounded; compaction
+    * ([[compactCellIndex]] / graph rebuild) remains the reclamation
+    * path when the sidecar outgrows the cap. An empty feed appends an
+    * empty file — a harmless no-op at read. */
+  def writeCellTombstones(path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    require(ids.columns.length == 1,
+      s"delete feed must be exactly one id column, got " +
+        ids.columns.mkString("(", ",", ")"))
+    ids.select(col(ids.columns.head).cast("long").as(idCol))
+      .filter(col(idCol).isNotNull)
+      .write.mode("append").parquet(s"$path/$TombstoneDir")
+  }
+
+  /** [[writeCellTombstones]] DataFrame overload with the default
+    * `vec_id` sidecar column. */
+  def writeCellTombstones(path: String, ids: DataFrame): Unit =
+    writeCellTombstones(path, ids, "vec_id")
+
   /** The layout's tombstoned ids (deduplicated), empty when the sidecar
     * does not exist; loud above [[MaxTombstones]]. */
   def readCellTombstoneIds(spark: SparkSession, path: String,
@@ -1750,6 +1776,12 @@ object Similarity {
   def writeGraphTombstones(spark: SparkSession, path: String,
       ids: Seq[Long]): Unit =
     writeCellTombstones(spark, path, ids, "node_id")
+
+  /** [[writeGraphTombstones]] with a DISTRIBUTED delete feed — the
+    * graph-index mirror of the [[writeCellTombstones]] DataFrame
+    * overload (same no-driver-round-trip contract). */
+  def writeGraphTombstones(path: String, ids: DataFrame): Unit =
+    writeCellTombstones(path, ids, "node_id")
 
   /** Round-to-round reader cache for a stored [[writeCellIndex]] graph
     * layout: the min/max manifest is collected ONCE (not per expansion

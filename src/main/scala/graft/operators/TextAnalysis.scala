@@ -914,10 +914,18 @@ object TextAnalysis {
     * discipline); driver traffic is one (total, count) scalar pair
     * per round. Words longer than `maxWordLen` are excluded from
     * training (the dfCap convention: a documented coverage cap, loud
-    * in the scaladoc rather than a silent wrong answer). */
+    * in the scaladoc rather than a silent wrong answer).
+    *
+    * `initVocab`: resume training from a previous run's `(piece, freq)`
+    * state instead of the frequency-seeded vocabulary. Training from
+    * `initVocab` = round-r output for `emRounds` more rounds is
+    * byte-identical to one `emRounds = r + emRounds` run (each round's
+    * inputs are exactly the (piece, freq) table — nothing else carries
+    * over), which is what lets a battery memoize the shared EM prefix
+    * of its train and encode queries. */
   def unigramLmVocab(df: DataFrame, textCol: String, vocabMulti: Int = 64,
       maxPieceLen: Int = 4, maxWordLen: Int = 12,
-      emRounds: Int = 2): DataFrame = {
+      emRounds: Int = 2, initVocab: Option[DataFrame] = None): DataFrame = {
     require(vocabMulti >= 0, "vocabMulti must be non-negative")
     require(maxPieceLen >= 1, "maxPieceLen must be positive")
     require(maxWordLen >= 1, "maxWordLen must be positive")
@@ -928,12 +936,18 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val occAll = unigramOccAll(words, maxPieceLen).localCheckpoint(true)
-    val f0 = occAll.groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
     // TakeOrdered top-k (q18 discipline) — never a global window
-    var vocab = f0.filter(length(col("piece")) === 1)
-      .unionAll(f0.filter(length(col("piece")) > 1)
-        .orderBy(col("freq").desc, col("piece")).limit(vocabMulti))
-      .localCheckpoint(true)
+    var vocab = initVocab match {
+      case Some(iv) => iv.select(col("piece"), col("freq"))
+        .localCheckpoint(true)
+      case None =>
+        val f0 = occAll.groupBy(col("piece"))
+          .agg(sum(col("cnt")).as("freq"))
+        f0.filter(length(col("piece")) === 1)
+          .unionAll(f0.filter(length(col("piece")) > 1)
+            .orderBy(col("freq").desc, col("piece")).limit(vocabMulti))
+          .localCheckpoint(true)
+    }
     var finalTot = 0L; var finalV = 0L
     for (_ <- 1 to emRounds) {
       val tv = vocab.agg(coalesce(sum(col("freq")), lit(0L)),

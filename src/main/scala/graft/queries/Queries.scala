@@ -152,6 +152,31 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** Process-scoped materialization of the t50/t51 shared unigram-LM
+    * EM prefix (the [[louvainPartsPhase1]] materialized-view pattern):
+    * t51 encodes with exactly the 1-EM-round vocab, and t50's 2-round
+    * training passes through that same state after its first round —
+    * so the battery pays the 12-level Viterbi DP of round 1 ONCE. t50
+    * resumes from the memo via [[graft.operators.TextAnalysis
+    * .unigramLmVocab]]'s `initVocab` hook (byte-identical to training
+    * 2 rounds from scratch — each round's only carried state is the
+    * (piece, freq) table, which is what the memo stores); t51 reads
+    * the memoized vocab directly. Vocabulary-sized parquet (~300 rows
+    * at sf0.1). */
+  private val unigramR1Paths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def unigramVocabR1(s: SparkSession, dir: String): DataFrame = {
+    val path = unigramR1Paths.computeIfAbsent(dir, { d =>
+      val p = sinkDir(s"unigram_r1_${math.abs(d.hashCode.toLong)}")
+      graft.operators.TextAnalysis
+        .unigramLmVocab(t(s, d, "documents"), "text", vocabMulti = 64,
+          maxPieceLen = 4, maxWordLen = 12, emRounds = 1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** WordPiece training rounds as CTEs (shared by t52 and t53's encode
     * chain): v$i = segmentations entering round i, s$i = per-symbol
     * occurrence counts, p$i = pair counts, m$i = the round's argmax by
@@ -931,6 +956,49 @@ object Queries {
       UNION ALL SELECT node, CAST(NULL AS BIGINT) AS color FROM rawn
       WHERE node NOT IN (SELECT node FROM cr0))
     ORDER BY node"""
+    sb.toString
+  }
+
+  /** q142 oracle: Borůvka MSF in lockstep — per round, every
+    * component's min cross edge under the (w, a, b) total order joins
+    * the forest, and labels are recomputed as the least node reachable
+    * through the forest-so-far (a recursive closure per round — DuckDB
+    * supports several recursive CTEs in one WITH RECURSIVE list, and
+    * the node-count here keeps each closure tiny). The Spark side's
+    * pointer-jump contraction computes the same least-node labels by
+    * construction. */
+  private def msfOracleSql(edgesSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE e AS MATERIALIZED ($edgesSql),
+    mnodes AS MATERIALIZED (SELECT DISTINCT node FROM
+      (SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+    l0 AS MATERIALIZED (SELECT node, node AS comp FROM mnodes)"""
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+    c$i AS MATERIALIZED (SELECT e.a, e.b, e.w, la.comp AS ca, lb.comp AS cb
+      FROM e JOIN l${i - 1} la ON e.a = la.node
+             JOIN l${i - 1} lb ON e.b = lb.node
+      WHERE la.comp <> lb.comp),
+    s$i AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (
+      SELECT a, b, w, row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+      FROM (SELECT ca AS c, w, a, b FROM c$i
+            UNION ALL SELECT cb AS c, w, a, b FROM c$i))
+      WHERE rn = 1),
+    f$i AS MATERIALIZED (${(1 to i).map(j => s"SELECT a, b FROM s$j")
+        .mkString(" UNION ALL ")}),
+    sym$i AS MATERIALIZED (SELECT a, b FROM f$i UNION SELECT b, a FROM f$i),
+    r$i(x, y) AS (SELECT a, b FROM sym$i
+      UNION SELECT r$i.x, sym$i.b FROM r$i JOIN sym$i ON r$i.y = sym$i.a),
+    l$i AS MATERIALIZED (SELECT n.node,
+        least(n.node, coalesce(min(r$i.y), n.node)) AS comp
+      FROM mnodes n LEFT JOIN r$i ON n.node = r$i.x GROUP BY n.node)"""
+    }
+    sb ++= s"""
+    SELECT src, dst, weight, added_round FROM (
+      ${(1 to rounds).map(i =>
+        s"SELECT a AS src, b AS dst, w AS weight, CAST(${i - 1} AS BIGINT) AS added_round FROM s$i")
+        .mkString("\n      UNION ALL ")})
+    ORDER BY added_round, src, dst"""
     sb.toString
   }
 
@@ -6685,9 +6753,11 @@ object Queries {
         val out = sinkDir("hnsw_del_index")
         S.writeHnswIndex(e, out, numFiles = 8, m = 8, levelBase = 4,
           maxLevel = 2, entryQuota = 1)
-        val dels = e.filter($"vec_id" % 9 === 4 && $"vec_id" >= 10)
-          .select($"vec_id".cast("long")).as[Long].collect().sorted
-        S.writeGraphTombstones(s, out, dels.toIndexedSeq)
+        // the delete feed stays a DataFrame end to end — no driver
+        // round-trip (the r12 finding; spec pins ≡ the Seq path)
+        S.writeGraphTombstones(out,
+          e.filter($"vec_id" % 9 === 4 && $"vec_id" >= 10)
+            .select($"vec_id".cast("long")))
         S.hnswKnnStored(e.filter($"vec_id" < 10), e, out, 3, beam = 8,
             roundsPerLayer = 1, baseRounds = 3, maxLevel = 2)
           .orderBy($"query_id", $"rank")
@@ -6716,9 +6786,10 @@ object Queries {
         val out = sinkDir("ivf_sq8_del")
         S.writeCellIndex(S.ivfSq8Index(e, cents, bounds), out,
           numFiles = 8, zoneCols = Seq("vec_id"))
-        val dels = e.filter($"vec_id" % 7 === 3 && $"vec_id" >= 10)
-          .select($"vec_id".cast("long")).as[Long].collect().sorted
-        S.writeCellTombstones(s, out, dels.toIndexedSeq)
+        // DataFrame delete feed — no driver round-trip (r12 finding)
+        S.writeCellTombstones(out,
+          e.filter($"vec_id" % 7 === 3 && $"vec_id" >= 10)
+            .select($"vec_id".cast("long")))
         val probes = math.max(4,
           math.ceil(S.IvfAutoProbeFraction * cents.length).toInt)
         S.ivfSq8KnnFromStoredIndex(e.filter($"vec_id" < 10), out, e, 3,
@@ -8508,9 +8579,12 @@ object Queries {
       "t50_unigram_lm",
       (s, dir) => {
         import s.implicits._
+        // resume round 2 from the memoized round-1 state — identical by
+        // construction to emRounds = 2 from scratch (see unigramVocabR1)
         graft.operators.TextAnalysis
           .unigramLmVocab(t(s, dir, "documents"), "text", vocabMulti = 64,
-            maxPieceLen = 4, maxWordLen = 12, emRounds = 2)
+            maxPieceLen = 4, maxWordLen = 12, emRounds = 1,
+            initVocab = Some(unigramVocabR1(s, dir)))
           .orderBy($"freq".desc, $"piece")
       },
       Some(unigramCtes(emRounds = 2, vocabMulti = 64, maxPieceLen = 4,
@@ -8533,9 +8607,8 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val vocab = graft.operators.TextAnalysis
-          .unigramLmVocab(docs, "text", vocabMulti = 64, maxPieceLen = 4,
-            maxWordLen = 12, emRounds = 1)
+        // the 1-EM-round vocab IS the memoized t50 round-1 state
+        val vocab = unigramVocabR1(s, dir)
         graft.operators.TextAnalysis
           .unigramEncodeCounts(docs, "doc_id", "text",
             vocab.select($"piece", $"logp"), maxPieceLen = 4,
@@ -9131,7 +9204,33 @@ object Queries {
             colors = 6, misRounds = 5)
           .orderBy($"node")
       },
-      Some(jpColoringOracleSql(colors = 6, misRounds = 5)))
+      Some(jpColoringOracleSql(colors = 6, misRounds = 5))),
+
+    // ---- Borůvka minimum spanning forest: per round every component
+    //      takes its min cross edge under the (weight, src, dst) total
+    //      order — equi-joins + min-struct aggs + pointer-jump
+    //      contraction; measured convergence 3 rounds at both SFs,
+    //      budget 5 (every emitted edge is cut-property-exact
+    //      whatever the budget) ----
+    QueryDef(
+      "q142_msf_boruvka",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val edges = li.filter($"l_orderkey" % 31 === 0)
+          .select(($"l_partkey" % 40).as("src"),
+            ($"l_suppkey" % 40 + 40L).as("dst"),
+            $"l_quantity".cast("long").as("wt"))
+        graft.operators.Graph
+          .minimumSpanningForest(edges, "src", "dst", "wt", rounds = 5)
+          .orderBy($"added_round", $"src", $"dst")
+      },
+      Some(msfOracleSql(
+        """SELECT least(l_partkey % 40, l_suppkey % 40 + 40) AS a,
+             greatest(l_partkey % 40, l_suppkey % 40 + 40) AS b,
+             min(CAST(l_quantity AS BIGINT)) AS w
+           FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1, 2""",
+        rounds = 5)))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1144,6 +1144,53 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === out)
   }
 
+  test("minimumSpanningForest: exact MSF, dup-edge min fold, tie order, " +
+      "budget partiality, reshuffle determinism") {
+    val sp = spark; import sp.implicits._
+    // two components: a 4-cycle with one heavy chord (MST drops the
+    // heaviest cycle edge) and a weighted triangle; plus a duplicate
+    // edge where only the MIN weight may count, and a weight tie that
+    // the (w, a, b) order breaks toward the smaller endpoint pair
+    val edges = Seq(
+      (1L, 2L, 4L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 1L, 3L),
+      (1L, 3L, 9L),               // heavy chord: never in the MSF
+      (2L, 1L, 7L),               // duplicate of (1,2): min(4,7) = 4
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L) // all-tie triangle
+    ).toDF("src", "dst", "wt")
+    def run(df: org.apache.spark.sql.DataFrame, rounds: Int) =
+      Graph.minimumSpanningForest(df, "src", "dst", "wt", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val msf = run(edges, rounds = 4)
+    // component 1: cycle keeps its 3 lightest edges (weights 1,2,3),
+    // drops (1,2,w=4); chord and the duplicate never appear
+    // component 2: tie triangle keeps (10,11) and (10,12) — the
+    // (w, a, b) order picks both edges incident to node 10
+    assert(msf === Set((2L, 3L, 1L), (3L, 4L, 2L), (1L, 4L, 3L),
+      (10L, 11L, 5L), (10L, 12L, 5L)), msf.toString)
+    // total weight is the true MST weight per component (1+2+3, 5+5)
+    assert(msf.toSeq.map(_._3).sum === 16L)
+    // budget partiality: 1 round emits a SUBSET of the true MSF
+    val partial = run(edges, rounds = 1)
+    assert(partial.nonEmpty && partial.subsetOf(msf), partial.toString)
+    // reshuffle determinism, including added_round
+    val full = Graph.minimumSpanningForest(edges, "src", "dst", "wt", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val again = Graph.minimumSpanningForest(edges.repartition(7),
+        "src", "dst", "wt", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again === full)
+    // an edgeless input yields an empty forest with the right schema
+    val empty = Graph.minimumSpanningForest(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt"),
+      "src", "dst", "wt", 2)
+    assert(empty.columns.toSeq ===
+      Seq("src", "dst", "weight", "added_round"))
+    assert(empty.count() === 0L)
+  }
+
   test("dagLevels: longest-path layering; diamond takes the longer arm") {
     val sp = spark; import sp.implicits._
     // diamond with a long arm: 1->2->3->5, 1->4->5; 5 sits at level 3

@@ -1122,6 +1122,59 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DataFrame tombstone feed is read-equivalent to the Seq path") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-df-tombstones").toString
+    val e = emb
+    val q = e.filter(col("vec_id") < 5)
+    val bounds = Similarity.sq8Bounds(e, "embedding")
+    val cents = Similarity.kmeansCodebook(e, "vec_id", "embedding", 8)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val index = Similarity.ivfSq8Index(e, cents, bounds)
+    val pSeq = s"$tmp/seq"; val pDf = s"$tmp/df"
+    Similarity.writeCellIndex(index, pSeq, numFiles = 4,
+      zoneCols = Seq("vec_id"))
+    Similarity.writeCellIndex(index, pDf, numFiles = 4,
+      zoneCols = Seq("vec_id"))
+    val dels = Seq(7L, 11L, 23L, 23L) // duplicate: dedup happens at read
+    Similarity.writeCellTombstones(spark, pSeq, dels)
+    // the distributed feed: same ids as a 1-col frame, plus a NULL row
+    // (a CDC feed's deleted-key column can be nullable) and an extra
+    // append of a duplicate — nulls strip at write, dups dedup at read
+    val feed = (dels.map(java.lang.Long.valueOf) :+
+      null.asInstanceOf[java.lang.Long]).toDF("id")
+    Similarity.writeCellTombstones(pDf, feed)
+    Similarity.writeCellTombstones(pDf, Seq(11L).toDF("again"))
+    // sidecar schema identical to the Seq path (one LONG vec_id column)
+    val sSeq = spark.read.parquet(s"$pSeq/${Similarity.TombstoneDir}").schema
+    val sDf = spark.read.parquet(s"$pDf/${Similarity.TombstoneDir}").schema
+    assert(sDf.fieldNames.toSeq === sSeq.fieldNames.toSeq &&
+      sDf.fields.map(_.dataType).toSeq === sSeq.fields.map(_.dataType).toSeq,
+      s"sidecar schema diverged: $sDf vs $sSeq")
+    assert(Similarity.readCellTombstoneIds(spark, pDf) ===
+      Similarity.readCellTombstoneIds(spark, pSeq))
+    // served answers byte-identical across the two ingestion paths
+    def rows(path: String) = Similarity.ivfSq8KnnFromStoredIndex(
+        q, path, e, 3, 2, cents, bounds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(pDf) === rows(pSeq),
+      "DataFrame-fed tombstones served differently from Seq-fed")
+    // graph mirror writes the node_id sidecar column
+    val pG = s"$tmp/g"
+    new java.io.File(pG).mkdirs()
+    Similarity.writeGraphTombstones(pG, Seq(3L).toDF("node"))
+    val gCols = spark.read.parquet(s"$pG/${Similarity.TombstoneDir}")
+      .columns.toSeq
+    assert(gCols === Seq("node_id"), s"graph sidecar columns: $gCols")
+    // a two-column feed is a loud error, not a silent guess
+    intercept[IllegalArgumentException] {
+      Similarity.writeCellTombstones(pDf,
+        Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
   test("mmrRerank is deterministic under corpus repartitioning") {
     val sp = spark; import sp.implicits._
     val e = emb

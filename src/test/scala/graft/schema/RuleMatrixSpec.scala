@@ -28,6 +28,16 @@ class RuleMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  // The matrix is generated from Queries.all, so it can never silently
+  // subset a grown battery — and this gate puts the count in the spec
+  // OUTPUT so a round record shows matrix size = battery size.
+  test(s"rule-invariance matrix covers the full battery of ${Queries.all.size} queries") {
+    val names = Queries.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    assert(names.size === graft.SparkEntry.queries.size,
+      "matrix and driver surface disagree on the battery")
+  }
+
   Queries.all.foreach { q =>
     test(s"${q.name} is rule-invariant") {
       spark.conf.set("spark.graft.schemaOnRead.enabled", "false")
