@@ -277,6 +277,137 @@ object Analytics {
           .as("est_intersect"))
   }
 
+  /** DDSKETCH register table — the mergeable RELATIVE-ERROR quantile
+    * sketch (Masson, Rim & Lee, VLDB 2019: "DDSketch: a fast and
+    * fully-mergeable quantile sketch with relative-error guarantees"),
+    * completing the storable-sketch family next to the HLL
+    * ([[hllRegisters]]), CM and KMV tables: one row per (group,
+    * bucket), bucket `i = ceil(ln(x)/ln(gamma))` so every value in
+    * bucket i lies in (γ^(i-1), γ^i] and the bucket MIDPOINT
+    * 2γ^i/(γ+1) is within α = (γ−1)/(γ+1) RELATIVE error of any value
+    * it covers — the p99-latency / token-count-tail profile a 100 TB
+    * pipeline stores per day per group and rolls up by plain register
+    * addition, never re-reading raw data.
+    *
+    * Determinism: the only float op with engine freedom is the log
+    * ratio, pinned by the suite's round-9 convention BEFORE the ceil
+    * (a value landing exactly on a bucket boundary gets the same
+    * bucket in every engine); counts are exact BIGINTs. Contract:
+    * strictly POSITIVE values (latencies, sizes, counts — the
+    * DDSketch domain); null/zero/negative rows are EXCLUDED (the
+    * paper's zero/negative stores are a separate mirror, out of scope
+    * and loud here in the scaladoc rather than silently mis-bucketed).
+    * One partial-combining hash agg; state = occupied buckets per
+    * group, ~log_γ(max/min) ≈ a few hundred rows regardless of input
+    * size. Output: `(group, bucket, cnt)`. */
+  def ddsketchRegisters(df: DataFrame, groupCol: String,
+      valueCol: String, gamma: Double = 1.02): DataFrame = {
+    require(gamma > 1.0, "gamma must exceed 1 (alpha = (gamma-1)/(gamma+1))")
+    val x = col(valueCol).cast("double")
+    df.filter(x.isNotNull && x > 0.0)
+      .select(col(groupCol).as("g"),
+        ceil(round(log(x) / lit(math.log(gamma)), 9)).cast("long")
+          .as("bucket"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two DDSketch register tables (same γ): union + per-bucket
+    * SUM. merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly
+    * (register equality, spec-pinned) — the full-mergeability that
+    * makes the sketch a storable incremental aggregate. */
+  def ddsketchMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a DDSketch register table: for each
+    * requested q, the value estimate is the midpoint `2γ^b/(γ+1)` of
+    * the first bucket whose cumulative count reaches rank
+    * `ceil(q·n)` (rank 1 floor — the exact-order-statistic convention
+    * [[bootstrapMeanCi]] uses, no interpolation rule to disagree on).
+    * Guaranteed within α relative error of the TRUE q-quantile of the
+    * sketched values. Per-group bucket scan is a tiny window over the
+    * register rows (hundreds per group, never the data); the estimate
+    * is one fixed IEEE chain rounded to 6. Output:
+    * `(group, q, rank, bucket, estimate)`, one row per (group,
+    * requested quantile). */
+  def ddsketchQuantiles(regs: DataFrame, quantiles: Seq[Double],
+      gamma: Double = 1.02): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val totals = regs.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val cum = regs.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("g"))
+        .orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val qs = quantiles.distinct.sorted
+    val qFrame = totals.select(col("g"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+    qFrame.join(cum, Seq("g"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("q"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("estimate",
+        round(lit(2.0) * pow(lit(gamma), col("bucket")) /
+          lit(gamma + 1.0), 6))
+      .select(col("g"), col("q"), col("rank"), col("bucket"),
+        col("estimate"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH check over the [[abTestZ]] md5 unit split —
+    * the assignment-integrity gate every experiment readout should be
+    * preceded by (a biased splitter invalidates z/U/CUPED before any
+    * metric is read): observed arm counts vs the expected `ratioA`
+    * split, scored by the 1-df chi-square
+    * `Σ (observed − expected)²/expected`. The standard alarm is
+    * χ² > 10.83 (p < 0.001 — SRM is checked at a harsh threshold
+    * because it fires on infrastructure bugs, not noise); the flag is
+    * derived from the ROUNDED statistic so both engines agree at the
+    * boundary. One conditional hash agg (the abTestZ one-row shape);
+    * empty input emits the one row with zero counts and NULL χ².
+    * Output: `(n_a, n_b, expected_a, chi2, srm_alarm)`. */
+  def srmCheck(events: DataFrame, unitCol: String,
+      ratioA: Double = 0.5): DataFrame = {
+    // the md5 splitter works in hundredths (bucket = hash mod 100), so
+    // the target ratio must be a whole percentage — reject 0.333 loudly
+    // instead of silently testing against a ratio the splitter can't hit
+    val pctA = math.round(ratioA * 100).toInt
+    require(pctA >= 1 && pctA <= 99 &&
+      math.abs(ratioA * 100 - pctA) < 1e-9,
+      "ratioA must be a whole percentage in [0.01, 0.99]")
+    val units = events.filter(col(unitCol).isNotNull)
+      .select(col(unitCol).as("_graft_u")).distinct()
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < lit(pctA.toLong), "a")
+          .otherwise("b"))
+    units.agg(
+        coalesce(sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)),
+          lit(0L)).as("n_b"))
+      .withColumn("expected_a",
+        round(lit(ratioA) * (col("n_a") + col("n_b")).cast("double"), 9))
+      .withColumn("chi2",
+        when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            pow(col("n_a").cast("double") - col("expected_a"), 2.0) /
+              col("expected_a") +
+            pow(col("n_b").cast("double") -
+                ((col("n_a") + col("n_b")).cast("double") -
+                  col("expected_a")), 2.0) /
+              ((col("n_a") + col("n_b")).cast("double") -
+                col("expected_a")), 9)))
+      .withColumn("srm_alarm",
+        when(col("chi2").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2") > 10.83))
+      .select(col("n_a"), col("n_b"), col("expected_a"), col("chi2"),
+        col("srm_alarm"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, approx: Boolean = false): DataFrame = {
     def pct(c: org.apache.spark.sql.Column, p: Double) =
       if (approx) approx_percentile(c, lit(p), lit(10000))

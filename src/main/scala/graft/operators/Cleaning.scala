@@ -221,4 +221,61 @@ object Cleaning {
       .toDF("doc_id", "n_hits", "n_patterns")
       .withColumn("keep", col("n_hits") <= maxHits)
   }
+
+  /** K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the privacy gate a dataset release runs after
+    * [[piiRedact]]: direct identifiers are scrubbed, but a COMBINATION
+    * of quasi-identifier columns (language × length-bucket × date, …)
+    * can still single a person out. One row per quasi-identifier
+    * equivalence class:
+    *
+    *   - `n_rows` rows, `n_units` DISTINCT `unitCol` individuals;
+    *   - `k_anonymous` — the class holds ≥ k distinct individuals
+    *     (below k, those rows re-identify to a ≤(k−1)-person set);
+    *   - with `sensitiveCol`: `l_distinct` distinct sensitive values
+    *     and `l_diverse` (≥ l) — k-anonymity alone still leaks when a
+    *     whole class shares one sensitive value (the homogeneity
+    *     attack l-diversity closes).
+    *
+    * The release rule is then relational too: anti-join rows whose
+    * class fails the audit (suppression), or coarsen the quasi columns
+    * and re-audit (generalization) — both plain Spark ops downstream.
+    * NULL quasi values form their own class (NULL-keyed groups — a
+    * missing birthday is itself a quasi-identifier value). GOTCHA,
+    * spec-pinned: the suppression anti-join must use NULL-SAFE
+    * equality (`<=>`) on the quasi columns — a plain equi-join can
+    * never match the NULL class, silently RELEASING exactly the rows
+    * whose missing quasi value is itself identifying. One
+    * partial-combining hash agg over the quasi key; distinct counts
+    * ride the same agg as `count(distinct …)` expressions — state per
+    * class is its own member set, bounded by the class itself. Output:
+    * `(quasiCols…, n_rows, n_units, k_anonymous[, l_distinct,
+    * l_diverse])`. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      unitCol: String, k: Int, sensitiveCol: Option[String] = None,
+      l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be positive")
+    require(l >= 1, "l must be positive")
+    val base = sensitiveCol match {
+      case None =>
+        df.groupBy(quasiCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(unitCol)).as("n_units"))
+      case Some(s) =>
+        df.groupBy(quasiCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(unitCol)).as("n_units"),
+            countDistinct(col(s)).as("l_distinct"))
+    }
+    val withK = base.withColumn("k_anonymous", col("n_units") >= k)
+    sensitiveCol match {
+      case None => withK
+      case Some(_) =>
+        withK.withColumn("l_diverse", col("l_distinct") >= l)
+          .select((quasiCols.map(col) ++ Seq(col("n_rows"),
+            col("n_units"), col("k_anonymous"), col("l_distinct"),
+            col("l_diverse"))): _*)
+    }
+  }
 }

@@ -9230,7 +9230,104 @@ object Queries {
              greatest(l_partkey % 40, l_suppkey % 40 + 40) AS b,
              min(CAST(l_quantity AS BIGINT)) AS w
            FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1, 2""",
-        rounds = 5)))
+        rounds = 5))),
+
+    // ---- k-anonymity / l-diversity audit: one row per quasi-identifier
+    //      class (order priority x order year) with distinct-customer
+    //      and distinct-status counts — the post-redaction privacy gate;
+    //      one hash agg, release rules compose downstream ----
+    QueryDef(
+      "q143_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .withColumn("yr", year($"o_orderdate").cast("long"))
+        graft.operators.Cleaning
+          .kAnonymityAudit(o, Seq("o_orderpriority", "yr"), "o_custkey",
+            k = 5, sensitiveCol = Some("o_orderstatus"), l = 2)
+          .orderBy($"o_orderpriority", $"yr")
+      },
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          count(*) AS n_rows,
+          count(DISTINCT o_custkey) AS n_units,
+          count(DISTINCT o_custkey) >= 5 AS k_anonymous,
+          count(DISTINCT o_orderstatus) AS l_distinct,
+          count(DISTINCT o_orderstatus) >= 2 AS l_diverse
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- DDSketch quantile registers + p50/p95/p99 readout: the
+    //      mergeable relative-error quantile sketch (log-gamma buckets,
+    //      round-9-pinned log ratio, ln(gamma) embedded as one shared
+    //      literal) over extended prices per return flag ----
+    QueryDef(
+      "q144_ddsketch_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val regs = graft.operators.Analytics.ddsketchRegisters(
+          t(s, dir, "lineitem").withColumnRenamed("l_returnflag", "g"),
+          "g", "l_extendedprice", gamma = 1.02)
+        graft.operators.Analytics
+          .ddsketchQuantiles(regs, Seq(0.5, 0.95, 0.99), gamma = 1.02)
+          .orderBy($"g", $"q")
+      },
+      Some(s"""WITH r AS (SELECT l_returnflag AS g,
+          CAST(ceil(round(ln(CAST(l_extendedprice AS DOUBLE))
+            / ${math.log(1.02)}, 9)) AS BIGINT) AS bucket,
+          count(*) AS cnt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        GROUP BY 1, 2),
+        t AS (SELECT g, sum(cnt) AS n FROM r GROUP BY g),
+        c AS (SELECT g, bucket, cnt,
+          sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM r),
+        qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+        rk AS (SELECT t.g, qs.q,
+          greatest(CAST(1 AS BIGINT), CAST(ceil(qs.q * t.n) AS BIGINT)) AS rank
+        FROM t CROSS JOIN qs),
+        pick AS (SELECT rk.g, rk.q, rk.rank, min(c.bucket) AS bucket
+        FROM rk JOIN c ON rk.g = c.g AND c.cum >= rk.rank
+        GROUP BY 1, 2, 3)
+        SELECT g, q, rank, bucket,
+          round(2 * power(1.02, bucket) / 2.02, 6) AS estimate
+        FROM pick ORDER BY g, q""")),
+
+    // ---- Sample-ratio-mismatch check: the assignment-integrity gate
+    //      before any experiment readout — distinct md5-split units vs
+    //      the expected 50/50, 1-df chi-square, alarm at p < 0.001 ----
+    QueryDef(
+      "q145_srm_check",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .srmCheck(events(s, dir), "user_id", ratioA = 0.5)
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL),
+        arms AS (SELECT CASE WHEN
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm
+          FROM u),
+        cnt AS (SELECT
+          coalesce(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END), 0) AS n_a,
+          coalesce(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END), 0) AS n_b
+        FROM arms),
+        ex AS (SELECT n_a, n_b,
+          round(0.5 * CAST(n_a + n_b AS DOUBLE), 9) AS expected_a
+        FROM cnt),
+        chi AS (SELECT n_a, n_b, expected_a,
+          CASE WHEN n_a + n_b = 0 THEN NULL
+            ELSE round(
+              pow(CAST(n_a AS DOUBLE) - expected_a, 2) / expected_a +
+              pow(CAST(n_b AS DOUBLE) -
+                  (CAST(n_a + n_b AS DOUBLE) - expected_a), 2) /
+                (CAST(n_a + n_b AS DOUBLE) - expected_a), 9)
+          END AS chi2
+        FROM ex)
+        SELECT n_a, n_b, expected_a, chi2,
+          CASE WHEN chi2 IS NULL THEN NULL ELSE chi2 > 10.83 END AS srm_alarm
+        FROM chi"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -595,4 +595,80 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1 === l1 + b1 + s1)
     assert(out(2L) === ((1, 1.0, 0.0, 0.0, 1.0)))
   }
+
+  test("ddsketch: relative-error guarantee, exact mergeability, " +
+      "reshuffle determinism, positive-domain contract") {
+    val sp = spark; import sp.implicits._
+    val gamma = 1.02
+    val alpha = (gamma - 1.0) / (gamma + 1.0)
+    // deterministic pseudo-random positive values across 4 decades
+    val vals = (1 to 2000).map(i =>
+      math.pow(10.0, 1.0 + (i * 2654435761L % 3000) / 1000.0))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "x")
+    val regs = Analytics.ddsketchRegisters(df, "g", "x", gamma)
+    // every quantile estimate within alpha relative error of the exact
+    val est = Analytics.ddsketchQuantiles(regs,
+        Seq(0.1, 0.5, 0.9, 0.99), gamma)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    val sorted = vals.sorted
+    est.foreach { case (q, e) =>
+      val exact = sorted(math.max(0,
+        math.ceil(q * sorted.size).toInt - 1))
+      assert(math.abs(e - exact) / exact <= alpha + 1e-9,
+        s"q=$q est=$e exact=$exact relerr=${math.abs(e - exact) / exact}")
+    }
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), register-exact
+    val (a, b) = df.as[(String, Long, Double)].collect()
+      .partition(_._2 % 2 == 0)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Analytics.ddsketchMergeRegisters(
+      Analytics.ddsketchRegisters(a.toSeq.toDF("g", "id", "x"), "g", "x", gamma),
+      Analytics.ddsketchRegisters(b.toSeq.toDF("g", "id", "x"), "g", "x", gamma))
+    assert(rows(merged) === rows(regs), "merge is not register-exact")
+    // determinism under reshuffle
+    assert(rows(Analytics.ddsketchRegisters(df.repartition(13), "g", "x",
+      gamma)) === rows(regs))
+    // zero / negative / null rows are excluded, not mis-bucketed
+    val dirty = Seq(("g", 1L, 100.0), ("g", 2L, 0.0), ("g", 3L, -5.0))
+      .toDF("g", "id", "x")
+      .unionByName(Seq(("g", 4L)).toDF("g", "id")
+        .withColumn("x", lit(null).cast("double")))
+    assert(Analytics.ddsketchRegisters(dirty, "g", "x", gamma)
+      .agg(org.apache.spark.sql.functions.sum($"cnt")).collect()
+      .head.getLong(0) === 1L)
+  }
+
+  test("srmCheck: balanced split quiet, corrupted assignment alarms, " +
+      "empty input emits one row") {
+    val sp = spark; import sp.implicits._
+    // healthy feed: distinct units through the md5 splitter — chi2 small
+    val ok = Analytics.srmCheck(
+      (1L to 4000L).map(i => (i, "x")).toDF("u", "pad"), "u")
+      .collect().head
+    assert(ok.getLong(0) + ok.getLong(1) === 4000L)
+    assert(ok.getDouble(3) < 10.83 && !ok.getBoolean(4),
+      s"healthy split alarmed: chi2=${ok.getDouble(3)}")
+    // corrupted feed: drop 30% of arm-b units (the classic logging-loss
+    // SRM) — alarm must fire
+    val armB = (1L to 4000L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100 >= 50
+    }
+    val lost = armB.take(armB.size * 3 / 10).toSet
+    val bad = Analytics.srmCheck(
+      (1L to 4000L).filterNot(lost).map(i => (i, "x")).toDF("u", "pad"),
+      "u")
+      .collect().head
+    assert(bad.getDouble(3) > 10.83 && bad.getBoolean(4),
+      s"30% arm loss not flagged: chi2=${bad.getDouble(3)}")
+    // empty input: still one row, zero counts, NULL chi2/alarm
+    val empty = Analytics.srmCheck(
+      Seq.empty[(Long, String)].toDF("u", "pad"), "u").collect()
+    assert(empty.length === 1 && empty.head.getLong(0) === 0L &&
+      empty.head.isNullAt(3) && empty.head.isNullAt(4))
+  }
 }

@@ -168,4 +168,50 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("kAnonymityAudit: class counts, k/l flags, NULL quasi class, " +
+      "suppression composes") {
+    val sp = spark; import sp.implicits._
+    // (city, yob) quasi key; person = unit; disease = sensitive.
+    // class (a,1980): 3 persons (1 twice), 2 diseases -> k3, l2
+    // class (b,1990): 1 person, 1 disease -> fails both at k=2, l=2
+    // class (NULL,1980): its own class with 2 persons, 1 disease
+    val rows = Seq(
+      ("a", 1980, 1L, "flu"), ("a", 1980, 1L, "flu"),
+      ("a", 1980, 2L, "cold"), ("a", 1980, 3L, "flu"),
+      ("b", 1990, 4L, "flu"),
+      (null, 1980, 5L, "cold"), (null, 1980, 6L, "cold")
+    ).toDF("city", "yob", "person", "disease")
+    val out = Cleaning.kAnonymityAudit(rows, Seq("city", "yob"),
+        "person", k = 2, sensitiveCol = Some("disease"), l = 2)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
+        r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(out(("a", 1980)) === ((4L, 3L, true, 2L, true)))
+    assert(out(("b", 1990)) === ((1L, 1L, false, 1L, false)))
+    assert(out(("∅", 1980)) === ((2L, 2L, true, 1L, false)))
+    // the release rule is one anti-join on the failing classes — and it
+    // MUST be null-safe (<=>): a plain equi-join can never match the
+    // NULL-quasi class, silently releasing exactly the rows whose
+    // missing quasi value is itself identifying (gotcha pinned in the
+    // operator scaladoc)
+    val failing = Cleaning.kAnonymityAudit(rows, Seq("city", "yob"),
+        "person", k = 2, sensitiveCol = Some("disease"), l = 2)
+      .filter(!$"k_anonymous" || !$"l_diverse")
+      .select($"city".as("f_city"), $"yob".as("f_yob"))
+    val released = rows.join(failing,
+      $"city" <=> $"f_city" && $"yob" <=> $"f_yob", "left_anti")
+    assert(released.count() === 4L) // only the (a,1980) class survives
+    // the plain-equi-join mistake releases the NULL class too: 6 rows
+    val leaky = rows.join(
+      failing.withColumnRenamed("f_city", "city")
+        .withColumnRenamed("f_yob", "yob"),
+      Seq("city", "yob"), "left_anti")
+    assert(leaky.count() === 6L)
+    // without a sensitive column the l columns are absent
+    val noL = Cleaning.kAnonymityAudit(rows, Seq("city"), "person", 2)
+    assert(noL.columns.toSeq ===
+      Seq("city", "n_rows", "n_units", "k_anonymous"))
+  }
 }
