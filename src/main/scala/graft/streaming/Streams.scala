@@ -443,6 +443,74 @@ object Streams {
       case None => sp.emptyDataFrame
     }
 
+  /** Streaming DDSKETCH sink — the quantile-profile counterpart of
+    * [[hllRegisterSink]]: each micro-batch's values fold into a
+    * persistent per-group register table
+    * ([[graft.operators.Analytics.ddsketchRegisters]] ∪ sum-merge), so
+    * the stored state answers "p50/p95/p99 of every value seen EVER,
+    * per group, within α relative error" in O(groups · buckets) bytes
+    * however long the stream runs.
+    *
+    * Replay safety differs from the HLL sink BY NECESSITY: register
+    * SUM-merge is not idempotent (a replayed micro-batch would
+    * double-count where HLL's max-merge re-merges harmlessly), so this
+    * sink adds version-id bookkeeping — state lands at
+    * `statePath/v-<batchId>`; a replayed batch whose version is
+    * already committed is SKIPPED, and an uncommitted write (crash
+    * mid-write, no `_SUCCESS`) recomputes from the highest committed
+    * version BELOW the current batch id. Batch ids are monotone per
+    * checkpoint, so this is exactly-once folding. Older versions prune
+    * to a depth of 2, as in the HLL sink. Read with [[ddsketchState]] /
+    * [[ddsketchStateQuantiles]]. */
+  def ddsketchRegisterSink(stream: DataFrame, statePath: String,
+      checkpointPath: String, groupCol: String, valueCol: String,
+      gamma: Double = 1.02): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+        val committed = hllVersions(fs, root) // generic v-<id> lister
+        if (!committed.contains(batchId)) {
+          val fresh = graft.operators.Analytics
+            .ddsketchRegisters(batch, groupCol, valueCol, gamma)
+          val base = committed.filter(_ < batchId).lastOption
+            .map(v => sp.read.parquet(s"$statePath/v-$v"))
+          val merged = base.fold(fresh)(cur =>
+            graft.operators.Analytics.ddsketchMergeRegisters(cur, fresh))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$statePath/v-$batchId")
+          hllVersions(fs, root).dropRight(2).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v-$old"),
+              true); ()
+          }
+        }
+        ()
+      }
+      .start()
+
+  /** Latest committed register table of a [[ddsketchRegisterSink]]. */
+  def ddsketchState(sp: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+    hllVersions(fs, root).lastOption.map(v =>
+      sp.read.parquet(s"$statePath/v-$v"))
+  }
+
+  /** Per-group quantile estimates over a [[ddsketchRegisterSink]]'s
+    * stored registers; empty when the sink has not committed yet. */
+  def ddsketchStateQuantiles(sp: org.apache.spark.sql.SparkSession,
+      statePath: String, quantiles: Seq[Double],
+      gamma: Double = 1.02): DataFrame =
+    ddsketchState(sp, statePath) match {
+      case Some(regs) =>
+        graft.operators.Analytics.ddsketchQuantiles(regs, quantiles, gamma)
+      case None => sp.emptyDataFrame
+    }
+
   /** Map-only streaming twin of
     * [[graft.operators.TextAnalysis.wordpieceEncodeCounts]]: the trained
     * piece inventory broadcasts (bounded LOUDLY — a tokenizer vocabulary
