@@ -1284,6 +1284,60 @@ object Analytics {
         col("rate_a"), col("rate_b"), col("z_score"))
   }
 
+  /** POWER / MINIMUM-DETECTABLE-EFFECT readout for the [[abTestZ]]
+    * design — the "is this experiment even big enough" gate run BEFORE
+    * reading the z-score (an underpowered readout invites p-hacking by
+    * repeated peeking): with the pooled conversion rate p̂ and the
+    * standard two-sided normal approximation,
+    *
+    *   MDE_abs = (z_{α/2} + z_{power}) · sqrt(p̂(1−p̂)(1/n_A + 1/n_B))
+    *
+    * — the smallest absolute rate difference the experiment detects at
+    * the given significance and power. Defaults are the industry
+    * α = 0.05 two-sided / 80% power pair; the z quantiles are FIXED
+    * LITERALS (1.959964, 0.841621), not a per-row Φ⁻¹ evaluation, so
+    * there is no special-function engine variance. Everything rides
+    * the one-row conditional agg of [[abTestZ]]; the MDE chain is
+    * fixed IEEE rounded to 9. Degenerate pooled rates (0 or 1) and
+    * empty arms emit NULL MDE. Output: one row `(n_a, n_b,
+    * pooled_rate, mde_abs, mde_rel)` — mde_rel = mde_abs / p̂. */
+  def abTestPowerMde(events: DataFrame, unitCol: String, typeCol: String,
+      successValue: String, zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    require(zAlpha > 0 && zPower >= 0, "z quantiles must be non-negative")
+    val units = events
+      .filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      .agg(max(when(col(typeCol) === successValue, 1L).otherwise(0L))
+        .as("_graft_conv"))
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
+    units.agg(
+        coalesce(sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)),
+          lit(0L)).as("n_b"),
+        coalesce(sum(col("_graft_conv")), lit(0L)).as("_graft_c"))
+      .withColumn("pooled_rate",
+        when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_graft_c").cast("double") /
+            (col("n_a") + col("n_b")).cast("double"), 9)))
+      .withColumn("mde_abs",
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("pooled_rate").isNull || col("pooled_rate") === 0.0 ||
+            col("pooled_rate") === 1.0, lit(null).cast("double"))
+          .otherwise(round(lit(zAlpha + zPower) *
+            sqrt(col("pooled_rate") * (lit(1.0) - col("pooled_rate")) *
+              (lit(1.0) / col("n_a").cast("double") +
+               lit(1.0) / col("n_b").cast("double"))), 9)))
+      .withColumn("mde_rel",
+        when(col("mde_abs").isNull, lit(null).cast("double"))
+          .otherwise(round(col("mde_abs") / col("pooled_rate"), 9)))
+      .select(col("n_a"), col("n_b"), col("pooled_rate"), col("mde_abs"),
+        col("mde_rel"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
     * Sensitivity of Online Controlled Experiments") over the
     * [[abTestZ]] md5 arm split: the industry-standard experiment

@@ -1346,6 +1346,98 @@ object TextAnalysis {
     * rows. Regression sums go through DECIMAL so the fit is partition-
     * order independent; the closed-form slope computes from those exact
     * sums. Output: one row (n_points, zipf_slope). */
+  /** VOCABULARY-GROWTH table in doc-id order — the input to a Heaps'
+    * law fit and the dataset-card "how fast does the vocabulary still
+    * grow" curve (a corpus whose vocab curve has flattened adds little
+    * lexical novelty; one still growing steeply is under-deduplicated
+    * or genuinely diverse). Per document (in doc-id order):
+    * `n_tokens`, `new_words` (words whose FIRST occurrence is this
+    * doc), and the cumulative `cum_tokens` / `cum_vocab` — both
+    * cumulative counts ride [[Analytics.withPrefixSum]]'s two-level
+    * scan, so a billion-doc corpus never runs as one window task. All
+    * integers — hash-exact cross-engine. Word first-occurrence is a
+    * min-agg over the postings (one shuffle keyed on the word), and
+    * docs with zero tokens are dropped (they move neither curve). */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 1024L): DataFrame = {
+    val tok = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("doc_id").isNotNull)
+      .localCheckpoint(true)
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newWords = tok.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_words"))
+    val joined = perDoc.join(newWords, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+    val out = Analytics.withPrefixSum(
+        Analytics.withPrefixSum(joined, "doc_id", "n_tokens",
+          "_graft_ct", bucketSize),
+        "doc_id", "new_words", "_graft_cv", bucketSize)
+      .select(col("doc_id"), col("n_tokens"), col("new_words"),
+        (col("_graft_ct") + col("n_tokens")).as("cum_tokens"),
+        (col("_graft_cv") + col("new_words")).as("cum_vocab"))
+      .localCheckpoint(true)
+    tok.unpersist()
+    out
+  }
+
+  /** HEAPS' LAW fit `V(N) ≈ K·N^β` over the [[vocabGrowth]] curve —
+    * the companion of [[zipfFit]] (the two laws are duals): one OLS
+    * line through (ln N_d, ln V_d) across the corpus prefix at every
+    * document. β near the 0.4–0.6 natural-language band is healthy;
+    * β collapsing toward 0 marks a boilerplate/duplicated corpus, β
+    * near 1 marks id-like token noise — the quantitative form of two
+    * dataset pathologies. Same determinism discipline as [[zipfFit]]:
+    * the per-point `ln`s feed DECIMAL(28,12) addend sums (order-free,
+    * engine-exact), and β / K are short fixed IEEE chains rounded to
+    * 6. Output: one row `(n_docs, total_tokens, vocab_size,
+    * heaps_beta, heaps_k)`. */
+  def heapsLawFit(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 1024L): DataFrame = {
+    val dt = org.apache.spark.sql.types.DecimalType(28, 12)
+    val growth = vocabGrowth(df, idCol, textCol, bucketSize)
+    val pts = growth.select(col("cum_tokens"), col("cum_vocab"),
+      log(col("cum_tokens").cast("double")).as("x"),
+      log(col("cum_vocab").cast("double")).as("y"))
+    val out = pts.agg(
+        count(lit(1)).as("n_docs"),
+        max(col("cum_tokens")).as("total_tokens"),
+        max(col("cum_vocab")).as("vocab_size"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dt)).cast("double").as("sx"),
+        sum(col("y").cast(dt)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dt)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dt)).cast("double").as("sxx"))
+      .withColumn("_graft_den",
+        col("n") * col("sxx") - col("sx") * col("sx"))
+      // a degenerate curve (single doc, or all prefixes equal) has no
+      // slope: NULL, never a division by zero. n < 2 is guarded
+      // EXPLICITLY: with one point the denominator is mathematically 0
+      // but the round-12 decimal addends leave ~1e-13 residue
+      .withColumn("heaps_beta",
+        when(col("_graft_den") === 0.0 || col("n") < 2.0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              col("_graft_den"), 6)))
+      .withColumn("heaps_k",
+        when(col("heaps_beta").isNull, lit(null).cast("double"))
+          .otherwise(round(exp((col("sy") -
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              col("_graft_den") * col("sx")) / col("n")), 6)))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        col("heaps_beta"), col("heaps_k"))
+      // one row: eager-materialize BEFORE dropping the growth blocks
+      // (growth's lineage is checkpoint-truncated — it cannot recompute)
+      .localCheckpoint(true)
+    growth.unpersist()
+    out
+  }
+
   def zipfFit(df: DataFrame, textCol: String, maxRank: Int = 500): DataFrame = {
     require(maxRank >= 2, "need at least two points to fit")
     val dt = org.apache.spark.sql.types.DecimalType(28, 12)

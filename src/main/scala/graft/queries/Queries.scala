@@ -9327,7 +9327,96 @@ object Queries {
         FROM ex)
         SELECT n_a, n_b, expected_a, chi2,
           CASE WHEN chi2 IS NULL THEN NULL ELSE chi2 > 10.83 END AS srm_alarm
-        FROM chi"""))
+        FROM chi""")),
+
+    // ---- Heaps' law fit over the vocabulary-growth curve: per-word
+    //      first occurrence + two-level cumulative scans feed one OLS
+    //      on (ln N_d, ln V_d) — the lexical-novelty dataset-card
+    //      statistic (beta ~0.4-0.6 healthy; ~0 duplicated corpus) ----
+    QueryDef(
+      "t60_heaps_law",
+      (s, dir) => {
+        graft.operators.TextAnalysis
+          .heapsLawFit(t(s, dir, "documents"), "doc_id", "text")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents WHERE doc_id IS NOT NULL),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1),
+        nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_words FROM
+          (SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY w)
+          GROUP BY 1),
+        g AS (SELECT pd.doc_id, n_tokens,
+            COALESCE(new_words, CAST(0 AS BIGINT)) AS new_words
+          FROM pd LEFT JOIN nw ON pd.doc_id = nw.doc_id),
+        c AS (SELECT doc_id,
+            sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+            sum(new_words) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+          FROM g),
+        p AS (SELECT ct, cv, ln(CAST(ct AS DOUBLE)) AS x,
+            ln(CAST(cv AS DOUBLE)) AS y FROM c),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            max(ct) AS total_tokens, max(cv) AS vocab_size,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+          FROM p),
+        d AS (SELECT *, n * sxx - sx * sx AS den FROM agg)
+        SELECT n_docs, total_tokens, vocab_size,
+          CASE WHEN den = 0 OR n < 2 THEN NULL
+            ELSE round((n * sxy - sx * sy) / den, 6) END AS heaps_beta,
+          CASE WHEN den = 0 OR n < 2 THEN NULL
+            ELSE round(exp((sy - (n * sxy - sx * sy) / den * sx) / n), 6)
+          END AS heaps_k
+        FROM d""")),
+
+    // ---- Experiment power / minimum detectable effect: the
+    //      "big enough to read?" gate before q138's z — fixed z
+    //      literals (no per-row inverse normal), one-row agg ----
+    QueryDef(
+      "q146_power_mde",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").withColumn("hit",
+          when($"event_type" === "purchase" && $"value" > 90, "hit")
+            .otherwise($"event_type"))
+        graft.operators.Analytics
+          .abTestPowerMde(ev, "user_id", "hit", "hit")
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' AND value > 90
+              THEN 1 ELSE 0 END) AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        arm AS (SELECT CASE WHEN CAST(('0x' ||
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 100 < 50 THEN 'a' ELSE 'b' END AS arm, conv FROM u),
+        g AS (SELECT
+            CAST(coalesce(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_a,
+            CAST(coalesce(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_b,
+            CAST(coalesce(sum(conv), 0) AS BIGINT) AS c FROM arm),
+        p AS (SELECT n_a, n_b,
+            CASE WHEN n_a + n_b = 0 THEN NULL
+              ELSE round(CAST(c AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 9)
+            END AS pooled_rate FROM g),
+        m AS (SELECT n_a, n_b, pooled_rate,
+            CASE WHEN n_a = 0 OR n_b = 0 OR pooled_rate IS NULL
+                OR pooled_rate = 0 OR pooled_rate = 1 THEN NULL
+              ELSE round((1.959964 + 0.841621)
+                * sqrt(pooled_rate * (1 - pooled_rate)
+                * (1.0 / CAST(n_a AS DOUBLE)
+                   + 1.0 / CAST(n_b AS DOUBLE))), 9)
+            END AS mde_abs FROM p)
+        SELECT n_a, n_b, pooled_rate, mde_abs,
+          CASE WHEN mde_abs IS NULL THEN NULL
+            ELSE round(mde_abs / pooled_rate, 9) END AS mde_rel
+        FROM m"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

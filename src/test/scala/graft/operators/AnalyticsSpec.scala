@@ -512,6 +512,43 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.isNullAt(6))
   }
 
+  test("abTestPowerMde: hand formula, shrinks with n, degenerate NULLs, " +
+      "empty-arm one-row contract") {
+    val sp = spark; import sp.implicits._
+    def mk(n: Long) = (1L to n).map(i =>
+      (i, if (i % 4 == 0) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.abTestPowerMde(df, "user_id", "event_type", "purchase")
+        .collect().head
+    val small = run(mk(400L))
+    val (na, nb, p) = (small.getLong(0), small.getLong(1),
+      small.getDouble(2))
+    // hand-replay the fixed chain
+    val expect = BigDecimal((1.959964 + 0.841621) *
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(small.getDouble(3) === expect,
+      s"mde ${small.getDouble(3)} != hand $expect")
+    assert(small.getDouble(4) ===
+      BigDecimal(small.getDouble(3) / p)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // 16x the units: MDE shrinks ~4x (1/sqrt(n))
+    val big = run(mk(6400L))
+    val ratio = small.getDouble(3) / big.getDouble(3)
+    assert(ratio > 3.0 && ratio < 5.5, s"MDE scaling ratio $ratio")
+    // everyone converts: pooled rate 1 -> NULL MDE
+    val deg = run((1L to 50L).map(i => (i, "purchase"))
+      .toDF("user_id", "event_type"))
+    assert(deg.getDouble(2) === 1.0 && deg.isNullAt(3) && deg.isNullAt(4))
+    // empty input: one row, zero counts, NULLs throughout
+    val empty = Analytics.abTestPowerMde(
+      Seq.empty[(Long, String)].toDF("user_id", "event_type"),
+      "user_id", "event_type", "purchase").collect()
+    assert(empty.length === 1 && empty.head.getLong(0) === 0L &&
+      empty.head.isNullAt(2) && empty.head.isNullAt(3))
+  }
+
   test("bootstrapMeanCi: CI brackets the mean; constant metric collapses it") {
     val sp = spark; import sp.implicits._
     val rows = (1L to 200L).map(i => (i, (i % 7).toDouble))

@@ -299,4 +299,38 @@ class DataSelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(5) === 0)
     assert(r.getInt(4) === 5)
   }
+
+  test("vocabGrowth matches brute force; heapsLawFit separates " +
+      "duplicated from novel corpora") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "a b d"), (3L, "a b c"),
+      (4L, "e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute: doc1 4 tokens 3 new (a,b,c); doc2 3 tokens 1 new (d);
+    // doc3 3 tokens 0 new; doc4 2 tokens 2 new (e,f)
+    assert(got === Map(
+      1L -> ((4L, 3L, 4L, 3L)), 2L -> ((3L, 1L, 7L, 4L)),
+      3L -> ((3L, 0L, 10L, 4L)), 4L -> ((2L, 2L, 12L, 6L))))
+    // determinism under reshuffle
+    val again = TextAnalysis.vocabGrowth(docs.repartition(5), "doc_id",
+        "text").collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again === got)
+    // a corpus of one repeated doc: vocab stops growing -> beta ~ 0;
+    // a corpus of entirely novel words: V = N -> beta = 1 exactly
+    def beta(rows: Seq[(Long, String)]) =
+      TextAnalysis.heapsLawFit(rows.toDF("doc_id", "text"), "doc_id",
+        "text").collect().head.getDouble(3)
+    val dup = beta((1L to 40L).map(i => (i, "alpha beta gamma")))
+    val novel = beta((1L to 40L).map(i =>
+      (i, s"w${i}x w${i}y w${i}z")))
+    assert(dup < 0.25, s"duplicated corpus beta $dup")
+    assert(math.abs(novel - 1.0) < 1e-6, s"novel corpus beta $novel")
+    // single-doc corpus: one point, zero OLS denominator -> NULL fit
+    val one = TextAnalysis.heapsLawFit(Seq((1L, "a b c"))
+      .toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(one.getLong(0) === 1L && one.isNullAt(3) && one.isNullAt(4))
+  }
 }
