@@ -8905,6 +8905,51 @@ object Queries {
       },
       Some(dagLevelsOracleSql(outer = 3, trim = 4, prop = 8, rounds = 4))),
 
+    // ---- Multimodal: REAL BMP container roundtrip — each doc's byte
+    //      prefix becomes a 7-wide multi-row 24-bit bottom-up BMP
+    //      (odd width -> non-trivial 4-byte row padding; multi-row ->
+    //      the bottom-up reorder is load-bearing), decoded through the
+    //      hardened Bmp codec; features must equal the oracle's stats
+    //      straight off the text prefix ----
+    QueryDef(
+      "m16_bmp_features",
+      (s, dir) => {
+        import s.implicits._
+        val w = 7
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= w)
+          .select($"doc_id", $"source", $"text")
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, src, text) =>
+            val all = text.getBytes("US-ASCII")
+            val h = all.length / w
+            graft.operators.MediaRecord(id, src,
+              graft.operators.Bmp.encodeGray24(w, h,
+                java.util.Arrays.copyOfRange(all, 0, w * h)))
+          })
+        graft.operators.Multimodal
+          .extractFeatures(media, codec = graft.operators.BmpCodec).toDF()
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+               substr(text, 1, 7 * (length(text) // 7)) AS t
+               FROM documents
+               WHERE length(text) >= 7
+                 AND octet_length(encode(text)) = length(text)),
+        by AS (SELECT doc_id, unnest(range(1, length(t) + 1)) AS i, t FROM b),
+        v AS (SELECT doc_id, ord(substr(t, i, 1)) AS v FROM by),
+        hist AS (SELECT doc_id,
+          CAST(sum(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+          CAST(sum(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+          CAST(sum(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+          CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+          FROM v GROUP BY doc_id)
+        SELECT b.doc_id AS media_id, b.source AS media_type,
+          CAST(length(b.t) AS INTEGER) AS n_bytes, md5(b.t) AS checksum,
+          h0, h1, h2, h3
+        FROM b JOIN hist ON b.doc_id = hist.doc_id ORDER BY media_id""")),
+
     // ---- Multimodal: Sobel edge-energy statistics — an integer 3x3
     //      convolution over real decoded PNG pixels (the m05 16-wide
     //      grayscale construction); the oracle replays the convolution
