@@ -164,4 +164,86 @@ object Classifier {
       .select(col("doc_id"), score.as("score"),
         (score >= 0.5).as("pred"))
   }
+
+  /** CALIBRATION / reliability table + ECE for any scored frame — the
+    * "can I trust 0.9 to mean 90%" audit every learned filter
+    * ([[trainTextClassifier]], a quality model, a reward model) owes
+    * its thresholds: scores bucket into `nBuckets` equal-width bins
+    * (scores at 1.0 fold into the top bin), and each bin reports its
+    * mean score vs observed positive rate with the absolute gap; every
+    * row also carries the corpus ECE (Σ n_b/N · gap_b — the
+    * expected-calibration-error headline a dataset card quotes). A
+    * threshold chosen off an uncalibrated score silently shifts the
+    * kept-data distribution — this table is how that is caught before
+    * 100 TB is filtered with it.
+    *
+    * Determinism: bin means go through DECIMAL(28,12) addend sums with
+    * one IEEE division rounded to 6 (the [[graft.operators.TextAnalysis
+    * .zipfFit]] discipline); the ECE combines the ROUNDED gaps so both
+    * engines agree at every boundary. One hash agg + a broadcast
+    * one-row total. Output: `(bucket, n, mean_score, obs_rate,
+    * abs_gap, ece)`, one row per non-empty bin. */
+  def calibrationTable(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least two calibration bins")
+    val dt = DecimalType(28, 12)
+    val per = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_graft_b", least(lit((nBuckets - 1).toLong),
+        floor(col(scoreCol).cast(DoubleType) * nBuckets).cast("long")))
+      .groupBy(col("_graft_b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(scoreCol).cast(dt)).as("_graft_ss"),
+        sum(col(labelCol).cast(DoubleType).cast(dt)).as("_graft_sy"))
+      .withColumn("mean_score", round(col("_graft_ss").cast(DoubleType) /
+        col("n").cast(DoubleType), 6))
+      .withColumn("obs_rate", round(col("_graft_sy").cast(DoubleType) /
+        col("n").cast(DoubleType), 6))
+      .withColumn("abs_gap",
+        round(abs(col("mean_score") - col("obs_rate")), 6))
+    val tot = per.agg(
+      sum(col("n")).as("_graft_nn"),
+      sum((col("n").cast(DoubleType) * col("abs_gap")).cast(dt))
+        .as("_graft_ge"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("ece", round(col("_graft_ge").cast(DoubleType) /
+        col("_graft_nn").cast(DoubleType), 6))
+      .select(col("bucket"), col("n"), col("mean_score"),
+        col("obs_rate"), col("abs_gap"), col("ece"))
+  }
+
+  /** GROUP-RATE / disparate-impact audit — the four-fifths-rule readout
+    * run over any binary outcome per group (a quality filter's keep
+    * rate per language, a classifier's positive rate per source): per
+    * group, the positive rate, its ratio to the HIGHEST group rate,
+    * and the standard `ratio ≥ 0.8` flag (US EEOC four-fifths rule —
+    * here the data-pipeline analog: a quality model keeping 80% of
+    * English but 30% of another language is reshaping the corpus, a
+    * bias the Gopher/Dolma dataset reports audit explicitly). NULL
+    * groups form their own audited row. One hash agg + a broadcast
+    * one-row max; rates round-6 with the ratio computed from the
+    * ROUNDED rates (engine-agreed at boundaries). An all-negative
+    * corpus (max rate 0) emits NULL ratios/flags. Output:
+    * `(group, n, positives, rate, impact_ratio, passes_four_fifths)`. */
+  def groupRateAudit(df: DataFrame, groupCol: String,
+      positiveCol: String): DataFrame = {
+    val per = df
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(positiveCol).cast("long")), lit(0L))
+          .as("positives"))
+      .withColumn("rate", round(col("positives").cast(DoubleType) /
+        col("n").cast(DoubleType), 6))
+    val mx = per.agg(max(col("rate")).as("_graft_mx"))
+    per.crossJoin(broadcast(mx))
+      .withColumn("impact_ratio",
+        when(col("_graft_mx") === 0.0 || col("_graft_mx").isNull,
+          lit(null).cast(DoubleType))
+          .otherwise(round(col("rate") / col("_graft_mx"), 6)))
+      .withColumn("passes_four_fifths",
+        when(col("impact_ratio").isNull, lit(null).cast("boolean"))
+          .otherwise(col("impact_ratio") >= 0.8))
+      .select(col("group"), col("n"), col("positives"), col("rate"),
+        col("impact_ratio"), col("passes_four_fifths"))
+  }
 }

@@ -177,6 +177,75 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** t37's relational-GD classifier training + scoring chain as shared
+    * CTEs (t37 and the q147/q148 audits replay the same model): ends at
+    * `sc(doc_id, score)` — the round-6 fast-sigmoid score of every
+    * document under the weights after `rounds` full-batch GD rounds.
+    * `lbl` (doc_id, y) stays visible to callers for label joins. */
+  private def classifierScoreCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH tok AS (SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+             FROM documents),
+        feat AS MATERIALIZED (SELECT DISTINCT doc_id,
+               CAST(CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
+             FROM tok),
+        lbl AS MATERIALIZED (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+        b0 AS (SELECT 0.0 AS bias)""")
+    for (i <- 1 to rounds) sb.append(s""",
+        m$i AS MATERIALIZED (SELECT l.doc_id, l.y,
+               b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
+             FROM lbl l CROSS JOIN b${i - 1} b LEFT JOIN (
+               SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(28,12))) AS ms
+               FROM feat f JOIN w${i - 1} w USING (bucket)
+               GROUP BY f.doc_id) s ON l.doc_id = s.doc_id),
+        e$i AS MATERIALIZED (SELECT doc_id,
+               0.5 + 0.5 * m / (1.0 + abs(m)) - y AS err FROM m$i),
+        g$i AS MATERIALIZED (SELECT f.bucket, sum(CAST(e.err AS DECIMAL(28,12))) AS g
+             FROM feat f JOIN e$i e USING (doc_id) GROUP BY f.bucket),
+        w$i AS MATERIALIZED (SELECT w.bucket,
+               round(w.w - 0.5 * COALESCE(CAST(g.g AS DOUBLE), 0.0) / nn.n, 12) AS w
+             FROM w${i - 1} w LEFT JOIN g$i g USING (bucket) CROSS JOIN nn),
+        b$i AS (SELECT round(b.bias - 0.5 * CAST(s.g AS DOUBLE) / nn.n, 12) AS bias
+             FROM b${i - 1} b CROSS JOIN
+               (SELECT sum(CAST(err AS DECIMAL(28,12))) AS g FROM e$i) s
+             CROSS JOIN nn)""")
+    sb.append(s"""
+        , mf AS (SELECT d.doc_id, b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
+             FROM (SELECT doc_id FROM documents) d CROSS JOIN b$rounds b
+             LEFT JOIN (
+               SELECT f.doc_id, sum(CAST(COALESCE(w.w, 0.0) AS DECIMAL(28,12))) AS ms
+               FROM feat f LEFT JOIN w$rounds w USING (bucket)
+               GROUP BY f.doc_id) s ON d.doc_id = s.doc_id),
+        sc AS (SELECT doc_id,
+             round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score FROM mf)""")
+    sb.toString
+  }
+
+  /** Process-scoped materialization of the t37/q147/q148 shared
+    * classifier weights (the [[louvainPartsPhase1]] materialized-view
+    * pattern): all three replay the SAME 3-round GD training, so the
+    * battery pays it once; the weight table is 65 rows. */
+  private val clsWtsPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def classifierWeightsMemo(s: SparkSession, dir: String): DataFrame = {
+    val path = clsWtsPaths.computeIfAbsent(dir, { d =>
+      val p = sinkDir(s"cls_wts_${math.abs(d.hashCode.toLong)}")
+      val docs = t(s, d, "documents")
+      graft.operators.Classifier.trainTextClassifier(
+          docs.withColumn("y",
+            (org.apache.spark.sql.functions.col("lang") === "en")
+              .cast("double")),
+          "doc_id", "text", "y", nBuckets = 64, rounds = 3, lr = 0.5)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** WordPiece training rounds as CTEs (shared by t52 and t53's encode
     * chain): v$i = segmentations entering round i, s$i = per-symbol
     * occurrence counts, p$i = pair counts, m$i = the round's argmax by
@@ -6851,57 +6920,16 @@ object Queries {
       "t37_quality_classifier",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
-        val labeled = docs.withColumn("y", ($"lang" === "en").cast("double"))
-        val wts = graft.operators.Classifier.trainTextClassifier(
-          labeled, "doc_id", "text", "y", nBuckets = 64, rounds = 3, lr = 0.5)
-        graft.operators.Classifier.scoreTextClassifier(docs, "doc_id", "text", wts)
+        // weights from the shared process memo (t37/q147/q148 replay
+        // the same training — see classifierWeightsMemo)
+        graft.operators.Classifier.scoreTextClassifier(
+            t(s, dir, "documents"), "doc_id", "text",
+            classifierWeightsMemo(s, dir))
           .orderBy($"doc_id")
       },
-      Some {
-        val rounds = 3
-        val sb = new StringBuilder(
-          """WITH tok AS (SELECT doc_id,
-               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
-             FROM documents),
-        feat AS MATERIALIZED (SELECT DISTINCT doc_id,
-               CAST(CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % 64 AS BIGINT) AS bucket
-             FROM tok),
-        lbl AS MATERIALIZED (SELECT doc_id,
-               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
-        b0 AS (SELECT 0.0 AS bias)""")
-        for (i <- 1 to rounds) sb.append(s""",
-        m$i AS MATERIALIZED (SELECT l.doc_id, l.y,
-               b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
-             FROM lbl l CROSS JOIN b${i - 1} b LEFT JOIN (
-               SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(28,12))) AS ms
-               FROM feat f JOIN w${i - 1} w USING (bucket)
-               GROUP BY f.doc_id) s ON l.doc_id = s.doc_id),
-        e$i AS MATERIALIZED (SELECT doc_id,
-               0.5 + 0.5 * m / (1.0 + abs(m)) - y AS err FROM m$i),
-        g$i AS MATERIALIZED (SELECT f.bucket, sum(CAST(e.err AS DECIMAL(28,12))) AS g
-             FROM feat f JOIN e$i e USING (doc_id) GROUP BY f.bucket),
-        w$i AS MATERIALIZED (SELECT w.bucket,
-               round(w.w - 0.5 * COALESCE(CAST(g.g AS DOUBLE), 0.0) / nn.n, 12) AS w
-             FROM w${i - 1} w LEFT JOIN g$i g USING (bucket) CROSS JOIN nn),
-        b$i AS (SELECT round(b.bias - 0.5 * CAST(s.g AS DOUBLE) / nn.n, 12) AS bias
-             FROM b${i - 1} b CROSS JOIN
-               (SELECT sum(CAST(err AS DECIMAL(28,12))) AS g FROM e$i) s
-             CROSS JOIN nn)""")
-        sb.append(s"""
-        , mf AS (SELECT d.doc_id, b.bias + COALESCE(CAST(s.ms AS DOUBLE), 0.0) AS m
-             FROM (SELECT doc_id FROM documents) d CROSS JOIN b$rounds b
-             LEFT JOIN (
-               SELECT f.doc_id, sum(CAST(COALESCE(w.w, 0.0) AS DECIMAL(28,12))) AS ms
-               FROM feat f LEFT JOIN w$rounds w USING (bucket)
-               GROUP BY f.doc_id) s ON d.doc_id = s.doc_id)
-        SELECT doc_id, round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) AS score,
-          (round(0.5 + 0.5 * m / (1.0 + abs(m)), 6) >= 0.5) AS pred
-        FROM mf ORDER BY doc_id""")
-        sb.toString
-      }),
+      Some(classifierScoreCtes(3) + """
+        SELECT doc_id, score, (score >= 0.5) AS pred FROM sc
+        ORDER BY doc_id""")),
 
     // ---- Bigram LM quality signal: add-one-smoothed sequence
     //      log-probability under the corpus's own bigram stats ----
@@ -9461,7 +9489,79 @@ object Queries {
         SELECT n_a, n_b, pooled_rate, mde_abs,
           CASE WHEN mde_abs IS NULL THEN NULL
             ELSE round(mde_abs / pooled_rate, 9) END AS mde_rel
-        FROM m"""))
+        FROM m""")),
+
+    // ---- Classifier calibration / reliability table + ECE: the t37
+    //      quality model's scores binned 10-wide against observed
+    //      labels — "does 0.9 mean 90%" before thresholding a corpus
+    //      with it; weights from the shared process memo ----
+    QueryDef(
+      "q147_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val scored = graft.operators.Classifier.scoreTextClassifier(
+            docs, "doc_id", "text", classifierWeightsMemo(s, dir))
+          .join(docs.select($"doc_id",
+            ($"lang" === "en").cast("double").as("y")), Seq("doc_id"))
+        graft.operators.Classifier
+          .calibrationTable(scored, "score", "y", nBuckets = 10)
+          .orderBy($"bucket")
+      },
+      Some(classifierScoreCtes(3) + """,
+        lab AS (SELECT sc.doc_id, sc.score, l.y FROM sc
+          JOIN lbl l USING (doc_id)),
+        bins AS (SELECT least(CAST(9 AS BIGINT),
+            CAST(floor(score * 10) AS BIGINT)) AS bucket, score, y
+          FROM lab),
+        per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+            round(CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS obs_rate
+          FROM bins GROUP BY 1),
+        gp AS (SELECT *, round(abs(mean_score - obs_rate), 6) AS abs_gap
+          FROM per),
+        tot AS (SELECT sum(n) AS tn,
+            sum(CAST(CAST(n AS DOUBLE) * abs_gap AS DECIMAL(28,12))) AS ge
+          FROM gp)
+        SELECT bucket, n, mean_score, obs_rate, abs_gap,
+          round(CAST(ge AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS ece
+        FROM gp CROSS JOIN tot ORDER BY bucket""")),
+
+    // ---- Four-fifths disparate-impact audit of the quality model:
+    //      predicted-keep rate per language vs the highest-rate
+    //      language — the corpus-reshaping bias a Dolma/Gopher-style
+    //      dataset report quantifies before filtering at scale ----
+    QueryDef(
+      "q148_fairness_audit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val scored = graft.operators.Classifier.scoreTextClassifier(
+            docs, "doc_id", "text", classifierWeightsMemo(s, dir))
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        graft.operators.Classifier
+          .groupRateAudit(scored, "lang", "pred")
+          .orderBy($"group")
+      },
+      Some(classifierScoreCtes(3) + """,
+        pr AS (SELECT doc_id, (score >= 0.5) AS pos FROM sc),
+        j AS (SELECT d.lang AS "group", pr.pos FROM documents d
+          JOIN pr ON d.doc_id = pr.doc_id),
+        per AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS positives
+          FROM j GROUP BY 1),
+        rt AS (SELECT *, round(CAST(positives AS DOUBLE)
+            / CAST(n AS DOUBLE), 6) AS rate FROM per),
+        mx AS (SELECT max(rate) AS m FROM rt)
+        SELECT "group", n, positives, rate,
+          CASE WHEN m = 0 OR m IS NULL THEN NULL
+            ELSE round(rate / m, 6) END AS impact_ratio,
+          CASE WHEN m = 0 OR m IS NULL THEN NULL
+            ELSE round(rate / m, 6) >= 0.8 END AS passes_four_fifths
+        FROM rt CROSS JOIN mx ORDER BY "group""""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

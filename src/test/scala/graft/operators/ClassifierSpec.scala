@@ -64,4 +64,50 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Classifier.scoreTextClassifier(oov, "doc_id", "text", w).collect()
     assert(got.length === 1 && !got.head.isNullAt(1))
   }
+
+  test("calibrationTable: hand-checked bins, ECE weighting, 1.0 folds into the top bin") {
+    val sp = spark; import sp.implicits._
+    // bin 2 (scores .21/.29 -> mean .25) with labels 1,0 -> obs .5,
+    // gap .25; bin 9: scores .95 and the boundary 1.0 fold together ->
+    // mean .975, labels 1,1 -> obs 1.0, gap .025;
+    // ECE = (2*.25 + 2*.025)/4 = .1375. Mid-bin scores on purpose:
+    // bin EDGES follow IEEE (0.30*10 rounds to exactly 3.0, so .30
+    // would land in bin 3 — identically in every engine, but not where
+    // base-10 intuition says)
+    val rows = Seq((0.21, 1.0), (0.29, 0.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("score", "y")
+    val out = Classifier.calibrationTable(rows, "score", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet === Set(2L, 9L))
+    assert(out(2L) === ((2L, 0.25, 0.5, 0.25, 0.1375)))
+    assert(out(9L) === ((2L, 0.975, 1.0, 0.025, 0.1375)))
+    // null scores/labels are excluded, not binned
+    val dirty = rows.unionByName(Seq((null.asInstanceOf[java.lang.Double],
+      java.lang.Double.valueOf(1.0))).toDF("score", "y"))
+    assert(Classifier.calibrationTable(dirty, "score", "y")
+      .agg(org.apache.spark.sql.functions.sum($"n")).collect()
+      .head.getLong(0) === 4L)
+  }
+
+  test("groupRateAudit: four-fifths flags, NULL group row, all-negative NULL ratios") {
+    val sp = spark; import sp.implicits._
+    // a: 8/10 kept; b: 3/10 kept (fails 4/5 vs a); null group: 4/5
+    val rows = (1 to 10).map(i => ("a", i <= 8)) ++
+      (1 to 10).map(i => ("b", i <= 3)) ++
+      (1 to 5).map(i => (null.asInstanceOf[String], i <= 4))
+    val out = Classifier.groupRateAudit(rows.toDF("g", "keep"), "g", "keep")
+      .collect().map(r => Option(r.getString(0)).getOrElse("∅") ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(out("a") === ((10L, 8L, 0.8, 1.0, true)))
+    assert(out("b")._4 === 0.375 && !out("b")._5)
+    assert(out("∅")._3 === 0.8 && out("∅")._5)
+    // all-negative corpus: max rate 0 -> NULL ratio and flag
+    val neg = Classifier.groupRateAudit(
+      Seq(("a", false), ("b", false)).toDF("g", "keep"), "g", "keep")
+      .collect()
+    assert(neg.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
 }
