@@ -153,6 +153,64 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "sum_sq", "peak")
   }
 
+  /** G.711 µ-LAW companding of one signed 16-bit sample (ITU-T G.711,
+    * the public telephony standard: 8 logarithmic segments, 4-bit
+    * mantissa, BIAS 0x84, clip 32635) — the codec every 8 kHz
+    * telephony / call-center corpus arrives in. Pure integer bit
+    * arithmetic: deterministic on any platform. */
+  def mulawEncode(x: Short): Byte = {
+    val sign = if (x < 0) 0x80 else 0x00
+    var m = math.min(math.abs(x.toInt), 32635) + 132
+    var e = 7
+    var probe = 0x4000
+    while (e > 0 && (m & probe) == 0) { e -= 1; probe >>= 1 }
+    val mant = (m >> (e + 3)) & 0x0F
+    (~(sign | (e << 4) | mant)).toByte
+  }
+
+  /** Inverse of [[mulawEncode]]: reconstructs the segment midpoint. */
+  def mulawDecode(u: Byte): Short = {
+    val c = ~u & 0xFF
+    val e = (c >> 4) & 0x07
+    val t = (((c & 0x0F) << 3) + 132) << e
+    (if ((c & 0x80) != 0) 132 - t else t - 132).toShort
+  }
+
+  /** µ-law ROUNDTRIP QUALITY audit over PCM16 assets — the codec-loss
+    * report a speech-data pipeline runs before committing a corpus to
+    * 8-bit companded storage (µ-law halves audio bytes vs PCM16 at
+    * telephony-transparent quality; this measures the actual error on
+    * YOUR samples instead of trusting the standard's worst case). Per
+    * asset: sample count, the exact integer Σ|x − dec(enc(x))| and
+    * max |error|, and the peak input |sample| for scale. Same
+    * per-partition batched kernel shape as [[pcm16Features]]; all
+    * outputs exact integers, hash-portable. Output:
+    * `(media_id, n_samples, sum_abs_err, max_abs_err, peak)`. */
+  def pcm16MulawRoundtrip(ds: Dataset[MediaRecord],
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      var sumErr = 0L
+      var maxErr = 0
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = (((decoded(2 * i) & 0xFF) << 8) |
+          (decoded(2 * i + 1) & 0xFF)).toShort
+        val r = mulawDecode(mulawEncode(s)).toInt
+        val err = math.abs(s.toInt - r)
+        sumErr += err
+        if (err > maxErr) maxErr = err
+        val a = math.abs(s.toInt)
+        if (a > peak) peak = a
+        i += 1
+      }
+      (rec.media_id, n, sumErr, maxErr, peak)
+    }).toDF("media_id", "n_samples", "sum_abs_err", "max_abs_err", "peak")
+  }
+
   /** FRAMED PCM16 features — the time-resolved sibling of
     * [[pcm16Features]] and the audio analogue of [[sampleFrames]]:
     * signed big-endian 16-bit samples split into frames of `frameSize`

@@ -3020,6 +3020,53 @@ object Queries {
           CAST(max(abs(s)) AS INTEGER) AS peak
         FROM s GROUP BY doc_id, ns ORDER BY media_id""")),
 
+    // ---- Multimodal: G.711 mu-law companding roundtrip audit — every
+    //      PCM16 sample encoded to 8-bit mu-law and back, exact integer
+    //      error stats per asset; the oracle replays the 8-segment
+    //      ladder with integer div/mod (no bit ops needed) ----
+    QueryDef(
+      "m17_mulaw_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 2)
+          .select($"doc_id", lit("audio/pcm").as("mt"),
+            encode($"text", "US-ASCII").as("payload"))
+        graft.operators.Multimodal.pcm16MulawRoundtrip(
+            graft.operators.Multimodal.pack(media, "doc_id", "mt", "payload")(s))
+          .orderBy($"media_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= 2 AND octet_length(encode(text)) = length(text)),
+        sm AS (SELECT doc_id, n // 2 AS ns, unnest(range(0, n // 2)) AS i, text FROM b),
+        v AS (SELECT doc_id, ns,
+                ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) * 256
+                  + ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS v
+              FROM sm),
+        s AS (SELECT doc_id, ns,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sx FROM v),
+        -- G.711 encode: m = min(|x|, 32635) + 132; 8-segment ladder;
+        -- 4-bit mantissa by integer division; decode = segment midpoint
+        m AS (SELECT doc_id, ns, sx,
+                least(abs(sx), 32635) + 132 AS m FROM s),
+        e AS (SELECT doc_id, ns, sx, m,
+                CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+                  WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+                  WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                  WHEN m < 16384 THEN 6 ELSE 7 END AS e FROM m),
+        r AS (SELECT doc_id, ns, sx,
+                (((m // CAST(pow(2, e + 3) AS BIGINT)) % 16) * 8 + 132)
+                  * CAST(pow(2, e) AS BIGINT) - 132 AS mag FROM e),
+        err AS (SELECT doc_id, ns,
+                abs(sx - CASE WHEN sx < 0 THEN -mag ELSE mag END) AS err,
+                abs(sx) AS a FROM r)
+        SELECT doc_id AS media_id, CAST(ns AS INTEGER) AS n_samples,
+          CAST(sum(err) AS BIGINT) AS sum_abs_err,
+          CAST(max(err) AS INTEGER) AS max_abs_err,
+          CAST(max(a) AS INTEGER) AS peak
+        FROM err GROUP BY doc_id, ns ORDER BY media_id""")),
+
     // ---- Multimodal: the same PCM16 features through a REAL RIFF/WAVE
     //      container — each payload is a canonical 16-bit PCM WAV built
     //      around the text bytes, decoded (LE->BE byte swap, header

@@ -315,4 +315,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === ((4, 3, 2L, 0L, 0L)))
     assert(!out.contains(3L) && !out.contains(4L))
   }
+
+  test("mu-law: exhaustive G.711 properties over all 65536 samples") {
+    var maxErr = 0
+    var worst = 0
+    val codes = new Array[Boolean](256)
+    var x = Short.MinValue.toInt
+    while (x <= Short.MaxValue.toInt) {
+      val s = x.toShort
+      val c = Multimodal.mulawEncode(s)
+      codes(c & 0xFF) = true
+      val r = Multimodal.mulawDecode(c)
+      // idempotence at the VALUE level: re-encoding the reconstruction
+      // reproduces it exactly. (Code-level idempotence is false by
+      // design at one point: mu-law has two zeros — negative inputs in
+      // (-8, 0) encode to 0x7F "-0", which decodes to 0 and re-encodes
+      // as 0xFF "+0" — the standard's documented wrinkle.)
+      assert(Multimodal.mulawDecode(Multimodal.mulawEncode(r)) === r,
+        s"non-idempotent at $x")
+      // sign symmetry on the reconstruction (clip makes |x| asymmetric
+      // only at the extremes, where both sides clip to the same code)
+      val err = math.abs(x - r.toInt)
+      if (err > maxErr) { maxErr = err; worst = x }
+      // G.711 top segment (e = 7) quantizes in steps of 2^10: the
+      // roundtrip error never exceeds one step
+      assert(err <= 1024, s"error $err at $x")
+      x += 1
+    }
+    // all 256 code words are reachable (the companding covers the byte)
+    assert(codes.forall(identity), "unreachable mu-law code word")
+    // small samples quantize finely: segment 0 (|x| <= 123 after the
+    // +132 bias) steps by 8 -> |err| <= 4; the 124..127 tail crosses
+    // into segment 1 (step 16) -> <= 8
+    (-127 to 127).foreach { v =>
+      val r = Multimodal.mulawDecode(Multimodal.mulawEncode(v.toShort))
+      val cap = if (math.abs(v) <= 123) 4 else 8
+      assert(math.abs(v - r) <= cap, s"coarse at $v")
+    }
+    // sign symmetry away from the clip region
+    (0 to 32000 by 37).foreach { v =>
+      val p = Multimodal.mulawDecode(Multimodal.mulawEncode(v.toShort)).toInt
+      val n = Multimodal.mulawDecode(Multimodal.mulawEncode((-v).toShort)).toInt
+      assert(n === -p, s"asymmetric at $v: $p vs $n")
+    }
+    assert(maxErr > 0, s"suspiciously lossless (worst at $worst)")
+  }
 }
