@@ -473,4 +473,46 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ch = TextAnalysis.cdcChunks(blank, "doc_id", "text").collect()
     assert(ch.nonEmpty && ch.forall(_.getLong(0) == 2L))
   }
+
+  test("round-13 operators on empty input") {
+    val sp = spark
+    import sp.implicits._
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val emptyW = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "wt")
+    // MSF on no edges: empty forest, stable schema
+    assert(Graph.minimumSpanningForest(emptyW, "src", "dst", "wt", 2)
+      .count() == 0)
+    // token-free corpus: empty shard table (not an NPE'd cap)
+    assert(TextAnalysis.shardByTokens(emptyDocs, "doc_id", "text", 4)
+      .count() == 0)
+    assert(TextAnalysis.shardByTokens(
+      Seq((1L, "!!!")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .count() == 0)
+    // vocab growth / Heaps on nothing: empty curve, one NULL-fit row
+    assert(TextAnalysis.vocabGrowth(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val hf = TextAnalysis.heapsLawFit(emptyDocs, "doc_id", "text")
+      .collect()
+    assert(hf.length == 1 && hf.head.getLong(0) == 0L &&
+      hf.head.isNullAt(3))
+    // DDSketch: no registers, and quantiles over none is empty
+    val emptyVals = Seq.empty[(String, Double)].toDF("g", "x")
+    val regs = Analytics.ddsketchRegisters(emptyVals, "g", "x")
+    assert(regs.count() == 0)
+    assert(Analytics.ddsketchQuantiles(regs, Seq(0.5)).count() == 0)
+    // k-anonymity over nothing: no classes
+    assert(Cleaning.kAnonymityAudit(
+      Seq.empty[(String, Long)].toDF("q", "u"), Seq("q"), "u", 2)
+      .count() == 0)
+    // calibration / group-rate audits over nothing: no bins / groups
+    val emptyScored = Seq.empty[(Double, Double)].toDF("score", "y")
+    assert(Classifier.calibrationTable(emptyScored, "score", "y")
+      .count() == 0)
+    assert(Classifier.groupRateAudit(
+      Seq.empty[(String, Boolean)].toDF("g", "p"), "g", "p").count() == 0)
+    // one-row contracts (srmCheck, abTestPowerMde) are asserted in
+    // their own specs; mu-law roundtrip over no assets is empty
+    val noMedia = sp.emptyDataset[MediaRecord]
+    assert(Multimodal.pcm16MulawRoundtrip(noMedia).count() == 0)
+  }
 }
