@@ -336,8 +336,14 @@ object Analytics {
     require(quantiles.nonEmpty &&
       quantiles.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
-    val totals = regs.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-    val cum = regs.withColumn("cum",
+    // the register table feeds TWO consumers (per-group totals and the
+    // cumulative walk) and exchanges are not reused across them — if
+    // `regs` is the lazy output of [[ddsketchRegisters]], each branch
+    // would re-run the corpus-wide aggregation. Registers are
+    // (groups × buckets)-sized: materialize once.
+    val mat = regs.localCheckpoint(true)
+    val totals = mat.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val cum = mat.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("g"))
         .orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, 0)))
@@ -346,7 +352,7 @@ object Analytics {
         explode(array(qs.map(lit(_)): _*)).as("q"))
       .withColumn("rank",
         greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
-    qFrame.join(cum, Seq("g"))
+    val out = qFrame.join(cum, Seq("g"))
       .filter(col("cum") >= col("rank"))
       .groupBy(col("g"), col("q"), col("rank"))
       .agg(min(col("bucket")).as("bucket"))
@@ -355,6 +361,9 @@ object Analytics {
           lit(gamma + 1.0), 6))
       .select(col("g"), col("q"), col("rank"), col("bucket"),
         col("estimate"))
+      .localCheckpoint(true)
+    mat.unpersist()
+    out
   }
 
   /** SAMPLE-RATIO-MISMATCH check over the [[abTestZ]] md5 unit split —

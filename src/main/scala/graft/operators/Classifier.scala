@@ -187,6 +187,11 @@ object Classifier {
       labelCol: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, "need at least two calibration bins")
     val dt = DecimalType(28, 12)
+    // the per-bin frame feeds TWO consumers (the output and the ECE
+    // total) and Spark does not reuse the exchange across them — an
+    // unmaterialized `per` would re-run the corpus-wide aggregation
+    // twice (the round-10 shared-subtree lesson). It is bin-count-sized:
+    // materialize once.
     val per = scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .withColumn("_graft_b", least(lit((nBuckets - 1).toLong),
@@ -201,15 +206,19 @@ object Classifier {
         col("n").cast(DoubleType), 6))
       .withColumn("abs_gap",
         round(abs(col("mean_score") - col("obs_rate")), 6))
+      .localCheckpoint(true)
     val tot = per.agg(
       sum(col("n")).as("_graft_nn"),
       sum((col("n").cast(DoubleType) * col("abs_gap")).cast(dt))
         .as("_graft_ge"))
-    per.crossJoin(broadcast(tot))
+    val out = per.crossJoin(broadcast(tot))
       .withColumn("ece", round(col("_graft_ge").cast(DoubleType) /
         col("_graft_nn").cast(DoubleType), 6))
       .select(col("bucket"), col("n"), col("mean_score"),
         col("obs_rate"), col("abs_gap"), col("ece"))
+      .localCheckpoint(true)
+    per.unpersist()
+    out
   }
 
   /** GROUP-RATE / disparate-impact audit — the four-fifths-rule readout
@@ -227,6 +236,9 @@ object Classifier {
     * `(group, n, positives, rate, impact_ratio, passes_four_fifths)`. */
   def groupRateAudit(df: DataFrame, groupCol: String,
       positiveCol: String): DataFrame = {
+    // per-group frame feeds two consumers (output + max) with no
+    // exchange reuse between them — materialize the group-count-sized
+    // frame once so the corpus aggregates exactly one time
     val per = df
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
@@ -234,8 +246,9 @@ object Classifier {
           .as("positives"))
       .withColumn("rate", round(col("positives").cast(DoubleType) /
         col("n").cast(DoubleType), 6))
+      .localCheckpoint(true)
     val mx = per.agg(max(col("rate")).as("_graft_mx"))
-    per.crossJoin(broadcast(mx))
+    val out = per.crossJoin(broadcast(mx))
       .withColumn("impact_ratio",
         when(col("_graft_mx") === 0.0 || col("_graft_mx").isNull,
           lit(null).cast(DoubleType))
@@ -245,5 +258,8 @@ object Classifier {
           .otherwise(col("impact_ratio") >= 0.8))
       .select(col("group"), col("n"), col("positives"), col("rate"),
         col("impact_ratio"), col("passes_four_fifths"))
+      .localCheckpoint(true)
+    per.unpersist()
+    out
   }
 }
