@@ -9608,7 +9608,97 @@ object Queries {
             ELSE round(rate / m, 6) END AS impact_ratio,
           CASE WHEN m = 0 OR m IS NULL THEN NULL
             ELSE round(rate / m, 6) >= 0.8 END AS passes_four_fifths
-        FROM rt CROSS JOIN mx ORDER BY "group""""))
+        FROM rt CROSS JOIN mx ORDER BY "group"""")),
+
+    // ---- DDSketch SHARD ROLLUP equality: quantiles from per-shard
+    //      registers merged by register SUM, while the oracle computes
+    //      the direct one-shot sketch — a hash match IS the cross-
+    //      engine proof that the rollup algebra is lossless (the
+    //      stored-sketch deployment path: per-day sketches, rolled up
+    //      on read, must answer exactly like a full recompute) ----
+    QueryDef(
+      "q149_ddsketch_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val sharded = graft.operators.Analytics.ddsketchRegisters(
+          li.withColumn("g",
+            concat($"l_returnflag", lit("|"), $"l_orderkey" % 5)),
+          "g", "l_extendedprice", gamma = 1.02)
+        val merged = sharded
+          .withColumn("flag", split($"g", "\\|")(0))
+          .groupBy($"flag", $"bucket")
+          .agg(sum($"cnt").as("cnt"))
+          .select($"flag".as("g"), $"bucket", $"cnt")
+        graft.operators.Analytics
+          .ddsketchQuantiles(merged, Seq(0.5, 0.95, 0.99), gamma = 1.02)
+          .orderBy($"g", $"q")
+      },
+      Some(s"""WITH r AS (SELECT l_returnflag AS g,
+          CAST(ceil(round(ln(CAST(l_extendedprice AS DOUBLE))
+            / ${math.log(1.02)}, 9)) AS BIGINT) AS bucket,
+          count(*) AS cnt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        GROUP BY 1, 2),
+        t AS (SELECT g, sum(cnt) AS n FROM r GROUP BY g),
+        c AS (SELECT g, bucket, cnt,
+          sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM r),
+        qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+        rk AS (SELECT t.g, qs.q,
+          greatest(CAST(1 AS BIGINT), CAST(ceil(qs.q * t.n) AS BIGINT)) AS rank
+        FROM t CROSS JOIN qs),
+        pick AS (SELECT rk.g, rk.q, rk.rank, min(c.bucket) AS bucket
+        FROM rk JOIN c ON rk.g = c.g AND c.cum >= rk.rank
+        GROUP BY 1, 2, 3)
+        SELECT g, q, rank, bucket,
+          round(2 * power(1.02, bucket) / 2.02, 6) AS estimate
+        FROM pick ORDER BY g, q""")),
+
+    // ---- HLL SHARD ROLLUP equality: the same proof for the
+    //      cardinality sketch — per-shard registers max-merged must
+    //      estimate exactly like the direct sketch (register algebra
+    //      is lossless under max), oracle = the one-shot path ----
+    QueryDef(
+      "q150_hll_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").filter($"event_id".isNotNull)
+        val sharded = graft.operators.Analytics.hllRegisters(
+          ev.withColumn("g",
+            concat($"event_type", lit("|"), $"event_id" % 7)),
+          "g", "event_id", p = 8)
+        val merged = sharded
+          .withColumn("event_type", split($"g", "\\|")(0))
+          .groupBy($"event_type", $"b")
+          .agg(max($"r").as("r"))
+        graft.operators.Analytics.hllEstimate(merged, "event_type", p = 8)
+          .orderBy($"event_type")
+      },
+      Some("""WITH h AS (SELECT event_type,
+            CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+          FROM events WHERE event_id IS NOT NULL),
+        hb AS (SELECT event_type, hv & 255 AS b, hv >> 8 AS w FROM h),
+        rho AS (SELECT event_type, b,
+            CASE WHEN w = 0 THEN 53 ELSE 52 - length(printf('%b', w)) + 1 END AS rho
+          FROM hb),
+        regs AS (SELECT event_type, b, max(rho) AS r FROM rho GROUP BY 1, 2),
+        gm AS (SELECT event_type, max(r) AS rmax, count(*) AS ne FROM regs GROUP BY 1),
+        num AS (SELECT r.event_type,
+            CAST(sum(CAST(pow(2.0, g.rmax - r.r) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nn
+          FROM regs r JOIN gm g USING (event_type) GROUP BY 1),
+        est AS (SELECT g.event_type, g.rmax, g.ne,
+            CAST(n.nn + CAST((256 - g.ne) AS DECIMAL(38,0)) * CAST(pow(2.0, g.rmax) AS DECIMAL(38,0)) AS DOUBLE) AS numt
+          FROM gm g JOIN num n USING (event_type)),
+        fin AS (SELECT event_type,
+            (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * pow(2.0, rmax) / numt AS eraw,
+            256 - ne AS zeros FROM est)
+        SELECT event_type,
+          round(CASE WHEN zeros > 0 AND eraw <= 2.5 * 256.0
+            THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE eraw END, 4) AS hll_distinct
+        FROM fin ORDER BY event_type"""))
   )
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
