@@ -118,13 +118,30 @@ object Verify {
           }.toMap
     }
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query canon records for the repo-tree evidence sink:
+    // (name, n, sumHex, xorHex, matched: Option[Boolean])
+    val canons = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Long, String, String, Option[Boolean])]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        if (evidence) {
+      // the query computation+write gets the purging catch; the
+      // evidence pass below gets its OWN NonFatal catch — a transient
+      // failure writing diagnostics must not delete an already-written
+      // correct result parquet (that would convert an evidence-only
+      // hiccup into a missing correctness row)
+      val wrote =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          purge(new java.io.File(s"$outDir/$name"))
+          false
+        }
+      if (wrote && evidence) {
+        try {
           val (n, s, x, sample) = canonFingerprint(
             spark.read.parquet(s"$outDir/$name"))
           println(s"[canon] $name n=$n sum=$s xor=$x")
@@ -132,14 +149,16 @@ object Verify {
             s"[${q(h)},${q(r)}]" }.mkString("[", ",", "]")
           Files.writeString(Paths.get(s"$outDir/$name/_canon.json"),
             s"""{"query":${q(name)},"n":$n,"sum":${q(s)},"xor":${q(x)},"sample_min":$sampleJson}""")
-          expected.get(name).foreach { case (en, es, ex) =>
-            if ((en, es, ex) != ((n, s, x)))
+          val matched = expected.get(name).map { case (en, es, ex) =>
+            val ok = (en, es, ex) == ((n, s, x))
+            if (!ok)
               mismatches += s"$name: got n=$n sum=$s xor=$x, expected n=$en sum=$es xor=$ex"
+            ok
           }
+          canons += ((name, n, s, x, matched))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name evidence pass failed (result parquet kept): ${e.getMessage}")
         }
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        purge(new java.io.File(s"$outDir/$name"))
       }
     }
     // Prefix-sum-family input diagnostics (t43/t44/t56/t57 all derive
@@ -149,6 +168,7 @@ object Verify {
     // diag, tokenization and the engine output are both pinned identical
     // to the verified local state — the red row is compare-side by
     // elimination. One tiny extra scan of documents at verify SF.
+    var tokensDiagJson: Option[String] = None
     if (evidence) {
       try {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -173,6 +193,7 @@ object Verify {
         val diagJson = parts.mkString("{", ",", "}")
         println(s"[canon-diag] tokens-per-source $diagJson")
         Files.writeString(Paths.get(s"$outDir/_tokens_diag.json"), diagJson)
+        tokensDiagJson = Some(diagJson)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] tokens diag failed: ${e.getMessage}")
       }
@@ -185,6 +206,44 @@ object Verify {
       else {
         println(s"[canon-check] ${mismatches.size} FINGERPRINT MISMATCH(ES) vs committed expectation:")
         mismatches.foreach(m => println(s"[canon-MISMATCH] $m"))
+      }
+    }
+    // REPO-TREE EVIDENCE SINK (round 14, VERDICT r13 item 1): persist
+    // this run's canon verdict where it survives the run — the driver
+    // executes Verify from this working tree, so after a driver round
+    // the file in the repo answers Spark-vs-compare for any red
+    // correctness row without access to the driver's stdout. Written
+    // only for FULL-battery runs (subset runs would clobber the record
+    // with partial evidence); its own catch — evidence persistence
+    // must never fail the verify run.
+    if (evidence && only.isEmpty) {
+      try {
+        val repoRoot = Seq(".", "/root/repo")
+          .find(r => Files.isDirectory(Paths.get(r, "tools")))
+        repoRoot match {
+          case None =>
+            println("[canon-evidence] no repo tree found (skipped)")
+          case Some(root) =>
+            val qj = canons.sortBy(_._1).map { case (name, n, s, x, m) =>
+              val mj = m.map(_.toString).getOrElse("null")
+              s"""${q(name)}:{"n":$n,"sum":${q(s)},"xor":${q(x)},"matched_expectation":$mj}"""
+            }.mkString("{", ",", "}")
+            val mm = mismatches.map(q).mkString("[", ",", "]")
+            val body =
+              s"""{"sf":${q(sfTag)},"out_dir":${q(outDir)},
+                 |"written_at":${q(java.time.Instant.now.toString)},
+                 |"queries_run":${canons.size},
+                 |"expectation_file":${expectPath.map(p => q(p.toString)).getOrElse("null")},
+                 |"all_matched":${mismatches.isEmpty && expected.nonEmpty},
+                 |"mismatches":$mm,
+                 |"tokens_per_source":${tokensDiagJson.getOrElse("null")},
+                 |"queries":$qj}""".stripMargin
+            val dst = Paths.get(root, s"verify_evidence_$sfTag.json")
+            Files.writeString(dst, body)
+            println(s"[canon-evidence] wrote ${dst.toAbsolutePath}")
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] evidence sink failed: ${e.getMessage}")
       }
     }
     val json = SparkEntry.oracleSql

@@ -373,10 +373,20 @@ object Analytics {
     * split, scored by the 1-df chi-square
     * `Σ (observed − expected)²/expected`. The standard alarm is
     * χ² > 10.83 (p < 0.001 — SRM is checked at a harsh threshold
-    * because it fires on infrastructure bugs, not noise); the flag is
-    * derived from the ROUNDED statistic so both engines agree at the
-    * boundary. One conditional hash agg (the abTestZ one-row shape);
-    * empty input emits the one row with zero counts and NULL χ².
+    * because it fires on infrastructure bugs, not noise).
+    *
+    * ENGINE-EXACT FORM (round 14): with integer percentage p and
+    * n = n_a + n_b, the 1-df statistic algebraically collapses to
+    * `χ² = d² / (n·p·(100−p))` where `d = 100·n_a − p·n` — one
+    * integer-exact numerator/denominator pair, so the alarm is the
+    * PURE INTEGER comparison `100·d² > 1083·n·p·(100−p)` (χ² > 10.83
+    * cross-multiplied): no floating point touches the decision at all,
+    * and the emitted χ² is a single correctly-rounded IEEE division of
+    * two exact integers (identical in every engine) rounded to 9. d²
+    * rides DECIMAL(38,0) — at 10¹¹ units d can reach ~10¹³, so the
+    * square must not fold through BIGINT. One conditional hash agg
+    * (the abTestZ one-row shape); empty input emits the one row with
+    * zero counts and NULL χ².
     * Output: `(n_a, n_b, expected_a, chi2, srm_alarm)`. */
   def srmCheck(events: DataFrame, unitCol: String,
       ratioA: Double = 0.5): DataFrame = {
@@ -387,32 +397,33 @@ object Analytics {
     require(pctA >= 1 && pctA <= 99 &&
       math.abs(ratioA * 100 - pctA) < 1e-9,
       "ratioA must be a whole percentage in [0.01, 0.99]")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val units = events.filter(col(unitCol).isNotNull)
       .select(col(unitCol).as("_graft_u")).distinct()
       .withColumn("_graft_arm",
         when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
           16, 10).cast("long") % 100 < lit(pctA.toLong), "a")
           .otherwise("b"))
+    val n = col("n_a") + col("n_b")
+    val d = lit(100L) * col("n_a") - lit(pctA.toLong) * n
+    val d2 = d.cast(dec38) * d.cast(dec38)
+    val den = (n * lit(pctA.toLong) * lit(100L - pctA)).cast(dec38)
     units.agg(
         coalesce(sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)),
           lit(0L)).as("n_a"),
         coalesce(sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)),
           lit(0L)).as("n_b"))
+      // expected_a = p·n/100: integer product, ONE IEEE division — both
+      // engines correctly-round the same rational to the same double
       .withColumn("expected_a",
-        round(lit(ratioA) * (col("n_a") + col("n_b")).cast("double"), 9))
+        round((lit(pctA.toLong) * n).cast("double") / lit(100.0), 9))
       .withColumn("chi2",
-        when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
-          .otherwise(round(
-            pow(col("n_a").cast("double") - col("expected_a"), 2.0) /
-              col("expected_a") +
-            pow(col("n_b").cast("double") -
-                ((col("n_a") + col("n_b")).cast("double") -
-                  col("expected_a")), 2.0) /
-              ((col("n_a") + col("n_b")).cast("double") -
-                col("expected_a")), 9)))
+        when(n === 0L, lit(null).cast("double"))
+          .otherwise(round(d2.cast("double") / den.cast("double"), 9)))
       .withColumn("srm_alarm",
-        when(col("chi2").isNull, lit(null).cast("boolean"))
-          .otherwise(col("chi2") > 10.83))
+        when(n === 0L, lit(null).cast("boolean"))
+          .otherwise(d2 * lit(100L).cast(dec38) >
+            den * lit(1083L).cast(dec38)))
       .select(col("n_a"), col("n_b"), col("expected_a"), col("chi2"),
         col("srm_alarm"))
   }

@@ -33,10 +33,14 @@ object Bmp {
     * reads. Deterministic byte-for-byte. */
   def encodeGray24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
     require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
-    require(pixels.length == width * height,
+    require(pixels.length.toLong == width.toLong * height,
       s"pixel buffer ${pixels.length} != $width*$height")
-    val rowSize = (width * 3 + 3) & ~3
-    require(rowSize.toLong * height + 54L <= Int.MaxValue, "image too large")
+    // row stride in Long first: width*3 overflows Int at width ~715M,
+    // where a negative stride would slip past the size guard and fail
+    // later as NegativeArraySizeException instead of this require
+    val rowSizeL = (width.toLong * 3 + 3) & ~3L
+    require(rowSizeL * height + 54L <= Int.MaxValue, "image too large")
+    val rowSize = rowSizeL.toInt
     val dataSize = rowSize * height
     val out = new Array[Byte](54 + dataSize)
     out(0) = 'B'.toByte; out(1) = 'M'.toByte

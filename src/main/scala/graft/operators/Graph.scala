@@ -2586,21 +2586,34 @@ object Graph {
     * connected components over the COMPONENT-level selected edges —
     * a frame with one row per merging component, never the data —
     * via the pointer-jumping [[Dedup.duplicateClusters]] loop. Edge
-    * dedup keeps the MIN weight per (a, b) pair. Output:
+    * dedup keeps the MIN weight per (a, b) pair. Weights keep their
+    * numeric family — integral types widen to long, fractional to
+    * double, decimals stay decimal (the (w, a, b) struct order works
+    * for any of them); a non-numeric weight column is rejected loudly
+    * rather than silently truncated. Output:
     * `(src, dst, weight, added_round)`, src < dst. */
   def minimumSpanningForest(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, rounds: Int = 8,
       ccIter: Int = 20): DataFrame = {
     require(rounds >= 1, "need at least one Borůvka round")
+    val wType = {
+      import org.apache.spark.sql.types._
+      edges.schema(weightCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case FloatType | DoubleType => DoubleType
+        case d: DecimalType => d
+        case other => throw new IllegalArgumentException(
+          s"weight column '$weightCol' must be numeric, got $other")
+      }
+    }
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
-        col(weightCol).cast("long").as("w"))
+        col(weightCol).cast(wType).as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("w").isNotNull && col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
       .localCheckpoint(true)
-    val sp = e.sparkSession
     var comp = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .distinct().withColumn("component", col("node"))
@@ -2658,11 +2671,9 @@ object Graph {
       r += 1
     }
     val out = forest
-      .getOrElse {
-        import sp.implicits._
-        Seq.empty[(Long, Long, Long, Long)]
-          .toDF("a", "b", "w", "added_round")
-      }
+      // schema-correct empty frame (weight type rides the input's)
+      .getOrElse(e.select(col("a"), col("b"), col("w"),
+        lit(0L).as("added_round")).limit(0))
       .select(col("a").as("src"), col("b").as("dst"),
         col("w").as("weight"), col("added_round"))
       .localCheckpoint(true)

@@ -1391,18 +1391,21 @@ object TextAnalysis {
     * document. β near the 0.4–0.6 natural-language band is healthy;
     * β collapsing toward 0 marks a boilerplate/duplicated corpus, β
     * near 1 marks id-like token noise — the quantitative form of two
-    * dataset pathologies. Same determinism discipline as [[zipfFit]]:
-    * the per-point `ln`s feed DECIMAL(28,12) addend sums (order-free,
-    * engine-exact), and β / K are short fixed IEEE chains rounded to
-    * 6. Output: one row `(n_docs, total_tokens, vocab_size,
-    * heaps_beta, heaps_k)`. */
+    * dataset pathologies. Determinism discipline: each per-point `ln`
+    * is ROUNDED TO 9 before entering the DECIMAL(28,12) addend sums —
+    * `ln` is a libm call whose last ulp is engine/platform freedom, and
+    * an unrounded ulp in one addend would poison the "exact" sums (the
+    * round-14 fix; ln of a token count is ≤ ~26, well inside round-9
+    * safety). The sums are then order-free and engine-exact, and β / K
+    * are short fixed IEEE chains rounded to 6. Output: one row
+    * `(n_docs, total_tokens, vocab_size, heaps_beta, heaps_k)`. */
   def heapsLawFit(df: DataFrame, idCol: String, textCol: String,
       bucketSize: Long = 1024L): DataFrame = {
     val dt = org.apache.spark.sql.types.DecimalType(28, 12)
     val growth = vocabGrowth(df, idCol, textCol, bucketSize)
     val pts = growth.select(col("cum_tokens"), col("cum_vocab"),
-      log(col("cum_tokens").cast("double")).as("x"),
-      log(col("cum_vocab").cast("double")).as("y"))
+      round(log(col("cum_tokens").cast("double")), 9).as("x"),
+      round(log(col("cum_vocab").cast("double")), 9).as("y"))
     val out = pts.agg(
         count(lit(1)).as("n_docs"),
         max(col("cum_tokens")).as("total_tokens"),

@@ -7664,8 +7664,17 @@ object Queries {
           CAST(CASE source WHEN 'en' THEN 6000 WHEN 'de' THEN 2500
             ELSE 1500 END AS BIGINT) AS quota
         FROM tk WHERE n_tokens > 0)
-        SELECT doc_id, source, n_tokens, cum_tokens, quota FROM c
+        SELECT doc_id, source, n_tokens,
+          CAST(cum_tokens AS BIGINT) AS cum_tokens, quota FROM c
         WHERE cum_tokens <= quota ORDER BY doc_id""")),
+        // ^ the CAST is load-bearing: DuckDB types SUM(BIGINT) as
+        // HUGEINT, and a HUGEINT result column turns float64 through a
+        // pandas-based compare ("32.0" != "32") — the proven mechanism
+        // behind the r11-r13 driver-red rows (the driver's own run
+        // canon at /root/.graft/verify_out matched the committed
+        // expectation byte-for-byte, so Spark's multiset was never
+        // wrong). Every oracle's result columns must DESCRIBE to a
+        // portable type; tools/compare.py now gates this.
 
     // ---- Sequence packing: per-source token stream (docs in doc-id
     //      order, one EOS each) sliced into fixed 256-token context
@@ -8726,9 +8735,12 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
             CAST(0 AS BIGINT)) AS cum_before
         FROM nz)
-        SELECT doc_id, n_tokens, cum_before,
+        SELECT doc_id, n_tokens,
+          CAST(cum_before AS BIGINT) AS cum_before,
           CAST(cum_before // cap AS BIGINT) AS shard_id
         FROM c CROSS JOIN cap ORDER BY doc_id""")),
+        // ^ CAST(cum_before AS BIGINT): COALESCE(SUM() OVER, BIGINT)
+        // is HUGEINT in DuckDB — see the t43 portability note
 
     // ---- Proportional-interleave mixture schedule key: per-source
     //      doc-id-order ranks (two-level grouped prefix scan, not a
@@ -9423,6 +9435,11 @@ object Queries {
         graft.operators.Analytics
           .srmCheck(events(s, dir), "user_id", ratioA = 0.5)
       },
+      // integer-exact form (round 14): χ² = d²/(n·p·(100−p)) with
+      // d = 100·n_a − p·n; the alarm is the cross-multiplied integer
+      // comparison 100·d² > 1083·n·p·(100−p) — no pow/libm freedom, and
+      // every result column CAST to a pandas-portable type (sum() is
+      // HUGEINT in DuckDB — see the t43 portability note)
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events
           WHERE user_id IS NOT NULL),
         arms AS (SELECT CASE WHEN
@@ -9430,29 +9447,31 @@ object Queries {
               AS UBIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm
           FROM u),
         cnt AS (SELECT
-          coalesce(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END), 0) AS n_a,
-          coalesce(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END), 0) AS n_b
+          CAST(coalesce(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_a,
+          CAST(coalesce(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_b
         FROM arms),
-        ex AS (SELECT n_a, n_b,
-          round(0.5 * CAST(n_a + n_b AS DOUBLE), 9) AS expected_a
-        FROM cnt),
-        chi AS (SELECT n_a, n_b, expected_a,
+        chi AS (SELECT n_a, n_b,
+          100 * n_a - 50 * (n_a + n_b) AS d,
+          (n_a + n_b) * 50 * 50 AS den
+        FROM cnt)
+        SELECT n_a, n_b,
+          round(CAST(50 * (n_a + n_b) AS DOUBLE) / 100, 9) AS expected_a,
           CASE WHEN n_a + n_b = 0 THEN NULL
-            ELSE round(
-              pow(CAST(n_a AS DOUBLE) - expected_a, 2) / expected_a +
-              pow(CAST(n_b AS DOUBLE) -
-                  (CAST(n_a + n_b AS DOUBLE) - expected_a), 2) /
-                (CAST(n_a + n_b AS DOUBLE) - expected_a), 9)
-          END AS chi2
-        FROM ex)
-        SELECT n_a, n_b, expected_a, chi2,
-          CASE WHEN chi2 IS NULL THEN NULL ELSE chi2 > 10.83 END AS srm_alarm
+            ELSE round(CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE), 9)
+          END AS chi2,
+          CASE WHEN n_a + n_b = 0 THEN NULL
+            ELSE 100 * d * d > 1083 * den END AS srm_alarm
         FROM chi""")),
 
     // ---- Heaps' law fit over the vocabulary-growth curve: per-word
     //      first occurrence + two-level cumulative scans feed one OLS
     //      on (ln N_d, ln V_d) — the lexical-novelty dataset-card
-    //      statistic (beta ~0.4-0.6 healthy; ~0 duplicated corpus) ----
+    //      statistic (beta ~0.4-0.6 healthy; ~0 duplicated corpus).
+    //      Each per-point ln is rounded to 9 BEFORE the DECIMAL sums
+    //      on both sides (libm ulps are engine freedom), and the
+    //      cumulative window outputs are CAST from HUGEINT ----
     QueryDef(
       "t60_heaps_law",
       (s, dir) => {
@@ -9476,10 +9495,12 @@ object Queries {
             sum(new_words) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
           FROM g),
-        p AS (SELECT ct, cv, ln(CAST(ct AS DOUBLE)) AS x,
-            ln(CAST(cv AS DOUBLE)) AS y FROM c),
+        p AS (SELECT ct, cv,
+            round(ln(CAST(ct AS DOUBLE)), 9) AS x,
+            round(ln(CAST(cv AS DOUBLE)), 9) AS y FROM c),
         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-            max(ct) AS total_tokens, max(cv) AS vocab_size,
+            CAST(max(ct) AS BIGINT) AS total_tokens,
+            CAST(max(cv) AS BIGINT) AS vocab_size,
             CAST(count(*) AS DOUBLE) AS n,
             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,

@@ -708,4 +708,24 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.length === 1 && empty.head.getLong(0) === 0L &&
       empty.head.isNullAt(3) && empty.head.isNullAt(4))
   }
+
+  test("srmCheck: integer-exact chi-square — emitted chi2 equals the " +
+      "closed form d^2/(n*p*(100-p)) and the alarm is the " +
+      "cross-multiplied integer comparison") {
+    val sp = spark; import sp.implicits._
+    for (n <- Seq(101L, 150L, 4000L)) {   // odd n => half-integer expected_a
+      val r = Analytics.srmCheck(
+        (1L to n).map(i => (i, "x")).toDF("u", "pad"), "u").collect().head
+      val (na, nb) = (r.getLong(0), r.getLong(1))
+      assert(na + nb === n)
+      val d = 100L * na - 50L * n
+      val den = n * 50L * 50L
+      val exact = BigDecimal(d.toDouble * d.toDouble / den.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === exact,
+        s"n=$n chi2 ${r.getDouble(3)} != closed form $exact")
+      assert(r.getDouble(2) === 50.0 * n / 100.0)
+      assert(r.getBoolean(4) === (100L * d * d > 1083L * den))
+    }
+  }
 }

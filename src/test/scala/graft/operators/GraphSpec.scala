@@ -1191,6 +1191,32 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.count() === 0L)
   }
 
+  test("minimumSpanningForest: fractional weights compare exactly " +
+      "(no silent long truncation); non-numeric weight rejected") {
+    val sp = spark; import sp.implicits._
+    // triangle whose weights all truncate to 1: a long-cast would
+    // reduce this to a pure (a, b) tie-break and keep (1,2) + (1,3);
+    // exact double comparison must keep the two LIGHTEST edges
+    val tri = Seq((1L, 2L, 1.5), (2L, 3L, 1.2), (1L, 3L, 1.4))
+      .toDF("src", "dst", "wt")
+    val msf = Graph.minimumSpanningForest(tri, "src", "dst", "wt", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(msf === Set((2L, 3L, 1.2), (1L, 3L, 1.4)), msf.toString)
+    // weight dtype rides the input: long in, long out (q142 contract)
+    val longIn = Graph.minimumSpanningForest(
+      Seq((1L, 2L, 7L)).toDF("src", "dst", "wt"), "src", "dst", "wt", 2)
+    assert(longIn.schema("weight").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // a string weight column is a loud error, not a silent cast
+    val err = intercept[IllegalArgumentException] {
+      Graph.minimumSpanningForest(
+        Seq((1L, 2L, "heavy")).toDF("src", "dst", "wt"),
+        "src", "dst", "wt", 2)
+    }
+    assert(err.getMessage.contains("must be numeric"))
+  }
+
   test("dagLevels: longest-path layering; diamond takes the longer arm") {
     val sp = spark; import sp.implicits._
     // diamond with a long arm: 1->2->3->5, 1->4->5; 5 sits at level 3

@@ -12,6 +12,21 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Result-column types that survive every fetch path (fetchall, pandas,
+# arrow) with identical value rendering. DuckDB types sum(INTEGER/BIGINT)
+# and windowed SUM() as HUGEINT, which a pandas-based compare converts to
+# float64 ("32.0" != "32") — the exact mechanism behind the r11–r13
+# driver-red rows t43/t56/q145/t60, which passed here because fetchall
+# yields Python ints. Any oracle whose DESCRIBE shows a non-portable
+# result type is now a hard FAIL even when the values match.
+PORTABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
+                  "UINTEGER", "USMALLINT", "UTINYINT", "DOUBLE", "FLOAT",
+                  "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB"}
+
+def unportable(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t).split("(")[0] not in PORTABLE_TYPES]
+
 def canon(rows, cols):
     # sort columns by name, then rows; stringify values for a stable hash
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -47,12 +62,18 @@ def main(sf_dir, out_dir):
         gcols, grows = canon(got.fetchall(), [d[0] for d in got.description])
         try:
             exp = con.sql(sql)
+            bad_types = unportable(exp)
             ecols, erows = canon(exp.fetchall(), [d[0] for d in exp.description])
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        if gcols != ecols:
+        if bad_types:
+            print(f"FAIL {name}: non-portable oracle result type(s) "
+                  f"{bad_types} — add explicit CASTs (pandas-based "
+                  f"compares render these differently)")
+            n_fail += 1
+        elif gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
         elif grows != erows:

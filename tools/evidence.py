@@ -44,10 +44,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 MOD = 1 << 64
 
-PORTABLE = (int, str, bool, type(None), Decimal)
-
-
 def render(v, portable):
+    # known-portable types are whitelisted; anything unrecognized
+    # (datetime, date, UUID, ...) is rendered best-effort but marks the
+    # schema non-portable, so the jvm-vs-py check is SKIPPED rather than
+    # reporting a spurious MISMATCH on a repr difference
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):          # before int: bool is an int subclass
@@ -57,7 +58,7 @@ def render(v, portable):
     if isinstance(v, float):
         portable[0] = False
         return repr(v)
-    if isinstance(v, (list, dict)):
+    if not isinstance(v, (int, str, Decimal)):
         portable[0] = False
     return str(v)
 
