@@ -247,6 +247,21 @@ object Bench {
     // was <12s combined); oracle hashes and canon fingerprints
     // unchanged (t50 resumes round 2 from the memoized round-1 state,
     // byte-identical by construction).
+    // Round-14 adjudication of the r13 builder-closing upticks (r13
+    // verdict item 4; isolated RUNS=8 PASSES=1 warm floors at sf0.1,
+    // quiet machine): t56 0.863s — BELOW its r12 isolated floor
+    // (1.26s, RUNS=3 above), so the in-suite 0.63->1.08 move was suite
+    // composition, and the r13 3-line empty-guard is confirmed free.
+    // t59 1.402s vs its r12 isolated 1.23s (RUNS=3) — +14%, inside the
+    // documented isolated-vs-isolated noise band; the in-suite
+    // 0.72->1.26 move compares an unusually memo/cache-favourable r12
+    // suite slot against a 14-queries-larger r13 suite, not code (t59
+    // untouched in r13). d13 3.398s isolated (first recorded floor;
+    // code byte-untouched since r12 — only d18, which shares the
+    // shingle machinery, was added beside it), so its in-suite
+    // 2.73->3.97 sits within 17% of today's floor: co-tenancy around
+    // an unchanged operator. Zero code regressions; no fixes
+    // warranted.
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -458,10 +473,12 @@ object Bench {
     // shared-memo coupling is documented above), q137 (64-replicate
     // bootstrap), q141 (colors x misRounds coloring). s24's serve phase
     // is in the stored_index block above, which times it at both SFs.
+    // Round-14 extension (r13 verdict item 6): q142 (Borůvka MSF, the
+    // newest fixed-budget iterative graph op) joins the record.
     val trendNames = Seq("q102_louvain", "q104_louvain_coarse",
       "q107_betweenness", "q108_hll_reach", "q110_neighborhood_fn",
       "q133_scc", "t50_unigram_lm", "t51_unigram_encode",
-      "q137_bootstrap_ci", "q141_jp_coloring")
+      "q137_bootstrap_ci", "q141_jp_coloring", "q142_msf_boruvka")
     val scaleTrend =
       if (!new java.io.File(smallSf).isDirectory) ""
       else {
