@@ -1358,6 +1358,129 @@ object Analytics {
         col("mde_rel"))
   }
 
+  /** SEQUENTIAL mSPRT monitor (Johari, Koomen, Pekelis, Walsh — KDD
+    * 2017, "Peeking at A/B Tests": the mixture sequential probability
+    * ratio test behind always-valid p-values) over the [[abTestZ]] md5
+    * arm split — the readout a CONTINUOUSLY MONITORED experiment needs:
+    * fixed-horizon z/U tests are invalidated by peeking, while the
+    * mSPRT's evidence process is valid at EVERY look.
+    *
+    * Units enter at their FIRST event day (`arrival = min(day(ts))`)
+    * and carry their eventual conversion flag; the monitoring calendar
+    * is EVERY observed event day (the looks an on-call dashboard would
+    * take), and for every day d the test sees all units arrived ≤ d.
+    * With δ̂_d the rate difference,
+    * V_d = p̂(1−p̂)(1/n_A + 1/n_B) its null variance, and the H1 effect
+    * mixed as N(0, τ²):
+    *
+    *   ln Λ_d = ½·ln(V_d/(V_d+τ²)) + δ̂²_d·τ² / (2·V_d·(V_d+τ²))
+    *
+    * The always-valid p-value is min(1, exp(−max_{d'≤d} ln Λ_{d'}))
+    * (the running-max evidence is what makes peeking safe), and the
+    * test rejects when that max exceeds ln(1/α).
+    *
+    * Determinism discipline (the q137–q140 conventions): counts are
+    * exact BIGINTs; per-day cumulative counts ride one window over the
+    * PER-DAY aggregate (rows = days — a time-bounded frame, never the
+    * events); rates/V/lnΛ are short fixed IEEE chains with every libm
+    * call (`ln`, final `exp`) rounded at 9/6; ln(1/α) is embedded as
+    * one shared literal, and the reject flag compares the ROUNDED
+    * evidence to it. Degenerate days (empty arm, p̂ ∈ {0,1}) emit NULL
+    * lnΛ and inherit the running evidence. Output: one row per day
+    * `(day, n_a, n_b, conv_a, conv_b, delta, log_lambda, log_evidence,
+    * p_always_valid, reject_h0)`. */
+  def sequentialMsprt(events: DataFrame, unitCol: String, tsCol: String,
+      typeCol: String, successValue: String, tauSq: Double = 0.0001,
+      alpha: Double = 0.05): DataFrame = {
+    require(tauSq > 0, "mixture variance tauSq must be positive")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val logInvAlpha = math.log(1.0 / alpha)
+    val units = events
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      .agg(min(to_date(date_trunc("day", col(tsCol)))).as("day"),
+        max(when(col(typeCol) === successValue, 1L).otherwise(0L))
+          .as("_graft_conv"))
+      .withColumn("_graft_arm",
+        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
+          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
+    val perArrival = units.groupBy(col("day")).agg(
+      sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)).as("u_a"),
+      sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)).as("u_b"),
+      sum(when(col("_graft_arm") === "a", col("_graft_conv"))
+        .otherwise(0L)).as("x_a"),
+      sum(when(col("_graft_arm") === "b", col("_graft_conv"))
+        .otherwise(0L)).as("x_b"))
+    // monitoring calendar: one row per OBSERVED event day (arrival days
+    // alone would collapse to the first day or two on an active-user
+    // corpus); days without arrivals contribute zero increments and
+    // inherit the cumulative state
+    val spine = events.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("day")).distinct()
+    val perDay = spine.join(perArrival, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("u_a"), lit(0L)).as("u_a"),
+        coalesce(col("u_b"), lit(0L)).as("u_b"),
+        coalesce(col("x_a"), lit(0L)).as("x_a"),
+        coalesce(col("x_b"), lit(0L)).as("x_b"))
+    // cumulative counts: ONE window over the day-level aggregate — its
+    // row count is the monitoring horizon (hundreds), not the corpus,
+    // so the single-task window is scale-safe by construction (the
+    // q121–q132 time-series frame discipline)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nullD = lit(null).cast("double")
+    val cum = perDay.select(col("day"),
+      sum(col("u_a")).over(wCum).as("n_a"),
+      sum(col("u_b")).over(wCum).as("n_b"),
+      sum(col("x_a")).over(wCum).as("conv_a"),
+      sum(col("x_b")).over(wCum).as("conv_b"))
+    val scored = cum
+      .withColumn("_graft_ra", when(col("n_a") === 0L, nullD)
+        .otherwise(round(col("conv_a").cast("double") /
+          col("n_a").cast("double"), 9)))
+      .withColumn("_graft_rb", when(col("n_b") === 0L, nullD)
+        .otherwise(round(col("conv_b").cast("double") /
+          col("n_b").cast("double"), 9)))
+      .withColumn("delta",
+        when(col("_graft_ra").isNull || col("_graft_rb").isNull, nullD)
+          .otherwise(round(col("_graft_ra") - col("_graft_rb"), 9)))
+      .withColumn("_graft_p",
+        when(col("n_a") + col("n_b") === 0L, nullD)
+          .otherwise(round((col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"), 9)))
+      .withColumn("_graft_v",
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("_graft_p").isNull || col("_graft_p") === 0.0 ||
+            col("_graft_p") === 1.0, nullD)
+          .otherwise(round(col("_graft_p") * (lit(1.0) - col("_graft_p")) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double")), 9)))
+      .withColumn("log_lambda",
+        when(col("_graft_v").isNull || col("_graft_v") === 0.0 ||
+            col("delta").isNull, nullD)
+          .otherwise(round(
+            lit(0.5) * round(log(col("_graft_v") /
+              (col("_graft_v") + lit(tauSq))), 9) +
+            col("delta") * col("delta") * lit(tauSq) /
+              (lit(2.0) * col("_graft_v") *
+                (col("_graft_v") + lit(tauSq))), 9)))
+    // running evidence: max over the day prefix of the ROUNDED lnΛ —
+    // max() skips NULL days, so degenerate days inherit the evidence
+    scored
+      .withColumn("log_evidence", max(col("log_lambda")).over(wCum))
+      .withColumn("p_always_valid",
+        when(col("log_evidence").isNull, nullD)
+          .otherwise(round(least(lit(1.0),
+            exp(-col("log_evidence"))), 6)))
+      .withColumn("reject_h0",
+        when(col("log_evidence").isNull, lit(null).cast("boolean"))
+          .otherwise(col("log_evidence") > lit(logInvAlpha)))
+      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"),
+        col("conv_b"), col("delta"), col("log_lambda"),
+        col("log_evidence"), col("p_always_valid"), col("reject_h0"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
     * Sensitivity of Online Controlled Experiments") over the
     * [[abTestZ]] md5 arm split: the industry-standard experiment

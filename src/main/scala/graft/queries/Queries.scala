@@ -9559,6 +9559,91 @@ object Queries {
             ELSE round(mde_abs / pooled_rate, 9) END AS mde_rel
         FROM m""")),
 
+    // ---- Sequential mSPRT monitor (always-valid p-values): per
+    //      arrival day, cumulative arm counts feed the mixture-SPRT
+    //      evidence lnΛ and its running max — the peeking-safe readout
+    //      a continuously monitored experiment needs (q138's z is only
+    //      valid at one fixed look). Counts exact; cumulative windows
+    //      over the DAY frame (CAST from HUGEINT); every libm step
+    //      round-9/6, ln(1/α) one shared literal, −0.0 normalized ----
+    QueryDef(
+      "q151_sequential_msprt",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .sequentialMsprt(events(s, dir), "user_id", "ts", "event_type",
+            "purchase")
+          .orderBy($"day")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+          CAST(min(date_trunc('day', ts)) AS DATE) AS day,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+        au AS (SELECT day, conv, CASE WHEN CAST(('0x' ||
+            substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            % 100 < 50 THEN 'a' ELSE 'b' END AS arm FROM u),
+        arr AS (SELECT day,
+          CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS u_a,
+          CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS u_b,
+          CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+          CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM au GROUP BY 1),
+        spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+            AS day FROM events WHERE ts IS NOT NULL),
+        d AS (SELECT spine.day,
+          coalesce(u_a, CAST(0 AS BIGINT)) AS u_a,
+          coalesce(u_b, CAST(0 AS BIGINT)) AS u_b,
+          coalesce(x_a, CAST(0 AS BIGINT)) AS x_a,
+          coalesce(x_b, CAST(0 AS BIGINT)) AS x_b
+        FROM spine LEFT JOIN arr USING (day)),
+        c AS (SELECT day,
+          CAST(SUM(u_a) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS n_a,
+          CAST(SUM(u_b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS n_b,
+          CAST(SUM(x_a) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_a,
+          CAST(SUM(x_b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_b
+        FROM d),
+        r AS (SELECT day, n_a, n_b, conv_a, conv_b,
+          CASE WHEN n_a = 0 THEN NULL ELSE
+            round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
+          END AS ra,
+          CASE WHEN n_b = 0 THEN NULL ELSE
+            round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9)
+          END AS rb,
+          CASE WHEN n_a + n_b = 0 THEN NULL ELSE
+            round(CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE), 9)
+          END AS p FROM c),
+        v AS (SELECT *,
+          CASE WHEN ra IS NULL OR rb IS NULL THEN NULL
+            ELSE round(ra - rb, 9) + 0.0 END AS delta,
+          CASE WHEN n_a = 0 OR n_b = 0 OR p IS NULL OR p = 0 OR p = 1
+            THEN NULL
+            ELSE round(p * (1 - p) * (1.0 / CAST(n_a AS DOUBLE)
+              + 1.0 / CAST(n_b AS DOUBLE)), 9) END AS vr
+        FROM r),
+        l AS (SELECT *,
+          CASE WHEN vr IS NULL OR vr = 0 OR delta IS NULL THEN NULL
+            ELSE round(0.5 * round(ln(vr / (vr + 1e-4)), 9)
+              + delta * delta * 1e-4 / (2.0 * vr * (vr + 1e-4)), 9)
+              + 0.0 END AS log_lambda
+        FROM v),
+        e AS (SELECT *, max(log_lambda) OVER (ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW) AS log_evidence
+        FROM l)
+        SELECT day, n_a, n_b, conv_a, conv_b, delta, log_lambda,
+          log_evidence,
+          CASE WHEN log_evidence IS NULL THEN NULL
+            ELSE round(least(1.0, exp(-log_evidence)), 6) END
+            AS p_always_valid,
+          CASE WHEN log_evidence IS NULL THEN NULL
+            ELSE log_evidence > ${math.log(1.0 / 0.05)} END AS reject_h0
+        FROM e ORDER BY day""")),
+
     // ---- Classifier calibration / reliability table + ECE: the t37
     //      quality model's scores binned 10-wide against observed
     //      labels — "does 0.9 mean 90%" before thresholding a corpus

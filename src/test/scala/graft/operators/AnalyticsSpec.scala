@@ -728,4 +728,64 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getBoolean(4) === (100L * d * d > 1083L * den))
     }
   }
+
+  test("sequentialMsprt: one row per event day, cumulative counts, " +
+      "non-increasing always-valid p, strong effect rejects, " +
+      "empty input empty") {
+    val sp = spark; import sp.implicits._
+    def md5arm(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 50) "a" else "b"
+    }
+    // 400 units arriving over 10 days (40/day), each with a follow-up
+    // event 5 days later (the calendar extends past the last arrival);
+    // arm a always converts, arm b never — a maximal true effect
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L)
+    val rows = (1L to 400L).flatMap { i =>
+      val arrive = ((i - 1) % 10).toInt
+      val typ = if (md5arm(i) == "a") "purchase" else "view"
+      Seq((i, ts(arrive), typ), (i, ts(arrive + 5), "view"))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val out = Analytics.sequentialMsprt(ev, "user_id", "ts",
+        "event_type", "purchase")
+      .orderBy(col("day")).collect()
+    assert(out.length === 15)  // days 0..14 observed
+    // cumulative unit counts are non-decreasing and end at 400
+    val ns = out.map(r => r.getLong(1) + r.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x <= y })
+    assert(ns.last === 400L)
+    // day 9 onward all units are in; counts freeze
+    assert(ns(9) === 400L && ns(14) === 400L)
+    // always-valid p is non-increasing (it is exp(-cummax lnL))
+    val ps = out.map(r => r.getDouble(8))
+    assert(ps.zip(ps.tail).forall { case (x, y) => y <= x + 1e-12 }, ps.mkString(","))
+    // a maximal effect at n=400 must reject at alpha=0.05
+    assert(out.last.getBoolean(9),
+      s"evidence ${out.last.getDouble(7)} did not reject")
+    // log_evidence is the running max of log_lambda
+    val lnl = out.map(r =>
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+    val cummax = lnl.scanLeft(Option.empty[Double]) { (acc, v) =>
+      (acc.toSeq ++ v.toSeq).reduceOption((x, y) => math.max(x, y))
+    }.tail
+    out.zip(cummax).foreach { case (r, m) =>
+      assert((if (r.isNullAt(7)) None else Some(r.getDouble(7))) === m)
+    }
+    // reshuffle determinism
+    val again = Analytics.sequentialMsprt(ev.repartition(7), "user_id",
+        "ts", "event_type", "purchase")
+      .orderBy(col("day")).collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+    // empty input: no monitoring days, zero rows
+    val empty = Analytics.sequentialMsprt(
+      Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", "purchase")
+    assert(empty.count() === 0L)
+  }
 }
