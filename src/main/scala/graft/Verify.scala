@@ -234,7 +234,8 @@ object Verify {
                  |"written_at":${q(java.time.Instant.now.toString)},
                  |"queries_run":${canons.size},
                  |"expectation_file":${expectPath.map(p => q(p.toString)).getOrElse("null")},
-                 |"all_matched":${mismatches.isEmpty && expected.nonEmpty},
+                 |"all_matched":${if (expected.isEmpty) "null"
+                   else (mismatches.isEmpty).toString},
                  |"mismatches":$mm,
                  |"tokens_per_source":${tokensDiagJson.getOrElse("null")},
                  |"queries":$qj}""".stripMargin
