@@ -262,6 +262,22 @@ object Bench {
     // 2.73->3.97 sits within 17% of today's floor: co-tenancy around
     // an unchanged operator. Zero code regressions; no fixes
     // warranted.
+    // Round-14 closing full bench (RUNS=3 PASSES=2, sf0.1 local[32]):
+    // official record 349.5s over 270 queries (1.29 s/q). TWO
+    // back-to-back same-code closing runs measured 381.7s then 349.5s
+    // (-8.5% an hour apart, trivial untouched queries moving +10-40%
+    // together) — today's host-level co-tenancy spread, the same
+    // signature the r13 driver run showed (+18% uniform). Vs the r13
+    // builder closing record the 267 shared queries read +11.8%
+    // UNIFORM with exactly one query over the 1.5x/0.9s adjudication
+    // bar: d10 in-suite 2.62s, immediately re-measured isolated
+    // RUNS=8 at 1.42s — at its r13 floor (1.35s), interference. The
+    // four queries whose operators changed this round are flat
+    // (t60 0.95s, q145 0.23s, q142 4.11s; q151 new at 0.45s in-suite,
+    // 1.06s isolated). stored_index phases all moved DOWN vs r13
+    // (s24 build 5.19->2.63, serve 3.78->2.41). scale_trend q142:
+    // sf0.01 5.5s vs sf0.1-suite 4.1s — the healthy fixed-round
+    // polarity (scheduling-dominated, zero data-driven growth).
     def sweep(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
