@@ -1389,53 +1389,23 @@ object Analytics {
     * lnΛ and inherit the running evidence. Output: one row per day
     * `(day, n_a, n_b, conv_a, conv_b, delta, log_lambda, log_evidence,
     * p_always_valid, reject_h0)`. */
-  def sequentialMsprt(events: DataFrame, unitCol: String, tsCol: String,
-      typeCol: String, successValue: String, tauSq: Double = 0.0001,
-      alpha: Double = 0.05): DataFrame = {
-    require(tauSq > 0, "mixture variance tauSq must be positive")
-    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
-    val logInvAlpha = math.log(1.0 / alpha)
-    val units = events
-      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(unitCol).as("_graft_u"))
-      .agg(min(to_date(date_trunc("day", col(tsCol)))).as("day"),
-        max(when(col(typeCol) === successValue, 1L).otherwise(0L))
-          .as("_graft_conv"))
-      .withColumn("_graft_arm",
-        when(conv(substring(md5(col("_graft_u").cast("string")), 1, 8),
-          16, 10).cast("long") % 100 < 50, "a").otherwise("b"))
-    val perArrival = units.groupBy(col("day")).agg(
-      sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)).as("u_a"),
-      sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)).as("u_b"),
-      sum(when(col("_graft_arm") === "a", col("_graft_conv"))
-        .otherwise(0L)).as("x_a"),
-      sum(when(col("_graft_arm") === "b", col("_graft_conv"))
-        .otherwise(0L)).as("x_b"))
-    // monitoring calendar: one row per OBSERVED event day (arrival days
-    // alone would collapse to the first day or two on an active-user
-    // corpus); days without arrivals contribute zero increments and
-    // inherit the cumulative state
-    val spine = events.filter(col(tsCol).isNotNull)
-      .select(to_date(date_trunc("day", col(tsCol))).as("day")).distinct()
-    val perDay = spine.join(perArrival, Seq("day"), "left_outer")
-      .select(col("day"),
-        coalesce(col("u_a"), lit(0L)).as("u_a"),
-        coalesce(col("u_b"), lit(0L)).as("u_b"),
-        coalesce(col("x_a"), lit(0L)).as("x_a"),
-        coalesce(col("x_b"), lit(0L)).as("x_b"))
-    // cumulative counts: ONE window over the day-level aggregate — its
-    // row count is the monitoring horizon (hundreds), not the corpus,
-    // so the single-task window is scale-safe by construction (the
-    // q121–q132 time-series frame discipline)
-    val wCum = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** The [[abTestZ]]-family md5 arm split as a reusable column — every
+    * experimentation operator (and the streaming monitor sink) must
+    * assign the SAME unit to the SAME arm. */
+  private[graft] def md5ArmCol(unit: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    when(conv(substring(md5(unit.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100 < 50, "a").otherwise("b")
+
+  /** The mSPRT per-look scoring chain, shared verbatim by
+    * [[sequentialMsprt]] and the streaming
+    * [[graft.streaming.Streams.msprtMonitorSink]] so the twin cannot
+    * drift: expects exact BIGINT `n_a, n_b, conv_a, conv_b` columns and
+    * adds `delta` and `log_lambda` (round-9 chains, NULL on degenerate
+    * looks). */
+  private[graft] def msprtScored(df: DataFrame, tauSq: Double): DataFrame = {
     val nullD = lit(null).cast("double")
-    val cum = perDay.select(col("day"),
-      sum(col("u_a")).over(wCum).as("n_a"),
-      sum(col("u_b")).over(wCum).as("n_b"),
-      sum(col("x_a")).over(wCum).as("conv_a"),
-      sum(col("x_b")).over(wCum).as("conv_b"))
-    val scored = cum
+    df
       .withColumn("_graft_ra", when(col("n_a") === 0L, nullD)
         .otherwise(round(col("conv_a").cast("double") /
           col("n_a").cast("double"), 9)))
@@ -1465,17 +1435,71 @@ object Analytics {
             col("delta") * col("delta") * lit(tauSq) /
               (lit(2.0) * col("_graft_v") *
                 (col("_graft_v") + lit(tauSq))), 9)))
-    // running evidence: max over the day prefix of the ROUNDED lnΛ —
-    // max() skips NULL days, so degenerate days inherit the evidence
-    scored
-      .withColumn("log_evidence", max(col("log_lambda")).over(wCum))
+  }
+
+  /** The always-valid readout over a `log_evidence` column — also
+    * shared with the streaming monitor: adds `p_always_valid`
+    * (round-6) and `reject_h0` against ln(1/α) as one literal. */
+  private[graft] def msprtReadout(df: DataFrame, alpha: Double): DataFrame = {
+    val nullD = lit(null).cast("double")
+    df
       .withColumn("p_always_valid",
         when(col("log_evidence").isNull, nullD)
           .otherwise(round(least(lit(1.0),
             exp(-col("log_evidence"))), 6)))
       .withColumn("reject_h0",
         when(col("log_evidence").isNull, lit(null).cast("boolean"))
-          .otherwise(col("log_evidence") > lit(logInvAlpha)))
+          .otherwise(col("log_evidence") > lit(math.log(1.0 / alpha))))
+  }
+
+  def sequentialMsprt(events: DataFrame, unitCol: String, tsCol: String,
+      typeCol: String, successValue: String, tauSq: Double = 0.0001,
+      alpha: Double = 0.05): DataFrame = {
+    require(tauSq > 0, "mixture variance tauSq must be positive")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val units = events
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(unitCol).as("_graft_u"))
+      .agg(min(to_date(date_trunc("day", col(tsCol)))).as("day"),
+        max(when(col(typeCol) === successValue, 1L).otherwise(0L))
+          .as("_graft_conv"))
+      .withColumn("_graft_arm", md5ArmCol(col("_graft_u")))
+    val perArrival = units.groupBy(col("day")).agg(
+      sum(when(col("_graft_arm") === "a", 1L).otherwise(0L)).as("u_a"),
+      sum(when(col("_graft_arm") === "b", 1L).otherwise(0L)).as("u_b"),
+      sum(when(col("_graft_arm") === "a", col("_graft_conv"))
+        .otherwise(0L)).as("x_a"),
+      sum(when(col("_graft_arm") === "b", col("_graft_conv"))
+        .otherwise(0L)).as("x_b"))
+    // monitoring calendar: one row per OBSERVED event day (arrival days
+    // alone would collapse to the first day or two on an active-user
+    // corpus); days without arrivals contribute zero increments and
+    // inherit the cumulative state
+    val spine = events.filter(col(tsCol).isNotNull)
+      .select(to_date(date_trunc("day", col(tsCol))).as("day")).distinct()
+    val perDay = spine.join(perArrival, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("u_a"), lit(0L)).as("u_a"),
+        coalesce(col("u_b"), lit(0L)).as("u_b"),
+        coalesce(col("x_a"), lit(0L)).as("x_a"),
+        coalesce(col("x_b"), lit(0L)).as("x_b"))
+    // cumulative counts: ONE window over the day-level aggregate — its
+    // row count is the monitoring horizon (hundreds), not the corpus,
+    // so the single-task window is scale-safe by construction (the
+    // q121–q132 time-series frame discipline)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDay.select(col("day"),
+      sum(col("u_a")).over(wCum).as("n_a"),
+      sum(col("u_b")).over(wCum).as("n_b"),
+      sum(col("x_a")).over(wCum).as("conv_a"),
+      sum(col("x_b")).over(wCum).as("conv_b"))
+    // running evidence: max over the day prefix of the ROUNDED lnΛ —
+    // max() skips NULL days, so degenerate days inherit the evidence
+    msprtReadout(
+      msprtScored(cum, tauSq)
+        .withColumn("log_evidence", max(col("log_lambda")).over(wCum)),
+      alpha)
       .select(col("day"), col("n_a"), col("n_b"), col("conv_a"),
         col("conv_b"), col("delta"), col("log_lambda"),
         col("log_evidence"), col("p_always_valid"), col("reject_h0"))

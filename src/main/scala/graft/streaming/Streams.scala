@@ -511,6 +511,111 @@ object Streams {
       case None => sp.emptyDataFrame
     }
 
+  /** Streaming SEQUENTIAL-mSPRT monitor sink — the continuously-
+    * monitored-experiment twin of
+    * [[graft.operators.Analytics.sequentialMsprt]]: each micro-batch is
+    * ONE LOOK. The batch's unit increments (arm via the SAME md5 split,
+    * counts as exact BIGINTs) fold into a persistent ONE-ROW state
+    * `(n_a, n_b, conv_a, conv_b, log_lambda, log_evidence)`, where
+    * lnΛ is computed by the batch operator's shared scoring chain
+    * ([[graft.operators.Analytics.msprtScored]] — the twin cannot
+    * drift) on the counts AFTER the fold, and
+    * `log_evidence = max(previous evidence, lnΛ)` — the running-max
+    * evidence process that makes peeking valid at every commit.
+    *
+    * INPUT CONTRACT: unit-level FIRST-TOUCH records
+    * `(unitCol, convCol)` — [[dedupStream]] keyed on the unit id is the
+    * canonical upstream (the batch operator's `groupBy(unit)` performs
+    * the same dedup); feeding raw events would count a unit once per
+    * event. A unit's conversion is whatever its first-touch record
+    * carries — the honest streaming semantics (a later conversion
+    * arrives as a later look's correction only if the upstream emits
+    * one).
+    *
+    * Replay safety: count sum-folding is NOT idempotent, so this sink
+    * uses the [[ddsketchRegisterSink]] version-id discipline verbatim —
+    * state lands at `statePath/v-<batchId>` (`_SUCCESS` the commit
+    * marker); a replayed committed batch is skipped; an uncommitted
+    * write recomputes from the highest committed version below the
+    * batch id; depth-2 pruning. Read with [[msprtState]] /
+    * [[msprtStateReadout]]. */
+  def msprtMonitorSink(units: DataFrame, statePath: String,
+      checkpointPath: String, unitCol: String, convCol: String,
+      tauSq: Double = 0.0001): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(tauSq > 0, "mixture variance tauSq must be positive")
+    units.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+        val committed = hllVersions(fs, root)
+        if (!committed.contains(batchId)) {
+          import org.apache.spark.sql.functions._
+          val A = graft.operators.Analytics
+          val inc = batch.filter(col(unitCol).isNotNull)
+            .withColumn("_graft_arm", A.md5ArmCol(col(unitCol)))
+            .agg(
+              coalesce(sum(when(col("_graft_arm") === "a", 1L)
+                .otherwise(0L)), lit(0L)).as("i_na"),
+              coalesce(sum(when(col("_graft_arm") === "b", 1L)
+                .otherwise(0L)), lit(0L)).as("i_nb"),
+              coalesce(sum(when(col("_graft_arm") === "a",
+                col(convCol).cast("long")).otherwise(0L)), lit(0L))
+                .as("i_ca"),
+              coalesce(sum(when(col("_graft_arm") === "b",
+                col(convCol).cast("long")).otherwise(0L)), lit(0L))
+                .as("i_cb"))
+          val base = committed.filter(_ < batchId).lastOption
+            .map(v => sp.read.parquet(s"$statePath/v-$v"))
+            .getOrElse(inc.sparkSession.range(1).select(
+              lit(0L).as("n_a"), lit(0L).as("n_b"),
+              lit(0L).as("conv_a"), lit(0L).as("conv_b"),
+              lit(null).cast("double").as("log_lambda"),
+              lit(null).cast("double").as("log_evidence")))
+          val folded = base.crossJoin(inc).select(
+            (col("n_a") + col("i_na")).as("n_a"),
+            (col("n_b") + col("i_nb")).as("n_b"),
+            (col("conv_a") + col("i_ca")).as("conv_a"),
+            (col("conv_b") + col("i_cb")).as("conv_b"),
+            col("log_evidence").as("_graft_prev_ev"))
+          val scored = A.msprtScored(folded, tauSq)
+            .withColumn("log_evidence",
+              greatest(col("_graft_prev_ev"), col("log_lambda")))
+            .select(col("n_a"), col("n_b"), col("conv_a"),
+              col("conv_b"), col("log_lambda"), col("log_evidence"))
+          scored.coalesce(1).write.mode("overwrite")
+            .parquet(s"$statePath/v-$batchId")
+          hllVersions(fs, root).dropRight(2).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"v-$old"),
+              true); ()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Latest committed one-row state of a [[msprtMonitorSink]]. */
+  def msprtState(sp: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+    hllVersions(fs, root).lastOption.map(v =>
+      sp.read.parquet(s"$statePath/v-$v"))
+  }
+
+  /** Always-valid readout over a [[msprtMonitorSink]]'s state — the
+    * batch operator's shared `p_always_valid`/`reject_h0` columns over
+    * the stored evidence; empty when the sink has not committed. */
+  def msprtStateReadout(sp: org.apache.spark.sql.SparkSession,
+      statePath: String, alpha: Double = 0.05): DataFrame =
+    msprtState(sp, statePath) match {
+      case Some(st) => graft.operators.Analytics.msprtReadout(st, alpha)
+      case None => sp.emptyDataFrame
+    }
+
   /** Map-only streaming twin of
     * [[graft.operators.TextAnalysis.wordpieceEncodeCounts]]: the trained
     * piece inventory broadcasts (bounded LOUDLY — a tokenizer vocabulary

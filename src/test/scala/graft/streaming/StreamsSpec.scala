@@ -277,6 +277,70 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); () }
   }
 
+  test("streaming mSPRT monitor: per-day folds equal the batch monitor's " +
+      "looks, replay is a no-op, readout shares the batch columns") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    def md5arm(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 50) "a" else "b"
+    }
+    // the AnalyticsSpec corpus: 400 units over 10 arrival days, arm a
+    // always converts, arm b never; each unit also has a later event so
+    // the batch calendar runs to day 14
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(base.getTime + day * 86400000L)
+    val events = (1L to 400L).flatMap { i =>
+      val arrive = ((i - 1) % 10).toInt
+      val typ = if (md5arm(i) == "a") "purchase" else "view"
+      Seq((i, ts(arrive), typ), (i, ts(arrive + 5), "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val batchRows = graft.operators.Analytics
+      .sequentialMsprt(events, "user_id", "ts", "event_type", "purchase")
+      .orderBy(col("day")).collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-msprt-sink").toString
+    val statePath = s"$tmp/state"
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.msprtMonitorSink(input.toDF().toDF("u", "conv"),
+      statePath, s"$tmp/ckpt", "u", "conv")
+    try {
+      // one micro-batch per arrival day, in day order: look k of the
+      // stream is exactly look k of the batch monitor
+      (0 until 10).foreach { day =>
+        val units = (1L to 400L).filter(i => ((i - 1) % 10).toInt == day)
+          .map(i => (i, if (md5arm(i) == "a") 1L else 0L))
+        input.addData(units: _*); q.processAllAvailable()
+      }
+      val st = Streams.msprtState(sp, statePath).get.collect().head
+      val b9 = batchRows(9) // last arrival day's look
+      assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) ===
+        ((b9.getLong(1), b9.getLong(2), b9.getLong(3), b9.getLong(4))))
+      assert(st.getDouble(4) === b9.getDouble(6), "log_lambda diverged")
+      assert(st.getDouble(5) === b9.getDouble(7), "log_evidence diverged")
+      // the batch calendar's trailing no-arrival days change nothing, so
+      // the stream's final evidence equals the batch's LAST look too
+      assert(st.getDouble(5) === batchRows.last.getDouble(7))
+      // replay guard: another processAllAvailable with no data is a no-op
+      q.processAllAvailable()
+      val again = Streams.msprtState(sp, statePath).get.collect().head
+      assert(again.toString === st.toString)
+      // readout shares the batch columns: p and reject equal the batch's
+      // final row
+      val ro = Streams.msprtStateReadout(sp, statePath).collect().head
+      assert(ro.getDouble(ro.fieldIndex("p_always_valid")) ===
+        batchRows.last.getDouble(8))
+      assert(ro.getBoolean(ro.fieldIndex("reject_h0")) ===
+        batchRows.last.getBoolean(9))
+      // version pruning holds
+      val root = new org.apache.hadoop.fs.Path(statePath)
+      val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+      assert(fs.listStatus(root).count(_.getPath.getName.startsWith("v-")) <= 2)
+    } finally { q.stop(); () }
+  }
+
   test("streaming ANN ingest: corpus store dedups, graph appends per batch, replay is a no-op") {
     val sp = spark
     implicit val sql = sp.sqlContext
