@@ -298,7 +298,7 @@ object Queries {
             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
               c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rn
         FROM embeddings e, cent c),
-      cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+      cells AS MATERIALIZED (SELECT vec_id, cid FROM asg WHERE rn = 1),
       g0 AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
           round(list_cosine_similarity(ea.embedding::DOUBLE[],
             eb.embedding::DOUBLE[]), 6) AS ncs,
@@ -311,13 +311,13 @@ object Queries {
       gm AS (SELECT node_id, nbr_id, ncs FROM g0 WHERE gr <= $m),
       sym AS (SELECT node_id, nbr_id, ncs FROM gm
         UNION SELECT nbr_id, node_id, ncs FROM gm),
-      graph AS (SELECT node_id, nbr_id FROM (
+      graph AS MATERIALIZED (SELECT node_id, nbr_id FROM (
           SELECT node_id, nbr_id,
             row_number() OVER (PARTITION BY node_id
               ORDER BY ncs DESC, nbr_id) AS dr
           FROM sym) WHERE dr <= ${2 * m}),
-      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-      v0 AS (SELECT q.query_id, c.vec_id AS node,
+      q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      v0 AS MATERIALIZED (SELECT q.query_id, c.vec_id AS node,
           round(list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
         FROM q, cent c)""")
     for (i <- 1 to rounds) {
@@ -333,7 +333,7 @@ object Queries {
           round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
         FROM c$i c JOIN q ON q.query_id = c.query_id
                    JOIN embeddings e ON e.vec_id = c.node),
-      v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
+      v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
     }
     sb.append(s""",
       ranked AS (SELECT query_id, node AS neighbor_id, cs,
@@ -409,7 +409,7 @@ object Queries {
           round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cs
         FROM c$i c JOIN q ON q.query_id = c.query_id
                    JOIN embeddings e ON e.vec_id = c.node),
-      v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
+      v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i)""")
     }
     sb.append(s""",
       ranked AS (SELECT query_id, node AS neighbor_id, cs,
