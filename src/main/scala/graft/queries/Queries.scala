@@ -3067,6 +3067,53 @@ object Queries {
           CAST(max(a) AS INTEGER) AS peak
         FROM err GROUP BY doc_id, ns ORDER BY media_id""")),
 
+    // ---- Multimodal: audio NEAR-DUP pairs — the dHash idea on the
+    //      loudness contour (65 exact Σ|sample| segments → 64
+    //      direction bits), banded-LSH join lossless for
+    //      maxHamming < bands; m05's twin for the audio modality.
+    //      The oracle replays the envelope hash byte-for-byte and
+    //      takes the all-pairs Hamming ball (equal by pigeonhole) ----
+    QueryDef(
+      "m18_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .filter(length($"text") === octet_length($"text")
+            && length($"text") >= 130)
+          .select($"doc_id", lit("audio/pcm").as("mt"),
+            encode($"text", "US-ASCII").as("payload"))
+        graft.operators.Multimodal.audioNearDupPairs(
+            graft.operators.Multimodal.pack(media, "doc_id", "mt",
+              "payload")(s), maxHamming = 6)
+          .orderBy($"id1", $"id2")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE octet_length(encode(text)) = length(text)
+                 AND length(text) // 2 >= 65),
+        dims AS (SELECT doc_id, text, (n // 2) // 65 AS seg FROM b),
+        gi AS (SELECT doc_id, text, seg, unnest(range(0, 65)) AS i FROM dims),
+        gj AS (SELECT doc_id, seg, i, unnest(range(0, seg)) AS j, text FROM gi),
+        sm AS (SELECT doc_id, i,
+                ord(substr(text, CAST(2 * (i * seg + j) + 1 AS INTEGER), 1)) * 256
+                  + ord(substr(text, CAST(2 * (i * seg + j) + 2 AS INTEGER), 1)) AS v
+               FROM gj),
+        -- |sample| with the sign path modeled (ASCII payloads never set
+        -- the high bit, but the oracle mirrors the kernel exactly)
+        es AS (SELECT doc_id, i,
+                sum(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sa
+               FROM sm GROUP BY 1, 2),
+        h AS MATERIALIZED (SELECT a.doc_id,
+                sum(CASE WHEN b.sa > a.sa
+                  THEN CAST(1 AS UBIGINT) << CAST(a.i AS INTEGER)
+                  ELSE CAST(0 AS UBIGINT) END)::UBIGINT AS eh
+              FROM es a JOIN es b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.i < 64 GROUP BY 1)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.eh, b.eh)) AS INTEGER) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.eh, b.eh)) <= 6
+        ORDER BY id1, id2""")),
+
     // ---- Multimodal: the same PCM16 features through a REAL RIFF/WAVE
     //      container — each payload is a canonical 16-bit PCM WAV built
     //      around the text bytes, decoded (LE->BE byte swap, header

@@ -202,6 +202,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDHash(recs).count() === 4)
   }
 
+  test("audioNearDupPairs: amplitude-scaled copies pair at hamming 0, " +
+      "one flipped envelope step costs exactly one bit, reversed " +
+      "envelopes never pair, short assets are skipped") {
+    val sp = spark; import sp.implicits._
+    // PCM16 big-endian, constant within each 2-sample segment: the
+    // segment-sum direction sequence IS the hash
+    def pcm(f: Int => Int): Array[Byte] = {
+      val out = new Array[Byte](65 * 2 * 2)
+      for (seg <- 0 until 65; j <- 0 until 2) {
+        val v = f(seg)
+        out(2 * (seg * 2 + j)) = ((v >> 8) & 0xFF).toByte
+        out(2 * (seg * 2 + j) + 1) = (v & 0xFF).toByte
+      }
+      out
+    }
+    val rising = (i: Int) => 10 + i
+    // swap segments 30/31's levels: only the (30,31) comparison flips
+    val oneFlip = (i: Int) =>
+      if (i == 30) 41 else if (i == 31) 40 else 10 + i
+    val recs = Seq(
+      MediaRecord(1L, "audio/pcm", pcm(rising)),
+      MediaRecord(2L, "audio/pcm", pcm(i => 2 * rising(i))), // scaled copy
+      MediaRecord(3L, "audio/pcm", pcm(oneFlip)),
+      MediaRecord(4L, "audio/pcm", pcm(i => 100 - i)),       // reversed
+      MediaRecord(5L, "audio/pcm", pcm(rising).take(100))    // < 65 samples
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(recs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"wrong pair set: $pairs")
+    assert(pairs((1L, 2L)) === 0, "amplitude scaling must preserve the hash")
+    assert(pairs((1L, 3L)) === 1, "one flipped step must cost exactly one bit")
+    // the reversed envelope is the all-zeros hash: hamming 64 to rising
+    assert(Multimodal.audioEnvelopeHash(recs).count() === 4,
+      "assets under 65 samples have no contour and must be skipped")
+    // reshuffle determinism
+    val again = Multimodal.audioNearDupPairs(
+        recs.repartition(7), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(again === pairs)
+    // empty input: empty output with the right schema
+    val empty = Multimodal.audioNearDupPairs(
+      sp.emptyDataset[MediaRecord], maxHamming = 6)
+    assert(empty.columns.toSeq === Seq("id1", "id2", "hamming"))
+    assert(empty.count() === 0L)
+  }
+
   test("metadata-only queries do not deserialize the payload") {
     val meta = mediaDF.toDF().select(col("media_id"), col("media_type"))
     assert(meta.filter(col("media_type") === "image").count() == 50)
