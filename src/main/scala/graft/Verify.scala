@@ -218,8 +218,11 @@ object Verify {
     // must never fail the verify run.
     if (evidence && only.isEmpty) {
       try {
+        // the root marker is a file unique to THIS repo (not any tools/
+        // dir — a different checkout's tools/ must never take the write)
         val repoRoot = Seq(".", "/root/repo")
-          .find(r => Files.isDirectory(Paths.get(r, "tools")))
+          .find(r => Files.isRegularFile(
+            Paths.get(r, "tools", "expected_canon_sf0.01.txt")))
         repoRoot match {
           case None =>
             println("[canon-evidence] no repo tree found (skipped)")
@@ -229,14 +232,21 @@ object Verify {
               s"""${q(name)}:{"n":$n,"sum":${q(s)},"xor":${q(x)},"matched_expectation":$mj}"""
             }.mkString("{", ",", "}")
             val mm = mismatches.map(q).mkString("[", ",", "]")
+            // a query that crashed (wrote=false) or whose evidence pass
+            // threw has NO canon row — without this it would silently
+            // vanish from an "all_matched: true" record
+            val missing = (expected.keySet -- canons.map(_._1).toSet)
+              .toSeq.sorted
+            val missJson = missing.map(q).mkString("[", ",", "]")
             val body =
               s"""{"sf":${q(sfTag)},"out_dir":${q(outDir)},
                  |"written_at":${q(java.time.Instant.now.toString)},
                  |"queries_run":${canons.size},
                  |"expectation_file":${expectPath.map(p => q(p.toString)).getOrElse("null")},
                  |"all_matched":${if (expected.isEmpty) "null"
-                   else (mismatches.isEmpty).toString},
+                   else (mismatches.isEmpty && missing.isEmpty).toString},
                  |"mismatches":$mm,
+                 |"missing_queries":$missJson,
                  |"tokens_per_source":${tokensDiagJson.getOrElse("null")},
                  |"queries":$qj}""".stripMargin
             val dst = Paths.get(root, s"verify_evidence_$sfTag.json")

@@ -1358,37 +1358,6 @@ object Analytics {
         col("mde_rel"))
   }
 
-  /** SEQUENTIAL mSPRT monitor (Johari, Koomen, Pekelis, Walsh — KDD
-    * 2017, "Peeking at A/B Tests": the mixture sequential probability
-    * ratio test behind always-valid p-values) over the [[abTestZ]] md5
-    * arm split — the readout a CONTINUOUSLY MONITORED experiment needs:
-    * fixed-horizon z/U tests are invalidated by peeking, while the
-    * mSPRT's evidence process is valid at EVERY look.
-    *
-    * Units enter at their FIRST event day (`arrival = min(day(ts))`)
-    * and carry their eventual conversion flag; the monitoring calendar
-    * is EVERY observed event day (the looks an on-call dashboard would
-    * take), and for every day d the test sees all units arrived ≤ d.
-    * With δ̂_d the rate difference,
-    * V_d = p̂(1−p̂)(1/n_A + 1/n_B) its null variance, and the H1 effect
-    * mixed as N(0, τ²):
-    *
-    *   ln Λ_d = ½·ln(V_d/(V_d+τ²)) + δ̂²_d·τ² / (2·V_d·(V_d+τ²))
-    *
-    * The always-valid p-value is min(1, exp(−max_{d'≤d} ln Λ_{d'}))
-    * (the running-max evidence is what makes peeking safe), and the
-    * test rejects when that max exceeds ln(1/α).
-    *
-    * Determinism discipline (the q137–q140 conventions): counts are
-    * exact BIGINTs; per-day cumulative counts ride one window over the
-    * PER-DAY aggregate (rows = days — a time-bounded frame, never the
-    * events); rates/V/lnΛ are short fixed IEEE chains with every libm
-    * call (`ln`, final `exp`) rounded at 9/6; ln(1/α) is embedded as
-    * one shared literal, and the reject flag compares the ROUNDED
-    * evidence to it. Degenerate days (empty arm, p̂ ∈ {0,1}) emit NULL
-    * lnΛ and inherit the running evidence. Output: one row per day
-    * `(day, n_a, n_b, conv_a, conv_b, delta, log_lambda, log_evidence,
-    * p_always_valid, reject_h0)`. */
   /** The [[abTestZ]]-family md5 arm split as a reusable column — every
     * experimentation operator (and the streaming monitor sink) must
     * assign the SAME unit to the SAME arm. */
@@ -1452,11 +1421,71 @@ object Analytics {
           .otherwise(col("log_evidence") > lit(math.log(1.0 / alpha))))
   }
 
+  /** SEQUENTIAL mSPRT monitor (Johari, Koomen, Pekelis, Walsh — KDD
+    * 2017, "Peeking at A/B Tests": the mixture sequential probability
+    * ratio test behind always-valid p-values) over the [[abTestZ]] md5
+    * arm split — the readout a CONTINUOUSLY MONITORED experiment needs:
+    * fixed-horizon z/U tests are invalidated by peeking, while the
+    * mSPRT's evidence process is valid at EVERY look.
+    *
+    * Units enter at their FIRST event day (`arrival = min(day(ts))`)
+    * and carry their eventual conversion flag; the monitoring calendar
+    * is EVERY observed event day (the looks an on-call dashboard would
+    * take), and for every day d the test sees all units arrived ≤ d.
+    * With δ̂_d the rate difference,
+    * V_d = p̂(1−p̂)(1/n_A + 1/n_B) its null variance, and the H1 effect
+    * mixed as N(0, τ²):
+    *
+    *   ln Λ_d = ½·ln(V_d/(V_d+τ²)) + δ̂²_d·τ² / (2·V_d·(V_d+τ²))
+    *
+    * The always-valid p-value is min(1, exp(−max_{d'≤d} ln Λ_{d'}))
+    * (the running-max evidence is what makes peeking safe), and the
+    * test rejects when that max exceeds ln(1/α).
+    *
+    * Determinism discipline (the q137–q140 conventions): counts are
+    * exact BIGINTs; per-day cumulative counts ride one window over the
+    * PER-DAY aggregate (rows = days — a time-bounded frame, never the
+    * events); rates/V/lnΛ are short fixed IEEE chains with every libm
+    * call (`ln`, final `exp`) rounded at 9/6; ln(1/α) is embedded as
+    * one shared literal, and the reject flag compares the ROUNDED
+    * evidence to it. Degenerate days (empty arm, p̂ ∈ {0,1}) emit NULL
+    * lnΛ and inherit the running evidence. Output: one row per day
+    * `(day, n_a, n_b, conv_a, conv_b, delta, log_lambda, log_evidence,
+    * p_always_valid, reject_h0)`. */
   def sequentialMsprt(events: DataFrame, unitCol: String, tsCol: String,
       typeCol: String, successValue: String, tauSq: Double = 0.0001,
       alpha: Double = 0.05): DataFrame = {
     require(tauSq > 0, "mixture variance tauSq must be positive")
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dailyCumulativeArms(events, unitCol, tsCol, typeCol,
+      successValue)
+    // running evidence: max over the day prefix of the ROUNDED lnΛ —
+    // max() skips NULL days, so degenerate days inherit the evidence
+    msprtReadout(
+      msprtScored(cum, tauSq)
+        .withColumn("log_evidence", max(col("log_lambda")).over(wCum)),
+      alpha)
+      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"),
+        col("conv_b"), col("delta"), col("log_lambda"),
+        col("log_evidence"), col("p_always_valid"), col("reject_h0"))
+  }
+
+  /** The per-day cumulative two-arm conversion frame shared by every
+    * day-granular sequential monitor ([[sequentialMsprt]] — round 15
+    * extraction — and [[groupSequentialZ]]): units enter at their FIRST
+    * event day carrying their eventual conversion flag under the
+    * [[md5ArmCol]] split; the monitoring calendar is every OBSERVED
+    * event day (arrival days alone would collapse to the first day or
+    * two on an active-user corpus), and cumulative counts ride ONE
+    * window over the day-level aggregate — its row count is the
+    * monitoring horizon (hundreds), not the corpus, so the single-task
+    * window is scale-safe by construction (the q121–q132 time-series
+    * frame discipline). Output: `(day, n_a, n_b, conv_a, conv_b)`,
+    * exact BIGINTs. */
+  private[graft] def dailyCumulativeArms(events: DataFrame, unitCol: String,
+      tsCol: String, typeCol: String, successValue: String): DataFrame = {
     val units = events
       .filter(col(unitCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(unitCol).as("_graft_u"))
@@ -1471,10 +1500,6 @@ object Analytics {
         .otherwise(0L)).as("x_a"),
       sum(when(col("_graft_arm") === "b", col("_graft_conv"))
         .otherwise(0L)).as("x_b"))
-    // monitoring calendar: one row per OBSERVED event day (arrival days
-    // alone would collapse to the first day or two on an active-user
-    // corpus); days without arrivals contribute zero increments and
-    // inherit the cumulative state
     val spine = events.filter(col(tsCol).isNotNull)
       .select(to_date(date_trunc("day", col(tsCol))).as("day")).distinct()
     val perDay = spine.join(perArrival, Seq("day"), "left_outer")
@@ -1483,26 +1508,102 @@ object Analytics {
         coalesce(col("u_b"), lit(0L)).as("u_b"),
         coalesce(col("x_a"), lit(0L)).as("x_a"),
         coalesce(col("x_b"), lit(0L)).as("x_b"))
-    // cumulative counts: ONE window over the day-level aggregate — its
-    // row count is the monitoring horizon (hundreds), not the corpus,
-    // so the single-task window is scale-safe by construction (the
-    // q121–q132 time-series frame discipline)
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perDay.select(col("day"),
+    perDay.select(col("day"),
       sum(col("u_a")).over(wCum).as("n_a"),
       sum(col("u_b")).over(wCum).as("n_b"),
       sum(col("x_a")).over(wCum).as("conv_a"),
       sum(col("x_b")).over(wCum).as("conv_b"))
-    // running evidence: max over the day prefix of the ROUNDED lnΛ —
-    // max() skips NULL days, so degenerate days inherit the evidence
-    msprtReadout(
-      msprtScored(cum, tauSq)
-        .withColumn("log_evidence", max(col("log_lambda")).over(wCum)),
-      alpha)
-      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"),
-        col("conv_b"), col("delta"), col("log_lambda"),
-        col("log_evidence"), col("p_always_valid"), col("reject_h0"))
+  }
+
+  /** O'Brien–Fleming two-sided boundaries for 5 equally spaced looks at
+    * overall α = 0.05 (O'Brien & Fleming 1979; the classic tabulated
+    * sequence c·√(K/k) with c = 2.040 — see Jennison & Turnbull,
+    * "Group Sequential Methods", Table 2.3). Embedded as LITERALS:
+    * boundary computation needs multivariate-normal integration no SQL
+    * engine replays, so the constants — like q146's z quantiles — are
+    * part of the operator definition. */
+  val ObrienFleming5: Seq[Double] = Seq(4.562, 3.226, 2.634, 2.281, 2.040)
+
+  /** Pocock two-sided constant boundary for 5 equally spaced looks at
+    * overall α = 0.05 (Pocock 1977, tabulated c = 2.413). */
+  val Pocock5: Seq[Double] = Seq.fill(5)(2.413)
+
+  /** GROUP-SEQUENTIAL fixed-look monitor (Pocock 1977; O'Brien &
+    * Fleming 1979) over the [[md5ArmCol]] split — the boundary design
+    * most real experiment platforms run: K pre-planned looks, each
+    * comparing the cumulative two-proportion z to that look's critical
+    * value, overall type-I error spent across the looks by the boundary
+    * sequence. The always-valid mSPRT twin is [[sequentialMsprt]]; this
+    * one trades anytime validity for tighter fixed-schedule boundaries.
+    *
+    * The monitoring calendar is [[dailyCumulativeArms]]' observed-day
+    * frame; look k (1-based, K = `boundaries.length`) reads the day at
+    * index ⌈k·D/K⌉ of the D ordered days — pure INTEGER arithmetic
+    * ((k·D + K − 1) div K), so look placement replays in any engine.
+    * When D < K several looks share a day; the boundary schedule still
+    * spends α as planned. The z chain is [[abTestZ]]'s (round-9 rates
+    * and pooled variance, NULL on an empty arm or degenerate p̂), the
+    * crossing test compares the ROUNDED |z| to the literal boundary,
+    * and `stopped` carries the first-crossing state forward — the
+    * group-sequential stopping rule. Output: one row per planned look
+    * `(look, day, n_a, n_b, conv_a, conv_b, z_score, boundary,
+    * crossed, stopped)`. */
+  def groupSequentialZ(events: DataFrame, unitCol: String, tsCol: String,
+      typeCol: String, successValue: String,
+      boundaries: Seq[Double] = ObrienFleming5): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one look boundary")
+    require(boundaries.forall(_ > 0), "boundaries must be positive")
+    val k = boundaries.length
+    val sp = events.sparkSession
+    import sp.implicits._
+    val nullD = lit(null).cast("double")
+    val wAll = Window.orderBy(col("day"))
+    val cum = dailyCumulativeArms(events, unitCol, tsCol, typeCol,
+      successValue)
+      .withColumn("_graft_i", row_number().over(wAll))
+      .withColumn("_graft_d",
+        count(lit(1)).over(wAll.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val looks = broadcast(boundaries.zipWithIndex
+      .map { case (b, i) => (i + 1L, b) }.toDF("look", "boundary"))
+    // ⌈look·D/K⌉ as floor((look·D + K−1)/K): the numerator is far below
+    // 2^52, so the double division + floor is EXACT in both engines
+    val at = looks.join(cum,
+      col("_graft_i") ===
+        floor((col("look") * col("_graft_d") + lit((k - 1).toLong)) /
+          lit(k.toDouble)).cast("long"))
+    val scored = at
+      .withColumn("_graft_ra", when(col("n_a") === 0L, nullD)
+        .otherwise(round(col("conv_a").cast("double") /
+          col("n_a").cast("double"), 9)))
+      .withColumn("_graft_rb", when(col("n_b") === 0L, nullD)
+        .otherwise(round(col("conv_b").cast("double") /
+          col("n_b").cast("double"), 9)))
+      .withColumn("_graft_p", when(col("n_a") + col("n_b") === 0L, nullD)
+        .otherwise(round((col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 9)))
+      .withColumn("z_score",
+        when(col("n_a") === 0L || col("n_b") === 0L ||
+            col("_graft_p").isNull || col("_graft_p") === 0.0 ||
+            col("_graft_p") === 1.0, nullD)
+          .otherwise(round((col("_graft_ra") - col("_graft_rb")) /
+            sqrt(col("_graft_p") * (lit(1.0) - col("_graft_p")) *
+              (lit(1.0) / col("n_a").cast("double") +
+               lit(1.0) / col("n_b").cast("double"))), 9)))
+      .withColumn("crossed",
+        when(col("z_score").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_score")) > col("boundary")))
+    val wLook = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("stopped",
+        max(when(col("crossed") === true, 1L).otherwise(0L))
+          .over(wLook) === 1L)
+      .select(col("look"), col("day"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"), col("z_score"), col("boundary"),
+        col("crossed"), col("stopped"))
   }
 
   /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the

@@ -262,4 +262,143 @@ object Classifier {
     per.unpersist()
     out
   }
+
+  /** TRAINED language-ID model — hashed word-n-gram multinomial Naive
+    * Bayes, the supervised fastText-style screen a Common-Crawl-scale
+    * pipeline runs before any quality filter (the heuristic cousin is
+    * [[TextAnalysis.langId]]; this one LEARNS its evidence from a
+    * labeled split instead of shipping stopword lists).
+    *
+    * Features are md5-hashed unigrams + word bigrams (multiplicity
+    * kept — multinomial, not Bernoulli), so the model size is bounded
+    * by `langs × nBuckets` REGARDLESS of corpus vocabulary — the
+    * hashing-trick property that lets the same operator train on a
+    * 100 TB corpus with an unbounded token set. Training is ONE
+    * explode + hash-aggregate pass (map-side combined, no iteration).
+    *
+    * Output — the stored-model artifact, one frame keyed like
+    * [[trainTextClassifier]]'s bias-at-−1 weight table:
+    *   - `(lang, bucket ≥ 0, logp)` for every bucket seen in `lang`:
+    *     `round(ln((cnt+1)/(tot_lang+nBuckets)), 9)` (add-one
+    *     smoothing);
+    *   - `(lang, −1, logp)` the class log-prior `round(ln(n_lang/N), 9)`;
+    *   - `(lang, −2, logp)` the UNSEEN-bucket evidence
+    *     `round(ln(1/(tot_lang+nBuckets)), 9)` — scoring needs it for
+    *     eval features absent from this lang's training rows.
+    *
+    * Determinism: each `ln` is rounded to 9 BEFORE any arithmetic (the
+    * [[TextAnalysis.heapsLawFit]] round-14 libm discipline) and scoring
+    * sums exact DECIMAL products, so the DuckDB oracle replays the
+    * model bit-for-bit. */
+  def trainLangId(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 2048): DataFrame = {
+    require(nBuckets >= 2, "need at least two feature buckets")
+    val feats = langIdFeatures(docs, idCol, textCol, nBuckets)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+      .localCheckpoint(true) // feeds per-bucket logps AND per-lang totals
+    val langTot = feats.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("tot"))
+    val nDocs = docs.select(col(langCol).as("lang")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"))
+    val total = docs.count().toDouble
+    require(total > 0, "cannot train on an empty corpus")
+    val seen = feats.join(broadcast(langTot), Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        round(log((col("cnt") + lit(1)).cast(DoubleType) /
+          (col("tot") + lit(nBuckets)).cast(DoubleType)), 9).as("logp"))
+    val prior = nDocs.select(col("lang"), lit(-1L).as("bucket"),
+      round(log(col("nd").cast(DoubleType) / lit(total)), 9).as("logp"))
+    // a lang whose docs are all token-free never reaches `feats`; its
+    // unseen evidence is ln(1/nBuckets) (tot = 0), via the left join
+    val unseen = nDocs.select(col("lang"))
+      .join(langTot, Seq("lang"), "left_outer")
+      .select(col("lang"), lit(-2L).as("bucket"),
+        round(log(lit(1.0) /
+          (coalesce(col("tot"), lit(0L)) + lit(nBuckets)).cast(DoubleType)),
+          9).as("logp"))
+    val out = seen.unionAll(prior).unionAll(unseen).localCheckpoint(true)
+    feats.unpersist()
+    out
+  }
+
+  /** Multinomial feature counts: `(doc_id, bucket, c)` — md5-hashed
+    * unigrams + word bigrams WITH multiplicity (contrast [[features]]'
+    * distinct presence bits). Map-only: tokenize, build bigrams
+    * row-locally, hash, count within the explode aggregation. */
+  def langIdFeatures(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val tk = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(concat(tk, bigrams)).as("t"))
+      .select(col("doc_id"), hashBucket(col("t"), nBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Score + predict under a trained [[trainLangId]] model:
+    * `(doc_id, pred_lang, score)` — per (doc, lang),
+    * `score = prior + Σ_matched c·logp + (ct − matched)·unseen`, all
+    * DECIMAL-exact (counts × round-9 logps), argmax with ties to the
+    * lexicographically first lang. Token-free docs keep the prior-only
+    * score (the majority lang wins), so every eval doc gets a row.
+    *
+    * Scale shape: the model is `langs × nBuckets` rows — broadcast by
+    * construction; eval features shuffle once for the per-doc count agg
+    * and once for the (doc, lang) score agg. Nothing corpus-sized
+    * crosses the driver. */
+  def langIdPredict(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, nBuckets: Int = 2048): DataFrame = {
+    val dt = DecimalType(12, 9)
+    val feats = langIdFeatures(docs, idCol, textCol, nBuckets)
+      .localCheckpoint(true) // feeds matched sums AND per-doc totals
+    val docTot = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(feats.groupBy(col("doc_id")).agg(sum(col("c")).as("ct")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val langRows = model.filter(col("bucket") < 0)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("bucket") === -1, col("logp"))).as("prior"),
+        sum(when(col("bucket") === -2, col("logp"))).as("unseen"))
+    val matched = feats
+      .join(broadcast(model.filter(col("bucket") >= 0)), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c").cast(DecimalType(18, 0)) * col("logp").cast(dt))
+          .as("ms"),
+        sum(col("c")).as("mc"))
+    val scores = docTot.crossJoin(broadcast(langRows))
+      .join(matched, Seq("doc_id", "lang"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        (col("prior").cast(dt) +
+          coalesce(col("ms"), lit(0).cast(dt)) +
+          (col("ct") - coalesce(col("mc"), lit(0L))).cast(DecimalType(18, 0)) *
+            col("unseen").cast(dt)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scores.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("score").cast(DoubleType).as("score"))
+  }
+
+  /** End-to-end language-ID CONFUSION MATRIX: train on one deterministic
+    * split, predict the other, count `(lang, pred_lang, n_docs)` — the
+    * [[t02-style]] evaluation frame for the TRAINED model. The feats
+    * unpersist after both consumers resolve. */
+  def langIdConfusion(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, langCol: String, nBuckets: Int = 2048): DataFrame = {
+    val model = trainLangId(train, idCol, textCol, langCol, nBuckets)
+    langIdPredict(eval, idCol, textCol, model, nBuckets)
+      .join(eval.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

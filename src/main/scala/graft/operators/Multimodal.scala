@@ -426,18 +426,30 @@ object Multimodal {
     * the all-pairs Hamming-ball result without an all-pairs join.
     * Expects `(media_id, <hashCol>)`. Output: `(id1, id2, hamming)`,
     * id1 < id2. */
-  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int, bands: Int): DataFrame = {
+  /** The LSH banding projection shared by [[bandedHammingPairs]] and the
+    * streaming incremental twin
+    * ([[graft.streaming.Streams.incrementalHammingCandidates]]): each
+    * 64-bit hash explodes into `bands` fixed bit-slices as
+    * `(media_id, _graft_h, band, key)` — persist this over the corpus
+    * once and a new batch joins only its own bands against the stored
+    * buckets. */
+  private[graft] def hashBands(hashes: DataFrame, hashCol: String,
+      bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
-    require(maxHamming < bands,
-      s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands): " +
-        "a pair may differ in every band otherwise")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = hashes.select(col("media_id"), col(hashCol).as("_graft_h"),
+    hashes.select(col("media_id"), col(hashCol).as("_graft_h"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))
+  }
+
+  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, bands: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands): " +
+        "a pair may differ in every band otherwise")
+    val banded = hashBands(hashes, hashCol, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.media_id") < col("b.media_id"))

@@ -377,7 +377,7 @@ object Similarity {
     * arithmetic until the rerank, so candidate sets — and results — are
     * engine-portable bit-for-bit. */
   def binaryKnnFromSigs(queries: DataFrame, sigs: DataFrame, corpus: DataFrame,
-      k: Int, candMult: Int, candFraction: Double = 0.05): DataFrame = {
+      k: Int, candMult: Int, candFraction: Double = 0.2): DataFrame = {
     require(k >= 1, "k must be positive")
     require(candMult >= 1, "candMult must be positive")
     require(candFraction >= 0.0 && candFraction <= 1.0, "candFraction in [0,1]")
@@ -393,7 +393,12 @@ object Similarity {
     // so recall holds under growth by construction. The bandwidth story
     // is unchanged (the full scan reads 1-bit codes; only the fraction
     // reranks from float storage); the count() is one columnar job over
-    // the code column.
+    // the code column. The default fraction is 0.2 (round 15, up from
+    // 0.05): a 64-bit/64-dim signature is the coarsest code in the
+    // library, and the DuckDB-replayed budget sweep measured recall@3
+    // 0.667/0.667 at 5% → 0.933/0.867 at 20% (sf0.01/sf0.1) — the
+    // floats reranked stay a constant 1/5 of corpus bytes while the
+    // full scan still reads 1 bit/dim.
     val nCorpus = sigs.count()
     val budget = math.max(k.toLong * candMult,
       math.ceil(candFraction * nCorpus).toLong)
@@ -663,13 +668,13 @@ object Similarity {
     * Recall caveat: the synthetic test embeddings are near-isotropic
     * noise — every pairwise cosine concentrates near 0 and top-k
     * margins are O(1/√d), the provably hardest case for ANY
-    * metric-preserving projection — so the pinned floors (0.5/0.83
-    * measured at sf0.01/sf0.1 with the 10% budget) are the WORST-case
-    * end of JL behavior; clustered real-world embeddings project far
-    * better at the same settings. */
+    * metric-preserving projection — so the pinned floors (0.833/0.967
+    * measured at sf0.01/sf0.1 with the round-15 25% budget, up from
+    * 0.5/0.83 at 10%) are the WORST-case end of JL behavior; clustered
+    * real-world embeddings project far better at the same settings. */
   def rpKnn(queries: DataFrame, corpus: DataFrame, k: Int,
       outDims: Int = 32, dims: Int = 64, candMult: Int = 4,
-      candFraction: Double = 0.1): DataFrame =
+      candFraction: Double = 0.25): DataFrame =
     rpKnnFromProjections(queries, rpEncode(corpus, outDims, dims), corpus,
       k, outDims, dims, candMult, candFraction)
 
@@ -715,7 +720,7 @@ object Similarity {
     * construction (the binaryKnn lesson). */
   def rpKnnFromProjections(queries: DataFrame, projections: DataFrame,
       corpus: DataFrame, k: Int, outDims: Int = 32, dims: Int = 64,
-      candMult: Int = 4, candFraction: Double = 0.1): DataFrame = {
+      candMult: Int = 4, candFraction: Double = 0.25): DataFrame = {
     require(k >= 1 && candMult >= 1, "k and candMult must be positive")
     require(candFraction > 0.0 && candFraction <= 1.0,
       "candFraction must be in (0, 1]")
@@ -1724,7 +1729,7 @@ object Similarity {
       .localCheckpoint(true)
     val g = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(graphCkpt)
     val res = nswSearch(queries, corpus, entryNodes, k, beam, rounds,
-      _ => g)
+      (_: Array[Long]) => g)
     graphCkpt.unpersist()
     res
   }
@@ -1754,12 +1759,18 @@ object Similarity {
     * immediately, no file rewritten. */
   def nswKnnStored(queries: DataFrame, corpus: DataFrame, graphPath: String,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(beam >= 1, "beam must be positive")
+    require(rounds >= 0, "rounds must be non-negative")
     val sp = corpus.sparkSession
+    import sp.implicits._
     val dels = readCellTombstoneIds(sp, graphPath, "node_id")
-    val reader = new StoredGraphReader(sp, graphPath)
-    try nswSearch(queries, corpus, entryNodes, k, beam, rounds,
-      reader.edgesFor, dels.toSeq.sorted) // eagerly checkpointed pre-close
-    finally reader.close()
+    val entryIds = entryNodes.select(col("node_id").cast("long"))
+      .filter(col("node_id").isNotNull).distinct().as[Long].collect()
+    val fetcher = new StoredGraphEdgeFetcher(sp,
+      StoredGraphEdgeFetcher.readManifest(sp, graphPath))
+    storedBeamSearch(collectQueryVectors(queries), corpus, entryIds,
+      Seq((rounds, fetcher)), beam, k, dels.toSeq.sorted)
   }
 
   /** Record node DELETES against a stored graph layout
@@ -1783,56 +1794,123 @@ object Similarity {
   def writeGraphTombstones(path: String, ids: DataFrame): Unit =
     writeCellTombstones(path, ids, "node_id")
 
-  /** Round-to-round reader cache for a stored [[writeCellIndex]] graph
-    * layout: the min/max manifest is collected ONCE (not per expansion
-    * round), and each round reads only the frontier's file span MINUS
-    * files already loaded this descent, serving the accumulated edge
-    * union. Serving a SUPERSET of the frontier's own edges is sound —
-    * [[nswExpand]] inner-joins the supplied edges on the frontier's
-    * node ids, so edges of non-frontier nodes never add a candidate —
-    * and it collapses the naive per-round readCellIndex cost
-    * ((layers × rounds) manifest reads + file listings, round 11's s21
-    * read-amplification finding) into one manifest read plus at most
-    * one read per file per descent. Each file-delta is checkpointed
-    * once; old rows are never re-checkpointed. */
-  private final class StoredGraphReader(sp: SparkSession, path: String) {
-    import sp.implicits._
-    private val manifest: Array[(String, Long, Long)] = sp.read
-      .parquet(s"$path/${graft.operators.Layout.ManifestDir}")
-      .select(col("file"), col("min_node_id").cast("long"),
-        col("max_node_id").cast("long"))
-      .collect().collect {
-        case r if !r.isNullAt(1) && !r.isNullAt(2) =>
-          (r.getString(0), r.getLong(1), r.getLong(2))
-      }
-    private var loaded = Set.empty[String]
-    private var parts = List.empty[DataFrame]
-    def edgesFor(frontier: DataFrame): DataFrame = {
-      val ids = frontier.select(col("node")).distinct().as[Long].collect()
-      val needed =
-        if (ids.isEmpty) Array.empty[String]
-        else {
-          val sorted = ids.sorted
-          manifest.collect { case (f, lo, hi)
-              if sorted.exists(c => c >= lo && c <= hi) => f }
-        }
-      val fresh = needed.filterNot(loaded)
-      if (fresh.nonEmpty) {
-        loaded ++= fresh
-        parts ::= sp.read.parquet(fresh.toIndexedSeq: _*)
-          .select(col("node_id"), col("nbr_id")).localCheckpoint(true)
-      }
-      if (parts.isEmpty)
-        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("node_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("nbr_id",
-              org.apache.spark.sql.types.LongType))))
-      else org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(
-        parts.reduce(_ unionAll _))
+  /** Per-hop edge fetch over a stored [[writeCellIndex]] graph layout —
+    * the SERVE-side reader: the min/max manifest is collected once (a
+    * layered index pre-collects ALL layers' manifests in one read and
+    * hands each fetcher its slice), and each hop reads ONLY the files
+    * whose range intersects the frontier, with the frontier membership
+    * filter PUSHED INTO the scan — the files are node_id-sorted at
+    * write time, so parquet row-group stats skip everything but the
+    * frontier's row groups even when a file is re-touched on a later
+    * hop. The returned adjacency is frontier-bounded (≤ frontier × 2m
+    * rows — the [[MaxBroadcastQueries]] serve contract's size class,
+    * never a file's full contents, never the corpus). */
+  private final class StoredGraphEdgeFetcher(sp: SparkSession,
+      manifest: Array[(String, Long, Long)]) {
+    def edgesFor(sortedIds: Array[Long]): Map[Long, Array[Long]] = {
+      if (sortedIds.isEmpty) return Map.empty
+      val needed = manifest.collect { case (f, lo, hi)
+          if sortedIds.exists(c => c >= lo && c <= hi) => f }
+      if (needed.isEmpty) return Map.empty
+      import sp.implicits._
+      sp.read.parquet(needed.toIndexedSeq: _*)
+        .select(col("node_id").cast("long"), col("nbr_id").cast("long"))
+        .filter(col("node_id").isInCollection(sortedIds.toIndexedSeq))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     }
-    def close(): Unit = { parts.foreach(_.unpersist()); parts = Nil }
+  }
+
+  private object StoredGraphEdgeFetcher {
+    def readManifest(sp: SparkSession, path: String):
+        Array[(String, Long, Long)] =
+      sp.read.parquet(s"$path/${graft.operators.Layout.ManifestDir}")
+        .select(col("file"), col("min_node_id").cast("long"),
+          col("max_node_id").cast("long"))
+        .collect().collect {
+          case r if !r.isNullAt(1) && !r.isNullAt(2) =>
+            (r.getString(0), r.getLong(1), r.getLong(2))
+        }
+  }
+
+  /** Fetch the float vectors of an id set as a driver map — one
+    * filtered columnar scan with the membership predicate pushed down.
+    * Bounded by the caller's id set (entries / per-hop candidates —
+    * both under the serve contract's queries × beam × degree class),
+    * never the corpus. */
+  private def fetchVectors(corpus: DataFrame,
+      ids: Array[Long]): Map[Long, Array[Float]] = {
+    if (ids.isEmpty) return Map.empty
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .filter(col("vec_id").isInCollection(ids.toIndexedSeq))
+      .as[(Long, Array[Float])].collect().toMap
+  }
+
+  /** DRIVER-COORDINATED beam search over stored graph layers — the
+    * serving loop (round 15; replaces the relational per-round
+    * window/join/checkpoint pipeline whose ~50 Spark jobs of planning
+    * overhead dominated serve latency): all beam STATE (per-query
+    * visited scores — bounded by queries × (entries + hops × beam × 2m),
+    * the documented serve contract, never the corpus) lives on the
+    * driver, while every READ stays a distributed, manifest-pruned,
+    * predicate-pushed columnar scan — two trivial-plan jobs per hop
+    * (frontier edges + new-candidate vectors) instead of a windowed
+    * multi-join query. Semantics are BYTE-IDENTICAL to the in-memory
+    * relational path ([[nswExpand]] — spec-pinned): same entry scoring
+    * ([[cosineKernel]], round 6), same per-query top-beam frontier with
+    * `(cs desc, node asc)` ties, same candidate = frontier-neighbors
+    * minus visited rule, same final ranking with self and tombstones
+    * excluded. */
+  private def storedBeamSearch(queries: Array[(Long, Array[Float])],
+      corpus: DataFrame, entryIds: Array[Long],
+      layers: Seq[(Int, StoredGraphEdgeFetcher)], beam: Int, k: Int,
+      exclude: Seq[Long]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+    val fetched = scala.collection.mutable.HashSet.empty[Long]
+    def ensure(ids: Array[Long]): Unit = {
+      val need = ids.filterNot(fetched.contains).distinct.sorted
+      if (need.nonEmpty) { fetched ++= need; vecs ++= fetchVectors(corpus, need) }
+    }
+    ensure(entryIds)
+    // per-query visited scores; entry nodes with no corpus vector never
+    // enter (the relational path's corpus semi-join)
+    val visited = queries.map { case (qid, qv) =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Double]
+      entryIds.foreach(id => vecs.get(id).foreach(v => m(id) = cosineKernel(qv, v)))
+      (qid, qv, m)
+    }
+    def topBeam(m: scala.collection.mutable.HashMap[Long, Double]): Array[Long] =
+      m.toArray.sortWith { case ((n1, c1), (n2, c2)) =>
+        c1 > c2 || (c1 == c2 && n1 < n2)
+      }.take(beam).map(_._1)
+    for ((rounds, fetcher) <- layers; _ <- 0 until rounds) {
+      val fronts = visited.map { case (_, _, m) => topBeam(m) }
+      val adj = fetcher.edgesFor(fronts.flatten.distinct.sorted)
+      // per-query candidates: neighbors of ITS frontier, minus visited
+      val cands = visited.zip(fronts).map { case ((_, _, m), front) =>
+        front.flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .distinct.filterNot(m.contains)
+      }
+      ensure(cands.flatten)
+      visited.zip(cands).foreach { case ((_, qv, m), cand) =>
+        cand.foreach(id => vecs.get(id).foreach(v => m(id) = cosineKernel(qv, v)))
+      }
+    }
+    val excl = exclude.toSet
+    val rows = visited.flatMap { case (qid, _, m) =>
+      m.toArray
+        .filter { case (n, _) => n != qid && !excl.contains(n) }
+        .sortWith { case ((n1, c1), (n2, c2)) =>
+          c1 > c2 || (c1 == c2 && n1 < n2)
+        }.take(k).zipWithIndex
+        .map { case ((n, c), i) => (qid, i + 1, n, c) }
+    }
+    rows.toIndexedSeq.toDF("query_id", "rank", "neighbor_id", "cs")
   }
 
   /** Shared fixed-round beam-search loop: `edgesFor(frontier)` supplies
@@ -1841,7 +1919,7 @@ object Similarity {
     * stored path. */
   private def nswSearch(queries: DataFrame, corpus: DataFrame,
       entryNodes: DataFrame, k: Int, beam: Int, rounds: Int,
-      edgesFor: DataFrame => DataFrame,
+      edgesForIds: Array[Long] => DataFrame,
       exclude: Seq[Long] = Nil): DataFrame = {
     require(k >= 1, "k must be positive")
     require(beam >= 1, "beam must be positive")
@@ -1850,8 +1928,10 @@ object Similarity {
     val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
     val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-    val v0 = nswScoreEntries(qb, corpusVecs, entryNodes).localCheckpoint(true)
-    nswRank(nswExpand(qb, corpusVecs, v0, beam, rounds, edgesFor), k, exclude)
+    // LAZY seed checkpoint: the first expansion round's frontier collect
+    // (or nswRank's materialization when rounds == 0) executes it
+    val v0 = nswScoreEntries(qb, corpusVecs, entryNodes).localCheckpoint(false)
+    nswRank(nswExpand(qb, corpusVecs, v0, beam, rounds, edgesForIds), k, exclude)
   }
 
   /** Score an entry-node id set against every broadcast query exactly
@@ -1881,26 +1961,49 @@ object Similarity {
       }.toDF("query_id", "node", "cs")
   }
 
-  /** `rounds` fixed expansion rounds from an ALREADY-SCORED, eagerly
-    * checkpointed `(query_id, node, cs)` visited state: returns the
-    * final visited CHECKPOINT (the input itself when `rounds == 0` —
-    * the caller owns unpersisting the returned frame; every superseded
-    * intermediate, including the input, is unpersisted here). */
+  /** `rounds` fixed expansion rounds from an ALREADY-SCORED (eagerly or
+    * LAZILY checkpointed) `(query_id, node, cs)` visited state: returns
+    * the final visited CHECKPOINT, MATERIALIZED (the input itself when
+    * `rounds == 0` — the caller owns unpersisting the returned frame;
+    * every superseded intermediate, including the input, is unpersisted
+    * here).
+    *
+    * Round-15 serve-cost shape — ONE Spark job per round: the per-query
+    * top-beam frontier is COLLECTED (≤ queries × beam rows, both bounded
+    * by the [[MaxBroadcastQueries]] serve contract), and that single
+    * collect (a) materializes the previous round's lazy checkpoint,
+    * (b) hands the stored-path reader its file-pruning ids with no
+    * distinct job of its own, and (c) re-enters the candidate join as a
+    * BROADCAST literal relation — replacing the old frontier recompute
+    * + eager per-round checkpoint pair (two jobs + a shuffled join).
+    * Each round's new visited state is a LAZY local checkpoint that the
+    * NEXT round's collect (or the final materialization below)
+    * executes; values are untouched — same window, same tie-breaks,
+    * same joins — so every graph-ANN canon is byte-identical. */
   private def nswExpand(
       qb: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]],
       corpusVecs: DataFrame, visited0: DataFrame, beam: Int, rounds: Int,
-      edgesFor: DataFrame => DataFrame): DataFrame = {
+      edgesForIds: Array[Long] => DataFrame): DataFrame = {
     val sp = corpusVecs.sparkSession
     import sp.implicits._
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("node"))
-    var prevCkpt = visited0
-    var visited = prevCkpt
+    var ckpt = visited0                  // newest checkpoint (lifecycle)
+    var visited = ckpt                   // plan-side (stats-flat) handle
+    var older: DataFrame = null          // predecessor awaiting unpersist
     var r = 0
     while (r < rounds) {
-      val frontier = visited.withColumn("_b", row_number().over(wBeam))
+      // the round's ONE driver action: collecting the frontier runs the
+      // pending lazy checkpoint of `ckpt`, after which its predecessor
+      // (read during that materialization) is safe to drop
+      val frontierRows = visited
+        .withColumn("_b", row_number().over(wBeam))
         .filter(col("_b") <= beam).select(col("query_id"), col("node"))
-      val g = edgesFor(frontier)
+        .as[(Long, Long)].collect()
+      if (older != null) { older.unpersist(); older = null }
+      val g = edgesForIds(frontierRows.map(_._2).distinct.sorted)
+      val frontier = broadcast(
+        frontierRows.toIndexedSeq.toDF("query_id", "node"))
       val cand = frontier.join(g, frontier("node") === g("node_id"))
         .select(col("query_id"), col("nbr_id").as("node")).distinct()
         .join(visited.select(col("query_id"), col("node")),
@@ -1915,15 +2018,21 @@ object Similarity {
             (qid, nid, cosineKernel(qm(qid), v))
           }
         }.toDF("query_id", "node", "cs")
-      val next = visited.unionAll(scored).localCheckpoint(true)
-      prevCkpt.unpersist()
-      prevCkpt = next
-      // visited is referenced twice per round (frontier + anti-join):
+      val next = visited.unionAll(scored).localCheckpoint(false)
+      older = ckpt
+      ckpt = next
+      // visited is referenced twice per round (anti-join + union):
       // flatten carried stats so estimates never compound (PlanBridge)
       visited = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(next)
       r += 1
     }
-    prevCkpt
+    if (older != null) {
+      // force the trailing lazy checkpoint so the returned frame is
+      // self-contained, then drop its (cached) predecessor
+      ckpt.count()
+      older.unpersist()
+    }
+    ckpt
   }
 
   /** Per-query top-`k` of a visited checkpoint (self excluded — it only
@@ -2034,7 +2143,8 @@ object Similarity {
       val rounds = if (l == 0) baseRounds else roundsPerLayer
       val gCkpt = nswGraphFromAssign(members, m).localCheckpoint(true)
       val g = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(gCkpt)
-      visited = nswExpand(qb, corpusVecs, visited, beam, rounds, _ => g)
+      visited = nswExpand(qb, corpusVecs, visited, beam, rounds,
+        (_: Array[Long]) => g)
       gCkpt.unpersist()
     }
     val res = nswRank(visited, k)
@@ -2174,24 +2284,38 @@ object Similarity {
     require(maxLevel >= 0, "maxLevel must be non-negative")
     val sp = corpus.sparkSession
     import sp.implicits._
+    import sp.implicits._
     val dels = readCellTombstoneIds(sp, path, "node_id")
-    val qb = sp.sparkContext.broadcast(collectQueryVectors(queries))
-    val corpusVecs = corpus.select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
     val entryIds = sp.read.parquet(s"$path/entries")
-    var visited = nswScoreEntries(qb, corpusVecs, entryIds)
-      .localCheckpoint(true)
-    for (l <- maxLevel to 0 by -1) {
-      val rounds = if (l == 0) baseRounds else roundsPerLayer
-      // one manifest read + at-most-once file reads per layer descent
-      // (round-11 s21 finding: the naive per-round readCellIndex paid
-      // (maxLevel+1) × rounds planning+listing cycles)
-      val reader = new StoredGraphReader(sp, s"$path/layer-$l")
-      try visited = nswExpand(qb, corpusVecs, visited, beam, rounds,
-        reader.edgesFor) // per-round states checkpoint eagerly
-      finally reader.close()
+      .select(col("node_id").cast("long"))
+      .filter(col("node_id").isNotNull).distinct().as[Long].collect()
+    // ALL layers' min/max manifests in ONE read (round 15 — they share
+    // a schema, and input_file_name() attributes each row to its
+    // layer): one driver job instead of maxLevel+1, on top of the
+    // round-11 fix that already made each layer's manifest read
+    // once-per-descent instead of once-per-round
+    val layerOf = (f: String) => {
+      // LAST match: the layer dir sits directly above the manifest dir,
+      // and an enclosing index path could itself contain "/layer-N/"
+      val ms = "/layer-(\\d+)/".r.findAllMatchIn(f).toSeq
+      if (ms.isEmpty) -1 else ms.last.group(1).toInt
     }
-    nswRank(visited, k, dels.toSeq.sorted)
+    val manifests: Map[Int, Array[(String, Long, Long)]] = sp.read
+      .parquet((0 to maxLevel).map(l =>
+        s"$path/layer-$l/${graft.operators.Layout.ManifestDir}"): _*)
+      .select(input_file_name().as("_mf"), col("file"),
+        col("min_node_id").cast("long"), col("max_node_id").cast("long"))
+      .collect().collect {
+        case r if !r.isNullAt(2) && !r.isNullAt(3) =>
+          (layerOf(r.getString(0)), (r.getString(1), r.getLong(2),
+            r.getLong(3)))
+      }.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._2) }
+    val layers = (maxLevel to 0 by -1).map { l =>
+      (if (l == 0) baseRounds else roundsPerLayer,
+        new StoredGraphEdgeFetcher(sp, manifests.getOrElse(l, Array.empty)))
+    }
+    storedBeamSearch(collectQueryVectors(queries), corpus, entryIds,
+      layers, beam, k, dels.toSeq.sorted)
   }
 
   /** The PRIMARY graph-ANN path at scale: [[kmeansCodebook]]-trained
@@ -2744,9 +2868,11 @@ object Similarity {
     * Output: `(query_id, rank, neighbor_id, cs)` — exact cosine of the
     * reranked survivors. */
   def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 16,
-      centEvery: Int = 50, candMult: Int = 16): DataFrame =
+      centEvery: Int = 50, candMult: Int = 16,
+      candFraction: Double = 0.2): DataFrame =
     pqKnnWithBooks(queries, corpus, k,
-      pqCodebooks(corpus, "vec_id", "embedding", m, centEvery), candMult)
+      pqCodebooks(corpus, "vec_id", "embedding", m, centEvery), candMult,
+      candFraction)
 
   /** Per-subspace Lloyd-trained PQ codebooks — real PQ (the sampled
     * [[pqCodebooks]] is the engine-portable ORACLE definition; its
@@ -3117,9 +3243,10 @@ object Similarity {
   }
 
   private def pqKnnWithBooks(queries: DataFrame, corpus: DataFrame, k: Int,
-      books: Array[Array[(Long, Array[Double])]], candMult: Int): DataFrame =
+      books: Array[Array[(Long, Array[Double])]], candMult: Int,
+      candFraction: Double = 0.0): DataFrame =
     pqKnnFromCodes(queries, pqEncode(corpus, "vec_id", "embedding", books),
-      corpus, books, k, candMult)
+      corpus, books, k, candMult, candFraction)
 
   /** Append NEW vectors to a stored PQ code table without re-encoding
     * the corpus — the [[updateIvfSq8Index]] discipline applied to PQ:
@@ -3146,10 +3273,28 @@ object Similarity {
     * the floats are read just for the candMult·k rerank survivors.
     * Results are identical to the recompute-from-floats wrappers. */
   def pqKnnFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
-      books: Array[Array[(Long, Array[Double])]], k: Int, candMult: Int): DataFrame = {
+      books: Array[Array[(Long, Array[Double])]], k: Int, candMult: Int,
+      candFraction: Double = 0.0): DataFrame = {
     require(k >= 1 && candMult >= 1, "k and candMult must be positive")
+    require(candFraction >= 0.0 && candFraction <= 1.0, "candFraction in [0,1]")
     val sp = corpus.sparkSession
     import sp.implicits._
+    // SAMPLED codebooks are high-distortion by construction (entries
+    // are arbitrary corpus subvectors), so a fixed k·candMult rerank
+    // budget decays with corpus growth exactly like binaryKnn's fixed
+    // 24 did (measured recall@3 0.833 at sf0.01 → 0.633 at sf0.1 with
+    // the fixed 48). candFraction > 0 applies the [[ivfKnn]] auto-probe
+    // rule — budget = max(k·candMult, ceil(candFraction·N)) — so a
+    // constant corpus fraction reranks and recall holds under growth
+    // (20% measures 0.900/0.967 at sf0.01/sf0.1). The Lloyd-TRAINED
+    // paths keep candFraction = 0 (pure k·candMult): their codebooks
+    // are low-distortion, recall is already 1.0, and the zero default
+    // skips the extra count() job so their plans are byte-unchanged.
+    val budget =
+      if (candFraction > 0.0)
+        math.max(k.toLong * candMult,
+          math.ceil(candFraction * codes.count()).toLong)
+      else k.toLong * candMult
     val sd = books(0)(0)._2.length
     val qCollected = collectQueryVectors(queries)
     val qb = sp.sparkContext.broadcast(qCollected)
@@ -3184,7 +3329,7 @@ object Similarity {
       .orderBy(col("adc").asc, col("neighbor_id"))
     val cands = approx
       .withColumn("_crank", row_number().over(wApprox))
-      .filter(col("_crank") <= k * candMult)
+      .filter(col("_crank") <= budget)
       .select(col("query_id"), col("neighbor_id"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe")))

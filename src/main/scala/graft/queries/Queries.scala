@@ -2541,7 +2541,7 @@ object Queries {
         import s.implicits._
         val e = t(s, dir, "embeddings")
         graft.operators.Similarity.rpKnn(e.filter($"vec_id" < 10), e, 3,
-            outDims = 32, dims = 64, candMult = 4, candFraction = 0.1)
+            outDims = 32, dims = 64, candMult = 4, candFraction = 0.25)
           .orderBy($"query_id", $"rank")
       },
       Some("""WITH sgn AS (
@@ -2564,7 +2564,7 @@ object Queries {
                     row_number() OVER (PARTITION BY query_id ORDER BY acs DESC, neighbor_id) AS cr
                   FROM ac)
                  WHERE cr <= GREATEST(12,
-                   CAST(ceil(0.1 * (SELECT count(*) FROM embeddings)) AS BIGINT))),
+                   CAST(ceil(0.25 * (SELECT count(*) FROM embeddings)) AS BIGINT))),
         cs AS (SELECT n.query_id, n.neighbor_id,
                  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cs
                FROM cnd n JOIN embeddings q ON q.vec_id = n.query_id
@@ -6648,7 +6648,8 @@ object Queries {
               n.embedding::DOUBLE[]), 6) AS cs
           FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
                       JOIN embeddings n ON c.neighbor_id = n.vec_id
-          WHERE c.crank <= 48),
+          WHERE c.crank <= greatest(48, CAST(ceil(0.2 *
+            (SELECT count(*) FROM embeddings)) AS BIGINT))),
         ranked AS (SELECT query_id, neighbor_id, cs,
             row_number() OVER (PARTITION BY query_id
               ORDER BY cs DESC, neighbor_id) AS rank
@@ -6748,7 +6749,7 @@ object Queries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY ham, neighbor_id) AS rn
             FROM ham)
-          WHERE rn <= greatest(24, CAST(ceil(0.05 *
+          WHERE rn <= greatest(24, CAST(ceil(0.20 *
             (SELECT count(*) FROM embeddings)) AS BIGINT))),
         cs AS (SELECT c.query_id, c.neighbor_id,
             round(list_cosine_similarity(q.embedding::DOUBLE[],
@@ -9563,6 +9564,83 @@ object Queries {
           END AS heaps_k
         FROM d""")),
 
+    // ---- TRAINED language-ID confusion matrix: hashed word-n-gram
+    //      multinomial NB trained on the doc_id%10<=7 split (t17's
+    //      split convention), evaluated on the rest — round-9 ln
+    //      model entries, DECIMAL-exact scoring, argmax ties to the
+    //      lexicographically first lang. The heuristic twin is t02. ----
+    QueryDef(
+      "t61_langid_trained",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        graft.operators.Classifier.langIdConfusion(
+            docs.filter($"doc_id" % 10 <= 7), docs.filter($"doc_id" % 10 > 7),
+            "doc_id", "text", "lang")
+          .orderBy($"lang", $"pred_lang")
+      },
+      Some("""WITH tr AS MATERIALIZED (SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 10 <= 7),
+        ev AS MATERIALIZED (SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 10 > 7),
+        trtok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM tr),
+        trng AS (SELECT doc_id, unnest(tk) AS t FROM trtok
+          UNION ALL
+          SELECT doc_id, unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS t
+          FROM trtok WHERE len(tk) >= 2),
+        trf AS MATERIALIZED (SELECT doc_id,
+            CAST(CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % 2048 AS BIGINT) AS bucket,
+            count(*) AS c
+          FROM trng GROUP BY 1, 2),
+        cnts AS MATERIALIZED (SELECT d.lang, f.bucket, sum(f.c) AS cnt
+          FROM trf f JOIN tr d USING (doc_id) GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(cnt) AS tot FROM cnts GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+        nd AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+        seen AS MATERIALIZED (SELECT c.lang, c.bucket,
+            round(ln((CAST(c.cnt AS DOUBLE) + 1.0)
+              / (CAST(t.tot AS DOUBLE) + 2048.0)), 9) AS logp
+          FROM cnts c JOIN tot t USING (lang)),
+        lr AS (SELECT nd.lang,
+            round(ln(CAST(nd.nd AS DOUBLE) / nn.n), 9) AS prior,
+            round(ln(1.0 / (CAST(COALESCE(t.tot, 0) AS DOUBLE) + 2048.0)), 9)
+              AS unseen
+          FROM nd LEFT JOIN tot t USING (lang) CROSS JOIN nn),
+        evtok AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM ev),
+        evng AS (SELECT doc_id, unnest(tk) AS t FROM evtok
+          UNION ALL
+          SELECT doc_id, unnest(tk[1:len(tk)-1]) || ' ' || unnest(tk[2:len(tk)]) AS t
+          FROM evtok WHERE len(tk) >= 2),
+        evf AS MATERIALIZED (SELECT doc_id,
+            CAST(CAST(('0x'||substr(md5(t),1,8)) AS UBIGINT) % 2048 AS BIGINT) AS bucket,
+            count(*) AS c
+          FROM evng GROUP BY 1, 2),
+        evct AS (SELECT e.doc_id, COALESCE(s.ct, 0) AS ct FROM ev e
+          LEFT JOIN (SELECT doc_id, sum(c) AS ct FROM evf GROUP BY 1) s
+            USING (doc_id)),
+        m AS MATERIALIZED (SELECT f.doc_id, s.lang,
+            sum(CAST(f.c AS DECIMAL(18,0)) * CAST(s.logp AS DECIMAL(12,9))) AS ms,
+            sum(f.c) AS mc
+          FROM evf f JOIN seen s USING (bucket) GROUP BY 1, 2),
+        sc AS (SELECT e.doc_id, l.lang,
+            CAST(l.prior AS DECIMAL(12,9))
+              + COALESCE(m.ms, CAST(0 AS DECIMAL(12,9)))
+              + CAST(e.ct - COALESCE(m.mc, 0) AS DECIMAL(18,0))
+                * CAST(l.unseen AS DECIMAL(12,9)) AS score
+          FROM evct e CROSS JOIN lr l
+          LEFT JOIN m ON m.doc_id = e.doc_id AND m.lang = l.lang),
+        pred AS (SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, lang) AS rn
+            FROM sc)
+          WHERE rn = 1)
+        SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        FROM pred p JOIN ev d USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- Experiment power / minimum detectable effect: the
     //      "big enough to read?" gate before q138's z — fixed z
     //      literals (no per-row inverse normal), one-row agg ----
@@ -9690,6 +9768,95 @@ object Queries {
           CASE WHEN log_evidence IS NULL THEN NULL
             ELSE log_evidence > ${math.log(1.0 / 0.05)} END AS reject_h0
         FROM e ORDER BY day""")),
+
+    // ---- Group-sequential fixed-look monitor (O'Brien-Fleming 5-look
+    //      boundaries as literals — no libm in the oracle): cumulative
+    //      z at K planned looks over the q151 day frame, first
+    //      boundary crossing stops the experiment. Conversion is a
+    //      HIGH-VALUE purchase (value >= 150) — every synthetic user
+    //      has a plain purchase, which would pin p-hat at 1 and NULL
+    //      every z ----
+    QueryDef(
+      "q152_group_sequential",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Analytics
+          .groupSequentialZ(
+            events(s, dir).withColumn("etype",
+              when($"event_type" === "purchase" && $"value" >= 150.0,
+                "big_purchase").otherwise($"event_type")),
+            "user_id", "ts", "etype", "big_purchase")
+          .orderBy($"look")
+      },
+      Some("""WITH u AS (SELECT user_id,
+          CAST(min(date_trunc('day', ts)) AS DATE) AS day,
+          max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+            THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+        au AS (SELECT day, conv, CASE WHEN CAST(('0x' ||
+            substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            % 100 < 50 THEN 'a' ELSE 'b' END AS arm FROM u),
+        arr AS (SELECT day,
+          CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS u_a,
+          CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS u_b,
+          CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+          CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM au GROUP BY 1),
+        spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+            AS day FROM events WHERE ts IS NOT NULL),
+        d AS (SELECT spine.day,
+          coalesce(u_a, CAST(0 AS BIGINT)) AS u_a,
+          coalesce(u_b, CAST(0 AS BIGINT)) AS u_b,
+          coalesce(x_a, CAST(0 AS BIGINT)) AS x_a,
+          coalesce(x_b, CAST(0 AS BIGINT)) AS x_b
+        FROM spine LEFT JOIN arr USING (day)),
+        c AS (SELECT day,
+          CAST(SUM(u_a) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS n_a,
+          CAST(SUM(u_b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS n_b,
+          CAST(SUM(x_a) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_a,
+          CAST(SUM(x_b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_b
+        FROM d),
+        i AS (SELECT c.*, row_number() OVER (ORDER BY day) AS ix,
+          count(*) OVER () AS dd FROM c),
+        lk AS (SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 4.562::DOUBLE),
+          (CAST(2 AS BIGINT), 3.226::DOUBLE),
+          (CAST(3 AS BIGINT), 2.634::DOUBLE),
+          (CAST(4 AS BIGINT), 2.281::DOUBLE),
+          (CAST(5 AS BIGINT), 2.040::DOUBLE)) AS t(look, boundary)),
+        at AS (SELECT lk.look, lk.boundary, i.* FROM lk JOIN i
+          ON i.ix = CAST(floor((lk.look * i.dd + 4) / 5.0) AS BIGINT)),
+        r AS (SELECT *,
+          CASE WHEN n_a = 0 THEN NULL ELSE
+            round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
+          END AS ra,
+          CASE WHEN n_b = 0 THEN NULL ELSE
+            round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9)
+          END AS rb,
+          CASE WHEN n_a + n_b = 0 THEN NULL ELSE
+            round(CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE), 9)
+          END AS p FROM at),
+        z AS (SELECT *,
+          CASE WHEN n_a = 0 OR n_b = 0 OR p IS NULL OR p = 0 OR p = 1
+            THEN NULL
+            ELSE round((ra - rb) / sqrt(p * (1 - p)
+              * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE))), 9) + 0.0
+          END AS z_score FROM r),
+        x AS (SELECT *, CASE WHEN z_score IS NULL THEN NULL
+          ELSE abs(z_score) > boundary END AS crossed FROM z)
+        SELECT look, day, n_a, n_b, conv_a, conv_b, z_score, boundary,
+          crossed,
+          max(CASE WHEN crossed THEN 1 ELSE 0 END) OVER (ORDER BY look
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            AS stopped
+        FROM x ORDER BY look""")),
 
     // ---- Classifier calibration / reliability table + ECE: the t37
     //      quality model's scores binned 10-wide against observed

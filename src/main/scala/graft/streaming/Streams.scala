@@ -838,6 +838,40 @@ object Streams {
       .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
       .select(col("new_id"), col("corpus_id"))
 
+  /** Incremental STREAM-vs-CORPUS near-dup for the banded-Hamming
+    * family ([[incrementalNearDupCandidates]]' contract applied to
+    * image dHash / audio envelope hashes, m16/m18's batch join): the
+    * new batch's 64-bit hashes band into bit-slice buckets
+    * ([[graft.operators.Multimodal.hashBands]], the SAME projection the
+    * batch pair join uses — the twin cannot drift) and equi-join the
+    * PRE-BANDED stored corpus on `(band, key)`; survivors verify with
+    * the exact XOR+popcount Hamming and the `maxHamming` cut. Per-batch
+    * cost ∝ batch bands × matching buckets — never the corpus. By the
+    * pigeonhole rule (`maxHamming < bands`, enforced here as in the
+    * batch join) every true near-dup pair shares ≥ 1 band, so the
+    * incremental path finds exactly the batch join's cross pairs
+    * (StreamsSpec pins the equivalence); a pair sharing several bands
+    * surfaces once per band — stateless map+join, so the op runs
+    * unchanged on a structured stream; dedupe downstream if consuming
+    * raw candidates. Output: `(new_id, corpus_id, hamming)`. */
+  def incrementalHammingCandidates(newHashes: DataFrame,
+      corpusBands: DataFrame, hashCol: String, maxHamming: Int = 10,
+      bands: Int = 16): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    graft.operators.Multimodal.hashBands(newHashes, hashCol, bands)
+      .withColumnRenamed("media_id", "new_id")
+      .withColumnRenamed("_graft_h", "_graft_hn")
+      .join(corpusBands
+        .withColumnRenamed("media_id", "corpus_id")
+        .withColumnRenamed("_graft_h", "_graft_hc"), Seq("band", "key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("_graft_hn").bitwiseXOR(col("_graft_hc")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Session-window aggregation via the BUILT-IN `session_window`
     * function — the declarative alternative to [[sessionize]] when the
     * per-session outputs are plain aggregates (the engine manages merge

@@ -788,4 +788,60 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "user_id", "ts", "event_type", "purchase")
     assert(empty.count() === 0L)
   }
+
+  test("groupSequentialZ: one row per planned look at the right days, " +
+      "final z equals abTestZ, OBF boundaries, stopping carries forward") {
+    val sp = spark; import sp.implicits._
+    def md5arm(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 50) "a" else "b"
+    }
+    // the sequentialMsprt fixture: 400 units over 10 arrival days + a
+    // 5-day tail of follow-ups (15 observed days), arm a converts,
+    // arm b never — a maximal effect every late look must catch
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L)
+    val rows = (1L to 400L).flatMap { i =>
+      val arrive = ((i - 1) % 10).toInt
+      val typ = if (md5arm(i) == "a") "purchase" else "view"
+      Seq((i, ts(arrive), typ), (i, ts(arrive + 5), "view"))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val out = Analytics.groupSequentialZ(ev, "user_id", "ts",
+        "event_type", "purchase")
+      .orderBy(col("look")).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 5L),
+      "one row per planned look")
+    // look k reads day index ceil(k*15/5) = 3k -> days 2,5,8,11,14
+    val days = out.map(_.getDate(1).toLocalDate.getDayOfMonth)
+    assert(days.toSeq === Seq(3, 6, 9, 12, 15), days.mkString(","))
+    assert(out.map(_.getDouble(7)).toSeq === Analytics.ObrienFleming5)
+    // final look sees every unit; its z is the fixed-horizon abTestZ
+    assert(out.last.getLong(2) + out.last.getLong(3) === 400L)
+    val zFixed = Analytics.abTestZ(
+        ev.select(col("user_id"), col("event_type")),
+        "user_id", "event_type", "purchase")
+      .collect().head.getDouble(6)
+    assert(out.last.getDouble(6) === zFixed,
+      "final-look z must equal the fixed-horizon abTestZ z")
+    // maximal effect: every look crosses, so stopped is true throughout
+    // and both flags agree with |z| > boundary
+    out.foreach { r =>
+      assert(r.getBoolean(8) === (math.abs(r.getDouble(6)) > r.getDouble(7)))
+    }
+    assert(out.forall(_.getBoolean(9)), "stopping state must carry forward")
+    // determinism under reshuffle
+    val again = Analytics.groupSequentialZ(ev.repartition(7), "user_id",
+        "ts", "event_type", "purchase")
+      .orderBy(col("look")).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    val empty = Analytics.groupSequentialZ(
+      Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", "purchase")
+    assert(empty.count() === 0L)
+  }
 }

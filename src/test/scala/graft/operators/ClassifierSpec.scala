@@ -110,4 +110,58 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(neg.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
+
+  // disjoint-vocabulary languages: NB must separate them perfectly
+  private def langCorpus = {
+    val sp = spark; import sp.implicits._
+    ((1L to 20L).map(i => (i, s"apple banana cherry fruit $i", "aa")) ++
+      (21L to 40L).map(i => (i, s"wolf bear tiger animal $i", "bb")))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("trained langid: disjoint vocab gives a diagonal confusion matrix") {
+    val train = langCorpus.filter(col("doc_id") % 2 === 0)
+    val eval = langCorpus.filter(col("doc_id") % 2 === 1)
+    val conf = Classifier.langIdConfusion(train, eval, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf === Map(("aa", "aa") -> 10L, ("bb", "bb") -> 10L))
+  }
+
+  test("trained langid model: bias rows present, unseen logp below every seen logp") {
+    val m = Classifier.trainLangId(langCorpus, "doc_id", "text", "lang")
+    val rows = m.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val langs = rows.map(_._1).distinct.sorted
+    assert(langs === Seq("aa", "bb"))
+    for (l <- langs) {
+      val prior = rows.filter(r => r._1 == l && r._2 == -1L)
+      val unseen = rows.filter(r => r._1 == l && r._2 == -2L)
+      assert(prior.length == 1 && unseen.length == 1)
+      // equal class sizes -> prior = round(ln(0.5), 9)
+      assert(prior.head._3 === BigDecimal(math.log(0.5))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val seen = rows.filter(r => r._1 == l && r._2 >= 0L).map(_._3)
+      assert(seen.nonEmpty && seen.forall(_ > unseen.head._3),
+        "add-one smoothing must score any seen bucket above an unseen one")
+    }
+  }
+
+  test("trained langid: every eval doc predicted exactly once; empty text falls to the prior argmax") {
+    val sp = spark; import sp.implicits._
+    // skewed priors: 3 docs of 'aa', 1 of 'bb' -> empty doc predicts 'aa'
+    val train = Seq((1L, "apple banana", "aa"), (2L, "apple cherry", "aa"),
+      (3L, "apple fruit", "aa"), (4L, "wolf bear", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq((10L, "", "bb"), (11L, "wolf bear", "bb"),
+      (12L, "apple banana", "aa")).toDF("doc_id", "text", "lang")
+    val m = Classifier.trainLangId(train, "doc_id", "text", "lang")
+    val pred = Classifier.langIdPredict(eval, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred.size === 3, "one prediction per eval doc, token-free included")
+    assert(pred(10L) === "aa", "token-free doc must fall to the prior argmax")
+    assert(pred(11L) === "bb" && pred(12L) === "aa")
+    val conf = Classifier.langIdConfusion(train, eval, "doc_id", "text", "lang")
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(conf === 3L, "confusion matrix counts must cover every eval doc")
+  }
 }

@@ -89,6 +89,53 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); corpusBands.unpersist(); () }
   }
 
+  test("incremental banded-Hamming candidates: stream-vs-corpus equals the batch pair join") {
+    val sp = spark
+    implicit val sql = sp.sqlContext
+    import sp.implicits._
+    // 16 bands of 4 bits, maxHamming 10 (the m16/m18 defaults' shape)
+    val corpusHashes = Seq(
+      (100L, 0x0123456789ABCDEFL), // target
+      (101L, 0x7777777777777777L),
+      (102L, 0L)).toDF("media_id", "dhash")
+    val corpusBands = graft.operators.Multimodal
+      .hashBands(corpusHashes, "dhash", bands = 16).cache()
+    val newMedia = Seq(
+      (1L, 0x0123456789ABCDEFL),        // exact copy of 100: hamming 0
+      (2L, 0x0123456789ABCDEFL ^ 0x7L), // 3 bits off 100, one band touched
+      (3L, ~0x0123456789ABCDEFL))       // shares a nibble with 0L but ham 32
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.incrementalHammingCandidates(
+        input.toDF().toDF("media_id", "dhash"), corpusBands, "dhash",
+        maxHamming = 10, bands = 16)
+      .writeStream.format("memory").queryName("hamdup")
+      .outputMode("append").start()
+    try {
+      input.addData(newMedia.take(2): _*)
+      q.processAllAvailable()
+      input.addData(newMedia.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hamdup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // batch twin: bandedHammingPairs over corpus ∪ batch, cross pairs
+      // only (new ids sort below corpus ids, so id1 is always the new
+      // side there)
+      val newIds = newMedia.map(_._1).toSet
+      val batch = graft.operators.Multimodal.bandedHammingPairs(
+          corpusHashes.unionAll(newMedia.toDF("media_id", "dhash")),
+          "dhash", maxHamming = 10, bands = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter { case (a, b, _) => newIds.contains(a) && b >= 100L }
+        .toSet
+      assert(streamed === batch,
+        "streamed Hamming candidates diverged from the batch pair join")
+      assert(streamed.contains((1L, 100L, 0)) && streamed.contains((2L, 100L, 3)),
+        "exact and 3-bit near-dup copies must surface")
+      assert(!streamed.exists(_._1 == 3L),
+        "a far hash sharing one bucket must die at the exact Hamming cut")
+    } finally { q.stop(); corpusBands.unpersist(); () }
+  }
+
   test("streaming decontamination screen equals the batch decontamFilter over sf0.001 docs") {
     val sp = spark
     implicit val sql = sp.sqlContext

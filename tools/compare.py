@@ -19,6 +19,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # driver-red rows t43/t56/q145/t60, which passed here because fetchall
 # yields Python ints. Any oracle whose DESCRIBE shows a non-portable
 # result type is now a hard FAIL even when the values match.
+#
+# THIS set is authoritative for what an oracle may return. It is
+# deliberately stricter than tools/evidence.py's render() whitelist
+# (which accepts Decimal): evidence.py fingerprints rows already fetched
+# into Python, where Decimal's str() is deterministic — fine for
+# jvm-vs-py adjudication — but an oracle RESULT column typed DECIMAL
+# still risks scale/trailing-zero rendering drift through the driver's
+# pandas-based fetch vs Spark's parquet decimals, so DECIMAL stays
+# excluded here. Cast oracle outputs to DOUBLE/BIGINT instead.
 PORTABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
                   "UINTEGER", "USMALLINT", "UTINYINT", "DOUBLE", "FLOAT",
                   "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB"}

@@ -48,7 +48,11 @@ def render(v, portable):
     # known-portable types are whitelisted; anything unrecognized
     # (datetime, date, UUID, ...) is rendered best-effort but marks the
     # schema non-portable, so the jvm-vs-py check is SKIPPED rather than
-    # reporting a spurious MISMATCH on a repr difference
+    # reporting a spurious MISMATCH on a repr difference.
+    # NOTE: Decimal is portable HERE (str() of a fetched Decimal is
+    # deterministic for jvm-vs-py adjudication) but is NOT an allowed
+    # oracle result type — tools/compare.py's PORTABLE_TYPES is the
+    # authoritative gate for what an oracle may return (see its comment).
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):          # before int: bool is an int subclass

@@ -8,11 +8,13 @@
 # Usage: tools/stability.sh [sfDir] [only]
 #   sfDir  defaults to /root/testdata/sf0.01
 #   only   optional SPARK_GRAFT_ONLY subset, e.g. t43_mixture_budget
+#   GRAFT_STABILITY_OUT overrides the matrix out dir (kept in sync
+#   with tools/preclose.sh, which reads the cpus32 run's outputs)
 set -u
 SF_DIR="${1:-/root/testdata/sf0.01}"
 ONLY="${2:-}"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-OUT=/tmp/graft-stability
+OUT="${GRAFT_STABILITY_OUT:-/tmp/graft-stability}"
 rm -rf "$OUT"; mkdir -p "$OUT"
 run() { # $1=tag $2=cpus $3=extra java opts
   echo "== verify $1 (cpus=$2) =="
