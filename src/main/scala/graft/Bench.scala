@@ -9,6 +9,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-15 session-config A/B (optimization guide §1/§9), MEASURED
+      // AND REJECTED — recorded here so the next round does not retry it:
+      // (a) spark.sql.files.openCostInBytes=128k (to split the single-file
+      // bench tables toward bytes/cores) is inert — every sf table is ONE
+      // parquet row group, and parquet assigns a row group to the split
+      // holding its midpoint, so extra splits are empty; (b)
+      // spark.sql.adaptive.coalescePartitions.parallelismFirst=false
+      // serialized the CPU-dense 10-60 MB shuffles (d12 3.8→10.3 s,
+      // t41 6.0→11.7 s, t23 3.3→7.4 s profiled) because the 64 MB
+      // advisory target coalesces them to ONE partition. Unsplittable
+      // tiny scans are instead parallelized per-operator with
+      // operators.Spread (guide §2.5), which is partition-count-
+      // conditional and therefore a no-op at scale.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up session + parquet readers so no timed query absorbs JVM /

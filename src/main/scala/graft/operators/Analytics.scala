@@ -1854,10 +1854,14 @@ object Analytics {
     val loRank = math.max(1, math.ceil(lo * replicates).toInt)
     val hiRank = math.min(replicates, math.ceil(hi * replicates).toInt)
     val dt = DecimalType(28, 12)
-    val base = events
+    // spread: the replicate stage below does `replicates` md5 draws PER
+    // ROW; on an unsplittable single-row-group scan all of that CPU ran
+    // in one task (round-15 profile: 9.5 s task time, 1 task). Keyed
+    // conditional repartition parallelizes it; identity at scale.
+    val base = Spread.spread(events
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("_graft_id"),
-        col(valueCol).cast("double").as("_graft_x"))
+        col(valueCol).cast("double").as("_graft_x")), col("_graft_id"))
     val overall = base.agg(
       count(lit(1)).as("n_rows"),
       round(sum(col("_graft_x").cast(dt)).cast("double") /

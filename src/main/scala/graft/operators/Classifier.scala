@@ -335,8 +335,11 @@ object Classifier {
       zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(concat(tk, bigrams)).as("t"))
+    // spread before the explode: the per-token md5 hashing otherwise
+    // runs inside the single-task scan stage (guide §2.5; see Spread)
+    Spread.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+        concat(tk, bigrams).as("_graft_ts")), col("doc_id"))
+      .select(col("doc_id"), explode(col("_graft_ts")).as("t"))
       .select(col("doc_id"), hashBucket(col("t"), nBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("c"))

@@ -512,9 +512,10 @@ object Dedup {
       k: Int): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+    Spread.spread(df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= k)
-      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .select(col(idCol).cast("long"), lower(col(textCol))),
+        col(idCol).cast("long"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (_, t) =>
         val seen = new java.util.HashSet[String]()
@@ -541,11 +542,11 @@ object Dedup {
     * variant. */
   private def positionedGrams(df: DataFrame, idCol: String, textCol: String,
       k: Int, dfCap: Int): DataFrame = {
-    val grams = df
+    val grams = Spread.spread(df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= k)
       .select(col(idCol).cast("long").as("doc_id"),
-        lower(col(textCol)).as("t"))
+        lower(col(textCol)).as("t")), col("doc_id"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("t")) - k + 1),
           i => struct(i.cast("int").as("pos"),
@@ -701,8 +702,9 @@ object Dedup {
   def simhashKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    Spread.spread(df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull),
+        col(idCol).cast("long"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1014,9 +1016,11 @@ object Dedup {
       "maxDist beyond 3 explodes the deletion neighborhood; use the gram/minhash family")
     val sp = df.sparkSession
     import sp.implicits._
-    val rows = df.select(col(idCol).cast("long").as("_graft_id"),
-        col(strCol).cast("string").as("_graft_s"))
-      .filter(col("_graft_id").isNotNull && col("_graft_s").isNotNull)
+    val rows = Spread.spread(
+      df.select(col(idCol).cast("long").as("_graft_id"),
+          col(strCol).cast("string").as("_graft_s"))
+        .filter(col("_graft_id").isNotNull && col("_graft_s").isNotNull),
+      col("_graft_id"))
     val variants = rows.as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, s) =>

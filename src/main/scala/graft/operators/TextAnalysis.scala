@@ -598,6 +598,20 @@ object TextAnalysis {
     var globalRank = 0
     var round = 0
     var exhausted = false
+    // Round-15 (guide §1.2 step 3, measured): the loop below runs
+    // `rounds` driver-sequential jobs over a maxVocab-BOUNDED frame
+    // (vocab-sized by construction at any corpus scale). Under AQE each
+    // per-round candidate query splits into per-Exchange stage jobs,
+    // each a driver planning round-trip, and those round-trips dominate
+    // (profiled: t39 8.5 s AQE-on vs 4.8 s AQE-off, identical output).
+    // AQE is disabled ONLY for the loop's small-frame jobs and restored
+    // after — the corpus-sized seeding pass above keeps the session
+    // default. Values are partition-layout-independent (stability-gated
+    // across cpus/AQE), so this changes time, never results.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = sp.conf.getOption(aqeKey)
+    sp.conf.set(aqeKey, "false")
+    try {
     while (round < rounds && !exhausted) {
       val syms = split(col("seg"), "  ")
       val pairs = when(size(syms) >= 2,
@@ -655,6 +669,12 @@ object TextAnalysis {
         } else vocab = rewritten
       }
       round += 1
+    }
+    } finally {
+      aqePrev match {
+        case Some(v) => sp.conf.set(aqeKey, v)
+        case None => sp.conf.unset(aqeKey)
+      }
     }
     lastCkpt.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
@@ -1012,63 +1032,92 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     def flat(d: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
-    // forward Viterbi: byPos(r) = best score reaching char offset r
+    // forward Viterbi: byPos(r) = best score reaching char offset r.
+    // Round-15: positions are LAZY-CHAINED with a checkpoint every 3
+    // (the pageRank checkpointEvery discipline) instead of one eager
+    // checkpoint per position — each materialization job was a driver
+    // round-trip (plan + codegen + AQE stage jobs) over a vocab-sized
+    // frame, and those round-trips, not data, dominated t50/t51
+    // (profiled 138 jobs). A lazy position's subtree re-executes inside
+    // the next checkpoint (≤ 2 levels deep before hitting a leaf) —
+    // identical values, strictly fewer jobs.
     val b0 = words.select(col("w"), lit(0).as("pos"),
       lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
-    var byPos = IndexedSeq(b0)
+    var byPos = IndexedSeq(flat(b0))
+    val fwdCkpts = scala.collection.mutable.ArrayBuffer(b0)
     for (r <- 1 to maxWordLen) {
       val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
-        .map(flat).reduce(_ unionAll _)
+        .reduce(_ unionAll _)
         .select(col("w").as("pw"), col("pos"), col("score"))
-      val bR = occ.filter(col("end") === r)
+      val bR0 = occ.filter(col("end") === r)
         .join(prev, col("w") === col("pw") && col("start") === col("pos"))
         .groupBy(col("w"))
         .agg(max(col("score") + col("logp"))
           .cast(DecimalType(28, 6)).as("score"))
         .select(col("w"), lit(r).as("pos"), col("score"))
-        .localCheckpoint(true)
+      val bR =
+        if (r % 3 == 0 || r == maxWordLen) {
+          val ck = bR0.localCheckpoint(true)
+          fwdCkpts += ck
+          flat(ck)
+        } else bR0
       byPos = byPos :+ bR
     }
-    val bestAll = byPos.map(flat).reduce(_ unionAll _)
+    // one checkpointed union: bestAll is referenced by the seed join and
+    // by EVERY backward step — as a leaf those references are free
+    val bestAllCk = byPos.reduce(_ unionAll _).localCheckpoint(true)
+    val bestAll = flat(bestAllCk)
     // backward traversal: peel the chosen piece off each word until
-    // pos 0; the DECIMAL equality test is exact, tie-break start asc
+    // pos 0; the DECIMAL equality test is exact, tie-break start asc.
+    // Round-15: steps lazy-chain with a checkpoint every 3 (same
+    // rationale as the forward loop above) — a lazy step re-executes
+    // inside the next checkpoint / the final union, values identical.
     var state = words
       .join(bestAll, words("w") === bestAll("w") &&
         bestAll("pos") === length(words("w")))
       .select(words("w"), col("cnt"), col("pos"), col("score"))
-      .localCheckpoint(true)
-    var stepCkpts = List.empty[DataFrame]
+    var steps = List.empty[DataFrame]
+    val bwdCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val wPick = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sw"))
-      .orderBy(col("start").asc, col("piece").asc)
-    for (_ <- 1 to maxWordLen) {
-      val active = flat(state).filter(col("pos") > 0)
+      .orderBy(col("ostart").asc, col("opiece").asc)
+    for (i <- 1 to maxWordLen) {
+      val active = state.filter(col("pos") > 0)
         .select(col("w").as("sw"), col("cnt").as("scnt"),
           col("pos").as("spos"), col("score").as("sscore"))
       val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
         col("score").as("bscore"))
-      val step = active
-        .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
-        .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
-        .filter(col("bscore") + col("logp") === col("sscore"))
+      // fresh-aliased occ projection PER STEP: the lazy chain puts
+      // several occ occurrences into one plan, so dataset-apply refs
+      // (occ("start")) would be ambiguous — per-step aliases are not
+      val occS = occ.select(col("w").as("ow"), col("start").as("ostart"),
+        col("end").as("oend"), col("piece").as("opiece"),
+        col("logp").as("ologp"))
+      val step0 = active
+        .join(occS, col("sw") === col("ow") && col("spos") === col("oend"))
+        .join(prior, col("sw") === col("bw") && col("ostart") === col("bpos"))
+        .filter(col("bscore") + col("ologp") === col("sscore"))
         .withColumn("_rk", row_number().over(wPick))
         .filter(col("_rk") === 1)
-        .select(col("sw"), col("scnt"), col("piece"), col("start"),
-          col("bscore"))
-        .localCheckpoint(true)
-      stepCkpts ::= step
-      val prevState = state
+        .select(col("sw"), col("scnt"), col("opiece").as("piece"),
+          col("ostart").as("start"), col("bscore"))
+      val step =
+        if (i % 3 == 0 || i == maxWordLen) {
+          val ck = step0.localCheckpoint(true)
+          bwdCkpts += ck
+          flat(ck)
+        } else step0
+      steps ::= step
       state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
         col("start").as("pos"), col("bscore").as("score"))
-      prevState.unpersist()
     }
-    val uses = stepCkpts
-      .map(s => flat(s).select(col("sw").as("w"), col("scnt").as("cnt"),
+    val uses = steps
+      .map(s => s.select(col("sw").as("w"), col("scnt").as("cnt"),
         col("piece")))
       .reduce(_ unionAll _)
       .localCheckpoint(true)
-    stepCkpts.foreach(_.unpersist())
-    byPos.foreach(_.unpersist())
+    (fwdCkpts ++ bwdCkpts).foreach(_.unpersist())
+    bestAllCk.unpersist()
     uses
   }
 
@@ -2116,7 +2165,8 @@ object TextAnalysis {
   private[graft] def cooccurrencePairs(df: DataFrame, idCol: String,
       textCol: String, window: Int): DataFrame =
     df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), explode(flatten(transform(col("tk"),
         (w, i) => transform(slice(col("tk"), i + lit(2), lit(window)),
           v => struct(w.as("u"), v.as("v")))))).as("p"))
