@@ -1771,12 +1771,23 @@ object Graph {
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint(true)
-    var undec = adj.select(col("node")).distinct()
+    // Round-15: ONE state frame `(node, prio, st)` checkpointed once per
+    // round instead of two (winners + shrunken undecided) — the same
+    // tournament, half the per-round driver materializations (q141 runs
+    // colors × rounds of these). st = "u" undecided, "w" in the set;
+    // knocked nodes drop out of the frame. Winners/knocked are computed
+    // inside the one materialization job (the winner subtree appears
+    // twice in its plan — duplicate task work over a node-sized frame,
+    // zero extra scheduling). Output multiset identical: winners leave
+    // the undecided pool exactly like the two-frame form did.
+    var state = adj.select(col("node")).distinct()
       .withColumn("prio", md5(col("node").cast("string")))
+      .withColumn("st", lit("u"))
       .localCheckpoint(true)
-    val ckpts = scala.collection.mutable.ArrayBuffer(adj, undec)
-    val misParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val ckpts = scala.collection.mutable.ArrayBuffer(adj, state)
     for (_ <- 1 to rounds) {
+      val st = flat(state)
+      val undec = st.filter(col("st") === "u")
       val nbrBest = adj
         .join(undec.select(col("node").as("nbr"), col("prio").as("nprio")),
           Seq("nbr"))
@@ -1784,19 +1795,25 @@ object Graph {
       val winners = undec.join(nbrBest, Seq("node"), "left_outer")
         .filter(col("best").isNull || col("prio") > col("best"))
         .select(col("node"))
-        .localCheckpoint(true)
       val knocked = adj
         .join(winners.select(col("node")), Seq("node"))
         .select(col("nbr").as("node")).distinct()
-      undec = undec
-        .join(winners, Seq("node"), "left_anti")
-        .join(knocked, Seq("node"), "left_anti")
+      val next = st
+        .join(winners.select(col("node"), lit(true).as("_graft_win")),
+          Seq("node"), "left_outer")
+        .join(knocked.select(col("node"), lit(true).as("_graft_ko")),
+          Seq("node"), "left_outer")
+        .filter(col("st") === "w" || col("_graft_win").isNotNull ||
+          col("_graft_ko").isNull)
+        .select(col("node"), col("prio"),
+          when(col("_graft_win").isNotNull, lit("w"))
+            .otherwise(col("st")).as("st"))
         .localCheckpoint(true)
-      ckpts += winners
-      ckpts += undec
-      misParts += winners
+      ckpts += next
+      state = next
     }
-    val res = misParts.reduce(_ unionAll _).localCheckpoint(true)
+    val res = state.filter(col("st") === "w").select(col("node"))
+      .localCheckpoint(true)
     ckpts.foreach(_.unpersist())
     res
   }

@@ -15,6 +15,27 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Round-15 (optimization guide §1.2 step 3, measured): run `body`
+    * with AQE disabled, restoring the session's previous setting after.
+    * For DRIVER-SEQUENTIAL trainer loops over a vocab-BOUNDED frame
+    * (`maxVocab`-capped by construction at any corpus scale), AQE's
+    * per-Exchange stage jobs are pure driver round-trips — profiled:
+    * t39 8.5 s AQE-on vs 4.8 s AQE-off, t52/t53 56-61 jobs for ≈0.5-1 s
+    * of task time — while the frames are far too small for adaptive
+    * planning to ever change a decision. Results are partition-layout-
+    * independent (stability-gated across cpus/AQE), so this changes
+    * time, never values. Corpus-sized passes stay OUTSIDE the wrap. */
+  private[graft] def withAqeOff[T](sp: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = sp.conf.getOption(k)
+    sp.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => sp.conf.set(k, v)
+      case None => sp.conf.unset(k)
+    }
+  }
+
   /** Number of tokens matching a word list (with multiplicity). */
   def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
@@ -502,6 +523,8 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // AQE off for the vocab-bounded merge loop (see [[withAqeOff]])
+    withAqeOff(sp) {
     while (rank <= nMerges && !exhausted) {
       val syms = split(col("seg"), "  ")
       // guard: sequence(1, 0) DESCENDS in Spark, so single-symbol words
@@ -530,6 +553,7 @@ object TextAnalysis {
         vocab = next
         rank += 1
       }
+    }
     }
     vocab.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
@@ -598,20 +622,9 @@ object TextAnalysis {
     var globalRank = 0
     var round = 0
     var exhausted = false
-    // Round-15 (guide §1.2 step 3, measured): the loop below runs
-    // `rounds` driver-sequential jobs over a maxVocab-BOUNDED frame
-    // (vocab-sized by construction at any corpus scale). Under AQE each
-    // per-round candidate query splits into per-Exchange stage jobs,
-    // each a driver planning round-trip, and those round-trips dominate
-    // (profiled: t39 8.5 s AQE-on vs 4.8 s AQE-off, identical output).
-    // AQE is disabled ONLY for the loop's small-frame jobs and restored
-    // after — the corpus-sized seeding pass above keeps the session
-    // default. Values are partition-layout-independent (stability-gated
-    // across cpus/AQE), so this changes time, never results.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = sp.conf.getOption(aqeKey)
-    sp.conf.set(aqeKey, "false")
-    try {
+    // AQE off for the vocab-bounded loop only (see [[withAqeOff]]) —
+    // the corpus-sized seeding pass above keeps the session default.
+    withAqeOff(sp) {
     while (round < rounds && !exhausted) {
       val syms = split(col("seg"), "  ")
       val pairs = when(size(syms) >= 2,
@@ -670,11 +683,6 @@ object TextAnalysis {
       }
       round += 1
     }
-    } finally {
-      aqePrev match {
-        case Some(v) => sp.conf.set(aqeKey, v)
-        case None => sp.conf.unset(aqeKey)
-      }
     }
     lastCkpt.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
@@ -796,6 +804,8 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
     var rank = 1
     var exhausted = false
+    // AQE off for the vocab-bounded merge loop (see [[withAqeOff]])
+    withAqeOff(sp) {
     while (rank <= nMerges && !exhausted) {
       val syms = split(col("seg"), "  ")
       val pairs = when(size(syms) >= 2,
@@ -830,6 +840,7 @@ object TextAnalysis {
         vocab = next
         rank += 1
       }
+    }
     }
     vocab.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "cnt", "raw_score")
@@ -1704,9 +1715,10 @@ object TextAnalysis {
   private[graft] def knTrigramPlan(df: DataFrame, idCol: String,
       textCol: String, discount: Double): (DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val toks = df.select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= 3)
+    val toks = Spread.spread(
+      df.select(col(idCol).cast("long").as("doc_id"),
+          tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 3), col("doc_id"))
     val tg = toks.select(col("doc_id"), explode(zip_with(
       zip_with(
         slice(col("tk"), lit(1), size(col("tk")) - 2),

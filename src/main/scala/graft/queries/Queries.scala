@@ -2875,6 +2875,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text") // ASCII only: oracle equates chars/bytes
             && length($"text") >= 1) // PNG needs width >= 1
           .select($"doc_id", $"source", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String, String)]
           .mapPartitions(_.map { case (id, src, text) =>
             val px = text.getBytes("US-ASCII")
@@ -2916,6 +2917,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 1)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val px = text.getBytes("US-ASCII")
@@ -2959,6 +2961,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 1)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
@@ -3128,6 +3131,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
@@ -3167,6 +3171,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 16)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
@@ -8138,6 +8143,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
@@ -8177,6 +8183,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
@@ -8268,6 +8275,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 1)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
@@ -8317,6 +8325,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
@@ -8364,6 +8373,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
@@ -8416,6 +8426,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 2)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
@@ -8579,6 +8590,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 16)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
@@ -9055,6 +9067,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= w)
           .select($"doc_id", $"source", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String, String)]
           .mapPartitions(_.map { case (id, src, text) =>
             val all = text.getBytes("US-ASCII")
@@ -9097,6 +9110,7 @@ object Queries {
           .filter(length($"text") === octet_length($"text")
             && length($"text") >= 48)
           .select($"doc_id", $"text")
+          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
