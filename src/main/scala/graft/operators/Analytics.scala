@@ -766,7 +766,9 @@ object Analytics {
       nd(c).as(s"_graft_${c}_nd"),
       min(col(c)).cast("string").as(s"_graft_${c}_min"),
       max(col(c)).cast("string").as(s"_graft_${c}_max")))
-    df.agg(aggExprs.head, aggExprs.tail: _*)
+    // spread: the count_distinct partials otherwise build their per-task
+    // hash sets inside the single-task unsplittable scan (guide §2.5)
+    Spread.spread(df, col(columns.head)).agg(aggExprs.head, aggExprs.tail: _*)
       .select(explode(array(columns.map(c => struct(
         lit(c).as("col_name"),
         col("_graft_n").as("n_rows"),

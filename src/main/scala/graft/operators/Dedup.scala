@@ -338,8 +338,14 @@ object Dedup {
     val cand = cand0.localCheckpoint(true)
     val d1 = cand.select(col("id1").as("_graft_d")).distinct()
     val d2 = cand.select(col("id2").as("_graft_d")).distinct()
-    val dfA = df.join(d1, col(idCol) === col("_graft_d"), "left_semi")
-    val dfB = df.join(d2, col(idCol) === col("_graft_d"), "left_semi")
+    // Spread.always: the semi-join is a broadcast join inheriting the
+    // unsplittable scan's single-task partitioning, which would serialize
+    // the positioned-gram explode below; one narrow keyed shuffle of the
+    // candidate docs (AQE-sized) parallelizes it at any scale
+    val dfA = Spread.always(
+      df.join(d1, col(idCol) === col("_graft_d"), "left_semi"), col(idCol))
+    val dfB = Spread.always(
+      df.join(d2, col(idCol) === col("_graft_d"), "left_semi"), col(idCol))
     val (aGrams, bGrams0) =
       if (dfCap == Int.MaxValue)
         (positionedGrams(dfA, idCol, textCol, k, dfCap),

@@ -58,4 +58,17 @@ object Spread {
     else if (df.rdd.getNumPartitions >= want) df
     else df.repartition(want, keys: _*)
   }
+
+  /** Unconditional keyed repartition with NO explicit partition count —
+    * AQE sizes the exchange from its bytes (locally that re-spreads a
+    * broadcast-join output that inherited a single-task scan's
+    * partitioning; at scale it picks a byte-targeted count). For frames
+    * BEHIND a broadcast join, where [[spread]] deliberately stays the
+    * identity but the downstream per-row fan-out (e.g. a positioned-gram
+    * explode multiplying each doc into ~|text| rows) dwarfs one narrow
+    * shuffle of the rows themselves (guide §8's "move the heavy bytes
+    * once, decide on light rows" inverted: shuffle the light rows once
+    * to parallelize the heavy expansion). */
+  def always(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(keys: _*)
 }

@@ -410,13 +410,18 @@ object TextAnalysis {
       kgram: Int = 5, window: Int = 4): DataFrame = {
     require(kgram >= 1, "kgram must be positive")
     require(window >= 1, "window must be positive")
-    val txt = lower(col(textCol))
+    val txt = lower(col("_graft_t"))
     val nGrams = length(txt) - kgram + 1
     val hashes = transform(sequence(lit(1), nGrams),
       i => conv(substring(md5(substring(txt, i, lit(kgram))), 1, 7), 16, 10).cast("long"))
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
-        length(col(textCol)) >= kgram + window - 1)
-      .select(col(idCol).cast("long").as("doc_id"), hashes.as("hs"))
+    // spread BEFORE the per-k-gram md5 transform (one md5 per character
+    // of the corpus) — on an unsplittable scan it was single-task
+    Spread.spread(
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+          length(col(textCol)) >= kgram + window - 1)
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("_graft_t")), col("doc_id"))
+      .select(col("doc_id"), hashes.as("hs"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("hs")) - window + 1),
           w => array_min(slice(col("hs"), w, lit(window))))).as("fingerprint"))
@@ -1639,9 +1644,10 @@ object TextAnalysis {
   def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val toks = df.select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= 2)
+    val toks = Spread.spread(
+      df.select(col(idCol).cast("long").as("doc_id"),
+          tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 2), col("doc_id"))
     val bg = toks.select(col("doc_id"), explode(zip_with(
       slice(col("tk"), lit(1), size(col("tk")) - 1),
       slice(col("tk"), lit(2), size(col("tk")) - 1),
@@ -1789,9 +1795,10 @@ object TextAnalysis {
     * no driver state beyond the one-row vocabulary count. DECIMAL
     * addends keep the mean independent of partition merge order. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= 2)
+    val toks = Spread.spread(
+      df.select(col(idCol).cast("long").as("doc_id"),
+          tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 2), col("doc_id"))
     val bg = toks.select(col("doc_id"), explode(zip_with(
       slice(col("tk"), lit(1), size(col("tk")) - 1),
       slice(col("tk"), lit(2), size(col("tk")) - 1),
@@ -2299,8 +2306,11 @@ object TextAnalysis {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       cutPrefixes: Seq[String] = Seq("0", "1")): DataFrame = {
     require(cutPrefixes.nonEmpty, "need at least one cut prefix")
-    val tok = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    // spread before the positioned explode + per-token md5 (guide §2.5)
+    val tok = Spread.spread(
+        docs.select(col(idCol), tokens(col(textCol)).as("_graft_tk")),
+        col(idCol))
+      .select(col(idCol), posexplode(col("_graft_tk")).as(Seq("pos", "tok")))
     val isCut = substring(md5(col("tok")), 1, 1).isin(cutPrefixes: _*)
     // chunk id = number of cuts at STRICTLY EARLIER positions: the cut
     // token is the last of its chunk, the next token opens a new one
