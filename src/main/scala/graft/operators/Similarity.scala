@@ -2180,26 +2180,50 @@ object Similarity {
     val asg = nswAssign(corpus, cents).localCheckpoint(true)
     val strides: IndexedSeq[Long] =
       (0 to maxLevel).map(l => (1 to l).foldLeft(1L)((s, _) => s * levelBase))
-    var files = numFiles
-    for (l <- 0 to maxLevel) {
-      val members =
-        if (l == 0) asg
-        else asg.filter(pmod(col("vec_id"), lit(strides(l))) === 0)
-      writeCellIndex(nswGraphFromAssign(members, m), s"$path/layer-$l",
-        files, cellCol = "node_id")
-      files = math.max(1, files / levelBase)
+    // Round-15 (guide §2.6): once `asg` is checkpointed, the per-layer
+    // graph writes, the entries file, and the frozen-metadata writes
+    // are mutually independent — each lands in its own directory and
+    // derives only from `asg`/`cents`. Submitting them from a small
+    // thread pool lets the tiny upper-layer and metadata jobs back-fill
+    // the cores idled by layer-0's tail instead of queueing behind it
+    // as sequential driver round-trips (each write is ~3 driver jobs:
+    // range sampling, data write, manifest). Bytes written are
+    // identical to the sequential order — the layout has no
+    // cross-directory dependency.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, maxLevel + 2))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val layerFiles: IndexedSeq[Int] = (0 to maxLevel)
+        .scanLeft(numFiles)((f, _) => math.max(1, f / levelBase))
+      val writes = (0 to maxLevel).map { l =>
+        scala.concurrent.Future {
+          val members =
+            if (l == 0) asg
+            else asg.filter(pmod(col("vec_id"), lit(strides(l))) === 0)
+          writeCellIndex(nswGraphFromAssign(members, m), s"$path/layer-$l",
+            layerFiles(l), cellCol = "node_id")
+        }
+      } :+ scala.concurrent.Future {
+        writeHnswEntries(asg, path, strides(maxLevel), maxCents, entryQuota)
+      } :+ scala.concurrent.Future {
+        // persist the FROZEN build inputs (centroids + parameters) so
+        // append maintenance cannot drift from the build-time cells —
+        // the stored-index metadata every FAISS index file carries
+        cents.toIndexedSeq.toDF("cid", "ce")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/cents")
+        Seq((m, levelBase, maxLevel, entryQuota))
+          .toDF("m", "level_base", "max_level", "entry_quota")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/conf")
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+    } finally {
+      pool.shutdown()
+      asg.unpersist()
     }
-    writeHnswEntries(asg, path, strides(maxLevel), maxCents, entryQuota)
-    // persist the FROZEN build inputs (centroids + parameters) so
-    // append maintenance cannot drift from the build-time cells — the
-    // stored-index metadata every FAISS index file carries
-    import sp.implicits._
-    cents.toIndexedSeq.toDF("cid", "ce")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/cents")
-    Seq((m, levelBase, maxLevel, entryQuota))
-      .toDF("m", "level_base", "max_level", "entry_quota")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/conf")
-    asg.unpersist()
   }
 
   /** The [[writeHnswIndex]] entries file: whole (capped) top layer ∪
