@@ -837,16 +837,23 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
       maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. Emptiness rides an
+    // Observation on the checkpoint action itself (round-15: this
+    // operator is called per contraction round by minimumSpanningForest
+    // and per batch by the dedup family — a separate isEmpty action per
+    // call was one driver round-trip each, pure overhead).
+    val eObs = org.apache.spark.sql.Observation()
     val edges = pairs.select(col(id1).cast("long").as("src"), col(id2).cast("long").as("dst"))
       .union(pairs.select(col(id2).cast("long").as("src"), col(id1).cast("long").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .observe(eObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val labels0 = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var labelsCkpt = labels0
     var labels = org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(labels0)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = eObs.get("n").asInstanceOf[Long] == 0L
     while (!converged && iter < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))

@@ -1049,91 +1049,73 @@ object TextAnalysis {
     def flat(d: DataFrame): DataFrame =
       org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
     // forward Viterbi: byPos(r) = best score reaching char offset r.
-    // Round-15: positions are LAZY-CHAINED with a checkpoint every 3
-    // (the pageRank checkpointEvery discipline) instead of one eager
-    // checkpoint per position — each materialization job was a driver
-    // round-trip (plan + codegen + AQE stage jobs) over a vocab-sized
-    // frame, and those round-trips, not data, dominated t50/t51
-    // (profiled 138 jobs). A lazy position's subtree re-executes inside
-    // the next checkpoint (≤ 2 levels deep before hitting a leaf) —
-    // identical values, strictly fewer jobs.
+    // MEASURED AND REVERTED (round-15, guide §1 honesty): lazy-chaining
+    // these positions with a checkpoint every 3 (the pageRank
+    // checkpointEvery discipline) cut the job count but LOST wall time
+    // — a position that stays lazy re-enters the next three positions'
+    // plans (the [r−maxPieceLen, r) window), so its join+agg subtree
+    // re-executes up to maxPieceLen times and the re-planning/codegen
+    // of the deeper composite plans outweighed the saved driver
+    // round-trips. Same-day isolated A/B at sf0.1 (RUNS=8 PASSES=1
+    // warm floors): eager t50+t51 = 11.67 s combined, lazy-chained =
+    // 16.65 s. The eager one-checkpoint-per-position form below is the
+    // measured optimum currency for this DP.
     val b0 = words.select(col("w"), lit(0).as("pos"),
       lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
-    var byPos = IndexedSeq(flat(b0))
-    val fwdCkpts = scala.collection.mutable.ArrayBuffer(b0)
+    var byPos = IndexedSeq(b0)
     for (r <- 1 to maxWordLen) {
       val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
-        .reduce(_ unionAll _)
+        .map(flat).reduce(_ unionAll _)
         .select(col("w").as("pw"), col("pos"), col("score"))
-      val bR0 = occ.filter(col("end") === r)
+      val bR = occ.filter(col("end") === r)
         .join(prev, col("w") === col("pw") && col("start") === col("pos"))
         .groupBy(col("w"))
         .agg(max(col("score") + col("logp"))
           .cast(DecimalType(28, 6)).as("score"))
         .select(col("w"), lit(r).as("pos"), col("score"))
-      val bR =
-        if (r % 3 == 0 || r == maxWordLen) {
-          val ck = bR0.localCheckpoint(true)
-          fwdCkpts += ck
-          flat(ck)
-        } else bR0
+        .localCheckpoint(true)
       byPos = byPos :+ bR
     }
-    // one checkpointed union: bestAll is referenced by the seed join and
-    // by EVERY backward step — as a leaf those references are free
-    val bestAllCk = byPos.reduce(_ unionAll _).localCheckpoint(true)
-    val bestAll = flat(bestAllCk)
+    val bestAll = byPos.map(flat).reduce(_ unionAll _)
     // backward traversal: peel the chosen piece off each word until
-    // pos 0; the DECIMAL equality test is exact, tie-break start asc.
-    // Round-15: steps lazy-chain with a checkpoint every 3 (same
-    // rationale as the forward loop above) — a lazy step re-executes
-    // inside the next checkpoint / the final union, values identical.
+    // pos 0; the DECIMAL equality test is exact, tie-break start asc
     var state = words
       .join(bestAll, words("w") === bestAll("w") &&
         bestAll("pos") === length(words("w")))
       .select(words("w"), col("cnt"), col("pos"), col("score"))
-    var steps = List.empty[DataFrame]
-    val bwdCkpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      .localCheckpoint(true)
+    var stepCkpts = List.empty[DataFrame]
     val wPick = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sw"))
-      .orderBy(col("ostart").asc, col("opiece").asc)
-    for (i <- 1 to maxWordLen) {
-      val active = state.filter(col("pos") > 0)
+      .orderBy(col("start").asc, col("piece").asc)
+    for (_ <- 1 to maxWordLen) {
+      val active = flat(state).filter(col("pos") > 0)
         .select(col("w").as("sw"), col("cnt").as("scnt"),
           col("pos").as("spos"), col("score").as("sscore"))
       val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
         col("score").as("bscore"))
-      // fresh-aliased occ projection PER STEP: the lazy chain puts
-      // several occ occurrences into one plan, so dataset-apply refs
-      // (occ("start")) would be ambiguous — per-step aliases are not
-      val occS = occ.select(col("w").as("ow"), col("start").as("ostart"),
-        col("end").as("oend"), col("piece").as("opiece"),
-        col("logp").as("ologp"))
-      val step0 = active
-        .join(occS, col("sw") === col("ow") && col("spos") === col("oend"))
-        .join(prior, col("sw") === col("bw") && col("ostart") === col("bpos"))
-        .filter(col("bscore") + col("ologp") === col("sscore"))
+      val step = active
+        .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
+        .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
+        .filter(col("bscore") + col("logp") === col("sscore"))
         .withColumn("_rk", row_number().over(wPick))
         .filter(col("_rk") === 1)
-        .select(col("sw"), col("scnt"), col("opiece").as("piece"),
-          col("ostart").as("start"), col("bscore"))
-      val step =
-        if (i % 3 == 0 || i == maxWordLen) {
-          val ck = step0.localCheckpoint(true)
-          bwdCkpts += ck
-          flat(ck)
-        } else step0
-      steps ::= step
+        .select(col("sw"), col("scnt"), col("piece"), col("start"),
+          col("bscore"))
+        .localCheckpoint(true)
+      stepCkpts ::= step
+      val prevState = state
       state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
         col("start").as("pos"), col("bscore").as("score"))
+      prevState.unpersist()
     }
-    val uses = steps
-      .map(s => s.select(col("sw").as("w"), col("scnt").as("cnt"),
+    val uses = stepCkpts
+      .map(s => flat(s).select(col("sw").as("w"), col("scnt").as("cnt"),
         col("piece")))
       .reduce(_ unionAll _)
       .localCheckpoint(true)
-    (fwdCkpts ++ bwdCkpts).foreach(_.unpersist())
-    bestAllCk.unpersist()
+    stepCkpts.foreach(_.unpersist())
+    byPos.foreach(_.unpersist())
     uses
   }
 

@@ -6114,9 +6114,14 @@ object Queries {
           .filter($"l_orderkey" % 100 === 0)
           .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
           .distinct()
+        // the co-order self-join feeds BOTH batches (the cold cluster's
+        // edge materialization and the append replay) — pay the
+        // distinct + self-join once, not once per consumer (round-15,
+        // guide §1.2 "don't compute things twice"; same values)
         val edges = li.as("x").join(li.as("y"),
             $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
           .select($"x.ok".as("ok"), $"x.pk".as("src"), $"y.pk".as("dst"))
+          .localCheckpoint(true)
         val batch1 = edges.filter($"ok" % 200 === 0).select($"src", $"dst")
         val batch2 = edges.filter($"ok" % 200 =!= 0).select($"src", $"dst")
         val labels1 = graft.operators.Graph
