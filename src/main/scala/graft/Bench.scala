@@ -536,11 +536,17 @@ object Bench {
     // own LAST line: a tail-truncated capture still recovers the total, and
     // the file recovers everything.
     println(json)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_results.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write bench_results.json: ${e.getMessage}") }
+    // Round-16 (verdict item 2 — the per-query perf channel): consecutive
+    // driver runs at different core counts overwrote bench_results.json,
+    // clobbering the 32-core per-query record with the 8-core one; write
+    // a per-cpus file too so both survive the round. Stdout protocol
+    // unchanged: full JSON penultimate, one-line total LAST.
+    Seq("bench_results.json", s"bench_results_c$cpus.json").foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

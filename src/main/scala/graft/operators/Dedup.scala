@@ -855,22 +855,30 @@ object Dedup {
     var iter = 0
     var converged = eObs.get("n").asInstanceOf[Long] == 0L
     while (!converged && iter < maxIter) {
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val jumped = labels.select(col("node"), col("label").as("via"))
-        .join(labels.withColumnRenamed("node", "via"), Seq("via"))
-        .select(col("node"), col("label"))
+      // Round-16 (guide §2.4 "remove shuffles outright"): the neighbor
+      // candidates and the pointer-jump term used to be TWO equi-joins
+      // (edges ⋈ labels on src, labels ⋈ labels on via) — two probe-side
+      // exchanges per round, each its own AQE stage-job round-trip. Both
+      // are label FLOWS along an edge: graph edges flow label(src) to
+      // dst, and the pointer edge (label(node) → node) flows
+      // label(label(node)) to node. Unioning the two edge sets and
+      // joining labels ONCE on `from` produces the identical candidate
+      // multiset with one join and one fewer exchange per round.
+      val rel = edges.select(col("src").as("from"), col("dst").as("to"))
+        .unionAll(labels.select(col("label").as("from"),
+          col("node").as("to")))
+      val flowed = rel
+        .join(labels.withColumnRenamed("node", "from"), Seq("from"))
+        .select(col("to").as("node"), col("label"))
       // Convergence detection rides the SAME aggregation that computes the
       // new labels: each node's own previous label is tagged into the union
       // and recovered as min(own label), and an observed metric counts the
       // nodes whose label moved — collected during the checkpoint action
       // itself, so each round is exactly ONE Spark job (the old formulation
       // paid a second join+count action per round).
-      val obs = org.apache.spark.sql.Observation(s"cc-converge-$iter")
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.select(col("node"), col("label"), lit(true).as("own"))
-        .union(neighborLabels.select(col("node"), col("label"), lit(false).as("own")))
-        .union(jumped.select(col("node"), col("label"), lit(false).as("own")))
+        .union(flowed.select(col("node"), col("label"), lit(false).as("own")))
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"),
           min(when(col("own"), col("label"))).as("prev"))

@@ -138,7 +138,7 @@ object Graph {
       i += 1
       convergeTol match {
         case Some(tol) =>
-          val obs = org.apache.spark.sql.Observation(s"pr-converge-$i")
+          val obs = org.apache.spark.sql.Observation()
           val next = withDang.select(col("node"), newRank.as("r"), col("_prev"))
             .observe(obs, max(abs(col("r") - col("_prev"))).as("delta"))
             .select(col("node"), col("r"))
@@ -316,7 +316,7 @@ object Graph {
       i += 1
       convergeTol match {
         case Some(tol) =>
-          val obs = org.apache.spark.sql.Observation(s"ppr-converge-$i")
+          val obs = org.apache.spark.sql.Observation()
           val next = withDang.select(col("node"), newRank.as("r"), col("_prev"))
             .observe(obs, max(abs(col("r") - col("_prev"))).as("delta"))
             .select(col("node"), col("r"))
@@ -601,7 +601,7 @@ object Graph {
     var prevEdges = -1L
     var und =
       if (stopEarly) {
-        val obs = org.apache.spark.sql.Observation("kcore-init")
+        val obs = org.apache.spark.sql.Observation()
         val c = canon.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
         prevEdges = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         c
@@ -622,7 +622,7 @@ object Graph {
       if (stopEarly) {
         // every node in the edge frame has >= 1 edge, so an unchanged
         // edge count means the round dropped nobody — the fixpoint
-        val obs = org.apache.spark.sql.Observation(s"kcore-$i")
+        val obs = org.apache.spark.sql.Observation()
         und = next.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
         val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         lastCkpt.foreach(_.unpersist())
@@ -864,7 +864,7 @@ object Graph {
     var ckpts = List.empty[DataFrame]
     def halfRound(sums: DataFrame, valCol: String, tag: String,
         outCol: String): DataFrame = {
-      val obs = org.apache.spark.sql.Observation(tag)
+      val obs = org.apache.spark.sql.Observation()
       val mat = sums
         .observe(obs, max(col(valCol).cast("double")).as("mx"))
         .localCheckpoint(true) // the max rides the materializing job
@@ -1782,12 +1782,23 @@ object Graph {
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint(true)
+    // Round-16: the undecided-set size rides an Observation on the
+    // checkpoint action each round already runs; once it drains, every
+    // remaining round's winners frame is empty by construction (no
+    // undecided node can win), so breaking early is output-identical
+    // to running the full budget — it only skips rounds that would
+    // union nothing. q141 drives 6 colors × this loop; the later,
+    // smaller subgraphs drain in 1-2 rounds.
+    val undecObs0 = org.apache.spark.sql.Observation()
     var undec = adj.select(col("node")).distinct()
       .withColumn("prio", md5(col("node").cast("string")))
+      .observe(undecObs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    var undecCount = undecObs0.get("n").asInstanceOf[Long]
     val ckpts = scala.collection.mutable.ArrayBuffer(adj, undec)
     val misParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to rounds) {
+    var rnd = 0
+    while (rnd < rounds && undecCount > 0L) {
       val nbrBest = adj
         .join(undec.select(col("node").as("nbr"), col("prio").as("nprio")),
           Seq("nbr"))
@@ -1799,15 +1810,23 @@ object Graph {
       val knocked = adj
         .join(winners.select(col("node")), Seq("node"))
         .select(col("nbr").as("node")).distinct()
+      val undecObs = org.apache.spark.sql.Observation()
       undec = undec
         .join(winners, Seq("node"), "left_anti")
         .join(knocked, Seq("node"), "left_anti")
+        .observe(undecObs, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      undecCount = undecObs.get("n").asInstanceOf[Long]
       ckpts += winners
       ckpts += undec
       misParts += winners
+      rnd += 1
     }
-    val res = misParts.reduce(_ unionAll _).localCheckpoint(true)
+    // an empty graph never enters the loop: emit the schema-correct
+    // empty frame (the old fixed-round form unioned empty winners)
+    val res = misParts.reduceOption(_ unionAll _)
+      .getOrElse(undec.select(col("node")).filter(lit(false)))
+      .localCheckpoint(true)
     ckpts.foreach(_.unpersist())
     res
   }
@@ -2267,7 +2286,7 @@ object Graph {
     // stay LAZY — anti-joins of two checkpointed leaves, materialized
     // inside the final union. Identical output multiset: trim rule,
     // propagation rounds, pivot flags and budgets are untouched.
-    val nodesObs = org.apache.spark.sql.Observation("scc-nodes")
+    val nodesObs = org.apache.spark.sql.Observation()
     val nodes0 = e0.select(col("esrc").as("node"))
       .unionAll(e0.select(col("edst").as("node")))
       .distinct()
@@ -2289,7 +2308,7 @@ object Graph {
       var trimFixpoint = false
       while (t < trimRounds && !trimFixpoint) {
         val nonself = ea.filter(col("esrc") =!= col("edst"))
-        val aliveObs = org.apache.spark.sql.Observation(s"scc-alive-$outer-$t")
+        val aliveObs = org.apache.spark.sql.Observation()
         val alive = remaining
           .join(nonself.select(col("esrc").as("node")), Seq("node"),
             "left_semi")
@@ -2378,7 +2397,7 @@ object Graph {
         .localCheckpoint(true)
       assigneds += newly
       val (prevRemaining, prevEa) = (remaining, ea)
-      val remObs = org.apache.spark.sql.Observation(s"scc-remaining-$outer")
+      val remObs = org.apache.spark.sql.Observation()
       remaining = remaining.join(newly.select(col("node")), Seq("node"),
           "left_anti")
         .observe(remObs, count(lit(1)).as("n"))
@@ -2520,7 +2539,7 @@ object Graph {
         .localCheckpoint(true)
       coloreds += colored
       val prevRemaining = remaining
-      val obs = org.apache.spark.sql.Observation(s"jp-remaining-$c")
+      val obs = org.apache.spark.sql.Observation()
       remaining = remaining
         .join(colored.select(col("node")), Seq("node"), "left_anti")
         .observe(obs, count(lit(1)).as("n"))
@@ -2680,7 +2699,7 @@ object Graph {
         .filter(col("ca") =!= col("cb"))
         .select(explode(array(col("ca"), col("cb"))).as("c"),
           col("w"), col("a"), col("b"))
-      val obs = org.apache.spark.sql.Observation(s"msf-sel-$r")
+      val obs = org.apache.spark.sql.Observation()
       val sel = bids.groupBy(col("c"))
         .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
         .select(col("m.a").as("a"), col("m.b").as("b"),

@@ -59,6 +59,33 @@ object Spread {
     else df.repartition(want, keys: _*)
   }
 
+  /** [[spread]] with a BYTES-AWARE width cap (round-16, the guide §2.5
+    * skew/§2.2 task-granularity balance): width =
+    * clamp(ceil(scanBytes / targetBytes), 1, defaultParallelism) with
+    * `scanBytes` the optimizer's scan-rooted size estimate and
+    * `targetBytes` from `spark.graft.spread.targetBytes` (default
+    * 64 KiB — the per-task granularity below which scheduling overhead
+    * beats parallelism for the text kernels this guards; round-15's
+    * driver run showed the full-width form 3-4× SLOWER at 32 cores
+    * than at 8 on sub-MB frames, the task/dispatch overhead exceeding
+    * the win). At scale this is moot twice over: a real scan has
+    * ≥ cores partitions (identity path), and a multi-GB under-parallel
+    * frame caps at defaultParallelism exactly like [[spread]]. */
+  def spreadCapped(df: DataFrame, keys: Column*): DataFrame = {
+    val sess = df.sparkSession
+    val want = sess.sparkContext.defaultParallelism
+    if (!scanRooted(df)) df
+    else {
+      val target = sess.conf.get("spark.graft.spread.targetBytes",
+        (64 * 1024).toString).toLong
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val width = ((bytes + target - 1) / target)
+        .min(BigInt(want)).max(BigInt(1)).toInt
+      if (df.rdd.getNumPartitions >= width) df
+      else df.repartition(width, keys: _*)
+    }
+  }
+
   /** Unconditional keyed repartition with NO explicit partition count —
     * AQE sizes the exchange from its bytes (locally that re-spreads a
     * broadcast-join output that inherited a single-task scan's

@@ -16,24 +16,56 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Round-15 (optimization guide §1.2 step 3, measured): run `body`
-    * with AQE disabled, restoring the session's previous setting after.
-    * For DRIVER-SEQUENTIAL trainer loops over a vocab-BOUNDED frame
-    * (`maxVocab`-capped by construction at any corpus scale), AQE's
-    * per-Exchange stage jobs are pure driver round-trips — profiled:
-    * t39 8.5 s AQE-on vs 4.8 s AQE-off, t52/t53 56-61 jobs for ≈0.5-1 s
-    * of task time — while the frames are far too small for adaptive
-    * planning to ever change a decision. Results are partition-layout-
-    * independent (stability-gated across cpus/AQE), so this changes
-    * time, never values. Corpus-sized passes stay OUTSIDE the wrap. */
+    * with AQE disabled. For DRIVER-SEQUENTIAL trainer loops over a
+    * vocab-BOUNDED frame (`maxVocab`-capped by construction at any
+    * corpus scale), AQE's per-Exchange stage jobs are pure driver
+    * round-trips — profiled: t39 8.5 s AQE-on vs 4.8 s AQE-off,
+    * t52/t53 56-61 jobs for ≈0.5-1 s of task time — while the frames
+    * are far too small for adaptive planning to ever change a decision.
+    * Results are partition-layout-independent (stability-gated across
+    * cpus/AQE), so this changes time, never values. Corpus-sized passes
+    * stay OUTSIDE the wrap.
+    *
+    * Round-16 (verdict item 6, MEASURED AND REJECTED): running the loop
+    * in a CLONED session (PlanBridge.cloneSession with AQE off, loop
+    * state re-rooted once via Dataset.ofRows) removes the shared-conf
+    * mutation — but the clone consistently DOUBLED executor task time
+    * on identical stage structure (isolated Profile min-of-4 at sf0.1
+    * local[32]: t39 taskT 7.9→16.7 s / wall 7.3→8.4, t21 1.1→1.8,
+    * t22 0.9→2.2, t52 1.1→2.7, t53 2.2→3.2 — ≈0.3-1 s of wall per
+    * trainer query, reproduced across two runs each way). The mutate-
+    * and-restore form below is kept as the measured optimum, with the
+    * documented SINGLE-THREADED CONTRACT: queries in this engine run
+    * sequentially per session (Bench/Verify/Profile drivers all do); a
+    * caller that runs queries concurrently in ONE session must not
+    * overlap them with these trainer loops, or a concurrent query
+    * could plan without AQE for the loop's duration (time, never
+    * values — all results are AQE-independent, stability-gated). */
   private[graft] def withAqeOff[T](sp: org.apache.spark.sql.SparkSession)(
-      body: => T): T = {
-    val k = "spark.sql.adaptive.enabled"
-    val prev = sp.conf.getOption(k)
-    sp.conf.set(k, "false")
-    try body finally prev match {
+      body: => T): T = withTrainerConf(sp, None)(body)
+
+  /** [[withAqeOff]] plus a SCALE-ADAPTIVE shuffle width for the loop:
+    * with AQE off every loop stage runs `spark.sql.shuffle.partitions`
+    * tasks — at bench scale 32 tasks over a few hundred vocab rows,
+    * pure per-task scheduling/codegen overhead (t39 profiled 467 tasks
+    * for 7.9 s of task time over kilobytes). Callers pass the
+    * checkpointed working frame's OWN partition count (what AQE sized
+    * the frame to at the seeding pass — grows with the data, never a
+    * constant), so loop stages match the working set at any scale.
+    * Round-16; same single-threaded contract as [[withAqeOff]]. */
+  private[graft] def withTrainerConf[T](sp: org.apache.spark.sql.SparkSession,
+      parts: Option[Int])(body: => T): T = {
+    val kA = "spark.sql.adaptive.enabled"
+    val kP = "spark.sql.shuffle.partitions"
+    val prevA = sp.conf.getOption(kA)
+    val prevP = sp.conf.getOption(kP)
+    sp.conf.set(kA, "false")
+    parts.foreach(n => sp.conf.set(kP, math.max(1, n).toString))
+    def restore(k: String, prev: Option[String]): Unit = prev match {
       case Some(v) => sp.conf.set(k, v)
       case None => sp.conf.unset(k)
     }
+    try body finally { restore(kA, prevA); restore(kP, prevP) }
   }
 
   /** Number of tokens matching a word list (with multiplicity). */
@@ -528,8 +560,8 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
-    // AQE off for the vocab-bounded merge loop (see [[withAqeOff]])
-    withAqeOff(sp) {
+    // AQE off + vocab-sized shuffle width for the merge loop
+    withTrainerConf(sp, Some(vocab.rdd.getNumPartitions)) {
     while (rank <= nMerges && !exhausted) {
       val syms = split(col("seg"), "  ")
       // guard: sequence(1, 0) DESCENDS in Spark, so single-symbol words
@@ -629,7 +661,7 @@ object TextAnalysis {
     var exhausted = false
     // AQE off for the vocab-bounded loop only (see [[withAqeOff]]) —
     // the corpus-sized seeding pass above keeps the session default.
-    withAqeOff(sp) {
+    withTrainerConf(sp, Some(vocab.rdd.getNumPartitions)) {
     while (round < rounds && !exhausted) {
       val syms = split(col("seg"), "  ")
       val pairs = when(size(syms) >= 2,
@@ -809,8 +841,8 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
     var rank = 1
     var exhausted = false
-    // AQE off for the vocab-bounded merge loop (see [[withAqeOff]])
-    withAqeOff(sp) {
+    // AQE off + vocab-sized shuffle width for the merge loop
+    withTrainerConf(sp, Some(vocab.rdd.getNumPartitions)) {
     while (rank <= nMerges && !exhausted) {
       val syms = split(col("seg"), "  ")
       val pairs = when(size(syms) >= 2,
@@ -1045,78 +1077,100 @@ object TextAnalysis {
     * (a char missing from the vocabulary) simply emit no rows. */
   private def viterbiUses(words: DataFrame, occ: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def flat(d: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.PlanBridge.statsFlatLeaf(d)
-    // forward Viterbi: byPos(r) = best score reaching char offset r.
-    // MEASURED AND REVERTED (round-15, guide §1 honesty): lazy-chaining
-    // these positions with a checkpoint every 3 (the pageRank
-    // checkpointEvery discipline) cut the job count but LOST wall time
-    // — a position that stays lazy re-enters the next three positions'
-    // plans (the [r−maxPieceLen, r) window), so its join+agg subtree
-    // re-executes up to maxPieceLen times and the re-planning/codegen
-    // of the deeper composite plans outweighed the saved driver
-    // round-trips. Same-day isolated A/B at sf0.1 (RUNS=8 PASSES=1
-    // warm floors): eager t50+t51 = 11.67 s combined, lazy-chained =
-    // 16.65 s. The eager one-checkpoint-per-position form below is the
-    // measured optimum currency for this DP.
-    val b0 = words.select(col("w"), lit(0).as("pos"),
-      lit(0).cast(DecimalType(28, 6)).as("score")).localCheckpoint(true)
-    var byPos = IndexedSeq(b0)
-    for (r <- 1 to maxWordLen) {
-      val prev = byPos.slice(math.max(0, r - maxPieceLen), r)
-        .map(flat).reduce(_ unionAll _)
-        .select(col("w").as("pw"), col("pos"), col("score"))
-      val bR = occ.filter(col("end") === r)
-        .join(prev, col("w") === col("pw") && col("start") === col("pos"))
-        .groupBy(col("w"))
-        .agg(max(col("score") + col("logp"))
-          .cast(DecimalType(28, 6)).as("score"))
-        .select(col("w"), lit(r).as("pos"), col("score"))
-        .localCheckpoint(true)
-      byPos = byPos :+ bR
-    }
-    val bestAll = byPos.map(flat).reduce(_ unionAll _)
-    // backward traversal: peel the chosen piece off each word until
-    // pos 0; the DECIMAL equality test is exact, tie-break start asc
-    var state = words
-      .join(bestAll, words("w") === bestAll("w") &&
-        bestAll("pos") === length(words("w")))
-      .select(words("w"), col("cnt"), col("pos"), col("score"))
+    // Round-16 kernelization (guide §1.2 step 1 — fix the distributed
+    // algorithm before the per-task work). The relational form ran the
+    // forward DP + backward peel as ~2·maxWordLen driver-checkpointed
+    // join rounds per call: ≈50 word-keyed shuffles at ANY scale, and at
+    // bench scale each round's multi-Exchange AQE plan was its own
+    // stage-job round-trip (t50 profiled 138 jobs). But the DP is
+    // per-word over a lattice of ≤ maxWordLen·maxPieceLen entries, so
+    // ONE grouped pass computes it exactly: collect each word's scored
+    // lattice rows and run the identical DECIMAL DP in
+    // [[viterbiPiecesKernel]] — Long micro-units (scale-6 fixed point)
+    // make every sum of ≤ maxWordLen scale-6 logps EXACT in 64 bits, so
+    // max / equality / min-start tie-break agree bit-for-bit with the
+    // old DECIMAL(28,6) column arithmetic (the [[unigramNpKernel]]
+    // stream-twin argument, spec-pinned stream ≡ batch). Unreachable
+    // words (out-of-vocab char) return an empty piece list and drop in
+    // the explode, exactly like the old missing pos=len join row.
+    // `words`/`maxPieceLen`/`maxWordLen` stay in the signature for the
+    // callers' contract; the lattice itself bounds the DP.
+    val _ = (words, maxPieceLen, maxWordLen)
+    val kernel = udf((w: String, lat: Seq[org.apache.spark.sql.Row]) =>
+      viterbiPiecesKernel(w, lat))
+    occ.groupBy(col("w"), col("cnt"))
+      .agg(collect_list(struct(col("start"), col("end"), col("piece"),
+        col("logp"))).as("lat"))
+      .select(col("w"), col("cnt"),
+        explode(kernel(col("w"), col("lat"))).as("piece"))
       .localCheckpoint(true)
-    var stepCkpts = List.empty[DataFrame]
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sw"))
-      .orderBy(col("start").asc, col("piece").asc)
-    for (_ <- 1 to maxWordLen) {
-      val active = flat(state).filter(col("pos") > 0)
-        .select(col("w").as("sw"), col("cnt").as("scnt"),
-          col("pos").as("spos"), col("score").as("sscore"))
-      val prior = bestAll.select(col("w").as("bw"), col("pos").as("bpos"),
-        col("score").as("bscore"))
-      val step = active
-        .join(occ, col("sw") === occ("w") && col("spos") === occ("end"))
-        .join(prior, col("sw") === col("bw") && occ("start") === col("bpos"))
-        .filter(col("bscore") + col("logp") === col("sscore"))
-        .withColumn("_rk", row_number().over(wPick))
-        .filter(col("_rk") === 1)
-        .select(col("sw"), col("scnt"), col("piece"), col("start"),
-          col("bscore"))
-        .localCheckpoint(true)
-      stepCkpts ::= step
-      val prevState = state
-      state = step.select(col("sw").as("w"), col("scnt").as("cnt"),
-        col("start").as("pos"), col("bscore").as("score"))
-      prevState.unpersist()
+  }
+
+  /** The per-word Viterbi piece-USE kernel behind [[viterbiUses]]: the
+    * exact DP the relational rounds computed, over one word's scored
+    * lattice `(start, end, piece, logp DECIMAL(18,6))`. Scores are
+    * scale-6 fixed point carried as Long micros — exact, so forward max
+    * and the backward score-equality test reproduce the DECIMAL(28,6)
+    * column arithmetic bit-for-bit; backward tie-break is min start
+    * (per (word, end) each start has exactly one piece, so the old
+    * (start asc, piece asc) window order reduces to start asc). Returns
+    * the chosen pieces (one element per USE), empty when position
+    * `len(w)` is unreachable. Order-insensitive to the lattice row
+    * order: every step is a max/min over the candidate set. */
+  private[graft] def viterbiPiecesKernel(w: String,
+      lat: Seq[org.apache.spark.sql.Row]): Seq[String] = {
+    val L = w.length
+    if (L == 0 || lat == null || lat.isEmpty) return Nil
+    val n = lat.length
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    val pieces = new Array[String](n)
+    val lp = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = lat(i)
+      starts(i) = r.getInt(0); ends(i) = r.getInt(1)
+      pieces(i) = r.getString(2)
+      lp(i) = r.getDecimal(3).movePointRight(6).longValueExact()
+      i += 1
     }
-    val uses = stepCkpts
-      .map(s => flat(s).select(col("sw").as("w"), col("scnt").as("cnt"),
-        col("piece")))
-      .reduce(_ unionAll _)
-      .localCheckpoint(true)
-    stepCkpts.foreach(_.unpersist())
-    byPos.foreach(_.unpersist())
-    uses
+    val NEG = java.lang.Long.MIN_VALUE
+    val best = new Array[Long](L + 1)
+    java.util.Arrays.fill(best, NEG)
+    best(0) = 0L
+    var pos = 1
+    while (pos <= L) {
+      var b = NEG
+      i = 0
+      while (i < n) {
+        if (ends(i) == pos && best(starts(i)) != NEG) {
+          val cand = best(starts(i)) + lp(i)
+          if (b == NEG || cand > b) b = cand
+        }
+        i += 1
+      }
+      best(pos) = b
+      pos += 1
+    }
+    if (best(L) == NEG) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    pos = L
+    while (pos > 0) {
+      var chosenStart = Int.MaxValue
+      var chosenPiece: String = null
+      i = 0
+      while (i < n) {
+        if (ends(i) == pos && best(starts(i)) != NEG &&
+            best(starts(i)) + lp(i) == best(pos) &&
+            starts(i) < chosenStart) {
+          chosenStart = starts(i); chosenPiece = pieces(i)
+        }
+        i += 1
+      }
+      out += chosenPiece
+      pos = chosenStart
+    }
+    out.toSeq
   }
 
   /** Tokenize documents with a TRAINED unigram-LM vocabulary (the
@@ -1703,7 +1757,11 @@ object TextAnalysis {
   private[graft] def knTrigramPlan(df: DataFrame, idCol: String,
       textCol: String, discount: Double): (DataFrame, DataFrame) = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val toks = Spread.spread(
+    // spreadCapped, not spread (round-16): the driver's 32-core run
+    // regressed t55 23% with the full-width form while the 8-core run
+    // was 4× faster — bytes-capped width keeps the 8-core-shaped win
+    // at every core count (and stays identity at scale)
+    val toks = Spread.spreadCapped(
       df.select(col(idCol).cast("long").as("doc_id"),
           tokens(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 3), col("doc_id"))
@@ -2288,8 +2346,10 @@ object TextAnalysis {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       cutPrefixes: Seq[String] = Seq("0", "1")): DataFrame = {
     require(cutPrefixes.nonEmpty, "need at least one cut prefix")
-    // spread before the positioned explode + per-token md5 (guide §2.5)
-    val tok = Spread.spread(
+    // spread before the positioned explode + per-token md5 (guide §2.5);
+    // bytes-capped width (round-16): the full-width form regressed 10%
+    // at 32 cores in the driver's run while 8 cores ran it 2.8× faster
+    val tok = Spread.spreadCapped(
         docs.select(col(idCol), tokens(col(textCol)).as("_graft_tk")),
         col(idCol))
       .select(col(idCol), posexplode(col("_graft_tk")).as(Seq("pos", "tok")))

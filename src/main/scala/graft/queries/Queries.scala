@@ -33,6 +33,35 @@ object Queries {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared m-family media construction (round-16: one helper replaces
+    * 14 inline copies — the round-15 "deduplicate the media
+    * constructions" list item; plans unchanged by construction): ASCII
+    * documents (the oracle equates chars and bytes) of at least
+    * `minLen` chars, spread before the per-row codec kernels
+    * (guide §2.5 — identity at scale). */
+  private def asciiDocs(s: SparkSession, dir: String,
+      minLen: Int): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(length($"text") === octet_length($"text")
+        && length($"text") >= minLen)
+      .select($"doc_id", $"text")
+      .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
+      .as[(Long, String)]
+  }
+
+  /** [[asciiDocs]] carrying the `source` column (the media-type tag). */
+  private def asciiDocsWithSource(s: SparkSession, dir: String,
+      minLen: Int): org.apache.spark.sql.Dataset[(Long, String, String)] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(length($"text") === octet_length($"text")
+        && length($"text") >= minLen)
+      .select($"doc_id", $"source", $"text")
+      .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
+      .as[(Long, String, String)]
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. All driver-generated values are microsecond-aligned,
     * so read nanos as long and convert losslessly to a micros timestamp.
@@ -2871,12 +2900,7 @@ object Queries {
       "m01_media_features",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text") // ASCII only: oracle equates chars/bytes
-            && length($"text") >= 1) // PNG needs width >= 1
-          .select($"doc_id", $"source", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String, String)]
+        val media = asciiDocsWithSource(s, dir, 1)
           .mapPartitions(_.map { case (id, src, text) =>
             val px = text.getBytes("US-ASCII")
             graft.operators.MediaRecord(id, src,
@@ -2913,12 +2937,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val outW = 32
-        t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 1)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        asciiDocs(s, dir, 1)
           .mapPartitions(_.map { case (id, text) =>
             val px = text.getBytes("US-ASCII")
             val png = graft.operators.Png.encodeGray(px.length, 1, px, filter = 2)
@@ -2957,12 +2976,7 @@ object Queries {
       "m03_frame_sample",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 1)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        asciiDocs(s, dir, 1)
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             graft.operators.Multimodal.sampleFrames(bytes, frameSize = 8, stride = 24)
@@ -3127,12 +3141,7 @@ object Queries {
       "m14_wav_features",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             val pcm = java.util.Arrays.copyOf(bytes, bytes.length & ~1)
@@ -3167,12 +3176,7 @@ object Queries {
       "m05_image_neardup",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 16)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 16)
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             val h0 = bytes.length / 16
@@ -6126,9 +6130,15 @@ object Queries {
         val batch2 = edges.filter($"ok" % 200 =!= 0).select($"src", $"dst")
         val labels1 = graft.operators.Graph
           .connectedComponents(batch1, "src", "dst")
-        graft.operators.Graph
+        val updated = graft.operators.Graph
           .updateConnectedComponents(labels1, batch2, "src", "dst")
-          .orderBy($"node")
+        // both CC runs have materialized eagerly by here — free the
+        // shared-edge checkpoint NOW instead of leaning on driver GC
+        // (round-16, advisor item: the only query-level checkpoint that
+        // lingered across a long bench session)
+        edges.unpersist()
+        labels1.unpersist()
+        updated.orderBy($"node")
       },
       Some("""WITH RECURSIVE
         li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -8144,12 +8154,7 @@ object Queries {
       "m08_pcm_decimate",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
               .map(x => (((x & 0xFF) * 2) % 256).toByte)
@@ -8184,12 +8189,7 @@ object Queries {
       "m09_pcm_resample",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
               .map(x => (((x & 0xFF) * 2) % 256).toByte)
@@ -8276,12 +8276,7 @@ object Queries {
       "m11_jpeg_features",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 1)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        asciiDocs(s, dir, 1)
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             val n = math.min(bytes.length, 48)
@@ -8326,12 +8321,7 @@ object Queries {
       "m06_pcm_frames",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
               .map(x => (((x & 0xFF) * 2) % 256).toByte)
@@ -8374,12 +8364,7 @@ object Queries {
       "m12_energy_segments",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
               .map(x => (((x & 0xFF) * 2) % 256).toByte)
@@ -8427,12 +8412,7 @@ object Queries {
       "m13_pcm_normalize",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 2)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 2)
           .mapPartitions(_.map { case (id, text) =>
             val b = text.getBytes("US-ASCII")
               .map(x => (((x & 0xFF) * 2) % 256).toByte)
@@ -8591,12 +8571,7 @@ object Queries {
       "m07_image_tiles",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 16)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 16)
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             val h0 = bytes.length / 16
@@ -9068,12 +9043,7 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val w = 7
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= w)
-          .select($"doc_id", $"source", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String, String)]
+        val media = asciiDocsWithSource(s, dir, w)
           .mapPartitions(_.map { case (id, src, text) =>
             val all = text.getBytes("US-ASCII")
             val h = all.length / w
@@ -9111,12 +9081,7 @@ object Queries {
       "m15_image_edges",
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents")
-          .filter(length($"text") === octet_length($"text")
-            && length($"text") >= 48)
-          .select($"doc_id", $"text")
-          .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
-          .as[(Long, String)]
+        val media = asciiDocs(s, dir, 48)
           .mapPartitions(_.map { case (id, text) =>
             val bytes = text.getBytes("US-ASCII")
             val h0 = bytes.length / 16

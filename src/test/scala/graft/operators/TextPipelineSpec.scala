@@ -927,4 +927,27 @@ class TextPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct shingles: "a b c", "b c a", "c a b" — one seen
     assert(d.getLong(1) === 3L && d.getLong(2) === 1L)
   }
+
+  test("viterbiPiecesKernel: exact DP, min-start tie-break, unreachable word -> empty") {
+    import org.apache.spark.sql.Row
+    def d(v: String) = new java.math.BigDecimal(v).setScale(6)
+    def lat(es: (Int, Int, String, String)*): Seq[Row] =
+      es.map { case (st, en, pc, lp) => Row(st, en, pc, d(lp)) }
+    // "abab" with {a:-1, b:-1.5, ab:-2}: best(4) = ab+ab = -4 (not a,b chains)
+    assert(TextAnalysis.viterbiPiecesKernel("abab", lat(
+      (0, 1, "a", "-1"), (1, 2, "b", "-1.5"), (0, 2, "ab", "-2"),
+      (2, 3, "a", "-1"), (3, 4, "b", "-1.5"), (2, 4, "ab", "-2")))
+      === Seq("ab", "ab"))
+    // "aa" with {a:-1, aa:-2}: a+a and aa TIE at -2; backward picks the
+    // SMALLEST start (0), i.e. the single piece "aa" — the relational
+    // form's (start asc) window order
+    assert(TextAnalysis.viterbiPiecesKernel("aa", lat(
+      (0, 1, "a", "-1"), (1, 2, "a", "-1"), (0, 2, "aa", "-2")))
+      === Seq("aa"))
+    // unreachable end position (no piece covers the last char): empty,
+    // exactly like the old missing pos=len join row
+    assert(TextAnalysis.viterbiPiecesKernel("ab", lat((0, 1, "a", "-1")))
+      === Seq.empty)
+    assert(TextAnalysis.viterbiPiecesKernel("", Nil) === Seq.empty)
+  }
 }
