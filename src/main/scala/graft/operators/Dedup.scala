@@ -467,19 +467,30 @@ object Dedup {
         s"${kg + winnowWindow - 1}: spans could be missed")
     val fps = TextAnalysis.winnowFingerprints(df, idCol, textCol,
       kg, winnowWindow)
-    val fpsCapped =
+    val fpsCapped0 =
       if (fpCap == Int.MaxValue) fps
       else {
         val hot = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
           .filter(col("n") > fpCap).select(col("fingerprint"))
         fps.join(hot, Seq("fingerprint"), "left_anti")
       }
+    // Round-16 (guide §1.2 "don't compute twice"): the fingerprint
+    // frame feeds BOTH sides of the candidate self-join, and Catalyst
+    // evaluates the shared subtree once per join input — the winnow
+    // pass (one md5 per corpus character, the dominant screen cost)
+    // ran TWICE. Materialize it once; the frame is fingerprint-sized
+    // (≤ one row per character, distinct-deduplicated), and the
+    // candidate set materializes eagerly inside duplicateSpansWithin,
+    // so the blocks are released before this operator returns.
+    val fpsCapped = fpsCapped0.localCheckpoint(true)
     val cand = fpsCapped.as("a").join(fpsCapped.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    duplicateSpansWithin(df, cand, idCol, textCol, k, minLen, dfCap)
+    val out = duplicateSpansWithin(df, cand, idCol, textCol, k, minLen, dfCap)
+    fpsCapped.unpersist()
+    out
   }
 
   /** Top-`topK` most-duplicated character `k`-grams corpus-wide, by
@@ -708,7 +719,10 @@ object Dedup {
   def simhashKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    Spread.spread(df.select(col(idCol).cast("long"), col(textCol))
+    // spreadCapped (round-16): full width measured 1.66x slower at 32
+    // cores than 8 on this kernel (d04); bytes-capped width matches the
+    // 8-core-shaped optimum at every core count, identity at scale
+    Spread.spreadCapped(df.select(col(idCol).cast("long"), col(textCol))
       .filter(col(idCol).isNotNull && col(textCol).isNotNull),
         col(idCol).cast("long"))
       .as[(Long, String)]

@@ -1680,7 +1680,10 @@ object TextAnalysis {
   def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val toks = Spread.spread(
+    // spreadCapped (round-16): the driver-pattern c32-vs-c8 comparison
+    // showed the full-width form ~1.2-1.7x slower at 32 cores on this
+    // light tokenize kernel; bytes-capped width is core-count-neutral
+    val toks = Spread.spreadCapped(
       df.select(col(idCol).cast("long").as("doc_id"),
           tokens(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 2), col("doc_id"))
@@ -1835,7 +1838,10 @@ object TextAnalysis {
     * no driver state beyond the one-row vocabulary count. DECIMAL
     * addends keep the mean independent of partition merge order. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Spread.spread(
+    // spreadCapped (round-16): the driver-pattern c32-vs-c8 comparison
+    // showed the full-width form ~1.2-1.7x slower at 32 cores on this
+    // light tokenize kernel; bytes-capped width is core-count-neutral
+    val toks = Spread.spreadCapped(
       df.select(col(idCol).cast("long").as("doc_id"),
           tokens(col(textCol)).as("tk"))
         .filter(size(col("tk")) >= 2), col("doc_id"))

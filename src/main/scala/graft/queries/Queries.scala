@@ -46,7 +46,7 @@ object Queries {
       .filter(length($"text") === octet_length($"text")
         && length($"text") >= minLen)
       .select($"doc_id", $"text")
-      .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
+      .transform(d => graft.operators.Spread.spreadCapped(d, d("doc_id")))
       .as[(Long, String)]
   }
 
@@ -58,7 +58,7 @@ object Queries {
       .filter(length($"text") === octet_length($"text")
         && length($"text") >= minLen)
       .select($"doc_id", $"source", $"text")
-      .transform(d => graft.operators.Spread.spread(d, d("doc_id")))
+      .transform(d => graft.operators.Spread.spreadCapped(d, d("doc_id")))
       .as[(Long, String, String)]
   }
 
